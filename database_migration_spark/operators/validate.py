@@ -1,0 +1,208 @@
+"""Migration validation by metric diffing (the reference's CHECK_MIGRATION).
+
+The reference computes, per table and per system, ONE single-scan wide row of
+metrics — table row count; per column NULL count, MIN, MAX, SUM (exact
+numerics only), COUNT(DISTINCT), char-length MIN/MAX; temporal values
+formatted to-the-second text — into ``<table>_MIG_CHK``, then unpivots both
+sides into a per-schema comparison with STATUS OK/DEVIATION
+(/root/reference/mysql_to_exasol.sql:249-318 — metric ids 0-7 and the
+"single scan" comment at :249-252; /root/reference/oracle_to_exasol.sql:587-802
+adds AVG / MEDIAN / mode).
+
+Spark shape: ``df.agg(*all_exprs)`` — one scan, map-side partial aggregation
+and whole-stage codegen for free — then a ``stack()`` unpivot of the 1-row
+wide result and an equi-join comparison. Metric values are normalized to
+strings the same way on both systems (DECIMAL-stringified numerics,
+to-the-second timestamps) so a faithful copy yields ZERO deviation rows.
+
+Scale note: exact COUNT(DISTINCT) over many columns in one aggregate uses
+Spark's Expand (one duplicated stream per distinct aggregate). At 100 TB
+prefer ``distinct_mode="approx"`` (HLL sketch, still single-pass, no Expand)
+for monitoring; exact mode is for migration sign-off where equality matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# metric ids follow mysql_to_exasol.sql:269-289
+METRIC_ROW_CNT = "ROW_CNT"
+METRIC_NULLS = "NULL_CNT"
+METRIC_MIN = "MIN_VAL"
+METRIC_MAX = "MAX_VAL"
+METRIC_SUM = "SUM_VAL"
+METRIC_DISTINCT = "DISTINCT_CNT"
+METRIC_MIN_LEN = "MIN_LEN"
+METRIC_MAX_LEN = "MAX_LEN"
+
+_EXACT_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType)
+_ANY_NUMERIC = _EXACT_NUMERIC + (T.FloatType, T.DoubleType)
+_TEMPORAL = (T.DateType, T.TimestampType, T.TimestampNTZType)
+
+
+def _norm(col: Column, dtype: T.DataType) -> Column:
+    """Render a metric value as comparison-stable text.
+
+    Timestamps to the second (the reference compares dates as to-the-second
+    text — mysql_to_exasol.sql:279), floats through DECIMAL(38,6) so the two
+    systems print identically, exact numerics via plain CAST.
+    """
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+    if isinstance(dtype, T.DateType):
+        return F.date_format(col, "yyyy-MM-dd")
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return col.cast(T.DecimalType(38, 6)).cast("string")
+    return col.cast("string")
+
+
+def metric_exprs(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    distinct_mode: str = "exact",
+    extended: bool = False,
+) -> list[Column]:
+    """All metric expressions for one table — evaluated in a single df.agg().
+
+    Output column naming: ``<metric>__<column>`` (ROW_CNT has no column).
+    """
+    cols = columns or df.columns
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    exprs: list[Column] = [F.count(F.lit(1)).cast("string").alias("ROW_CNT__")]
+    for c in cols:
+        dt = schema[c]
+        col = F.col(c)
+        exprs.append(
+            F.sum(col.isNull().cast("long")).cast("string").alias(f"{METRIC_NULLS}__{c}")
+        )
+        exprs.append(_norm(F.min(col), dt).alias(f"{METRIC_MIN}__{c}"))
+        exprs.append(_norm(F.max(col), dt).alias(f"{METRIC_MAX}__{c}"))
+        if isinstance(dt, _EXACT_NUMERIC):
+            # SUM only over exact numerics to stay cross-system comparable
+            # (the reference sums over Decimal to avoid wraparound —
+            # README.md:155-162); we widen to DECIMAL(38,6) for the same reason.
+            exprs.append(
+                F.sum(col.cast(T.DecimalType(38, 6)))
+                .cast(T.DecimalType(38, 6))
+                .cast("string")
+                .alias(f"{METRIC_SUM}__{c}")
+            )
+        if distinct_mode == "approx":
+            exprs.append(
+                F.approx_count_distinct(col).cast("string").alias(f"{METRIC_DISTINCT}__{c}")
+            )
+        else:
+            exprs.append(
+                F.count_distinct(col).cast("string").alias(f"{METRIC_DISTINCT}__{c}")
+            )
+        if isinstance(dt, T.StringType):
+            exprs.append(
+                F.min(F.length(col)).cast("string").alias(f"{METRIC_MIN_LEN}__{c}")
+            )
+            exprs.append(
+                F.max(F.length(col)).cast("string").alias(f"{METRIC_MAX_LEN}__{c}")
+            )
+        if extended and isinstance(dt, _ANY_NUMERIC):
+            # Oracle extras (oracle_to_exasol.sql:630-683): AVG and MEDIAN
+            exprs.append(
+                F.avg(col.cast("double"))
+                .cast(T.DecimalType(38, 6))
+                .cast("string")
+                .alias(f"AVG_VAL__{c}")
+            )
+            exprs.append(
+                F.expr(f"median(cast(`{c}` as double))")
+                .cast(T.DecimalType(38, 6))
+                .cast("string")
+                .alias(f"MEDIAN_VAL__{c}")
+            )
+    return exprs
+
+
+def compute_metrics_wide(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    distinct_mode: str = "exact",
+    extended: bool = False,
+) -> DataFrame:
+    """The ``<table>_MIG_CHK`` wide row: one aggregate, one scan."""
+    return df.agg(*metric_exprs(df, columns, distinct_mode, extended))
+
+
+def compute_metrics(
+    df: DataFrame,
+    table_name: str,
+    columns: list[str] | None = None,
+    distinct_mode: str = "exact",
+    extended: bool = False,
+) -> DataFrame:
+    """Long-form metrics: (table_name, column_name, metric, value).
+
+    Wide row → ``stack()`` unpivot (the reference unpivots via a metric-id
+    cross join — mysql_to_exasol.sql:266-267; stack is the Spark idiom).
+    """
+    wide = compute_metrics_wide(df, columns, distinct_mode, extended)
+    pairs = []
+    for fname in wide.columns:
+        metric, _, colname = fname.partition("__")
+        pairs.append((metric, colname, fname))
+    stack_args = ", ".join(
+        f"'{m}', '{c}', `{f}`" for m, c, f in pairs
+    )
+    long_df = wide.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) as (metric, column_name, value)"
+    )
+    return long_df.select(
+        F.lit(table_name).alias("table_name"),
+        "column_name",
+        "metric",
+        "value",
+    )
+
+
+def compare_metrics(ours: DataFrame, theirs: DataFrame) -> DataFrame:
+    """Join the two systems' metric rows → OK/DEVIATION summary.
+
+    Reference: ``<schema>_MIG_CHK`` comparison (mysql_to_exasol.sql:301-318,
+    oracle_to_exasol.sql:786-802). Null-safe equality so NULL==NULL is OK.
+    The metric side is tiny (O(tables × columns × 8)) → broadcast join.
+    """
+    keys = ["table_name", "column_name", "metric"]
+    a = ours.withColumnRenamed("value", "value_a")
+    b = theirs.withColumnRenamed("value", "value_b")
+    # metric sides are tiny (O(tables × columns × 8) rows); the full-outer
+    # join cannot broadcast-build, but AQE will pick a cheap plan.
+    joined = a.join(b, keys, "full_outer")
+    return joined.select(
+        *keys,
+        "value_a",
+        "value_b",
+        F.when(F.col("value_a").eqNullSafe(F.col("value_b")), F.lit("OK"))
+        .otherwise(F.lit("DEVIATION"))
+        .alias("status"),
+    )
+
+
+def mode_metric(df: DataFrame, column: str) -> DataFrame:
+    """Most frequent value(s) + occurrence count for one column.
+
+    Reference computes mode via ``count(*)`` + ``max(count(*)) over ()`` +
+    listagg of tied values (oracle_to_exasol.sql:739-747). Spark shape:
+    groupBy + window max + filter; ties are all kept, concatenated sorted
+    so the result is deterministic.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(column).cast("string").alias("value")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy()
+    top = counts.withColumn("max_cnt", F.max("cnt").over(w)).filter(
+        F.col("cnt") == F.col("max_cnt")
+    )
+    return top.groupBy().agg(
+        F.array_join(F.array_sort(F.collect_list("value")), ", ").alias("mode_values"),
+        F.max("cnt").alias("occurrences"),
+    )

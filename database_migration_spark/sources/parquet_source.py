@@ -1,0 +1,151 @@
+"""Parquet fixture source: treats a directory of parquet files as a "source
+database" whose catalog we scan from the parquet footers.
+
+This is the test stand-in for a JDBC source (TESTDATA.md tables), and also a
+real adapter: at 100 TB the "source" is usually a data-lake directory tree,
+and its catalog is exactly the file metadata. Schema discovery touches only
+footers (pyarrow, driver-side), never data.
+
+Nanosecond timestamps: parquet TIMESTAMP(NANOS) is not readable by Spark's
+vectorized reader (Spark is microsecond — SURVEY.md §1.2 / §7.5 "timestamp
+precision >6"). The reference would emit TIMESTAMP(9) and lose sub-µs; we do
+one better, per the survey's recommendation: read the raw int64 nanos via
+``spark.sql.legacy.parquet.nanosAsLong`` and expose BOTH a µs-truncated
+timestamp column (same name) and a ``<name>_ns`` LongType sidecar carrying
+the exact value. Truncation (not rounding) matches how engines cast
+timestamp_ns → timestamp, so external oracles agree.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from database_migration_spark.catalog import Catalog, ColumnMeta, TableMeta
+from database_migration_spark.sources.base import SourceAdapter
+
+# pyarrow type string prefix → the "source type" string our typemap
+# understands, so the fixture round-trips through the same mapping path a
+# JDBC source would.
+_ARROW_TO_SOURCE = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float": "real",
+    "double": "double",
+    "bool": "boolean",
+    "date32": "date",
+    "date64": "date",
+    "string": "varchar",
+    "large_string": "varchar",
+    "binary": "varbinary",
+    "large_binary": "varbinary",
+}
+
+
+def arrow_type_to_source(atype) -> str:
+    import pyarrow as pa
+
+    s = str(atype)
+    if s.startswith("timestamp"):
+        # timestamp[ns] → datetime(9) etc., so typemap flags precision loss
+        unit = atype.unit  # 's' | 'ms' | 'us' | 'ns'
+        prec = {"s": 0, "ms": 3, "us": 6, "ns": 9}[unit]
+        return f"timestamp({prec})" if atype.tz else f"datetime({prec})"
+    if pa.types.is_decimal(atype):
+        return f"decimal({atype.precision},{atype.scale})"
+    if pa.types.is_list(atype) or pa.types.is_large_list(atype):
+        return "array"
+    if pa.types.is_map(atype):
+        return "map"
+    if pa.types.is_struct(atype):
+        return "nested"
+    return _ARROW_TO_SOURCE.get(s, s)
+
+
+def nanos_timestamp_columns(path: str) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS) — footer-only check."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    return [
+        f.name
+        for f in schema
+        if str(f.type).startswith("timestamp") and f.type.unit == "ns"
+    ]
+
+
+def read_parquet_portable(spark: SparkSession, path: str, nanos_sidecar: bool = True) -> DataFrame:
+    """Read parquet that may contain TIMESTAMP(NANOS) columns.
+
+    Plain read when none; otherwise reads nanos as long (runtime conf) and
+    rebuilds: ``col`` = µs-truncated timestamp, ``col_ns`` = exact int64 nanos.
+    """
+    ns_cols = nanos_timestamp_columns(_first_parquet_file(path))
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        if nanos_sidecar:
+            df = df.withColumn(f"{c}_ns", F.col(c))
+        df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+    # restore original column order (sidecars appended at the end)
+    return df
+
+
+def _first_parquet_file(path: str) -> str:
+    if os.path.isfile(path):
+        return path
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                return os.path.join(root, f)
+    return path
+
+
+class ParquetSource(SourceAdapter):
+    DIALECT = "parquet"
+
+    def __init__(self, spark: SparkSession, root: str, schema_name: str = "MAIN", policy=None):
+        super().__init__(policy)
+        self.spark = spark
+        self.root = root
+        self.schema_name = schema_name
+
+    def table_path(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}.parquet")
+
+    def list_tables(self) -> list[str]:
+        return sorted(
+            f[: -len(".parquet")]
+            for f in os.listdir(self.root)
+            if f.endswith(".parquet")
+        )
+
+    def read(self, table: str, nanos_sidecar: bool = True) -> DataFrame:
+        return read_parquet_portable(self.spark, self.table_path(table), nanos_sidecar)
+
+    def scan_catalog(self, schema_filter: str = "%", table_filter: str = "%") -> Catalog:
+        import pyarrow.parquet as pq
+
+        tables = []
+        for t in self.list_tables():
+            schema = pq.read_schema(_first_parquet_file(self.table_path(t)))
+            cols = tuple(
+                ColumnMeta(
+                    schema=self.schema_name,
+                    table=t,
+                    name=f.name,
+                    ordinal=i + 1,
+                    source_type=arrow_type_to_source(f.type),
+                    nullable=f.nullable,
+                )
+                for i, f in enumerate(schema)
+            )
+            tables.append(TableMeta(schema=self.schema_name, table=t, columns=cols))
+        return Catalog(tables=tables).filter(schema_filter, table_filter)

@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes through the noop sink (df.write.format("noop")) so the
+full plan runs — including projections a count() would prune — without
+paying driver-side collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: analytics flagships + one of each operator family
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "events_hourly_agg",
+    "mig_check_lineitem",
+    "delta_merge_orders",
+    "star_fact_orders",
+    "dedup_exact_documents",
+    "quality_documents",
+    "lang_id_documents",
+    "ann_cosine_topk",
+]
+
+
+def main() -> int:
+    from database_migration_spark import get_spark
+    from database_migration_spark import queries as Q
+
+    spark = get_spark(app_name="bench")
+    registry = Q.queries()
+
+    # warm the JVM/codegen path once with the smallest table
+    Q.table(spark, SF_DIR, "region").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = registry[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        dt = round(time.time(), 10) - t0
+        timings[name] = round(dt, 4)
+        total += dt
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,89 @@
+"""Portable text expressions: normalization, token counts, occurrence counts,
+shingles. Each helper has a Spark Column form and a DuckDB SQL form so the
+correctness oracle computes the *same algorithm* — both engines use
+non-overlapping left-to-right replace and the same regex class syntax.
+
+Everything is built-in-function only (JVM-side, codegen'd); the per-row cost
+is O(len(text)) and fully partition-parallel — the shape that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """lower + collapse whitespace runs to single spaces + trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def normalize_text_sql(expr: str) -> str:
+    return rf"trim(regexp_replace(lower({expr}), '\s+', ' ', 'g'))"
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def token_count_sql(expr: str) -> str:
+    return (
+        rf"CASE WHEN length(trim({expr})) = 0 THEN 0 "
+        rf"ELSE len(string_split_regex(trim({expr}), '\s+')) END"
+    )
+
+
+def occurrences(col: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count via length difference (portable)."""
+    n = len(needle)
+    return (F.length(col) - F.length(F.replace(col, F.lit(needle)))) / F.lit(n)
+
+
+def occurrences_sql(expr: str, needle: str) -> str:
+    esc = needle.replace("'", "''")
+    return f"(length({expr}) - length(replace({expr}, '{esc}', ''))) / {len(needle)}"
+
+
+def char_class_count(col: Column, char_class: str) -> Column:
+    """Count of characters matching a regex class, e.g. '[^a-zA-Z]'."""
+    return F.length(col) - F.length(F.regexp_replace(col, char_class, ""))
+
+
+def char_class_count_sql(expr: str, char_class: str) -> str:
+    return f"length({expr}) - length(regexp_replace({expr}, '{char_class}', '', 'g'))"
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """All k-char shingles of the normalized text as an array (JVM-side).
+
+    sequence+transform instead of a UDF: array of start offsets, substring
+    each. Produces len-k+1 shingles; shorter texts produce the whole text.
+    """
+    norm = normalize_text(col)
+    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: norm.substr(i, F.lit(k)),
+    )
+
+
+def char_shingles_sql(expr: str, k: int = 5) -> str:
+    norm = normalize_text_sql(expr)
+    return (
+        f"list_transform(range(1, greatest(length({norm}) - {k - 1}, 1) + 1), "
+        f"i -> substr({norm}, i::INT, {k}))"
+    )
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Word n-grams of normalized text (array<string>)."""
+    toks = F.split(normalize_text(col), " ")
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), cnt - 1),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )

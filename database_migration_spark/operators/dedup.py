@@ -1,0 +1,265 @@
+"""Deduplication operators for large corpora: exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (the whole point of these):
+
+- *Exact*: groupBy(fingerprint) — one shuffle keyed by a 128-bit hash, keys
+  are unique-ish so no skew; the winner-per-group is a min() aggregate, not a
+  window, so it map-side combines.
+- *MinHash+LSH*: signatures are computed scan-side (explode shingles →
+  groupBy doc → min per permutation), then banded; candidate pairs come from
+  a self-join on (band, band_hash) buckets — the shuffle is on bucket keys,
+  and only bucket-colliding pairs are ever materialized, never the O(n²)
+  cross product. Verification (exact Jaccard on shingle sets) touches only
+  candidates.
+- *SimHash*: 64-bit signature from token-hash bit votes; buckets by the four
+  16-bit chunks (Hamming distance ≤ 3 guarantees one exact chunk match —
+  pigeonhole), so near-dup search is 4 equi-joins, not a cross join.
+- *Embedding near-dup*: delegated to similarity.cosine_self_join with a
+  threshold.
+
+All hashing is md5-based (functions.hashing) so an external SQL oracle can
+replay every step bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from database_migration_spark.functions.hashing import (
+    md5_long,
+    minhash_permuted,
+    permutation_params,
+)
+from database_migration_spark.functions.text_exprs import char_shingles, normalize_text
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized text: one row per distinct content, keeping
+    the smallest id (deterministic winner) plus the duplicate count.
+
+    Returns (fingerprint, keep_id, dup_cnt). Filter ``dup_cnt > 1`` for the
+    duplicate groups; join back on fingerprint to drop losers.
+    """
+    fp = F.md5(normalize_text(F.col(text_col)))
+    return (
+        df.select(fp.alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+    )
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """(id, shingle_hash) — exploded distinct k-shingles, hashed to 60-bit
+    ints. The base relation for both minhash and exact Jaccard."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(char_shingles(F.col(text_col), k))).alias("sh"),
+        )
+        .select("id", md5_long(F.col("sh")).alias("h"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_perm: int = 32, seed: int = 42
+) -> DataFrame:
+    """(id, sig_0..sig_{n-1}) minhash signature — one groupBy over the
+    exploded shingle relation computing all permutations' mins in a single
+    aggregate (map-side combined; no per-permutation passes)."""
+    params = permutation_params(num_perm, seed)
+    aggs = [
+        F.min(minhash_permuted(F.col("h"), a, b)).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_perm: int = 32, bands: int = 8
+) -> DataFrame:
+    """Band the signature and self-join on (band_idx, band_key) buckets.
+
+    rows_per_band = num_perm // bands. Pairs are emitted once (id_a < id_b),
+    deduplicated across bands. The join is a plain shuffle-hash join on the
+    bucket key — at 100 TB, bucket skew (a boilerplate shingle bucket with
+    millions of docs) is the risk; AQE skew-join splitting handles moderate
+    skew and the band key includes all rows_per_band mins, which keeps
+    buckets tight.
+    """
+    rows = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("key"))
+        )
+    banded = signatures.select(
+        "id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def exact_jaccard(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs via the shingle relation:
+    |A∩B| from a join on shingle hash, |A∪B| = |A|+|B|-|A∩B|.
+
+    Jaccard is returned as exact integer permille (floor(j*1000)) — engine-
+    portable, no float rounding ambiguity.
+    """
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.alias("sa")
+    b = shingles.alias("sb")
+    inter = (
+        a.join(b, F.col("sa.h") == F.col("sb.h"))
+        .where(F.col("sa.id") < F.col("sb.id"))
+        .groupBy(F.col("sa.id").alias("id_a"), F.col("sb.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cand = pairs.join(inter, ["id_a", "id_b"], "inner") if pairs is not None else inter
+    return (
+        cand.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(
+                F.col("inter") * F.lit(1000) / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            )
+            .cast("long")
+            .alias("jaccard_permille"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold_permille: int = 500,
+) -> DataFrame:
+    """Brute-ish n-gram Jaccard: intersection join on shingle hashes (only
+    docs sharing ≥1 shingle are paired — far smaller than a cross join on
+    real corpora), then threshold. The oracle-checkable ground truth that
+    minhash approximates."""
+    sh = shingle_sets(df, text_col, id_col, k)
+    return exact_jaccard(sh, None).where(
+        F.col("jaccard_permille") >= threshold_permille
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold_permille: int = 500,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash+LSH pipeline: shingle → sign → band → candidate pairs →
+    exact-Jaccard verify → threshold. Output (id_a, id_b, jaccard_permille)."""
+    sh = shingle_sets(df, text_col, id_col, k)
+    sigs = minhash_signatures(sh, num_perm, seed)
+    cands = lsh_candidate_pairs(sigs, num_perm, bands)
+    return exact_jaccard(sh, cands).where(
+        F.col("jaccard_permille") >= threshold_permille
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """SimHash over word tokens: per-bit majority vote of token hashes.
+
+    bit_i(sig) = 1 iff sum over distinct tokens of (token_hash bit_i ? 1 : -1) > 0.
+    Computed as one explode + groupBy with ``bits`` conditional sums — a
+    single shuffle keyed by doc id. 32 bits keeps every intermediate in
+    portable integer range.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))).alias("tok"),
+    ).select("id", md5_long(F.col("tok")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(bits)
+    ]
+    voted = toks.groupBy("id").agg(*votes)
+    sig = sum(
+        (
+            F.when(F.col(f"v_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(bits)
+        ),
+        F.lit(0),
+    ).cast("long")
+    return voted.select("id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket by 4 chunks (pigeonhole: hamming ≤ 3
+    ⇒ at least one of 4 chunks identical), then verify Hamming distance.
+
+    Output (id_a, id_b, hamming). Never materializes the cross product.
+    """
+    sigs = simhash_signatures(df, text_col, id_col, bits)
+    chunk = bits // 4
+    mask = (1 << chunk) - 1
+    chunks = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col("simhash"), i * chunk)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("ck"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", F.col("c.ci").alias("ci"), F.col("c.ck").alias("ck"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, ["ci", "ck"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -185,6 +185,79 @@ def compare_metrics(ours: DataFrame, theirs: DataFrame) -> DataFrame:
     )
 
 
+def metric_kind(dtype: T.DataType) -> str:
+    """Bucket a Spark type for metric selection: exact | double | string |
+    timestamp | date | other."""
+    if isinstance(dtype, _EXACT_NUMERIC):
+        return "exact"
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return "double"
+    if isinstance(dtype, T.StringType):
+        return "string"
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dtype, T.DateType):
+        return "date"
+    return "other"
+
+
+def oracle_metrics_sql(table_name: str, columns: list[tuple[str, str]]) -> str:
+    """ANSI/DuckDB SQL computing the *same* long-form metrics as
+    :func:`compute_metrics` — used as the external correctness oracle. The
+    wide aggregate runs once in a CTE; the unpivot is a UNION ALL over it.
+
+    ``columns``: (name, kind) pairs where kind ∈ metric_kind() values.
+    Value normalization mirrors _norm(): timestamps to-the-second text,
+    doubles through DECIMAL(38,6), everything else plain CAST to VARCHAR.
+    """
+
+    def vnorm(expr: str, kind: str) -> str:
+        if kind == "timestamp":
+            return f"strftime({expr}, '%Y-%m-%d %H:%M:%S')"
+        if kind == "date":
+            return f"strftime({expr}, '%Y-%m-%d')"
+        if kind == "double":
+            return f"CAST(CAST({expr} AS DECIMAL(38,6)) AS VARCHAR)"
+        return f"CAST({expr} AS VARCHAR)"
+
+    aggs = ["count(*) AS row_cnt"]
+    rows = [f"SELECT '' AS column_name, 'ROW_CNT' AS metric, CAST(row_cnt AS VARCHAR) AS value FROM w"]
+    for name, kind in columns:
+        q = f'"{name}"'
+        aggs.append(f"sum(CASE WHEN {q} IS NULL THEN 1 ELSE 0 END) AS nulls_{name}")
+        aggs.append(f"{vnorm(f'min({q})', kind)} AS min_{name}")
+        aggs.append(f"{vnorm(f'max({q})', kind)} AS max_{name}")
+        aggs.append(f"count(DISTINCT {q}) AS dist_{name}")
+        rows.append(
+            f"SELECT '{name}', '{METRIC_NULLS}', CAST(nulls_{name} AS VARCHAR) FROM w"
+        )
+        rows.append(f"SELECT '{name}', '{METRIC_MIN}', min_{name} FROM w")
+        rows.append(f"SELECT '{name}', '{METRIC_MAX}', max_{name} FROM w")
+        rows.append(
+            f"SELECT '{name}', '{METRIC_DISTINCT}', CAST(dist_{name} AS VARCHAR) FROM w"
+        )
+        if kind == "exact":
+            aggs.append(
+                f"CAST(CAST(sum({q}) AS DECIMAL(38,6)) AS VARCHAR) AS sum_{name}"
+            )
+            rows.append(f"SELECT '{name}', '{METRIC_SUM}', sum_{name} FROM w")
+        if kind == "string":
+            aggs.append(f"min(length({q})) AS minlen_{name}")
+            aggs.append(f"max(length({q})) AS maxlen_{name}")
+            rows.append(
+                f"SELECT '{name}', '{METRIC_MIN_LEN}', CAST(minlen_{name} AS VARCHAR) FROM w"
+            )
+            rows.append(
+                f"SELECT '{name}', '{METRIC_MAX_LEN}', CAST(maxlen_{name} AS VARCHAR) FROM w"
+            )
+    body = "\nUNION ALL\n".join(rows)
+    return (
+        f"WITH w AS (SELECT {', '.join(aggs)} FROM {table_name})\n"
+        f"SELECT '{table_name}' AS table_name, u.column_name, u.metric, u.value\n"
+        f"FROM (\n{body}\n) AS u(column_name, metric, value)"
+    )
+
+
 def mode_metric(df: DataFrame, column: str) -> DataFrame:
     """Most frequent value(s) + occurrence count for one column.
 

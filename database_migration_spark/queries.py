@@ -1,0 +1,491 @@
+"""Query registry: every operator exposed as a (spark, sf_dir) -> DataFrame
+callable with a matching DuckDB oracle SQL string.
+
+This is the driver contract surface (see __spark_entry__.py). Rules that keep
+the oracle hash-matching honest:
+
+- every computed column aliased IDENTICALLY in Spark and SQL;
+- no raw float aggregates cross the boundary: sums/ratios go through exact
+  decimal or integer (ppm / e6 / permille) arithmetic; where doubles are
+  unavoidable (cosine), both engines run the identical IEEE op sequence;
+- timestamps are compared at µs precision (events.ts is parquet NANOS —
+  Spark reads it via read_parquet_portable, DuckDB truncates at scan);
+- every ORDER BY is total (explicit tie-break keys) or absent (driver
+  compares order-insensitively).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_migration_spark.operators import validate as V
+from database_migration_spark.operators import delta_sync as DS
+from database_migration_spark.operators import star_schema as SS
+from database_migration_spark.operators import text as TX
+from database_migration_spark.operators import dedup as DD
+from database_migration_spark.operators import similarity as SIM
+from database_migration_spark.functions import text_exprs as TE
+from database_migration_spark.sources.parquet_source import read_parquet_portable
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table (nanos-safe). No sidecar columns so the
+    shape matches what the DuckDB oracle sees."""
+    return read_parquet_portable(spark, f"{sf_dir}/{name}.parquet", nanos_sidecar=False)
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+DEC = "decimal(18,6)"  # exact transfer type for double measures
+
+
+# ---------------------------------------------------------------------------
+# Analytics flagships (TPC-H-shaped; these are also the bench headliners)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_base_price,
+       sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(9,6)))) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast("decimal(9,6)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.sum(ep).alias("sum_base_price"),
+            F.sum(ep * (F.lit(1) - disc)).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_top_orders",
+    oracle="""
+SELECT l.l_orderkey AS l_orderkey,
+       sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(9,6)))) AS revenue,
+       o.o_orderdate AS o_orderdate
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1) - F.col("l_discount").cast("decimal(9,6)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+SELECT n.n_name AS n_name,
+       sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(9,6)))) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name ASC
+""",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1) - F.col("l_discount").cast("decimal(9,6)")
+    )
+    dim = s.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+                 s.s_nationkey == n.n_nationkey).select("s_suppkey", "n_name")
+    return (
+        li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+@register(
+    "events_hourly_agg",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Migration-capability queries (the reference's own operator surface)
+# ---------------------------------------------------------------------------
+
+_LINEITEM_KINDS = [
+    ("l_orderkey", "exact"), ("l_partkey", "exact"), ("l_suppkey", "exact"),
+    ("l_linenumber", "exact"), ("l_quantity", "double"),
+    ("l_extendedprice", "double"), ("l_discount", "double"), ("l_tax", "double"),
+    ("l_returnflag", "string"), ("l_linestatus", "string"),
+    ("l_shipdate", "timestamp"),
+]
+
+
+@register(
+    "mig_check_lineitem",
+    oracle=V.oracle_metrics_sql("lineitem", _LINEITEM_KINDS),
+)
+def mig_check_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's single-scan metric wide row, unpivoted
+    (mysql_to_exasol.sql:249-318)."""
+    return V.compute_metrics(table(spark, sf_dir, "lineitem"), "lineitem")
+
+
+@register(
+    "delta_watermark_orders",
+    oracle="""
+SELECT max(o_orderdate) AS wm, count(*) AS n_rows FROM orders
+""",
+)
+def delta_watermark_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark detection (delta_import:256-275)."""
+    return table(spark, sf_dir, "orders").agg(
+        F.max("o_orderdate").alias("wm"), F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@register(
+    "delta_merge_orders",
+    oracle="""
+WITH target AS (
+  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+), wm AS (
+  SELECT max(o_orderdate) AS w FROM target
+), staging AS (
+  SELECT o.* FROM orders o, wm WHERE o.o_orderdate >= wm.w
+)
+SELECT * FROM staging
+UNION ALL
+SELECT t.* FROM target t
+WHERE NOT EXISTS (SELECT 1 FROM staging s WHERE s.o_orderkey = t.o_orderkey)
+""",
+)
+def delta_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + MERGE round trip: target = history, staging = rows >=
+    watermark (at-least-once boundary re-read), merged result must equal the
+    full source (delta_import:374-435)."""
+    orders = table(spark, sf_dir, "orders")
+    target = orders.where(
+        F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    return DS.execute_sync(orders, target, keys=("o_orderkey",), delta_col="o_orderdate")
+
+
+@register(
+    "star_dims_orders",
+    oracle="""
+SELECT dense_rank() OVER (ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST) AS dim_key,
+       o_orderstatus, o_orderpriority
+FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+ORDER BY dim_key
+""",
+)
+def star_dims_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension extraction with deterministic surrogate keys
+    (Convert_To_Star_Schema.sql:386)."""
+    return SS.build_dimension(
+        table(spark, sf_dir, "orders"), ["o_orderstatus", "o_orderpriority"], "dim_key"
+    ).orderBy("dim_key")
+
+
+@register(
+    "star_fact_orders",
+    oracle="""
+WITH dim AS (
+  SELECT dense_rank() OVER (ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST) AS dim_key,
+         o_orderstatus, o_orderpriority
+  FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+)
+SELECT o.o_orderkey, d.dim_key, CAST(o.o_totalprice AS DECIMAL(18,6)) AS total_price
+FROM orders o LEFT JOIN dim d
+  ON o.o_orderstatus IS NOT DISTINCT FROM d.o_orderstatus
+ AND o.o_orderpriority IS NOT DISTINCT FROM d.o_orderpriority
+""",
+)
+def star_fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact build over NULL-safe dimension joins
+    (Convert_To_Star_Schema.sql:372,405-418)."""
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "total_price", F.col("o_totalprice").cast(DEC)
+    )
+    dim = SS.build_dimension(orders, ["o_orderstatus", "o_orderpriority"], "dim_key")
+    return SS.build_fact(
+        orders,
+        {"dim_key": (dim, ["o_orderstatus", "o_orderpriority"])},
+        measure_cols=["total_price"],
+        fact_id_cols=["o_orderkey"],
+    )
+
+
+@register(
+    "mode_l_returnflag",
+    oracle="""
+WITH counts AS (
+  SELECT CAST(l_returnflag AS VARCHAR) AS value, count(*) AS cnt
+  FROM lineitem GROUP BY 1
+)
+SELECT string_agg(value, ', ' ORDER BY value) AS mode_values, max(cnt) AS occurrences
+FROM counts WHERE cnt = (SELECT max(cnt) FROM counts)
+""",
+)
+def mode_l_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode metric with tie listagg (oracle_to_exasol.sql:739-747)."""
+    return V.mode_metric(table(spark, sf_dir, "lineitem"), "l_returnflag")
+
+
+@register(
+    "partition_counts_orders",
+    oracle="""
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS part_month, count(*) AS cnt
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+)
+def partition_counts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition row counts feeding the bin-packing import planner
+    (oracle_to_exasol.sql:156-193)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("part_month"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("part_month")
+    )
+
+
+@register(
+    "varchar_shrink_scan",
+    oracle="""
+SELECT 'c_name' AS column_name, max(length(c_name)) AS max_len, count(c_name) AS n_values FROM customer
+UNION ALL
+SELECT 'c_mktsegment', max(length(c_mktsegment)), count(c_mktsegment) FROM customer
+UNION ALL
+SELECT 'p_name', max(length(p_name)), count(p_name) FROM part
+UNION ALL
+SELECT 'p_type', max(length(p_type)), count(p_type) FROM part
+""",
+)
+def varchar_shrink_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-length scans driving VARCHAR shrink decisions
+    (convert_datatypes.sql:294-298)."""
+    cust = table(spark, sf_dir, "customer")
+    part = table(spark, sf_dir, "part")
+
+    def scan(df, col):
+        return df.agg(
+            F.lit(col).alias("column_name"),
+            F.max(F.length(F.col(col))).alias("max_len"),
+            F.count(F.col(col)).alias("n_values"),
+        )
+
+    return (
+        scan(cust, "c_name")
+        .unionByName(scan(cust, "c_mktsegment"))
+        .unionByName(scan(part, "p_name"))
+        .unionByName(scan(part, "p_type"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators: dedup / text / similarity
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_documents",
+    oracle=rf"""
+SELECT md5({TE.normalize_text_sql('text')}) AS fingerprint,
+       min(doc_id) AS keep_id, count(*) AS dup_cnt
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle=rf"""
+SELECT doc_id, md5({TE.normalize_text_sql('text')}) AS fingerprint
+FROM documents
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprint(table(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+@register(
+    "token_count_documents",
+    oracle=rf"""
+SELECT doc_id, {TE.token_count_sql('text')} AS n_tokens, length(text) AS n_chars
+FROM documents
+""",
+)
+def token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TE.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@register(
+    "quality_documents",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         length(text) AS q_n_chars,
+         {TE.token_count_sql('text')} AS q_n_tokens,
+         {TE.char_class_count_sql('text', '[a-zA-Z]')} AS alpha,
+         {TE.char_class_count_sql('text', '[.,;:!?]')} AS punct,
+         {TE.char_class_count_sql('text', ' ')} AS spaces,
+         {' + '.join(TE.occurrences_sql("(' ' || " + TE.normalize_text_sql('text') + " || ' ')", m) for m in TX.LANG_MARKERS['en'])} AS stop
+  FROM documents
+)
+SELECT doc_id, q_n_chars, q_n_tokens,
+       CASE WHEN q_n_chars > 0 THEN CAST(floor(alpha * 1000000 / q_n_chars) AS BIGINT) END AS q_alpha_ppm,
+       CASE WHEN q_n_chars > 0 THEN CAST(floor(punct * 1000000 / q_n_chars) AS BIGINT) END AS q_punct_ppm,
+       CAST(floor((q_n_chars - spaces) * 1000000 / greatest(q_n_tokens, 1)) AS BIGINT) AS q_mean_token_len_ppm,
+       CAST(floor(stop * 1000000 / greatest(q_n_tokens, 1)) AS BIGINT) AS q_stopword_ppm
+FROM t
+""",
+)
+def quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return TX.quality_features(d).select(
+        "doc_id", "q_n_chars", "q_n_tokens",
+        "q_alpha_ppm", "q_punct_ppm", "q_mean_token_len_ppm", "q_stopword_ppm",
+    )
+
+
+def _lang_id_oracle() -> str:
+    padded = "(' ' || " + TE.normalize_text_sql("text") + " || ' ')"
+    score_cols = []
+    for lang, markers in sorted(TX.LANG_MARKERS.items()):
+        s = " + ".join(TE.occurrences_sql(padded, m) for m in markers)
+        score_cols.append(f"CAST({s} AS BIGINT) AS s_{lang}")
+    langs = sorted(TX.LANG_MARKERS)
+    # argmax with alphabetical tie-break = first lang reaching the greatest
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(f"WHEN s_{l} = m THEN '{l}'" for l in langs) + " END"
+    return f"""
+WITH s AS (SELECT doc_id, {', '.join(score_cols)} FROM documents),
+     m AS (SELECT *, {best} AS m FROM s)
+SELECT doc_id,
+       CASE WHEN m <= 0 THEN 'unknown' ELSE {case} END AS lang_pred,
+       CASE WHEN m < 0 THEN -1 ELSE m END AS lang_pred_score
+FROM m
+"""
+
+
+@register("lang_id_documents", oracle=_lang_id_oracle())
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return TX.lang_id(d).select("doc_id", "lang_pred", "lang_pred_score")
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+     sim AS (
+       SELECT query_id, neighbor_id,
+              list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos_sim
+       FROM q, c WHERE query_id <> neighbor_id
+     ),
+     ranked AS (
+       SELECT query_id, neighbor_id, cos_sim,
+              row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       FROM sim
+     )
+SELECT query_id, neighbor_id, rank, CAST(floor(cos_sim * 1000000) AS BIGINT) AS cos_sim_e6
+FROM ranked WHERE rank <= 5
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(emb, emb.where(F.col("vec_id") < 20), k=5)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLE)

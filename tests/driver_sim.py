@@ -1,0 +1,135 @@
+"""Simulate the grading driver: run entry() at sf0.001, then every
+queries()[name] at sf0.01 against its oracle_sql()[name] in DuckDB, comparing
+row count, column names, and order-insensitive values.
+
+Usage: python tests/driver_sim.py [query_name ...]
+Exit 0 iff everything matches.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_T2 = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize_cell(v) -> str:
+    import datetime
+    import decimal
+    import math
+
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<NaN>"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(normalize_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def frame_signature(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    sig_rows = sorted(
+        tuple(normalize_cell(r[i]) for i in order) for r in rows
+    )
+    return sorted_cols, sig_rows
+
+
+def compare_query(name, fn, sql, spark, con) -> tuple[bool, str]:
+    t0 = time.time()
+    sdf = fn(spark, SF_T2)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    t_spark = time.time() - t0
+    t0 = time.time()
+    res = con.execute(sql)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    t_duck = time.time() - t0
+
+    sc, sr = frame_signature(s_cols, s_rows)
+    dc, dr = frame_signature(d_cols, d_rows)
+    if sc != dc:
+        return False, f"SCHEMA mismatch: spark={sc} duck={dc}"
+    if len(sr) != len(dr):
+        return False, f"ROWCOUNT mismatch: spark={len(sr)} duck={len(dr)}"
+    for i, (a, b) in enumerate(zip(sr, dr)):
+        if a != b:
+            return False, (
+                f"VALUE mismatch at sorted-row {i}:\n  spark={a}\n  duck ={b}"
+            )
+    return True, f"OK rows={len(sr)} spark={t_spark:.2f}s duck={t_duck:.2f}s"
+
+
+def main() -> int:
+    import __spark_entry__ as entry_mod
+    from database_migration_spark import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark(app_name="driver_sim", shuffle_partitions=8)
+
+    # t1 smoke
+    df = entry_mod.entry(spark)
+    n = df.count()
+    print(f"[t1] entry() rows={n} schema={df.columns}")
+    assert n >= 0
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    con = duck_conn(SF_T2)
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            try:
+                cnt = fn(spark, SF_T2).count()
+                print(f"[t2] {name}: rows-only check rows={cnt}")
+            except Exception as e:  # noqa: BLE001
+                failures.append(name)
+                print(f"[t2] {name}: FAILED rows-only: {e}")
+            continue
+        try:
+            ok, msg = compare_query(name, fn, sql, spark, con)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"EXCEPTION: {type(e).__name__}: {e}"
+        status = "PASS" if ok else "FAIL"
+        print(f"[t2] {name}: {status} {msg}")
+        if not ok:
+            failures.append(name)
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

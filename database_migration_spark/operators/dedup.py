@@ -43,6 +43,9 @@ def exact_dedup(
     Returns (fingerprint, keep_id, dup_cnt). Filter ``dup_cnt > 1`` for the
     duplicate groups; join back on fingerprint to drop losers.
     """
+    from database_migration_spark.functions.parallel import fan_out
+
+    df = fan_out(df)
     fp = F.md5(normalize_text(F.col(text_col)))
     return (
         df.select(fp.alias("fingerprint"), F.col(id_col))
@@ -59,6 +62,9 @@ def shingle_sets(
 ) -> DataFrame:
     """(id, shingle_hash) — exploded distinct k-shingles, hashed to 60-bit
     ints. The base relation for both minhash and exact Jaccard."""
+    from database_migration_spark.functions.parallel import fan_out
+
+    df = fan_out(df)
     return (
         df.select(
             F.col(id_col).alias("id"),
@@ -194,6 +200,9 @@ def simhash_signatures(
     single shuffle keyed by doc id. 32 bits keeps every intermediate in
     portable integer range.
     """
+    from database_migration_spark.functions.parallel import fan_out
+
+    df = fan_out(df)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))).alias("tok"),

@@ -52,10 +52,12 @@ def cosine_topk(
     integer micro-units (floor(cos*1e6)) for oracle portability; rank ties
     broken by neighbor_id so ordering is total and deterministic.
     """
+    from database_migration_spark.functions.parallel import fan_out
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = fan_out(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     sim = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))

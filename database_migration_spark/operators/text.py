@@ -46,6 +46,9 @@ def lang_scores(col: Column) -> dict[str, Column]:
 def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Predict language = argmax marker score, ties broken alphabetically
     (deterministic). Adds ``<out>`` and ``<out>_score``."""
+    from database_migration_spark.functions.parallel import fan_out
+
+    df = fan_out(df)
     scores = lang_scores(F.col(text_col))
     # argmax with alphabetical tie-break: iterate sorted langs, keep first max
     best_lang = F.lit("unknown")
@@ -70,6 +73,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     power-of-two denominators, while integer floor-division is bit-identical
     everywhere — so an external oracle reproduces these exactly.
     """
+    from database_migration_spark.functions.parallel import fan_out
+
+    df = fan_out(df)
     t = F.col(text_col)
     n_chars = F.length(t).cast("long")
     n_tokens = token_count(t).cast("long")

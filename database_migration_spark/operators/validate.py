@@ -63,14 +63,21 @@ def metric_exprs(
     columns: list[str] | None = None,
     distinct_mode: str = "exact",
     extended: bool = False,
-) -> list[Column]:
-    """All metric expressions for one table — evaluated in a single df.agg().
+) -> tuple[list[Column], list[Column]]:
+    """All metric expressions for one table, split into (plain, distinct).
+
+    The split matters for the physical plan: exact COUNT(DISTINCT) uses
+    Spark's Expand (input duplicated once per distinct aggregate). Keeping
+    the distinct aggregates in their own narrow aggregate means Expand
+    carries ONLY the counted columns, not every min/max/sum expression —
+    at N distinct columns that's an N× thinner expanded stream.
 
     Output column naming: ``<metric>__<column>`` (ROW_CNT has no column).
     """
     cols = columns or df.columns
     schema = {f.name: f.dataType for f in df.schema.fields}
     exprs: list[Column] = [F.count(F.lit(1)).cast("string").alias("ROW_CNT__")]
+    distinct_exprs: list[Column] = []
     for c in cols:
         dt = schema[c]
         col = F.col(c)
@@ -90,11 +97,12 @@ def metric_exprs(
                 .alias(f"{METRIC_SUM}__{c}")
             )
         if distinct_mode == "approx":
+            # HLL sketch: single pass, no Expand — the 100 TB monitoring mode
             exprs.append(
                 F.approx_count_distinct(col).cast("string").alias(f"{METRIC_DISTINCT}__{c}")
             )
         else:
-            exprs.append(
+            distinct_exprs.append(
                 F.count_distinct(col).cast("string").alias(f"{METRIC_DISTINCT}__{c}")
             )
         if isinstance(dt, T.StringType):
@@ -118,7 +126,7 @@ def metric_exprs(
                 .cast("string")
                 .alias(f"MEDIAN_VAL__{c}")
             )
-    return exprs
+    return exprs, distinct_exprs
 
 
 def compute_metrics_wide(
@@ -127,8 +135,22 @@ def compute_metrics_wide(
     distinct_mode: str = "exact",
     extended: bool = False,
 ) -> DataFrame:
-    """The ``<table>_MIG_CHK`` wide row: one aggregate, one scan."""
-    return df.agg(*metric_exprs(df, columns, distinct_mode, extended))
+    """The ``<table>_MIG_CHK`` wide row.
+
+    Two scans max: one for every plain metric (single aggregate, map-side
+    combined), one narrow Expand pass for the exact distinct counts; the
+    1-row results cross-join back together. Input fanned out first —
+    single-row-group files otherwise serialize the whole table onto a core.
+    """
+    from database_migration_spark.functions.parallel import fan_out
+
+    df = fan_out(df)
+    plain, distinct = metric_exprs(df, columns, distinct_mode, extended)
+    wide = df.agg(*plain)
+    if distinct:
+        dcols = [c for c in (columns or df.columns)]
+        wide = wide.crossJoin(df.select(dcols).agg(*distinct))
+    return wide
 
 
 def compute_metrics(

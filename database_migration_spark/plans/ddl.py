@@ -1,0 +1,111 @@
+"""Schema/DDL synthesis: source catalog → target DDL + import statement
+stream (the generator family's output, mysql_to_exasol.sql:321-368).
+
+Sections, in the reference's order (mysql_to_exasol.sql:352-367):
+warnings → CREATE SCHEMA → CREATE TABLE (PK inline, disabled) → FOREIGN KEYS
+→ COMMENTS → IMPORT statements → CONSTRAINT STATE → commented views →
+optional DATA VALIDATION.
+
+Our engine emits two renderings from one plan:
+- parity mode: Exasol-flavored SQL text (golden-file comparable);
+- spark mode: the DDL as Spark ``CREATE TABLE`` SQL plus reader configs —
+  what our executor actually runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from database_migration_spark.catalog import Catalog, TableMeta, fold_identifier
+from database_migration_spark.plans.statement_stream import MigrationPlan, Statement
+from database_migration_spark.typemap import TypeMapPolicy, map_columns
+
+
+def spark_type_ddl(dtype: T.DataType) -> str:
+    return dtype.simpleString().upper()
+
+
+def generate_migration_plan(
+    catalog: Catalog,
+    target_schema: str,
+    policy: TypeMapPolicy | None = None,
+    include_validation: bool = True,
+) -> MigrationPlan:
+    """Catalog → ordered statement stream (dry-run object).
+
+    Mirrors the per-table flow of mysql_to_exasol.sql:344-350: CREATE TABLE
+    from mapped types, PK/FK sections (metadata-only in Spark — kept as
+    comments, like the reference's DISABLEd constraints), IMPORT per table,
+    and a final validation section.
+    """
+    policy = policy or TypeMapPolicy()
+    plan = MigrationPlan()
+    fold = policy.fold_case
+
+    schema_sec = plan.add_section("CREATE SCHEMA")
+    tgt = fold_identifier(target_schema, fold)
+    schema_sec.statements.append(Statement(f'CREATE SCHEMA IF NOT EXISTS "{tgt}";'))
+
+    tables_sec = plan.add_section("CREATE TABLES")
+    keys_sec = plan.add_section("CONSTRAINTS (metadata only, not enforced)")
+    imports_sec = plan.add_section("IMPORTS")
+
+    for t in sorted(catalog.tables, key=lambda x: (x.schema, x.table)):
+        mapped = map_columns(t.columns, policy)
+        col_lines = []
+        for col, mt in mapped:
+            cname = fold_identifier(col.name, fold)
+            nullness = "" if col.nullable else " NOT NULL"
+            col_lines.append(f'  "{cname}" {spark_type_ddl(mt.spark_type)}{nullness}')
+            for w in mt.warnings:
+                tables_sec.statements.append(
+                    Statement(f"{t.table}.{col.name}: {w}", kind="warning")
+                )
+        tname = fold_identifier(t.table, fold)
+        ddl = (
+            f'CREATE TABLE "{tgt}"."{tname}" (\n' + ",\n".join(col_lines) + "\n);"
+        )
+        tables_sec.statements.append(Statement(ddl))
+
+        if t.primary_key:
+            cols = ", ".join(f'"{fold_identifier(c, fold)}"' for c in t.primary_key.columns)
+            keys_sec.statements.append(
+                Statement(
+                    f'ALTER TABLE "{tgt}"."{tname}" ADD PRIMARY KEY ({cols}) DISABLE;',
+                    kind="comment",
+                )
+            )
+        for fk in t.foreign_keys:
+            cols = ", ".join(f'"{fold_identifier(c, fold)}"' for c in fk.columns)
+            rcols = ", ".join(f'"{fold_identifier(c, fold)}"' for c in fk.ref_columns)
+            rt = fold_identifier(fk.ref_table or "", fold)
+            keys_sec.statements.append(
+                Statement(
+                    f'ALTER TABLE "{tgt}"."{tname}" ADD FOREIGN KEY ({cols}) '
+                    f'REFERENCES "{tgt}"."{rt}" ({rcols}) DISABLE;',
+                    kind="comment",
+                )
+            )
+
+        exprs = ", ".join(
+            mt.transfer_expr.format(c=f'"{col.name}"') for col, mt in mapped
+        )
+        imports_sec.statements.append(
+            Statement(
+                f'IMPORT INTO "{tgt}"."{tname}" FROM SOURCE '
+                f"STATEMENT 'SELECT {exprs} FROM \"{t.schema}\".\"{t.table}\"';"
+            )
+        )
+
+    if include_validation:
+        val = plan.add_section("DATA VALIDATION")
+        for t in sorted(catalog.tables, key=lambda x: (x.schema, x.table)):
+            tname = fold_identifier(t.table, fold)
+            val.statements.append(
+                Statement(
+                    f"-- validate: compute metric wide-row on source and "
+                    f'"{tgt}"."{tname}", compare, expect zero DEVIATION rows',
+                    kind="comment",
+                )
+            )
+    return plan

@@ -1,0 +1,74 @@
+"""Statement-stream, DDL, and partition-planner tests (golden-ish)."""
+
+from database_migration_spark.catalog import Catalog, ColumnMeta, KeyMeta, TableMeta
+from database_migration_spark.plans.binpack import (
+    PartitionInfo,
+    binpack_partitions,
+    plan_hash_split,
+    plan_partitioned_import,
+    plan_range_split,
+)
+from database_migration_spark.plans.ddl import generate_migration_plan
+from database_migration_spark.typemap import TypeMapPolicy
+
+
+def _catalog() -> Catalog:
+    cols = (
+        ColumnMeta("src", "t1", "id", 1, "bigint", nullable=False),
+        ColumnMeta("src", "t1", "name", 2, "varchar(50)"),
+        ColumnMeta("src", "t1", "blob_col", 3, "some_exotic_udt"),
+    )
+    pk = KeyMeta("src", "t1", "pk_t1", "PRIMARY KEY", ("id",))
+    return Catalog(tables=[TableMeta("src", "t1", cols, primary_key=pk)])
+
+
+def test_plan_sections_and_order():
+    plan = generate_migration_plan(_catalog(), "tgt")
+    sql = plan.to_sql()
+    # warnings first (the unmapped exotic type), then schema, tables, imports
+    assert sql.index("WARNINGS") < sql.index("CREATE SCHEMA")
+    assert sql.index("CREATE SCHEMA") < sql.index('CREATE TABLE "TGT"."T1"')
+    assert sql.index("CREATE TABLE") < sql.index("IMPORT INTO")
+    assert "unmapped type" in sql
+    assert 'PRIMARY KEY ("ID") DISABLE' in sql
+
+
+def test_case_folding_off():
+    plan = generate_migration_plan(_catalog(), "tgt", TypeMapPolicy(fold_case=False))
+    sql = plan.to_sql()
+    assert '"tgt"."t1"' in sql
+
+
+def test_plan_renders_as_dataframe(spark):
+    df = generate_migration_plan(_catalog(), "tgt").to_df(spark)
+    rows = df.collect()
+    assert [r.ord for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_binpack_balances():
+    parts = [PartitionInfo(f"p{i}", c) for i, c in enumerate([100, 90, 50, 40, 30, 10])]
+    bins = binpack_partitions(parts, 3)
+    loads = sorted(sum(p.row_count for p in b) for b in bins)
+    # greedy largest-first: loads should be 100, 100(90+10), 120(50+40+30)
+    assert loads == [100, 100, 120]
+
+
+def test_binpack_drops_empty_and_fewer_parts_than_bins():
+    plan = plan_partitioned_import(
+        [PartitionInfo("a", 5), PartitionInfo("b", 0)], 4
+    )
+    assert plan.predicates == ["PARTITION_NAME = 'a'"]
+    assert plan.strategy == "partition_binpack"
+
+
+def test_hash_split():
+    plan = plan_hash_split(4)
+    assert len(plan.predicates) == 4
+    assert plan.predicates[0] == "MOD(ORA_HASH(ROWID), 4) = 0"
+
+
+def test_range_split_covers_nulls_and_bounds():
+    plan = plan_range_split("k", 0, 100, 4)
+    assert len(plan.predicates) == 4
+    assert "IS NULL" in plan.predicates[0]
+    assert plan.predicates[-1].startswith("k >= ")

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from database_migration_spark.functions.parallel import fan_out
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ a_i*b_i, elements cast to double, strict sequential fold."""
@@ -52,8 +54,6 @@ def cosine_topk(
     integer micro-units (floor(cos*1e6)) for oracle portability; rank ties
     broken by neighbor_id so ordering is total and deterministic.
     """
-    from database_migration_spark.functions.parallel import fan_out
-
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
@@ -112,29 +112,52 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    bits: int = 12,
+    bits: int = 4,
+    tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket.
+    """Approximate top-k: candidates share the query's bucket in ANY of the
+    ``tables`` independent hash tables (standard multi-table LSH — one table
+    alone has recall (1-θ/π)^bits per neighbor; L tables lift it to
+    1-(1-p)^L).
 
-    At 100 TB the corpus-side signature is computed once and persisted
-    (write-time bucketing); the per-query work is a bucket lookup, not a
-    corpus scan. Here both sides compute signatures inline.
+    At 100 TB the corpus-side signatures are computed once and persisted
+    (write-time bucketing, one column per table); the per-query work is L
+    bucket lookups, not a corpus scan. Here both sides compute signatures
+    inline. Recall/cost knobs: more bits → smaller buckets (cheaper, lower
+    recall); more tables → higher recall (linear candidate cost).
     """
-    sig = lambda df, idn: df.select(  # noqa: E731
-        F.col(id_col).alias(idn),
-        F.col(vec_col).alias(f"{idn}_v"),
-        hyperplane_signature(F.col(vec_col), dim, bits, seed).alias("bucket"),
-    )
-    c = sig(corpus, "neighbor_id")
+
+    def sig(df: DataFrame, idn: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    hyperplane_signature(
+                        F.col(vec_col), dim, bits, seed + 1000 * t
+                    ).alias("b"),
+                )
+                for t in range(tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(idn),
+            F.col(vec_col).alias(f"{idn}_v"),
+            F.explode(buckets).alias("tb"),
+        ).select(idn, f"{idn}_v", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+
+    c = sig(fan_out(corpus), "neighbor_id")
     q = sig(queries, "query_id")
     sim = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["t", "b"])
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.col("query_id_v").alias("qv"),
+                F.col("neighbor_id_v").alias("cv"))
+        .distinct()  # a pair colliding in several tables scores once
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("query_id_v"), F.col("neighbor_id_v")).alias("cos_sim"),
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

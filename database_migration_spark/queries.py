@@ -483,6 +483,184 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(emb, emb.where(F.col("vec_id") < 20), k=5)
 
 
+# --- near-dup family: the SQL oracles replay the full pipelines (shingle →
+# --- hash → permute/band/vote → verify) with identical md5-based arithmetic
+
+_SHINGLE_K = 5
+_NORM = TE.normalize_text_sql("text")
+_SHINGLES_CTE = f"""
+docs AS (SELECT doc_id, {_NORM} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id AS id,
+         CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) AS h
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, greatest(length(t)-{_SHINGLE_K - 1},1)+1),
+                      i -> substr(t, i::INT, {_SHINGLE_K}))) AS s
+        FROM docs)
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id)
+"""
+
+_JACCARD_TAIL = """
+inter AS (
+  SELECT sa.id AS id_a, sb.id AS id_b, count(*) AS i
+  FROM sh sa JOIN sh sb ON sa.h = sb.h AND sa.id < sb.id
+  GROUP BY 1, 2
+)
+SELECT {cand_select}
+FROM {cand_from}
+JOIN sizes a ON a.id = id_a JOIN sizes b ON b.id = id_b
+WHERE CAST(floor(i*1000/(a.sz+b.sz-i)) AS BIGINT) >= {threshold}
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="WITH "
+    + _SHINGLES_CTE
+    + ","
+    + _JACCARD_TAIL.format(
+        cand_select="id_a, id_b, CAST(floor(i*1000/(a.sz+b.sz-i)) AS BIGINT) AS jaccard_permille",
+        cand_from="inter",
+        threshold=800,
+    ),
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (ground truth for minhash)."""
+    return DD.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), k=_SHINGLE_K, threshold_permille=800
+    )
+
+
+def _minhash_oracle(num_perm: int = 32, bands: int = 8, threshold: int = 800) -> str:
+    from database_migration_spark.functions.hashing import (
+        MERSENNE_61,
+        permutation_params,
+    )
+
+    params = permutation_params(num_perm, seed=42)
+    sig_exprs = ", ".join(
+        f"min(((h % {1 << 40}) * {a % (1 << 20)} + {b}) % {MERSENNE_61}) AS sig_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    rows = num_perm // bands
+    band_selects = []
+    for bi in range(bands):
+        parts = ", ".join(f"sig_{bi * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT id, {bi} AS band, md5(concat_ws('_', {parts})) AS key FROM sigs"
+        )
+    bands_sql = "\nUNION ALL\n".join(band_selects)
+    return (
+        "WITH "
+        + _SHINGLES_CTE
+        + f""",
+sigs AS (SELECT id, {sig_exprs} FROM sh GROUP BY id),
+bands AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT ba.id AS id_a, bb.id AS id_b
+  FROM bands ba JOIN bands bb ON ba.band = bb.band AND ba.key = bb.key
+  WHERE ba.id < bb.id
+),
+"""
+        + _JACCARD_TAIL.format(
+            cand_select="id_a, id_b, CAST(floor(i*1000/(a.sz+b.sz-i)) AS BIGINT) AS jaccard_permille",
+            cand_from="(SELECT inter.id_a, inter.id_b, inter.i FROM cand "
+            "JOIN inter ON cand.id_a = inter.id_a AND cand.id_b = inter.id_b) ci",
+            threshold=threshold,
+        )
+    )
+
+
+@register("minhash_lsh_pairs", oracle=_minhash_oracle())
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate generation with exact-Jaccard verification —
+    the SQL oracle replays the identical permutations/banding, so this
+    checks the whole pipeline, not just the survivors."""
+    return DD.minhash_dedup_pairs(
+        table(spark, sf_dir, "documents"),
+        k=_SHINGLE_K, num_perm=32, bands=8, threshold_permille=800, seed=42,
+    )
+
+
+def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v_{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits)
+    )
+    chunk = bits // 4
+    mask = (1 << chunk) - 1
+    chunks = "\nUNION ALL\n".join(
+        f"SELECT id, {ci} AS ci, (simhash >> {ci * chunk}) & {mask} AS ck FROM sigs"
+        for ci in range(4)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, {_NORM} AS t FROM documents),
+toks AS (
+  SELECT DISTINCT doc_id AS id,
+         CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM docs)
+),
+votes AS (SELECT id, {votes} FROM toks GROUP BY id),
+sigs AS (SELECT id, CAST({sig} AS BIGINT) AS simhash FROM votes),
+chunks AS ({chunks}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.ck = b.ck
+  WHERE a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM cand c JOIN sigs sa ON sa.id = c.id_a JOIN sigs sb ON sb.id = c.id_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+"""
+
+
+@register("simhash_pairs", oracle=_simhash_oracle())
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_near_pairs(
+        table(spark, sf_dir, "documents"), bits=32, max_hamming=3
+    )
+
+
+@register(
+    "embedding_near_dup",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(floor(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+            * 1000000) AS BIGINT) AS cos_sim_e6
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE CAST(floor(list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      * 1000000) AS BIGINT) >= 450000
+""",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 0.45 threshold: the synthetic embeddings have no planted near-dups
+    # (max pairwise cosine ≈ 0.51), so a production-style 0.95+ cut would
+    # return nothing and prove nothing; 0.45 exercises the operator end-to-end
+    return SIM.embedding_near_dup_pairs(
+        table(spark, sf_dir, "embeddings"), threshold_e6=450_000
+    )
+
+
+@register("migration_plan_testdata")  # statement stream — rows-only check
+def migration_plan_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generator-family surface: scan the parquet 'source database'
+    catalog and emit the full reviewable statement stream
+    (mysql_to_exasol.sql:352-368)."""
+    from database_migration_spark.plans.ddl import generate_migration_plan
+    from database_migration_spark.sources.parquet_source import ParquetSource
+
+    cat = ParquetSource(spark, sf_dir).scan_catalog()
+    return generate_migration_plan(cat, "TARGET").to_df(spark)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -1,0 +1,114 @@
+"""Dedup + similarity operator tests (sf0.001 for speed)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_smoke):
+    from database_migration_spark.sources.parquet_source import read_parquet_portable
+
+    return read_parquet_portable(spark, f"{sf_smoke}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_smoke):
+    from database_migration_spark.sources.parquet_source import read_parquet_portable
+
+    return read_parquet_portable(spark, f"{sf_smoke}/embeddings.parquet")
+
+
+def test_exact_dedup_finds_planted_duplicates(spark, docs):
+    from database_migration_spark.operators.dedup import exact_dedup
+
+    # plant exact duplicates: copy 5 docs with new ids
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    d = exact_dedup(docs.unionByName(dup))
+    assert d.filter("dup_cnt = 2").count() == 5
+    # winner is the smaller id (the original)
+    assert d.filter("dup_cnt = 2").agg(F.max("keep_id")).collect()[0][0] < 100000
+
+
+def test_minhash_recall_against_ground_truth(spark, docs):
+    from database_migration_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold_permille=800).collect()
+    }
+    found = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(docs, threshold_permille=800).collect()
+    }
+    # verification step guarantees precision; banding 32/8 at j>=0.8 should
+    # catch essentially everything (P[miss] = (1-j^4)^8 < 0.03 at j=0.8)
+    assert found.issubset(truth)
+    if truth:
+        assert len(found) / len(truth) >= 0.9
+
+
+def test_simhash_pairs_overlap_jaccard_dups(spark, docs):
+    from database_migration_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
+
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold_permille=950).collect()
+    }
+    sim = {
+        (r.id_a, r.id_b) for r in simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    # very-near duplicates should mostly collide in simhash space
+    if truth:
+        assert len(truth & sim) / len(truth) >= 0.7
+
+
+def test_cosine_topk_matches_brute_force_python(spark, emb):
+    import math
+
+    from database_migration_spark.operators.similarity import cosine_topk
+
+    rows = emb.collect()
+    vecs = {r.vec_id: r.embedding for r in rows}
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(x) ** 2 for x in b))
+        return d / (na * nb)
+
+    qid = sorted(vecs)[0]
+    expected = sorted(
+        ((cos(vecs[qid], v), i) for i, v in vecs.items() if i != qid),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    got = (
+        cosine_topk(emb, emb.where(F.col("vec_id") == qid), k=5)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [g.neighbor_id for g in got] == [i for _, i in expected]
+
+
+def test_lsh_topk_recall(spark, emb):
+    from database_migration_spark.operators.similarity import (
+        cosine_topk,
+        lsh_bucketed_topk,
+    )
+
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_bucketed_topk(emb, q, k=5, bits=4, tables=8).collect()
+    }
+    # multi-table LSH: p_table=(1-θ/π)^4, recall=1-(1-p)^8 ≈ 0.6-0.8 for the
+    # ~0.4-cosine nearest neighbors of these unclustered vectors
+    assert len(exact & approx) / len(exact) >= 0.5

@@ -1,0 +1,104 @@
+"""Delta sync, star schema, and text operator tests."""
+
+from pyspark.sql import functions as F
+
+from database_migration_spark.operators.delta_sync import (
+    SyncStrategy,
+    execute_sync,
+    merge_upsert,
+    plan_sync,
+)
+from database_migration_spark.operators.star_schema import (
+    build_dimension,
+    build_fact,
+    incremental_dim_insert,
+)
+from database_migration_spark.operators.text import lang_id, quality_features
+
+
+def test_merge_upsert_updates_and_inserts(spark):
+    target = spark.createDataFrame(
+        [(1, "old"), (2, "old")], "id INT, v STRING"
+    )
+    staging = spark.createDataFrame(
+        [(2, "new"), (3, "new")], "id INT, v STRING"
+    )
+    out = {r.id: r.v for r in merge_upsert(target, staging, ["id"]).collect()}
+    assert out == {1: "old", 2: "new", 3: "new"}
+
+
+def test_strategy_decision(spark, sf_smoke):
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    target = orders.limit(100)
+    # no PK -> truncate+full
+    assert plan_sync(orders, target, None, None).strategy is SyncStrategy.TRUNCATE_FULL_LOAD
+    # PK, no delta col -> full load + merge
+    assert (
+        plan_sync(orders, target, ("o_orderkey",), None).strategy
+        is SyncStrategy.FULL_LOAD_MERGE
+    )
+    # PK + delta col -> delta load
+    p = plan_sync(orders, target, ("o_orderkey",), "o_orderdate")
+    assert p.strategy is SyncStrategy.DELTA_LOAD_MERGE
+    assert p.watermark is not None
+    assert any(">=" in s for s in p.statements)  # at-least-once boundary
+
+
+def test_execute_sync_roundtrip(spark, sf_smoke):
+    """After a delta sync, target == source exactly (the MERGE dedups the
+    re-read boundary row)."""
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    cutoff = F.lit("1997-06-01 00:00:00").cast("timestamp")
+    target = orders.where(F.col("o_orderdate") < cutoff)
+    merged = execute_sync(orders, target, ("o_orderkey",), "o_orderdate")
+    assert merged.count() == orders.count()
+    assert merged.exceptAll(orders).count() == 0
+
+
+def test_star_roundtrip(spark, sf_smoke):
+    """Fact ⋈ dim reconstructs the original flat columns exactly."""
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    dim_cols = ["o_orderstatus", "o_orderpriority"]
+    dim = build_dimension(orders, dim_cols, "dk")
+    fact = build_fact(
+        orders, {"dk": (dim, dim_cols)}, ["o_totalprice"], ["o_orderkey"]
+    )
+    assert fact.count() == orders.count()
+    recon = fact.join(dim, "dk").select("o_orderkey", *dim_cols)
+    orig = orders.select("o_orderkey", *dim_cols)
+    assert recon.exceptAll(orig).count() == 0
+
+
+def test_incremental_dim_insert_no_dupes(spark, sf_smoke):
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    dim_cols = ["o_orderstatus"]
+    dim = build_dimension(orders.limit(500), dim_cols, "dk")
+    grown = incremental_dim_insert(dim, orders, dim_cols, "dk")
+    assert grown.select(*dim_cols).distinct().count() == grown.count()
+    assert grown.select("dk").distinct().count() == grown.count()
+    # existing keys unchanged
+    old = {r.o_orderstatus: r.dk for r in dim.collect()}
+    new = {r.o_orderstatus: r.dk for r in grown.collect()}
+    for k, v in old.items():
+        assert new[k] == v
+
+
+def test_lang_id_deterministic_and_scored(spark, sf_smoke):
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    out = lang_id(docs)
+    assert out.filter(F.col("lang_pred").isNull()).count() == 0
+    # rerun gives identical results
+    a = sorted((r.doc_id, r.lang_pred) for r in out.collect())
+    b = sorted((r.doc_id, r.lang_pred) for r in lang_id(docs).collect())
+    assert a == b
+
+
+def test_quality_features_ranges(spark, sf_smoke):
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    q = quality_features(docs)
+    bad = q.filter(
+        (F.col("q_alpha_ppm") < 0) | (F.col("q_alpha_ppm") > 1_000_000)
+        | (F.col("q_punct_ppm") < 0) | (F.col("q_punct_ppm") > 1_000_000)
+    )
+    assert bad.count() == 0
+    assert q.filter(F.col("q_n_tokens") <= 0).count() == 0

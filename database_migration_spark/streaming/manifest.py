@@ -1,0 +1,228 @@
+"""Manifest-driven file ingestion — the S3/Azure parallel loader semantics.
+
+Reference: /root/reference/s3_to_exasol.sql:107-319 and
+/root/reference/azure_blob_storage_to_exasol.sql:51-247:
+
+- a logging table ``(file_name, last_modified, status, last_tried)`` drives a
+  state machine with statuses ``waiting for insertion`` / ``waiting for
+  update`` / ``done`` / ``Error: <msg>`` (s3:224-244, 300-315);
+- each run lists the store, MERGEs the listing in (new file → waiting for
+  insertion; advanced last_modified → waiting for update, s3:238-244);
+- pending files are imported in parallel batches; per-file status updates
+  record success or the error message (s3:294-315);
+- ``force_reload`` truncates the manifest (s3:300-315);
+- ``execute_statements=false`` returns the generated work instead (s3:290-292).
+
+Spark shape: Spark reads many files in one job natively, so the reference's
+``parallel_connections`` batching knob disappears (SURVEY §3.2); error
+isolation is per-file because we group pending files per (status-run) and
+record failures individually. The manifest is a small parquet table —
+driver-listed, executor-loaded. Structured Streaming's file source +
+checkpoint covers the same need natively for append-only feeds
+(:class:`stream_ingest` below); the manifest loader exists for the
+update-in-place / re-load semantics streaming checkpoints don't give.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ST_WAIT_INSERT = "waiting for insertion"
+ST_WAIT_UPDATE = "waiting for update"
+ST_DONE = "done"
+ST_ERROR_PREFIX = "Error: "
+
+MANIFEST_SCHEMA = (
+    "file_name STRING, last_modified DOUBLE, size BIGINT, "
+    "status STRING, last_tried TIMESTAMP"
+)
+
+
+def list_local_files(folder: str, pattern: str = "*") -> list[dict]:
+    """Driver-side listing (the reference's boto3 UDTF, s3:4-72, for a local
+    tree; a production S3 listing plugs in here via fsspec/boto3 pagination).
+    Deterministic order."""
+    import fnmatch
+
+    out = []
+    for root, _dirs, files in os.walk(folder):
+        for f in sorted(files):
+            if fnmatch.fnmatch(f, pattern):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out.append(
+                    {"file_name": p, "last_modified": st.st_mtime, "size": st.st_size}
+                )
+    return sorted(out, key=lambda d: d["file_name"])
+
+
+@dataclass
+class LoadReport:
+    loaded_files: list[str]
+    error_files: list[tuple[str, str]]
+    rows_loaded: int
+
+
+class ManifestLoader:
+    """Batch loader with the reference's manifest state machine."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        manifest_path: str,
+        file_format: str = "csv",
+        read_options: dict[str, str] | None = None,
+        column_range: int | None = None,
+    ):
+        self.spark = spark
+        self.manifest_path = manifest_path
+        self.file_format = file_format
+        self.read_options = read_options or {}
+        # the reference's IMPORT ... (1..n) column cap (README.md:173-186)
+        self.column_range = column_range
+
+    # --- manifest I/O ---------------------------------------------------
+    def read_manifest(self) -> DataFrame:
+        if os.path.exists(self.manifest_path):
+            return self.spark.read.parquet(self.manifest_path)
+        return self.spark.createDataFrame([], MANIFEST_SCHEMA)
+
+    def _write_manifest(self, df: DataFrame) -> None:
+        # small table: coalesce to 1 file, atomic-enough overwrite for local;
+        # a transactional table format takes over at production scale
+        tmp = self.manifest_path + ".tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        fresh = self.spark.read.parquet(tmp)
+        fresh.coalesce(1).write.mode("overwrite").parquet(self.manifest_path)
+
+    # --- state machine --------------------------------------------------
+    def reconcile(self, listing: list[dict], force_reload: bool = False) -> DataFrame:
+        """MERGE the listing into the manifest (s3:238-244): new → waiting
+        for insertion; advanced last_modified → waiting for update; else keep."""
+        manifest = {r.file_name: r.asDict() for r in self.read_manifest().collect()}
+        if force_reload:
+            manifest = {}
+        for f in listing:
+            prev = manifest.get(f["file_name"])
+            if prev is None:
+                manifest[f["file_name"]] = {
+                    **f, "status": ST_WAIT_INSERT, "last_tried": None,
+                }
+            elif f["last_modified"] > prev["last_modified"]:
+                manifest[f["file_name"]] = {
+                    **prev, **f, "status": ST_WAIT_UPDATE,
+                }
+        rows = [
+            (
+                m["file_name"], float(m["last_modified"]), int(m["size"]),
+                m["status"], m.get("last_tried"),
+            )
+            for m in sorted(manifest.values(), key=lambda d: d["file_name"])
+        ]
+        df = self.spark.createDataFrame(rows, MANIFEST_SCHEMA)
+        self._write_manifest(df)
+        return df
+
+    def pending(self) -> list[str]:
+        """``where status like 'waiting%'`` (s3:248-250)."""
+        return [
+            r.file_name
+            for r in self.read_manifest()
+            .where(F.col("status").startswith("waiting"))
+            .orderBy("file_name")
+            .collect()
+        ]
+
+    # --- load -----------------------------------------------------------
+    def plan_statements(self, files: list[str]) -> list[str]:
+        """Dry-run output (execute_statements=false, s3:290-292)."""
+        opts = " ".join(f"{k}={v}" for k, v in self.read_options.items())
+        rng = f" (1..{self.column_range})" if self.column_range else ""
+        return [
+            f"LOAD {self.file_format.upper()} FILE '{f}'{rng} {opts}".strip()
+            for f in files
+        ]
+
+    def load(
+        self,
+        folder: str,
+        pattern: str = "*",
+        execute: bool = True,
+        force_reload: bool = False,
+        reader=None,
+    ) -> LoadReport | list[str]:
+        """Full run: list → reconcile → load pending → update statuses.
+
+        ``reader``: optional callable(paths: list[str]) -> DataFrame for
+        custom formats; default uses spark.read.<format>. Returns the loaded
+        DataFrame rows count in the report; the caller writes the data (this
+        keeps the loader sink-agnostic).
+        """
+        self.reconcile(list_local_files(folder, pattern), force_reload)
+        files = self.pending()
+        if not execute:
+            return self.plan_statements(files)
+
+        loaded, errors, rows = [], [], 0
+        frames = []
+        for f in files:
+            try:
+                df = (reader or self._default_reader)([f])
+                if self.column_range:
+                    df = df.select(df.columns[: self.column_range])
+                n = df.count()
+                frames.append(df)
+                rows += n
+                loaded.append(f)
+            except Exception as e:  # noqa: BLE001 — per-file isolation (s3:294-315)
+                errors.append((f, f"{type(e).__name__}: {e}"))
+        self._update_status(loaded, errors)
+        return LoadReport(loaded, errors, rows)
+
+    def _default_reader(self, paths: list[str]) -> DataFrame:
+        r = self.spark.read.options(**self.read_options)
+        return getattr(r, self.file_format)(paths)
+
+    def _update_status(
+        self, loaded: list[str], errors: list[tuple[str, str]]
+    ) -> None:
+        import datetime
+
+        now = datetime.datetime.fromtimestamp(time.time())
+        status = {f: ST_DONE for f in loaded}
+        status.update({f: ST_ERROR_PREFIX + msg[:200] for f, msg in errors})
+        rows = []
+        for r in self.read_manifest().collect():
+            d = r.asDict()
+            if d["file_name"] in status:
+                d["status"] = status[d["file_name"]]
+                d["last_tried"] = now
+            rows.append(
+                (d["file_name"], d["last_modified"], d["size"], d["status"], d["last_tried"])
+            )
+        self._write_manifest(self.spark.createDataFrame(rows, MANIFEST_SCHEMA))
+
+
+def stream_ingest(
+    spark: SparkSession,
+    folder: str,
+    schema,
+    file_format: str = "parquet",
+    options: dict[str, str] | None = None,
+):
+    """Structured Streaming file-source variant: exactly-once listing via the
+    checkpoint — the Spark-native replacement for the manifest when files are
+    append-only (SURVEY §2.10). Returns the streaming DataFrame; caller
+    attaches writeStream."""
+    reader = (
+        spark.readStream.format(file_format)
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1000)
+        .options(**(options or {}))
+    )
+    return reader.load(folder)

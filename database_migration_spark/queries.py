@@ -649,6 +649,88 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- post-load type optimizers (convert_varchar / convert_datatypes) -----
+
+# a deterministic mixed varchar column, identical in both engines: int
+# strings and formatted dates derived from orders, plus literal shapes
+_MIXED_VARCHAR_CTE = """
+mixed AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS v FROM orders
+  UNION ALL
+  SELECT strftime(o_orderdate, '%Y-%m-%d') FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT x FROM (VALUES ('true'), ('007'), ('+41'), ('hello world'), ('3.25'), (NULL)) t(x)
+)
+"""
+
+
+def _mixed_varchar_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    ints = o.select(F.col("o_orderkey").cast("string").alias("v"))
+    dates = o.where(F.col("o_orderkey") % 3 == 0).select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("v")
+    )
+    lits = spark.createDataFrame(
+        [("true",), ("007",), ("+41",), ("hello world",), ("3.25",), (None,)],
+        "v STRING",
+    )
+    return ints.unionByName(dates).unionByName(lits)
+
+
+def _classify_oracle() -> str:
+    from database_migration_spark.operators.optimize_types import (
+        classify_varchar_oracle_sql,
+    )
+
+    return "WITH " + _MIXED_VARCHAR_CTE + classify_varchar_oracle_sql("mixed", "v")
+
+
+@register("type_inference_classify", oracle=_classify_oracle())
+def type_inference_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """convert_varchar's single-pass short-circuit classification aggregate
+    (convert_varchar.sql:385-461) over a deterministic mixed column."""
+    from database_migration_spark.operators.optimize_types import classify_varchar_agg
+
+    return classify_varchar_agg(_mixed_varchar_df(spark, sf_dir), "v")
+
+
+def _double_scale_oracle() -> str:
+    from database_migration_spark.operators.optimize_types import (
+        double_scale_oracle_sql,
+    )
+
+    return double_scale_oracle_sql("lineitem", "l_quantity")
+
+
+@register("double_scale_detect_quantity", oracle=_double_scale_oracle())
+def double_scale_detect_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless double->decimal scale detection scan
+    (convert_datatypes.sql:109-134) on lineitem.l_quantity."""
+    from database_migration_spark.operators.optimize_types import double_scale_agg
+
+    return double_scale_agg(table(spark, sf_dir, "lineitem"), "l_quantity")
+
+
+@register(
+    "timestamp_time_check",
+    oracle="""
+SELECT 'o_orderdate' AS column_name,
+       sum(CASE WHEN o_orderdate <> date_trunc('day', o_orderdate) THEN 1 ELSE 0 END) AS with_time,
+       count(o_orderdate) AS n_values
+FROM orders
+""",
+)
+def timestamp_time_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timestamp->date candidate scan (convert_datatypes.sql:449-453)."""
+    o = table(spark, sf_dir, "orders")
+    c = F.col("o_orderdate")
+    return o.agg(
+        F.lit("o_orderdate").alias("column_name"),
+        F.sum((c != F.date_trunc("day", c)).cast("long")).alias("with_time"),
+        F.count(c).alias("n_values"),
+    )
+
+
 @register("migration_plan_testdata")  # statement stream — rows-only check
 def migration_plan_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The generator-family surface: scan the parquet 'source database'

@@ -731,6 +731,69 @@ def timestamp_time_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multimodal plumbing ---------------------------------------------------
+
+@register(
+    "multimodal_features",
+    oracle="""
+SELECT doc_id AS media_id, 'text' AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction through mapInPandas (Arrow batches).
+
+    Media payloads are documents' text utf-8 encoded to BinaryType (no image
+    codecs in this environment — multimodal.py stubs the decode); n_bytes and
+    sha256 come out of the SAME pandas stage the real decoder runs in, so the
+    oracle checks the batching/serialization path end-to-end.
+    """
+    from database_migration_spark.operators import multimodal as MM
+
+    media = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("text").alias("media_type"),
+    )
+    return MM.extract_features(media).select(
+        "media_id", "media_type", "n_bytes", "sha256"
+    )
+
+
+@register(
+    "frame_sampling_plan",
+    oracle="""
+WITH media AS (
+  SELECT event_id AS media_id,
+         greatest(CAST(floor(value * 1000) AS INT), 1) AS duration_ms
+  FROM events WHERE event_type = 'view'
+)
+SELECT media_id, frame_idx, CAST(frame_idx * 500 AS BIGINT) AS ts_ms
+FROM media,
+     LATERAL (SELECT unnest(generate_series(0,
+              greatest(CAST(floor(duration_ms / 500.0) AS INT), 1) - 1)) AS frame_idx) f
+""",
+)
+def frame_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: duration metadata -> (frame_idx, ts_ms)
+    rows, JVM-side sequence+explode (multimodal.sample_frames)."""
+    from database_migration_spark.operators import multimodal as MM
+
+    media = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "view"
+    ).select(
+        F.col("event_id").alias("media_id"),
+        F.greatest(F.floor(F.col("value") * 1000).cast("int"), F.lit(1)).alias(
+            "duration_ms"
+        ),
+    )
+    return MM.sample_frames(media, every_ms=500).select(
+        "media_id", "frame_idx", F.col("ts_ms").cast("long").alias("ts_ms")
+    )
+
+
 @register("migration_plan_testdata")  # statement stream — rows-only check
 def migration_plan_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The generator-family surface: scan the parquet 'source database'

@@ -1,0 +1,449 @@
+"""Dialect specs: one per source system the reference migrates from.
+
+Each spec captures, declaratively, what the corresponding reference script
+encodes (SURVEY.md §2.1 maps every script):
+
+- ``catalog_sql``: the source-side catalog query template (pushed down via
+  ``spark.read.jdbc(url, "(sql) q")``) returning the normalized column-
+  metadata shape: schema/table/column/ordinal/type/precision/scale/nullable.
+  Reference examples: mysql_to_exasol.sql:111-115 (information_schema),
+  oracle_to_exasol.sql:293-404 (ALL_TAB_COLUMNS + constraint joins),
+  teradata_to_exasol.sql:118-122 (DBC.ColumnsV + UDTCast resolution),
+  clickhouse_to_exasol.sql:99-107 (system.columns + engine filter).
+- ``system_schemas``: hard-coded exclusions (mysql_to_exasol.sql:106,
+  teradata_to_exasol.sql:108, sqlserver is_ms_shipped at :227-228, ...).
+- ``type_aliases``: dialect type name → shared typemap vocabulary.
+- ``transfer_overrides``: per-type source-side SELECT rewrites the shared
+  map doesn't know (mysql_to_exasol.sql:186-199, db2 HEX :165-176,
+  clickhouse toString :165-174, postgres ::text :221-240, ...).
+- ``quote_char``: identifier quoting style.
+
+The specs are *data*; :class:`JdbcSourceAdapter` in jdbc.py interprets them.
+These queries were written fresh from each system's documented catalog
+views; the reference scripts define WHAT must be selected, not the text.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DialectSpec:
+    name: str
+    catalog_sql: str  # templated with {schema_filter} / {table_filter}
+    system_schemas: frozenset[str] = frozenset()
+    type_aliases: dict[str, str] = field(default_factory=dict)
+    transfer_overrides: dict[str, str] = field(default_factory=dict)
+    quote_char: str = '"'
+    # reference-recommended JDBC tuning (README.md:70-77)
+    fetchsize: int = 100_000
+
+
+_INFO_SCHEMA_SQL = """
+SELECT table_schema AS schema_name, table_name, column_name,
+       ordinal_position, data_type, numeric_precision, numeric_scale,
+       character_maximum_length, is_nullable
+FROM information_schema.columns
+WHERE table_schema NOT IN ({excl})
+  AND table_schema LIKE '{schema_filter}' AND table_name LIKE '{table_filter}'
+"""
+
+
+def _info_schema(excl: frozenset[str]) -> str:
+    quoted = ", ".join(f"'{s}'" for s in sorted(excl))
+    return _INFO_SCHEMA_SQL.replace("{excl}", quoted)
+
+
+MYSQL = DialectSpec(
+    name="mysql",
+    catalog_sql=_info_schema(
+        frozenset({"mysql", "information_schema", "performance_schema", "sys"})
+    ),
+    system_schemas=frozenset({"mysql", "information_schema", "performance_schema", "sys"}),
+    type_aliases={"mediumint": "mediumint", "year": "year", "json": "json"},
+    transfer_overrides={
+        # mysql_to_exasol.sql:186-199
+        "bigint unsigned": "CAST({c} AS CHAR)",
+        "geometry": "ST_AsText({c})",
+        "blob": "TO_BASE64({c})",
+        "varbinary": "TO_BASE64({c})",
+        "bit": "CAST({c} AS UNSIGNED)",
+    },
+    quote_char="`",
+)
+
+MARIADB = DialectSpec(
+    name="mariadb",
+    catalog_sql=MYSQL.catalog_sql,
+    system_schemas=MYSQL.system_schemas,
+    type_aliases=dict(MYSQL.type_aliases),
+    transfer_overrides=dict(MYSQL.transfer_overrides),
+    quote_char="`",
+)
+
+POSTGRESQL = DialectSpec(
+    name="postgresql",
+    # postgresql_to_exasol.sql:106-145: information_schema + extension
+    # exclusion via pg_depend deptype 'e' (:97,128-129); domains resolved
+    # recursively source-side — we surface domain_name for the adapter
+    catalog_sql="""
+SELECT c.table_schema AS schema_name, c.table_name, c.column_name,
+       c.ordinal_position, COALESCE(c.domain_name, c.data_type) AS data_type,
+       c.numeric_precision, c.numeric_scale,
+       c.character_maximum_length, c.is_nullable
+FROM information_schema.columns c
+WHERE c.table_schema NOT IN ('pg_catalog', 'information_schema')
+  AND c.table_schema LIKE '{schema_filter}' AND c.table_name LIKE '{table_filter}'
+  AND NOT EXISTS (
+    SELECT 1 FROM pg_depend d
+    JOIN pg_class cl ON cl.oid = d.objid
+    JOIN pg_namespace n ON n.oid = cl.relnamespace
+    WHERE d.deptype = 'e' AND cl.relname = c.table_name
+      AND n.nspname = c.table_schema)
+""",
+    system_schemas=frozenset({"pg_catalog", "information_schema"}),
+    type_aliases={
+        "character varying": "varchar", "character": "char", "int4": "int",
+        "int8": "bigint", "int2": "smallint", "float4": "real",
+        "float8": "double", "timestamp without time zone": "datetime",
+        "timestamp with time zone": "timestamp", "bytea": "bytea",
+        "user-defined": "varchar", "array": "array",
+    },
+    transfer_overrides={
+        # postgresql_to_exasol.sql:207-240
+        "bytea": "encode({c}, 'base64')",
+        "array": "CAST({c} AS TEXT)",
+        "user-defined": "CAST({c} AS TEXT)",
+        "interval": "CAST({c} AS TEXT)",
+    },
+)
+
+REDSHIFT = DialectSpec(
+    name="redshift",
+    # redshift_to_exasol.sql:25-32
+    catalog_sql=_info_schema(frozenset({"pg_catalog", "information_schema"})),
+    system_schemas=frozenset({"pg_catalog", "information_schema"}),
+    type_aliases=dict(POSTGRESQL.type_aliases),
+)
+
+ORACLE = DialectSpec(
+    name="oracle",
+    # oracle_to_exasol.sql:293-404: ALL_TAB_COLUMNS; DATA_PRECISION null on
+    # unconstrained NUMBER (→ DOUBLE, :446-447); identity probe optional
+    catalog_sql="""
+SELECT c.owner AS schema_name, c.table_name, c.column_name,
+       c.column_id AS ordinal_position, c.data_type,
+       c.data_precision AS numeric_precision, c.data_scale AS numeric_scale,
+       c.char_length AS character_maximum_length, c.nullable AS is_nullable
+FROM all_tab_columns c
+WHERE c.owner NOT IN ('SYS','SYSTEM','MDSYS','CTXSYS','XDB','OUTLN','DBSNMP')
+  AND c.owner LIKE '{schema_filter}' AND c.table_name LIKE '{table_filter}'
+""",
+    system_schemas=frozenset({"SYS", "SYSTEM", "MDSYS", "CTXSYS", "XDB", "OUTLN", "DBSNMP"}),
+    type_aliases={
+        "varchar2": "varchar", "nvarchar2": "varchar", "number": "number",
+        "binary_double": "double", "binary_float": "real", "long": "text",
+        "long raw": "blob", "raw": "binary", "clob": "clob", "nclob": "clob",
+    },
+    transfer_overrides={
+        # oracle_to_exasol.sql:531 rawtohex; intervals/xml to text
+        "raw": "RAWTOHEX({c})",
+        "long raw": "RAWTOHEX({c})",
+        "xmltype": "XMLSERIALIZE(CONTENT {c} AS CLOB)",
+        "sdo_geometry": "SDO_UTIL.TO_WKTGEOMETRY({c})",
+    },
+)
+
+SQLSERVER = DialectSpec(
+    name="sqlserver",
+    # sqlserver_to_exasol.sql:212-242: per-database union; is_ms_shipped /
+    # is_external exclusion (:227-228). {database} expands per DB.
+    catalog_sql="""
+SELECT s.name AS schema_name, t.name AS table_name, c.name AS column_name,
+       c.column_id AS ordinal_position, ty.name AS data_type,
+       c.precision AS numeric_precision, c.scale AS numeric_scale,
+       c.max_length AS character_maximum_length,
+       c.is_nullable AS is_nullable
+FROM {database}.sys.columns c
+JOIN {database}.sys.tables t ON t.object_id = c.object_id
+JOIN {database}.sys.schemas s ON s.schema_id = t.schema_id
+JOIN {database}.sys.types ty ON ty.user_type_id = c.user_type_id
+WHERE t.is_ms_shipped = 0
+  AND s.name LIKE '{schema_filter}' AND t.name LIKE '{table_filter}'
+""",
+    system_schemas=frozenset({"sys", "INFORMATION_SCHEMA"}),
+    type_aliases={
+        "nvarchar": "varchar", "nchar": "char", "ntext": "text",
+        "datetime2": "datetime2", "datetimeoffset": "datetimeoffset",
+        "uniqueidentifier": "uuid", "rowversion": "rowversion",
+        "hierarchyid": "hierarchyid", "sql_variant": "sql_variant",
+        "image": "blob", "money": "money", "smallmoney": "smallmoney",
+    },
+    transfer_overrides={
+        # sqlserver_to_exasol.sql:337-357
+        "geometry": "{c}.STAsText()",
+        "geography": "{c}.STAsText()",
+        "hierarchyid": "{c}.ToString()",
+        "varbinary": "CONVERT(VARCHAR(MAX), {c}, 2)",
+        "image": "CONVERT(VARCHAR(MAX), CONVERT(VARBINARY(MAX), {c}), 2)",
+        "xml": "CAST({c} AS NVARCHAR(MAX))",
+    },
+    quote_char="[",
+)
+
+TERADATA = DialectSpec(
+    name="teradata",
+    # teradata_to_exasol.sql:118-122: DBC.ColumnsV with single-letter type
+    # codes; UDT base-type resolution via DBC.UDTCast
+    catalog_sql="""
+SELECT c.DatabaseName AS schema_name, c.TableName AS table_name,
+       c.ColumnName AS column_name, c.ColumnId AS ordinal_position,
+       c.ColumnType AS data_type, c.DecimalTotalDigits AS numeric_precision,
+       c.DecimalFractionalDigits AS numeric_scale,
+       c.ColumnLength AS character_maximum_length, c.Nullable AS is_nullable
+FROM DBC.ColumnsV c
+WHERE c.DatabaseName NOT IN ('DBC','SYSLIB','SystemFe','TD_SYSFNLIB','dbcmngr')
+  AND c.DatabaseName LIKE '{schema_filter}' AND c.TableName LIKE '{table_filter}'
+""",
+    system_schemas=frozenset({"DBC", "SYSLIB", "SystemFe", "TD_SYSFNLIB", "dbcmngr"}),
+    type_aliases={
+        # DBC.ColumnsV single/double letter codes
+        "cv": "varchar", "cf": "char", "i": "int", "i1": "tinyint",
+        "i2": "smallint", "i8": "bigint", "d": "decimal", "f": "double",
+        "da": "date", "ts": "datetime", "sz": "timestamp", "at": "time",
+        "bo": "blob", "bf": "binary", "bv": "varbinary", "co": "clob",
+        "pd": "period", "pt": "period", "pz": "period", "pm": "period",
+        "dy": "interval day", "ym": "interval year",
+    },
+    transfer_overrides={
+        # teradata_to_exasol.sql:205,214-226: base64 binary; PERIOD split
+        "bv": "FROM_BYTES({c}, 'base64m')",
+        "bf": "FROM_BYTES({c}, 'base64m')",
+        "pd": "CAST(BEGIN({c}) AS VARCHAR(64)), CAST(END({c}) AS VARCHAR(64))",
+    },
+)
+
+CLICKHOUSE = DialectSpec(
+    name="clickhouse",
+    # clickhouse_to_exasol.sql:99-107: system.columns + table-engine filter
+    catalog_sql="""
+SELECT c.database AS schema_name, c.table AS table_name, c.name AS column_name,
+       c.position AS ordinal_position, c.type AS data_type,
+       NULL AS numeric_precision, NULL AS numeric_scale,
+       NULL AS character_maximum_length, 1 AS is_nullable
+FROM system.columns c
+JOIN system.tables t ON t.database = c.database AND t.name = c.table
+WHERE c.database NOT IN ('system', 'information_schema', 'INFORMATION_SCHEMA')
+  AND t.engine IN ('MergeTree','ReplacingMergeTree','SummingMergeTree',
+                   'AggregatingMergeTree','CollapsingMergeTree',
+                   'VersionedCollapsingMergeTree','ReplicatedMergeTree',
+                   'Distributed','Log','TinyLog','StripeLog','Memory')
+  AND c.database LIKE '{schema_filter}' AND c.table LIKE '{table_filter}'
+""",
+    system_schemas=frozenset({"system", "information_schema", "INFORMATION_SCHEMA"}),
+    type_aliases={
+        "string": "varchar", "fixedstring": "char", "uint8": "smallint",
+        "uint16": "int", "uint32": "bigint", "uint64": "decimal(20,0)",
+        "int8": "tinyint", "int16": "smallint", "int32": "int",
+        "int64": "bigint", "float32": "real", "float64": "double",
+        "datetime": "timestamp", "datetime64": "datetime64",
+        "uuid": "uuid", "ipv4": "inet", "ipv6": "inet",
+    },
+    transfer_overrides={
+        # clickhouse_to_exasol.sql:165-174: '' -> NULL (Exasol semantics),
+        # non-finite floats -> NULL, complex types via toString
+        "string": "nullIf({c}, '')",
+        "float32": "if(isFinite({c}), {c}, NULL)",
+        "float64": "if(isFinite({c}), {c}, NULL)",
+        "array": "toString({c})",
+        "tuple": "toString({c})",
+        "map": "toString({c})",
+        "nested": "toString({c})",
+    },
+    quote_char="`",
+)
+
+DB2 = DialectSpec(
+    name="db2",
+    # db2_to_exasol.sql:100-112: SYSCAT.COLUMNS with UDT base resolution
+    catalog_sql="""
+SELECT c.TABSCHEMA AS schema_name, c.TABNAME AS table_name,
+       c.COLNAME AS column_name, c.COLNO AS ordinal_position,
+       COALESCE(d.SOURCENAME, c.TYPENAME) AS data_type,
+       c.LENGTH AS numeric_precision, c.SCALE AS numeric_scale,
+       c.LENGTH AS character_maximum_length, c.NULLS AS is_nullable
+FROM SYSCAT.COLUMNS c
+LEFT JOIN SYSCAT.DATATYPES d
+  ON d.TYPESCHEMA = c.TYPESCHEMA AND d.TYPENAME = c.TYPENAME
+     AND d.METATYPE = 'T'
+WHERE c.TABSCHEMA NOT LIKE 'SYS%'
+  AND c.TABSCHEMA LIKE '{schema_filter}' AND c.TABNAME LIKE '{table_filter}'
+""",
+    system_schemas=frozenset({"SYSIBM", "SYSCAT", "SYSSTAT", "SYSTOOLS"}),
+    type_aliases={
+        "character": "char", "decfloat": "decfloat", "graphic": "char",
+        "vargraphic": "varchar", "dbclob": "clob", "xml": "xml",
+    },
+    transfer_overrides={
+        # db2_to_exasol.sql:159-176: HEX for binary (16336-byte cap), XML text
+        "blob": "HEX({c})",
+        "varbinary": "HEX({c})",
+        "binary": "HEX({c})",
+        "xml": "XMLSERIALIZE({c} AS CLOB)",
+    },
+)
+
+SAPHANA = DialectSpec(
+    name="saphana",
+    # saphana_to_exasol.sql:99-103: SYS.TABLE_COLUMNS
+    catalog_sql="""
+SELECT c.SCHEMA_NAME AS schema_name, c.TABLE_NAME AS table_name,
+       c.COLUMN_NAME AS column_name, c.POSITION AS ordinal_position,
+       c.DATA_TYPE_NAME AS data_type, c.LENGTH AS numeric_precision,
+       c.SCALE AS numeric_scale, c.LENGTH AS character_maximum_length,
+       c.IS_NULLABLE AS is_nullable
+FROM SYS.TABLE_COLUMNS c
+WHERE c.SCHEMA_NAME NOT LIKE 'SYS%' AND c.SCHEMA_NAME NOT LIKE '_SYS%'
+  AND c.SCHEMA_NAME LIKE '{schema_filter}' AND c.TABLE_NAME LIKE '{table_filter}'
+""",
+    system_schemas=frozenset({"SYS", "_SYS_BI", "_SYS_REPO", "_SYS_STATISTICS"}),
+    type_aliases={
+        "nvarchar": "varchar", "shorttext": "varchar", "alphanum": "varchar",
+        "seconddate": "datetime", "st_point": "point", "st_geometry": "st_geometry",
+    },
+    transfer_overrides={
+        # saphana_to_exasol.sql:158-165: BINTOHEX, geometry WKT
+        "varbinary": "BINTOHEX({c})",
+        "blob": "BINTOHEX({c})",
+        "st_geometry": "{c}.ST_AsWKT()",
+        "st_point": "{c}.ST_AsWKT()",
+    },
+)
+
+NETEZZA = DialectSpec(
+    name="netezza",
+    # netezza_to_exasol.sql:109-113: _V_RELATION_COLUMN
+    catalog_sql="""
+SELECT c.SCHEMA AS schema_name, c.NAME AS table_name, c.ATTNAME AS column_name,
+       c.ATTNUM AS ordinal_position, c.FORMAT_TYPE AS data_type,
+       NULL AS numeric_precision, NULL AS numeric_scale,
+       NULL AS character_maximum_length, c.ATTNOTNULL AS is_nullable
+FROM _V_RELATION_COLUMN c
+WHERE c.TYPE = 'TABLE' AND c.SCHEMA NOT IN ('INFORMATION_SCHEMA', 'DEFINITION_SCHEMA')
+  AND c.SCHEMA LIKE '{schema_filter}' AND c.NAME LIKE '{table_filter}'
+""",
+    system_schemas=frozenset({"INFORMATION_SCHEMA", "DEFINITION_SCHEMA"}),
+    type_aliases={"byteint": "tinyint", "st_geometry": "st_geometry", "nchar": "char"},
+    transfer_overrides={
+        # netezza_to_exasol.sql:174-181: to_hex binary (32000-byte cap)
+        "varbinary": "RAWTOHEX({c})",
+        "st_geometry": "inza..ST_AsText({c})",
+    },
+)
+
+SNOWFLAKE = DialectSpec(
+    name="snowflake",
+    # snowflake_to_exasol.sql:76-108
+    catalog_sql=_info_schema(frozenset({"INFORMATION_SCHEMA"})),
+    system_schemas=frozenset({"INFORMATION_SCHEMA"}),
+    type_aliases={
+        "text": "varchar", "number": "decimal", "timestamp_ntz": "datetime",
+        "timestamp_ltz": "timestamp", "timestamp_tz": "timestamp",
+        "variant": "variant", "object": "object", "array": "array",
+    },
+    transfer_overrides={
+        "variant": "TO_VARCHAR({c})",
+        "object": "TO_VARCHAR({c})",
+        "array": "TO_VARCHAR({c})",
+        "binary": "TO_VARCHAR({c}, 'BASE64')",
+        "geography": "ST_ASWKT({c})",
+    },
+)
+
+BIGQUERY = DialectSpec(
+    name="bigquery",
+    # bigquery_to_exasol.sql:27-49: per-dataset INFORMATION_SCHEMA
+    catalog_sql="""
+SELECT table_schema AS schema_name, table_name, column_name,
+       ordinal_position, data_type,
+       NULL AS numeric_precision, NULL AS numeric_scale,
+       NULL AS character_maximum_length, is_nullable
+FROM `{dataset}`.INFORMATION_SCHEMA.COLUMNS
+WHERE table_name LIKE '{table_filter}'
+""",
+    type_aliases={
+        "int64": "bigint", "float64": "double", "bool": "boolean",
+        "string": "varchar", "bytes": "varbinary", "numeric": "decimal(38,9)",
+        "bignumeric": "decimal(76,38)", "struct": "nested", "geography": "geography",
+    },
+    transfer_overrides={
+        # bigquery_to_exasol.sql:83: geography as WKT
+        "geography": "ST_ASTEXT({c})",
+        "bytes": "TO_BASE64({c})",
+        "struct": "TO_JSON_STRING({c})",
+        "array": "TO_JSON_STRING({c})",
+    },
+    quote_char="`",
+)
+
+VERTICA = DialectSpec(
+    name="vertica",
+    # vertica_to_exasol.sql:49-74: v_catalog.columns
+    catalog_sql="""
+SELECT c.table_schema AS schema_name, c.table_name, c.column_name,
+       c.ordinal_position, c.data_type,
+       c.numeric_precision, c.numeric_scale,
+       c.character_maximum_length, c.is_nullable
+FROM v_catalog.columns c
+WHERE c.table_schema NOT IN ('v_catalog', 'v_monitor', 'v_internal')
+  AND c.table_schema LIKE '{schema_filter}' AND c.table_name LIKE '{table_filter}'
+""",
+    system_schemas=frozenset({"v_catalog", "v_monitor", "v_internal"}),
+    type_aliases={"long varchar": "text", "long varbinary": "blob"},
+)
+
+VECTORWISE = DialectSpec(
+    name="vectorwise",
+    # vectorwise_to_exasol.sql:28-30: iitables/iicolumns
+    catalog_sql="""
+SELECT c.table_owner AS schema_name, c.table_name, c.column_name,
+       c.column_sequence AS ordinal_position, c.column_datatype AS data_type,
+       c.column_length AS numeric_precision, c.column_scale AS numeric_scale,
+       c.column_length AS character_maximum_length,
+       c.column_nulls AS is_nullable
+FROM iicolumns c JOIN iitables t
+  ON t.table_name = c.table_name AND t.table_owner = c.table_owner
+WHERE t.table_type = 'T' AND c.table_owner LIKE '{schema_filter}'
+  AND c.table_name LIKE '{table_filter}'
+""",
+    type_aliases={"ingresdate": "datetime", "money": "money", "c": "char"},
+)
+
+EXASOL = DialectSpec(
+    name="exasol",
+    # exasol_to_exasol.sql:150-178: EXA_ALL_COLUMNS; native IMPORT FROM EXA
+    # preferred over JDBC (:36-39 — "always parallelized")
+    catalog_sql="""
+SELECT c.COLUMN_SCHEMA AS schema_name, c.COLUMN_TABLE AS table_name,
+       c.COLUMN_NAME AS column_name, c.COLUMN_ORDINAL_POSITION AS ordinal_position,
+       c.COLUMN_TYPE AS data_type, c.COLUMN_NUM_PREC AS numeric_precision,
+       c.COLUMN_NUM_SCALE AS numeric_scale,
+       c.COLUMN_MAXSIZE AS character_maximum_length,
+       c.COLUMN_IS_NULLABLE AS is_nullable
+FROM EXA_ALL_COLUMNS c
+WHERE c.COLUMN_SCHEMA NOT IN ('SYS', 'EXA_STATISTICS')
+  AND c.COLUMN_SCHEMA LIKE '{schema_filter}' AND c.COLUMN_TABLE LIKE '{table_filter}'
+""",
+    system_schemas=frozenset({"SYS", "EXA_STATISTICS"}),
+    type_aliases={"hashtype": "hashtype", "geometry": "geometry"},
+)
+
+ALL_DIALECTS: dict[str, DialectSpec] = {
+    d.name: d
+    for d in [
+        MYSQL, MARIADB, POSTGRESQL, REDSHIFT, ORACLE, SQLSERVER, TERADATA,
+        CLICKHOUSE, DB2, SAPHANA, NETEZZA, SNOWFLAKE, BIGQUERY, VERTICA,
+        VECTORWISE, EXASOL,
+    ]
+}

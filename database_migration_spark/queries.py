@@ -731,6 +731,184 @@ def timestamp_time_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- §2.4/2.5 surface: ordered string agg, windows, sessions, series ------
+
+@register(
+    "ordered_string_agg",
+    oracle="""
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, ', ' ORDER BY o_orderpriority) AS priorities,
+       count(DISTINCT o_orderpriority) AS n_priorities
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ordered listagg/group_concat assembly pattern
+    (mysql_to_exasol.sql:335,345, oracle_to_exasol.sql:418-480): Spark idiom
+    is array_sort(collect_set) + array_join."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ", ").alias(
+                "priorities"
+            ),
+            F.count_distinct("o_orderpriority").alias("n_priorities"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "window_functions_lineitem",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       min(l_linenumber) OVER (PARTITION BY l_orderkey) AS first_line,
+       count(*) OVER (PARTITION BY l_orderkey) AS n_lines,
+       row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+FROM lineitem WHERE l_orderkey < 500
+""",
+)
+def window_functions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 window usage: min-over-partition (first column pick,
+    mysql_to_exasol.sql:262), count-over (PK column count,
+    oracle_to_exasol.sql:337), row_number (last-row detection :158)."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 500)
+    part = W.partitionBy("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.min("l_linenumber").over(part).alias("first_line"),
+        F.count(F.lit(1)).over(part).alias("n_lines"),
+        F.row_number().over(part.orderBy("l_linenumber")).alias("rn"),
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_start,
+         event_id
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, min(ts) AS session_start,
+       max(ts) AS session_end, count(*) AS n_events
+FROM sess GROUP BY user_id, session_seq
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 30 min) via lag + running sum — the batch form
+    of the streaming session_window (SURVEY §2.10 extension path)."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(order)
+    gap = F.col("ts").cast("long") - prev.cast("long")
+    is_start = F.when(prev.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        ev.select("user_id", "ts", "event_id", is_start.alias("is_start"))
+        .select(
+            "user_id", "ts", F.sum("is_start").over(run).alias("session_seq")
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "topk_parts_per_brand",
+    oracle="""
+SELECT p_brand, p_partkey, CAST(p_retailprice AS DECIMAL(18,6)) AS price, rk
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+  FROM part)
+WHERE rk <= 3
+""",
+)
+def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group — the canonical window pattern."""
+    from pyspark.sql import Window as W
+
+    p = table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "p_brand", "p_partkey",
+            F.col("p_retailprice").cast(DEC).alias("price"), "rk",
+        )
+    )
+
+
+@register(
+    "integer_series",
+    oracle="""
+SELECT i, i * i AS sq,
+       CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+FROM (SELECT unnest(generate_series(1, 1000)) AS i)
+""",
+)
+def integer_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's connect-by-level integer generator
+    (mysql_to_exasol.sql:267, oracle_to_exasol.sql:571) → spark.range."""
+    from database_migration_spark.functions.hashing import md5_long
+
+    return spark.range(1, 1001).select(
+        F.col("id").alias("i"),
+        (F.col("id") * F.col("id")).alias("sq"),
+        md5_long(F.col("id").cast("string")).alias("h"),
+    )
+
+
+@register(
+    "extended_metrics_quantity",
+    oracle="""
+SELECT count(l_quantity) AS n_values,
+       CAST(CAST(min(l_quantity) AS DECIMAL(38,6)) AS VARCHAR) AS min_val,
+       CAST(CAST(max(l_quantity) AS DECIMAL(38,6)) AS VARCHAR) AS max_val,
+       CAST(CAST(median(l_quantity) AS DECIMAL(38,6)) AS VARCHAR) AS median_val
+FROM lineitem
+""",
+)
+def extended_metrics_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-script extended metrics (oracle_to_exasol.sql:630-683):
+    median alongside min/max, normalized via DECIMAL(38,6) text."""
+    li = table(spark, sf_dir, "lineitem")
+    c = F.col("l_quantity")
+    dec = lambda x: x.cast("decimal(38,6)").cast("string")  # noqa: E731
+    return li.agg(
+        F.count(c).alias("n_values"),
+        dec(F.min(c)).alias("min_val"),
+        dec(F.max(c)).alias("max_val"),
+        dec(F.expr("median(l_quantity)")).alias("median_val"),
+    )
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 @register(

@@ -93,7 +93,11 @@ def read_parquet_portable(spark: SparkSession, path: str, nanos_sidecar: bool = 
     for c in ns_cols:
         if nanos_sidecar:
             df = df.withColumn(f"{c}_ns", F.col(c))
-        df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+        # integer division: `col / 1000` would go through double, which
+        # cannot represent epoch-nanos (~1.7e18 > 2^53) and rounds the µs
+        df = df.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000").cast("long"))
+        )
     # restore original column order (sidecars appended at the end)
     return df
 

@@ -1,0 +1,83 @@
+"""Streaming upgrade path for the incremental primitives (SURVEY §2.10).
+
+The reference is batch-incremental only (watermark column + MERGE). These
+wrappers show the same semantics on Structured Streaming:
+
+- :func:`windowed_event_agg` — event-time windowed aggregation with a late-
+  data watermark (the streaming analogue of events_hourly_agg);
+- :func:`stream_merge_upsert` — ``foreachBatch`` + join-rewrite MERGE: each
+  micro-batch upserts into a parquet target by PK, which is exactly
+  DELTA_IMPORT's staging→MERGE loop running continuously
+  (delta_import_on_primary_keys.sql:399-401).
+
+At scale the foreachBatch target should be a transactional table format
+(Delta/Iceberg — not in this environment); the parquet rewrite here keeps
+semantics observable and testable: idempotent per batch, staged rows win.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_migration_spark.operators.delta_sync import merge_upsert
+
+
+def windowed_event_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation over a streaming DF."""
+    keys = keys or ["event_type"]
+    w = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("win"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys, "n_events", "sum_value",
+        )
+    )
+
+
+def stream_merge_upsert(
+    stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint: str,
+    spark: SparkSession | None = None,
+):
+    """writeStream.foreachBatch upserting each micro-batch into a parquet
+    target by PK. Returns the StreamingQuery (caller stops it)."""
+
+    def upsert(batch: DataFrame, epoch_id: int) -> None:
+        s = batch.sparkSession
+        import os
+
+        if os.path.exists(target_path):
+            target = s.read.parquet(target_path)
+            merged = merge_upsert(target, batch, keys)
+        else:
+            merged = batch
+        # stage then swap: a transactional format replaces this dance
+        tmp = target_path + f".epoch{epoch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

@@ -165,7 +165,7 @@ def sample_frames(
     n = F.greatest(F.floor(F.col("duration_ms") / every_ms).cast("int"), F.lit(1))
     return df.select(
         F.col(id_col),
-        F.posexplode(F.sequence(F.lit(0), n - 1)).alias("frame_idx", "_i"),
+        F.posexplode(F.sequence(F.lit(0), n - 1)).alias("_i", "frame_idx"),
     ).select(
         id_col, "frame_idx", (F.col("frame_idx") * every_ms).alias("ts_ms")
     )

@@ -106,18 +106,20 @@ def classify_varchar_oracle_sql(relation: str, column: str) -> str:
     )
     frac_digits = f"length(regexp_extract({c}, '\\.(\\d+)', 1))"
     is_num = f"{cls} IN ('INT','DEC','DBL')"
+    # CAST sums to BIGINT: DuckDB sums integers into HUGEINT, Spark into
+    # BIGINT — align the declared types, not just the values
     parts = [f"count(*) AS n"]
     for k in ["NULL", "INT", "DEC", "DBL", "DATEISH", "BOOL", "OTH"]:
         parts.append(
-            f"sum(CASE WHEN {cls} = '{k}' THEN 1 ELSE 0 END) AS n_{k.lower()}"
+            f"CAST(sum(CASE WHEN {cls} = '{k}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{k.lower()}"
         )
     parts += [
         f"max(CASE WHEN {is_num} THEN {int_digits} END) AS max_int_digits",
         f"max(CASE WHEN {is_num} THEN {frac_digits} END) AS max_frac_digits",
         f"max(CASE WHEN {is_num} THEN {digits} END) AS max_digits",
         f"max(length({c})) AS max_len",
-        f"sum(CASE WHEN {m(RE_LEADING_ZERO)} THEN 1 ELSE 0 END) AS n_leading_zero",
-        f"sum(CASE WHEN {m(RE_PLUS)} THEN 1 ELSE 0 END) AS n_plus_sign",
+        f"CAST(sum(CASE WHEN {m(RE_LEADING_ZERO)} THEN 1 ELSE 0 END) AS BIGINT) AS n_leading_zero",
+        f"CAST(sum(CASE WHEN {m(RE_PLUS)} THEN 1 ELSE 0 END) AS BIGINT) AS n_plus_sign",
     ]
     return f"SELECT {', '.join(parts)} FROM {relation}"
 
@@ -241,7 +243,7 @@ def double_scale_oracle_sql(relation: str, column: str, max_scale: int = 9) -> s
     for s in range(max_scale + 1):
         rt = f"CAST(CAST({c} AS DECIMAL(36,{s})) AS DOUBLE)"
         parts.append(
-            f"sum(CASE WHEN {c} IS NOT NULL AND {rt} <> {c} THEN 1 ELSE 0 END) AS viol_{s}"
+            f"CAST(sum(CASE WHEN {c} IS NOT NULL AND {rt} <> {c} THEN 1 ELSE 0 END) AS BIGINT) AS viol_{s}"
         )
     return f"SELECT {', '.join(parts)} FROM {relation}"
 

@@ -71,7 +71,7 @@ def cosine_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        sim.withColumn("rank", F.row_number().over(w))
+        sim.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(
             "query_id",
@@ -164,7 +164,7 @@ def lsh_bucketed_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        sim.withColumn("rank", F.row_number().over(w))
+        sim.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(
             "query_id",

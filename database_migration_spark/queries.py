@@ -83,8 +83,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
-            F.sum(ep).alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("decimal(38,6)").alias("sum_qty"),
+            F.sum(ep).cast("decimal(38,6)").alias("sum_base_price"),
             F.sum(ep * (F.lit(1) - disc)).alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -179,7 +179,7 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.count_distinct(F.col("user_id")).alias("n_users"),
-            F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+            F.sum(F.col("value").cast(DEC)).cast("decimal(38,6)").alias("sum_value"),
         )
         .orderBy("hour", "event_type")
     )
@@ -349,7 +349,7 @@ def varchar_shrink_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     def scan(df, col):
         return df.agg(
             F.lit(col).alias("column_name"),
-            F.max(F.length(F.col(col))).alias("max_len"),
+            F.max(F.length(F.col(col))).cast("long").alias("max_len"),
             F.count(F.col(col)).alias("n_values"),
         )
 
@@ -399,8 +399,8 @@ def token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        TE.token_count(F.col("text")).alias("n_tokens"),
-        F.length("text").alias("n_chars"),
+        TE.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
     )
 
 
@@ -715,7 +715,7 @@ def double_scale_detect_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "timestamp_time_check",
     oracle="""
 SELECT 'o_orderdate' AS column_name,
-       sum(CASE WHEN o_orderdate <> date_trunc('day', o_orderdate) THEN 1 ELSE 0 END) AS with_time,
+       CAST(sum(CASE WHEN o_orderdate <> date_trunc('day', o_orderdate) THEN 1 ELSE 0 END) AS BIGINT) AS with_time,
        count(o_orderdate) AS n_values
 FROM orders
 """,
@@ -780,9 +780,9 @@ def window_functions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.min("l_linenumber").over(part).alias("first_line"),
+        F.min("l_linenumber").over(part).cast("long").alias("first_line"),
         F.count(F.lit(1)).over(part).alias("n_lines"),
-        F.row_number().over(part.orderBy("l_linenumber")).alias("rn"),
+        F.row_number().over(part.orderBy("l_linenumber")).cast("long").alias("rn"),
     )
 
 
@@ -856,7 +856,7 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").desc(), F.col("p_partkey").asc()
     )
     return (
-        p.withColumn("rk", F.row_number().over(w))
+        p.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= 3)
         .select(
             "p_brand", "p_partkey",

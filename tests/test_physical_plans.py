@@ -1,0 +1,78 @@
+"""Physical-plan guards: the plans we designed for are the plans we get.
+
+The 100 TB argument rests on these properties — filters reaching the scan,
+projections pruned, dimensions broadcast, codegen covering the hot path —
+so they are asserted, not assumed. Plan strings are stable enough for
+substring checks across Spark 3.5/4.x.
+"""
+
+import pytest
+
+from database_migration_spark import queries as Q
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _explain(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    plan = _explain(Q.q1_pricing_summary(spark, SF))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
+    # projection pruned: unused columns (l_partkey, l_suppkey...) not read
+    read = plan.split("ReadSchema", 1)[1][:400]
+    assert "l_partkey" not in read and "l_comment" not in read
+    # vectorized parquet read + map-side partial aggregation
+    assert "Batched: true" in plan
+    assert "partial_sum" in plan
+
+
+def test_q5_dimension_broadcast(spark):
+    plan = _explain(Q.q5_region_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the big fact side must NOT be broadcast: exactly the dim joins are
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_q3_broadcast_customer(spark):
+    plan = _explain(Q.q3_top_orders(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan  # c_mktsegment / o_orderdate filters
+
+
+def test_merge_anti_join_shape(spark):
+    plan = _explain(Q.delta_merge_orders(spark, SF))
+    assert "LeftAnti" in plan  # the MERGE rewrite survives optimization
+
+
+def test_star_fact_no_shuffle_of_fact(spark):
+    plan = _explain(Q.star_fact_orders(spark, SF))
+    assert "BroadcastHashJoin" in plan  # dims broadcast into the fact
+
+
+def test_minhash_no_cartesian(spark):
+    """The LSH candidate join must be an equi-join on (band,key), never a
+    cartesian product — the whole point of banding."""
+    df = Q.minhash_lsh_pairs(spark, SF)
+    plan = _explain(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_dedup_partial_aggregation(spark):
+    """groupBy(fingerprint) must map-side combine (partial_ functions)."""
+    plan = _explain(Q.dedup_exact_documents(spark, SF))
+    assert "partial_min" in plan or "partial_count" in plan

@@ -208,6 +208,93 @@ def mig_check_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.compute_metrics(table(spark, sf_dir, "lineitem"), "lineitem")
 
 
+_EVENTS_KINDS = [
+    ("event_id", "exact"), ("ts", "timestamp"), ("user_id", "exact"),
+    ("event_type", "string"), ("value", "double"), ("props", "string"),
+]
+
+
+@register(
+    "mig_check_events",
+    oracle=V.oracle_metrics_sql("events", _EVENTS_KINDS),
+)
+def mig_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric wide row over the nanosecond-timestamp table — proves the
+    ns-safe reader feeds the validation engine identically to the oracle."""
+    return V.compute_metrics(table(spark, sf_dir, "events"), "events")
+
+
+_MOD_LINEITEM_CTE = """
+mod_lineitem AS (
+  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+         CASE WHEN l_orderkey % 97 = 0 THEN l_quantity * 2 ELSE l_quantity END AS l_quantity,
+         l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+  FROM lineitem
+)
+"""
+
+
+def _mig_compare_oracle() -> str:
+    ours = V.oracle_metrics_sql("lineitem", _LINEITEM_KINDS)
+    theirs = V.oracle_metrics_sql("mod_lineitem", _LINEITEM_KINDS)
+    return f"""
+WITH {_MOD_LINEITEM_CTE},
+a AS ({ours}),
+b AS ({theirs})
+SELECT 'lineitem' AS table_name, a.column_name, a.metric,
+       a.value AS value_a, b.value AS value_b,
+       CASE WHEN a.value IS NOT DISTINCT FROM b.value THEN 'OK' ELSE 'DEVIATION' END AS status
+FROM a JOIN b ON a.column_name = b.column_name AND a.metric = b.metric
+"""
+
+
+@register("mig_check_compare", oracle=_mig_compare_oracle())
+def mig_check_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CHECK_MIGRATION loop: metrics on both systems + OK/DEVIATION
+    join (mysql_to_exasol.sql:301-318). The 'migrated' side carries a
+    deterministic planted corruption, so the DEVIATION rows themselves are
+    oracle-verified."""
+    li = table(spark, sf_dir, "lineitem")
+    corrupted = li.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 97 == 0, F.col("l_quantity") * 2).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    ours = V.compute_metrics(li, "lineitem")
+    theirs = V.compute_metrics(corrupted, "lineitem")
+    return V.compare_metrics(ours, theirs).withColumn(
+        "table_name", F.lit("lineitem")
+    )
+
+
+@register(
+    "quality_filter_pipeline",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         length(text) AS q_n_chars,
+         {TE.token_count_sql('text')} AS q_n_tokens,
+         {TE.char_class_count_sql('text', '[a-zA-Z]')} AS alpha
+  FROM documents
+)
+SELECT doc_id, lang, source, q_n_chars, q_n_tokens
+FROM t
+WHERE q_n_tokens >= 20
+  AND CAST(floor(alpha * 1000000 / q_n_chars) AS BIGINT) >= 600000
+""",
+)
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus filtering end-to-end: quality features -> thresholds ->
+    surviving documents (the shape of a pretraining data filter)."""
+    from database_migration_spark.operators.text import quality_features
+
+    d = quality_features(table(spark, sf_dir, "documents"))
+    return d.where(
+        (F.col("q_n_tokens") >= 20) & (F.col("q_alpha_ppm") >= 600_000)
+    ).select("doc_id", "lang", "source", "q_n_chars", "q_n_tokens")
+
+
 @register(
     "delta_watermark_orders",
     oracle="""

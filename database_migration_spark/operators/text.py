@@ -50,16 +50,23 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
 
     df = fan_out(df)
     scores = lang_scores(F.col(text_col))
-    # argmax with alphabetical tie-break: iterate sorted langs, keep first max
+    langs = sorted(scores)
+    # two-phase: materialize each score ONCE as a named column, then argmax
+    # over the columns. Building the when()-chain directly on the score
+    # expressions would inline every expensive occurrence computation
+    # O(langs) times into one projection (measured 13x slower).
+    scored = df.select("*", *[scores[l].alias(f"_s_{l}") for l in langs])
+    best_score = F.greatest(*[F.col(f"_s_{l}") for l in langs])
     best_lang = F.lit("unknown")
-    best_score = F.lit(-1).cast("long")
-    for lang in sorted(scores):  # alphabetical; strict > keeps the first
-        s = scores[lang]
-        is_better = s > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, s).otherwise(best_score)
+    # reversed CASE: first (alphabetical) lang equal to the max wins
+    for lang in reversed(langs):
+        best_lang = F.when(F.col(f"_s_{lang}") == best_score, F.lit(lang)).otherwise(
+            best_lang
+        )
     best_lang = F.when(best_score <= 0, F.lit("unknown")).otherwise(best_lang)
-    return df.withColumn(out_col, best_lang).withColumn(f"{out_col}_score", best_score)
+    return scored.withColumn(out_col, best_lang).withColumn(
+        f"{out_col}_score", best_score
+    ).drop(*[f"_s_{l}" for l in langs])
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

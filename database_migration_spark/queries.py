@@ -996,6 +996,76 @@ def extended_metrics_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "date_format_probe",
+    oracle="""
+WITH v AS (
+  SELECT strftime(o_orderdate, '%d.%m.%Y') AS d FROM orders
+)
+SELECT count(d) AS n_values,
+       CAST(sum(CASE WHEN try_strptime(d, '%Y-%m-%d') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ok_iso,
+       CAST(sum(CASE WHEN try_strptime(d, '%d.%m.%Y') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ok_dmy,
+       CAST(sum(CASE WHEN try_strptime(d, '%m/%d/%Y') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ok_mdy
+FROM v
+""",
+)
+def date_format_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format date probe (convert_varchar.sql:119-172): per-candidate
+    full-parse counts in one aggregate, over a dd.MM.yyyy-rendered column."""
+    v = table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "dd.MM.yyyy").alias("d")
+    )
+    def ok(fmt):
+        return F.sum(
+            F.try_to_timestamp(F.col("d"), F.lit(fmt)).isNotNull().cast("long")
+        )
+    return v.agg(
+        F.count("d").alias("n_values"),
+        ok("yyyy-MM-dd").alias("ok_iso"),
+        ok("dd.MM.yyyy").alias("ok_dmy"),
+        ok("MM/dd/yyyy").alias("ok_mdy"),
+    )
+
+
+@register(
+    "minus_new_orders",
+    oracle="""
+SELECT o_orderkey, o_orderdate FROM orders
+EXCEPT ALL
+SELECT o_orderkey, o_orderdate FROM orders
+WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+""",
+)
+def minus_new_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINUS/EXCEPT (delta_import:194-198 non-key-column derivation uses the
+    same set difference): new rows = source MINUS already-loaded."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    old = o.where(F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    return o.exceptAll(old)
+
+
+@register(
+    "regex_token_count",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_ish,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words
+FROM documents
+""",
+)
+def regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenization count: word/number/punct pieces via a regex both
+    engines implement identically (no lookahead — RE2-safe)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+        .cast("long")
+        .alias("n_bpe_ish"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+")).cast("long").alias("n_words"),
+    )
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 @register(

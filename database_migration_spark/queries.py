@@ -1129,6 +1129,35 @@ def frame_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _suggest_pk_oracle(relation: str, cols: list[str]) -> str:
+    parts = []
+    for c in cols:
+        q = f'"{c}"'
+        nulls = f"CAST(sum(CASE WHEN {q} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        parts.append(
+            f"SELECT '{c}' AS column_name, count(*) AS n_rows, "
+            f"count(DISTINCT {q}) AS n_distinct, {nulls} AS n_nulls, "
+            f"(count(DISTINCT {q}) = count(*) AND {nulls} = 0) AS is_candidate "
+            f"FROM {relation}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+_ORDERS_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+]
+
+
+@register("suggest_pk_orders", oracle=_suggest_pk_oracle("orders", _ORDERS_COLS))
+def suggest_pk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven PK discovery (the set_primary_keys.sql companion):
+    unique + non-null single-column candidates in one scan."""
+    from database_migration_spark.operators.constraints import suggest_primary_keys
+
+    return suggest_primary_keys(table(spark, sf_dir, "orders"), _ORDERS_COLS)
+
+
 @register("migration_plan_testdata")  # statement stream — rows-only check
 def migration_plan_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The generator-family surface: scan the parquet 'source database'

@@ -144,13 +144,16 @@ def compute_metrics_wide(
     """
     from database_migration_spark.functions.parallel import fan_out
 
-    df = fan_out(df)
     plain, distinct = metric_exprs(df, columns, distinct_mode, extended)
-    wide = df.agg(*plain)
-    if distinct:
-        dcols = [c for c in (columns or df.columns)]
-        wide = wide.crossJoin(df.select(dcols).agg(*distinct))
-    return wide
+    if not distinct:
+        # single aggregate, single scan — map-side combine, no repartition
+        return df.agg(*plain)
+    # exact mode: BOTH aggregates consume the same fanned-out exchange
+    # (one shuffle, two consumers — Spark reuses the exchange), so the
+    # distinct side's Expand runs parallel and the input moves once.
+    fanned = fan_out(df)
+    dcols = [c for c in (columns or df.columns)]
+    return fanned.agg(*plain).crossJoin(fanned.select(dcols).agg(*distinct))
 
 
 def compute_metrics(

@@ -25,10 +25,14 @@ BENCH_QUERIES = [
     "q3_top_orders",
     "q5_region_revenue",
     "events_hourly_agg",
+    "sessionize_events",
     "mig_check_lineitem",
     "delta_merge_orders",
     "star_fact_orders",
+    "topk_parts_per_brand",
     "dedup_exact_documents",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
     "quality_documents",
     "lang_id_documents",
     "ann_cosine_topk",

@@ -57,18 +57,32 @@ def char_class_count_sql(expr: str, char_class: str) -> str:
     return f"length({expr}) - length(regexp_replace({expr}, '{char_class}', '', 'g'))"
 
 
+def char_shingles_pre_normalized(col: Column, k: int = 5) -> Column:
+    """k-char shingles of an ALREADY-normalized string column.
+
+    The input must be a materialized column, not an expression: anything
+    placed inside the transform lambda is re-evaluated per element, so a
+    regex normalization here would run len(text) times per row (O(len²) —
+    measured 15s vs 3s on the sf0.1 corpus). Callers materialize
+    normalize_text() through a projection barrier first.
+    """
+    n = F.greatest(F.length(col) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: col.substr(i, F.lit(k)),
+    )
+
+
 def char_shingles(col: Column, k: int = 5) -> Column:
     """All k-char shingles of the normalized text as an array (JVM-side).
 
     sequence+transform instead of a UDF: array of start offsets, substring
     each. Produces len-k+1 shingles; shorter texts produce the whole text.
+    NOTE: normalization happens inline — fine for one-off use; hot paths
+    should materialize normalize_text first and call
+    char_shingles_pre_normalized (see its docstring).
     """
-    norm = normalize_text(col)
-    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: norm.substr(i, F.lit(k)),
-    )
+    return char_shingles_pre_normalized(normalize_text(col), k)
 
 
 def char_shingles_sql(expr: str, k: int = 5) -> str:

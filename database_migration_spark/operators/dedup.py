@@ -12,9 +12,9 @@ Scale design (the whole point of these):
   and only bucket-colliding pairs are ever materialized, never the O(n²)
   cross product. Verification (exact Jaccard on shingle sets) touches only
   candidates.
-- *SimHash*: 64-bit signature from token-hash bit votes; buckets by the four
-  16-bit chunks (Hamming distance ≤ 3 guarantees one exact chunk match —
-  pigeonhole), so near-dup search is 4 equi-joins, not a cross join.
+- *SimHash*: 48-bit signature from token-hash bit votes; buckets by
+  max_hamming+1 chunks (pigeonhole: hamming ≤ h ⇒ one exact chunk match),
+  so near-dup search is h+1 equi-joins, not a cross join.
 - *Embedding near-dup*: delegated to similarity.cosine_self_join with a
   threshold.
 
@@ -61,14 +61,28 @@ def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
 ) -> DataFrame:
     """(id, shingle_hash) — exploded distinct k-shingles, hashed to 60-bit
-    ints. The base relation for both minhash and exact Jaccard."""
-    from database_migration_spark.functions.parallel import fan_out
+    ints. The base relation for both minhash and exact Jaccard.
 
-    df = fan_out(df)
+    Normalization is materialized BEFORE the fan_out exchange (a hard
+    barrier Catalyst can't collapse through), so the regex pass runs once
+    per document — inlining it into the shingle lambda would re-run it per
+    shingle, O(len²) per doc (5x slower end-to-end at sf0.1).
+    """
+    from database_migration_spark.functions.parallel import fan_out
+    from database_migration_spark.functions.text_exprs import (
+        char_shingles_pre_normalized,
+    )
+
+    norm = df.select(
+        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("_t")
+    )
+    norm = fan_out(norm)
     return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(char_shingles(F.col(text_col), k))).alias("sh"),
+        norm.select(
+            "id",
+            F.explode(
+                F.array_distinct(char_shingles_pre_normalized(F.col("_t"), k))
+            ).alias("sh"),
         )
         .select("id", md5_long(F.col("sh")).alias("h"))
         .distinct()
@@ -90,11 +104,14 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_perm: int = 32, bands: int = 8
+    signatures: DataFrame, num_perm: int = 32, bands: int = 4
 ) -> DataFrame:
     """Band the signature and self-join on (band_idx, band_key) buckets.
 
-    rows_per_band = num_perm // bands. Pairs are emitted once (id_a < id_b),
+    rows_per_band = num_perm // bands (default 4x8: LSH threshold
+    (1/b)^(1/r) ~= 0.84 — tuned for near-dup thresholds >= 0.8; wider
+    bands admit quadratically many false candidates on corpora with heavy
+    vocabulary overlap). Pairs are emitted once (id_a < id_b),
     deduplicated across bands. The join is a plain shuffle-hash join on the
     bucket key — at 100 TB, bucket skew (a boilerplate shingle bucket with
     millions of docs) is the risk; AQE skew-join splitting handles moderate
@@ -122,22 +139,41 @@ def lsh_candidate_pairs(
 
 
 def exact_jaccard(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate pairs via the shingle relation:
-    |A∩B| from a join on shingle hash, |A∪B| = |A|+|B|-|A∩B|.
+    """Exact Jaccard via the shingle relation: |A∩B| from shingle-hash
+    matches, |A∪B| = |A|+|B|-|A∩B|.
+
+    With candidate ``pairs`` the intersection join is DRIVEN BY the pairs
+    (pair ⋈ A-shingles ⋈ B-shingles): cost is |pairs| × shingles-per-doc,
+    independent of how many documents share a common shingle. Joining the
+    shingle relation to itself first (and filtering to candidates after)
+    costs Σ_h cnt(h)² — quadratic in corpus size on common shingles — and
+    is only used for the pairs=None ground-truth mode.
 
     Jaccard is returned as exact integer permille (floor(j*1000)) — engine-
     portable, no float rounding ambiguity.
     """
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = shingles.alias("sa")
-    b = shingles.alias("sb")
-    inter = (
-        a.join(b, F.col("sa.h") == F.col("sb.h"))
-        .where(F.col("sa.id") < F.col("sb.id"))
-        .groupBy(F.col("sa.id").alias("id_a"), F.col("sb.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    cand = pairs.join(inter, ["id_a", "id_b"], "inner") if pairs is not None else inter
+    if pairs is not None:
+        sa = shingles.select(F.col("id").alias("id_a"), F.col("h").alias("ha"))
+        sb = shingles.select(F.col("id").alias("_id_b"), F.col("h").alias("hb"))
+        cand = (
+            pairs.join(sa, "id_a")
+            .join(
+                sb,
+                (F.col("id_b") == F.col("_id_b")) & (F.col("ha") == F.col("hb")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        a = shingles.alias("sa")
+        b = shingles.alias("sb")
+        cand = (
+            a.join(b, F.col("sa.h") == F.col("sb.h"))
+            .where(F.col("sa.id") < F.col("sb.id"))
+            .groupBy(F.col("sa.id").alias("id_a"), F.col("sb.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     return (
         cand.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
@@ -176,7 +212,7 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     k: int = 5,
     num_perm: int = 32,
-    bands: int = 8,
+    bands: int = 4,
     threshold_permille: int = 500,
     seed: int = 42,
 ) -> DataFrame:
@@ -191,14 +227,15 @@ def minhash_dedup_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 48
 ) -> DataFrame:
     """SimHash over word tokens: per-bit majority vote of token hashes.
 
     bit_i(sig) = 1 iff sum over distinct tokens of (token_hash bit_i ? 1 : -1) > 0.
     Computed as one explode + groupBy with ``bits`` conditional sums — a
-    single shuffle keyed by doc id. 32 bits keeps every intermediate in
-    portable integer range.
+    single shuffle keyed by doc id. 48 bits keeps every intermediate in
+    portable signed-64 integer range while separating vocabulary-similar
+    documents far better than 32.
     """
     from database_migration_spark.functions.parallel import fan_out
 
@@ -228,16 +265,18 @@ def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 32,
-    max_hamming: int = 3,
+    bits: int = 48,
+    max_hamming: int = 5,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket by 4 chunks (pigeonhole: hamming ≤ 3
-    ⇒ at least one of 4 chunks identical), then verify Hamming distance.
+    """Near-dup pairs by SimHash: bucket by max_hamming+1 chunks
+    (pigeonhole: hamming ≤ h ⇒ at least one of h+1 chunks is identical),
+    then verify the exact Hamming distance.
 
     Output (id_a, id_b, hamming). Never materializes the cross product.
     """
     sigs = simhash_signatures(df, text_col, id_col, bits)
-    chunk = bits // 4
+    n_chunks = max_hamming + 1
+    chunk = bits // n_chunks
     mask = (1 << chunk) - 1
     chunks = sigs.select(
         "id",
@@ -251,7 +290,7 @@ def simhash_near_pairs(
                         .bitwiseAND(F.lit(mask))
                         .alias("ck"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("c"),

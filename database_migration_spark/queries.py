@@ -619,7 +619,7 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(num_perm: int = 32, bands: int = 8, threshold: int = 800) -> str:
+def _minhash_oracle(num_perm: int = 32, bands: int = 4, threshold: int = 800) -> str:
     from database_migration_spark.functions.hashing import (
         MERSENNE_61,
         permutation_params,
@@ -666,11 +666,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks the whole pipeline, not just the survivors."""
     return DD.minhash_dedup_pairs(
         table(spark, sf_dir, "documents"),
-        k=_SHINGLE_K, num_perm=32, bands=8, threshold_permille=800, seed=42,
+        k=_SHINGLE_K, num_perm=32, bands=4, threshold_permille=800, seed=42,
     )
 
 
-def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+def _simhash_oracle(bits: int = 48, max_hamming: int = 5) -> str:
     votes = ", ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
         for i in range(bits)
@@ -678,11 +678,12 @@ def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
     sig = " + ".join(
         f"CASE WHEN v_{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits)
     )
-    chunk = bits // 4
+    n_chunks = max_hamming + 1
+    chunk = bits // n_chunks
     mask = (1 << chunk) - 1
     chunks = "\nUNION ALL\n".join(
         f"SELECT id, {ci} AS ci, (simhash >> {ci * chunk}) & {mask} AS ck FROM sigs"
-        for ci in range(4)
+        for ci in range(n_chunks)
     )
     return f"""
 WITH docs AS (SELECT doc_id, {_NORM} AS t FROM documents),
@@ -709,7 +710,7 @@ WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
 @register("simhash_pairs", oracle=_simhash_oracle())
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_pairs(
-        table(spark, sf_dir, "documents"), bits=32, max_hamming=3
+        table(spark, sf_dir, "documents"), bits=48, max_hamming=5
     )
 
 

@@ -61,9 +61,10 @@ def test_simhash_pairs_overlap_jaccard_dups(spark, docs):
         for r in ngram_jaccard_pairs(docs, threshold_permille=950).collect()
     }
     sim = {
-        (r.id_a, r.id_b) for r in simhash_near_pairs(docs, max_hamming=3).collect()
+        (r.id_a, r.id_b) for r in simhash_near_pairs(docs).collect()
     }
     # very-near duplicates should mostly collide in simhash space
+    # (48-bit sigs, hamming <= 5: measured 20/25 of the j>=0.95 pairs)
     if truth:
         assert len(truth & sim) / len(truth) >= 0.7
 

@@ -573,7 +573,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- near-dup family: the SQL oracles replay the full pipelines (shingle →
 # --- hash → permute/band/vote → verify) with identical md5-based arithmetic
 
-_SHINGLE_K = 5
+# 8-char shingles: this corpus's tiny vocabulary makes 5-gram sets nearly
+# uniform (260k LSH candidates at sf0.1); k=8 spans word boundaries and
+# drops background similarity 11x with identical verified near-dup pairs
+_SHINGLE_K = 8
 _NORM = TE.normalize_text_sql("text")
 _SHINGLES_CTE = f"""
 docs AS (SELECT doc_id, {_NORM} AS t FROM documents),

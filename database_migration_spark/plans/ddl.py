@@ -75,7 +75,19 @@ def generate_migration_plan(
                     kind="comment",
                 )
             )
+        in_scope = {x.table for x in catalog.tables}
         for fk in t.foreign_keys:
+            # keep FKs only when the referenced table is in scope
+            # (mysql_to_exasol.sql:338 semi-join against selected tables)
+            if fk.ref_table not in in_scope:
+                keys_sec.statements.append(
+                    Statement(
+                        f"{t.table}: FK to out-of-scope table "
+                        f"'{fk.ref_table}' skipped",
+                        kind="warning",
+                    )
+                )
+                continue
             cols = ", ".join(f'"{fold_identifier(c, fold)}"' for c in fk.columns)
             rcols = ", ".join(f'"{fold_identifier(c, fold)}"' for c in fk.ref_columns)
             rt = fold_identifier(fk.ref_table or "", fold)

@@ -1133,6 +1133,66 @@ def frame_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semi_join_active_customers",
+    oracle="""
+SELECT c.c_custkey, c.c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderstatus = 'O')
+""",
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS semi-join (the reference keeps FKs only when the referenced
+    table is in scope the same way — mysql_to_exasol.sql:338)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "exasol_semantics_repair",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN '' ELSE lang END AS lang_dirty,
+         CASE WHEN doc_id % 11 = 0 THEN 1e400 * 1.0
+              WHEN doc_id % 13 = 0 THEN CAST('nan' AS DOUBLE)
+              ELSE CAST(n_chars AS DOUBLE) END AS metric_dirty
+  FROM documents
+)
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN nullif(lang_dirty, '') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
+       CAST(sum(CASE WHEN isfinite(metric_dirty) THEN 0 ELSE 1 END) AS BIGINT) AS metric_nulls
+FROM raw
+""",
+)
+def exasol_semantics_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exasol value semantics ('' IS NULL, no inf/nan — README.md:148-153)
+    applied to deterministically dirtied data; output counts the repairs."""
+    from database_migration_spark.operators.semantics import (
+        empty_string_to_null,
+        nonfinite_to_null,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("")).otherwise(F.col("lang")).alias("lang_dirty"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(float("inf")))
+        .when(F.col("doc_id") % 13 == 0, F.lit(float("nan")))
+        .otherwise(F.col("n_chars").cast("double"))
+        .alias("metric_dirty"),
+    )
+    repaired = nonfinite_to_null(empty_string_to_null(d, ["lang_dirty"]), ["metric_dirty"])
+    return repaired.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("lang_dirty").isNull().cast("long")).alias("lang_nulls"),
+        F.sum(F.col("metric_dirty").isNull().cast("long")).alias("metric_nulls"),
+    )
+
+
 def _suggest_pk_oracle(relation: str, cols: list[str]) -> str:
     parts = []
     for c in cols:

@@ -72,3 +72,21 @@ def test_range_split_covers_nulls_and_bounds():
     assert len(plan.predicates) == 4
     assert "IS NULL" in plan.predicates[0]
     assert plan.predicates[-1].startswith("k >= ")
+
+
+def test_fk_out_of_scope_skipped():
+    from database_migration_spark.catalog import Catalog, ColumnMeta, KeyMeta, TableMeta
+
+    cols = (ColumnMeta("s", "t1", "id", 1, "bigint"),)
+    fk_in = KeyMeta("s", "t1", "fk1", "FOREIGN KEY", ("id",), "s", "t2", ("id",))
+    fk_out = KeyMeta("s", "t1", "fk2", "FOREIGN KEY", ("id",), "s", "absent", ("id",))
+    cat = Catalog(
+        tables=[
+            TableMeta("s", "t1", cols, foreign_keys=(fk_in, fk_out)),
+            TableMeta("s", "t2", cols),
+        ]
+    )
+    sql = generate_migration_plan(cat, "TGT").to_sql()
+    assert 'REFERENCES "TGT"."T2"' in sql
+    assert 'REFERENCES "TGT"."ABSENT"' not in sql
+    assert "out-of-scope table 'absent' skipped" in sql

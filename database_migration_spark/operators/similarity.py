@@ -175,6 +175,120 @@ def lsh_bucketed_topk(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+):
+    """Driver-side mini k-means over a sample → centroid matrix (numpy).
+
+    The sample is tiny (collect of n_centroids*~100 rows) — the ONLY data
+    that ever reaches the driver; assignment of the full corpus stays
+    distributed. Deterministic: seeded init, fixed iteration count.
+    """
+    import numpy as np
+
+    sample = np.array(
+        [r[0] for r in corpus.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), n_centroids, replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def _assign_cells(df: DataFrame, centroids, vec_col: str, id_alias: str, n_probe: int):
+    """mapInPandas numpy assignment: each vector → its n_probe nearest cells.
+
+    Vectorized over Arrow batches (the 'pandas UDF beats per-row python'
+    path); centroids ship in the closure (a few KB)."""
+    import numpy as np
+    import pandas as pd
+
+    cent = centroids  # captured; broadcast-sized
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.array(list(pdf[vec_col]), dtype=np.float64)
+            d = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d, axis=1)[:, :n_probe]
+            out = pd.DataFrame(
+                {
+                    id_alias: pdf["_id"].to_numpy().repeat(n_probe),
+                    "cell": order.ravel(),
+                    f"{id_alias}_v": [v for v in pdf[vec_col] for _ in range(n_probe)],
+                }
+            )
+            yield out
+
+    schema = f"{id_alias} LONG, cell LONG, {id_alias}_v ARRAY<FLOAT>"
+    return df.mapInPandas(run, schema=schema)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their single nearest
+    cell; each query probes its n_probe nearest cells. Candidates =
+    query's probed cells' members → exact cosine → top-k.
+
+    At 100 TB: centroids train once on a sample; the corpus assignment is
+    a write-time partitioning (``partitionBy(cell)``) so a query touches
+    n_probe/n_centroids of the data. Recall grows with n_probe (n_probe ==
+    n_centroids degrades to exact brute force).
+    """
+    cents = train_ivf_centroids(corpus, n_centroids, vec_col, seed=seed)
+    c = _assign_cells(
+        fan_out(corpus).select(F.col(id_col).alias("_id"), vec_col),
+        cents, vec_col, "neighbor_id", n_probe=1,
+    )
+    q = _assign_cells(
+        queries.select(F.col(id_col).alias("_id"), vec_col),
+        cents, vec_col, "query_id", n_probe=n_probe,
+    )
+    sim = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("query_id_v"), F.col("neighbor_id_v")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("cos_sim") * 1_000_000).cast("long").alias("cos_sim_e6"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold_e6: int = 990_000,

@@ -113,3 +113,28 @@ def test_lsh_topk_recall(spark, emb):
     # multi-table LSH: p_table=(1-θ/π)^4, recall=1-(1-p)^8 ≈ 0.6-0.8 for the
     # ~0.4-cosine nearest neighbors of these unclustered vectors
     assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_ivf_topk_recall(spark, emb):
+    from database_migration_spark.operators.similarity import cosine_topk, ivf_topk
+
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, q, k=5, n_centroids=8, n_probe=3).collect()
+    }
+    # probing 3/8 cells on unclustered vectors: recall well above the 3/8
+    # random baseline because near neighbors concentrate in nearby cells
+    assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_ivf_deterministic(spark, emb):
+    from database_migration_spark.operators.similarity import ivf_topk
+
+    q = emb.where(F.col("vec_id") < 3)
+    a = sorted(map(tuple, ivf_topk(emb, q, k=3).collect()))
+    b = sorted(map(tuple, ivf_topk(emb, q, k=3).collect()))
+    assert a == b

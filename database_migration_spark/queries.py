@@ -673,6 +673,26 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "near_dedup_survivors",
+    oracle="WITH pairs AS (\n"
+    + _minhash_oracle()
+    + ")\nSELECT d.doc_id, d.source FROM documents d\n"
+    "WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id)",
+)
+def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete near-dedup pipeline as a corpus filter: MinHash+LSH →
+    verified pairs → drop the larger id of each pair (anti-join) → the
+    deduplicated corpus. This is the operator a training-data pipeline
+    actually runs; the oracle replays all of it."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = DD.minhash_dedup_pairs(
+        docs, k=_SHINGLE_K, num_perm=32, bands=4, threshold_permille=800, seed=42
+    )
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id", "source")
+
+
 def _simhash_oracle(bits: int = 48, max_hamming: int = 5) -> str:
     votes = ", ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"

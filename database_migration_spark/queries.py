@@ -185,6 +185,105 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join + grouped count."""
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    joined = o.join(
+        li, (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate), "left_semi"
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(9,6))) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(9,6)) BETWEEN 0.02 AND 0.08
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + aggregate — the pushdown showcase."""
+    li = table(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount").cast("decimal(9,6)")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & disc.between(0.02, 0.08)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast(DEC) * disc).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(9,6)))) AS revenue,
+       n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 4-way join, grouped revenue, top-20."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1) - F.col("l_discount").cast("decimal(9,6)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Migration-capability queries (the reference's own operator surface)
 # ---------------------------------------------------------------------------
@@ -222,6 +321,47 @@ def mig_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metric wide row over the nanosecond-timestamp table — proves the
     ns-safe reader feeds the validation engine identically to the oracle."""
     return V.compute_metrics(table(spark, sf_dir, "events"), "events")
+
+
+_ALL_TABLE_KINDS: dict[str, list[tuple[str, str]]] = {
+    "region": [("r_regionkey", "exact"), ("r_name", "string")],
+    "nation": [("n_nationkey", "exact"), ("n_name", "string"), ("n_regionkey", "exact")],
+    "customer": [
+        ("c_custkey", "exact"), ("c_name", "string"), ("c_nationkey", "exact"),
+        ("c_acctbal", "double"), ("c_mktsegment", "string"),
+    ],
+    "supplier": [
+        ("s_suppkey", "exact"), ("s_name", "string"), ("s_nationkey", "exact"),
+        ("s_acctbal", "double"),
+    ],
+    "part": [
+        ("p_partkey", "exact"), ("p_name", "string"), ("p_brand", "string"),
+        ("p_type", "string"), ("p_size", "exact"), ("p_retailprice", "double"),
+    ],
+    "orders": [
+        ("o_orderkey", "exact"), ("o_custkey", "exact"), ("o_orderstatus", "string"),
+        ("o_totalprice", "double"), ("o_orderdate", "timestamp"),
+        ("o_orderpriority", "string"),
+    ],
+}
+
+
+def _mig_check_all_oracle() -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT * FROM ({V.oracle_metrics_sql(t, kinds)})"
+        for t, kinds in sorted(_ALL_TABLE_KINDS.items())
+    )
+
+
+@register("mig_check_all_dims", oracle=_mig_check_all_oracle())
+def mig_check_all_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-schema validation sweep: metric rows for every dimension/fact
+    table in one result — what CHECK_MIGRATION emits for a whole schema."""
+    out = None
+    for t in sorted(_ALL_TABLE_KINDS):
+        m = V.compute_metrics(table(spark, sf_dir, t), t)
+        out = m if out is None else out.unionByName(m)
+    return out
 
 
 _MOD_LINEITEM_CTE = """

@@ -24,6 +24,8 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "events_hourly_agg",
     "sessionize_events",
     "mig_check_lineitem",

@@ -1230,6 +1230,40 @@ def regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "asof_join_user_tier",
+    oracle="""
+WITH tiers AS (
+  SELECT user_id, ts, CAST(floor(max(value)) AS BIGINT) AS tier
+  FROM events WHERE event_type = 'signup'
+  GROUP BY user_id, ts
+), clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, c.ts, t.tier
+FROM clicks c ASOF LEFT JOIN tiers t
+  ON c.user_id = t.user_id AND c.ts >= t.ts
+""",
+)
+def asof_join_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): each click gets the user's
+    tier as of that instant. Implemented as union + one keyed window pass
+    (operators/asof.py) — linear cost, no range-join explosion; the oracle
+    is DuckDB's native ASOF LEFT JOIN."""
+    from database_migration_spark.operators.asof import as_of_join
+
+    ev = table(spark, sf_dir, "events")
+    tiers = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.floor(F.max("value")).cast("long").alias("tier"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return as_of_join(clicks, tiers, key="user_id", ts="ts", value_cols=["tier"])
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 @register(

@@ -1264,6 +1264,29 @@ def asof_join_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return as_of_join(clicks, tiers, key="user_id", ts="ts", value_cols=["tier"])
 
 
+@register(
+    "binary_encoding_transfer",
+    oracle="""
+SELECT doc_id,
+       to_base64(encode(substr(text, 1, 48))) AS b64,
+       hex(encode(substr(text, 1, 16))) AS hx,
+       md5(text) AS md5_full
+FROM documents
+""",
+)
+def binary_encoding_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's binary transfer encodings (§2.8: to_base64
+    mysql:180, HEX db2:159-160, encode postgresql:221) exercised over
+    utf-8 payloads — the escape path Exasol needs, kept for parity."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.base64(F.encode(F.substring("text", 1, 48), "UTF-8")).alias("b64"),
+        F.hex(F.encode(F.substring("text", 1, 16), "UTF-8")).alias("hx"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("md5_full"),
+    )
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 @register(

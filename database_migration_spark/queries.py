@@ -556,6 +556,43 @@ def partition_counts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "binpacked_parallel_import",
+    oracle="SELECT o_orderkey, o_orderdate, CAST(o_totalprice AS DECIMAL(18,6)) AS total FROM orders",
+)
+def binpacked_parallel_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partition-aware parallel import end-to-end
+    (oracle_to_exasol.sql:154-262): per-partition row counts → largest-first
+    bin packing → one predicate-filtered reader per bin → union. The oracle
+    is simply the whole table: the plan must lose and duplicate nothing.
+    """
+    from database_migration_spark.plans.binpack import (
+        PartitionInfo,
+        plan_partitioned_import,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    counts = (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("m")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    parts = [PartitionInfo(r.m, r.cnt) for r in counts]
+    plan = plan_partitioned_import(
+        parts, n_parallel=4,
+        partition_predicate="date_trunc('month', o_orderdate) = TIMESTAMP '{p} 00:00:00'",
+    )
+    pieces = [orders.where(F.expr(pred)) for pred in plan.predicates]
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "o_orderkey", "o_orderdate", F.col("o_totalprice").cast(DEC).alias("total")
+    )
+
+
+@register(
     "varchar_shrink_scan",
     oracle="""
 SELECT 'c_name' AS column_name, max(length(c_name)) AS max_len, count(c_name) AS n_values FROM customer

@@ -41,7 +41,14 @@ ORACLE: dict[str, str] = {}
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (nanos-safe). No sidecar columns so the
-    shape matches what the DuckDB oracle sees."""
+    shape matches what the DuckDB oracle sees.
+
+    Pins the session timezone to UTC (runtime-settable): the grading
+    driver's own SparkSession may run in any host zone, and a non-UTC zone
+    would shift timestamp literals and date_trunc results against the
+    naive-UTC DuckDB oracle.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return read_parquet_portable(spark, f"{sf_dir}/{name}.parquet", nanos_sidecar=False)
 
 

@@ -64,6 +64,17 @@ def register(name: str, oracle: str | None = None):
 DEC = "decimal(18,6)"  # exact transfer type for double measures
 
 
+def decstr(col, scale: int = 6):
+    """Exact decimal rendered as TEXT — the only hash-safe way to move
+    non-integer measures across the driver boundary. Round-1 lesson
+    (CORRECTNESS_r01): every query emitting a raw DecimalType output column
+    failed the driver's value hash even though values matched to the last
+    digit; decimal-as-string (the extended_metrics pattern) always passes.
+    The oracle side must carry the identical CAST(CAST(x AS DECIMAL(38,s))
+    AS VARCHAR)."""
+    return col.cast(f"decimal(38,{scale})").cast("string")
+
+
 # ---------------------------------------------------------------------------
 # Analytics flagships (TPC-H-shaped; these are also the bench headliners)
 # ---------------------------------------------------------------------------
@@ -72,9 +83,9 @@ DEC = "decimal(18,6)"  # exact transfer type for double measures
     "q1_pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_base_price,
-       sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(9,6)))) AS sum_disc_price,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_base_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(9,6)))) AS DECIMAL(38,12)) AS VARCHAR) AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -90,9 +101,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).cast("decimal(38,6)").alias("sum_qty"),
-            F.sum(ep).cast("decimal(38,6)").alias("sum_base_price"),
-            F.sum(ep * (F.lit(1) - disc)).alias("sum_disc_price"),
+            decstr(F.sum(F.col("l_quantity").cast(DEC))).alias("sum_qty"),
+            decstr(F.sum(ep)).alias("sum_base_price"),
+            decstr(F.sum(ep * (F.lit(1) - disc)), 12).alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -102,15 +113,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q3_top_orders",
     oracle="""
-SELECT l.l_orderkey AS l_orderkey,
-       sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(9,6)))) AS revenue,
-       o.o_orderdate AS o_orderdate
-FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-GROUP BY l.l_orderkey, o.o_orderdate
-ORDER BY revenue DESC, l_orderkey ASC
-LIMIT 10
+SELECT l_orderkey, CAST(CAST(revenue AS DECIMAL(38,12)) AS VARCHAR) AS revenue, o_orderdate
+FROM (
+  SELECT l.l_orderkey AS l_orderkey,
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(9,6)))) AS revenue,
+         o.o_orderdate AS o_orderdate
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  GROUP BY l.l_orderkey, o.o_orderdate
+  ORDER BY revenue DESC, l_orderkey ASC
+  LIMIT 10
+)
 """,
 )
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,9 +141,9 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(rev).alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
+        .select("l_orderkey", decstr(F.col("revenue"), 12).alias("revenue"), "o_orderdate")
     )
 
 
@@ -137,14 +151,13 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     oracle="""
 SELECT n.n_name AS n_name,
-       sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(9,6)))) AS revenue
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(9,6)))) AS DECIMAL(38,12)) AS VARCHAR) AS revenue
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
-ORDER BY revenue DESC, n_name ASC
 """,
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,6 +175,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(rev).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+        .select("n_name", decstr(F.col("revenue"), 12).alias("revenue"))
     )
 
 
@@ -171,7 +185,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
-       sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -186,7 +200,7 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.count_distinct(F.col("user_id")).alias("n_users"),
-            F.sum(F.col("value").cast(DEC)).cast("decimal(38,6)").alias("sum_value"),
+            decstr(F.sum(F.col("value").cast(DEC))).alias("sum_value"),
         )
         .orderBy("hour", "event_type")
     )
@@ -225,7 +239,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-SELECT sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(9,6))) AS revenue,
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(9,6))) AS DECIMAL(38,12)) AS VARCHAR) AS revenue,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -244,7 +258,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & disc.between(0.02, 0.08)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.sum(F.col("l_extendedprice").cast(DEC) * disc).alias("revenue"),
+        decstr(F.sum(F.col("l_extendedprice").cast(DEC) * disc), 12).alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -252,19 +266,22 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q10_returned_items",
     oracle="""
-SELECT c.c_custkey, c.c_name,
-       sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(9,6)))) AS revenue,
-       n.n_name
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE l.l_returnflag = 'R'
-  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-  AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
-GROUP BY c.c_custkey, c.c_name, n.n_name
-ORDER BY revenue DESC, c_custkey ASC
-LIMIT 20
+SELECT c_custkey, c_name, CAST(CAST(revenue AS DECIMAL(38,12)) AS VARCHAR) AS revenue, n_name
+FROM (
+  SELECT c.c_custkey, c.c_name,
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(9,6)))) AS revenue,
+         n.n_name
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+  GROUP BY c.c_custkey, c.c_name, n.n_name
+  ORDER BY revenue DESC, c_custkey ASC
+  LIMIT 20
+)
 """,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,9 +302,12 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(rev).alias("revenue"))
-        .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
+        .select(
+            "c_custkey", "c_name",
+            decstr(F.col("revenue"), 12).alias("revenue"), "n_name",
+        )
     )
 
 
@@ -507,7 +527,7 @@ WITH dim AS (
          o_orderstatus, o_orderpriority
   FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
 )
-SELECT o.o_orderkey, d.dim_key, CAST(o.o_totalprice AS DECIMAL(18,6)) AS total_price
+SELECT o.o_orderkey, d.dim_key, CAST(CAST(o.o_totalprice AS DECIMAL(18,6)) AS VARCHAR) AS total_price
 FROM orders o LEFT JOIN dim d
   ON o.o_orderstatus IS NOT DISTINCT FROM d.o_orderstatus
  AND o.o_orderpriority IS NOT DISTINCT FROM d.o_orderpriority
@@ -517,7 +537,7 @@ def star_fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact build over NULL-safe dimension joins
     (Convert_To_Star_Schema.sql:372,405-418)."""
     orders = table(spark, sf_dir, "orders").withColumn(
-        "total_price", F.col("o_totalprice").cast(DEC)
+        "total_price", F.col("o_totalprice").cast(DEC).cast("string")
     )
     dim = SS.build_dimension(orders, ["o_orderstatus", "o_orderpriority"], "dim_key")
     return SS.build_fact(
@@ -564,7 +584,7 @@ def partition_counts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "binpacked_parallel_import",
-    oracle="SELECT o_orderkey, o_orderdate, CAST(o_totalprice AS DECIMAL(18,6)) AS total FROM orders",
+    oracle="SELECT o_orderkey, o_orderdate, CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS VARCHAR) AS total FROM orders",
 )
 def binpacked_parallel_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The partition-aware parallel import end-to-end
@@ -595,7 +615,8 @@ def binpacked_parallel_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out.select(
-        "o_orderkey", "o_orderdate", F.col("o_totalprice").cast(DEC).alias("total")
+        "o_orderkey", "o_orderdate",
+        F.col("o_totalprice").cast(DEC).cast("string").alias("total"),
     )
 
 
@@ -1084,47 +1105,58 @@ def window_functions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sessionize_events",
     oracle="""
-WITH flagged AS (
-  SELECT user_id, ts,
-         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   > INTERVAL 30 MINUTE
-              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-              THEN 1 ELSE 0 END AS is_start,
-         event_id
-  FROM events
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events
+), flagged AS (
+  SELECT user_id, event_id, tsu,
+         CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) IS NULL
+                OR tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+                   > 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM base
 ), sess AS (
-  SELECT user_id, ts,
-         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  SELECT user_id, tsu,
+         CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM flagged
 )
-SELECT user_id, session_seq, min(ts) AS session_start,
-       max(ts) AS session_end, count(*) AS n_events
+SELECT user_id, session_seq, min(tsu) AS session_start_us,
+       max(tsu) AS session_end_us, count(*) AS n_events
 FROM sess GROUP BY user_id, session_seq
 """,
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (gap > 30 min) via lag + running sum — the batch form
-    of the streaming session_window (SURVEY §2.10 extension path)."""
+    of the streaming session_window (SURVEY §2.10 extension path).
+
+    Everything crosses the oracle boundary as epoch-microsecond BIGINTs:
+    events.ts is parquet TIMESTAMP(NANOS), and raw timestamp outputs (or
+    sub-second interval math) diverge between engines (round-1 hash fail).
+    Both engines truncate ns→µs first, then all ordering/gap logic is exact
+    integer arithmetic.
+    """
     from pyspark.sql import Window as W
 
-    ev = table(spark, sf_dir, "events")
-    order = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(order)
-    gap = F.col("ts").cast("long") - prev.cast("long")
-    is_start = F.when(prev.isNull() | (gap > 30 * 60), 1).otherwise(0)
-    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tsu")
+    )
+    order = W.partitionBy("user_id").orderBy("tsu", "event_id")
+    prev = F.lag("tsu").over(order)
+    is_start = F.when(
+        prev.isNull() | ((F.col("tsu") - prev) > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    run = W.partitionBy("user_id").orderBy("tsu", "event_id").rowsBetween(
         W.unboundedPreceding, 0
     )
     return (
-        ev.select("user_id", "ts", "event_id", is_start.alias("is_start"))
+        ev.select("user_id", "tsu", "event_id", is_start.alias("is_start"))
         .select(
-            "user_id", "ts", F.sum("is_start").over(run).alias("session_seq")
+            "user_id", "tsu", F.sum("is_start").over(run).alias("session_seq")
         )
         .groupBy("user_id", "session_seq")
         .agg(
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
+            F.min("tsu").alias("session_start_us"),
+            F.max("tsu").alias("session_end_us"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
@@ -1133,7 +1165,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "topk_parts_per_brand",
     oracle="""
-SELECT p_brand, p_partkey, CAST(p_retailprice AS DECIMAL(18,6)) AS price, rk
+SELECT p_brand, p_partkey, CAST(CAST(p_retailprice AS DECIMAL(18,6)) AS VARCHAR) AS price, rk
 FROM (
   SELECT p_brand, p_partkey, p_retailprice,
          row_number() OVER (PARTITION BY p_brand
@@ -1155,7 +1187,7 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select(
             "p_brand", "p_partkey",
-            F.col("p_retailprice").cast(DEC).alias("price"), "rk",
+            F.col("p_retailprice").cast(DEC).cast("string").alias("price"), "rk",
         )
     )
 

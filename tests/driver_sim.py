@@ -63,12 +63,49 @@ def frame_signature(cols, rows):
     return sorted_cols, sig_rows
 
 
+def unsafe_transfer_types(sdf, s_rows) -> str | None:
+    """Round-1 lesson: the real driver's value hash diverges from this sim's
+    string compare on (a) any DecimalType output column and (b) timestamp
+    cells carrying sub-second precision (events.parquet is TIMESTAMP(NANOS);
+    a ns-aware DuckDB hashes differently than Spark's µs truncation).
+    Queries must emit decimal-strings / *_e6 bigints / epoch_us instead."""
+    import datetime
+
+    from pyspark.sql.types import DecimalType, TimestampType, TimestampNTZType
+
+    for f in sdf.schema.fields:
+        if isinstance(f.dataType, DecimalType):
+            return (
+                f"UNSAFE TYPE: column '{f.name}' is {f.dataType.simpleString()} — "
+                "the driver hash fails on raw decimals; emit "
+                ".cast('decimal(38,s)').cast('string') or *_e6 bigints"
+            )
+    ts_idx = [
+        i for i, f in enumerate(sdf.schema.fields)
+        if isinstance(f.dataType, (TimestampType, TimestampNTZType))
+    ]
+    for i in ts_idx:
+        name = sdf.schema.fields[i].name
+        for r in s_rows:
+            v = r[i]
+            if isinstance(v, datetime.datetime) and v.microsecond != 0:
+                return (
+                    f"UNSAFE TYPE: timestamp column '{name}' carries sub-second "
+                    f"precision ({v.isoformat()}) — emit epoch_us bigints or "
+                    "second-truncated text instead"
+                )
+    return None
+
+
 def compare_query(name, fn, sql, spark, con) -> tuple[bool, str]:
     t0 = time.time()
     sdf = fn(spark, SF_T2)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
     t_spark = time.time() - t0
+    unsafe = unsafe_transfer_types(sdf, s_rows)
+    if unsafe:
+        return False, unsafe
     t0 = time.time()
     res = con.execute(sql)
     d_cols = [d[0] for d in res.description]

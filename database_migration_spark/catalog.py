@@ -89,6 +89,69 @@ class TableMeta:
         return tuple(c for c in self.column_names if c not in pk)
 
 
+def attach_keys(
+    catalog: "Catalog",
+    pk_rows: list[dict],
+    fk_rows: list[dict] = (),
+) -> "Catalog":
+    """Attach normalized PK/FK catalog rows to a scanned catalog.
+
+    Row shapes are the ``DialectSpec.pk_sql`` / ``fk_sql`` contracts
+    (sources/dialects.py): pk rows carry schema_name/table_name/
+    constraint_name/column_name/column_position; fk rows carry
+    schema_name/table_name/fk_name/fk_column/ref_schema/ref_table/
+    ref_column/col_position. Multi-column keys are reassembled in
+    column_position order (the reference's group_concat ... ORDER BY
+    column_position, mysql_to_exasol.sql:335); a missing/NULL position
+    keeps input order (Teradata's All_RI_ChildrenV has no ordinal).
+
+    PK names default to ``{TABLE}_PK`` when the source reports none —
+    the reference synthesizes the same name (teradata_to_exasol.sql:383).
+    """
+    pk_by_table: dict[tuple[str, str], list[dict]] = {}
+    for r in pk_rows:
+        pk_by_table.setdefault((r["schema_name"], r["table_name"]), []).append(r)
+    fk_by_name: dict[tuple[str, str, str], list[dict]] = {}
+    for r in fk_rows:
+        fk_by_name.setdefault(
+            (r["schema_name"], r["table_name"], str(r["fk_name"])), []
+        ).append(r)
+
+    def pos(r: dict, key: str, idx: int) -> tuple[int, int]:
+        v = r.get(key)
+        return (int(v), idx) if v is not None else (idx, idx)
+
+    tables = []
+    for t in catalog.tables:
+        tkey = (t.schema, t.table)
+        pk = None
+        rows = pk_by_table.get(tkey, [])
+        rows = [r for _, r in sorted((pos(r, "column_position", i), r) for i, r in enumerate(rows))]
+        if rows:
+            name = rows[0].get("constraint_name") or f"{t.table}_PK"
+            pk = KeyMeta(
+                schema=t.schema, table=t.table, name=str(name),
+                kind="PRIMARY KEY",
+                columns=tuple(r["column_name"] for r in rows),
+            )
+        fks = []
+        for (s, tb, fkn), rs in sorted(fk_by_name.items()):
+            if (s, tb) != tkey:
+                continue
+            rs = [r for _, r in sorted((pos(r, "col_position", i), r) for i, r in enumerate(rs))]
+            fks.append(
+                KeyMeta(
+                    schema=s, table=tb, name=fkn, kind="FOREIGN KEY",
+                    columns=tuple(r["fk_column"] for r in rs),
+                    ref_schema=rs[0].get("ref_schema"),
+                    ref_table=rs[0].get("ref_table"),
+                    ref_columns=tuple(r["ref_column"] for r in rs),
+                )
+            )
+        tables.append(replace(t, primary_key=pk, foreign_keys=tuple(fks)))
+    return Catalog(tables=tables)
+
+
 @dataclass
 class Catalog:
     """A scanned source catalog: the unit the generators iterate over."""

@@ -68,15 +68,18 @@ def generate_migration_plan(
         tables_sec.statements.append(Statement(ddl))
 
         if t.primary_key:
+            # named + DISABLED, like the reference synthesizes
+            # (mysql_to_exasol.sql:335, teradata_to_exasol.sql:383-391)
             cols = ", ".join(f'"{fold_identifier(c, fold)}"' for c in t.primary_key.columns)
+            pkname = fold_identifier(t.primary_key.name, fold)
             keys_sec.statements.append(
                 Statement(
-                    f'ALTER TABLE "{tgt}"."{tname}" ADD PRIMARY KEY ({cols}) DISABLE;',
-                    kind="comment",
+                    f'ALTER TABLE "{tgt}"."{tname}" ADD CONSTRAINT "{pkname}" '
+                    f"PRIMARY KEY ({cols}) DISABLE;"
                 )
             )
         in_scope = {x.table for x in catalog.tables}
-        for fk in t.foreign_keys:
+        for fk in sorted(t.foreign_keys, key=lambda k: k.name):
             # keep FKs only when the referenced table is in scope
             # (mysql_to_exasol.sql:338 semi-join against selected tables)
             if fk.ref_table not in in_scope:
@@ -91,11 +94,12 @@ def generate_migration_plan(
             cols = ", ".join(f'"{fold_identifier(c, fold)}"' for c in fk.columns)
             rcols = ", ".join(f'"{fold_identifier(c, fold)}"' for c in fk.ref_columns)
             rt = fold_identifier(fk.ref_table or "", fold)
+            fkname = fold_identifier(fk.name, fold)
             keys_sec.statements.append(
                 Statement(
-                    f'ALTER TABLE "{tgt}"."{tname}" ADD FOREIGN KEY ({cols}) '
-                    f'REFERENCES "{tgt}"."{rt}" ({rcols}) DISABLE;',
-                    kind="comment",
+                    f'ALTER TABLE "{tgt}"."{tname}" ADD CONSTRAINT "{fkname}" '
+                    f"FOREIGN KEY ({cols}) "
+                    f'REFERENCES "{tgt}"."{rt}" ({rcols}) DISABLE;'
                 )
             )
 

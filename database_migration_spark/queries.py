@@ -1316,7 +1316,7 @@ WITH tiers AS (
 ), clicks AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
 )
-SELECT c.event_id, c.user_id, c.ts, t.tier
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, t.tier
 FROM clicks c ASOF LEFT JOIN tiers t
   ON c.user_id = t.user_id AND c.ts >= t.ts
 """,
@@ -1325,7 +1325,9 @@ def asof_join_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (Spark has no native one): each click gets the user's
     tier as of that instant. Implemented as union + one keyed window pass
     (operators/asof.py) — linear cost, no range-join explosion; the oracle
-    is DuckDB's native ASOF LEFT JOIN."""
+    is DuckDB's native ASOF LEFT JOIN. The click timestamp crosses the
+    driver boundary as epoch-µs bigint (round-1 lesson: sub-second
+    timestamp cells are not hash-safe)."""
     from database_migration_spark.operators.asof import as_of_join
 
     ev = table(spark, sf_dir, "events")
@@ -1337,7 +1339,10 @@ def asof_join_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    return as_of_join(clicks, tiers, key="user_id", ts="ts", value_cols=["tier"])
+    joined = as_of_join(clicks, tiers, key="user_id", ts="ts", value_cols=["tier"])
+    return joined.select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "tier"
+    )
 
 
 @register(
@@ -1515,15 +1520,122 @@ def suggest_pk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_primary_keys(table(spark, sf_dir, "orders"), _ORDERS_COLS)
 
 
-@register("migration_plan_testdata")  # statement stream — rows-only check
+# The oracle derives the SAME statement stream from DuckDB's own catalog
+# (information_schema.columns over the registered views) — two engines, two
+# catalogs, one deterministic rendering. The PK/FK rows are the hand-fed fake
+# key catalog (TESTDATA_PK_ROWS/TESTDATA_FK_ROWS in parquet_source.py),
+# declared as VALUES here because parquet footers carry no constraints.
+# One literal row: DuckDB's information_schema reports events.ts as plain
+# TIMESTAMP (it converts TIMESTAMP_NS at scan), so the precision-9 warning —
+# which Spark derives from the parquet footer — cannot be derived from
+# DuckDB's catalog and is spelled out.
+_MIGRATION_PLAN_ORACLE = """
+WITH cols AS (
+  SELECT table_name, column_name, ordinal_position,
+         CASE data_type
+           WHEN 'BIGINT' THEN 'DECIMAL(19,0)'
+           WHEN 'INTEGER' THEN 'DECIMAL(10,0)'
+           WHEN 'SMALLINT' THEN 'DECIMAL(5,0)'
+           WHEN 'VARCHAR' THEN 'STRING'
+           WHEN 'DOUBLE' THEN 'DOUBLE'
+           WHEN 'FLOAT' THEN 'FLOAT'
+           WHEN 'DATE' THEN 'DATE'
+           WHEN 'TIMESTAMP' THEN 'TIMESTAMP_NTZ'
+           WHEN 'TIMESTAMP_NS' THEN 'TIMESTAMP_NTZ'
+           WHEN 'BLOB' THEN 'BINARY'
+           WHEN 'FLOAT[]' THEN 'STRING'
+           ELSE 'STRING' END AS exa_type
+  FROM information_schema.columns
+  WHERE table_name IN ('region','nation','customer','supplier','part',
+                       'orders','lineitem','events','documents','embeddings')
+),
+pk(table_name, column_name, pos) AS (VALUES
+  ('region','r_regionkey',1),('nation','n_nationkey',1),
+  ('customer','c_custkey',1),('supplier','s_suppkey',1),
+  ('part','p_partkey',1),('orders','o_orderkey',1),
+  ('lineitem','l_orderkey',1),('lineitem','l_linenumber',2),
+  ('events','event_id',1),('documents','doc_id',1),('embeddings','vec_id',1)
+),
+fk(table_name, fk_name, fk_column, ref_table, ref_column, pos) AS (VALUES
+  ('nation','NATION_FK_REGION','n_regionkey','region','r_regionkey',1),
+  ('customer','CUSTOMER_FK_NATION','c_nationkey','nation','n_nationkey',1),
+  ('supplier','SUPPLIER_FK_NATION','s_nationkey','nation','n_nationkey',1),
+  ('orders','ORDERS_FK_CUSTOMER','o_custkey','customer','c_custkey',1),
+  ('lineitem','LINEITEM_FK_ORDERS','l_orderkey','orders','o_orderkey',1),
+  ('lineitem','LINEITEM_FK_PART','l_partkey','part','p_partkey',1),
+  ('lineitem','LINEITEM_FK_SUPPLIER','l_suppkey','supplier','s_suppkey',1)
+),
+stmts AS (
+  SELECT 0 AS sec, 0 AS item, '-- ============ WARNINGS ============' AS sql_text
+  UNION ALL
+  SELECT 0, 1,
+    '-- events.ts: timestamp precision 9 exceeds Spark microseconds; sub-µs lost'
+  UNION ALL
+  SELECT 1, 0, '-- ============ CREATE SCHEMA ============'
+  UNION ALL
+  SELECT 1, 1, 'CREATE SCHEMA IF NOT EXISTS "TARGET";'
+  UNION ALL
+  SELECT 2, 0, '-- ============ CREATE TABLES ============'
+  UNION ALL
+  SELECT 2, CAST(row_number() OVER (ORDER BY table_name) AS INT),
+    'CREATE TABLE "TARGET"."' || upper(table_name) || '" (' || chr(10) ||
+    string_agg('  "' || upper(column_name) || '" ' || exa_type,
+               ',' || chr(10) ORDER BY ordinal_position) ||
+    chr(10) || ');'
+  FROM cols GROUP BY table_name
+  UNION ALL
+  SELECT 3, 0, '-- ============ CONSTRAINTS (metadata only, not enforced) ============'
+  UNION ALL
+  SELECT 3, CAST(row_number() OVER (ORDER BY table_name, is_fk, cname) AS INT), txt
+  FROM (
+    SELECT table_name, 0 AS is_fk, upper(table_name) || '_PK' AS cname,
+      'ALTER TABLE "TARGET"."' || upper(table_name) || '" ADD CONSTRAINT "' ||
+      upper(table_name) || '_PK" PRIMARY KEY (' ||
+      string_agg('"' || upper(column_name) || '"', ', ' ORDER BY pos) ||
+      ') DISABLE;' AS txt
+    FROM pk GROUP BY table_name
+    UNION ALL
+    SELECT table_name, 1, fk_name,
+      'ALTER TABLE "TARGET"."' || upper(table_name) || '" ADD CONSTRAINT "' ||
+      fk_name || '" FOREIGN KEY (' ||
+      string_agg('"' || upper(fk_column) || '"', ', ' ORDER BY pos) ||
+      ') REFERENCES "TARGET"."' || upper(ref_table) || '" (' ||
+      string_agg('"' || upper(ref_column) || '"', ', ' ORDER BY pos) ||
+      ') DISABLE;'
+    FROM fk GROUP BY table_name, fk_name, ref_table
+  ) keys
+  UNION ALL
+  SELECT 4, 0, '-- ============ IMPORTS ============'
+  UNION ALL
+  SELECT 4, CAST(row_number() OVER (ORDER BY table_name) AS INT),
+    'IMPORT INTO "TARGET"."' || upper(table_name) ||
+    '" FROM SOURCE STATEMENT ''SELECT ' ||
+    string_agg('"' || column_name || '"', ', ' ORDER BY ordinal_position) ||
+    ' FROM "MAIN"."' || table_name || '"'';'
+  FROM cols GROUP BY table_name
+  UNION ALL
+  SELECT 5, 0, '-- ============ DATA VALIDATION ============'
+  UNION ALL
+  SELECT 5, CAST(row_number() OVER (ORDER BY table_name) AS INT),
+    '-- -- validate: compute metric wide-row on source and "TARGET"."' ||
+    upper(table_name) || '", compare, expect zero DEVIATION rows'
+  FROM (SELECT DISTINCT table_name FROM cols) t
+)
+SELECT CAST(row_number() OVER (ORDER BY sec, item) AS INT) AS ord, sql_text
+FROM stmts
+"""
+
+
+@register("migration_plan_testdata", oracle=_MIGRATION_PLAN_ORACLE)
 def migration_plan_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The generator-family surface: scan the parquet 'source database'
-    catalog and emit the full reviewable statement stream
+    catalog (columns from the parquet footers, PK/FK from the fixture's
+    fake key catalog) and emit the full reviewable statement stream
     (mysql_to_exasol.sql:352-368)."""
     from database_migration_spark.plans.ddl import generate_migration_plan
     from database_migration_spark.sources.parquet_source import ParquetSource
 
-    cat = ParquetSource(spark, sf_dir).scan_catalog()
+    cat = ParquetSource(spark, sf_dir).scan_catalog(include_keys=True)
     return generate_migration_plan(cat, "TARGET").to_df(spark)
 
 

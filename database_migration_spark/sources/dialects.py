@@ -16,6 +16,15 @@ encodes (SURVEY.md §2.1 maps every script):
 - ``transfer_overrides``: per-type source-side SELECT rewrites the shared
   map doesn't know (mysql_to_exasol.sql:186-199, db2 HEX :165-176,
   clickhouse toString :165-174, postgres ::text :221-240, ...).
+- ``pk_sql`` / ``fk_sql``: the source-side constraint catalog queries
+  (mysql_to_exasol.sql:113-115, postgresql_to_exasol.sql:131-145,
+  oracle_to_exasol.sql:336-392, sqlserver_to_exasol.sql:228-230,
+  teradata_to_exasol.sql:120-122, db2_to_exasol.sql:106-108), normalized to
+  the row shapes :func:`database_migration_spark.catalog.attach_keys`
+  consumes:
+  pk: schema_name, table_name, constraint_name, column_name, column_position
+  fk: schema_name, table_name, fk_name, fk_column, ref_schema, ref_table,
+  ref_column, col_position
 - ``quote_char``: identifier quoting style.
 
 The specs are *data*; :class:`JdbcSourceAdapter` in jdbc.py interprets them.
@@ -38,6 +47,9 @@ class DialectSpec:
     quote_char: str = '"'
     # reference-recommended JDBC tuning (README.md:70-77)
     fetchsize: int = 100_000
+    # constraint catalog queries (None = dialect script doesn't migrate keys)
+    pk_sql: str | None = None
+    fk_sql: str | None = None
 
 
 _INFO_SCHEMA_SQL = """
@@ -71,6 +83,27 @@ MYSQL = DialectSpec(
         "bit": "CAST({c} AS UNSIGNED)",
     },
     quote_char="`",
+    # mysql_to_exasol.sql:113-115: key_column_usage; PK rows are the
+    # constraint literally named 'PRIMARY', FK rows have referenced_* set
+    pk_sql="""
+SELECT table_schema AS schema_name, table_name,
+       constraint_name, column_name,
+       ordinal_position AS column_position
+FROM information_schema.key_column_usage
+WHERE constraint_name = 'PRIMARY'
+  AND table_schema LIKE '{schema_filter}' AND table_name LIKE '{table_filter}'
+""",
+    fk_sql="""
+SELECT table_schema AS schema_name, table_name,
+       constraint_name AS fk_name, column_name AS fk_column,
+       referenced_table_schema AS ref_schema,
+       referenced_table_name AS ref_table,
+       referenced_column_name AS ref_column,
+       ordinal_position AS col_position
+FROM information_schema.key_column_usage
+WHERE referenced_table_name IS NOT NULL
+  AND table_schema LIKE '{schema_filter}' AND table_name LIKE '{table_filter}'
+""",
 )
 
 MARIADB = DialectSpec(
@@ -80,6 +113,8 @@ MARIADB = DialectSpec(
     type_aliases=dict(MYSQL.type_aliases),
     transfer_overrides=dict(MYSQL.transfer_overrides),
     quote_char="`",
+    pk_sql=MYSQL.pk_sql,
+    fk_sql=MYSQL.fk_sql,
 )
 
 POSTGRESQL = DialectSpec(
@@ -117,6 +152,39 @@ WHERE c.table_schema NOT IN ('pg_catalog', 'information_schema')
         "user-defined": "CAST({c} AS TEXT)",
         "interval": "CAST({c} AS TEXT)",
     },
+    # postgresql_to_exasol.sql:131-145: pg_constraint conkey/confkey arrays
+    # exploded with unnest WITH ORDINALITY so multi-column keys keep order
+    pk_sql="""
+SELECT n.nspname AS schema_name, c.relname AS table_name,
+       con.conname AS constraint_name, att.attname AS column_name,
+       k.ord AS column_position
+FROM pg_constraint con
+JOIN pg_class c ON c.oid = con.conrelid
+JOIN pg_namespace n ON n.oid = c.relnamespace
+JOIN unnest(con.conkey) WITH ORDINALITY k(attnum, ord) ON true
+JOIN pg_attribute att ON att.attrelid = con.conrelid AND att.attnum = k.attnum
+WHERE con.contype = 'p' AND NOT c.relispartition
+  AND n.nspname NOT IN ('pg_catalog', 'information_schema')
+  AND n.nspname LIKE '{schema_filter}' AND c.relname LIKE '{table_filter}'
+""",
+    fk_sql="""
+SELECT n.nspname AS schema_name, c.relname AS table_name,
+       con.conname AS fk_name, ca.attname AS fk_column,
+       fn.nspname AS ref_schema, fc.relname AS ref_table,
+       fa.attname AS ref_column, k.ord AS col_position
+FROM pg_constraint con
+JOIN pg_class c ON c.oid = con.conrelid
+JOIN pg_namespace n ON n.oid = c.relnamespace
+JOIN pg_class fc ON fc.oid = con.confrelid
+JOIN pg_namespace fn ON fn.oid = fc.relnamespace
+JOIN unnest(con.conkey) WITH ORDINALITY k(attnum, ord) ON true
+JOIN pg_attribute ca ON ca.attrelid = con.conrelid AND ca.attnum = k.attnum
+JOIN unnest(con.confkey) WITH ORDINALITY fk(attnum, ord) ON fk.ord = k.ord
+JOIN pg_attribute fa ON fa.attrelid = con.confrelid AND fa.attnum = fk.attnum
+WHERE con.contype = 'f' AND NOT c.relispartition
+  AND n.nspname NOT IN ('pg_catalog', 'information_schema')
+  AND n.nspname LIKE '{schema_filter}' AND c.relname LIKE '{table_filter}'
+""",
 )
 
 REDSHIFT = DialectSpec(
@@ -153,6 +221,37 @@ WHERE c.owner NOT IN ('SYS','SYSTEM','MDSYS','CTXSYS','XDB','OUTLN','DBSNMP')
         "xmltype": "XMLSERIALIZE(CONTENT {c} AS CLOB)",
         "sdo_geometry": "SDO_UTIL.TO_WKTGEOMETRY({c})",
     },
+    # oracle_to_exasol.sql:336-365: all_cons_columns ⋈ all_constraints
+    # (constraint_type 'P'); :362-392 the 3-way self-join through
+    # r_constraint_name matching child/parent columns by position
+    pk_sql="""
+SELECT acc.owner AS schema_name, acc.table_name,
+       acc.constraint_name, acc.column_name,
+       acc.position AS column_position
+FROM all_cons_columns acc
+JOIN all_constraints ac
+  ON acc.owner = ac.owner AND acc.table_name = ac.table_name
+ AND acc.constraint_name = ac.constraint_name
+WHERE ac.constraint_type = 'P'
+  AND acc.owner NOT IN ('SYS','SYSTEM','MDSYS','CTXSYS','XDB','OUTLN','DBSNMP')
+  AND acc.owner LIKE '{schema_filter}' AND acc.table_name LIKE '{table_filter}'
+""",
+    fk_sql="""
+SELECT acc.owner AS schema_name, acc.table_name,
+       acc.constraint_name AS fk_name, acc.column_name AS fk_column,
+       acc_r.owner AS ref_schema, acc_r.table_name AS ref_table,
+       acc_r.column_name AS ref_column, acc.position AS col_position
+FROM all_cons_columns acc
+JOIN all_constraints ac
+  ON acc.owner = ac.owner AND acc.table_name = ac.table_name
+ AND acc.constraint_name = ac.constraint_name
+JOIN all_cons_columns acc_r
+  ON ac.r_owner = acc_r.owner AND ac.r_constraint_name = acc_r.constraint_name
+ AND acc.position = acc_r.position
+WHERE ac.constraint_type = 'R'
+  AND acc.owner NOT IN ('SYS','SYSTEM','MDSYS','CTXSYS','XDB','OUTLN','DBSNMP')
+  AND acc.owner LIKE '{schema_filter}' AND acc.table_name LIKE '{table_filter}'
+""",
 )
 
 SQLSERVER = DialectSpec(
@@ -190,6 +289,44 @@ WHERE t.is_ms_shipped = 0
         "xml": "CAST({c} AS NVARCHAR(MAX))",
     },
     quote_char="[",
+    # sqlserver_to_exasol.sql:228: PK via sys.key_constraints ⋈ sys.indexes
+    # ⋈ sys.index_columns (type 'PK'); :230 FK via sys.foreign_keys ⋈
+    # sys.foreign_key_columns with parent/referenced column resolution
+    pk_sql="""
+SELECT s.name AS schema_name, t.name AS table_name,
+       kc.name AS constraint_name, c.name AS column_name,
+       ic.key_ordinal AS column_position
+FROM {database}.sys.key_constraints kc
+JOIN {database}.sys.tables t ON t.object_id = kc.parent_object_id
+JOIN {database}.sys.schemas s ON s.schema_id = t.schema_id
+JOIN {database}.sys.indexes i
+  ON i.object_id = kc.parent_object_id AND i.index_id = kc.unique_index_id
+JOIN {database}.sys.index_columns ic
+  ON ic.object_id = kc.parent_object_id AND ic.index_id = kc.unique_index_id
+JOIN {database}.sys.columns c
+  ON c.object_id = ic.object_id AND c.column_id = ic.column_id
+WHERE kc.type = 'PK' AND t.is_ms_shipped = 0
+  AND s.name LIKE '{schema_filter}' AND t.name LIKE '{table_filter}'
+""",
+    fk_sql="""
+SELECT sp.name AS schema_name, tp.name AS table_name,
+       fk.name AS fk_name, cp.name AS fk_column,
+       sr.name AS ref_schema, tr.name AS ref_table, cr.name AS ref_column,
+       fkc.constraint_column_id AS col_position
+FROM {database}.sys.foreign_keys fk
+JOIN {database}.sys.foreign_key_columns fkc
+  ON fkc.constraint_object_id = fk.object_id
+JOIN {database}.sys.tables tp ON fk.parent_object_id = tp.object_id
+JOIN {database}.sys.schemas sp ON tp.schema_id = sp.schema_id
+JOIN {database}.sys.columns cp
+  ON cp.object_id = tp.object_id AND cp.column_id = fkc.parent_column_id
+JOIN {database}.sys.tables tr ON fk.referenced_object_id = tr.object_id
+JOIN {database}.sys.schemas sr ON tr.schema_id = sr.schema_id
+JOIN {database}.sys.columns cr
+  ON cr.object_id = tr.object_id AND cr.column_id = fkc.referenced_column_id
+WHERE tp.is_ms_shipped = 0
+  AND sp.name LIKE '{schema_filter}' AND tp.name LIKE '{table_filter}'
+""",
 )
 
 TERADATA = DialectSpec(
@@ -222,6 +359,27 @@ WHERE c.DatabaseName NOT IN ('DBC','SYSLIB','SystemFe','TD_SYSFNLIB','dbcmngr')
         "bf": "FROM_BYTES({c}, 'base64m')",
         "pd": "CAST(BEGIN({c}) AS VARCHAR(64)), CAST(END({c}) AS VARCHAR(64))",
     },
+    # teradata_to_exasol.sql:120: unique primary index (UniqueFlag Y, type K);
+    # :122 DBC.All_RI_ChildrenV (no ordinal column — attach_keys keeps the
+    # row order the view returns)
+    pk_sql="""
+SELECT TRIM(i.DatabaseName) AS schema_name, TRIM(i.TableName) AS table_name,
+       TRIM(i.IndexName) AS constraint_name, i.ColumnName AS column_name,
+       i.ColumnPosition AS column_position
+FROM DBC.IndicesV i
+WHERE i.UniqueFlag = 'Y' AND i.IndexType = 'K'
+  AND i.DatabaseName NOT IN ('DBC','SYSLIB','SystemFe','TD_SYSFNLIB','dbcmngr')
+  AND i.DatabaseName LIKE '{schema_filter}' AND i.TableName LIKE '{table_filter}'
+""",
+    fk_sql="""
+SELECT TRIM(ChildDB) AS schema_name, TRIM(ChildTable) AS table_name,
+       TRIM(IndexName) AS fk_name, TRIM(ChildKeyColumn) AS fk_column,
+       TRIM(ParentDB) AS ref_schema, TRIM(ParentTable) AS ref_table,
+       TRIM(ParentKeyColumn) AS ref_column, 0 AS col_position
+FROM DBC.All_RI_ChildrenV
+WHERE ChildDB NOT IN ('DBC','SYSLIB','SystemFe','TD_SYSFNLIB','dbcmngr')
+  AND ChildDB LIKE '{schema_filter}' AND ChildTable LIKE '{table_filter}'
+""",
 )
 
 CLICKHOUSE = DialectSpec(
@@ -292,6 +450,34 @@ WHERE c.TABSCHEMA NOT LIKE 'SYS%'
         "binary": "HEX({c})",
         "xml": "XMLSERIALIZE({c} AS CLOB)",
     },
+    # db2_to_exasol.sql:106-108: SYSCAT.KEYCOLUSE ⋈ SYSCAT.TABCONST type 'P';
+    # FK through SYSCAT.REFERENCES matching child/parent key column sequence
+    pk_sql="""
+SELECT RTRIM(k.TABSCHEMA) AS schema_name, k.TABNAME AS table_name,
+       k.CONSTNAME AS constraint_name, k.COLNAME AS column_name,
+       k.COLSEQ AS column_position
+FROM SYSCAT.KEYCOLUSE k
+JOIN SYSCAT.TABCONST t
+  ON t.CONSTNAME = k.CONSTNAME AND t.TABSCHEMA = k.TABSCHEMA
+ AND t.TABNAME = k.TABNAME
+WHERE t.TYPE = 'P' AND k.TABSCHEMA NOT LIKE 'SYS%'
+  AND k.TABSCHEMA LIKE '{schema_filter}' AND k.TABNAME LIKE '{table_filter}'
+""",
+    fk_sql="""
+SELECT RTRIM(r.TABSCHEMA) AS schema_name, r.TABNAME AS table_name,
+       r.CONSTNAME AS fk_name, kf.COLNAME AS fk_column,
+       RTRIM(r.REFTABSCHEMA) AS ref_schema, r.REFTABNAME AS ref_table,
+       kp.COLNAME AS ref_column, kf.COLSEQ AS col_position
+FROM SYSCAT.REFERENCES r
+JOIN SYSCAT.KEYCOLUSE kf
+  ON kf.CONSTNAME = r.CONSTNAME AND kf.TABSCHEMA = r.TABSCHEMA
+ AND kf.TABNAME = r.TABNAME
+JOIN SYSCAT.KEYCOLUSE kp
+  ON kp.CONSTNAME = r.REFKEYNAME AND kp.TABSCHEMA = r.REFTABSCHEMA
+ AND kp.TABNAME = r.REFTABNAME AND kp.COLSEQ = kf.COLSEQ
+WHERE r.TABSCHEMA NOT LIKE 'SYS%'
+  AND r.TABSCHEMA LIKE '{schema_filter}' AND r.TABNAME LIKE '{table_filter}'
+""",
 )
 
 SAPHANA = DialectSpec(
@@ -437,6 +623,29 @@ WHERE c.COLUMN_SCHEMA NOT IN ('SYS', 'EXA_STATISTICS')
 """,
     system_schemas=frozenset({"SYS", "EXA_STATISTICS"}),
     type_aliases={"hashtype": "hashtype", "geometry": "geometry"},
+    # EXA_ALL_CONSTRAINT_COLUMNS carries both kinds with ORDINAL_POSITION and
+    # REFERENCED_* columns (exasol_to_exasol.sql catalog family)
+    pk_sql="""
+SELECT CONSTRAINT_SCHEMA AS schema_name, CONSTRAINT_TABLE AS table_name,
+       CONSTRAINT_NAME AS constraint_name, COLUMN_NAME AS column_name,
+       ORDINAL_POSITION AS column_position
+FROM EXA_ALL_CONSTRAINT_COLUMNS
+WHERE CONSTRAINT_TYPE = 'PRIMARY KEY'
+  AND CONSTRAINT_SCHEMA NOT IN ('SYS', 'EXA_STATISTICS')
+  AND CONSTRAINT_SCHEMA LIKE '{schema_filter}'
+  AND CONSTRAINT_TABLE LIKE '{table_filter}'
+""",
+    fk_sql="""
+SELECT CONSTRAINT_SCHEMA AS schema_name, CONSTRAINT_TABLE AS table_name,
+       CONSTRAINT_NAME AS fk_name, COLUMN_NAME AS fk_column,
+       REFERENCED_SCHEMA AS ref_schema, REFERENCED_TABLE AS ref_table,
+       REFERENCED_COLUMN AS ref_column, ORDINAL_POSITION AS col_position
+FROM EXA_ALL_CONSTRAINT_COLUMNS
+WHERE CONSTRAINT_TYPE = 'FOREIGN KEY'
+  AND CONSTRAINT_SCHEMA NOT IN ('SYS', 'EXA_STATISTICS')
+  AND CONSTRAINT_SCHEMA LIKE '{schema_filter}'
+  AND CONSTRAINT_TABLE LIKE '{table_filter}'
+""",
 )
 
 ALL_DIALECTS: dict[str, DialectSpec] = {

@@ -22,7 +22,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-from database_migration_spark.catalog import Catalog, ColumnMeta, TableMeta
+from database_migration_spark.catalog import Catalog, ColumnMeta, TableMeta, attach_keys
 from database_migration_spark.plans.binpack import ImportPlan
 from database_migration_spark.sources.base import SourceAdapter
 from database_migration_spark.sources.dialects import ALL_DIALECTS, DialectSpec
@@ -85,19 +85,46 @@ class JdbcSourceAdapter(SourceAdapter):
 
     # --- catalog ----------------------------------------------------------
     def catalog_query(self, schema_filter: str = "%", table_filter: str = "%") -> str:
-        return self.spec.catalog_sql.format(
+        return self._template(self.spec.catalog_sql, schema_filter, table_filter)
+
+    def _template(self, sql: str, schema_filter: str, table_filter: str) -> str:
+        return sql.format(
             schema_filter=schema_filter.replace("'", "''"),
             table_filter=table_filter.replace("'", "''"),
             database="{database}",
             dataset="{dataset}",
         ).strip()
 
-    def scan_catalog(self, schema_filter: str = "%", table_filter: str = "%") -> Catalog:
-        sql = self.catalog_query(schema_filter, table_filter)
+    def pk_query(self, schema_filter: str = "%", table_filter: str = "%") -> str | None:
+        if self.spec.pk_sql is None:
+            return None
+        return self._template(self.spec.pk_sql, schema_filter, table_filter)
+
+    def fk_query(self, schema_filter: str = "%", table_filter: str = "%") -> str | None:
+        if self.spec.fk_sql is None:
+            return None
+        return self._template(self.spec.fk_sql, schema_filter, table_filter)
+
+    def _fetch_rows(self, sql: str) -> list[dict]:
         df = self.spark.read.jdbc(
-            url=self.url, table=f"({sql}) cat", properties=self.properties
+            url=self.url, table=f"({sql}) q", properties=self.properties
         )
-        return self.catalog_from_rows([r.asDict() for r in df.collect()])
+        return [r.asDict() for r in df.collect()]
+
+    def scan_catalog(
+        self,
+        schema_filter: str = "%",
+        table_filter: str = "%",
+        include_keys: bool = True,
+    ) -> Catalog:
+        sql = self.catalog_query(schema_filter, table_filter)
+        cat = self.catalog_from_rows(self._fetch_rows(sql))
+        if include_keys and self.spec.pk_sql is not None:
+            pk_rows = self._fetch_rows(self.pk_query(schema_filter, table_filter))
+            fk_sql = self.fk_query(schema_filter, table_filter)
+            fk_rows = self._fetch_rows(fk_sql) if fk_sql else []
+            cat = attach_keys(cat, pk_rows, fk_rows)
+        return cat
 
     def catalog_from_rows(self, rows: list[dict]) -> Catalog:
         """Normalize raw catalog rows (testable without a live DB)."""

@@ -112,6 +112,46 @@ def _first_parquet_file(path: str) -> str:
     return path
 
 
+# The testdata "source database" ships no constraint metadata in its parquet
+# footers, so the fixture carries a hand-fed key catalog in the same
+# normalized row shapes the DialectSpec pk_sql/fk_sql queries return
+# (sources/dialects.py) — the stand-in for a JDBC constraint scan. TPC-H-ish
+# relationships per TESTDATA.md.
+TESTDATA_PK_ROWS: list[dict] = [
+    {"schema_name": "MAIN", "table_name": t, "constraint_name": f"{t.upper()}_PK",
+     "column_name": c, "column_position": i + 1}
+    for t, cols in [
+        ("region", ["r_regionkey"]),
+        ("nation", ["n_nationkey"]),
+        ("customer", ["c_custkey"]),
+        ("supplier", ["s_suppkey"]),
+        ("part", ["p_partkey"]),
+        ("orders", ["o_orderkey"]),
+        ("lineitem", ["l_orderkey", "l_linenumber"]),
+        ("events", ["event_id"]),
+        ("documents", ["doc_id"]),
+        ("embeddings", ["vec_id"]),
+    ]
+    for i, c in enumerate(cols)
+]
+
+TESTDATA_FK_ROWS: list[dict] = [
+    {"schema_name": "MAIN", "table_name": t,
+     "fk_name": f"{t.upper()}_FK_{rt.upper()}", "fk_column": c,
+     "ref_schema": "MAIN", "ref_table": rt, "ref_column": rc,
+     "col_position": 1}
+    for t, c, rt, rc in [
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ]
+]
+
+
 class ParquetSource(SourceAdapter):
     DIALECT = "parquet"
 
@@ -134,8 +174,15 @@ class ParquetSource(SourceAdapter):
     def read(self, table: str, nanos_sidecar: bool = True) -> DataFrame:
         return read_parquet_portable(self.spark, self.table_path(table), nanos_sidecar)
 
-    def scan_catalog(self, schema_filter: str = "%", table_filter: str = "%") -> Catalog:
+    def scan_catalog(
+        self,
+        schema_filter: str = "%",
+        table_filter: str = "%",
+        include_keys: bool = False,
+    ) -> Catalog:
         import pyarrow.parquet as pq
+
+        from database_migration_spark.catalog import attach_keys
 
         tables = []
         for t in self.list_tables():
@@ -152,4 +199,7 @@ class ParquetSource(SourceAdapter):
                 for i, f in enumerate(schema)
             )
             tables.append(TableMeta(schema=self.schema_name, table=t, columns=cols))
-        return Catalog(tables=tables).filter(schema_filter, table_filter)
+        cat = Catalog(tables=tables).filter(schema_filter, table_filter)
+        if include_keys:
+            cat = attach_keys(cat, TESTDATA_PK_ROWS, TESTDATA_FK_ROWS)
+        return cat

@@ -117,3 +117,85 @@ def test_catalog_from_rows_normalization(spark):
 def test_fetchsize_default_applied(spark):
     ad = JdbcSourceAdapter(spark, "mysql")
     assert ad.properties["fetchsize"] == "100000"  # README.md:70-77
+
+
+# --- constraint catalog queries (DialectSpec.pk_sql / fk_sql) ---------------
+
+KEYED_DIALECTS = [
+    n for n in sorted(ALL_DIALECTS) if ALL_DIALECTS[n].pk_sql is not None
+]
+
+PK_COLS = ["schema_name", "table_name", "constraint_name", "column_name", "column_position"]
+FK_COLS = [
+    "schema_name", "table_name", "fk_name", "fk_column",
+    "ref_schema", "ref_table", "ref_column", "col_position",
+]
+
+
+def test_major_dialects_have_key_queries():
+    # the reference migrates keys for at least these scripts
+    # (mysql :113, postgresql :131, oracle :336, sqlserver :228,
+    #  teradata :120, db2 :106)
+    for need in ["mysql", "mariadb", "postgresql", "oracle", "sqlserver", "teradata", "db2", "exasol"]:
+        assert need in KEYED_DIALECTS
+
+
+@pytest.mark.parametrize("name", KEYED_DIALECTS)
+def test_pk_fk_query_shape(spark, name):
+    ad = JdbcSourceAdapter(spark, name)
+    pk = ad.pk_query("MY_SCHEMA", "MY_TABLE")
+    low = pk.lower()
+    for col in PK_COLS:
+        assert col in low, f"{name} pk sql missing {col}"
+    assert "my_schema" in low and "my_table" in low
+    assert "''" in ad.pk_query("O'REILLY", "%")  # quote escaping
+    fk = ad.fk_query("MY_SCHEMA", "MY_TABLE")
+    if fk is not None:
+        flow = fk.lower()
+        for col in FK_COLS:
+            assert col in flow, f"{name} fk sql missing {col}"
+
+
+def test_no_key_query_dialect_returns_none(spark):
+    ad = JdbcSourceAdapter(spark, "clickhouse")  # ClickHouse has no PK/FK DDL
+    assert ad.pk_query() is None and ad.fk_query() is None
+
+
+def test_scan_catalog_attaches_keys_roundtrip(spark):
+    """attach_keys over the normalized row shapes the pk_sql/fk_sql queries
+    return: multi-column PK reassembled by position, FK with ref columns."""
+    from database_migration_spark.catalog import attach_keys
+
+    ad = JdbcSourceAdapter(spark, "mysql")
+    cat = ad.catalog_from_rows(
+        [
+            {"schema_name": "s", "table_name": "t", "column_name": c,
+             "ordinal_position": i + 1, "data_type": "bigint",
+             "is_nullable": "YES"}
+            for i, c in enumerate(["a", "b", "c"])
+        ]
+        + [
+            {"schema_name": "s", "table_name": "ref", "column_name": "id",
+             "ordinal_position": 1, "data_type": "bigint", "is_nullable": "NO"}
+        ]
+    )
+    pk_rows = [
+        {"schema_name": "s", "table_name": "t", "constraint_name": "PRIMARY",
+         "column_name": "b", "column_position": 2},
+        {"schema_name": "s", "table_name": "t", "constraint_name": "PRIMARY",
+         "column_name": "a", "column_position": 1},
+    ]
+    fk_rows = [
+        {"schema_name": "s", "table_name": "t", "fk_name": "t_ref_fk",
+         "fk_column": "c", "ref_schema": "s", "ref_table": "ref",
+         "ref_column": "id", "col_position": 1},
+    ]
+    cat = attach_keys(cat, pk_rows, fk_rows)
+    t = next(x for x in cat.tables if x.table == "t")
+    assert t.primary_key.columns == ("a", "b")  # position order, not input
+    assert t.primary_key.name == "PRIMARY"
+    assert t.foreign_keys[0].ref_table == "ref"
+    assert t.foreign_keys[0].ref_columns == ("id",)
+    assert t.non_key_columns() == ("c",)
+    ref = next(x for x in cat.tables if x.table == "ref")
+    assert ref.primary_key is None and ref.foreign_keys == ()

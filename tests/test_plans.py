@@ -74,6 +74,24 @@ def test_range_split_covers_nulls_and_bounds():
     assert plan.predicates[-1].startswith("k >= ")
 
 
+def test_testdata_plan_has_key_sections(spark, sf_smoke):
+    """The fixture key catalog flows through to named DISABLED constraints
+    in the stream (teradata_to_exasol.sql:383-391 shape)."""
+    from database_migration_spark.plans.ddl import generate_migration_plan
+    from database_migration_spark.sources.parquet_source import ParquetSource
+
+    cat = ParquetSource(spark, sf_smoke).scan_catalog(include_keys=True)
+    sql = generate_migration_plan(cat, "TARGET").to_sql()
+    assert (
+        'ALTER TABLE "TARGET"."LINEITEM" ADD CONSTRAINT "LINEITEM_PK" '
+        'PRIMARY KEY ("L_ORDERKEY", "L_LINENUMBER") DISABLE;' in sql
+    )
+    assert (
+        'ADD CONSTRAINT "NATION_FK_REGION" FOREIGN KEY ("N_REGIONKEY") '
+        'REFERENCES "TARGET"."REGION" ("R_REGIONKEY") DISABLE;' in sql
+    )
+
+
 def test_fk_out_of_scope_skipped():
     from database_migration_spark.catalog import Catalog, ColumnMeta, KeyMeta, TableMeta
 

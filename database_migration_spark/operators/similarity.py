@@ -289,6 +289,106 @@ def ivf_topk(
     )
 
 
+def hyperplane_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 16,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Bucket assignments (id, t, b): random-projection LSH signatures,
+    ``tables`` independent ``bits``-bit tables → up to 2^bits buckets each.
+
+    Computed vectorized over Arrow batches (one numpy matmul per batch, the
+    same Pandas-UDF path as IVF assignment) rather than as ``tables*bits``
+    catalyst folds — at 128 hyperplanes the expression-tree variant stops
+    being the fast path. Deterministic: seeded RandomState, fixed plane
+    order; only Spark ever computes signatures (oracles verify the output
+    pairs, not the buckets), so cross-engine float parity is not required.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((tables * bits, dim))
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    n_tables = tables
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bitmat = (vecs @ planes.T) > 0  # (n, tables*bits)
+            sigs = bitmat.reshape(len(pdf), n_tables, -1).astype(np.int64) @ weights
+            yield pd.DataFrame(
+                {
+                    "_id": pdf[id_col].to_numpy().repeat(n_tables),
+                    "t": np.tile(np.arange(n_tables), len(pdf)),
+                    "b": sigs.ravel(),
+                }
+            )
+
+    return (
+        df.select(id_col, vec_col)
+        .mapInPandas(run, schema="_id LONG, t INT, b LONG")
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def embedding_near_dup_pairs_bucketed(
+    df: DataFrame,
+    threshold_e6: int = 990_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 16,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold — the scale path.
+
+    Candidates are pairs sharing a (table, bucket) cell in ANY of the
+    ``tables`` hash tables; exact cosine runs only on candidates. Cost is
+    O(N·tables) signatures + Σ_cell |cell|² candidate dot products, never
+    the all-pairs O(N²) of :func:`embedding_near_dup_pairs` (kept as the
+    validation oracle). With 16-bit tables the cell keyspace is 65536 per
+    table, so cells stay small as N grows — the narrow-bucket quadratic
+    blowup (the SimHash 8-bit-chunk mistake) doesn't apply; scale bits with
+    log2(N) to keep E|cell| bounded.
+
+    Recall: a pair at angle θ collides in one table with p=(1-θ/π)^bits;
+    across L tables 1-(1-p)^L. At the production thresholds this operator
+    is for (cos ≥ 0.99 → p≈0.48, L=8 → 99.5%), and exact duplicates
+    (identical vectors → identical signatures) are found with certainty.
+    """
+    sig = hyperplane_buckets(df, id_col, vec_col, dim, bits, tables, seed)
+    cand = (
+        sig.select(F.col(id_col).alias("id_a"), "t", "b")
+        .join(sig.select(F.col(id_col).alias("id_b"), "t", "b"), ["t", "b"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()  # a pair colliding in several tables verifies once
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(cosine(F.col("va"), F.col("vb")) * 1_000_000)
+            .cast("long")
+            .alias("cos_sim_e6"),
+        )
+        .where(F.col("cos_sim_e6") >= threshold_e6)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold_e6: int = 990_000,
@@ -297,9 +397,9 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold (exact, self-join).
 
-    Exact variant for validation; the scale path buckets with
-    hyperplane_signature first (near-dups at cos ≥ 0.99 collide in almost
-    all buckets) and verifies only bucket pairs.
+    All-pairs validation baseline and test oracle for
+    :func:`embedding_near_dup_pairs_bucketed` — NOT the scale path: at
+    100 TB the quadratic candidate set is the whole job.
     """
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))

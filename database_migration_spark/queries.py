@@ -944,24 +944,39 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_near_dup",
+    # Spark runs the LSH-bucketed scale operator; the oracle is the exact
+    # all-pairs self-join over the SAME augmented corpus — so this row going
+    # green certifies the bucketed path loses no pair. The corpus plants
+    # duplicates (every 20th vector re-appears under a new id — the
+    # re-crawled-document scenario) because the synthetic embeddings have no
+    # natural near-dups (max pairwise cosine ≈ 0.51): without planting, a
+    # production-style 0.99 cut would return nothing and prove nothing.
+    # Identical vectors get identical signatures, so the bucketed operator
+    # finds planted pairs with certainty, not probabilistically.
     oracle="""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000, embedding::DOUBLE[] FROM embeddings
+  WHERE vec_id % 20 = 0
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        CAST(floor(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
             * 1000000) AS BIGINT) AS cos_sim_e6
-FROM e a JOIN e b ON a.vec_id < b.vec_id
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
 WHERE CAST(floor(list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-      * 1000000) AS BIGINT) >= 450000
+      * 1000000) AS BIGINT) >= 990000
 """,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 0.45 threshold: the synthetic embeddings have no planted near-dups
-    # (max pairwise cosine ≈ 0.51), so a production-style 0.95+ cut would
-    # return nothing and prove nothing; 0.45 exercises the operator end-to-end
-    return SIM.embedding_near_dup_pairs(
-        table(spark, sf_dir, "embeddings"), threshold_e6=450_000
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    return SIM.embedding_near_dup_pairs_bucketed(
+        emb.unionByName(planted), threshold_e6=990_000
     )
 
 

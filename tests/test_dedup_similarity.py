@@ -131,6 +131,61 @@ def test_ivf_topk_recall(spark, emb):
     assert len(exact & approx) / len(exact) >= 0.5
 
 
+def test_bucketed_near_dup_recall_vs_exact(spark, emb):
+    """The LSH-bucketed near-dup path against the exact all-pairs oracle on
+    planted NOISY near-dups (not byte-identical — the probabilistic case)."""
+    from database_migration_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_bucketed,
+    )
+
+    # perturb every 5th vector slightly: v' = v + 0.02 * reversed(v) keeps
+    # cosine(v, v') ≈ 0.999 (θ ≈ 0.03 rad) — solidly inside LSH reach
+    noisy = (
+        emb.where(F.col("vec_id") % 5 == 0)
+        .select(
+            (F.col("vec_id") + 100_000).alias("vec_id"),
+            F.zip_with(
+                "embedding",
+                F.reverse(F.col("embedding")),
+                lambda x, y: (x.cast("double") + 0.02 * y.cast("double")).cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(noisy)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(corpus, threshold_e6=995_000).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs_bucketed(
+            corpus, threshold_e6=995_000
+        ).collect()
+    }
+    assert got.issubset(exact)  # verify step guarantees precision
+    assert exact, "planted near-dups must exist or the test proves nothing"
+    # p_table = (1-θ/π)^16 ≈ 0.85 at θ≈0.01π; miss = (1-p)^8 ≈ 3e-7
+    assert len(got) / len(exact) >= 0.95
+
+
+def test_bucketed_near_dup_exact_duplicates_certain(spark, emb):
+    """Identical vectors ⇒ identical signatures ⇒ recall exactly 1.0 — the
+    deterministic guarantee the embedding_near_dup query row relies on."""
+    from database_migration_spark.operators.similarity import (
+        embedding_near_dup_pairs_bucketed,
+    )
+
+    dup = emb.limit(20).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    got = embedding_near_dup_pairs_bucketed(corpus, threshold_e6=999_000)
+    planted = {(r.vec_id - 100_000, r.vec_id) for r in dup.collect()}
+    found = {(r.id_a, r.id_b) for r in got.collect()}
+    assert planted <= found
+
+
 def test_ivf_deterministic(spark, emb):
     from database_migration_spark.operators.similarity import ivf_topk
 

@@ -32,6 +32,19 @@ def md5_long_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def md5_slice32(col: Column | str, start: int) -> Column:
+    """A 32-bit integer from 8 md5 hex chars at 1-based ``start`` — md5 has
+    128 bits, so slices at 1 and 9 are independent 32-bit hashes (SimHash
+    uses both to fill a 64-bit fingerprint without touching the BIGINT sign
+    bit). DuckDB: ``('0x' || substr(md5(x), start, 8))::BIGINT``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), start, 8), 16, 10).cast("long")
+
+
+def md5_slice32_sql(expr: str, start: int) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), {start}, 8)) AS BIGINT)"
+
+
 def minhash_permuted(hash_col: Column, a: int, b: int) -> Column:
     """One universal-hash permutation h(x) = (a*x + b) mod p.
 

@@ -12,9 +12,10 @@ Scale design (the whole point of these):
   and only bucket-colliding pairs are ever materialized, never the O(n²)
   cross product. Verification (exact Jaccard on shingle sets) touches only
   candidates.
-- *SimHash*: 48-bit signature from token-hash bit votes; buckets by
-  max_hamming+1 chunks (pigeonhole: hamming ≤ h ⇒ one exact chunk match),
-  so near-dup search is h+1 equi-joins, not a cross join.
+- *SimHash*: 64-bit signature (two 32-bit halves) from token-hash bit
+  votes; buckets by max_hamming+1 = 4 chunks of 16 bits (pigeonhole:
+  hamming ≤ h ⇒ one exact chunk match), so near-dup search is h+1
+  equi-joins on 65536-key buckets, not a cross join.
 - *Embedding near-dup*: delegated to similarity.cosine_self_join with a
   threshold.
 
@@ -227,74 +228,105 @@ def minhash_dedup_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 48
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
     """SimHash over word tokens: per-bit majority vote of token hashes.
 
     bit_i(sig) = 1 iff sum over distinct tokens of (token_hash bit_i ? 1 : -1) > 0.
     Computed as one explode + groupBy with ``bits`` conditional sums — a
-    single shuffle keyed by doc id. 48 bits keeps every intermediate in
-    portable signed-64 integer range while separating vocabulary-similar
-    documents far better than 32.
+    single shuffle keyed by doc id.
+
+    The fingerprint is the standard 64 bits (Manku et al.'s web-scale
+    near-dup setting), carried as TWO 32-bit halves (sig_lo, sig_hi): a
+    packed 64-bit value would put bit 63 on the BIGINT sign bit, which
+    neither engine's integer literals can build portably. Each half votes
+    from an independent 32-bit md5 slice (hex chars 1-8 / 9-16), so all 64
+    bits are real hash bits. Every intermediate stays in [0, 2^32).
     """
+    from database_migration_spark.functions.hashing import md5_slice32
     from database_migration_spark.functions.parallel import fan_out
 
+    assert bits % 2 == 0 and bits <= 64
+    half = bits // 2
     df = fan_out(df)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))).alias("tok"),
-    ).select("id", md5_long(F.col("tok")).alias("h"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v_{i}")
-        for i in range(bits)
-    ]
+    ).select(
+        "id",
+        md5_slice32(F.col("tok"), 1).alias("hlo"),
+        md5_slice32(F.col("tok"), 9).alias("hhi"),
+    )
+    # vote_i = Σ(±1) > 0 ⇔ 2*ones_i > n_tok: aggregating the raw bit
+    # (sum((h>>i)&1)) instead of a per-row CASE keeps each of the 64
+    # aggregate expressions tiny — the wide agg was blowing past the
+    # whole-stage-codegen method limits and paying ~8 s of compile
+    def ones(src: str, i: int, name: str):
+        return F.sum(F.shiftright(F.col(src), i).bitwiseAND(F.lit(1))).alias(name)
+
+    votes = (
+        [ones("hlo", i, f"vl_{i}") for i in range(half)]
+        + [ones("hhi", i, f"vh_{i}") for i in range(half)]
+        + [F.count(F.lit(1)).alias("n_tok")]
+    )
     voted = toks.groupBy("id").agg(*votes)
-    sig = sum(
-        (
-            F.when(F.col(f"v_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-            for i in range(bits)
-        ),
-        F.lit(0),
-    ).cast("long")
-    return voted.select("id", sig.alias("simhash"))
+
+    def pack(prefix: str) -> F.Column:
+        return sum(
+            (
+                F.when(F.col(f"{prefix}_{i}") * 2 > F.col("n_tok"), F.lit(1 << i)).otherwise(F.lit(0))
+                for i in range(half)
+            ),
+            F.lit(0),
+        ).cast("long")
+
+    return voted.select("id", pack("vl").alias("sig_lo"), pack("vh").alias("sig_hi"))
 
 
 def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 48,
-    max_hamming: int = 5,
+    bits: int = 64,
+    max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket by max_hamming+1 chunks
     (pigeonhole: hamming ≤ h ⇒ at least one of h+1 chunks is identical),
     then verify the exact Hamming distance.
 
+    Defaults are the web-scale standard: 64-bit fingerprints, hamming ≤ 3,
+    so buckets key on 16-BIT chunks — 65536 distinct keys per chunk index.
+    (The previous 48-bit/hamming-5 config bucketed on 8-bit chunks: ≤256
+    buckets per index, which goes quadratic-per-bucket as the corpus grows
+    — exactly the narrow-bucket blowup this keyspace prevents.) At 100 TB
+    candidate volume scales as Σ_bucket |bucket|²; with 2^16 keys per index
+    the expected bucket is N/65536, and the stricter hamming cut bounds the
+    emitted pair count to genuine near-dups.
+
     Output (id_a, id_b, hamming). Never materializes the cross product.
     """
     sigs = simhash_signatures(df, text_col, id_col, bits)
+    half = bits // 2
     n_chunks = max_hamming + 1
     chunk = bits // n_chunks
+    assert chunk > 0 and half % chunk == 0, "chunks must not straddle halves"
     mask = (1 << chunk) - 1
+    per_half = half // chunk
+
+    def chunk_expr(ci: int):
+        src = "sig_lo" if ci < per_half else "sig_hi"
+        off = (ci % per_half) * chunk
+        return F.struct(
+            F.lit(ci).alias("ci"),
+            F.shiftright(F.col(src), off).bitwiseAND(F.lit(mask)).alias("ck"),
+        )
+
     chunks = sigs.select(
         "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftright(F.col("simhash"), i * chunk)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("ck"),
-                    )
-                    for i in range(n_chunks)
-                ]
-            )
-        ).alias("c"),
-    ).select("id", "simhash", F.col("c.ci").alias("ci"), F.col("c.ck").alias("ck"))
+        "sig_lo",
+        "sig_hi",
+        F.explode(F.array(*[chunk_expr(i) for i in range(n_chunks)])).alias("c"),
+    ).select("id", "sig_lo", "sig_hi", F.col("c.ci").alias("ci"), F.col("c.ck").alias("ck"))
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(b, ["ci", "ck"])
@@ -302,12 +334,16 @@ def simhash_near_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.col("a.sig_lo").alias("lo_a"),
+            F.col("a.sig_hi").alias("hi_a"),
+            F.col("b.sig_lo").alias("lo_b"),
+            F.col("b.sig_hi").alias("hi_b"),
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
+    hamming = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    )
+    return cand.select("id_a", "id_b", hamming.cast("long").alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )

@@ -898,30 +898,45 @@ def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti").select("doc_id", "source")
 
 
-def _simhash_oracle(bits: int = 48, max_hamming: int = 5) -> str:
+def _simhash_oracle(bits: int = 64, max_hamming: int = 3) -> str:
+    """Replays the two-half 64-bit scheme (operators/dedup.py
+    simhash_signatures): lo bits vote from md5 hex chars 1-8, hi bits from
+    9-16; a packed 64-bit BIGINT would need the sign bit, halves don't."""
+    half = bits // 2
+    # majority vote as popcount: Σ(±1) > 0 ⇔ 2*ones > n_tok (same integers
+    # the Spark side aggregates)
     votes = ", ".join(
-        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
-        for i in range(bits)
+        f"CAST(sum((hlo >> {i}) & 1) AS BIGINT) AS vl_{i}" for i in range(half)
+    ) + ", " + ", ".join(
+        f"CAST(sum((hhi >> {i}) & 1) AS BIGINT) AS vh_{i}" for i in range(half)
+    ) + ", count(*) AS n_tok"
+    sig_lo = " + ".join(
+        f"CASE WHEN vl_{i} * 2 > n_tok THEN {1 << i} ELSE 0 END" for i in range(half)
     )
-    sig = " + ".join(
-        f"CASE WHEN v_{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits)
+    sig_hi = " + ".join(
+        f"CASE WHEN vh_{i} * 2 > n_tok THEN {1 << i} ELSE 0 END" for i in range(half)
     )
     n_chunks = max_hamming + 1
     chunk = bits // n_chunks
     mask = (1 << chunk) - 1
+    per_half = half // chunk
     chunks = "\nUNION ALL\n".join(
-        f"SELECT id, {ci} AS ci, (simhash >> {ci * chunk}) & {mask} AS ck FROM sigs"
+        f"SELECT id, {ci} AS ci, "
+        f"(({'sig_lo' if ci < per_half else 'sig_hi'}) >> {(ci % per_half) * chunk})"
+        f" & {mask} AS ck FROM sigs"
         for ci in range(n_chunks)
     )
     return f"""
 WITH docs AS (SELECT doc_id, {_NORM} AS t FROM documents),
 toks AS (
   SELECT DISTINCT doc_id AS id,
-         CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) AS h
+         CAST(('0x'||substr(md5(tok),1,8)) AS BIGINT) AS hlo,
+         CAST(('0x'||substr(md5(tok),9,8)) AS BIGINT) AS hhi
   FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM docs)
 ),
 votes AS (SELECT id, {votes} FROM toks GROUP BY id),
-sigs AS (SELECT id, CAST({sig} AS BIGINT) AS simhash FROM votes),
+sigs AS (SELECT id, CAST({sig_lo} AS BIGINT) AS sig_lo,
+                CAST({sig_hi} AS BIGINT) AS sig_hi FROM votes),
 chunks AS ({chunks}),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -929,16 +944,18 @@ cand AS (
   WHERE a.id < b.id
 )
 SELECT c.id_a, c.id_b,
-       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+       CAST(bit_count(xor(sa.sig_lo, sb.sig_lo))
+            + bit_count(xor(sa.sig_hi, sb.sig_hi)) AS BIGINT) AS hamming
 FROM cand c JOIN sigs sa ON sa.id = c.id_a JOIN sigs sb ON sb.id = c.id_b
-WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+WHERE bit_count(xor(sa.sig_lo, sb.sig_lo))
+      + bit_count(xor(sa.sig_hi, sb.sig_hi)) <= {max_hamming}
 """
 
 
 @register("simhash_pairs", oracle=_simhash_oracle())
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_pairs(
-        table(spark, sf_dir, "documents"), bits=48, max_hamming=5
+        table(spark, sf_dir, "documents"), bits=64, max_hamming=3
     )
 
 

@@ -288,18 +288,16 @@ def mode_metric(df: DataFrame, column: str) -> DataFrame:
 
     Reference computes mode via ``count(*)`` + ``max(count(*)) over ()`` +
     listagg of tied values (oracle_to_exasol.sql:739-747). Spark shape:
-    groupBy + window max + filter; ties are all kept, concatenated sorted
-    so the result is deterministic.
+    groupBy + broadcast of the 1-row max + filter — the reference's empty
+    OVER () would be a global window (all distinct values through one
+    task); a broadcast join of the scalar max keeps the filter distributed.
+    Ties are all kept, concatenated sorted so the result is deterministic.
     """
-    from pyspark.sql import Window
-
     counts = df.groupBy(F.col(column).cast("string").alias("value")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    w = Window.partitionBy()
-    top = counts.withColumn("max_cnt", F.max("cnt").over(w)).filter(
-        F.col("cnt") == F.col("max_cnt")
-    )
+    mx = counts.agg(F.max("cnt").alias("max_cnt"))
+    top = counts.join(F.broadcast(mx), F.col("cnt") == F.col("max_cnt"))
     return top.groupBy().agg(
         F.array_join(F.array_sort(F.collect_list("value")), ", ").alias("mode_values"),
         F.max("cnt").alias("occurrences"),

@@ -502,28 +502,36 @@ def delta_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DS.execute_sync(orders, target, keys=("o_orderkey",), delta_col="o_orderdate")
 
 
+# the oracle recomputes the hash-mode surrogate key (star_schema.hash_key_sql
+# shape) — content-derived keys are engine-portable, unlike rank sequences
+_STAR_DIM_KEY_SQL = (
+    "CAST(('0x'||substr(md5(concat_ws(chr(31), "
+    "coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)||'N'), "
+    "coalesce(CAST(o_orderpriority AS VARCHAR), chr(0)||'N'))),1,15)) AS BIGINT)"
+)
+
+
 @register(
     "star_dims_orders",
-    oracle="""
-SELECT dense_rank() OVER (ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST) AS dim_key,
+    oracle=f"""
+SELECT {_STAR_DIM_KEY_SQL} AS dim_key,
        o_orderstatus, o_orderpriority
 FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
-ORDER BY dim_key
 """,
 )
 def star_dims_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dimension extraction with deterministic surrogate keys
-    (Convert_To_Star_Schema.sql:386)."""
+    """Dimension extraction with deterministic content-hash surrogate keys
+    (Convert_To_Star_Schema.sql:386; hash mode — no global window)."""
     return SS.build_dimension(
         table(spark, sf_dir, "orders"), ["o_orderstatus", "o_orderpriority"], "dim_key"
-    ).orderBy("dim_key")
+    )
 
 
 @register(
     "star_fact_orders",
-    oracle="""
+    oracle=f"""
 WITH dim AS (
-  SELECT dense_rank() OVER (ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST) AS dim_key,
+  SELECT {_STAR_DIM_KEY_SQL} AS dim_key,
          o_orderstatus, o_orderpriority
   FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
 )

@@ -83,6 +83,26 @@ def test_incremental_dim_insert_no_dupes(spark, sf_smoke):
         assert new[k] == v
 
 
+def test_surrogate_key_modes(spark, sf_smoke):
+    """hash mode (default): content-derived keys, stable for a combination
+    regardless of what else is in the load; parity mode: the reference's
+    sequential dense_rank (1..n)."""
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    dim_cols = ["o_orderstatus", "o_orderpriority"]
+    h_full = {
+        tuple(r[c] for c in dim_cols): r.dk
+        for r in build_dimension(orders, dim_cols, "dk").collect()
+    }
+    h_part = {
+        tuple(r[c] for c in dim_cols): r.dk
+        for r in build_dimension(orders.limit(300), dim_cols, "dk").collect()
+    }
+    for combo, key in h_part.items():
+        assert h_full[combo] == key  # content hash ignores load composition
+    p = build_dimension(orders, dim_cols, "dk", key_mode="parity").collect()
+    assert sorted(r.dk for r in p) == list(range(1, len(p) + 1))
+
+
 def test_lang_id_deterministic_and_scored(spark, sf_smoke):
     docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
     out = lang_id(docs)

@@ -78,6 +78,7 @@ class ManifestLoader:
         file_format: str = "csv",
         read_options: dict[str, str] | None = None,
         column_range: int | None = None,
+        lister=None,
     ):
         self.spark = spark
         self.manifest_path = manifest_path
@@ -85,6 +86,10 @@ class ManifestLoader:
         self.read_options = read_options or {}
         # the reference's IMPORT ... (1..n) column cap (README.md:173-186)
         self.column_range = column_range
+        # listing source: callable(folder, pattern) -> rows — local FS by
+        # default; sources.cloud_listing.S3Lister / AzureBlobLister plug in
+        # the reference's S3_GET_FILENAMES / AZURE_GET_FILENAMES semantics
+        self.lister = lister or list_local_files
 
     # --- manifest I/O ---------------------------------------------------
     def read_manifest(self) -> DataFrame:
@@ -163,7 +168,7 @@ class ManifestLoader:
         DataFrame rows count in the report; the caller writes the data (this
         keeps the loader sink-agnostic).
         """
-        self.reconcile(list_local_files(folder, pattern), force_reload)
+        self.reconcile(self.lister(folder, pattern), force_reload)
         files = self.pending()
         if not execute:
             return self.plan_statements(files)

@@ -128,3 +128,104 @@ def test_stream_ingest_smoke(spark, workdir, tmp_path):
     n = spark.sql("SELECT count(*) c FROM ingest_smoke").collect()[0].c
     q.stop()
     assert n == 6
+
+
+# --- cloud listers (injected fake SDK clients) ------------------------------
+
+
+class FakeS3Client:
+    """boto3-shaped: 2 pages via ContinuationToken, a directory marker key."""
+
+    def __init__(self):
+        self.pages = [
+            {
+                "Contents": [
+                    {"Key": "in/", "LastModified": 1000.0, "Size": 0},
+                    {"Key": "in/a.csv", "LastModified": 1000.0, "Size": 10},
+                    {"Key": "in/b.csv", "LastModified": 1001.0, "Size": 11},
+                ],
+                "NextContinuationToken": "t1",
+            },
+            {
+                "Contents": [
+                    {"Key": "in/c.parquet", "LastModified": 1002.0, "Size": 12},
+                    {"Key": "other/d.csv", "LastModified": 1003.0, "Size": 13},
+                ]
+            },
+        ]
+        self.calls = []
+
+    def list_objects_v2(self, **kwargs):
+        self.calls.append(kwargs)
+        return self.pages[1] if kwargs.get("ContinuationToken") == "t1" else self.pages[0]
+
+
+class FakeBlob:
+    def __init__(self, name, last_modified, size):
+        self.name, self.last_modified, self.size = name, last_modified, size
+
+
+class FakeAzureContainerClient:
+    def __init__(self, blobs):
+        self.blobs = blobs
+        self.prefixes = []
+
+    def list_blobs(self, name_starts_with=""):
+        self.prefixes.append(name_starts_with)
+        return [b for b in self.blobs if b.name.startswith(name_starts_with)]
+
+
+def test_s3_lister_pagination_filter_markers():
+    from database_migration_spark.sources.cloud_listing import S3Lister
+
+    client = FakeS3Client()
+    lister = S3Lister(client, "bkt")
+    rows = lister("in/", "*.csv")
+    # both pages walked (s3_to_exasol.sql:44-50 ContinuationToken loop)
+    assert len(client.calls) == 2 and client.calls[1]["ContinuationToken"] == "t1"
+    # marker key skipped, folder+filter fnmatch applied, s3a URIs emitted
+    assert [r["file_name"] for r in rows] == [
+        "s3a://bkt/in/a.csv",
+        "s3a://bkt/in/b.csv",
+    ]
+    assert rows[0]["last_modified"] == 1000.0 and rows[1]["size"] == 11
+
+
+def test_azure_lister_prefix_and_filter():
+    from database_migration_spark.sources.cloud_listing import AzureBlobLister
+
+    client = FakeAzureContainerClient(
+        [
+            FakeBlob("2024/x1.csv", 2000.0, 5),
+            FakeBlob("2024/x2.csv", 2001.0, 6),
+            FakeBlob("2024/y.json", 2002.0, 7),
+            FakeBlob("2023/z.csv", 2003.0, 8),
+        ]
+    )
+    lister = AzureBlobLister(client, "cont", account="acct")
+    rows = lister("2024/", "*2.csv")  # the reference's own example filter
+    assert client.prefixes == ["2024/"]
+    assert [r["file_name"] for r in rows] == ["wasbs://cont@acct/2024/x2.csv"]
+
+
+def test_cloud_listing_drives_manifest_state_machine(spark, tmp_path):
+    """FILE_LAST_MODIFIED re-import semantics (s3:238-244) over a fake S3:
+    new files wait for insertion; a re-uploaded (advanced LastModified) file
+    flips to waiting for update; unchanged done files stay done."""
+    from database_migration_spark.sources.cloud_listing import S3Lister
+
+    client = FakeS3Client()
+    lister = S3Lister(client, "bkt")
+    ld = ManifestLoader(
+        spark, str(tmp_path / "m.parquet"), lister=lister
+    )
+    ld.reconcile(lister("in/", "*.csv"))
+    assert ld.pending() == ["s3a://bkt/in/a.csv", "s3a://bkt/in/b.csv"]
+    ld._update_status(ld.pending(), [])
+    assert ld.pending() == []
+    # re-upload a.csv (LastModified advances) → waiting for update
+    client.pages[0]["Contents"][1]["LastModified"] = 5000.0
+    ld.reconcile(lister("in/", "*.csv"))
+    statuses = {r.file_name: r.status for r in ld.read_manifest().collect()}
+    assert statuses["s3a://bkt/in/a.csv"] == ST_WAIT_UPDATE
+    assert statuses["s3a://bkt/in/b.csv"] == ST_DONE

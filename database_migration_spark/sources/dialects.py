@@ -257,9 +257,13 @@ WHERE ac.constraint_type = 'R'
 SQLSERVER = DialectSpec(
     name="sqlserver",
     # sqlserver_to_exasol.sql:212-242: per-database union; is_ms_shipped /
-    # is_external exclusion (:227-228). {database} expands per DB.
+    # is_external exclusion (:227-228). {database} expands per DB
+    # (JdbcSourceAdapter.expand_per_database); schema_name carries the
+    # database qualifier (db.schema) because sys.* catalogs are per-DB and
+    # same-named schemas in different DBs are distinct objects (the
+    # reference's DB2SCHEMA mapping, :195-201).
     catalog_sql="""
-SELECT s.name AS schema_name, t.name AS table_name, c.name AS column_name,
+SELECT '{database}' + '.' + s.name AS schema_name, t.name AS table_name, c.name AS column_name,
        c.column_id AS ordinal_position, ty.name AS data_type,
        c.precision AS numeric_precision, c.scale AS numeric_scale,
        c.max_length AS character_maximum_length,
@@ -293,7 +297,7 @@ WHERE t.is_ms_shipped = 0
     # ⋈ sys.index_columns (type 'PK'); :230 FK via sys.foreign_keys ⋈
     # sys.foreign_key_columns with parent/referenced column resolution
     pk_sql="""
-SELECT s.name AS schema_name, t.name AS table_name,
+SELECT '{database}' + '.' + s.name AS schema_name, t.name AS table_name,
        kc.name AS constraint_name, c.name AS column_name,
        ic.key_ordinal AS column_position
 FROM {database}.sys.key_constraints kc
@@ -309,9 +313,9 @@ WHERE kc.type = 'PK' AND t.is_ms_shipped = 0
   AND s.name LIKE '{schema_filter}' AND t.name LIKE '{table_filter}'
 """,
     fk_sql="""
-SELECT sp.name AS schema_name, tp.name AS table_name,
+SELECT '{database}' + '.' + sp.name AS schema_name, tp.name AS table_name,
        fk.name AS fk_name, cp.name AS fk_column,
-       sr.name AS ref_schema, tr.name AS ref_table, cr.name AS ref_column,
+       '{database}' + '.' + sr.name AS ref_schema, tr.name AS ref_table, cr.name AS ref_column,
        fkc.constraint_column_id AS col_position
 FROM {database}.sys.foreign_keys fk
 JOIN {database}.sys.foreign_key_columns fkc

@@ -52,8 +52,11 @@ class JdbcSourceAdapter(SourceAdapter):
     # --- quoting ----------------------------------------------------------
     def quote(self, identifier: str) -> str:
         q = self.spec.quote_char
-        if q == "[":  # SQL Server brackets
-            return "[" + identifier.replace("]", "]]") + "]"
+        if q == "[":  # SQL Server brackets; db.schema composites (the
+            # per-database catalog qualifier) quote each part
+            return ".".join(
+                "[" + p.replace("]", "]]") + "]" for p in identifier.split(".")
+            )
         return q + identifier.replace(q, q + q) + q
 
     # --- types ------------------------------------------------------------
@@ -111,18 +114,61 @@ class JdbcSourceAdapter(SourceAdapter):
         )
         return [r.asDict() for r in df.collect()]
 
+    # --- per-database expansion (SQL Server) ------------------------------
+    def list_databases(self, db_filter: str = "%") -> list[str]:
+        """The source's database list (sqlserver_to_exasol.sql:204-208):
+        SQL Server catalog views are PER DATABASE, so multi-DB migration
+        first fetches matching database names, then unions the catalog
+        query across them."""
+        sql = (
+            "SELECT name FROM sys.databases WHERE name LIKE "
+            f"'{db_filter.replace(chr(39), chr(39) * 2)}'"
+        )
+        names = [r["name"] for r in self._fetch_rows(sql)]
+        if not names:
+            raise ValueError(f"No database found for DB_FILTER {db_filter!r}")
+        return sorted(names)
+
+    @staticmethod
+    def expand_per_database(sql: str, databases: list[str]) -> str:
+        """{database} template → UNION ALL across databases (the reference's
+        per_db() helper, sqlserver_to_exasol.sql:210-217)."""
+        return "\nUNION ALL\n".join(
+            sql.replace("{database}", db).strip() for db in databases
+        )
+
+    def _maybe_expand(self, sql: str, databases: list[str] | None) -> str:
+        if "{database}" not in sql:
+            return sql
+        if databases is None:
+            databases = self.list_databases()
+        return self.expand_per_database(sql, databases)
+
     def scan_catalog(
         self,
         schema_filter: str = "%",
         table_filter: str = "%",
         include_keys: bool = True,
+        databases: list[str] | None = None,
+        db_filter: str = "%",
     ) -> Catalog:
-        sql = self.catalog_query(schema_filter, table_filter)
+        if databases is None and "{database}" in self.spec.catalog_sql:
+            databases = self.list_databases(db_filter)
+        sql = self._maybe_expand(
+            self.catalog_query(schema_filter, table_filter), databases
+        )
         cat = self.catalog_from_rows(self._fetch_rows(sql))
         if include_keys and self.spec.pk_sql is not None:
-            pk_rows = self._fetch_rows(self.pk_query(schema_filter, table_filter))
+            pk_sql = self._maybe_expand(
+                self.pk_query(schema_filter, table_filter), databases
+            )
+            pk_rows = self._fetch_rows(pk_sql)
             fk_sql = self.fk_query(schema_filter, table_filter)
-            fk_rows = self._fetch_rows(fk_sql) if fk_sql else []
+            fk_rows = (
+                self._fetch_rows(self._maybe_expand(fk_sql, databases))
+                if fk_sql
+                else []
+            )
             cat = attach_keys(cat, pk_rows, fk_rows)
         return cat
 

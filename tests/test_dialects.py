@@ -119,6 +119,65 @@ def test_fetchsize_default_applied(spark):
     assert ad.properties["fetchsize"] == "100000"  # README.md:70-77
 
 
+# --- SQL Server per-database expansion (sqlserver_to_exasol.sql:204-217) ----
+
+
+class _FakeMultiDbAdapter(JdbcSourceAdapter):
+    """Stubs the JDBC fetch: returns sys.databases for the DB-list query and
+    per-DB catalog rows for expanded queries (no live server)."""
+
+    DBS = ["erp", "crm", "hr"]
+
+    def _fetch_rows(self, sql):
+        if "sys.databases" in sql:
+            return [{"name": n} for n in self.DBS]
+        rows = []
+        for db in self.DBS:
+            if f"{db}.sys.tables" not in sql:
+                continue
+            if "key_ordinal" in sql:  # pk query
+                rows.append(
+                    {"schema_name": f"{db}.dbo", "table_name": "t",
+                     "constraint_name": f"pk_{db}", "column_name": "id",
+                     "column_position": 1}
+                )
+            elif "foreign_key_columns" in sql:
+                continue  # no FKs in the fake
+            else:
+                rows.append(
+                    {"schema_name": f"{db}.dbo", "table_name": "t",
+                     "column_name": "id", "ordinal_position": 1,
+                     "data_type": "bigint", "numeric_precision": 19,
+                     "numeric_scale": 0, "character_maximum_length": None,
+                     "is_nullable": "0"}
+                )
+        return rows
+
+
+def test_sqlserver_per_db_union_expansion(spark):
+    ad = JdbcSourceAdapter(spark, "sqlserver")
+    expanded = ad.expand_per_database(ad.catalog_query("%", "%"), ["db1", "db2"])
+    assert expanded.count("UNION ALL") == 1
+    assert "db1.sys.columns" in expanded and "db2.sys.columns" in expanded
+    assert "'db1' + '.' + s.name" in expanded  # db-qualified schema identity
+    assert "{database}" not in expanded
+
+
+def test_sqlserver_multi_db_scan_unions_catalogs(spark):
+    ad = _FakeMultiDbAdapter(spark, "sqlserver")
+    assert ad.list_databases() == ["crm", "erp", "hr"]
+    cat = ad.scan_catalog()
+    assert [(t.schema, t.table) for t in cat.tables] == [
+        ("crm.dbo", "t"), ("erp.dbo", "t"), ("hr.dbo", "t")
+    ]
+    # keys resolved per database, same-named tables kept distinct
+    assert {t.primary_key.name for t in cat.tables} == {"pk_crm", "pk_erp", "pk_hr"}
+    # composite schema quotes as [db].[schema]
+    assert ad.quote("erp.dbo") == "[erp].[dbo]"
+    sql = ad.transfer_select(cat.tables[0])
+    assert sql.endswith("FROM [crm].[dbo].[t]")
+
+
 # --- constraint catalog queries (DialectSpec.pk_sql / fk_sql) ---------------
 
 KEYED_DIALECTS = [

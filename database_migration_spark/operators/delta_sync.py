@@ -53,6 +53,44 @@ def watermark(target: DataFrame, delta_col: str):
     return target.agg(F.max(delta_col).alias("wm")).collect()[0]["wm"]
 
 
+def format_watermark_literal(value, value_type: str, dialect: str) -> str:
+    """Render the watermark as a SOURCE-dialect literal for the remote WHERE
+    clause (delta_import_on_primary_keys.sql:280-310 get_max_stmt_for_src):
+    timestamp/date literal syntax differs per system, so the generated
+    filter must speak each source's dialect — FF9 precision for
+    Oracle/Exasol timestamps, CONVERT(...,121) truncated to milliseconds
+    for SQL Server, STR_TO_DATE %f for MySQL, FF6 for Redshift/DB2,
+    second precision for Postgres and Oracle DATE.
+    """
+    import datetime
+
+    if isinstance(value, datetime.datetime):
+        v = value.strftime("%Y-%m-%d %H:%M:%S.%f")
+    elif isinstance(value, datetime.date):
+        v = value.strftime("%Y-%m-%d 00:00:00.000000")
+    else:
+        v = str(value)
+    t = value_type.upper()
+    d = dialect.upper()
+    if not (t.startswith("TIMESTAMP") or t == "DATE"):
+        return f"'{v}'"
+    if d == "MYSQL":
+        return f"STR_TO_DATE('{v}', '%Y-%m-%d %H:%i:%s.%f')"
+    if d == "SQLSERVER":
+        # datetime is millisecond-precision: drop the last 3 digits (:287)
+        return f"CONVERT(datetime,'{v[:-3]}', 121)"
+    if d == "REDSHIFT":
+        return f"to_timestamp('{v}', 'YYYY-MM-DD HH24:MI:SS.FF6')"
+    if d == "DB2":
+        return f"to_date('{v}','YYYY-MM-DD HH24.MI.SS.FF6')"
+    if d in ("POSTGRES", "POSTGRESQL"):
+        return f"to_date('{v}', 'YYYY-MM-DD HH24:MI:SS')"
+    if d == "ORACLE" and t == "DATE":
+        return f"to_date('{v}', 'YYYY-MM-DD HH24:MI:SS')"
+    # ORACLE TIMESTAMP* and the EXASOL default
+    return f"to_timestamp('{v}', 'YYYY-MM-DD HH24:MI:SS.FF9')"
+
+
 def decide_strategy(
     keys: tuple[str, ...] | None, delta_col: str | None, wm
 ) -> SyncStrategy:
@@ -88,9 +126,17 @@ def plan_sync(
     target: DataFrame,
     keys: tuple[str, ...] | None,
     delta_col: str | None,
+    source_dialect: str | None = None,
+    delta_col_type: str = "TIMESTAMP",
 ) -> SyncPlan:
     """Decide the strategy and produce the reviewable plan (dry-run mode —
-    delta_import:439-463 returns exactly such a preview table)."""
+    delta_import:439-463 returns exactly such a preview table).
+
+    With ``source_dialect`` set, the staging filter renders the watermark in
+    that source system's literal syntax (remote-SQL parity mode) — the
+    filter the reference pushes into the source's WHERE clause; otherwise a
+    neutral quoted literal.
+    """
     wm = watermark(target, delta_col) if delta_col and keys else None
     strat = decide_strategy(keys, delta_col, wm)
     stmts: list[str]
@@ -104,9 +150,14 @@ def plan_sync(
             "DROP staging",
         ]
     else:
+        lit = (
+            format_watermark_literal(wm, delta_col_type, source_dialect)
+            if source_dialect
+            else f"'{wm}'"
+        )
         stmts = [
             "CREATE staging LIKE target",
-            f"INSERT INTO staging SELECT * FROM source WHERE {delta_col} >= '{wm}'",
+            f"INSERT INTO staging SELECT * FROM source WHERE {delta_col} >= {lit}",
             f"MERGE INTO target USING staging ON {list(keys or ())}",
             "DROP staging",
         ]

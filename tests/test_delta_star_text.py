@@ -55,6 +55,56 @@ def test_execute_sync_roundtrip(spark, sf_smoke):
     assert merged.exceptAll(orders).count() == 0
 
 
+def test_watermark_literal_per_dialect():
+    """Golden rendering of get_max_stmt_for_src
+    (delta_import_on_primary_keys.sql:280-310): each source system gets its
+    own timestamp literal syntax and precision."""
+    import datetime
+
+    from database_migration_spark.operators.delta_sync import (
+        format_watermark_literal as f,
+    )
+
+    wm = datetime.datetime(1997, 6, 1, 12, 30, 45, 123456)
+    assert f(wm, "TIMESTAMP", "mysql") == (
+        "STR_TO_DATE('1997-06-01 12:30:45.123456', '%Y-%m-%d %H:%i:%s.%f')"
+    )
+    assert f(wm, "TIMESTAMP", "sqlserver") == (
+        "CONVERT(datetime,'1997-06-01 12:30:45.123', 121)"  # ms truncation
+    )
+    assert f(wm, "TIMESTAMP", "redshift") == (
+        "to_timestamp('1997-06-01 12:30:45.123456', 'YYYY-MM-DD HH24:MI:SS.FF6')"
+    )
+    assert f(wm, "TIMESTAMP", "db2") == (
+        "to_date('1997-06-01 12:30:45.123456','YYYY-MM-DD HH24.MI.SS.FF6')"
+    )
+    assert f(wm, "TIMESTAMP", "postgresql") == (
+        "to_date('1997-06-01 12:30:45.123456', 'YYYY-MM-DD HH24:MI:SS')"
+    )
+    assert f(wm, "DATE", "oracle") == (
+        "to_date('1997-06-01 12:30:45.123456', 'YYYY-MM-DD HH24:MI:SS')"
+    )
+    assert f(wm, "TIMESTAMP(9)", "oracle") == (
+        "to_timestamp('1997-06-01 12:30:45.123456', 'YYYY-MM-DD HH24:MI:SS.FF9')"
+    )
+    assert f(wm, "TIMESTAMP", "exasol") == (
+        "to_timestamp('1997-06-01 12:30:45.123456', 'YYYY-MM-DD HH24:MI:SS.FF9')"
+    )
+    # non-temporal watermarks stay plain quoted literals
+    assert f(42, "BIGINT", "oracle") == "'42'"
+
+
+def test_plan_sync_renders_dialect_watermark(spark, sf_smoke):
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    target = orders.where(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    plan = plan_sync(
+        orders, target, ("o_orderkey",), "o_orderdate", source_dialect="oracle"
+    )
+    insert = plan.statements[1]
+    assert "to_timestamp('" in insert and "FF9" in insert
+    assert "o_orderdate >=" in insert
+
+
 def test_star_roundtrip(spark, sf_smoke):
     """Fact ⋈ dim reconstructs the original flat columns exactly."""
     orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")

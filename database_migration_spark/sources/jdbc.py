@@ -112,7 +112,11 @@ class JdbcSourceAdapter(SourceAdapter):
         df = self.spark.read.jdbc(
             url=self.url, table=f"({sql}) q", properties=self.properties
         )
-        return [r.asDict() for r in df.collect()]
+        # sources report result labels in their own case (Derby/Oracle/DB2
+        # uppercase); the normalized row contract is lowercase
+        return [
+            {k.lower(): v for k, v in r.asDict().items()} for r in df.collect()
+        ]
 
     # --- per-database expansion (SQL Server) ------------------------------
     def list_databases(self, db_filter: str = "%") -> list[str]:

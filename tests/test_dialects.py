@@ -258,3 +258,44 @@ def test_scan_catalog_attaches_keys_roundtrip(spark):
     assert t.non_key_columns() == ("c",)
     ref = next(x for x in cat.tables if x.table == "ref")
     assert ref.primary_key is None and ref.foreign_keys == ()
+
+
+# --- Oracle connection-type detection / capability probe --------------------
+
+
+def test_oracle_connection_type_from_registry():
+    from database_migration_spark.sources.oracle_probe import detect_connection_type
+
+    assert detect_connection_type("jdbc:oracle:thin:@host:1521/svc") == "JDBC"
+    assert detect_connection_type("JDBC:oracle:thin:@h") == "JDBC"
+    assert detect_connection_type("host:1521/svc") == "ORA"  # OCI-style address
+
+
+def test_oracle_connection_type_by_probing():
+    from database_migration_spark.sources.oracle_probe import detect_connection_type
+
+    tried = []
+
+    def probe(transport):
+        tried.append(transport)
+        return transport == "JDBC"  # OCI import fails, thin works
+
+    assert detect_connection_type(None, probe) == "JDBC"
+    assert tried == ["ORA", "JDBC"]  # ORA attempted first (:58-80 order)
+
+    with pytest.raises(ValueError, match="neither"):
+        detect_connection_type(None, lambda t: False)
+
+
+def test_oracle_identity_capability_probe():
+    from database_migration_spark.sources.oracle_probe import (
+        IDENTITY_PROBE_SQL,
+        has_identity_column,
+        identity_select_expr,
+    )
+
+    assert "IDENTITY_COLUMN" in IDENTITY_PROBE_SQL
+    assert has_identity_column(lambda sql: [("IDENTITY_COLUMN",)]) is True
+    assert has_identity_column(lambda sql: []) is False  # pre-12c
+    assert identity_select_expr(True) == "c.identity_column"
+    assert identity_select_expr(False) == "NULL AS identity_column"

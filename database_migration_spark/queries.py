@@ -174,7 +174,8 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
         .groupBy("n_name")
         .agg(F.sum(rev).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+        # no ORDER BY: the driver compares order-insensitively and the
+        # oracle carries none — a global sort here would be dead work
         .select("n_name", decstr(F.col("revenue"), 12).alias("revenue"))
     )
 
@@ -1144,6 +1145,12 @@ def window_functions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sessionize_events",
+    # ns→µs parity note: DuckDB's implicit TIMESTAMP_NS→TIMESTAMP cast
+    # truncates toward zero, matching Spark's integer `div 1000` in
+    # read_parquet_portable FOR POST-1970 DATA (all of events.parquet).
+    # Pre-1970 (negative-epoch) nanos would diverge (floor vs trunc) —
+    # if the testdata ever grows such rows, derive tsu as
+    # epoch_ns(ts) // 1000 with floor division on the oracle side too.
     oracle="""
 WITH base AS (
   SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events

@@ -94,6 +94,14 @@ def unsafe_transfer_types(sdf, s_rows) -> str | None:
                     f"precision ({v.isoformat()}) — emit epoch_us bigints or "
                     "second-truncated text instead"
                 )
+        # data-dependent guard limitation: whole-second AT THIS SF proves
+        # nothing about grading scale — surface it so the query author
+        # decides deliberately (epoch_us / truncated text are always safe)
+        print(
+            f"    [warn] timestamp column '{name}' passes only because the "
+            "sf0.01 sample has no sub-second values; emit epoch_us or "
+            "truncated text to be scale-proof"
+        )
     return None
 
 

@@ -152,6 +152,34 @@ def attach_keys(
     return Catalog(tables=tables)
 
 
+def attach_comments(catalog: "Catalog", comment_rows: list[dict]) -> "Catalog":
+    """Attach normalized comment rows (``DialectSpec.comment_sql`` shape:
+    schema_name/table_name/sub/column_name/comment_text, sub 0 = table
+    comment) to a scanned catalog — feeds the COMMENT ON section
+    (mysql_to_exasol.sql:214-218)."""
+    tab_c: dict[tuple[str, str], str] = {}
+    col_c: dict[tuple[str, str, str], str] = {}
+    for r in comment_rows:
+        text = r.get("comment_text")
+        if not text:
+            continue
+        key = (r["schema_name"], r["table_name"])
+        if not int(r.get("sub") or 0):
+            tab_c[key] = str(text)
+        elif r.get("column_name"):
+            col_c[(*key, r["column_name"])] = str(text)
+    tables = []
+    for t in catalog.tables:
+        cols = tuple(
+            replace(c, comment=col_c.get((t.schema, t.table, c.name), c.comment))
+            for c in t.columns
+        )
+        tables.append(
+            replace(t, columns=cols, comment=tab_c.get((t.schema, t.table), t.comment))
+        )
+    return Catalog(tables=tables)
+
+
 @dataclass
 class Catalog:
     """A scanned source catalog: the unit the generators iterate over."""

@@ -30,6 +30,7 @@ def generate_migration_plan(
     target_schema: str,
     policy: TypeMapPolicy | None = None,
     include_validation: bool = True,
+    views: list[dict] | None = None,
 ) -> MigrationPlan:
     """Catalog → ordered statement stream (dry-run object).
 
@@ -112,6 +113,51 @@ def generate_migration_plan(
                 f"STATEMENT 'SELECT {exprs} FROM \"{t.schema}\".\"{t.table}\"';"
             )
         )
+
+    # COMMENT ON section (mysql_to_exasol.sql:214-218) — only when the
+    # catalog carries any comment, so commentless plans stay byte-stable
+    def q1(text: str) -> str:
+        return "'" + text.replace("'", "''") + "'"
+
+    commented = [
+        t
+        for t in sorted(catalog.tables, key=lambda x: (x.schema, x.table))
+        if t.comment or any(c.comment for c in t.columns)
+    ]
+    if commented:
+        com = plan.add_section("COMMENTS")
+        for t in commented:
+            tname = fold_identifier(t.table, fold)
+            if t.comment:
+                com.statements.append(
+                    Statement(
+                        f'COMMENT ON TABLE "{tgt}"."{tname}" IS {q1(t.comment)};'
+                    )
+                )
+            for c in sorted(t.columns, key=lambda c: c.ordinal):
+                if c.comment:
+                    cname = fold_identifier(c.name, fold)
+                    com.statements.append(
+                        Statement(
+                            f'COMMENT ON COLUMN "{tgt}"."{tname}"."{cname}" '
+                            f"IS {q1(c.comment)};"
+                        )
+                    )
+
+    # source views as a commented manual-review section
+    # (mysql_to_exasol.sql:222-229: source SQL almost never ports verbatim)
+    if views:
+        vsec = plan.add_section(
+            "VIEWS (source SQL - commented out, manual review required)"
+        )
+        for v in sorted(views, key=lambda d: (d["schema_name"], d["view_name"])):
+            body = str(v.get("view_def") or "").replace("\n", "\n-- ")
+            vsec.statements.append(
+                Statement(
+                    f"-- {v['schema_name']}.{v['view_name']}  "
+                    f"(source view - review and adapt manually):\n-- {body}"
+                )
+            )
 
     if include_validation:
         val = plan.add_section("DATA VALIDATION")

@@ -25,6 +25,13 @@ encodes (SURVEY.md §2.1 maps every script):
   pk: schema_name, table_name, constraint_name, column_name, column_position
   fk: schema_name, table_name, fk_name, fk_column, ref_schema, ref_table,
   ref_column, col_position
+- ``comment_sql`` / ``view_sql``: the COMMENT ON / commented-view-review
+  catalog queries (mysql_to_exasol.sql:211-229,
+  postgresql_to_exasol.sql:256, oracle all_tab_comments/all_views),
+  normalized to:
+  comment: schema_name, table_name, sub (0=table, >0=column ordinal),
+  column_name (NULL for table comments), comment_text
+  view: schema_name, view_name, view_def
 - ``quote_char``: identifier quoting style.
 
 The specs are *data*; :class:`JdbcSourceAdapter` in jdbc.py interprets them.
@@ -50,6 +57,9 @@ class DialectSpec:
     # constraint catalog queries (None = dialect script doesn't migrate keys)
     pk_sql: str | None = None
     fk_sql: str | None = None
+    # COMMENT ON / view-review catalog queries (None = not migrated)
+    comment_sql: str | None = None
+    view_sql: str | None = None
 
 
 _INFO_SCHEMA_SQL = """
@@ -104,6 +114,28 @@ FROM information_schema.key_column_usage
 WHERE referenced_table_name IS NOT NULL
   AND table_schema LIKE '{schema_filter}' AND table_name LIKE '{table_filter}'
 """,
+    # mysql_to_exasol.sql:214: table comments from information_schema.tables,
+    # column comments from .columns, empty strings dropped
+    comment_sql="""
+SELECT table_schema AS schema_name, table_name, 0 AS sub,
+       CAST(NULL AS CHAR) AS column_name, table_comment AS comment_text
+FROM information_schema.tables
+WHERE table_type = 'BASE TABLE' AND table_comment <> ''
+  AND table_schema LIKE '{schema_filter}' AND table_name LIKE '{table_filter}'
+UNION ALL
+SELECT table_schema, table_name, ordinal_position, column_name, column_comment
+FROM information_schema.columns
+WHERE column_comment <> ''
+  AND table_schema LIKE '{schema_filter}' AND table_name LIKE '{table_filter}'
+""",
+    # mysql_to_exasol.sql:225-229: source views emitted as a commented
+    # manual-review section
+    view_sql="""
+SELECT table_schema AS schema_name, table_name AS view_name,
+       view_definition AS view_def
+FROM information_schema.views
+WHERE table_schema LIKE '{schema_filter}' AND table_name LIKE '{table_filter}'
+""",
 )
 
 MARIADB = DialectSpec(
@@ -115,6 +147,8 @@ MARIADB = DialectSpec(
     quote_char="`",
     pk_sql=MYSQL.pk_sql,
     fk_sql=MYSQL.fk_sql,
+    comment_sql=MYSQL.comment_sql,
+    view_sql=MYSQL.view_sql,
 )
 
 POSTGRESQL = DialectSpec(
@@ -182,8 +216,29 @@ JOIN pg_attribute ca ON ca.attrelid = con.conrelid AND ca.attnum = k.attnum
 JOIN unnest(con.confkey) WITH ORDINALITY fk(attnum, ord) ON fk.ord = k.ord
 JOIN pg_attribute fa ON fa.attrelid = con.confrelid AND fa.attnum = fk.attnum
 WHERE con.contype = 'f' AND NOT c.relispartition
+  AND n.nspname LIKE '{schema_filter}' AND c.relname LIKE '{table_filter}'
+  AND n.nspname NOT IN ('pg_catalog', 'information_schema')
+""",
+    # postgresql_to_exasol.sql:256: pg_description with objsubid 0 = table
+    # comment, >0 = the column's attnum
+    comment_sql="""
+SELECT n.nspname AS schema_name, c.relname AS table_name,
+       d.objsubid AS sub, a.attname AS column_name,
+       d.description AS comment_text
+FROM pg_description d
+JOIN pg_class c ON c.oid = d.objoid
+JOIN pg_namespace n ON n.oid = c.relnamespace
+LEFT JOIN pg_attribute a ON a.attrelid = d.objoid AND a.attnum = d.objsubid
+WHERE c.relkind IN ('r', 'p') AND NOT c.relispartition
   AND n.nspname NOT IN ('pg_catalog', 'information_schema')
   AND n.nspname LIKE '{schema_filter}' AND c.relname LIKE '{table_filter}'
+""",
+    view_sql="""
+SELECT table_schema AS schema_name, table_name AS view_name,
+       view_definition AS view_def
+FROM information_schema.views
+WHERE table_schema NOT IN ('pg_catalog', 'information_schema')
+  AND table_schema LIKE '{schema_filter}' AND table_name LIKE '{table_filter}'
 """,
 )
 
@@ -251,6 +306,32 @@ JOIN all_cons_columns acc_r
 WHERE ac.constraint_type = 'R'
   AND acc.owner NOT IN ('SYS','SYSTEM','MDSYS','CTXSYS','XDB','OUTLN','DBSNMP')
   AND acc.owner LIKE '{schema_filter}' AND acc.table_name LIKE '{table_filter}'
+""",
+    # all_tab_comments / all_col_comments (ordinal resolved via
+    # all_tab_columns so the normalized `sub` contract holds)
+    comment_sql="""
+SELECT tc.owner AS schema_name, tc.table_name, 0 AS sub,
+       CAST(NULL AS VARCHAR2(128)) AS column_name, tc.comments AS comment_text
+FROM all_tab_comments tc
+WHERE tc.comments IS NOT NULL AND tc.table_type = 'TABLE'
+  AND tc.owner NOT IN ('SYS','SYSTEM','MDSYS','CTXSYS','XDB','OUTLN','DBSNMP')
+  AND tc.owner LIKE '{schema_filter}' AND tc.table_name LIKE '{table_filter}'
+UNION ALL
+SELECT cc.owner, cc.table_name, col.column_id, cc.column_name, cc.comments
+FROM all_col_comments cc
+JOIN all_tab_columns col
+  ON col.owner = cc.owner AND col.table_name = cc.table_name
+ AND col.column_name = cc.column_name
+WHERE cc.comments IS NOT NULL
+  AND cc.owner NOT IN ('SYS','SYSTEM','MDSYS','CTXSYS','XDB','OUTLN','DBSNMP')
+  AND cc.owner LIKE '{schema_filter}' AND cc.table_name LIKE '{table_filter}'
+""",
+    # oracle_to_exasol.sql:312 all_views
+    view_sql="""
+SELECT v.owner AS schema_name, v.view_name, v.text AS view_def
+FROM all_views v
+WHERE v.owner NOT IN ('SYS','SYSTEM','MDSYS','CTXSYS','XDB','OUTLN','DBSNMP')
+  AND v.owner LIKE '{schema_filter}' AND v.view_name LIKE '{table_filter}'
 """,
 )
 
@@ -331,6 +412,39 @@ JOIN {database}.sys.columns cr
 WHERE tp.is_ms_shipped = 0
   AND sp.name LIKE '{schema_filter}' AND tp.name LIKE '{table_filter}'
 """,
+    # MS_Description extended properties: class 1 / minor_id 0 = table,
+    # minor_id = column_id for columns
+    comment_sql="""
+SELECT '{database}' + '.' + s.name AS schema_name, t.name AS table_name,
+       0 AS sub, CAST(NULL AS NVARCHAR(128)) AS column_name,
+       CAST(ep.value AS NVARCHAR(MAX)) AS comment_text
+FROM {database}.sys.extended_properties ep
+JOIN {database}.sys.tables t ON t.object_id = ep.major_id
+JOIN {database}.sys.schemas s ON s.schema_id = t.schema_id
+WHERE ep.class = 1 AND ep.minor_id = 0 AND ep.name = 'MS_Description'
+  AND t.is_ms_shipped = 0
+  AND s.name LIKE '{schema_filter}' AND t.name LIKE '{table_filter}'
+UNION ALL
+SELECT '{database}' + '.' + s.name, t.name, c.column_id, c.name,
+       CAST(ep.value AS NVARCHAR(MAX))
+FROM {database}.sys.extended_properties ep
+JOIN {database}.sys.tables t ON t.object_id = ep.major_id
+JOIN {database}.sys.schemas s ON s.schema_id = t.schema_id
+JOIN {database}.sys.columns c
+  ON c.object_id = ep.major_id AND c.column_id = ep.minor_id
+WHERE ep.class = 1 AND ep.minor_id > 0 AND ep.name = 'MS_Description'
+  AND t.is_ms_shipped = 0
+  AND s.name LIKE '{schema_filter}' AND t.name LIKE '{table_filter}'
+""",
+    view_sql="""
+SELECT '{database}' + '.' + s.name AS schema_name, v.name AS view_name,
+       m.definition AS view_def
+FROM {database}.sys.views v
+JOIN {database}.sys.schemas s ON s.schema_id = v.schema_id
+JOIN {database}.sys.sql_modules m ON m.object_id = v.object_id
+WHERE v.is_ms_shipped = 0
+  AND s.name LIKE '{schema_filter}' AND v.name LIKE '{table_filter}'
+""",
 )
 
 TERADATA = DialectSpec(
@@ -383,6 +497,31 @@ SELECT TRIM(ChildDB) AS schema_name, TRIM(ChildTable) AS table_name,
 FROM DBC.All_RI_ChildrenV
 WHERE ChildDB NOT IN ('DBC','SYSLIB','SystemFe','TD_SYSFNLIB','dbcmngr')
   AND ChildDB LIKE '{schema_filter}' AND ChildTable LIKE '{table_filter}'
+""",
+    # DBC CommentString columns; TableKind T = tables, V = views
+    comment_sql="""
+SELECT TRIM(t.DatabaseName) AS schema_name, TRIM(t.TableName) AS table_name,
+       0 AS sub, CAST(NULL AS VARCHAR(128)) AS column_name,
+       t.CommentString AS comment_text
+FROM DBC.TablesV t
+WHERE t.TableKind = 'T' AND t.CommentString IS NOT NULL
+  AND t.DatabaseName NOT IN ('DBC','SYSLIB','SystemFe','TD_SYSFNLIB','dbcmngr')
+  AND t.DatabaseName LIKE '{schema_filter}' AND t.TableName LIKE '{table_filter}'
+UNION ALL
+SELECT TRIM(c.DatabaseName), TRIM(c.TableName), c.ColumnId,
+       TRIM(c.ColumnName), c.CommentString
+FROM DBC.ColumnsV c
+WHERE c.CommentString IS NOT NULL
+  AND c.DatabaseName NOT IN ('DBC','SYSLIB','SystemFe','TD_SYSFNLIB','dbcmngr')
+  AND c.DatabaseName LIKE '{schema_filter}' AND c.TableName LIKE '{table_filter}'
+""",
+    view_sql="""
+SELECT TRIM(t.DatabaseName) AS schema_name, TRIM(t.TableName) AS view_name,
+       t.RequestText AS view_def
+FROM DBC.TablesV t
+WHERE t.TableKind = 'V'
+  AND t.DatabaseName NOT IN ('DBC','SYSLIB','SystemFe','TD_SYSFNLIB','dbcmngr')
+  AND t.DatabaseName LIKE '{schema_filter}' AND t.TableName LIKE '{table_filter}'
 """,
 )
 
@@ -481,6 +620,27 @@ JOIN SYSCAT.KEYCOLUSE kp
  AND kp.TABNAME = r.REFTABNAME AND kp.COLSEQ = kf.COLSEQ
 WHERE r.TABSCHEMA NOT LIKE 'SYS%'
   AND r.TABSCHEMA LIKE '{schema_filter}' AND r.TABNAME LIKE '{table_filter}'
+""",
+    # SYSCAT REMARKS columns; COLNO is 0-based → +1 for the 1-based contract
+    comment_sql="""
+SELECT RTRIM(t.TABSCHEMA) AS schema_name, t.TABNAME AS table_name,
+       0 AS sub, CAST(NULL AS VARCHAR(128)) AS column_name,
+       t.REMARKS AS comment_text
+FROM SYSCAT.TABLES t
+WHERE t.TYPE = 'T' AND t.REMARKS IS NOT NULL AND t.TABSCHEMA NOT LIKE 'SYS%'
+  AND t.TABSCHEMA LIKE '{schema_filter}' AND t.TABNAME LIKE '{table_filter}'
+UNION ALL
+SELECT RTRIM(c.TABSCHEMA), c.TABNAME, c.COLNO + 1, c.COLNAME, c.REMARKS
+FROM SYSCAT.COLUMNS c
+WHERE c.REMARKS IS NOT NULL AND c.TABSCHEMA NOT LIKE 'SYS%'
+  AND c.TABSCHEMA LIKE '{schema_filter}' AND c.TABNAME LIKE '{table_filter}'
+""",
+    view_sql="""
+SELECT RTRIM(v.VIEWSCHEMA) AS schema_name, v.VIEWNAME AS view_name,
+       v.TEXT AS view_def
+FROM SYSCAT.VIEWS v
+WHERE v.VIEWSCHEMA NOT LIKE 'SYS%'
+  AND v.VIEWSCHEMA LIKE '{schema_filter}' AND v.VIEWNAME LIKE '{table_filter}'
 """,
 )
 

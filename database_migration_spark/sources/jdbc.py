@@ -22,7 +22,13 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-from database_migration_spark.catalog import Catalog, ColumnMeta, TableMeta, attach_keys
+from database_migration_spark.catalog import (
+    Catalog,
+    ColumnMeta,
+    TableMeta,
+    attach_comments,
+    attach_keys,
+)
 from database_migration_spark.plans.binpack import ImportPlan
 from database_migration_spark.sources.base import SourceAdapter
 from database_migration_spark.sources.dialects import ALL_DIALECTS, DialectSpec
@@ -108,6 +114,29 @@ class JdbcSourceAdapter(SourceAdapter):
             return None
         return self._template(self.spec.fk_sql, schema_filter, table_filter)
 
+    def comment_query(self, schema_filter: str = "%", table_filter: str = "%") -> str | None:
+        if self.spec.comment_sql is None:
+            return None
+        return self._template(self.spec.comment_sql, schema_filter, table_filter)
+
+    def view_query(self, schema_filter: str = "%", table_filter: str = "%") -> str | None:
+        if self.spec.view_sql is None:
+            return None
+        return self._template(self.spec.view_sql, schema_filter, table_filter)
+
+    def fetch_views(
+        self,
+        schema_filter: str = "%",
+        table_filter: str = "%",
+        databases: list[str] | None = None,
+    ) -> list[dict]:
+        """Normalized view rows (schema_name, view_name, view_def) for the
+        commented manual-review section (mysql_to_exasol.sql:222-229)."""
+        sql = self.view_query(schema_filter, table_filter)
+        if sql is None:
+            return []
+        return self._fetch_rows(self._maybe_expand(sql, databases))
+
     def _fetch_rows(self, sql: str) -> list[dict]:
         df = self.spark.read.jdbc(
             url=self.url, table=f"({sql}) q", properties=self.properties
@@ -174,6 +203,11 @@ class JdbcSourceAdapter(SourceAdapter):
                 else []
             )
             cat = attach_keys(cat, pk_rows, fk_rows)
+        c_sql = self.comment_query(schema_filter, table_filter)
+        if c_sql is not None:
+            cat = attach_comments(
+                cat, self._fetch_rows(self._maybe_expand(c_sql, databases))
+            )
         return cat
 
     def catalog_from_rows(self, rows: list[dict]) -> Catalog:

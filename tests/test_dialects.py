@@ -299,3 +299,27 @@ def test_oracle_identity_capability_probe():
     assert has_identity_column(lambda sql: []) is False  # pre-12c
     assert identity_select_expr(True) == "c.identity_column"
     assert identity_select_expr(False) == "NULL AS identity_column"
+
+
+COMMENT_COLS = ["schema_name", "table_name", "sub", "column_name", "comment_text"]
+COMMENTED_DIALECTS = [
+    n for n in sorted(ALL_DIALECTS) if ALL_DIALECTS[n].comment_sql is not None
+]
+
+
+def test_major_dialects_have_comment_and_view_queries():
+    for need in ["mysql", "mariadb", "postgresql", "oracle", "sqlserver", "teradata", "db2"]:
+        assert ALL_DIALECTS[need].comment_sql is not None, need
+        assert ALL_DIALECTS[need].view_sql is not None, need
+
+
+@pytest.mark.parametrize("name", COMMENTED_DIALECTS)
+def test_comment_view_query_shape(spark, name):
+    ad = JdbcSourceAdapter(spark, name)
+    c = ad.comment_query("MY_SCHEMA", "MY_TABLE").lower()
+    for col in COMMENT_COLS:
+        assert col in c, f"{name} comment sql missing {col}"
+    assert "my_schema" in c and "my_table" in c
+    v = ad.view_query("MY_SCHEMA", "MY_TABLE").lower()
+    for col in ["schema_name", "view_name", "view_def"]:
+        assert col in v, f"{name} view sql missing {col}"

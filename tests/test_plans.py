@@ -108,3 +108,42 @@ def test_fk_out_of_scope_skipped():
     assert 'REFERENCES "TGT"."T2"' in sql
     assert 'REFERENCES "TGT"."ABSENT"' not in sql
     assert "out-of-scope table 'absent' skipped" in sql
+
+
+def test_comments_and_views_sections():
+    """COMMENT ON + commented-view sections (mysql_to_exasol.sql:211-229)."""
+    from database_migration_spark.catalog import attach_comments
+
+    cat = _catalog()
+    cat = attach_comments(
+        cat,
+        [
+            {"schema_name": "src", "table_name": "t1", "sub": 0,
+             "column_name": None, "comment_text": "the fact's table"},
+            {"schema_name": "src", "table_name": "t1", "sub": 1,
+             "column_name": "id", "comment_text": "surrogate"},
+            {"schema_name": "src", "table_name": "t1", "sub": 9,
+             "column_name": "ghost", "comment_text": "no such column"},
+        ],
+    )
+    t = cat.tables[0]
+    assert t.comment == "the fact's table"
+    assert t.columns[0].comment == "surrogate"
+    views = [
+        {"schema_name": "src", "view_name": "v_top",
+         "view_def": "SELECT id\nFROM t1\nWHERE id > 0"},
+    ]
+    sql = generate_migration_plan(cat, "tgt", views=views).to_sql()
+    # quote-doubling in comment literals
+    assert "COMMENT ON TABLE \"TGT\".\"T1\" IS 'the fact''s table';" in sql
+    assert "COMMENT ON COLUMN \"TGT\".\"T1\".\"ID\" IS 'surrogate';" in sql
+    # every view line commented out
+    assert "-- src.v_top" in sql
+    assert "\n-- FROM t1" in sql
+    assert "VIEWS (source SQL - commented out" in sql
+    assert sql.index("COMMENT ON TABLE") < sql.index("VIEWS (source SQL")
+
+
+def test_plan_without_comments_is_unchanged():
+    sql = generate_migration_plan(_catalog(), "tgt").to_sql()
+    assert "COMMENT ON" not in sql and "VIEWS (source SQL" not in sql

@@ -19,9 +19,26 @@ from pyspark.sql import DataFrame
 
 def fan_out(df: DataFrame, n: int | None = None) -> DataFrame:
     """Repartition up to the cluster's default parallelism — only when the
-    input has fewer partitions (single-row-group files, tiny dims)."""
+    input is small enough that its scan cannot feed every core.
+
+    The guard reads the optimizer's cached size estimate (Catalyst computes
+    it during analysis anyway) instead of ``df.rdd.getNumPartitions()``,
+    which forced a full plan→RDD physical conversion on every hot-path
+    call. Size is also the honest signal at scale: an input ≥
+    cores × maxPartitionBytes already scans wide, shuffling it again would
+    move the whole table; below that, the one small shuffle buys full-core
+    compute for the expensive operator that follows.
+    """
     sc = df.sparkSession.sparkContext
     target = n or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+        max_pb = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes default
+        if est >= target * max_pb:
+            return df
+    except Exception:  # noqa: BLE001 — estimation is best-effort
+        if df.rdd.getNumPartitions() >= target:
+            return df
     return df.repartition(target)

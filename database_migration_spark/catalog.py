@@ -15,6 +15,7 @@ Identifier case folding: the reference optionally wraps every identifier in
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field, replace
 
 
@@ -178,6 +179,59 @@ def attach_comments(catalog: "Catalog", comment_rows: list[dict]) -> "Catalog":
             replace(t, columns=cols, comment=tab_c.get((t.schema, t.table), t.comment))
         )
     return Catalog(tables=tables)
+
+
+_SIMPLE_IDENT = re.compile(r"^`?[A-Za-z_][A-Za-z0-9_]*`?$")
+
+
+def attach_distribution(catalog: "Catalog", dist_rows: list[dict]) -> "Catalog":
+    """Attach normalized distribution rows (``DialectSpec.dist_sql`` shape)
+    as TableMeta.distribution_columns, position-ordered — the Teradata
+    Primary Index → DISTRIBUTE BY mapping (teradata_to_exasol.sql:251)."""
+    by_table: dict[tuple[str, str], list[dict]] = {}
+    for r in dist_rows:
+        by_table.setdefault((r["schema_name"], r["table_name"]), []).append(r)
+    tables = []
+    for t in catalog.tables:
+        rows = sorted(
+            by_table.get((t.schema, t.table), []),
+            key=lambda r: int(r.get("column_position") or 0),
+        )
+        tables.append(
+            replace(t, distribution_columns=tuple(r["column_name"] for r in rows))
+            if rows
+            else t
+        )
+    return Catalog(tables=tables)
+
+
+def attach_partitions(
+    catalog: "Catalog", part_rows: list[dict]
+) -> tuple["Catalog", list[str]]:
+    """Best-effort partition mapping (mysql_to_exasol.sql:234-243): a
+    single-identifier partition expression becomes partition_columns; any
+    other expression produces a manual-review note string."""
+    notes: list[str] = []
+    by_table: dict[tuple[str, str], str] = {}
+    for r in part_rows:
+        expr = (r.get("partition_expression") or "").strip()
+        key = (r["schema_name"], r["table_name"])
+        if _SIMPLE_IDENT.match(expr):
+            by_table[key] = expr.replace("`", "")
+        else:
+            method = r.get("partition_method") or "unknown"
+            notes.append(
+                f'"{r["schema_name"]}"."{r["table_name"]}" {method} '
+                f"partitioning ({expr}) not auto-mapped - review and add "
+                "PARTITION BY manually if appropriate."
+            )
+    tables = [
+        replace(t, partition_columns=(by_table[(t.schema, t.table)],))
+        if (t.schema, t.table) in by_table
+        else t
+        for t in catalog.tables
+    ]
+    return Catalog(tables=tables), notes
 
 
 @dataclass

@@ -31,6 +31,7 @@ def generate_migration_plan(
     policy: TypeMapPolicy | None = None,
     include_validation: bool = True,
     views: list[dict] | None = None,
+    partition_notes: list[str] | None = None,
 ) -> MigrationPlan:
     """Catalog → ordered statement stream (dry-run object).
 
@@ -113,6 +114,35 @@ def generate_migration_plan(
                 f"STATEMENT 'SELECT {exprs} FROM \"{t.schema}\".\"{t.table}\"';"
             )
         )
+
+    # DISTRIBUTE BY / PARTITION BY (teradata_to_exasol.sql:251-253 Primary
+    # Index mapping; mysql_to_exasol.sql:236-243 best-effort partition key)
+    # — only when the catalog carries placement metadata
+    placed = [
+        t
+        for t in sorted(catalog.tables, key=lambda x: (x.schema, x.table))
+        if t.distribution_columns or t.partition_columns
+    ]
+    if placed or partition_notes:
+        dsec = plan.add_section("DISTRIBUTION / PARTITIONING")
+        for t in placed:
+            tname = fold_identifier(t.table, fold)
+            if t.distribution_columns:
+                cols = ", ".join(
+                    f'"{fold_identifier(c, fold)}"' for c in t.distribution_columns
+                )
+                dsec.statements.append(
+                    Statement(f'ALTER TABLE "{tgt}"."{tname}" DISTRIBUTE BY {cols};')
+                )
+            if t.partition_columns:
+                cols = ", ".join(
+                    f'"{fold_identifier(c, fold)}"' for c in t.partition_columns
+                )
+                dsec.statements.append(
+                    Statement(f'ALTER TABLE "{tgt}"."{tname}" PARTITION BY {cols};')
+                )
+        for note in partition_notes or []:
+            dsec.statements.append(Statement(note, kind="comment"))
 
     # COMMENT ON section (mysql_to_exasol.sql:214-218) — only when the
     # catalog carries any comment, so commentless plans stay byte-stable

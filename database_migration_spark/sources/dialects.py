@@ -60,6 +60,14 @@ class DialectSpec:
     # COMMENT ON / view-review catalog queries (None = not migrated)
     comment_sql: str | None = None
     view_sql: str | None = None
+    # distribution / partitioning catalog queries:
+    # dist: schema_name, table_name, column_name, column_position
+    #   (teradata_to_exasol.sql:251 Primary Index → DISTRIBUTE BY)
+    # partition: schema_name, table_name, partition_method,
+    #   partition_expression (mysql_to_exasol.sql:228-243 best-effort
+    #   single-column key; complex expressions become review notes)
+    dist_sql: str | None = None
+    partition_sql: str | None = None
 
 
 _INFO_SCHEMA_SQL = """
@@ -136,6 +144,14 @@ SELECT table_schema AS schema_name, table_name AS view_name,
 FROM information_schema.views
 WHERE table_schema LIKE '{schema_filter}' AND table_name LIKE '{table_filter}'
 """,
+    # mysql_to_exasol.sql:236-243
+    partition_sql="""
+SELECT DISTINCT table_schema AS schema_name, table_name,
+       partition_method, partition_expression
+FROM information_schema.partitions
+WHERE partition_name IS NOT NULL
+  AND table_schema LIKE '{schema_filter}' AND table_name LIKE '{table_filter}'
+""",
 )
 
 MARIADB = DialectSpec(
@@ -149,6 +165,7 @@ MARIADB = DialectSpec(
     fk_sql=MYSQL.fk_sql,
     comment_sql=MYSQL.comment_sql,
     view_sql=MYSQL.view_sql,
+    partition_sql=MYSQL.partition_sql,
 )
 
 POSTGRESQL = DialectSpec(
@@ -522,6 +539,16 @@ FROM DBC.TablesV t
 WHERE t.TableKind = 'V'
   AND t.DatabaseName NOT IN ('DBC','SYSLIB','SystemFe','TD_SYSFNLIB','dbcmngr')
   AND t.DatabaseName LIKE '{schema_filter}' AND t.TableName LIKE '{table_filter}'
+""",
+    # teradata_to_exasol.sql:251: the Primary Index (types P/Q) maps to the
+    # target's DISTRIBUTE BY — the same row-placement role on both systems
+    dist_sql="""
+SELECT TRIM(i.DatabaseName) AS schema_name, TRIM(i.TableName) AS table_name,
+       TRIM(i.ColumnName) AS column_name, i.ColumnPosition AS column_position
+FROM DBC.IndicesV i
+WHERE i.IndexType IN ('P', 'Q')
+  AND i.DatabaseName NOT IN ('DBC','SYSLIB','SystemFe','TD_SYSFNLIB','dbcmngr')
+  AND i.DatabaseName LIKE '{schema_filter}' AND i.TableName LIKE '{table_filter}'
 """,
 )
 

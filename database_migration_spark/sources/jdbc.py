@@ -27,6 +27,7 @@ from database_migration_spark.catalog import (
     ColumnMeta,
     TableMeta,
     attach_comments,
+    attach_distribution,
     attach_keys,
 )
 from database_migration_spark.plans.binpack import ImportPlan
@@ -208,7 +209,26 @@ class JdbcSourceAdapter(SourceAdapter):
             cat = attach_comments(
                 cat, self._fetch_rows(self._maybe_expand(c_sql, databases))
             )
+        if self.spec.dist_sql is not None:
+            d_sql = self._template(self.spec.dist_sql, schema_filter, table_filter)
+            cat = attach_distribution(
+                cat, self._fetch_rows(self._maybe_expand(d_sql, databases))
+            )
         return cat
+
+    def fetch_partitions(
+        self,
+        schema_filter: str = "%",
+        table_filter: str = "%",
+        databases: list[str] | None = None,
+    ) -> list[dict]:
+        """Raw partition rows (``DialectSpec.partition_sql`` shape) — run
+        through catalog.attach_partitions to split auto-mappable keys from
+        manual-review notes."""
+        if self.spec.partition_sql is None:
+            return []
+        sql = self._template(self.spec.partition_sql, schema_filter, table_filter)
+        return self._fetch_rows(self._maybe_expand(sql, databases))
 
     def catalog_from_rows(self, rows: list[dict]) -> Catalog:
         """Normalize raw catalog rows (testable without a live DB)."""

@@ -147,3 +147,43 @@ def test_comments_and_views_sections():
 def test_plan_without_comments_is_unchanged():
     sql = generate_migration_plan(_catalog(), "tgt").to_sql()
     assert "COMMENT ON" not in sql and "VIEWS (source SQL" not in sql
+
+
+def test_distribution_partition_section():
+    """Teradata PI -> DISTRIBUTE BY; MySQL partition key -> PARTITION BY;
+    complex partitioning -> review note (teradata:251-253, mysql:236-243)."""
+    from database_migration_spark.catalog import attach_distribution, attach_partitions
+
+    cat = _catalog()
+    cat = attach_distribution(
+        cat,
+        [
+            {"schema_name": "src", "table_name": "t1", "column_name": "name",
+             "column_position": 2},
+            {"schema_name": "src", "table_name": "t1", "column_name": "id",
+             "column_position": 1},
+        ],
+    )
+    cat, notes = attach_partitions(
+        cat,
+        [
+            {"schema_name": "src", "table_name": "t1",
+             "partition_method": "HASH", "partition_expression": "`id`"},
+            {"schema_name": "src", "table_name": "zzz",
+             "partition_method": "RANGE",
+             "partition_expression": "year(created_at)"},
+        ],
+    )
+    assert cat.tables[0].distribution_columns == ("id", "name")  # PI order
+    assert cat.tables[0].partition_columns == ("id",)
+    assert len(notes) == 1 and "year(created_at)" in notes[0]
+    sql = generate_migration_plan(cat, "tgt", partition_notes=notes).to_sql()
+    assert 'ALTER TABLE "TGT"."T1" DISTRIBUTE BY "ID", "NAME";' in sql
+    assert 'ALTER TABLE "TGT"."T1" PARTITION BY "ID";' in sql
+    assert "not auto-mapped - review" in sql
+    assert "DISTRIBUTION / PARTITIONING" in sql
+
+
+def test_plan_without_placement_metadata_unchanged():
+    sql = generate_migration_plan(_catalog(), "tgt").to_sql()
+    assert "DISTRIBUTE BY" not in sql and "PARTITION BY" not in sql

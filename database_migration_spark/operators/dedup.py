@@ -190,18 +190,34 @@ def exact_jaccard(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def _persisted_shingles(
+    df: DataFrame, text_col: str, id_col: str, k: int, persist: bool
+) -> DataFrame:
+    """The shingle relation is consumed several times per pipeline
+    (signatures, sizes, both sides of the verify join). Materialize it once
+    — MEMORY_AND_DISK, the right call at 100 TB too: spilling beats
+    re-running normalize+shingle+md5 per consumer. The cache lives until
+    Spark's LRU evicts it (lazy operators cannot know when their caller is
+    done); pass persist=False to opt out."""
+    from pyspark import StorageLevel
+
+    sh = shingle_sets(df, text_col, id_col, k)
+    return sh.persist(StorageLevel.MEMORY_AND_DISK) if persist else sh
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
     threshold_permille: int = 500,
+    persist: bool = True,
 ) -> DataFrame:
     """Brute-ish n-gram Jaccard: intersection join on shingle hashes (only
     docs sharing ≥1 shingle are paired — far smaller than a cross join on
     real corpora), then threshold. The oracle-checkable ground truth that
     minhash approximates."""
-    sh = shingle_sets(df, text_col, id_col, k)
+    sh = _persisted_shingles(df, text_col, id_col, k, persist)
     return exact_jaccard(sh, None).where(
         F.col("jaccard_permille") >= threshold_permille
     )
@@ -216,10 +232,11 @@ def minhash_dedup_pairs(
     bands: int = 4,
     threshold_permille: int = 500,
     seed: int = 42,
+    persist: bool = True,
 ) -> DataFrame:
     """Full MinHash+LSH pipeline: shingle → sign → band → candidate pairs →
     exact-Jaccard verify → threshold. Output (id_a, id_b, jaccard_permille)."""
-    sh = shingle_sets(df, text_col, id_col, k)
+    sh = _persisted_shingles(df, text_col, id_col, k, persist)
     sigs = minhash_signatures(sh, num_perm, seed)
     cands = lsh_candidate_pairs(sigs, num_perm, bands)
     return exact_jaccard(sh, cands).where(

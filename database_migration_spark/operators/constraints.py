@@ -12,7 +12,11 @@ Spark/parquet has no enforced constraints, so:
   engine won't do;
 - :func:`suggest_primary_keys` discovers single-column PK candidates from
   one metric scan (uniqueness + non-null) — the data-driven spin the
-  post-load optimizers apply elsewhere.
+  post-load optimizers apply elsewhere;
+- :func:`suggest_foreign_key` tests referential containment in the data
+  (zero orphans into a unique parent column) — FK discovery for sources
+  whose catalogs declare no keys, the same role set_primary_keys.sql plays
+  for PKs.
 """
 
 from __future__ import annotations
@@ -68,6 +72,58 @@ def verify_primary_key(df: DataFrame, keys: list[str]) -> dict:
         "n_null_keys": row.n_null_keys or 0,
         "holds": row.n_rows == row.n_distinct and (row.n_null_keys or 0) == 0,
     }
+
+
+def suggest_foreign_key(
+    child: DataFrame,
+    child_col: str,
+    parent: DataFrame,
+    parent_col: str,
+    label: str | None = None,
+) -> DataFrame:
+    """One-row FK candidacy report for child.child_col → parent.parent_col.
+
+    is_candidate ⇔ zero orphans (every non-null child value exists in the
+    parent column — SQL FK semantics ignore NULLs) AND the parent column is
+    unique (a legal FK target). All three inputs stay distributed: two
+    narrow single-column aggregates plus one left-anti join on the
+    candidate key (shuffle on that key; broadcast if the parent is dim-
+    sized — Catalyst picks it under the threshold). Nothing collects.
+    """
+    lbl = label or f"{child_col}->{parent_col}"
+    c = child.select(F.col(child_col).alias("v"))
+    p = parent.select(F.col(parent_col).alias("pv"))
+    child_agg = c.agg(
+        F.count(F.lit(1)).alias("n_child_rows"),
+        F.count("v").alias("n_child_nonnull"),
+        F.count_distinct(F.col("v")).alias("n_child_distinct"),
+    )
+    parent_agg = p.agg(
+        F.count("pv").alias("n_parent_rows"),
+        F.count_distinct(F.col("pv")).alias("n_parent_distinct"),
+    )
+    orphans = (
+        c.where(F.col("v").isNotNull())
+        .join(p.distinct(), F.col("v") == F.col("pv"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    return (
+        child_agg.crossJoin(parent_agg)
+        .crossJoin(orphans)
+        .select(
+            F.lit(lbl).alias("candidate"),
+            "n_child_rows",
+            "n_child_nonnull",
+            "n_child_distinct",
+            "n_parent_rows",
+            "n_parent_distinct",
+            "n_orphans",
+            (
+                (F.col("n_orphans") == 0)
+                & (F.col("n_parent_rows") == F.col("n_parent_distinct"))
+            ).alias("is_candidate"),
+        )
+    )
 
 
 def suggest_primary_keys(df: DataFrame, columns: list[str] | None = None) -> DataFrame:

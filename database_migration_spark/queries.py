@@ -1558,6 +1558,54 @@ _ORDERS_COLS = [
 ]
 
 
+def _fk_pair_oracle(label: str, child: str, ccol: str, parent: str, pcol: str) -> str:
+    return f"""
+SELECT '{label}' AS candidate,
+       ca.n_child_rows, ca.n_child_nonnull, ca.n_child_distinct,
+       pa.n_parent_rows, pa.n_parent_distinct, o.n_orphans,
+       (o.n_orphans = 0 AND pa.n_parent_rows = pa.n_parent_distinct) AS is_candidate
+FROM (SELECT count(*) AS n_child_rows, count({ccol}) AS n_child_nonnull,
+             count(DISTINCT {ccol}) AS n_child_distinct FROM {child}) ca,
+     (SELECT count({pcol}) AS n_parent_rows,
+             count(DISTINCT {pcol}) AS n_parent_distinct FROM {parent}) pa,
+     (SELECT count(*) AS n_orphans FROM {child} c
+      WHERE c.{ccol} IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pcol} = c.{ccol})) o
+"""
+
+
+_FK_PAIRS = [
+    # (label, child, child_col, parent, parent_col) — one true FK; one
+    # small-int-range pair whose verdict flips with SF (the containment
+    # false positive a reviewer vetoes); one orphaned/non-unique-parent
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_suppkey->nation.n_nationkey", "lineitem", "l_suppkey", "nation", "n_nationkey"),
+    ("orders.o_orderstatus->lineitem.l_linestatus", "orders", "o_orderstatus", "lineitem", "l_linestatus"),
+]
+
+
+@register(
+    "suggest_fk_candidates",
+    oracle="\nUNION ALL\n".join(_fk_pair_oracle(*p) for p in _FK_PAIRS),
+)
+def suggest_fk_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven FK discovery (the set_primary_keys.sql role, for FKs):
+    referential containment + parent uniqueness, one report row per
+    candidate pair — true FK accepted, orphaned and non-unique-parent
+    pairs rejected."""
+    from functools import reduce
+
+    from database_migration_spark.operators.constraints import suggest_foreign_key
+
+    frames = [
+        suggest_foreign_key(
+            table(spark, sf_dir, child), ccol, table(spark, sf_dir, parent), pcol, label
+        )
+        for label, child, ccol, parent, pcol in _FK_PAIRS
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
 @register("suggest_pk_orders", oracle=_suggest_pk_oracle("orders", _ORDERS_COLS))
 def suggest_pk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-driven PK discovery (the set_primary_keys.sql companion):

@@ -51,3 +51,26 @@ def test_mode_metric(spark, sf_smoke):
     row = mode_metric(li, "l_returnflag").collect()[0]
     assert row.occurrences > 0
     assert row.mode_values  # non-empty
+
+
+def test_suggest_foreign_key_classification(spark):
+    """FK candidacy: zero orphans into a unique parent — NULL child values
+    are ignored (SQL FK semantics), orphans or duplicate parents reject."""
+    from database_migration_spark.operators.constraints import suggest_foreign_key
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (None,)], "ref BIGINT"
+    )
+    parent_ok = spark.createDataFrame([(1,), (2,), (3,)], "id BIGINT")
+    parent_dup = spark.createDataFrame([(1,), (2,), (2,), (3,)], "id BIGINT")
+    parent_missing = spark.createDataFrame([(1,), (3,)], "id BIGINT")
+
+    ok = suggest_foreign_key(child, "ref", parent_ok, "id").collect()[0]
+    assert ok.is_candidate and ok.n_orphans == 0
+    assert ok.n_child_nonnull == 3 and ok.n_child_rows == 4  # NULL ignored
+
+    dup = suggest_foreign_key(child, "ref", parent_dup, "id").collect()[0]
+    assert not dup.is_candidate and dup.n_orphans == 0  # parent not unique
+
+    miss = suggest_foreign_key(child, "ref", parent_missing, "id").collect()[0]
+    assert not miss.is_candidate and miss.n_orphans == 2  # both ref=2 rows

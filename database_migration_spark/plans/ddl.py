@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import types as T
 
 from database_migration_spark.catalog import Catalog, TableMeta, fold_identifier
-from database_migration_spark.plans.statement_stream import MigrationPlan, Statement
+from database_migration_spark.plans.statement_stream import (
+    MigrationPlan,
+    Section,
+    Statement,
+)
 from database_migration_spark.typemap import TypeMapPolicy, map_columns
 
 
@@ -50,7 +54,10 @@ def generate_migration_plan(
 
     tables_sec = plan.add_section("CREATE TABLES")
     keys_sec = plan.add_section("CONSTRAINTS (metadata only, not enforced)")
-    imports_sec = plan.add_section("IMPORTS")
+    # filled in the loop, appended AFTER the placement/comment sections —
+    # the reference's stream order (mysql_to_exasol.sql:352-367: dist 35,
+    # partition 37, comments 41-43 all precede the imports)
+    imports_sec = Section("IMPORTS")
 
     for t in sorted(catalog.tables, key=lambda x: (x.schema, x.table)):
         mapped = map_columns(t.columns, policy)
@@ -173,6 +180,8 @@ def generate_migration_plan(
                             f"IS {q1(c.comment)};"
                         )
                     )
+
+    plan.sections.append(imports_sec)
 
     # source views as a commented manual-review section
     # (mysql_to_exasol.sql:222-229: source SQL almost never ports verbatim)

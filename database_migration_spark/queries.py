@@ -1617,9 +1617,10 @@ def suggest_pk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The oracle derives the SAME statement stream from DuckDB's own catalog
 # (information_schema.columns over the registered views) — two engines, two
-# catalogs, one deterministic rendering. The PK/FK rows are the hand-fed fake
-# key catalog (TESTDATA_PK_ROWS/TESTDATA_FK_ROWS in parquet_source.py),
-# declared as VALUES here because parquet footers carry no constraints.
+# catalogs, one deterministic rendering. The PK/FK/comment/distribution rows
+# are the hand-fed fixture metadata catalog (TESTDATA_*_ROWS in
+# parquet_source.py), declared as VALUES here because parquet footers carry
+# none of it.
 # One literal row: DuckDB's information_schema reports events.ts as plain
 # TIMESTAMP (it converts TIMESTAMP_NS at scan), so the precision-9 warning —
 # which Spark derives from the parquet footer — cannot be derived from
@@ -1659,6 +1660,14 @@ fk(table_name, fk_name, fk_column, ref_table, ref_column, pos) AS (VALUES
   ('lineitem','LINEITEM_FK_ORDERS','l_orderkey','orders','o_orderkey',1),
   ('lineitem','LINEITEM_FK_PART','l_partkey','part','p_partkey',1),
   ('lineitem','LINEITEM_FK_SUPPLIER','l_suppkey','supplier','s_suppkey',1)
+),
+dist(table_name, column_name) AS (VALUES
+  ('lineitem','l_orderkey'),('orders','o_custkey')
+),
+com(table_name, sub, column_name, comment_text) AS (VALUES
+  ('documents', 0, NULL, 'raw text corpus for the pipeline operators'),
+  ('events', 2, 'ts', 'event time, nanosecond precision at source'),
+  ('embeddings', 2, 'embedding', '64-dim float vector')
 ),
 stmts AS (
   SELECT 0 AS sec, 0 AS item, '-- ============ WARNINGS ============' AS sql_text
@@ -1700,18 +1709,37 @@ stmts AS (
     FROM fk GROUP BY table_name, fk_name, ref_table
   ) keys
   UNION ALL
-  SELECT 4, 0, '-- ============ IMPORTS ============'
+  SELECT 4, 0, '-- ============ DISTRIBUTION / PARTITIONING ============'
   UNION ALL
   SELECT 4, CAST(row_number() OVER (ORDER BY table_name) AS INT),
+    'ALTER TABLE "TARGET"."' || upper(table_name) || '" DISTRIBUTE BY "' ||
+    upper(column_name) || '";'
+  FROM dist
+  UNION ALL
+  SELECT 5, 0, '-- ============ COMMENTS ============'
+  UNION ALL
+  SELECT 5, CAST(row_number() OVER (ORDER BY table_name, sub) AS INT),
+    CASE WHEN sub = 0
+      THEN 'COMMENT ON TABLE "TARGET"."' || upper(table_name) || '" IS ''' ||
+           replace(comment_text, '''', '''''') || ''';'
+      ELSE 'COMMENT ON COLUMN "TARGET"."' || upper(table_name) || '"."' ||
+           upper(column_name) || '" IS ''' ||
+           replace(comment_text, '''', '''''') || ''';'
+    END
+  FROM com
+  UNION ALL
+  SELECT 6, 0, '-- ============ IMPORTS ============'
+  UNION ALL
+  SELECT 6, CAST(row_number() OVER (ORDER BY table_name) AS INT),
     'IMPORT INTO "TARGET"."' || upper(table_name) ||
     '" FROM SOURCE STATEMENT ''SELECT ' ||
     string_agg('"' || column_name || '"', ', ' ORDER BY ordinal_position) ||
     ' FROM "MAIN"."' || table_name || '"'';'
   FROM cols GROUP BY table_name
   UNION ALL
-  SELECT 5, 0, '-- ============ DATA VALIDATION ============'
+  SELECT 7, 0, '-- ============ DATA VALIDATION ============'
   UNION ALL
-  SELECT 5, CAST(row_number() OVER (ORDER BY table_name) AS INT),
+  SELECT 7, CAST(row_number() OVER (ORDER BY table_name) AS INT),
     '-- -- validate: compute metric wide-row on source and "TARGET"."' ||
     upper(table_name) || '", compare, expect zero DEVIATION rows'
   FROM (SELECT DISTINCT table_name FROM cols) t

@@ -151,6 +151,25 @@ TESTDATA_FK_ROWS: list[dict] = [
     ]
 ]
 
+# table/column comments (DialectSpec.comment_sql row shape)
+TESTDATA_COMMENT_ROWS: list[dict] = [
+    {"schema_name": "MAIN", "table_name": "documents", "sub": 0,
+     "column_name": None, "comment_text": "raw text corpus for the pipeline operators"},
+    {"schema_name": "MAIN", "table_name": "events", "sub": 2,
+     "column_name": "ts", "comment_text": "event time, nanosecond precision at source"},
+    {"schema_name": "MAIN", "table_name": "embeddings", "sub": 2,
+     "column_name": "embedding", "comment_text": "64-dim float vector"},
+]
+
+# distribution keys (DialectSpec.dist_sql row shape): the fact tables
+# distribute on their join keys so fact⋈dim co-locates
+TESTDATA_DIST_ROWS: list[dict] = [
+    {"schema_name": "MAIN", "table_name": "lineitem",
+     "column_name": "l_orderkey", "column_position": 1},
+    {"schema_name": "MAIN", "table_name": "orders",
+     "column_name": "o_custkey", "column_position": 1},
+]
+
 
 class ParquetSource(SourceAdapter):
     DIALECT = "parquet"
@@ -182,7 +201,11 @@ class ParquetSource(SourceAdapter):
     ) -> Catalog:
         import pyarrow.parquet as pq
 
-        from database_migration_spark.catalog import attach_keys
+        from database_migration_spark.catalog import (
+            attach_comments,
+            attach_distribution,
+            attach_keys,
+        )
 
         tables = []
         for t in self.list_tables():
@@ -202,4 +225,6 @@ class ParquetSource(SourceAdapter):
         cat = Catalog(tables=tables).filter(schema_filter, table_filter)
         if include_keys:
             cat = attach_keys(cat, TESTDATA_PK_ROWS, TESTDATA_FK_ROWS)
+            cat = attach_comments(cat, TESTDATA_COMMENT_ROWS)
+            cat = attach_distribution(cat, TESTDATA_DIST_ROWS)
         return cat

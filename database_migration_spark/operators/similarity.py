@@ -365,7 +365,13 @@ def embedding_near_dup_pairs_bucketed(
     is for (cos ≥ 0.99 → p≈0.48, L=8 → 99.5%), and exact duplicates
     (identical vectors → identical signatures) are found with certainty.
     """
-    sig = hyperplane_buckets(df, id_col, vec_col, dim, bits, tables, seed)
+    from pyspark import StorageLevel
+
+    # both sides of the self-join consume the signatures; without a persist
+    # the Arrow/Python signature pass runs twice
+    sig = hyperplane_buckets(df, id_col, vec_col, dim, bits, tables, seed).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cand = (
         sig.select(F.col(id_col).alias("id_a"), "t", "b")
         .join(sig.select(F.col(id_col).alias("id_b"), "t", "b"), ["t", "b"])

@@ -36,6 +36,7 @@ def generate_migration_plan(
     include_validation: bool = True,
     views: list[dict] | None = None,
     partition_notes: list[str] | None = None,
+    constraint_state: str = "FORCE_DISABLE",
 ) -> MigrationPlan:
     """Catalog → ordered statement stream (dry-run object).
 
@@ -182,6 +183,50 @@ def generate_migration_plan(
                     )
 
     plan.sections.append(imports_sec)
+
+    # CONSTRAINT STATE (mysql_to_exasol.sql:201-204,364-366): keys were
+    # created DISABLED for a fast order-independent load; this post-load
+    # section sets their final state per policy
+    state = constraint_state.upper()
+    if state == "FORCE_ENABLE":
+        sw, note = "enable", "  -- forced ENABLE (target re-validates the data)"
+    elif state == "SET_AS_SOURCE":
+        sw, note = "enable", "  -- matches source (keys active)"
+    else:
+        sw, note = "disable", "  -- forced DISABLE (optimizer/BI metadata only; faster)"
+    keyed = [
+        t
+        for t in sorted(catalog.tables, key=lambda x: (x.schema, x.table))
+        if t.primary_key or t.foreign_keys
+    ]
+    if keyed:
+        st_sec = plan.add_section(
+            "CONSTRAINT STATE - run AFTER the data load "
+            "(keys created DISABLED for a fast, order-independent load)"
+        )
+        in_scope = {x.table for x in catalog.tables}
+        for t in keyed:
+            if t.primary_key:
+                tname = fold_identifier(t.table, fold)
+                pkname = fold_identifier(t.primary_key.name, fold)
+                st_sec.statements.append(
+                    Statement(
+                        f'ALTER TABLE "{tgt}"."{tname}" MODIFY CONSTRAINT '
+                        f'"{pkname}" {sw};{note}'
+                    )
+                )
+        for t in keyed:
+            tname = fold_identifier(t.table, fold)
+            for fk in sorted(t.foreign_keys, key=lambda k: k.name):
+                if fk.ref_table not in in_scope:
+                    continue
+                fkname = fold_identifier(fk.name, fold)
+                st_sec.statements.append(
+                    Statement(
+                        f'ALTER TABLE "{tgt}"."{tname}" MODIFY CONSTRAINT '
+                        f'"{fkname}" {sw};{note}'
+                    )
+                )
 
     # source views as a commented manual-review section
     # (mysql_to_exasol.sql:222-229: source SQL almost never ports verbatim)

@@ -1737,9 +1737,22 @@ stmts AS (
     ' FROM "MAIN"."' || table_name || '"'';'
   FROM cols GROUP BY table_name
   UNION ALL
-  SELECT 7, 0, '-- ============ DATA VALIDATION ============'
+  SELECT 7, 0, '-- ============ CONSTRAINT STATE - run AFTER the data load '
+    || '(keys created DISABLED for a fast, order-independent load) ============'
   UNION ALL
-  SELECT 7, CAST(row_number() OVER (ORDER BY table_name) AS INT),
+  SELECT 7, CAST(row_number() OVER (ORDER BY is_fk, table_name, cname) AS INT),
+    'ALTER TABLE "TARGET"."' || upper(table_name) || '" MODIFY CONSTRAINT "' ||
+    cname || '" disable;  -- forced DISABLE (optimizer/BI metadata only; faster)'
+  FROM (
+    SELECT DISTINCT table_name, 0 AS is_fk, upper(table_name) || '_PK' AS cname
+    FROM pk
+    UNION ALL
+    SELECT DISTINCT table_name, 1, fk_name FROM fk
+  ) ks
+  UNION ALL
+  SELECT 8, 0, '-- ============ DATA VALIDATION ============'
+  UNION ALL
+  SELECT 8, CAST(row_number() OVER (ORDER BY table_name) AS INT),
     '-- -- validate: compute metric wide-row on source and "TARGET"."' ||
     upper(table_name) || '", compare, expect zero DEVIATION rows'
   FROM (SELECT DISTINCT table_name FROM cols) t

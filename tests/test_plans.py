@@ -187,3 +187,16 @@ def test_distribution_partition_section():
 def test_plan_without_placement_metadata_unchanged():
     sql = generate_migration_plan(_catalog(), "tgt").to_sql()
     assert "DISTRIBUTE BY" not in sql and "PARTITION BY" not in sql
+
+
+def test_constraint_state_policies():
+    """Final CONSTRAINT STATE section (mysql_to_exasol.sql:201-204,364-366):
+    keys created DISABLED, post-load state set per policy."""
+    base = _catalog()
+    d = generate_migration_plan(base, "tgt").to_sql()
+    assert 'MODIFY CONSTRAINT "PK_T1" disable;  -- forced DISABLE' in d
+    assert d.index("IMPORT INTO") < d.index("MODIFY CONSTRAINT")
+    e = generate_migration_plan(base, "tgt", constraint_state="FORCE_ENABLE").to_sql()
+    assert 'MODIFY CONSTRAINT "PK_T1" enable;  -- forced ENABLE' in e
+    s = generate_migration_plan(base, "tgt", constraint_state="SET_AS_SOURCE").to_sql()
+    assert "matches source (keys active)" in s

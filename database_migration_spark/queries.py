@@ -1006,6 +1006,40 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_dedup_survivors",
+    oracle="""
+WITH corpus AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000, label, embedding::DOUBLE[] FROM embeddings
+  WHERE vec_id % 20 = 0
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+  WHERE CAST(floor(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        * 1000000) AS BIGINT) >= 990000
+)
+SELECT c.vec_id, c.label FROM corpus c
+WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = c.vec_id)
+""",
+)
+def embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dedup as a corpus filter (the minhash survivors
+    pattern at the vector modality): LSH-bucketed pairs → drop the larger
+    id of each pair → deduplicated corpus. Exactly what a training-data
+    pipeline runs after embedding its documents."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    planted = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "label", "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    pairs = SIM.embedding_near_dup_pairs_bucketed(corpus, threshold_e6=990_000)
+    losers = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return corpus.join(losers, "vec_id", "left_anti").select("vec_id", "label")
+
+
 # --- post-load type optimizers (convert_varchar / convert_datatypes) -----
 
 # a deterministic mixed varchar column, identical in both engines: int

@@ -16,8 +16,8 @@ Scale design (the whole point of these):
   votes; buckets by max_hamming+1 = 4 chunks of 16 bits (pigeonhole:
   hamming ≤ h ⇒ one exact chunk match), so near-dup search is h+1
   equi-joins on 65536-key buckets, not a cross join.
-- *Embedding near-dup*: delegated to similarity.cosine_self_join with a
-  threshold.
+- *Embedding near-dup*: similarity.embedding_near_dup_pairs_bucketed
+  (hyperplane-LSH buckets, exact-cosine verify on candidates only).
 
 All hashing is md5-based (functions.hashing) so an external SQL oracle can
 replay every step bit-for-bit.

@@ -15,8 +15,12 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
+import os
+
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_T2 = "/root/testdata/sf0.01"
+# the grading driver compares at sf0.01; override to re-run the whole gate
+# at another SF (robustness sweep for data-dependent divergence)
+SF_T2 = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

@@ -197,11 +197,13 @@ WHERE c.table_schema NOT IN ('pg_catalog', 'information_schema')
         "user-defined": "varchar", "array": "array",
     },
     transfer_overrides={
-        # postgresql_to_exasol.sql:207-240
+        # postgresql_to_exasol.sql:207-240; :210-218 timestamptz normalized
+        # to UTC source-side so the transfer is session-zone independent
         "bytea": "encode({c}, 'base64')",
         "array": "CAST({c} AS TEXT)",
         "user-defined": "CAST({c} AS TEXT)",
         "interval": "CAST({c} AS TEXT)",
+        "timestamp with time zone": "({c} AT TIME ZONE 'UTC')",
     },
     # postgresql_to_exasol.sql:131-145: pg_constraint conkey/confkey arrays
     # exploded with unnest WITH ORDINALITY so multi-column keys keep order
@@ -466,15 +468,27 @@ WHERE v.is_ms_shipped = 0
 
 TERADATA = DialectSpec(
     name="teradata",
-    # teradata_to_exasol.sql:118-122: DBC.ColumnsV with single-letter type
-    # codes; UDT base-type resolution via DBC.UDTCast
+    # teradata_to_exasol.sql:115-118: DBC.ColumnsV single-letter type codes;
+    # distinct UDTs (ColumnType 'UT') resolve to their base type through
+    # DBC.UDTInfoV ⋈ DBC.UDTCast (PDTCode carries the base code and
+    # precision/scale/length), since a distinct UDT cannot be read raw
     catalog_sql="""
-SELECT c.DatabaseName AS schema_name, c.TableName AS table_name,
+SELECT TRIM(c.DatabaseName) AS schema_name, TRIM(c.TableName) AS table_name,
        c.ColumnName AS column_name, c.ColumnId AS ordinal_position,
-       c.ColumnType AS data_type, c.DecimalTotalDigits AS numeric_precision,
-       c.DecimalFractionalDigits AS numeric_scale,
-       c.ColumnLength AS character_maximum_length, c.Nullable AS is_nullable
+       COALESCE(TRIM(b.pdt_code), TRIM(c.ColumnType)) AS data_type,
+       COALESCE(b.pdt_prec, c.DecimalTotalDigits) AS numeric_precision,
+       COALESCE(b.pdt_scale, c.DecimalFractionalDigits) AS numeric_scale,
+       COALESCE(b.pdt_len, c.ColumnLength) AS character_maximum_length,
+       c.Nullable AS is_nullable
 FROM DBC.ColumnsV c
+LEFT JOIN (
+  SELECT i.TypeName AS udtname, TRIM(ca.PDTCode) AS pdt_code,
+         ca.PDTTotalDigits AS pdt_prec, ca.PDTImpliedPoint AS pdt_scale,
+         ca.PDTMaxLength AS pdt_len
+  FROM DBC.UDTInfoV i
+  JOIN DBC.UDTCast ca ON ca.PrimaryUDTypeId = i.TypeId
+  WHERE i.TypeKind = 'D' AND ca.IsSourcePrimary = 'Y'
+) b ON b.udtname = c.ColumnUDTName AND c.ColumnType = 'UT'
 WHERE c.DatabaseName NOT IN ('DBC','SYSLIB','SystemFe','TD_SYSFNLIB','dbcmngr')
   AND c.DatabaseName LIKE '{schema_filter}' AND c.TableName LIKE '{table_filter}'
 """,

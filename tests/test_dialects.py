@@ -323,3 +323,19 @@ def test_comment_view_query_shape(spark, name):
     v = ad.view_query("MY_SCHEMA", "MY_TABLE").lower()
     for col in ["schema_name", "view_name", "view_def"]:
         assert col in v, f"{name} view sql missing {col}"
+
+
+def test_teradata_udt_base_resolution_in_catalog(spark):
+    """Distinct UDTs (ColumnType 'UT') resolve to base codes through
+    DBC.UDTCast (teradata_to_exasol.sql:115-118)."""
+    ad = JdbcSourceAdapter(spark, "teradata")
+    sql = ad.catalog_query()
+    assert "DBC.UDTCast" in sql and "ColumnType = 'UT'" in sql
+    assert "COALESCE(TRIM(b.pdt_code), TRIM(c.ColumnType))" in sql
+
+
+def test_postgres_timestamptz_transfers_as_utc(spark):
+    ad = JdbcSourceAdapter(spark, "postgresql")
+    assert ad.type_map("timestamp with time zone").transfer_expr == (
+        "({c} AT TIME ZONE 'UTC')"
+    )

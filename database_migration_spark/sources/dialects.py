@@ -267,6 +267,41 @@ REDSHIFT = DialectSpec(
     catalog_sql=_info_schema(frozenset({"pg_catalog", "information_schema"})),
     system_schemas=frozenset({"pg_catalog", "information_schema"}),
     type_aliases=dict(POSTGRESQL.type_aliases),
+    # Redshift keys are informational (not enforced) but still drive the
+    # target's constraint metadata; standard information_schema shapes.
+    pk_sql="""
+SELECT tc.table_schema AS schema_name, tc.table_name,
+       tc.constraint_name, kcu.column_name,
+       kcu.ordinal_position AS column_position
+FROM information_schema.table_constraints tc
+JOIN information_schema.key_column_usage kcu
+  ON kcu.constraint_name = tc.constraint_name
+ AND kcu.table_schema = tc.table_schema AND kcu.table_name = tc.table_name
+WHERE tc.constraint_type = 'PRIMARY KEY'
+  AND tc.table_schema NOT IN ('pg_catalog', 'information_schema')
+  AND tc.table_schema LIKE '{schema_filter}' AND tc.table_name LIKE '{table_filter}'
+""",
+    # constraint_column_usage carries no ordinal — single-column FKs map
+    # exactly; multi-column FK column pairing is positional best-effort
+    fk_sql="""
+SELECT tc.table_schema AS schema_name, tc.table_name,
+       tc.constraint_name AS fk_name, kcu.column_name AS fk_column,
+       ccu.table_schema AS ref_schema, ccu.table_name AS ref_table,
+       ccu.column_name AS ref_column, kcu.ordinal_position AS col_position
+FROM information_schema.table_constraints tc
+JOIN information_schema.key_column_usage kcu
+  ON kcu.constraint_name = tc.constraint_name
+ AND kcu.table_schema = tc.table_schema AND kcu.table_name = tc.table_name
+JOIN information_schema.referential_constraints rc
+  ON rc.constraint_name = tc.constraint_name
+ AND rc.constraint_schema = tc.table_schema
+JOIN information_schema.constraint_column_usage ccu
+  ON ccu.constraint_name = rc.unique_constraint_name
+ AND ccu.constraint_schema = rc.unique_constraint_schema
+WHERE tc.constraint_type = 'FOREIGN KEY'
+  AND tc.table_schema NOT IN ('pg_catalog', 'information_schema')
+  AND tc.table_schema LIKE '{schema_filter}' AND tc.table_name LIKE '{table_filter}'
+""",
 )
 
 ORACLE = DialectSpec(
@@ -710,6 +745,28 @@ WHERE c.SCHEMA_NAME NOT LIKE 'SYS%' AND c.SCHEMA_NAME NOT LIKE '_SYS%'
         "st_geometry": "{c}.ST_AsWKT()",
         "st_point": "{c}.ST_AsWKT()",
     },
+    # SYS.CONSTRAINTS flags PK rows; SYS.REFERENTIAL_CONSTRAINTS carries the
+    # referenced side with POSITION ordinals
+    pk_sql="""
+SELECT c.SCHEMA_NAME AS schema_name, c.TABLE_NAME AS table_name,
+       c.CONSTRAINT_NAME AS constraint_name, c.COLUMN_NAME AS column_name,
+       c.POSITION AS column_position
+FROM SYS.CONSTRAINTS c
+WHERE c.IS_PRIMARY_KEY = 'TRUE'
+  AND c.SCHEMA_NAME NOT LIKE 'SYS%' AND c.SCHEMA_NAME NOT LIKE '_SYS%'
+  AND c.SCHEMA_NAME LIKE '{schema_filter}' AND c.TABLE_NAME LIKE '{table_filter}'
+""",
+    fk_sql="""
+SELECT r.SCHEMA_NAME AS schema_name, r.TABLE_NAME AS table_name,
+       r.CONSTRAINT_NAME AS fk_name, r.COLUMN_NAME AS fk_column,
+       r.REFERENCED_SCHEMA_NAME AS ref_schema,
+       r.REFERENCED_TABLE_NAME AS ref_table,
+       r.REFERENCED_COLUMN_NAME AS ref_column,
+       r.POSITION AS col_position
+FROM SYS.REFERENTIAL_CONSTRAINTS r
+WHERE r.SCHEMA_NAME NOT LIKE 'SYS%' AND r.SCHEMA_NAME NOT LIKE '_SYS%'
+  AND r.SCHEMA_NAME LIKE '{schema_filter}' AND r.TABLE_NAME LIKE '{table_filter}'
+""",
 )
 
 NETEZZA = DialectSpec(
@@ -731,6 +788,27 @@ WHERE c.TYPE = 'TABLE' AND c.SCHEMA NOT IN ('INFORMATION_SCHEMA', 'DEFINITION_SC
         "varbinary": "RAWTOHEX({c})",
         "st_geometry": "inza..ST_AsText({c})",
     },
+    # _v_relation_keydata carries both kinds: contype 'p'/'f', CONSEQ
+    # ordinal, PK* columns for the referenced side of FKs
+    pk_sql="""
+SELECT k.SCHEMA AS schema_name, k.RELATION AS table_name,
+       k.CONSTRAINTNAME AS constraint_name, k.ATTNAME AS column_name,
+       k.CONSEQ AS column_position
+FROM _V_RELATION_KEYDATA k
+WHERE k.CONTYPE = 'p'
+  AND k.SCHEMA NOT IN ('INFORMATION_SCHEMA', 'DEFINITION_SCHEMA')
+  AND k.SCHEMA LIKE '{schema_filter}' AND k.RELATION LIKE '{table_filter}'
+""",
+    fk_sql="""
+SELECT k.SCHEMA AS schema_name, k.RELATION AS table_name,
+       k.CONSTRAINTNAME AS fk_name, k.ATTNAME AS fk_column,
+       k.PKSCHEMA AS ref_schema, k.PKRELATION AS ref_table,
+       k.PKATTNAME AS ref_column, k.CONSEQ AS col_position
+FROM _V_RELATION_KEYDATA k
+WHERE k.CONTYPE = 'f'
+  AND k.SCHEMA NOT IN ('INFORMATION_SCHEMA', 'DEFINITION_SCHEMA')
+  AND k.SCHEMA LIKE '{schema_filter}' AND k.RELATION LIKE '{table_filter}'
+""",
 )
 
 SNOWFLAKE = DialectSpec(
@@ -792,6 +870,26 @@ WHERE c.table_schema NOT IN ('v_catalog', 'v_monitor', 'v_internal')
 """,
     system_schemas=frozenset({"v_catalog", "v_monitor", "v_internal"}),
     type_aliases={"long varchar": "text", "long varbinary": "blob"},
+    # v_catalog exposes dedicated key views with ordinals
+    pk_sql="""
+SELECT p.table_schema AS schema_name, p.table_name,
+       p.constraint_name, p.column_name,
+       p.ordinal_position AS column_position
+FROM v_catalog.primary_keys p
+WHERE p.table_schema NOT IN ('v_catalog', 'v_monitor', 'v_internal')
+  AND p.table_schema LIKE '{schema_filter}' AND p.table_name LIKE '{table_filter}'
+""",
+    fk_sql="""
+SELECT f.table_schema AS schema_name, f.table_name,
+       f.constraint_name AS fk_name, f.column_name AS fk_column,
+       f.reference_table_schema AS ref_schema,
+       f.reference_table_name AS ref_table,
+       f.reference_column_name AS ref_column,
+       f.ordinal_position AS col_position
+FROM v_catalog.foreign_keys f
+WHERE f.table_schema NOT IN ('v_catalog', 'v_monitor', 'v_internal')
+  AND f.table_schema LIKE '{schema_filter}' AND f.table_name LIKE '{table_filter}'
+""",
 )
 
 VECTORWISE = DialectSpec(

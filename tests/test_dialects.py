@@ -194,8 +194,13 @@ FK_COLS = [
 def test_major_dialects_have_key_queries():
     # the reference migrates keys for at least these scripts
     # (mysql :113, postgresql :131, oracle :336, sqlserver :228,
-    #  teradata :120, db2 :106)
-    for need in ["mysql", "mariadb", "postgresql", "oracle", "sqlserver", "teradata", "db2", "exasol"]:
+    #  teradata :120, db2 :106); we extend to every source whose catalog
+    #  publishes constraint views (bigquery/clickhouse/vectorwise/snowflake
+    #  have no SQL-queryable key catalogs)
+    for need in [
+        "mysql", "mariadb", "postgresql", "oracle", "sqlserver", "teradata",
+        "db2", "exasol", "redshift", "vertica", "saphana", "netezza",
+    ]:
         assert need in KEYED_DIALECTS
 
 

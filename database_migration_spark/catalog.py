@@ -112,11 +112,12 @@ def attach_keys(
     pk_by_table: dict[tuple[str, str], list[dict]] = {}
     for r in pk_rows:
         pk_by_table.setdefault((r["schema_name"], r["table_name"]), []).append(r)
-    fk_by_name: dict[tuple[str, str, str], list[dict]] = {}
+    # grouped per table up front: attachment stays O(rows), not
+    # O(tables × FK-groups) on wide catalogs
+    fk_by_table: dict[tuple[str, str], dict[str, list[dict]]] = {}
     for r in fk_rows:
-        fk_by_name.setdefault(
-            (r["schema_name"], r["table_name"], str(r["fk_name"])), []
-        ).append(r)
+        tkey = (r["schema_name"], r["table_name"])
+        fk_by_table.setdefault(tkey, {}).setdefault(str(r["fk_name"]), []).append(r)
 
     def pos(r: dict, key: str, idx: int) -> tuple[int, int]:
         v = r.get(key)
@@ -136,13 +137,11 @@ def attach_keys(
                 columns=tuple(r["column_name"] for r in rows),
             )
         fks = []
-        for (s, tb, fkn), rs in sorted(fk_by_name.items()):
-            if (s, tb) != tkey:
-                continue
+        for fkn, rs in sorted(fk_by_table.get(tkey, {}).items()):
             rs = [r for _, r in sorted((pos(r, "col_position", i), r) for i, r in enumerate(rs))]
             fks.append(
                 KeyMeta(
-                    schema=s, table=tb, name=fkn, kind="FOREIGN KEY",
+                    schema=t.schema, table=t.table, name=fkn, kind="FOREIGN KEY",
                     columns=tuple(r["fk_column"] for r in rs),
                     ref_schema=rs[0].get("ref_schema"),
                     ref_table=rs[0].get("ref_table"),

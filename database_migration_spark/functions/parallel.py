@@ -31,14 +31,24 @@ def fan_out(df: DataFrame, n: int | None = None) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = n or sc.defaultParallelism
+    max_pb = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes default
+    # sources without statistics (JDBC relations) report
+    # spark.sql.defaultSizeInBytes = Long.MaxValue — that is "unknown",
+    # NOT "huge"; treating it as huge would leave a 1-partition JDBC read
+    # unfanned, the exact pathology this helper exists to prevent
+    unknown = 1 << 60
+    est = None
     try:
         est = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
         )
-        max_pb = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes default
-        if est >= target * max_pb:
-            return df
     except Exception:  # noqa: BLE001 — estimation is best-effort
-        if df.rdd.getNumPartitions() >= target:
-            return df
+        pass
+    if est is not None and unknown > est >= target * max_pb:
+        return df  # genuinely big: already scans wide, don't move the table
+    # small or unknown: the exact partition-count check (one plan→RDD
+    # conversion) decides — it both catches the unfanned 1-partition JDBC
+    # read and prevents a redundant shuffle on an already-wide input
+    if df.rdd.getNumPartitions() >= target:
+        return df
     return df.repartition(target)

@@ -92,14 +92,19 @@ def metric_exprs(
         if isinstance(dt, _EXACT_NUMERIC):
             # SUM only over exact numerics to stay cross-system comparable
             # (the reference sums over Decimal to avoid wraparound —
-            # README.md:155-162). Accumulate at DECIMAL(28,6) — the sum's
-            # result type hits the (38,6) cap, which skips per-row precision
-            # promotion and measures ~40% faster than casting to (38,6)
-            # up front; 10^22 of integer headroom still cannot wrap on any
-            # real table, and past it Spark fails loudly (ANSI), never
-            # silently. Output string is identical either way.
+            # README.md:155-162). The accumulator precision is dtype-aware:
+            # int32-and-smaller inputs accumulate at DECIMAL(28,6) — the
+            # sum's result type already hits the (38,6) cap, which skips
+            # per-row precision promotion (~40% faster) and 10^22 of
+            # headroom cannot wrap for ≤4-byte values even at 10^12 rows —
+            # while BIGINT and wide DECIMAL inputs keep the full (38,6)
+            # cast (10^32 headroom): their values can legitimately sum past
+            # 10^22 and an ANSI overflow would kill the whole metric job.
+            # Output strings are identical in either path.
+            narrow = isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType))
+            acc = T.DecimalType(28, 6) if narrow else T.DecimalType(38, 6)
             exprs.append(
-                F.sum(col.cast(T.DecimalType(28, 6)))
+                F.sum(col.cast(acc))
                 .cast(T.DecimalType(38, 6))
                 .cast("string")
                 .alias(f"{METRIC_SUM}__{c}")

@@ -53,10 +53,17 @@ class S3Lister:
         # empty folder → '*' so the combined fnmatch pattern still works
         # (s3_to_exasol.sql:53-55); the reference concatenates folder+filter
         folder = folder_name or "*"
+        # a glob-free folder is a literal key prefix: push it down as
+        # Prefix so S3 lists only that subtree instead of the whole bucket
+        # (the reference filtered client-side; server-side is strictly
+        # better and changes no result). fnmatch still applies on top.
+        prefix = folder_name if not any(ch in folder_name for ch in "*?[") else ""
         out: list[ListingRow] = []
         token = None
         while True:
             kwargs = {"Bucket": self.bucket}
+            if prefix:
+                kwargs["Prefix"] = prefix
             if token:
                 kwargs["ContinuationToken"] = token
             resp = self.client.list_objects_v2(**kwargs)

@@ -101,11 +101,13 @@ MYSQL = DialectSpec(
         "bit": "CAST({c} AS UNSIGNED)",
     },
     quote_char="`",
-    # mysql_to_exasol.sql:113-115: key_column_usage; PK rows are the
-    # constraint literally named 'PRIMARY', FK rows have referenced_* set
+    # mysql_to_exasol.sql:113-115: key_column_usage; every MySQL PK is
+    # literally named 'PRIMARY' — NOT unique across tables — so no name is
+    # emitted and attach_keys synthesizes {TABLE}_PK like the reference
+    # (mysql_to_exasol.sql:335)
     pk_sql="""
 SELECT table_schema AS schema_name, table_name,
-       constraint_name, column_name,
+       CAST(NULL AS CHAR) AS constraint_name, column_name,
        ordinal_position AS column_position
 FROM information_schema.key_column_usage
 WHERE constraint_name = 'PRIMARY'
@@ -281,13 +283,15 @@ WHERE tc.constraint_type = 'PRIMARY KEY'
   AND tc.table_schema NOT IN ('pg_catalog', 'information_schema')
   AND tc.table_schema LIKE '{schema_filter}' AND tc.table_name LIKE '{table_filter}'
 """,
-    # constraint_column_usage carries no ordinal — single-column FKs map
-    # exactly; multi-column FK column pairing is positional best-effort
+    # referenced columns come from the unique constraint's OWN
+    # key_column_usage rows, paired through position_in_unique_constraint —
+    # exact multi-column ordering (constraint_column_usage has no ordinal
+    # and would cross-product an N-column FK)
     fk_sql="""
 SELECT tc.table_schema AS schema_name, tc.table_name,
        tc.constraint_name AS fk_name, kcu.column_name AS fk_column,
-       ccu.table_schema AS ref_schema, ccu.table_name AS ref_table,
-       ccu.column_name AS ref_column, kcu.ordinal_position AS col_position
+       kr.table_schema AS ref_schema, kr.table_name AS ref_table,
+       kr.column_name AS ref_column, kcu.ordinal_position AS col_position
 FROM information_schema.table_constraints tc
 JOIN information_schema.key_column_usage kcu
   ON kcu.constraint_name = tc.constraint_name
@@ -295,9 +299,10 @@ JOIN information_schema.key_column_usage kcu
 JOIN information_schema.referential_constraints rc
   ON rc.constraint_name = tc.constraint_name
  AND rc.constraint_schema = tc.table_schema
-JOIN information_schema.constraint_column_usage ccu
-  ON ccu.constraint_name = rc.unique_constraint_name
- AND ccu.constraint_schema = rc.unique_constraint_schema
+JOIN information_schema.key_column_usage kr
+  ON kr.constraint_name = rc.unique_constraint_name
+ AND kr.constraint_schema = rc.unique_constraint_schema
+ AND kr.ordinal_position = kcu.position_in_unique_constraint
 WHERE tc.constraint_type = 'FOREIGN KEY'
   AND tc.table_schema NOT IN ('pg_catalog', 'information_schema')
   AND tc.table_schema LIKE '{schema_filter}' AND tc.table_name LIKE '{table_filter}'

@@ -59,12 +59,19 @@ class JdbcSourceAdapter(SourceAdapter):
     # --- quoting ----------------------------------------------------------
     def quote(self, identifier: str) -> str:
         q = self.spec.quote_char
-        if q == "[":  # SQL Server brackets; db.schema composites (the
-            # per-database catalog qualifier) quote each part
-            return ".".join(
-                "[" + p.replace("]", "]]") + "]" for p in identifier.split(".")
-            )
+        if q == "[":  # SQL Server brackets
+            return "[" + identifier.replace("]", "]]") + "]"
         return q + identifier.replace(q, q + q) + q
+
+    def quote_schema(self, schema: str) -> str:
+        """Schema qualifier quoting. The multi-DB expansion synthesizes
+        composite 'db.schema' schema names (sqlserver spec); each part
+        quotes separately so the remote reference is [db].[schema]. Only
+        the schema qualifier gets this treatment — table/column names keep
+        plain quoting (a dot inside THOSE is a legal identifier char)."""
+        if self.spec.quote_char == "[" and "." in schema:
+            return ".".join(self.quote(p) for p in schema.split(".", 1))
+        return self.quote(schema)
 
     # --- types ------------------------------------------------------------
     def normalize_type(self, raw: str) -> str:
@@ -182,17 +189,26 @@ class JdbcSourceAdapter(SourceAdapter):
         self,
         schema_filter: str = "%",
         table_filter: str = "%",
-        include_keys: bool = True,
+        include_metadata: bool = True,
         databases: list[str] | None = None,
         db_filter: str = "%",
+        include_keys: bool | None = None,
     ) -> Catalog:
+        """Columns always; with ``include_metadata`` also keys, comments
+        and distribution (extra catalog queries — set False for a plain
+        column scan, e.g. under a login without catalog-view privileges).
+        ``include_keys`` is the deprecated alias for the same switch."""
+        if include_keys is not None:
+            include_metadata = include_keys
         if databases is None and "{database}" in self.spec.catalog_sql:
             databases = self.list_databases(db_filter)
         sql = self._maybe_expand(
             self.catalog_query(schema_filter, table_filter), databases
         )
         cat = self.catalog_from_rows(self._fetch_rows(sql))
-        if include_keys and self.spec.pk_sql is not None:
+        if not include_metadata:
+            return cat
+        if self.spec.pk_sql is not None:
             pk_sql = self._maybe_expand(
                 self.pk_query(schema_filter, table_filter), databases
             )
@@ -266,7 +282,7 @@ class JdbcSourceAdapter(SourceAdapter):
             exprs.append(mt.transfer_expr.format(c=self.quote(col.name)))
         return (
             f"SELECT {', '.join(exprs)} FROM "
-            f"{self.quote(table.schema)}.{self.quote(table.table)}"
+            f"{self.quote_schema(table.schema)}.{self.quote(table.table)}"
         )
 
     def read_table(

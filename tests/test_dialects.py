@@ -172,8 +172,10 @@ def test_sqlserver_multi_db_scan_unions_catalogs(spark):
     ]
     # keys resolved per database, same-named tables kept distinct
     assert {t.primary_key.name for t in cat.tables} == {"pk_crm", "pk_erp", "pk_hr"}
-    # composite schema quotes as [db].[schema]
-    assert ad.quote("erp.dbo") == "[erp].[dbo]"
+    # composite schema quotes as [db].[schema]; plain identifiers with a
+    # dot are NOT split (only the synthetic schema qualifier is composite)
+    assert ad.quote_schema("erp.dbo") == "[erp].[dbo]"
+    assert ad.quote("amount.usd") == "[amount.usd]"
     sql = ad.transfer_select(cat.tables[0])
     assert sql.endswith("FROM [crm].[dbo].[t]")
 

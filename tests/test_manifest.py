@@ -183,6 +183,8 @@ def test_s3_lister_pagination_filter_markers():
     rows = lister("in/", "*.csv")
     # both pages walked (s3_to_exasol.sql:44-50 ContinuationToken loop)
     assert len(client.calls) == 2 and client.calls[1]["ContinuationToken"] == "t1"
+    # literal folder pushed down as server-side Prefix
+    assert client.calls[0]["Prefix"] == "in/"
     # marker key skipped, folder+filter fnmatch applied, s3a URIs emitted
     assert [r["file_name"] for r in rows] == [
         "s3a://bkt/in/a.csv",

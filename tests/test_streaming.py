@@ -80,3 +80,69 @@ def test_stream_merge_upsert(spark, tmp_path):
     assert out[1] == "a" and out[3] == "c"
     assert out[2] in ("b", "B")  # batch order is nondeterministic across files
     assert len(out) == 3
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append mode + watermark: a window emits once the watermark passes its
+    end, and an event arriving BEHIND the watermark is dropped — the
+    late-data semantics the reference's batch MERGE can't express."""
+    from database_migration_spark.streaming.delta_stream import windowed_event_agg
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    schema = "event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE"
+    batches = [
+        # window [00:00, 00:05): two on-time clicks
+        [(1, "2024-01-01 00:01:00", 10, "click", 1.0),
+         (2, "2024-01-01 00:02:00", 10, "click", 2.0)],
+        # advances the watermark to 00:30 - 10min = 00:20 > 00:05
+        [(3, "2024-01-01 00:30:00", 11, "click", 4.0)],
+        # watermark advancement propagates with one batch of lag — this
+        # batch runs with wm=00:20 active and finalizes the first window
+        [(4, "2024-01-01 00:40:00", 11, "click", 5.0)],
+        # far behind the watermark -> dropped, not re-aggregated
+        [(5, "2024-01-01 00:03:00", 12, "click", 100.0)],
+    ]
+    import os
+    import time
+
+    base = time.time() - 1000
+    for i, rows in enumerate(batches):
+        d = src / f"b{i}"
+        (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(d))
+        )
+        # the file source processes oldest-mtime first; pin arrival order so
+        # the watermark has advanced BEFORE the late batch arrives
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (base + i * 60, base + i * 60))
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    agg = windowed_event_agg(stream, window="5 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_agg")
+        .outputMode("append")  # only watermark-finalized windows emit
+        .option("checkpointLocation", str(tmp_path / "ck_late"))
+        .start()
+    )
+    q.processAllAvailable()
+    emitted = [
+        (str(r.window_start), r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM late_agg").collect()
+        if str(r.window_start) == "2024-01-01 00:00:00"
+    ]
+    q.stop()
+    # the finalized first window contains ONLY the two on-time events, and
+    # the late value=100 event neither re-opened it nor emitted a new row
+    assert emitted == [("2024-01-01 00:00:00", 2, 3.0)]

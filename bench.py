@@ -66,7 +66,13 @@ def main() -> int:
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
-        dt = min(run(name), run(name))
+        laps = [run(name), run(name)]
+        # a host stall can poison both laps of one query; when they
+        # disagree badly the state of the machine — not the plan — is
+        # being measured, so take one more sample
+        if max(laps) > 2 * min(laps):
+            laps.append(run(name))
+        dt = min(laps)
         timings[name] = round(dt, 4)
         total += dt
 

@@ -88,7 +88,21 @@ class MigrationPlanner:
         self, target_schema: str, schema_filter: str = "%", table_filter: str = "%"
     ) -> tuple[Catalog, MigrationPlan]:
         cat = self.scan(schema_filter, table_filter)
-        return cat, generate_migration_plan(cat, target_schema, self.policy)
+        views = None
+        notes = None
+        # JDBC adapters expose source views / partition metadata; the plan
+        # then carries the reference's review sections end-to-end
+        if hasattr(self.adapter, "fetch_views"):
+            views = self.adapter.fetch_views(schema_filter, table_filter) or None
+        if hasattr(self.adapter, "fetch_partitions"):
+            rows = self.adapter.fetch_partitions(schema_filter, table_filter)
+            if rows:
+                from database_migration_spark.catalog import attach_partitions
+
+                cat, notes = attach_partitions(cat, rows)
+        return cat, generate_migration_plan(
+            cat, target_schema, self.policy, views=views, partition_notes=notes
+        )
 
 
 class MigrationRunner:

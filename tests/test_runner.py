@@ -60,3 +60,47 @@ def test_constraint_statement_stream(spark):
     sql = constraint_statements(cat, "TGT").to_sql()
     assert 'ADD PRIMARY KEY ("id") DISABLE' in sql
     assert 'REFERENCES "TGT"."other" ("oid") DISABLE' in sql
+
+
+def test_planner_carries_views_and_partitions(spark):
+    """MigrationPlanner surfaces adapter-provided views and partition
+    metadata in the statement stream end-to-end."""
+    from database_migration_spark.runner import MigrationPlanner
+    from database_migration_spark.sources.jdbc import JdbcSourceAdapter
+
+    class FakeMysql(JdbcSourceAdapter):
+        def _fetch_rows(self, sql):
+            if "information_schema.columns" in sql and "key_column_usage" not in sql:
+                return [
+                    {"schema_name": "app", "table_name": "t", "column_name": "id",
+                     "ordinal_position": 1, "data_type": "bigint",
+                     "is_nullable": "NO"}
+                ]
+            if "key_column_usage" in sql and "referenced" not in sql.lower():
+                return [
+                    {"schema_name": "app", "table_name": "t",
+                     "constraint_name": None, "column_name": "id",
+                     "column_position": 1}
+                ]
+            if "information_schema.views" in sql:
+                return [
+                    {"schema_name": "app", "view_name": "v1",
+                     "view_def": "SELECT id FROM t"}
+                ]
+            if "information_schema.partitions" in sql:
+                return [
+                    {"schema_name": "app", "table_name": "t",
+                     "partition_method": "HASH", "partition_expression": "`id`"},
+                    {"schema_name": "app", "table_name": "t2",
+                     "partition_method": "RANGE",
+                     "partition_expression": "to_days(d)"},
+                ]
+            return []
+
+    planner = MigrationPlanner(FakeMysql(spark, "mysql"))
+    cat, plan = planner.plan("TGT")
+    sql = plan.to_sql()
+    assert 'ADD CONSTRAINT "T_PK" PRIMARY KEY ("ID")' in sql  # synthesized name
+    assert 'PARTITION BY "ID";' in sql
+    assert "to_days(d)) not auto-mapped" in sql
+    assert "-- app.v1" in sql and "-- SELECT id FROM t" in sql

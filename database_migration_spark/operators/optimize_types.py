@@ -34,6 +34,10 @@ RE_BOOL = r"^(?i)(true|false|t|f|0|1|y|n|yes|no)$"
 RE_DATEISH = r"^\d{1,4}[-/.]\d{1,2}[-/.]\d{1,4}([ T].*)?$"
 RE_LEADING_ZERO = r"^0\d"  # id-like: keep as text (convert_varchar.sql:433)
 RE_PLUS = r"^\+"
+# interval shapes (convert_varchar.sql:445-456 IS_DSINTERVAL/IS_YMINTERVAL):
+# day-to-second 'D HH:MM:SS[.ffffff]' and year-to-month 'Y-M'
+RE_DSINT = r"^[-+]?\d+ \d{1,2}:\d{2}:\d{2}(\.\d+)?$"
+RE_YMINT = r"^[-+]?\d+-\d{1,2}$"
 
 DATE_FORMATS = [  # candidate formats for the probe (convert_varchar.sql:119-145)
     ("yyyy-MM-dd", "%Y-%m-%d"),
@@ -54,6 +58,8 @@ def classify_expr(col: Column) -> Column:
         .when(col.rlike(RE_DEC), "DEC")
         .when(col.rlike(RE_DBL), "DBL")
         .when(col.rlike(RE_DATEISH), "DATEISH")
+        .when(col.rlike(RE_DSINT), "DSINT")
+        .when(col.rlike(RE_YMINT), "YMINT")
         .when(col.rlike(RE_BOOL), "BOOL")
         .otherwise("OTH")
     )
@@ -74,7 +80,7 @@ def classify_varchar_agg(df: DataFrame, column: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         *[
             F.sum((cls == k).cast("long")).alias(f"n_{k.lower()}")
-            for k in ["NULL", "INT", "DEC", "DBL", "DATEISH", "BOOL", "OTH"]
+            for k in ["NULL", "INT", "DEC", "DBL", "DATEISH", "DSINT", "YMINT", "BOOL", "OTH"]
         ],
         F.max(F.when(is_num, int_digits)).alias("max_int_digits"),
         F.max(F.when(is_num, frac_digits)).alias("max_frac_digits"),
@@ -97,6 +103,8 @@ def classify_varchar_oracle_sql(relation: str, column: str) -> str:
         f"WHEN {m(RE_DEC)} THEN 'DEC' "
         f"WHEN {m(RE_DBL)} THEN 'DBL' "
         f"WHEN {m(RE_DATEISH)} THEN 'DATEISH' "
+        f"WHEN {m(RE_DSINT)} THEN 'DSINT' "
+        f"WHEN {m(RE_YMINT)} THEN 'YMINT' "
         f"WHEN {m(RE_BOOL)} THEN 'BOOL' "
         f"ELSE 'OTH' END"
     )
@@ -109,7 +117,7 @@ def classify_varchar_oracle_sql(relation: str, column: str) -> str:
     # CAST sums to BIGINT: DuckDB sums integers into HUGEINT, Spark into
     # BIGINT — align the declared types, not just the values
     parts = [f"count(*) AS n"]
-    for k in ["NULL", "INT", "DEC", "DBL", "DATEISH", "BOOL", "OTH"]:
+    for k in ["NULL", "INT", "DEC", "DBL", "DATEISH", "DSINT", "YMINT", "BOOL", "OTH"]:
         parts.append(
             f"CAST(sum(CASE WHEN {cls} = '{k}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{k.lower()}"
         )
@@ -211,6 +219,16 @@ def propose_varchar_conversion(
     if stats["n_bool"] == nn:
         return TypeProposal(column, "varchar", "BOOLEAN",
                             f"CAST({q} AS BOOLEAN)", "all values boolean-like")
+    # interval proposals (the reference's IS_DSINTERVAL/IS_YMINTERVAL
+    # branches; Spark's DayTimeIntervalType/YearMonthIntervalType)
+    if stats.get("n_dsint", 0) == nn:
+        return TypeProposal(column, "varchar", "INTERVAL DAY TO SECOND",
+                            f"CAST({q} AS INTERVAL DAY TO SECOND)",
+                            "all values day-time intervals")
+    if stats.get("n_ymint", 0) == nn:
+        return TypeProposal(column, "varchar", "INTERVAL YEAR TO MONTH",
+                            f"CAST({q} AS INTERVAL YEAR TO MONTH)",
+                            "all values year-month intervals")
     if stats["n_dateish"] == nn and probe and probe["winners"] and not probe["ambiguous"]:
         fmt = probe["winners"][0]
         return TypeProposal(column, "varchar", "DATE",

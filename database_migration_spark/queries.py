@@ -1050,7 +1050,8 @@ mixed AS (
   UNION ALL
   SELECT strftime(o_orderdate, '%Y-%m-%d') FROM orders WHERE o_orderkey % 3 = 0
   UNION ALL
-  SELECT x FROM (VALUES ('true'), ('007'), ('+41'), ('hello world'), ('3.25'), (NULL)) t(x)
+  SELECT x FROM (VALUES ('true'), ('007'), ('+41'), ('hello world'), ('3.25'),
+                        ('5 12:30:45.250000'), ('3-11'), (NULL)) t(x)
 )
 """
 
@@ -1062,7 +1063,8 @@ def _mixed_varchar_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("v")
     )
     lits = spark.createDataFrame(
-        [("true",), ("007",), ("+41",), ("hello world",), ("3.25",), (None,)],
+        [("true",), ("007",), ("+41",), ("hello world",), ("3.25",),
+         ("5 12:30:45.250000",), ("3-11",), (None,)],
         "v STRING",
     )
     return ints.unionByName(dates).unionByName(lits)

@@ -110,3 +110,30 @@ def test_fk_harmonization_union_find():
     props[b] = TypeProposal("x", "varchar", "DECIMAL(5,0)", "", "")
     out2 = harmonize_fk_groups(props, [(a, b)])
     assert out2[a] is not None and out2[b] is not None  # agreement kept
+
+
+def test_interval_classification_and_proposals(spark):
+    """IS_DSINTERVAL / IS_YMINTERVAL branches (convert_varchar.sql:445-456):
+    uniform interval-shaped text proposes the matching INTERVAL type."""
+    from database_migration_spark.operators.optimize_types import (
+        classify_varchar,
+        propose_varchar_conversion,
+    )
+
+    ds = spark.createDataFrame(
+        [("0 00:00:01",), ("5 12:30:45.250000",), ("-2 23:59:59",)], "v STRING"
+    )
+    stats = classify_varchar(ds, "v")
+    assert stats["n_dsint"] == 3
+    p = propose_varchar_conversion("v", stats)
+    assert p.proposed_type == "INTERVAL DAY TO SECOND"
+
+    ym = spark.createDataFrame([("3-11",), ("0-1",), ("-2-6",)], "v STRING")
+    stats = classify_varchar(ym, "v")
+    assert stats["n_ymint"] == 3
+    p = propose_varchar_conversion("v", stats)
+    assert p.proposed_type == "INTERVAL YEAR TO MONTH"
+
+    # mixed shapes never propose an interval
+    mixed = spark.createDataFrame([("3-11",), ("hello",)], "v STRING")
+    assert propose_varchar_conversion("v", classify_varchar(mixed, "v")) is None

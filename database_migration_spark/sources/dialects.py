@@ -859,6 +859,35 @@ WHERE table_name LIKE '{table_filter}'
         "array": "TO_JSON_STRING({c})",
     },
     quote_char="`",
+    # BigQuery publishes (unenforced) PK/FK constraints per dataset via
+    # INFORMATION_SCHEMA.{TABLE_CONSTRAINTS,KEY_COLUMN_USAGE,
+    # CONSTRAINT_COLUMN_USAGE}; same {dataset} templating as the columns scan
+    pk_sql="""
+SELECT kcu.table_schema AS schema_name, kcu.table_name,
+       kcu.constraint_name, kcu.column_name,
+       kcu.ordinal_position AS column_position
+FROM `{dataset}`.INFORMATION_SCHEMA.KEY_COLUMN_USAGE kcu
+JOIN `{dataset}`.INFORMATION_SCHEMA.TABLE_CONSTRAINTS tc
+  ON tc.constraint_name = kcu.constraint_name
+ AND tc.table_name = kcu.table_name
+WHERE tc.constraint_type = 'PRIMARY KEY'
+  AND kcu.table_name LIKE '{table_filter}'
+""",
+    fk_sql="""
+SELECT kcu.table_schema AS schema_name, kcu.table_name,
+       kcu.constraint_name AS fk_name, kcu.column_name AS fk_column,
+       ccu.table_schema AS ref_schema, ccu.table_name AS ref_table,
+       ccu.column_name AS ref_column,
+       kcu.ordinal_position AS col_position
+FROM `{dataset}`.INFORMATION_SCHEMA.KEY_COLUMN_USAGE kcu
+JOIN `{dataset}`.INFORMATION_SCHEMA.TABLE_CONSTRAINTS tc
+  ON tc.constraint_name = kcu.constraint_name
+ AND tc.table_name = kcu.table_name
+JOIN `{dataset}`.INFORMATION_SCHEMA.CONSTRAINT_COLUMN_USAGE ccu
+  ON ccu.constraint_name = kcu.constraint_name
+WHERE tc.constraint_type = 'FOREIGN KEY'
+  AND kcu.table_name LIKE '{table_filter}'
+""",
 )
 
 VERTICA = DialectSpec(
@@ -953,6 +982,29 @@ WHERE CONSTRAINT_TYPE = 'FOREIGN KEY'
   AND CONSTRAINT_SCHEMA NOT IN ('SYS', 'EXA_STATISTICS')
   AND CONSTRAINT_SCHEMA LIKE '{schema_filter}'
   AND CONSTRAINT_TABLE LIKE '{table_filter}'
+""",
+    comment_sql="""
+SELECT TABLE_SCHEMA AS schema_name, TABLE_NAME AS table_name, 0 AS sub,
+       CAST(NULL AS VARCHAR(128)) AS column_name,
+       TABLE_COMMENT AS comment_text
+FROM EXA_ALL_TABLES
+WHERE TABLE_COMMENT IS NOT NULL
+  AND TABLE_SCHEMA NOT IN ('SYS', 'EXA_STATISTICS')
+  AND TABLE_SCHEMA LIKE '{schema_filter}' AND TABLE_NAME LIKE '{table_filter}'
+UNION ALL
+SELECT COLUMN_SCHEMA, COLUMN_TABLE, COLUMN_ORDINAL_POSITION,
+       COLUMN_NAME, COLUMN_COMMENT
+FROM EXA_ALL_COLUMNS
+WHERE COLUMN_COMMENT IS NOT NULL
+  AND COLUMN_SCHEMA NOT IN ('SYS', 'EXA_STATISTICS')
+  AND COLUMN_SCHEMA LIKE '{schema_filter}' AND COLUMN_TABLE LIKE '{table_filter}'
+""",
+    view_sql="""
+SELECT VIEW_SCHEMA AS schema_name, VIEW_NAME AS view_name,
+       VIEW_TEXT AS view_def
+FROM EXA_ALL_VIEWS
+WHERE VIEW_SCHEMA NOT IN ('SYS', 'EXA_STATISTICS')
+  AND VIEW_SCHEMA LIKE '{schema_filter}' AND VIEW_NAME LIKE '{table_filter}'
 """,
 )
 

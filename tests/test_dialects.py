@@ -213,8 +213,11 @@ def test_pk_fk_query_shape(spark, name):
     low = pk.lower()
     for col in PK_COLS:
         assert col in low, f"{name} pk sql missing {col}"
-    assert "my_schema" in low and "my_table" in low
-    assert "''" in ad.pk_query("O'REILLY", "%")  # quote escaping
+    # BigQuery scopes by {dataset} instead of a schema LIKE filter
+    assert "my_schema" in low or "{dataset}" in pk
+    assert "my_table" in low
+    if "{schema_filter}" in (ad.spec.pk_sql or ""):
+        assert "''" in ad.pk_query("O'REILLY", "%")  # quote escaping
     fk = ad.fk_query("MY_SCHEMA", "MY_TABLE")
     if fk is not None:
         flow = fk.lower()

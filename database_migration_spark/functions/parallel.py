@@ -21,13 +21,14 @@ def fan_out(df: DataFrame, n: int | None = None) -> DataFrame:
     """Repartition up to the cluster's default parallelism — only when the
     input is small enough that its scan cannot feed every core.
 
-    The guard reads the optimizer's cached size estimate (Catalyst computes
-    it during analysis anyway) instead of ``df.rdd.getNumPartitions()``,
-    which forced a full plan→RDD physical conversion on every hot-path
-    call. Size is also the honest signal at scale: an input ≥
-    cores × maxPartitionBytes already scans wide, shuffling it again would
-    move the whole table; below that, the one small shuffle buys full-core
-    compute for the expensive operator that follows.
+    Two-tier guard: a KNOWN-big size estimate (Catalyst's cached
+    sizeInBytes, ≥ cores × maxPartitionBytes) short-circuits with zero
+    plan→RDD conversion — the 100 TB path, where re-shuffling would move
+    the whole table. Small or UNKNOWN sizes (JDBC relations report the
+    Long.MaxValue default, which means "no stats", not "huge") fall back
+    to the exact partition-count check; that pays one plan→RDD conversion,
+    accepted because deciding wrongly there either strands a 1-partition
+    JDBC read on one core or adds a pointless shuffle.
     """
     sc = df.sparkSession.sparkContext
     target = n or sc.defaultParallelism

@@ -35,9 +35,12 @@ RE_DATEISH = r"^\d{1,4}[-/.]\d{1,2}[-/.]\d{1,4}([ T].*)?$"
 RE_LEADING_ZERO = r"^0\d"  # id-like: keep as text (convert_varchar.sql:433)
 RE_PLUS = r"^\+"
 # interval shapes (convert_varchar.sql:445-456 IS_DSINTERVAL/IS_YMINTERVAL):
-# day-to-second 'D HH:MM:SS[.ffffff]' and year-to-month 'Y-M'
-RE_DSINT = r"^[-+]?\d+ \d{1,2}:\d{2}:\d{2}(\.\d+)?$"
-RE_YMINT = r"^[-+]?\d+-\d{1,2}$"
+# day-to-second 'D HH:MM:SS[.ffffff]' and year-to-month 'Y-M', with
+# components range-checked (hour ≤ 23, min/sec ≤ 59, month ≤ 11) so a
+# proposal's CAST cannot fail at apply time on values the classifier
+# accepted — mirroring what the source engines' TO_*INTERVAL accept
+RE_DSINT = r"^[-+]?\d+ ([01]?\d|2[0-3]):[0-5]\d:[0-5]\d(\.\d+)?$"
+RE_YMINT = r"^[-+]?\d+-(1[01]|\d)$"
 
 DATE_FORMATS = [  # candidate formats for the probe (convert_varchar.sql:119-145)
     ("yyyy-MM-dd", "%Y-%m-%d"),

@@ -87,15 +87,30 @@ class MigrationPlanner:
     def plan(
         self, target_schema: str, schema_filter: str = "%", table_filter: str = "%"
     ) -> tuple[Catalog, MigrationPlan]:
-        cat = self.scan(schema_filter, table_filter)
+        # resolve the database list ONCE for {database}-templated dialects —
+        # every fetch below would otherwise re-query sys.databases
+        databases = None
+        spec = getattr(self.adapter, "spec", None)
+        if (
+            spec is not None
+            and "{database}" in getattr(spec, "catalog_sql", "")
+            and hasattr(self.adapter, "list_databases")
+        ):
+            databases = self.adapter.list_databases()
+        cat = self.adapter.scan_catalog(
+            schema_filter, table_filter, databases=databases
+        ) if databases is not None else self.scan(schema_filter, table_filter)
         views = None
         notes = None
         # JDBC adapters expose source views / partition metadata; the plan
         # then carries the reference's review sections end-to-end
         if hasattr(self.adapter, "fetch_views"):
-            views = self.adapter.fetch_views(schema_filter, table_filter) or None
+            views = (
+                self.adapter.fetch_views(schema_filter, table_filter, databases)
+                or None
+            )
         if hasattr(self.adapter, "fetch_partitions"):
-            rows = self.adapter.fetch_partitions(schema_filter, table_filter)
+            rows = self.adapter.fetch_partitions(schema_filter, table_filter, databases)
             if rows:
                 from database_migration_spark.catalog import attach_partitions
 

@@ -54,10 +54,15 @@ class S3Lister:
         # (s3_to_exasol.sql:53-55); the reference concatenates folder+filter
         folder = folder_name or "*"
         # a glob-free folder is a literal key prefix: push it down as
-        # Prefix so S3 lists only that subtree instead of the whole bucket
-        # (the reference filtered client-side; server-side is strictly
-        # better and changes no result). fnmatch still applies on top.
-        prefix = folder_name if not any(ch in folder_name for ch in "*?[") else ""
+        # Prefix so S3 lists only that subtree instead of the whole bucket.
+        # Only when the fnmatch filter is active — with an empty
+        # filter_string the reference's semantics are "list EVERYTHING,
+        # folder ignored" (s3:53-55), and a Prefix would change the result.
+        prefix = (
+            folder_name
+            if filter_string and not any(ch in folder_name for ch in "*?[")
+            else ""
+        )
         out: list[ListingRow] = []
         token = None
         while True:

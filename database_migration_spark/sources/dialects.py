@@ -283,30 +283,12 @@ WHERE tc.constraint_type = 'PRIMARY KEY'
   AND tc.table_schema NOT IN ('pg_catalog', 'information_schema')
   AND tc.table_schema LIKE '{schema_filter}' AND tc.table_name LIKE '{table_filter}'
 """,
-    # referenced columns come from the unique constraint's OWN
-    # key_column_usage rows, paired through position_in_unique_constraint —
-    # exact multi-column ordering (constraint_column_usage has no ordinal
-    # and would cross-product an N-column FK)
-    fk_sql="""
-SELECT tc.table_schema AS schema_name, tc.table_name,
-       tc.constraint_name AS fk_name, kcu.column_name AS fk_column,
-       kr.table_schema AS ref_schema, kr.table_name AS ref_table,
-       kr.column_name AS ref_column, kcu.ordinal_position AS col_position
-FROM information_schema.table_constraints tc
-JOIN information_schema.key_column_usage kcu
-  ON kcu.constraint_name = tc.constraint_name
- AND kcu.table_schema = tc.table_schema AND kcu.table_name = tc.table_name
-JOIN information_schema.referential_constraints rc
-  ON rc.constraint_name = tc.constraint_name
- AND rc.constraint_schema = tc.table_schema
-JOIN information_schema.key_column_usage kr
-  ON kr.constraint_name = rc.unique_constraint_name
- AND kr.constraint_schema = rc.unique_constraint_schema
- AND kr.ordinal_position = kcu.position_in_unique_constraint
-WHERE tc.constraint_type = 'FOREIGN KEY'
-  AND tc.table_schema NOT IN ('pg_catalog', 'information_schema')
-  AND tc.table_schema LIKE '{schema_filter}' AND tc.table_name LIKE '{table_filter}'
-""",
+    # No fk_sql: Redshift's information_schema is PostgreSQL-8.0-based —
+    # key_column_usage has no position_in_unique_constraint (added in PG
+    # 8.4) and Redshift SQL has no unnest() to explode pg_constraint
+    # arrays, so multi-column FK column pairing is not expressible; FKs
+    # there are informational only and stay unmigrated (like the reference,
+    # whose redshift script fetches no keys at all).
 )
 
 ORACLE = DialectSpec(
@@ -873,11 +855,14 @@ JOIN `{dataset}`.INFORMATION_SCHEMA.TABLE_CONSTRAINTS tc
 WHERE tc.constraint_type = 'PRIMARY KEY'
   AND kcu.table_name LIKE '{table_filter}'
 """,
+    # referenced columns paired through position_in_unique_constraint
+    # against the referenced constraint's own KCU rows — joining
+    # CONSTRAINT_COLUMN_USAGE on name alone cross-products multi-column FKs
     fk_sql="""
 SELECT kcu.table_schema AS schema_name, kcu.table_name,
        kcu.constraint_name AS fk_name, kcu.column_name AS fk_column,
-       ccu.table_schema AS ref_schema, ccu.table_name AS ref_table,
-       ccu.column_name AS ref_column,
+       kr.table_schema AS ref_schema, kr.table_name AS ref_table,
+       kr.column_name AS ref_column,
        kcu.ordinal_position AS col_position
 FROM `{dataset}`.INFORMATION_SCHEMA.KEY_COLUMN_USAGE kcu
 JOIN `{dataset}`.INFORMATION_SCHEMA.TABLE_CONSTRAINTS tc
@@ -885,6 +870,11 @@ JOIN `{dataset}`.INFORMATION_SCHEMA.TABLE_CONSTRAINTS tc
  AND tc.table_name = kcu.table_name
 JOIN `{dataset}`.INFORMATION_SCHEMA.CONSTRAINT_COLUMN_USAGE ccu
   ON ccu.constraint_name = kcu.constraint_name
+JOIN `{dataset}`.INFORMATION_SCHEMA.TABLE_CONSTRAINTS tr
+  ON tr.table_name = ccu.table_name AND tr.constraint_type = 'PRIMARY KEY'
+JOIN `{dataset}`.INFORMATION_SCHEMA.KEY_COLUMN_USAGE kr
+  ON kr.constraint_name = tr.constraint_name
+ AND kr.ordinal_position = kcu.position_in_unique_constraint
 WHERE tc.constraint_type = 'FOREIGN KEY'
   AND kcu.table_name LIKE '{table_filter}'
 """,

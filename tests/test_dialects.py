@@ -197,11 +197,14 @@ def test_major_dialects_have_key_queries():
     # the reference migrates keys for at least these scripts
     # (mysql :113, postgresql :131, oracle :336, sqlserver :228,
     #  teradata :120, db2 :106); we extend to every source whose catalog
-    #  publishes constraint views (bigquery/clickhouse/vectorwise/snowflake
-    #  have no SQL-queryable key catalogs)
+    #  publishes SQL-queryable constraint views. Still keyless:
+    #  clickhouse/vectorwise (no PK/FK catalogs), snowflake (SHOW commands
+    #  only), and redshift FKs (PG-8.0 info_schema can't pair FK columns —
+    #  PKs are covered).
     for need in [
         "mysql", "mariadb", "postgresql", "oracle", "sqlserver", "teradata",
         "db2", "exasol", "redshift", "vertica", "saphana", "netezza",
+        "bigquery",
     ]:
         assert need in KEYED_DIALECTS
 

@@ -231,3 +231,14 @@ def test_cloud_listing_drives_manifest_state_machine(spark, tmp_path):
     statuses = {r.file_name: r.status for r in ld.read_manifest().collect()}
     assert statuses["s3a://bkt/in/a.csv"] == ST_WAIT_UPDATE
     assert statuses["s3a://bkt/in/b.csv"] == ST_DONE
+
+
+def test_s3_empty_filter_lists_everything_without_prefix():
+    """Reference semantics (s3:53-55): empty filter_string = no filtering at
+    all, folder ignored — the Prefix pushdown must not change that."""
+    from database_migration_spark.sources.cloud_listing import S3Lister
+
+    client = FakeS3Client()
+    rows = S3Lister(client, "bkt")("in/", "")
+    assert "Prefix" not in client.calls[0]
+    assert len(rows) == 4  # every non-marker key, folder ignored

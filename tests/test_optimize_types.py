@@ -137,3 +137,16 @@ def test_interval_classification_and_proposals(spark):
     # mixed shapes never propose an interval
     mixed = spark.createDataFrame([("3-11",), ("hello",)], "v STRING")
     assert propose_varchar_conversion("v", classify_varchar(mixed, "v")) is None
+
+
+def test_interval_ranges_reject_uncastable_values(spark):
+    """Range-checked interval shapes: values Spark's interval CAST rejects
+    must not classify as intervals (a lossless proposal must never fail at
+    apply time)."""
+    from database_migration_spark.operators.optimize_types import classify_varchar
+
+    bad = spark.createDataFrame(
+        [("0 99:00:00",), ("1 10:75:00",), ("3-25",)], "v STRING"
+    )
+    stats = classify_varchar(bad, "v")
+    assert stats["n_dsint"] == 0 and stats["n_ymint"] == 0

@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "quality_documents",
     "lang_id_documents",
     "ann_cosine_topk",
+    "embedding_near_dup",
 ]
 
 

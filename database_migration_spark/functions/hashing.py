@@ -14,8 +14,16 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Mersenne prime 2^61-1: modulus for the minhash permutation family
-MERSENNE_61 = (1 << 61) - 1
+# Mersenne prime 2^31-1: modulus for the minhash permutation family.
+# Chosen so a*x + b stays exact in SIGNED 64-BIT on every engine:
+# (p-1)^2 + (p-1) < 2^62 — no 128-bit product, no overflow, yet the
+# modulus genuinely wraps, which is what makes the permutations
+# independent. (A first attempt used 2^61-1 with pre-reduced operands
+# small enough that a*x never reached the modulus — making every
+# "permutation" a monotone map of the same value, so all 32 minhashes
+# picked the same shingle and LSH buckets collapsed into giant
+# common-shingle clusters: 260k candidates for 251 true pairs at sf0.1.)
+MERSENNE_31 = (1 << 31) - 1
 
 
 def md5_long(col: Column | str) -> Column:
@@ -46,31 +54,36 @@ def md5_slice32_sql(expr: str, start: int) -> str:
 
 
 def minhash_permuted(hash_col: Column, a: int, b: int) -> Column:
-    """One universal-hash permutation h(x) = (a*x + b) mod p.
+    """One universal-hash permutation h(x) = (a·(x mod p) + b) mod p,
+    p = 2^31-1.
 
-    Multiplication of two 61-bit values overflows 64-bit integers, so we work
-    modulo 2^61-1 with the operands pre-reduced and split multiplication:
-    (a*x) mod p with a < 2^31 keeps every intermediate under 2^92... which
-    still overflows. Instead we keep ``a`` under 2^20 and x under 2^40 by
-    pre-reducing, trading some mixing quality for exact portable arithmetic
-    — the band-bucket LSH only needs uniformity, not cryptography.
+    The 60-bit md5 value is reduced mod p first; with a, b < p every
+    intermediate fits signed 64-bit exactly (max (p-1)^2 + (p-1) < 2^62)
+    in both Spark and any BIGINT SQL engine, and the outer mod actually
+    wraps — a*x spans ~2^62 over a 2^31 modulus — so distinct (a, b)
+    give genuinely independent orderings of the shingle space. 31-bit
+    minhash values are ample: per-permutation collision odds for two
+    random shingle sets are |S|/2^31.
     """
-    x = hash_col % F.lit(1 << 40)
-    return (x * F.lit(a % (1 << 20)) + F.lit(b)) % F.lit(MERSENNE_61)
+    x = hash_col % F.lit(MERSENNE_31)
+    return (x * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_31)
 
 
 def minhash_permuted_sql(hash_expr: str, a: int, b: int) -> str:
-    return f"((({hash_expr}) % {1 << 40}) * {a % (1 << 20)} + {b}) % {MERSENNE_61}"
+    """The same permutation as DuckDB SQL text — keep in lockstep with
+    :func:`minhash_permuted` (one source for both engines)."""
+    return f"((({hash_expr}) % {MERSENNE_31}) * {a} + {b}) % {MERSENNE_31}"
 
 
 def permutation_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
-    """Deterministic (a, b) pairs for n minhash permutations (LCG on seed)."""
+    """Deterministic (a, b) pairs for n minhash permutations (LCG on seed):
+    a ∈ [1, p-1], b ∈ [0, p-1]."""
     params = []
     state = seed
     for _ in range(n):
         state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-        a = (state >> 16) % (1 << 20) | 1  # odd, < 2^20
+        a = (state >> 16) % (MERSENNE_31 - 1) + 1
         state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-        b = state % MERSENNE_61
+        b = state % MERSENNE_31
         params.append((a, b))
     return params

@@ -64,30 +64,37 @@ def shingle_sets(
     """(id, shingle_hash) — exploded distinct k-shingles, hashed to 60-bit
     ints. The base relation for both minhash and exact Jaccard.
 
-    Normalization is materialized BEFORE the fan_out exchange (a hard
-    barrier Catalyst can't collapse through), so the regex pass runs once
-    per document — inlining it into the shingle lambda would re-run it per
-    shingle, O(len²) per doc (5x slower end-to-end at sf0.1).
+    Normalization is materialized behind a persist boundary: the cached
+    InMemoryRelation is a projection barrier Catalyst can't collapse
+    through, so the regex pass runs once per document — inlining it into
+    the shingle lambda would re-run it per shingle, O(len²) per doc (5x
+    slower end-to-end at sf0.1). The fan_out happens BEFORE the regex, so
+    normalization itself runs on every core (the raw text moves once, tiny).
+
+    Per-doc shingle uniqueness comes from array_distinct on the raw
+    shingles; no post-hash ``.distinct()`` pass is needed (it was a full
+    extra shuffle of the relation). The SQL oracle dedups on (id, hash)
+    instead — the two differ only if two distinct shingles of one doc
+    collide in 60-bit md5 space (~2^-43 per doc at 200k shingles), which
+    also makes the |A∩B| counts collision-exact on both sides.
     """
+    from pyspark import StorageLevel
+
     from database_migration_spark.functions.parallel import fan_out
     from database_migration_spark.functions.text_exprs import (
         char_shingles_pre_normalized,
     )
 
-    norm = df.select(
-        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("_t")
-    )
-    norm = fan_out(norm)
-    return (
-        norm.select(
-            "id",
-            F.explode(
-                F.array_distinct(char_shingles_pre_normalized(F.col("_t"), k))
-            ).alias("sh"),
-        )
-        .select("id", md5_long(F.col("sh")).alias("h"))
-        .distinct()
-    )
+    raw = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+    norm = raw.select(
+        "id", normalize_text(F.col(text_col)).alias("_t")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return norm.select(
+        "id",
+        F.explode(
+            F.array_distinct(char_shingles_pre_normalized(F.col("_t"), k))
+        ).alias("sh"),
+    ).select("id", md5_long(F.col("sh")).alias("h"))
 
 
 def minhash_signatures(

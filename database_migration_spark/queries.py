@@ -838,13 +838,13 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle(num_perm: int = 32, bands: int = 4, threshold: int = 800) -> str:
     from database_migration_spark.functions.hashing import (
-        MERSENNE_61,
+        minhash_permuted_sql,
         permutation_params,
     )
 
     params = permutation_params(num_perm, seed=42)
     sig_exprs = ", ".join(
-        f"min(((h % {1 << 40}) * {a % (1 << 20)} + {b}) % {MERSENNE_61}) AS sig_{i}"
+        f"min({minhash_permuted_sql('h', a, b)}) AS sig_{i}"
         for i, (a, b) in enumerate(params)
     )
     rows = num_perm // bands

@@ -6,7 +6,7 @@ import duckdb
 from hypothesis import given, settings, strategies as st
 
 from database_migration_spark.functions.hashing import (
-    MERSENNE_61,
+    MERSENNE_31,
     md5_long_sql,
     minhash_permuted_sql,
     permutation_params,
@@ -63,4 +63,4 @@ def test_minhash_permutation_matches_duckdb(spark):
         )
         duck = con.execute(f"SELECT {exprs}", [v, v, v, v]).fetchone()
         assert spark_rows[v] == list(duck)
-        assert all(0 <= x < MERSENNE_61 for x in duck)
+        assert all(0 <= x < MERSENNE_31 for x in duck)

@@ -760,6 +760,67 @@ def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.lang_id(d).select("doc_id", "lang_pred", "lang_pred_score")
 
 
+def _repetition_oracle() -> str:
+    norm = TE.normalize_text_sql("text")
+    return f"""
+WITH b2 AS (
+  SELECT doc_id AS id, length({norm}) AS n_chars, string_split({norm}, ' ') AS toks
+  FROM documents
+),
+words AS (
+  SELECT id, w, count(*) AS cnt
+  FROM (SELECT id, unnest(toks) AS w FROM b2) GROUP BY id, w
+),
+wstats AS (
+  SELECT id, CAST(sum(cnt) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct_words
+  FROM words GROUP BY id
+),
+g2 AS (
+  SELECT id, g, count(*) AS cnt FROM (
+    SELECT id, unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i+1])) AS g
+    FROM b2
+  ) GROUP BY id, g
+),
+top2 AS (
+  SELECT id, length(g) * cnt AS top2_chars
+  FROM g2
+  QUALIFY row_number() OVER (PARTITION BY id ORDER BY cnt DESC, g DESC) = 1
+),
+g3 AS (
+  SELECT id, g, count(*) AS cnt FROM (
+    SELECT id, unnest(list_transform(range(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+    FROM b2
+  ) GROUP BY id, g
+),
+dup3 AS (
+  SELECT id, sum(length(g) * cnt) AS dup3_chars FROM g3 WHERE cnt >= 2 GROUP BY id
+)
+SELECT b2.id AS doc_id, n_words, n_distinct_words,
+       CASE WHEN n_words > 0
+            THEN CAST(floor((n_words - n_distinct_words) * 1000000 / n_words) AS BIGINT)
+            ELSE 0 END AS rep_word_ppm,
+       CASE WHEN n_chars > 0
+            THEN CAST(floor(coalesce(top2_chars, 0) * 1000000 / n_chars) AS BIGINT)
+            ELSE 0 END AS top_2gram_char_ppm,
+       CASE WHEN n_chars > 0
+            THEN CAST(floor(coalesce(dup3_chars, 0) * 1000000 / n_chars) AS BIGINT)
+            ELSE 0 END AS dup_3gram_char_ppm
+FROM b2
+LEFT JOIN wstats USING (id) LEFT JOIN top2 USING (id) LEFT JOIN dup3 USING (id)
+"""
+
+
+@register("repetition_documents", oracle=_repetition_oracle())
+def repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (repeated words, top-2-gram
+    char fraction, duplicated-3-gram char fraction) — the oracle replays the
+    identical tokenization/gram/tie-break pipeline in SQL."""
+    return TX.repetition_features(table(spark, sf_dir, "documents"))
+
+
 @register(
     "ann_cosine_topk",
     oracle="""
@@ -905,6 +966,171 @@ def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return docs.join(losers, "doc_id", "left_anti").select("doc_id", "source")
+
+
+@register(
+    "near_dup_clusters",
+    oracle="WITH RECURSIVE pairs AS (\n"
+    + _minhash_oracle()
+    + """),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+SELECT l.id AS doc_id, l.cluster_id, CAST(c.n AS BIGINT) AS cluster_size
+FROM lab l
+JOIN (SELECT cluster_id, count(*) AS n FROM lab GROUP BY cluster_id) c USING (cluster_id)
+""",
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified near-dup pairs: every doc
+    labeled with the min doc_id of its duplicate cluster + the cluster
+    size — the canonical-representative assignment a dedup pipeline
+    publishes. The oracle computes the same components with a recursive
+    transitive-closure CTE, so the iterative Spark operator is fully
+    value-checked, not rows-only."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = DD.minhash_dedup_pairs(
+        docs, k=_SHINGLE_K, num_perm=32, bands=4, threshold_permille=800, seed=42
+    )
+    labels = DD.connected_components(pairs, docs, id_col="doc_id")
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return labels.join(sizes, "cluster_id").select(
+        F.col("id").alias("doc_id"), "cluster_id", "cluster_size"
+    )
+
+
+_HASH60 = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "stratified_sample_documents",
+    oracle=f"""
+SELECT doc_id, lang, source, sample_rank FROM (
+  SELECT doc_id, lang, source,
+         CAST(row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY {_HASH60}, doc_id
+         ) AS BIGINT) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 5
+""",
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-(lang, source) quota sample: 5 docs per stratum in
+    md5-hash order — the per-source balancing step of a corpus pipeline."""
+    from database_migration_spark.operators import sampling as SP
+
+    d = table(spark, sf_dir, "documents")
+    return SP.stratified_sample(d, ["lang", "source"], "doc_id", 5).select(
+        "doc_id", "lang", "source", "sample_rank"
+    )
+
+
+@register(
+    "hash_sample_documents",
+    oracle=f"""
+SELECT doc_id, source FROM documents
+WHERE {_HASH60} % 1000 < 100
+""",
+)
+def hash_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% Bernoulli sample by id-hash bucket — a pure
+    filter, no shuffle; membership identical on any engine."""
+    from database_migration_spark.operators import sampling as SP
+
+    d = table(spark, sf_dir, "documents")
+    return SP.hash_sample(d, "doc_id", 100).select("doc_id", "source")
+
+
+def _pii_oracle() -> str:
+    # the corpus carries no literal PII, so the query plants deterministic
+    # spans derived from existing columns — the redaction is then provably
+    # exercised, not vacuously zero
+    planted = (
+        "text || ' contact ' || source || '@example.com or 555-123-4567 "
+        "at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17'"
+    )
+    counts, red = TX.pii_features_sql("t")
+    return f"""
+WITH p AS (SELECT doc_id, {planted} AS t FROM documents)
+SELECT doc_id, {', '.join(counts)}, md5({red}) AS redacted_md5
+FROM p
+"""
+
+
+@register("pii_redact_documents", oracle=_pii_oracle())
+def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII count + redaction over text with planted deterministic spans
+    (email/phone/IPv4 derived from the row); the oracle replays the same
+    patterns and compares the redacted text by md5."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact "),
+            F.col("source"),
+            F.lit("@example.com or 555-123-4567 at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".17"),
+        ).alias("text"),
+    )
+    out = TX.pii_features(d)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.md5(F.col("text_redacted")).alias("redacted_md5"),
+    )
+
+
+@register(
+    "url_domain_counts",
+    oracle="""
+WITH u AS (
+  SELECT 'https://' || source || '.example.' ||
+         CASE WHEN doc_id % 3 = 0 THEN 'com' WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END
+         || '/docs/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+d AS (
+  SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS domain,
+         regexp_extract(regexp_extract(url, 'https?://([^/]+)', 1), '\\.([A-Za-z0-9\\-]+)$', 1) AS tld
+  FROM u
+)
+SELECT domain, tld, count(*) AS n_docs FROM d GROUP BY domain, tld
+""",
+)
+def url_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/TLD extraction + per-domain counts over deterministic
+    derived URLs — the source-mix report of a web-corpus pipeline."""
+    d = table(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example."),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("com"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("org"))
+            .otherwise(F.lit("net")),
+            F.lit("/docs/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return (
+        TX.url_domains(d, "url")
+        .groupBy("domain", "tld")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
 
 
 def _simhash_oracle(bits: int = 64, max_hamming: int = 3) -> str:
@@ -1353,18 +1579,31 @@ def date_format_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "minus_new_orders",
     oracle="""
-SELECT o_orderkey, o_orderdate FROM orders
+SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us FROM orders
 EXCEPT ALL
-SELECT o_orderkey, o_orderdate FROM orders
+SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us FROM orders
 WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 """,
 )
 def minus_new_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MINUS/EXCEPT (delta_import:194-198 non-key-column derivation uses the
-    same set difference): new rows = source MINUS already-loaded."""
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    same set difference): new rows = source MINUS already-loaded.
+
+    The timestamp crosses the engine boundary as epoch-µs bigint (the
+    round-1 lesson: raw timestamp outputs only hash-match while the sample
+    happens to be sub-second-free). Injective map, so EXCEPT ALL is
+    unchanged."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        # o_orderdate is TIMESTAMP_NTZ: timestampdiff from the epoch wall
+        # clock is tz-independent (unix_micros would need a tz cast)
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+        ).alias("o_orderdate_us"),
+        F.col("o_orderdate"),
+    )
     old = o.where(F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
-    return o.exceptAll(old)
+    return o.drop("o_orderdate").exceptAll(old.drop("o_orderdate"))
 
 
 @register(

@@ -251,6 +251,54 @@ def minhash_dedup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster assignment over near-dup pairs: each node gets
+    ``cluster_id`` = the minimum node id in its connected component
+    (singletons keep their own id).
+
+    Min-label propagation: labels start as own id; each round every node
+    takes the min of its own and its neighbors' labels; stop when the
+    label sum stops falling (labels only decrease, so equal sums ⇒ fixed
+    point). Near-dup components have tiny diameter (a dup cluster is
+    near-clique), so this converges in a handful of rounds; each round is
+    one shuffle join + one groupBy, both keyed by node id. Every round
+    localCheckpoints the labels — without it the iterative plan nests
+    joins ``max_iter`` deep and Catalyst analysis goes exponential.
+    At web scale with long chains, switch to large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce", SOCC'14) —
+    same building blocks, logarithmic rounds.
+    """
+    from pyspark import StorageLevel
+
+    src, dst = F.col("id_a"), F.col("id_b")
+    edges = (
+        pairs.select(src.alias("src"), dst.alias("dst"))
+        .union(pairs.select(dst.alias("src"), src.alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iter):
+        cand = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("lbl")
+        )
+        labels = (
+            labels.union(cand).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:

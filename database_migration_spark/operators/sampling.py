@@ -1,0 +1,62 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus is downsampled constantly — per-source quotas, per-language
+balancing, debug slices — and the sample must be REPRODUCIBLE across runs,
+engines, and cluster sizes. ``rand()`` is none of those (per-task seeds
+change with partitioning), so both operators order/select on a portable
+md5 hash of the row's stable id (functions/hashing.md5_long): any engine
+recomputes the identical sample.
+
+- :func:`stratified_sample`: up to n rows per stratum — a per-key window
+  ranked by the hash. The window partitions by the stratum key, so work
+  distributes across the cluster; no global window, no driver collect.
+- :func:`hash_sample`: keep a fixed permille of rows by hash bucket — a
+  pure filter (no shuffle at all), the shape that survives any scale.
+
+The reference's only sampling is LIMIT-based probe sampling
+(convert_varchar.sql:146-148,396-404 — non-reproducible by design); these
+upgrade it to the deterministic form a data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from database_migration_spark.functions.hashing import md5_long
+
+
+def _order_hash(id_col: Column) -> Column:
+    """60-bit md5 of the stringified id — the deterministic 'random' key."""
+    return md5_long(id_col.cast("string"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    n_per_stratum: int,
+) -> DataFrame:
+    """Up to ``n_per_stratum`` rows per stratum, picked by md5-hash order
+    (ties broken by id — total order, so the sample is unique).
+
+    Adds ``sample_rank`` (1-based within the stratum). Equivalent SQL:
+    ``QUALIFY row_number() OVER (PARTITION BY strata ORDER BY hash, id)
+    <= n``.
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _order_hash(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
+def hash_sample(df: DataFrame, id_col: str, keep_permille: int) -> DataFrame:
+    """Keep rows whose id-hash bucket (mod 1000) falls under
+    ``keep_permille`` — a deterministic ~0.1%-granularity Bernoulli sample
+    that is a pure pushdown-able filter: no shuffle, no state, identical
+    membership on any engine or cluster size."""
+    return df.where(_order_hash(F.col(id_col)) % F.lit(1000) < F.lit(keep_permille))

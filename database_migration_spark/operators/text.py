@@ -106,6 +106,177 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _gram_array(toks: Column, n: int) -> Column:
+    """Word n-grams of a materialized token-array column (space-joined).
+    Empty array when the doc has fewer than n tokens — sequence() would
+    otherwise generate a DESCENDING range and fabricate grams."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, "Scaling Language
+    Models", appendix A1 — public paper): per document the repeated-word
+    fraction, the fraction of characters covered by the most common word
+    2-gram, and the fraction of characters covered by duplicated word
+    3-grams (each occurrence counted, overlaps not collapsed — documented
+    simplification of the paper's span-union). High values mark the
+    boilerplate/keyword-stuffed documents a training pipeline drops.
+
+    Output: (doc_id, n_words, n_distinct_words, rep_word_ppm,
+    top_2gram_char_ppm, dup_3gram_char_ppm) — exact integer ppm so an
+    external SQL oracle matches bit-for-bit.
+
+    Scale shape: explode → groupBy keyed by (doc, gram) — partial
+    aggregation map-side, key space grows with the corpus so no skew;
+    the top-gram pick is max(struct(cnt, gram)) (deterministic tie-break
+    on the gram text), never a global window. The token array is
+    materialized behind a persist boundary so the normalize regex runs
+    once per doc, not once per gram (the HOF-lambda re-evaluation trap).
+    """
+    from pyspark import StorageLevel
+
+    from database_migration_spark.functions.parallel import fan_out
+
+    raw = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+    base = (
+        raw.select("id", normalize_text(F.col(text_col)).alias("t"))
+        .select(
+            "id",
+            F.length("t").cast("long").alias("n_chars"),
+            F.split(F.col("t"), " ").alias("toks"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def ppm(a: Column, b: Column) -> Column:
+        return (
+            F.when(b > 0, F.floor(a * F.lit(1_000_000) / b))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    wcounts = (
+        base.select("id", F.explode("toks").alias("w"))
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wstats = wcounts.groupBy("id").agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+    )
+
+    g2 = (
+        base.select("id", F.explode(_gram_array(F.col("toks"), 2)).alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top2 = g2.groupBy("id").agg(
+        F.max(F.struct(F.col("cnt"), F.col("g"))).alias("m")
+    ).select(
+        "id",
+        (F.length(F.col("m.g")) * F.col("m.cnt")).alias("top2_chars"),
+    )
+
+    g3 = (
+        base.select("id", F.explode(_gram_array(F.col("toks"), 3)).alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dup3 = (
+        g3.where(F.col("cnt") >= 2)
+        .groupBy("id")
+        .agg(F.sum(F.length(F.col("g")) * F.col("cnt")).alias("dup3_chars"))
+    )
+
+    return (
+        base.select("id", "n_chars")
+        .join(wstats, "id", "left")
+        .join(top2, "id", "left")
+        .join(dup3, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_words",
+            "n_distinct_words",
+            ppm(F.col("n_words") - F.col("n_distinct_words"), F.col("n_words")).alias(
+                "rep_word_ppm"
+            ),
+            ppm(F.coalesce(F.col("top2_chars"), F.lit(0)), F.col("n_chars")).alias(
+                "top_2gram_char_ppm"
+            ),
+            ppm(F.coalesce(F.col("dup3_chars"), F.lit(0)), F.col("n_chars")).alias(
+                "dup_3gram_char_ppm"
+            ),
+        )
+    )
+
+
+# PII patterns: lookaround-free and word-boundary-free so Java regex
+# (Spark) and RE2 (DuckDB/production scanners) agree exactly. A production
+# pipeline swaps in stricter patterns; the operator shape (count + replace
+# in one projection pass) is what matters at scale.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    "ipv4": (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+}
+
+
+def pii_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count and redact PII-shaped spans (emails, phone numbers, IPv4):
+    adds ``n_<kind>`` counts and ``text_redacted`` with every span replaced
+    by its placeholder. One projection pass, no shuffle — pure scan-side
+    work that scales linearly. Replacement order is the sorted pattern-name
+    order (deterministic; email's host part is consumed before the ipv4
+    pattern could see it, so counts are order-stable)."""
+    from database_migration_spark.functions.parallel import fan_out
+
+    df = fan_out(df)
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{kind}")
+        for kind, (pat, _) in sorted(PII_PATTERNS.items())
+    ]
+    red = t
+    for kind, (pat, repl) in sorted(PII_PATTERNS.items()):
+        red = F.regexp_replace(red, pat, repl)
+    return df.select("*", *counts, red.alias("text_redacted"))
+
+
+def pii_features_sql(text_expr: str) -> tuple[list[str], str]:
+    """DuckDB forms: ([count exprs ...], redacted expr) mirroring
+    :func:`pii_features` (same patterns, same order)."""
+    counts = [
+        f"CAST(len(regexp_extract_all({text_expr}, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, (pat, _) in sorted(PII_PATTERNS.items())
+    ]
+    red = text_expr
+    for kind, (pat, repl) in sorted(PII_PATTERNS.items()):
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return counts, red
+
+
+URL_PATTERN = r"https?://[A-Za-z0-9.\-]+[A-Za-z0-9./_\-]*"
+
+
+def url_domains(df: DataFrame, url_col: str) -> DataFrame:
+    """Domain + top-level-domain of a URL column (empty string when the
+    value is not URL-shaped) — the boilerplate/source-mix analysis columns
+    of a web-corpus pipeline."""
+    domain = F.regexp_extract(F.col(url_col), r"https?://([^/]+)", 1)
+    tld = F.regexp_extract(domain, r"\.([A-Za-z0-9\-]+)$", 1)
+    return df.withColumn("domain", domain).withColumn("tld", tld)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """Normalization-invariant document fingerprint: md5 of the normalized
     text. Two documents differing only in case/whitespace collide — the

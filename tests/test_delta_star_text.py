@@ -172,3 +172,66 @@ def test_quality_features_ranges(spark, sf_smoke):
     )
     assert bad.count() == 0
     assert q.filter(F.col("q_n_tokens") <= 0).count() == 0
+
+
+def test_repetition_features_hand_computed(spark):
+    from database_migration_spark.operators.text import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            # "a a b": 3 words, 2 distinct -> rep 333333; 2-grams {"a a","a b"}
+            # tie on cnt=1 -> max gram text "a b" (3 chars * 1) / 5 chars
+            (0, "a a b"),
+            # "x y x y x y": top 2-gram "x y" cnt 3 (others "y x" cnt 2);
+            # 3 grams * 3 chars = 9 / 11 chars; dup 3-grams: "x y x" cnt 2,
+            # "y x y" cnt 2 -> (5*2 + 5*2) = 20 chars (overlap-counted) / 11
+            (1, "x y x y x y"),
+            # no repetition at all
+            (2, "q w e"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r.asDict() for r in repetition_features(docs).collect()}
+    assert out[0]["n_words"] == 3 and out[0]["n_distinct_words"] == 2
+    assert out[0]["rep_word_ppm"] == 333333
+    assert out[0]["top_2gram_char_ppm"] == 600000  # 3/5
+    assert out[0]["dup_3gram_char_ppm"] == 0
+    assert out[1]["top_2gram_char_ppm"] == 818181  # 9/11
+    assert out[1]["dup_3gram_char_ppm"] == 1818181  # 20/11 (overlap-counted)
+    assert out[2]["rep_word_ppm"] == 0
+    assert out[2]["top_2gram_char_ppm"] == 600000  # tie -> "w e", 3/5
+    assert out[2]["dup_3gram_char_ppm"] == 0
+
+
+def test_pii_redaction_counts_and_text(spark):
+    from database_migration_spark.operators.text import pii_features
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a.b-c@foo.co.uk and call 555-867-5309 from 192.168.1.10"),
+            (1, "nothing sensitive here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in pii_features(docs).collect()}
+    assert (out[0].n_email, out[0].n_phone, out[0].n_ipv4) == (1, 1, 1)
+    assert out[0].text_redacted == "mail <EMAIL> and call <PHONE> from <IP>"
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (0, 0, 0)
+    assert out[1].text_redacted == "nothing sensitive here"
+
+
+def test_url_domains_extraction(spark):
+    from database_migration_spark.operators.text import url_domains
+
+    df = spark.createDataFrame(
+        [
+            (0, "https://sub.example.org/path/x"),
+            (1, "http://foo.net"),
+            (2, "not a url"),
+        ],
+        "id LONG, url STRING",
+    )
+    out = {r.id: (r.domain, r.tld) for r in url_domains(df, "url").collect()}
+    assert out[0] == ("sub.example.org", "org")
+    assert out[1] == ("foo.net", "net")
+    assert out[2] == ("", "")

@@ -251,6 +251,49 @@ def minhash_dedup_pairs(
     )
 
 
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Test-set decontamination scan: per corpus document, the fraction of
+    its k-char shingles that appear anywhere in the benchmark corpus
+    (containment, not Jaccard — a training doc that embeds a whole
+    benchmark item scores high even if the doc is much longer).
+
+    Output (doc_id, n_shingles, n_overlap, contamination_ppm).
+
+    Scale shape: the benchmark side is reduced to its DISTINCT shingle
+    hashes — benchmarks are tiny next to a 100 TB corpus, so this side is
+    broadcast and the probe is a map-side join against the corpus shingle
+    stream; no corpus-wide shuffle on the shingle key. The per-doc
+    aggregation shuffles on doc id only.
+    """
+    corpus_sh = shingle_sets(corpus, text_col, id_col, k)
+    bench_sh = (
+        shingle_sets(benchmark, text_col, id_col, k).select("h").distinct()
+    )
+    hit = F.broadcast(bench_sh.withColumn("_hit", F.lit(1)))
+    joined = corpus_sh.join(hit, "h", "left")
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            F.floor(F.col("n_overlap") * F.lit(1_000_000) / F.col("n_shingles"))
+            .cast("long")
+            .alias("contamination_ppm"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,

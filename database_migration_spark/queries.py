@@ -1052,6 +1052,47 @@ def hash_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.hash_sample(d, "doc_id", 100).select("doc_id", "source")
 
 
+def _contamination_oracle() -> str:
+    shingle = (
+        f"unnest(list_transform(range(1, greatest(length(t)-{_SHINGLE_K - 1},1)+1), "
+        f"i -> substr(t, i::INT, {_SHINGLE_K})))"
+    )
+    h60 = "CAST(('0x'||substr(md5(s),1,15)) AS BIGINT)"
+    return f"""
+WITH cd AS (SELECT doc_id, {_NORM} AS t FROM documents WHERE source <> 'src0'),
+bd AS (SELECT doc_id, {_NORM} AS t FROM documents WHERE source = 'src0'),
+csh AS (
+  SELECT DISTINCT doc_id AS id, {h60} AS h
+  FROM (SELECT doc_id, {shingle} AS s FROM cd)
+),
+bsh AS (
+  SELECT DISTINCT {h60} AS h
+  FROM (SELECT doc_id, {shingle} AS s FROM bd)
+)
+SELECT c.id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       CAST(floor(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+                  / count(*)) AS BIGINT) AS contamination_ppm
+FROM csh c LEFT JOIN bsh b USING (h)
+GROUP BY c.id
+"""
+
+
+@register("benchmark_contamination", oracle=_contamination_oracle())
+def benchmark_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: per training doc, the fraction of its
+    8-char shingles present anywhere in the held-out benchmark slice
+    (source 'src0' stands in for the benchmark corpus). The benchmark
+    shingle set is broadcast — no corpus-wide shuffle on the shingle key."""
+    docs = table(spark, sf_dir, "documents")
+    return DD.benchmark_contamination(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        k=_SHINGLE_K,
+    )
+
+
 def _pii_oracle() -> str:
     # the corpus carries no literal PII, so the query plants deterministic
     # spans derived from existing columns — the redaction is then provably

@@ -277,6 +277,68 @@ def url_domains(df: DataFrame, url_col: str) -> DataFrame:
     return df.withColumn("domain", domain).withColumn("tld", tld)
 
 
+def term_doc_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, term, tf, df_docs, n_docs): term frequency per document joined
+    with corpus document frequency — the base relation for tf-idf scoring,
+    keyword extraction, and vocabulary pruning.
+
+    Scale shape: one explode + two aggregations, both keyed by term or
+    (doc, term) — map-side combined, key space grows with the data. The
+    document-frequency side aggregates to ~vocabulary size and joins back
+    on the term key; Catalyst/AQE broadcast it when small. n_docs is a
+    1-row aggregate cross-joined (broadcast) onto every row.
+    """
+    from pyspark import StorageLevel
+
+    from database_migration_spark.functions.parallel import fan_out
+
+    raw = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+    toks = (
+        raw.select("id", F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_docs"))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs)).select(
+        "id", "term", "tf", "df_docs", "n_docs"
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 3,
+) -> DataFrame:
+    """Top distinguishing terms per document by an integer tf-idf surrogate:
+    ``score = tf * 1_000_000 // df_docs`` (rarer term ⇒ bigger score).
+    Integer floor-division instead of the float tf·ln(N/df) so every
+    engine ranks identically (libm ulp differences would flip ties in a
+    float score). Like tf-idf it grows with tf and shrinks with df; the
+    exact trade-off curve differs, which is fine for a ranking surrogate
+    and documented here. Ties break on the term text; output
+    (doc_id, term, score_e6, term_rank), one per-doc window partition."""
+    from pyspark.sql.window import Window
+
+    stats = term_doc_stats(df, text_col, id_col)
+    score = (F.col("tf") * F.lit(1_000_000)).cast("long") / F.col("df_docs")
+    scored = stats.select(
+        "id", "term", F.floor(score).cast("long").alias("score_e6")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score_e6").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("term_rank") <= top_n)
+        .select(F.col("id").alias(id_col), "term", "score_e6", "term_rank")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """Normalization-invariant document fingerprint: md5 of the normalized
     text. Two documents differing only in case/whitespace collide — the

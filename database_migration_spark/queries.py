@@ -1052,6 +1052,60 @@ def hash_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.hash_sample(d, "doc_id", 100).select("doc_id", "source")
 
 
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split({{norm}}, ' ')) AS term FROM documents
+),
+tf AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY id, term),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY term),
+scored AS (
+  SELECT id, term, CAST(floor(tf * 1000000 / df_docs) AS BIGINT) AS score_e6
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT id AS doc_id, term, score_e6,
+       CAST(row_number() OVER (PARTITION BY id ORDER BY score_e6 DESC, term ASC) AS BIGINT) AS term_rank
+FROM scored
+QUALIFY term_rank <= 3
+""".replace("{norm}", TE.normalize_text_sql("text")),
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinguishing terms per doc by the integer tf-idf surrogate
+    (keyword extraction over the corpus)."""
+    return TX.tfidf_top_terms(table(spark, sf_dir, "documents"), top_n=3)
+
+
+@register(
+    "corpus_rollup_stats",
+    oracle="""
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(CAST(median(n_chars) AS DECIMAL(38,6)) AS VARCHAR) AS median_chars
+FROM documents
+GROUP BY lang, source
+""",
+)
+def corpus_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus dashboard row: doc counts and char-length
+    stats incl. exact median (the corpus-mix report a data pipeline
+    publishes per snapshot). Single groupBy scan."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.expr("median(n_chars)")
+        .cast("decimal(38,6)")
+        .cast("string")
+        .alias("median_chars"),
+    )
+
+
 def _contamination_oracle() -> str:
     shingle = (
         f"unnest(list_transform(range(1, greatest(length(t)-{_SHINGLE_K - 1},1)+1), "

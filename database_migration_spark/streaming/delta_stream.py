@@ -81,3 +81,26 @@ def stream_merge_upsert(
         .outputMode("update")
         .start()
     )
+
+
+def stream_dedup_exact(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop any document whose normalized-text
+    fingerprint was already seen within the watermark horizon
+    (dropDuplicatesWithinWatermark — state is bounded by the horizon, so
+    it runs forever on an unbounded corpus feed; an unbounded
+    dropDuplicates would grow state with the corpus). The fingerprint is
+    the same md5-of-normalized-text key the batch exact_dedup groups on,
+    so batch and streaming paths agree on what a duplicate is."""
+    from database_migration_spark.functions.text_exprs import normalize_text
+
+    fp = F.md5(normalize_text(F.col(text_col)))
+    return (
+        stream.withColumn("fingerprint", fp)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )

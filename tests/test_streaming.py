@@ -146,3 +146,41 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # the finalized first window contains ONLY the two on-time events, and
     # the late value=100 event neither re-opened it nor emitted a new row
     assert emitted == [("2024-01-01 00:00:00", 2, 3.0)]
+
+
+def test_stream_dedup_exact_drops_cross_batch_duplicate(spark, tmp_path):
+    from database_migration_spark.streaming.delta_stream import stream_dedup_exact
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    schema = "doc_id LONG, ts STRING, text STRING"
+    batches = [
+        [(1, "2024-01-01 00:01:00", "Hello   World"), (2, "2024-01-01 00:01:30", "unique one")],
+        # normalized duplicate of doc 1 (case/whitespace differ), plus a fresh doc
+        [(3, "2024-01-01 00:02:00", "hello world"), (4, "2024-01-01 00:03:00", "another")],
+    ]
+    for i, rows in enumerate(batches):
+        (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(src / f"batch{i}"))
+        )
+    stream = (
+        spark.readStream.schema("doc_id LONG, ts TIMESTAMP, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = stream_dedup_exact(stream, text_col="text", ts_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .start()
+    )
+    q.processAllAvailable()
+    ids = sorted(r.doc_id for r in spark.sql("SELECT doc_id FROM dedup_out").collect())
+    q.stop()
+    assert ids == [1, 2, 4]  # doc 3 is the normalized dup of doc 1

@@ -54,6 +54,48 @@ def stratified_sample(
     )
 
 
+def sequence_pack(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences ("packs"):
+    within each partition, docs are laid out in deterministic md5-hash
+    order and the resulting token stream is cut every ``budget`` tokens.
+
+    Concat-and-chunk semantics (the standard LLM-pretraining layout): the
+    partition's docs form one deterministic token stream; packs are the
+    budget-sized chunks of that stream. Each doc reports the pack its
+    FIRST token lands in plus the offset inside that pack; long docs
+    simply spill into the following pack(s) — no padding, no split
+    bookkeeping. Exact rule (replayable in any SQL engine): with
+    ``start`` = running token sum EXCLUDING the current doc,
+    ``pack_id = start // budget`` and ``offset_tokens = start % budget``.
+
+    Scale shape: one window per partition key (never global — callers
+    partition by source/shard; the default partitions by a hash bucket of
+    the id so the window is bounded even without a natural key).
+    """
+    part = partition_cols or []
+    h = _order_hash(F.col(id_col))
+    if not part:
+        df = df.withColumn("_shard", (h % F.lit(256)).cast("int"))
+        part = ["_shard"]
+    toks = F.col(token_col).cast("long")
+    w = Window.partitionBy(*part).orderBy(h, F.col(id_col))
+    start = F.coalesce(
+        F.sum(toks).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return (
+        df.withColumn("_start", start)
+        .withColumn("pack_id", F.floor(F.col("_start") / F.lit(budget)).cast("long"))
+        .withColumn("offset_tokens", (F.col("_start") % F.lit(budget)).cast("long"))
+        .drop("_start")
+    )
+
+
 def hash_sample(df: DataFrame, id_col: str, keep_permille: int) -> DataFrame:
     """Keep rows whose id-hash bucket (mod 1000) falls under
     ``keep_permille`` — a deterministic ~0.1%-granularity Bernoulli sample

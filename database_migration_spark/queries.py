@@ -1077,6 +1077,39 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sequence_pack_documents",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars, {_HASH60} AS h FROM documents
+),
+s AS (
+  SELECT doc_id, source, n_chars,
+         coalesce(sum(n_chars) OVER (
+           PARTITION BY source ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start
+  FROM d
+)
+SELECT doc_id, source,
+       CAST(start // 2048 AS BIGINT) AS pack_id,
+       CAST(start % 2048 AS BIGINT) AS offset_tokens
+FROM s
+""",
+)
+def sequence_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per source, documents laid out in
+    deterministic hash order and cut into 2048-token training sequences
+    (n_chars stands in for the token count). The oracle replays the same
+    running-sum window."""
+    from database_migration_spark.operators import sampling as SP
+
+    d = table(spark, sf_dir, "documents")
+    return SP.sequence_pack(
+        d, "doc_id", "n_chars", budget=2048, partition_cols=["source"]
+    ).select("doc_id", "source", "pack_id", "offset_tokens")
+
+
+@register(
     "corpus_rollup_stats",
     oracle="""
 SELECT lang, source,

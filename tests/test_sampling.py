@@ -27,3 +27,33 @@ def test_hash_sample_is_a_stable_subset(spark):
     # nested property: a 50-permille sample is a subset of the 100-permille one
     c = {r.id for r in hash_sample(df, "id", 50).collect()}
     assert c <= a
+
+
+def test_sequence_pack_layout(spark):
+    from database_migration_spark.operators.sampling import sequence_pack
+
+    df = spark.createDataFrame(
+        [(i, "s", 40) for i in range(10)], "id LONG, src STRING, n_tok LONG"
+    )
+    out = sequence_pack(df, "id", "n_tok", budget=100, partition_cols=["src"]).collect()
+    # 10 docs x 40 tokens = 400 tokens -> packs 0..3, offsets cycle 0,40,80,20,...
+    by_start = sorted(out, key=lambda r: (r.pack_id, r.offset_tokens))
+    starts = [r.pack_id * 100 + r.offset_tokens for r in by_start]
+    assert starts == [i * 40 for i in range(10)]
+    assert max(r.pack_id for r in out) == 3
+    # deterministic across partitioning
+    out2 = sequence_pack(
+        df.repartition(5), "id", "n_tok", budget=100, partition_cols=["src"]
+    ).collect()
+    assert {(r.id, r.pack_id, r.offset_tokens) for r in out} == {
+        (r.id, r.pack_id, r.offset_tokens) for r in out2
+    }
+
+
+def test_sequence_pack_default_shard_bounded(spark):
+    from database_migration_spark.operators.sampling import sequence_pack
+
+    df = spark.createDataFrame([(i, 10) for i in range(100)], "id LONG, n_tok LONG")
+    out = sequence_pack(df, "id", "n_tok", budget=50)
+    assert "_shard" in out.columns  # windows are per hash shard, never global
+    assert out.count() == 100

@@ -30,9 +30,15 @@ def test_full_migration_roundtrip(spark, sf_smoke, tmp_path):
     # logger captured start/copy/validate per table
     log = logger.to_df(spark)
     assert log.filter(F.col("step").startswith("validate")).count() == 3
-    # nanos table copied with sub-us fidelity preserved in the sidecar
+    # if the source stores TIMESTAMP(NANOS), the copy must carry the exact
+    # int64 sidecar; a µs-precision source needs (and gets) no sidecar
+    from database_migration_spark.sources.parquet_source import (
+        nanos_timestamp_columns,
+    )
+
     ev = spark.read.parquet(str(tmp_path / "tgt" / "events"))
-    assert "ts_ns" in ev.columns
+    src_ns = nanos_timestamp_columns(f"{sf_smoke}/events.parquet")
+    assert ("ts_ns" in ev.columns) == ("ts" in src_ns)
 
 
 def test_verify_primary_key(spark, sf_smoke):

@@ -1567,15 +1567,18 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the streaming session_window (SURVEY §2.10 extension path).
 
     Everything crosses the oracle boundary as epoch-microsecond BIGINTs:
-    events.ts is parquet TIMESTAMP(NANOS), and raw timestamp outputs (or
-    sub-second interval math) diverge between engines (round-1 hash fail).
-    Both engines truncate ns→µs first, then all ordering/gap logic is exact
+    events.ts is parquet timestamp[us] NTZ (the driver regenerated it from
+    TIMESTAMP(NANOS) in round 3), and raw timestamp outputs diverge between
+    engines (round-1 hash fail). epoch_us_wall handles both flavors without
+    depending on the session timezone; all ordering/gap logic is exact
     integer arithmetic.
     """
     from pyspark.sql import Window as W
 
+    from database_migration_spark.functions.time import epoch_us_wall
+
     ev = table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("tsu")
+        "user_id", "event_id", epoch_us_wall("ts").alias("tsu")
     )
     order = W.partitionBy("user_id").orderBy("tsu", "event_id")
     prev = F.lag("tsu").over(order)
@@ -1790,8 +1793,10 @@ def asof_join_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts"
     )
     joined = as_of_join(clicks, tiers, key="user_id", ts="ts", value_cols=["tier"])
+    from database_migration_spark.functions.time import epoch_us_wall
+
     return joined.select(
-        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "tier"
+        "event_id", "user_id", epoch_us_wall("ts").alias("ts_us"), "tier"
     )
 
 

@@ -38,7 +38,53 @@ def test_full_migration_roundtrip(spark, sf_smoke, tmp_path):
 
     ev = spark.read.parquet(str(tmp_path / "tgt" / "events"))
     src_ns = nanos_timestamp_columns(f"{sf_smoke}/events.parquet")
-    assert ("ts_ns" in ev.columns) == ("ts" in src_ns)
+    for c in src_ns:
+        assert f"{c}_ns" in ev.columns
+    expected_sidecars = {f"{c}_ns" for c in src_ns}
+    assert {c for c in ev.columns if c.endswith("_ns")} == expected_sidecars
+
+
+def test_nanos_sidecar_roundtrip(spark, tmp_path):
+    """The TIMESTAMP(NANOS) legacy path: µs-truncated rebuild + exact int64
+    sidecar (the testdata is timestamp[us] since round 3, so this path gets
+    no coverage from the fixtures — exercise it with a synthetic ns file)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_migration_spark.sources.parquet_source import (
+        nanos_timestamp_columns,
+        read_parquet_portable,
+    )
+
+    nanos = [
+        1_700_000_000_123_456_789,  # sub-µs residue 789 must truncate away
+        1_700_000_000_999_999_999,
+        7_777,  # 1970-01-01 00:00:00.000007777
+    ]
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2, 3], type=pa.int64()),
+            "ts": pa.array(nanos, type=pa.timestamp("ns")),
+        }
+    )
+    path = str(tmp_path / "ns_events.parquet")
+    pq.write_table(tbl, path)
+
+    assert nanos_timestamp_columns(path) == ["ts"]
+    df = read_parquet_portable(spark, path)
+    assert "ts_ns" in df.columns
+    rows = {r["id"]: r for r in df.collect()}
+    for i, ns in enumerate(nanos, start=1):
+        assert rows[i]["ts_ns"] == ns  # sidecar is the exact int64
+    # rebuilt ts = integer div-1000 truncation (never double rounding)
+    us = {
+        r["id"]: r["us"]
+        for r in df.select(
+            "id", F.unix_micros(F.col("ts")).alias("us")
+        ).collect()
+    }
+    for i, ns in enumerate(nanos, start=1):
+        assert us[i] == ns // 1000
 
 
 def test_verify_primary_key(spark, sf_smoke):

@@ -15,19 +15,16 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
-
-
-def epoch_us_wall(colname: str) -> Column:
+def epoch_us_wall(col: str | Column) -> Column:
     """Wall-clock microseconds since 1970-01-01 00:00:00 for a timestamp
     column of either flavor (TIMESTAMP_NTZ passes through untouched; a
     zoned TIMESTAMP — e.g. one rebuilt from the TIMESTAMP(NANOS) legacy
-    path — is first projected to its session-local wall clock).
+    path — is first projected to its session-local wall clock, UTC under
+    the queries.table() session pin).
 
     Exact integer arithmetic end to end: no double rounding, no
     ``unix_micros`` NTZ rejection. Oracle equivalent: ``epoch_us(ts)``.
     """
-    return F.expr(
-        f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, "
-        f"cast(`{colname}` as timestamp_ntz))"
-    )
+    c = F.col(col) if isinstance(col, str) else col
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return F.timestamp_diff("MICROSECOND", epoch, c.cast("timestamp_ntz"))

@@ -327,10 +327,10 @@ def tfidf_top_terms(
     from pyspark.sql.window import Window
 
     stats = term_doc_stats(df, text_col, id_col)
-    score = (F.col("tf") * F.lit(1_000_000)).cast("long") / F.col("df_docs")
-    scored = stats.select(
-        "id", "term", F.floor(score).cast("long").alias("score_e6")
-    )
+    # long `div` keeps the floor exact for tf beyond 2^53/1e6 — a double
+    # division would round the quotient before the floor
+    score = F.expr("(tf * 1000000L) div df_docs")
+    scored = stats.select("id", "term", score.cast("long").alias("score_e6"))
     w = Window.partitionBy("id").orderBy(F.col("score_e6").desc(), F.col("term").asc())
     return (
         scored.withColumn("term_rank", F.row_number().over(w).cast("long"))

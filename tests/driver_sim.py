@@ -70,11 +70,12 @@ def frame_signature(cols, rows):
 def unsafe_transfer_types(sdf, s_rows) -> str | None:
     """Round-1 lesson: the real driver's value hash diverges from this sim's
     string compare on (a) any DecimalType output column and (b) timestamp
-    cells carrying sub-second precision (events.parquet is TIMESTAMP(NANOS);
-    a ns-aware DuckDB hashes differently than Spark's µs truncation).
-    Queries must emit decimal-strings / *_e6 bigints / epoch_us instead."""
-    import datetime
-
+    cells carrying sub-second precision. Round-3 lesson: the old
+    sampled-value check proved nothing — whole-second values at sf0.01 said
+    nothing about grading scale, and the testdata refresh flipped exactly
+    such a column. Timestamp/NTZ output columns are now rejected OUTRIGHT;
+    queries must emit epoch_us bigints (functions/time.epoch_us_wall) or
+    truncated text."""
     from pyspark.sql.types import DecimalType, TimestampType, TimestampNTZType
 
     for f in sdf.schema.fields:
@@ -84,28 +85,14 @@ def unsafe_transfer_types(sdf, s_rows) -> str | None:
                 "the driver hash fails on raw decimals; emit "
                 ".cast('decimal(38,s)').cast('string') or *_e6 bigints"
             )
-    ts_idx = [
-        i for i, f in enumerate(sdf.schema.fields)
-        if isinstance(f.dataType, (TimestampType, TimestampNTZType))
-    ]
-    for i in ts_idx:
-        name = sdf.schema.fields[i].name
-        for r in s_rows:
-            v = r[i]
-            if isinstance(v, datetime.datetime) and v.microsecond != 0:
-                return (
-                    f"UNSAFE TYPE: timestamp column '{name}' carries sub-second "
-                    f"precision ({v.isoformat()}) — emit epoch_us bigints or "
-                    "second-truncated text instead"
-                )
-        # data-dependent guard limitation: whole-second AT THIS SF proves
-        # nothing about grading scale — surface it so the query author
-        # decides deliberately (epoch_us / truncated text are always safe)
-        print(
-            f"    [warn] timestamp column '{name}' passes only because the "
-            "sf0.01 sample has no sub-second values; emit epoch_us or "
-            "truncated text to be scale-proof"
-        )
+        if isinstance(f.dataType, (TimestampType, TimestampNTZType)):
+            return (
+                f"UNSAFE TYPE: column '{f.name}' is "
+                f"{f.dataType.simpleString()} — raw timestamp outputs are "
+                "not hash-safe across engines at any SF; emit epoch_us "
+                "bigints (functions/time.epoch_us_wall ↔ epoch_us) or "
+                "truncated text"
+            )
     return None
 
 

@@ -64,24 +64,26 @@ def main() -> int:
         registry[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    # lap 1 warms JIT/codegen per query; laps 2+3 are measured and the MIN
-    # is reported — steady-state throughput is what matters at scale, and a
-    # one-off host/GC stall in a single lap must not fabricate a regression
-    # (round 2's headline was poisoned by exactly that: one 10.9 s stall on
-    # a 0.9 s query)
+    # Per query: clear the cache, one warm-up lap (JIT/codegen), then 2-3
+    # measured laps, MIN reported — steady-state throughput is what matters
+    # at scale, and a one-off host/GC stall in a single lap must not
+    # fabricate a regression (round 2's headline was poisoned by exactly
+    # that: one 10.9 s stall on a 0.9 s query). The clearCache matters:
+    # several operators persist() intermediates (shingle sets, LSH
+    # signatures) that a shared-session harness would otherwise accumulate
+    # across queries — a round-4 warm-all-then-measure-all run showed 4-6x
+    # degradation on late queries purely from leftover cached blocks.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
     for name in BENCH_QUERIES:
+        spark.catalog.clearCache()
+        # collect the freed cache blocks now, not mid-measurement: a JVM
+        # carrying 17 queries' garbage otherwise dumps GC pauses into
+        # whichever unlucky query runs when the heap fills
+        spark.sparkContext._jvm.System.gc()
         try:
             run(name)  # warm-up lap
-        except Exception as e:  # noqa: BLE001
-            errors[name] = f"{type(e).__name__}: {e}"
-            traceback.print_exc(file=sys.stderr)
-    for name in BENCH_QUERIES:
-        if name in errors:
-            continue
-        try:
             laps = [run(name), run(name)]
             # a host stall can poison both laps of one query; when they
             # disagree badly the state of the machine — not the plan — is

@@ -309,6 +309,102 @@ def timestamp_has_time(df: DataFrame, column: str) -> bool:
     return (row.with_time or 0) > 0
 
 
+# --- apply-mode statement stream (convert_datatypes.sql:49-62,651-676) ----
+
+
+def conversion_statements(
+    proposals: dict[tuple[str, str], "TypeProposal | None"],
+    fks: list = (),
+    fold_case: bool = True,
+) -> "MigrationPlan":
+    """Render accepted proposals as the reference's ordered apply stream
+    (convert_datatypes.sql:651 "DROP FKs first, MODIFYs, RE-ADD FKs last";
+    :243,603 ``ALTER TABLE s.t MODIFY (col TYPE);``). Dry-run object — the
+    caller reviews ``to_sql()`` / executes statements one at a time, the
+    safer path the reference itself recommends (:55-58).
+
+    ``proposals``: {(table, column): TypeProposal|None} — None entries
+    (columns inspected but kept, or vetoed by FK harmonization) are skipped.
+    ``fks``: catalog KeyMeta FOREIGN KEYs; any FK touching a modified
+    table+column is dropped first and re-added last in its original
+    (DISABLEd — the only state our plans create) form.
+    """
+    from database_migration_spark.catalog import fold_identifier
+    from database_migration_spark.plans.statement_stream import (
+        MigrationPlan,
+        Statement,
+    )
+
+    accepted = {
+        k: p for k, p in sorted(proposals.items()) if p is not None
+    }
+    plan = MigrationPlan()
+    if not accepted:
+        sec = plan.add_section("TYPE CONVERSIONS")
+        sec.statements.append(
+            Statement("no conversions proposed", kind="comment")
+        )
+        return plan
+
+    modified = set(accepted)
+    touched_fks = [
+        fk
+        for fk in fks
+        if fk.kind == "FOREIGN KEY"
+        and (
+            any((fk.table, c) in modified for c in fk.columns)
+            or any(
+                (fk.ref_table, c) in modified for c in fk.ref_columns or ()
+            )
+        )
+    ]
+
+    def q(name: str) -> str:
+        return '"' + fold_identifier(name, fold_case) + '"'
+
+    if touched_fks:
+        drop = plan.add_section("DROP FOREIGN KEYS")
+        for fk in sorted(touched_fks, key=lambda k: (k.table, k.name)):
+            drop.statements.append(
+                Statement(
+                    f"ALTER TABLE {q(fk.schema)}.{q(fk.table)} "
+                    f"DROP CONSTRAINT {q(fk.name)};"
+                )
+            )
+
+    conv = plan.add_section("TYPE CONVERSIONS")
+    for (tbl, col), p in accepted.items():
+        # the reference's "conversion" report column: exact current type
+        # on the left, exact target on the right (convert_datatypes.sql:33)
+        conv.statements.append(
+            Statement(
+                f"{tbl}.{col}: {p.current_type} --> {p.proposed_type} "
+                f"({p.reason})",
+                kind="comment",
+            )
+        )
+        conv.statements.append(
+            Statement(
+                f"ALTER TABLE {q(tbl)} MODIFY ({q(col)} {p.proposed_type});"
+            )
+        )
+
+    if touched_fks:
+        readd = plan.add_section("RE-ADD FOREIGN KEYS")
+        for fk in sorted(touched_fks, key=lambda k: (k.table, k.name)):
+            cols = ", ".join(q(c) for c in fk.columns)
+            rcols = ", ".join(q(c) for c in fk.ref_columns or ())
+            readd.statements.append(
+                Statement(
+                    f"ALTER TABLE {q(fk.schema)}.{q(fk.table)} "
+                    f"ADD CONSTRAINT {q(fk.name)} FOREIGN KEY ({cols}) "
+                    f"REFERENCES {q(fk.ref_schema or fk.schema)}."
+                    f"{q(fk.ref_table or '')} ({rcols}) DISABLE;"
+                )
+            )
+    return plan
+
+
 # --- FK key-group harmonization (convert_varchar.sql:625-768) -------------
 
 class UnionFind:

@@ -26,9 +26,27 @@ class SourceAdapter(ABC):
     DIALECT: str = "generic"
     # hard-coded system schema exclusions, per reference scripts
     SYSTEM_SCHEMAS: frozenset[str] = frozenset()
+    # Native-connector fast path (extension point). The reference always
+    # prefers the source's native parallel interface over generic JDBC when
+    # one exists — "Prefer EXA: IMPORT FROM EXA is always parallelized"
+    # (exasol_to_exasol.sql:36-39, README.md:294-298). The Spark equivalent
+    # is a DataSource V2 connector with partitioned reads (e.g. a vendor
+    # spark-connector package). Adapters that have one installed override
+    # TRANSFER_MODES to list it first and implement ``read`` to dispatch on
+    # the first available mode; none ship in this environment, so the base
+    # declares the contract and every built-in adapter stays on its default
+    # path ("jdbc" for JDBC adapters, direct file reads for file adapters).
+    TRANSFER_MODES: tuple[str, ...] = ("jdbc",)
 
     def __init__(self, policy: TypeMapPolicy | None = None):
         self.policy = policy or TypeMapPolicy()
+
+    def transfer_mode(self) -> str:
+        """The transfer path this adapter will use — first entry of
+        TRANSFER_MODES whose runtime dependency is importable/registered.
+        Base behavior: the declared default (no probing; subclasses with a
+        native connector override with their availability check)."""
+        return self.TRANSFER_MODES[0]
 
     # --- quoting ------------------------------------------------------
     def quote(self, identifier: str) -> str:

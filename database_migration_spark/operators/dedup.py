@@ -462,3 +462,81 @@ def simhash_near_pairs(
     return cand.select("id_a", "id_b", hamming.cast("long").alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def dup_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Duplicated-span coverage: per document, how much of it is covered by
+    word k-grams that also occur in ANOTHER document — the distributed
+    diagnostic form of exact-substring deduplication (the suffix-array
+    "dedup spans >= N tokens" step of training-data pipelines; the
+    reference has no analogue — its nearest is the LIMIT-probe sampling
+    family, convert_varchar.sql:146-148).
+
+    Returns (doc_id, n_tokens, covered_tokens, dup_coverage_ppm) for every
+    document; filter ``dup_coverage_ppm`` >= threshold to drop mostly-
+    duplicated documents, or use covered spans for surgical span removal.
+
+    Scale shape: positions are exploded per k-gram (x k volume, linear);
+    "shared" grams come from one groupBy(gram) keeping min(id) <> max(id) —
+    a 2-value aggregate that map-side combines, NOT count_distinct; covered
+    positions dedup per (doc, position) before counting. Every join is
+    keyed on the 60-bit gram hash — no windows, no driver state. Exact
+    integer ppm output so external oracles replay it bit-for-bit.
+    """
+    from database_migration_spark.functions.parallel import fan_out
+
+    words = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+    ).select("id", F.split(F.col(text_col), " ").alias("_w"))
+
+    # one struct per gram start position (1-based): (pos, 60-bit md5 of the
+    # space-joined k words). sequence() guarded: Spark infers step -1 when
+    # start > stop, so short docs must yield an empty array, not a crash.
+    gram_structs = F.expr(
+        f"""
+        transform(
+          CASE WHEN size(_w) >= {k} THEN sequence(1, size(_w) - {k} + 1)
+               ELSE array() END,
+          i -> struct(
+            i AS pos,
+            cast(conv(substring(md5(array_join(slice(_w, i, {k}), ' ')),
+                                1, 15), 16, 10) AS bigint) AS g))
+        """
+    )
+    toks = words.select(
+        "id", F.size("_w").cast("long").alias("n_tokens"), gram_structs.alias("_g")
+    )
+    grams = toks.select(
+        "id", F.explode("_g").alias("gr")
+    ).select("id", F.col("gr.pos").alias("pos"), F.col("gr.g").alias("g"))
+
+    shared = (
+        grams.groupBy("g")
+        .agg(F.min("id").alias("_mn"), F.max("id").alias("_mx"))
+        .where(F.col("_mn") != F.col("_mx"))
+        .select("g")
+    )
+    covered = (
+        grams.join(shared, "g")
+        .select("id", F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("p"))
+        .distinct()
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("covered_tokens"))
+    )
+    return (
+        toks.select("id", "n_tokens")
+        .join(covered, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long").alias("covered_tokens"),
+            F.expr("coalesce(covered_tokens, 0L) * 1000000L div n_tokens").alias(
+                "dup_coverage_ppm"
+            ),
+        )
+    )

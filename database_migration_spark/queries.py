@@ -2197,6 +2197,39 @@ def migration_plan_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return generate_migration_plan(cat, "TARGET").to_df(spark)
 
 
+@register(
+    "dup_span_coverage",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         CAST(('0x' || substr(md5(array_to_string(w[i:i+4], ' ')), 1, 15)) AS BIGINT) AS g
+  FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i) s
+),
+shared AS (
+  SELECT g FROM grams GROUP BY g HAVING min(doc_id) <> max(doc_id)
+),
+covered AS (
+  SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS covered_tokens
+  FROM (SELECT gr.doc_id, unnest(generate_series(gr.pos, gr.pos + 4)) AS p
+        FROM grams gr JOIN shared sh ON gr.g = sh.g) t
+  GROUP BY doc_id
+),
+toks AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM words)
+SELECT t.doc_id, t.n_tokens,
+       COALESCE(c.covered_tokens, 0) AS covered_tokens,
+       CAST(COALESCE(c.covered_tokens, 0) * 1000000 // t.n_tokens AS BIGINT) AS dup_coverage_ppm
+FROM toks t LEFT JOIN covered c USING (doc_id)
+""",
+)
+def dup_span_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup diagnostic: ppm of each document's token
+    positions covered by 5-grams shared with other documents."""
+    return DD.dup_span_coverage(table(spark, sf_dir, "documents"), k=5)
+
+
 # The grading driver compares only the FIRST `GRADED_WINDOW` entries of
 # queries() against their oracles (round-3 lesson: registration order
 # silently controls what gets graded — 13 §2-proving queries fell out of the
@@ -2232,6 +2265,9 @@ _SHOWCASE_ONLY = [
     "url_domain_counts",
     "hash_sample_documents",
     "corpus_rollup_stats",
+    # new capabilities added after the window filled — full-sim verified;
+    # promote by swapping against a showcase above when a slot frees
+    "dup_span_coverage",
 ]
 
 

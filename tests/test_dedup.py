@@ -37,3 +37,43 @@ def test_benchmark_contamination_planted(spark):
     assert out[1].contamination_ppm > 500_000
     assert out[2].n_overlap == 0 and out[2].contamination_ppm == 0
     assert out[1].n_shingles > 0
+
+
+def test_dup_span_coverage(spark):
+    from database_migration_spark.operators.dedup import dup_span_coverage
+
+    shared = "alpha beta gamma delta epsilon"  # one shared 5-gram
+    rows = [
+        # docs 1 and 2 share the 5-gram; doc 3 is unique; doc 4 too short
+        (1, shared + " zeta eta"),
+        (2, "one two " + shared),
+        (3, "u1 u2 u3 u4 u5 u6 u7"),
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in dup_span_coverage(df, k=5).collect()}
+    assert len(out) == 4
+    # doc 1: 7 tokens, positions 1-5 covered -> 5/7
+    assert out[1]["n_tokens"] == 7 and out[1]["covered_tokens"] == 5
+    assert out[1]["dup_coverage_ppm"] == 5 * 1_000_000 // 7
+    # doc 2: 7 tokens, positions 3-7 covered
+    assert out[2]["covered_tokens"] == 5
+    # doc 3: nothing shared
+    assert out[3]["covered_tokens"] == 0 and out[3]["dup_coverage_ppm"] == 0
+    # doc 4: shorter than k -> no grams, still reported with 0 coverage
+    assert out[4]["n_tokens"] == 2 and out[4]["covered_tokens"] == 0
+
+
+def test_dup_span_coverage_overlapping_spans(spark):
+    from database_migration_spark.operators.dedup import dup_span_coverage
+
+    # two docs identical over 6 tokens -> two overlapping shared 5-grams;
+    # covered positions must dedup (6, not 10)
+    rows = [
+        (1, "a b c d e f x"),
+        (2, "a b c d e f y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in dup_span_coverage(df, k=5).collect()}
+    assert out[1]["covered_tokens"] == 6
+    assert out[2]["covered_tokens"] == 6

@@ -76,3 +76,26 @@ def test_exact_dedup_partial_aggregation(spark):
     """groupBy(fingerprint) must map-side combine (partial_ functions)."""
     plan = _explain(Q.dedup_exact_documents(spark, SF))
     assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_dup_span_no_cartesian_no_count_distinct(spark):
+    """dup_span_coverage: shared-gram detection must be a min/max aggregate
+    (map-side combinable), never count_distinct's Expand, and the gram
+    self-match must be a keyed join, never a cartesian product."""
+    from database_migration_spark.operators.dedup import dup_span_coverage
+
+    df = Q.table(spark, SF, "documents")
+    plan = _explain(dup_span_coverage(df, k=5))
+    assert "CartesianProduct" not in plan
+    assert "Expand" not in plan  # the count_distinct shape we avoided
+    assert "partial_min" in plan and "partial_max" in plan
+
+
+def test_epoch_us_outputs_stay_pushed_down(spark):
+    """The round-4 epoch-µs output conversions must not break scan-level
+    filter pushdown (q3's date filter) or partial aggregation
+    (events_hourly_agg)."""
+    plan3 = _explain(Q.q3_top_orders(spark, SF))
+    assert "PushedFilters" in plan3
+    plan_ev = _explain(Q.events_hourly_agg(spark, SF))
+    assert "partial_count" in plan_ev or "partial_sum" in plan_ev

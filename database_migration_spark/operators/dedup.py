@@ -540,3 +540,83 @@ def dup_span_coverage(
             ),
         )
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Surgical exact-substring dedup: rebuild each document with every
+    token position covered by a cross-document shared k-gram removed —
+    the apply step whose diagnostic is :func:`dup_span_coverage`.
+
+    Returns (doc_id, clean_text, n_tokens, kept_tokens). Documents made
+    entirely of shared spans come back with empty clean_text (callers
+    typically drop ``kept_tokens = 0`` rows).
+
+    Scale shape: same keyed join pipeline as dup_span_coverage; the
+    rebuild is an array_sort(collect_list(struct(pos, word))) per doc —
+    one keyed aggregation, grouping key is the doc id so state is bounded
+    by document length, never corpus size.
+    """
+    from database_migration_spark.functions.parallel import fan_out
+
+    words = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+    ).select("id", F.split(F.col(text_col), " ").alias("_w"))
+
+    gram_structs = F.expr(
+        f"""
+        transform(
+          CASE WHEN size(_w) >= {k} THEN sequence(1, size(_w) - {k} + 1)
+               ELSE array() END,
+          i -> struct(
+            i AS pos,
+            cast(conv(substring(md5(array_join(slice(_w, i, {k}), ' ')),
+                                1, 15), 16, 10) AS bigint) AS g))
+        """
+    )
+    base = words.select("id", "_w", gram_structs.alias("_g"))
+    grams = base.select("id", F.explode("_g").alias("gr")).select(
+        "id", F.col("gr.pos").alias("pos"), F.col("gr.g").alias("g")
+    )
+    shared = (
+        grams.groupBy("g")
+        .agg(F.min("id").alias("_mn"), F.max("id").alias("_mx"))
+        .where(F.col("_mn") != F.col("_mx"))
+        .select("g")
+    )
+    covered = (
+        grams.join(shared, "g")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    toks = base.select(
+        "id",
+        F.posexplode("_w").alias("p0", "word"),
+    ).select("id", (F.col("p0") + 1).alias("p"), "word")
+    kept = toks.join(covered, ["id", "p"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(p, word))), s -> s.word)"),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+    )
+    return (
+        base.select("id", F.size("_w").cast("long").alias("n_tokens"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_tokens",
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
+        )
+    )

@@ -2230,6 +2230,51 @@ def dup_span_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dup_span_coverage(table(spark, sf_dir, "documents"), k=5)
 
 
+@register(
+    "remove_dup_spans",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         CAST(('0x' || substr(md5(array_to_string(w[i:i+4], ' ')), 1, 15)) AS BIGINT) AS g
+  FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i) s
+),
+shared AS (
+  SELECT g FROM grams GROUP BY g HAVING min(doc_id) <> max(doc_id)
+),
+covered AS (
+  SELECT DISTINCT doc_id, p
+  FROM (SELECT gr.doc_id, unnest(generate_series(gr.pos, gr.pos + 4)) AS p
+        FROM grams gr JOIN shared sh ON gr.g = sh.g) t
+),
+toks AS (
+  SELECT doc_id, p, w[p] AS word
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w))) AS p) s
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.word
+  FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.p
+  WHERE c.p IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS clean_text,
+         CAST(count(*) AS BIGINT) AS kept_tokens
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+       CAST(len(w.w) AS BIGINT) AS n_tokens,
+       COALESCE(r.kept_tokens, 0) AS kept_tokens
+FROM words w LEFT JOIN rebuilt r USING (doc_id)
+""",
+)
+def remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical exact-substring dedup: documents rebuilt with cross-doc
+    shared 5-gram spans removed (apply step of dup_span_coverage)."""
+    return DD.remove_duplicated_spans(table(spark, sf_dir, "documents"), k=5)
+
+
 # The grading driver compares only the FIRST `GRADED_WINDOW` entries of
 # queries() against their oracles (round-3 lesson: registration order
 # silently controls what gets graded — 13 §2-proving queries fell out of the
@@ -2268,6 +2313,7 @@ _SHOWCASE_ONLY = [
     # new capabilities added after the window filled — full-sim verified;
     # promote by swapping against a showcase above when a slot frees
     "dup_span_coverage",
+    "remove_dup_spans",
 ]
 
 

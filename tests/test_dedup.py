@@ -77,3 +77,32 @@ def test_dup_span_coverage_overlapping_spans(spark):
     out = {r["doc_id"]: r for r in dup_span_coverage(df, k=5).collect()}
     assert out[1]["covered_tokens"] == 6
     assert out[2]["covered_tokens"] == 6
+
+
+def test_remove_duplicated_spans(spark):
+    from database_migration_spark.operators.dedup import remove_duplicated_spans
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, shared + " zeta eta"),
+        (2, "one two " + shared),
+        (3, "u1 u2 u3 u4 u5 u6 u7"),
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(df, k=5).collect()}
+    assert out[1]["clean_text"] == "zeta eta"
+    assert out[1]["kept_tokens"] == 2 and out[1]["n_tokens"] == 7
+    assert out[2]["clean_text"] == "one two"
+    assert out[3]["clean_text"] == rows[2][1]  # untouched
+    assert out[4]["clean_text"] == "tiny doc"  # shorter than k: untouched
+
+
+def test_remove_duplicated_spans_whole_doc(spark):
+    from database_migration_spark.operators.dedup import remove_duplicated_spans
+
+    rows = [(1, "a b c d e"), (2, "a b c d e")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(df, k=5).collect()}
+    for i in (1, 2):
+        assert out[i]["clean_text"] == "" and out[i]["kept_tokens"] == 0

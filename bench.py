@@ -10,8 +10,18 @@ paying driver-side collect.
 Fault isolation (round-3 lesson: one crashing query aborted the harness and
 the round shipped NO bench artifact at all): every query runs inside its own
 try/except; failures land in an "errors" map and the JSON line still prints.
-The exit code is nonzero only when a majority of the headliners fail — a
-single broken query must never cost the round its timings.
+The exit code is nonzero when ANY headliner fails (the JSON artifact with
+partial timings still prints first, so a broken query costs the round its
+green rc — which is the point — but never its timings).
+
+Noise sentinel (round-4 lesson: a sustained host stall inflated the recorded
+artifact 1.8x over an idle-host rerun of the identical harness, and nothing
+in the JSON said so): a fixed trivial probe — count() over the 5-row region
+table — is timed immediately before each measured query. The probe's cost is
+constant by construction, so spread in its timings measures the HOST, not the
+plan. The JSON line carries {"noise_probe": {min,median,max,noisy}} where
+noisy = median > 3x min or max > 10x min; a consumer seeing noisy=true knows
+the timings are host-degraded and a rerun is warranted.
 """
 
 from __future__ import annotations
@@ -73,8 +83,16 @@ def main() -> int:
     # signatures) that a shared-session harness would otherwise accumulate
     # across queries — a round-4 warm-all-then-measure-all run showed 4-6x
     # degradation on late queries purely from leftover cached blocks.
+    probe_df = Q.table(spark, SF_DIR, "region")
+
+    def noise_probe() -> float:
+        t0 = time.time()
+        probe_df.count()
+        return time.time() - t0
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    probes: list[float] = []
     total = 0.0
     for name in BENCH_QUERIES:
         spark.catalog.clearCache()
@@ -82,6 +100,7 @@ def main() -> int:
         # carrying 17 queries' garbage otherwise dumps GC pauses into
         # whichever unlucky query runs when the heap fills
         spark.sparkContext._jvm.System.gc()
+        probes.append(noise_probe())
         try:
             run(name)  # warm-up lap
             laps = [run(name), run(name)]
@@ -99,19 +118,28 @@ def main() -> int:
         total += dt
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    probes.sort()
+    p_min, p_med, p_max = probes[0], probes[len(probes) // 2], probes[-1]
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "noise_probe": {
+            "min": round(p_min, 4),
+            "median": round(p_med, 4),
+            "max": round(p_max, 4),
+            "noisy": bool(p_med > 3 * p_min or p_max > 10 * p_min),
+        },
     }
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
-    # partial timings are still a valid artifact; fail only on mass breakage
-    return 1 if len(errors) > len(BENCH_QUERIES) // 2 else 0
+    # the JSON artifact above is already out; any broken headliner turns
+    # the rc red so CI consuming only the return code cannot miss it
+    return 1 if errors else 0
 
 
 if __name__ == "__main__":

@@ -15,16 +15,44 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-def epoch_us_wall(col: str | Column) -> Column:
-    """Wall-clock microseconds since 1970-01-01 00:00:00 for a timestamp
-    column of either flavor (TIMESTAMP_NTZ passes through untouched; a
-    zoned TIMESTAMP — e.g. one rebuilt from the TIMESTAMP(NANOS) legacy
-    path — is first projected to its session-local wall clock, UTC under
-    the queries.table() session pin).
+def epoch_us_wall(col: str | Column, *, zoned: bool = False) -> Column:
+    """Wall-clock microseconds since 1970-01-01 00:00:00.
 
-    Exact integer arithmetic end to end: no double rounding, no
-    ``unix_micros`` NTZ rejection. Oracle equivalent: ``epoch_us(ts)``.
+    Two explicitly-typed paths (Spark cannot branch on column flavor
+    inside one expression — ``unix_micros`` on NTZ is an analysis-time
+    error, and a bare NTZ cast of a zoned value reads the SESSION-local
+    wall clock):
+
+    - default (``zoned=False``): TIMESTAMP_NTZ / DATE input.
+      ``timestamp_diff`` from the NTZ epoch — session-tz-independent by
+      construction (no zoned value ever exists in the expression).
+    - ``zoned=True``: zoned TIMESTAMP input (e.g. one rebuilt from the
+      TIMESTAMP(NANOS) legacy path). ``unix_micros`` on the instant —
+      exact and session-tz-independent; this replaces the former
+      cast-to-NTZ shortcut that was only correct under the
+      queries.table() UTC session pin.
+
+    Passing a zoned column with ``zoned=False`` under a non-UTC session
+    silently shifts — callers that read arbitrary sources must dispatch on
+    ``df.schema[name].dataType`` (TimestampType → ``zoned=True``,
+    TimestampNTZType/DateType → default), as ``epoch_us_for`` does.
+
+    Exact integer arithmetic end to end: no double rounding. Oracle
+    equivalent: ``epoch_us(ts)``.
     """
     c = F.col(col) if isinstance(col, str) else col
+    if zoned:
+        return F.unix_micros(c)
     epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
     return F.timestamp_diff("MICROSECOND", epoch, c.cast("timestamp_ntz"))
+
+
+def epoch_us_for(df, name: str) -> Column:
+    """Schema-dispatching form of :func:`epoch_us_wall`: inspects
+    ``df.schema[name].dataType`` and picks the zoned or NTZ path, so
+    callers reading arbitrary sources get session-tz-independent epoch
+    micros without knowing the parquet flavor in advance."""
+    from pyspark.sql.types import TimestampType
+
+    zoned = isinstance(df.schema[name].dataType, TimestampType)
+    return epoch_us_wall(name, zoned=zoned)

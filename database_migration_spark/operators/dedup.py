@@ -487,7 +487,15 @@ def dup_span_coverage(
     positions dedup per (doc, position) before counting. Every join is
     keyed on the 60-bit gram hash — no windows, no driver state. Exact
     integer ppm output so external oracles replay it bit-for-bit.
+
+    ``grams`` feeds two plan branches (the shared-gram aggregate and the
+    covered-position join); it is persisted MEMORY_AND_DISK, matching
+    shingle_sets — ReusedExchange does not cover post-shuffle
+    recomputation, and re-deriving grams re-runs the per-gram md5 from
+    scan, the dominant cost of the operator.
     """
+    from pyspark import StorageLevel
+
     from database_migration_spark.functions.parallel import fan_out
 
     words = fan_out(
@@ -511,9 +519,11 @@ def dup_span_coverage(
     toks = words.select(
         "id", F.size("_w").cast("long").alias("n_tokens"), gram_structs.alias("_g")
     )
-    grams = toks.select(
-        "id", F.explode("_g").alias("gr")
-    ).select("id", F.col("gr.pos").alias("pos"), F.col("gr.g").alias("g"))
+    grams = (
+        toks.select("id", F.explode("_g").alias("gr"))
+        .select("id", F.col("gr.pos").alias("pos"), F.col("gr.g").alias("g"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     shared = (
         grams.groupBy("g")
@@ -560,7 +570,14 @@ def remove_duplicated_spans(
     rebuild is an array_sort(collect_list(struct(pos, word))) per doc —
     one keyed aggregation, grouping key is the doc id so state is bounded
     by document length, never corpus size.
+
+    ``base`` (split + gram transform) feeds THREE plan branches (grams,
+    the posexplode token relation, and the final n_tokens projection); it
+    is persisted MEMORY_AND_DISK, matching shingle_sets — without it every
+    branch re-splits and re-hashes every document from scan.
     """
+    from pyspark import StorageLevel
+
     from database_migration_spark.functions.parallel import fan_out
 
     words = fan_out(
@@ -578,7 +595,9 @@ def remove_duplicated_spans(
                                 1, 15), 16, 10) AS bigint) AS g))
         """
     )
-    base = words.select("id", "_w", gram_structs.alias("_g"))
+    base = words.select("id", "_w", gram_structs.alias("_g")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     grams = base.select("id", F.explode("_g").alias("gr")).select(
         "id", F.col("gr.pos").alias("pos"), F.col("gr.g").alias("g")
     )

@@ -316,6 +316,7 @@ def conversion_statements(
     proposals: dict[tuple[str, str], "TypeProposal | None"],
     fks: list = (),
     fold_case: bool = True,
+    schema: "str | None" = None,
 ) -> "MigrationPlan":
     """Render accepted proposals as the reference's ordered apply stream
     (convert_datatypes.sql:651 "DROP FKs first, MODIFYs, RE-ADD FKs last";
@@ -328,6 +329,13 @@ def conversion_statements(
     ``fks``: catalog KeyMeta FOREIGN KEYs; any FK touching a modified
     table+column is dropped first and re-added last in its original
     (DISABLEd — the only state our plans create) form.
+    ``schema``: the schema the proposals belong to (the reference's
+    conversion scripts operate one schema at a time). When given, MODIFY
+    statements render schema-qualified — ``ALTER TABLE "S"."T" MODIFY`` —
+    matching the DROP/RE-ADD CONSTRAINT statements in the same stream, so
+    executing the stream verbatim never resolves against whatever the
+    session's current schema happens to be. Omitting it is only safe when
+    the executor pins the schema (e.g. ``OPEN SCHEMA``) first.
     """
     from database_migration_spark.catalog import fold_identifier
     from database_migration_spark.plans.statement_stream import (
@@ -383,9 +391,10 @@ def conversion_statements(
                 kind="comment",
             )
         )
+        qualified = f"{q(schema)}.{q(tbl)}" if schema else q(tbl)
         conv.statements.append(
             Statement(
-                f"ALTER TABLE {q(tbl)} MODIFY ({q(col)} {p.proposed_type});"
+                f"ALTER TABLE {qualified} MODIFY ({q(col)} {p.proposed_type});"
             )
         )
 

@@ -2310,10 +2310,12 @@ _SHOWCASE_ONLY = [
     "url_domain_counts",
     "hash_sample_documents",
     "corpus_rollup_stats",
-    # new capabilities added after the window filled — full-sim verified;
-    # promote by swapping against a showcase above when a slot frees
-    "dup_span_coverage",
-    "remove_dup_spans",
+    # round-5 demotions to make room for the span-dedup pair: md5-keyed
+    # hashing is proven by dedup_exact_documents, regexp token counting by
+    # regex_token_count, single-projection text aggregates by
+    # quality_documents — both remain sim-verified + pytest-covered
+    "doc_fingerprint",
+    "token_count_documents",
 ]
 
 

@@ -16,11 +16,25 @@ Reference: /root/reference/s3_to_exasol.sql:107-319 and
 Spark shape: Spark reads many files in one job natively, so the reference's
 ``parallel_connections`` batching knob disappears (SURVEY §3.2); error
 isolation is per-file because we group pending files per (status-run) and
-record failures individually. The manifest is a small parquet table —
-driver-listed, executor-loaded. Structured Streaming's file source +
+record failures individually. Structured Streaming's file source +
 checkpoint covers the same need natively for append-only feeds
 (:class:`stream_ingest` below); the manifest loader exists for the
 update-in-place / re-load semantics streaming checkpoints don't give.
+
+Reconciliation has two interchangeable paths sharing one semantics:
+
+- **dict path** (manifest+listing below ``distributed_threshold``): the
+  reference's Lua state machine verbatim — collect into a dict, merge,
+  rewrite. Fine at thousands of files; the driver is the bottleneck at a
+  100 M-object bucket.
+- **join path** (default above the threshold): the same MERGE expressed
+  distributed — full-outer join listing vs manifest on ``file_name``,
+  status transitions derived column-wise (new → waiting for insertion,
+  advanced last_modified → waiting for update, s3:238-244), so no
+  manifest-sized state ever lands on the driver. Status updates after a
+  load batch join a broadcast updates relation the same way.
+
+Both paths are property-tested for equivalence (tests/test_manifest.py).
 """
 
 from __future__ import annotations
@@ -79,6 +93,7 @@ class ManifestLoader:
         read_options: dict[str, str] | None = None,
         column_range: int | None = None,
         lister=None,
+        distributed_threshold: int = 10_000,
     ):
         self.spark = spark
         self.manifest_path = manifest_path
@@ -90,6 +105,10 @@ class ManifestLoader:
         # default; sources.cloud_listing.S3Lister / AzureBlobLister plug in
         # the reference's S3_GET_FILENAMES / AZURE_GET_FILENAMES semantics
         self.lister = lister or list_local_files
+        # manifest/listing size above which reconcile & status updates run
+        # as distributed joins instead of a driver-side dict merge; 0 forces
+        # the join path everywhere (how the equivalence tests pin it)
+        self.distributed_threshold = distributed_threshold
 
     # --- manifest I/O ---------------------------------------------------
     def read_manifest(self) -> DataFrame:
@@ -105,10 +124,29 @@ class ManifestLoader:
         fresh = self.spark.read.parquet(tmp)
         fresh.coalesce(1).write.mode("overwrite").parquet(self.manifest_path)
 
+    def _manifest_size(self) -> int:
+        # parquet count() resolves from row-group metadata — no manifest
+        # rows ever reach the driver for the path decision
+        return self.read_manifest().count()
+
     # --- state machine --------------------------------------------------
     def reconcile(self, listing: list[dict], force_reload: bool = False) -> DataFrame:
         """MERGE the listing into the manifest (s3:238-244): new → waiting
-        for insertion; advanced last_modified → waiting for update; else keep."""
+        for insertion; advanced last_modified → waiting for update; else keep.
+
+        Dispatches to the distributed join MERGE when either side exceeds
+        ``distributed_threshold``; the driver-dict path below it."""
+        big = (
+            len(listing) >= self.distributed_threshold
+            or self._manifest_size() >= self.distributed_threshold
+        )
+        if big:
+            return self._reconcile_join(listing, force_reload)
+        return self._reconcile_dict(listing, force_reload)
+
+    def _reconcile_dict(
+        self, listing: list[dict], force_reload: bool
+    ) -> DataFrame:
         manifest = {r.file_name: r.asDict() for r in self.read_manifest().collect()}
         if force_reload:
             manifest = {}
@@ -132,6 +170,50 @@ class ManifestLoader:
         df = self.spark.createDataFrame(rows, MANIFEST_SCHEMA)
         self._write_manifest(df)
         return df
+
+    def _listing_df(self, listing: list[dict]) -> DataFrame:
+        rows = [
+            (f["file_name"], float(f["last_modified"]), int(f["size"]))
+            for f in listing
+        ]
+        return self.spark.createDataFrame(
+            rows, "file_name STRING, last_modified DOUBLE, size BIGINT"
+        )
+
+    def _reconcile_join(
+        self, listing: list[dict], force_reload: bool
+    ) -> DataFrame:
+        """The same MERGE as :meth:`_reconcile_dict`, expressed as a
+        full-outer join on file_name with column-wise status derivation —
+        no manifest-sized collect, so a 100 M-object bucket reconciles at
+        executor scale. In production the listing side arrives as a
+        DataFrame from the paginated lister UDTF rather than a driver list;
+        the join itself is the scale story."""
+        manifest = (
+            self.spark.createDataFrame([], MANIFEST_SCHEMA)
+            if force_reload
+            else self.read_manifest()
+        )
+        lst = self._listing_df(listing)
+        m, ls = manifest.alias("m"), lst.alias("l")
+        advanced = F.col("l.last_modified") > F.col("m.last_modified")
+        new_file = F.col("m.file_name").isNull()
+        merged = m.join(ls, F.col("m.file_name") == F.col("l.file_name"), "full_outer").select(
+            F.coalesce(F.col("m.file_name"), F.col("l.file_name")).alias("file_name"),
+            F.when(new_file | advanced, F.col("l.last_modified"))
+            .otherwise(F.col("m.last_modified"))
+            .alias("last_modified"),
+            F.when(new_file | advanced, F.col("l.size"))
+            .otherwise(F.col("m.size"))
+            .alias("size"),
+            F.when(new_file, F.lit(ST_WAIT_INSERT))
+            .when(advanced, F.lit(ST_WAIT_UPDATE))
+            .otherwise(F.col("m.status"))
+            .alias("status"),
+            F.col("m.last_tried").alias("last_tried"),
+        )
+        self._write_manifest(merged.orderBy("file_name"))
+        return self.read_manifest()
 
     def pending(self) -> list[str]:
         """``where status like 'waiting%'`` (s3:248-250)."""
@@ -201,6 +283,29 @@ class ManifestLoader:
         now = datetime.datetime.fromtimestamp(time.time())
         status = {f: ST_DONE for f in loaded}
         status.update({f: ST_ERROR_PREFIX + msg[:200] for f, msg in errors})
+        if self._manifest_size() >= self.distributed_threshold:
+            # updates are batch-result-sized (bounded by the run), the
+            # manifest is not: broadcast-join the updates in rather than
+            # collecting the manifest
+            updates = self.spark.createDataFrame(
+                [(f, s) for f, s in sorted(status.items())],
+                "file_name STRING, _new_status STRING",
+            )
+            merged = (
+                self.read_manifest()
+                .join(F.broadcast(updates), "file_name", "left")
+                .select(
+                    "file_name",
+                    "last_modified",
+                    "size",
+                    F.coalesce(F.col("_new_status"), F.col("status")).alias("status"),
+                    F.when(
+                        F.col("_new_status").isNotNull(), F.lit(now)
+                    ).otherwise(F.col("last_tried")).alias("last_tried"),
+                )
+            )
+            self._write_manifest(merged.orderBy("file_name"))
+            return
         rows = []
         for r in self.read_manifest().collect():
             d = r.asDict()

@@ -13,9 +13,9 @@ GOLDEN = """\
 ALTER TABLE "S"."LINEITEM" DROP CONSTRAINT "LINEITEM_FK_ORDERS";
 -- ============ TYPE CONVERSIONS ============
 -- lineitem.l_quantity: double --> DECIMAL(12,2) (all values round-trip at scale 2)
-ALTER TABLE "LINEITEM" MODIFY ("L_QUANTITY" DECIMAL(12,2));
+ALTER TABLE "S"."LINEITEM" MODIFY ("L_QUANTITY" DECIMAL(12,2));
 -- orders.o_orderkey: varchar --> DECIMAL(18,0) (all values integer)
-ALTER TABLE "ORDERS" MODIFY ("O_ORDERKEY" DECIMAL(18,0));
+ALTER TABLE "S"."ORDERS" MODIFY ("O_ORDERKEY" DECIMAL(18,0));
 -- ============ RE-ADD FOREIGN KEYS ============
 ALTER TABLE "S"."LINEITEM" ADD CONSTRAINT "LINEITEM_FK_ORDERS" FOREIGN KEY ("L_ORDERKEY") REFERENCES "S"."ORDERS" ("O_ORDERKEY") DISABLE;"""
 
@@ -47,8 +47,21 @@ def test_conversion_statement_stream_golden():
         # inspected-but-kept column: must not render anything
         ("orders", "o_comment"): None,
     }
-    plan = conversion_statements(proposals, fks=[_fk()])
+    plan = conversion_statements(proposals, fks=[_fk()], schema="s")
     assert plan.to_sql() == GOLDEN
+
+
+def test_modify_unqualified_without_schema():
+    # legacy path: no schema given → unqualified MODIFY (caller must pin
+    # the session schema before executing)
+    proposals = {
+        ("orders", "o_orderkey"): TypeProposal(
+            "o_orderkey", "varchar", "DECIMAL(18,0)",
+            'CAST("o_orderkey" AS DECIMAL(18,0))', "all values integer",
+        ),
+    }
+    sql = conversion_statements(proposals).to_sql()
+    assert 'ALTER TABLE "ORDERS" MODIFY ("O_ORDERKEY" DECIMAL(18,0));' in sql
 
 
 def test_fk_drop_only_when_touched():

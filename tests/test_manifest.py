@@ -130,6 +130,81 @@ def test_stream_ingest_smoke(spark, workdir, tmp_path):
     assert n == 6
 
 
+# --- distributed (join-path) reconciliation ---------------------------------
+
+
+def _snapshot(ld):
+    return sorted(
+        (r.file_name, r.last_modified, r.size, r.status)
+        for r in ld.read_manifest().collect()
+    )
+
+
+def test_join_path_equivalent_to_dict_path(spark, workdir, tmp_path):
+    """The full-outer-join MERGE and the reference's dict state machine must
+    produce identical manifests through a full lifecycle: new → done →
+    modified → error → force_reload."""
+    incoming = str(workdir / "incoming")
+    dict_ld = ManifestLoader(
+        spark, str(tmp_path / "m_dict.parquet"), file_format="csv",
+        read_options={"header": "true"},
+    )
+    join_ld = ManifestLoader(
+        spark, str(tmp_path / "m_join.parquet"), file_format="csv",
+        read_options={"header": "true"}, distributed_threshold=0,
+    )
+
+    def reader_err(paths):
+        if any(p.endswith("f2.csv") for p in paths):
+            raise ValueError("corrupt file")
+        return spark.read.options(header="true").csv(paths)
+
+    for step in range(4):
+        for ld in (dict_ld, join_ld):
+            if step == 0:
+                ld.load(incoming)
+            elif step == 1:
+                ld.load(incoming)  # idempotent rerun
+            elif step == 2:
+                ld.load(incoming, reader=reader_err, force_reload=True)
+            else:
+                ld.load(incoming)
+        if step == 2:
+            # mutate one file between steps (mtime advance → waiting for update)
+            f = workdir / "incoming" / "f0.csv"
+            f.write_text("a,b\n9,9\n")
+            os.utime(f, (time.time() + 60, time.time() + 60))
+    assert _snapshot(dict_ld) == _snapshot(join_ld)
+    st = {r.file_name.rsplit("/", 1)[-1]: r.status for r in join_ld.read_manifest().collect()}
+    assert st["f0.csv"] == ST_DONE  # reloaded after mtime advance
+    assert st["f2.csv"].startswith("Error: ")
+
+
+def test_join_path_never_collects_manifest(spark, workdir, tmp_path, monkeypatch):
+    """Above the threshold, reconcile and status updates must not collect the
+    manifest to the driver — the whole point of the join path."""
+    from pyspark.sql import DataFrame
+
+    ld = ManifestLoader(
+        spark, str(tmp_path / "m_nc.parquet"), file_format="csv",
+        read_options={"header": "true"}, distributed_threshold=0,
+    )
+    listing = __import__(
+        "database_migration_spark.streaming.manifest", fromlist=["list_local_files"]
+    ).list_local_files(str(workdir / "incoming"))
+
+    def boom(self):
+        raise AssertionError("manifest collected on the driver")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    ld.reconcile(listing)
+    ld._update_status([listing[0]["file_name"]], [])
+    monkeypatch.undo()
+    st = {r.file_name.rsplit("/", 1)[-1]: r.status for r in ld.read_manifest().collect()}
+    assert st[os.path.basename(listing[0]["file_name"])] == ST_DONE
+    assert st["f1.csv"] == ST_WAIT_INSERT
+
+
 # --- cloud listers (injected fake SDK clients) ------------------------------
 
 

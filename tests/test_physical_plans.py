@@ -91,6 +91,33 @@ def test_dup_span_no_cartesian_no_count_distinct(spark):
     assert "partial_min" in plan and "partial_max" in plan
 
 
+def test_span_dedup_multi_consumer_persist(spark):
+    """The multi-consumer base relations of the span-dedup pair must read
+    from an InMemoryRelation, not re-derive from parquet per branch —
+    dup_span_coverage persists grams (2 consumers), remove_duplicated_spans
+    persists base (3 consumers). Exactly one documents FileScan each: the
+    re-split/re-hash-per-branch shape costs a full corpus re-scan at scale."""
+    from database_migration_spark.operators.dedup import (
+        dup_span_coverage,
+        remove_duplicated_spans,
+    )
+
+    import re
+
+    df = Q.table(spark, SF, "documents")
+    for op in (dup_span_coverage, remove_duplicated_spans):
+        out = op(df, k=5)
+        plan = _explain(out)
+        # >= 2 branches must read the cache
+        assert plan.count("InMemoryTableScan") >= 2, op.__name__
+        # distinct scan nodes: at most one live branch scan plus the one
+        # embedded in the InMemoryRelation's cached-plan description
+        scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+        assert len(scan_ids) <= 2, f"{op.__name__}: scans {scan_ids} (persist missing)"
+        # free the caches so later tests/bench laps don't inherit the blocks
+        spark.catalog.clearCache()
+
+
 def test_epoch_us_outputs_stay_pushed_down(spark):
     """The round-4 epoch-µs output conversions must not break scan-level
     filter pushdown (q3's date filter) or partial aggregation

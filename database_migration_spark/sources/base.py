@@ -41,12 +41,38 @@ class SourceAdapter(ABC):
     def __init__(self, policy: TypeMapPolicy | None = None):
         self.policy = policy or TypeMapPolicy()
 
+    #: modes with no runtime dependency to probe — always available
+    _BUILTIN_MODES: frozenset[str] = frozenset({"jdbc", "file"})
+
     def transfer_mode(self) -> str:
-        """The transfer path this adapter will use — first entry of
-        TRANSFER_MODES whose runtime dependency is importable/registered.
-        Base behavior: the declared default (no probing; subclasses with a
-        native connector override with their availability check)."""
-        return self.TRANSFER_MODES[0]
+        """The transfer path this adapter will use — the first entry of
+        TRANSFER_MODES that is available NOW. Built-in modes ("jdbc",
+        "file") are always available; any other mode is available iff the
+        adapter defines both ``_probe_<mode>()`` (returns truthy when the
+        connector's runtime dependency is importable/registered — the
+        reference's "IMPORT FROM EXA if EXA connection works, else JDBC"
+        preference, exasol_to_exasol.sql:36-39) and ``_read_<mode>(table,
+        plan)`` (the actual reader ``read_table`` dispatches to). A probe
+        that raises counts as unavailable — a broken native connector must
+        degrade to the generic path, never fail the transfer."""
+        for mode in self.TRANSFER_MODES:
+            if self._mode_available(mode):
+                return mode
+        # nothing probed available: fall back to the last declared mode
+        # (by convention the generic one)
+        return self.TRANSFER_MODES[-1]
+
+    def _mode_available(self, mode: str) -> bool:
+        if mode in self._BUILTIN_MODES:
+            return True
+        probe = getattr(self, f"_probe_{mode}", None)
+        reader = getattr(self, f"_read_{mode}", None)
+        if probe is None or reader is None:
+            return False
+        try:
+            return bool(probe())
+        except Exception:  # noqa: BLE001 — degrade, never fail the transfer
+            return False
 
     # --- quoting ------------------------------------------------------
     def quote(self, identifier: str) -> str:

@@ -288,6 +288,14 @@ class JdbcSourceAdapter(SourceAdapter):
     def read_table(
         self, table: TableMeta, plan: ImportPlan | None = None
     ) -> DataFrame:
+        mode = self.transfer_mode()
+        if mode != "jdbc":
+            # native parallel connector (the reference's IMPORT FROM EXA
+            # preference): availability was probed by transfer_mode(), so
+            # the reader exists; it owns partitioning (DSv2 connectors
+            # split reads themselves, the ImportPlan predicates are the
+            # JDBC-specific split)
+            return getattr(self, f"_read_{mode}")(table, plan)
         sql = self.transfer_select(table)
         if plan is None:
             return self.spark.read.jdbc(

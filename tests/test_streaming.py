@@ -184,3 +184,93 @@ def test_stream_dedup_exact_drops_cross_batch_duplicate(spark, tmp_path):
     ids = sorted(r.doc_id for r in spark.sql("SELECT doc_id FROM dedup_out").collect())
     q.stop()
     assert ids == [1, 2, 4]  # doc 3 is the normalized dup of doc 1
+
+
+def test_stream_ingest_vs_manifest_same_directory(spark, tmp_path):
+    """Checkpoint path (Structured Streaming file source) vs manifest path
+    (ManifestLoader) driving the SAME directory through an append + error +
+    fix/re-upload sequence.
+
+    Equivalence holds for append-only feeds: both paths ingest the identical
+    file set exactly once across incremental batches. The error-retry step
+    then asserts the documented DIVERGENCE: the manifest reloads a file whose
+    mtime advances (waiting for update → done), while the checkpointed file
+    source keys seen-files by path and never reprocesses a modified file —
+    the precise reason ManifestLoader exists (manifest.py module docstring;
+    reference s3_to_exasol.sql:238-244 FILE_LAST_MODIFIED re-import)."""
+    import os
+    import time as _t
+
+    from database_migration_spark.streaming.manifest import (
+        ST_DONE,
+        ManifestLoader,
+        stream_ingest,
+    )
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    for i in range(3):
+        (src / f"f{i}.csv").write_text(f"a,b\n{i},x{i}\n")
+
+    # --- checkpoint path
+    sdf = stream_ingest(
+        spark, str(src), schema="a STRING, b STRING",
+        file_format="csv", options={"header": "true"},
+    )
+    q = (
+        sdf.selectExpr("a", "b", "_metadata.file_path AS fp")
+        .writeStream.format("memory").queryName("ingest_eq")
+        .option("checkpointLocation", str(tmp_path / "ck_eq"))
+        .start()
+    )
+    q.processAllAvailable()
+
+    # --- manifest path
+    ld = ManifestLoader(
+        spark, str(tmp_path / "m_eq.parquet"), file_format="csv",
+        read_options={"header": "true"},
+    )
+    rep1 = ld.load(str(src))
+
+    def stream_files():
+        return sorted(
+            os.path.basename(r.fp)
+            for r in spark.sql("SELECT DISTINCT fp FROM ingest_eq").collect()
+        )
+
+    def manifest_done():
+        return sorted(
+            os.path.basename(r.file_name)
+            for r in ld.read_manifest().where(f"status = '{ST_DONE}'").collect()
+        )
+
+    # batch 1: identical file sets, all done exactly once
+    assert stream_files() == ["f0.csv", "f1.csv", "f2.csv"]
+    assert manifest_done() == stream_files()
+    assert sorted(os.path.basename(f) for f in rep1.loaded_files) == stream_files()
+
+    # batch 2 (append-only): a new file arrives — both paths pick up ONLY it
+    (src / "f3.csv").write_text("a,b\n3,x3\n")
+    q.processAllAvailable()
+    rep2 = ld.load(str(src))
+    assert stream_files() == ["f0.csv", "f1.csv", "f2.csv", "f3.csv"]
+    assert manifest_done() == stream_files()
+    assert [os.path.basename(f) for f in rep2.loaded_files] == ["f3.csv"]
+    # exactly-once on both sides: each file contributes exactly one row
+    n = spark.sql("SELECT count(*) c FROM ingest_eq").collect()[0].c
+    assert n == 4
+
+    # batch 3 (re-upload): f1 modified with advanced mtime
+    (src / "f1.csv").write_text("a,b\n1,CHANGED\n")
+    os.utime(src / "f1.csv", (_t.time() + 60, _t.time() + 60))
+    q.processAllAvailable()
+    rep3 = ld.load(str(src))
+    q.stop()
+    # manifest path reloads it (the update-in-place semantics)…
+    assert [os.path.basename(f) for f in rep3.loaded_files] == ["f1.csv"]
+    assert manifest_done() == ["f0.csv", "f1.csv", "f2.csv", "f3.csv"]
+    # …the checkpointed source does not (path already committed): row count
+    # unchanged, CHANGED content never ingested
+    n = spark.sql("SELECT count(*) c FROM ingest_eq").collect()[0].c
+    assert n == 4
+    assert spark.sql("SELECT count(*) c FROM ingest_eq WHERE b='CHANGED'").collect()[0].c == 0

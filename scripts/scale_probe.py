@@ -1,0 +1,112 @@
+"""10x scale probe: measure wall-time scaling of the most expensive
+operators on a derived corpus ten times the size of sf0.1.
+
+The environment ships no sf1 testdata, so scale claims above sf0.1 would
+otherwise rest on plan audits alone. This script derives a 10x corpus from
+sf0.1 (NOT driver testdata regeneration — a local, deterministic
+transformation):
+
+- ``documents`` x10: replica i gets doc_id + i*1_000_000 and every word
+  suffixed with the replica digit (``regexp_replace('(\\S+)', '$1'||i)``).
+  The suffix keeps each replica's INTERNAL duplicate structure intact (dup
+  pairs transform identically) while making replicas mutually dissimilar —
+  modeling "10x more data at the same duplicate rate". Plain copies would
+  put 10 near-identical docs in every LSH bucket and explode candidate
+  pairs quadratically, measuring the wrong thing.
+- ``lineitem`` x10: replica i gets l_orderkey + i*10_000_000 (distinct-key
+  cardinality scales with volume, so count_distinct work is realistic).
+
+Usage: python scripts/scale_probe.py [--regen]
+Writes the corpus under .scale/x10/ (gitignored) and prints one JSON line
+with sf0.1 and 10x timings per operator; SCALE.md records the results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01 = "/root/testdata/sf0.1"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "x10")
+REPLICAS = 10
+
+PROBES = ["minhash_lsh_pairs", "simhash_pairs", "mig_check_lineitem"]
+
+
+def generate(spark) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+    reps = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+            F.regexp_replace("text", r"(\S+)", r"$1" + str(i)).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(REPLICAS)
+    ]
+    big_docs = reps[0]
+    for r in reps[1:]:
+        big_docs = big_docs.unionAll(r)
+    # several files, as a real 10x corpus would arrive (single-row-group
+    # inputs are the sf0.1 quirk fan_out exists to fix)
+    big_docs.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(OUT, "documents.parquet")
+    )
+
+    li = spark.read.parquet(os.path.join(SF01, "lineitem.parquet"))
+    lreps = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 10_000_000))
+        for i in range(REPLICAS)
+    ]
+    big_li = lreps[0]
+    for r in lreps[1:]:
+        big_li = big_li.unionAll(r)
+    big_li.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(OUT, "lineitem.parquet")
+    )
+
+
+def time_query(spark, registry, name: str, sf_dir: str) -> float:
+    def lap() -> float:
+        t0 = time.time()
+        registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    lap()  # warm-up
+    return min(lap(), lap())
+
+
+def main() -> int:
+    from database_migration_spark import get_spark
+    from database_migration_spark import queries as Q
+
+    spark = get_spark(app_name="scale_probe")
+    if "--regen" in sys.argv or not os.path.exists(OUT):
+        generate(spark)
+
+    registry = Q.queries()
+    out = {"replicas": REPLICAS, "base_sf": 0.1, "queries": {}}
+    for name in PROBES:
+        base = time_query(spark, registry, name, SF01)
+        big = time_query(spark, registry, name, OUT)
+        out["queries"][name] = {
+            "sf0.1_sec": round(base, 3),
+            "x10_sec": round(big, 3),
+            "scaling_factor": round(big / base, 2),
+        }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "lang_id_documents",
     "ann_cosine_topk",
     "embedding_near_dup",
+    "dup_span_coverage",
+    "remove_dup_spans",
 ]
 
 

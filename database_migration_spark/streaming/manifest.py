@@ -271,6 +271,105 @@ class ManifestLoader:
         self._update_status(loaded, errors)
         return LoadReport(loaded, errors, rows)
 
+    def load_batch(
+        self,
+        folder: str,
+        pattern: str = "*",
+        force_reload: bool = False,
+        reader=None,
+    ) -> tuple[DataFrame, LoadReport]:
+        """Single-job variant of :meth:`load` for large pending sets.
+
+        :meth:`load` submits one Spark job per pending file — exact
+        per-file error messages (the reference's semantics, s3:294-315),
+        but at 10k+ pending files the driver-side job submission loop is
+        the bottleneck. This path reads ALL pending files in one
+        distributed scan and derives per-file outcomes from
+        ``_metadata.file_path``: a file that contributed >= 1 row is
+        ``done``; a file that contributed none (missing, corrupt —
+        dropped via ``ignoreCorruptFiles`` — or empty) is marked
+        ``Error: no rows ingested``. The trade is exact error text for
+        single-job throughput; pick per file count, not preference.
+
+        Returns (data, report) — the caller writes ``data`` (sink-agnostic,
+        same as :meth:`load`); note the DataFrame is lazily re-read by the
+        sink, so write it before mutating the source folder.
+        """
+        self.reconcile(self.lister(folder, pattern), force_reload)
+        files = self.pending()
+        if not files:
+            return (
+                self.spark.createDataFrame([], "file_name STRING"),
+                LoadReport([], [], 0),
+            )
+        rd = reader or (
+            lambda paths: self.spark.read.options(
+                **{**self.read_options, "ignoreCorruptFiles": "true"}
+            ).format(self.file_format).load(paths)
+        )
+        df = rd(files)
+        if self.column_range:
+            df = df.select(df.columns[: self.column_range])
+        # _metadata.file_path is a URI (file:///x); manifest names may be
+        # plain paths — compare on the scheme-stripped form
+        strip = lambda c: F.regexp_replace(c, "^file:(//)?", "")  # noqa: E731
+        from pyspark import StorageLevel
+
+        # counts feeds the status merge, the row total, and (below the
+        # threshold) the report lists — persist so the pending files are
+        # scanned once, not three times
+        counts = (
+            df.select(strip(F.col("_metadata.file_path")).alias("fp"))
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        import datetime
+
+        now = datetime.datetime.fromtimestamp(time.time())
+        merged = (
+            self.read_manifest()
+            .join(
+                counts,
+                strip(F.col("file_name")) == F.col("fp"),
+                "left",
+            )
+            .select(
+                "file_name",
+                "last_modified",
+                "size",
+                F.when(F.col("cnt").isNotNull(), F.lit(ST_DONE))
+                .when(
+                    F.col("status").startswith("waiting"),
+                    F.lit(ST_ERROR_PREFIX + "no rows ingested (missing/corrupt/empty)"),
+                )
+                .otherwise(F.col("status"))
+                .alias("status"),
+                F.when(
+                    F.col("cnt").isNotNull()
+                    | F.col("status").startswith("waiting"),
+                    F.lit(now),
+                )
+                .otherwise(F.col("last_tried"))
+                .alias("last_tried"),
+            )
+        )
+        rows = counts.agg(F.sum("cnt")).collect()[0][0] or 0
+        if len(files) < self.distributed_threshold:
+            # exact report lists are cheap below the threshold
+            ok = {r.fp for r in counts.collect()}
+            loaded = [f for f in files if f.removeprefix("file://") in ok or f in ok]
+            errors = [
+                (f, "no rows ingested (missing/corrupt/empty)")
+                for f in files
+                if f not in loaded
+            ]
+        else:
+            loaded, errors = [], []  # summary-only at scale: see manifest
+        self._write_manifest(merged.orderBy("file_name"))
+        counts.unpersist()
+        return df, LoadReport(loaded, errors, int(rows))
+
     def _default_reader(self, paths: list[str]) -> DataFrame:
         r = self.spark.read.options(**self.read_options)
         return getattr(r, self.file_format)(paths)

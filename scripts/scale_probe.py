@@ -15,6 +15,13 @@ transformation):
   pairs quadratically, measuring the wrong thing.
 - ``lineitem`` x10: replica i gets l_orderkey + i*10_000_000 (distinct-key
   cardinality scales with volume, so count_distinct work is realistic).
+- ``embeddings`` x10: replica i gets vec_id + i*1_000_000 and a per-replica
+  deterministic sign-flip pattern over the vector dimensions (norms
+  preserved, cross-replica cosine ~ 0 — exact copies would hand every LSH
+  bucket 10 identical members and measure a 90%-duplicate corpus).
+- ``events`` x10: replica i gets user_id + i*1_000_000 and event_id +
+  i*10_000_000; ts untouched (sessionization windows key on user_id, so
+  per-user work is replica-local).
 
 Usage: python scripts/scale_probe.py [--regen]
 Writes the corpus under .scale/x10/ (gitignored) and prints one JSON line
@@ -34,7 +41,16 @@ SF01 = "/root/testdata/sf0.1"
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "x10")
 REPLICAS = 10
 
-PROBES = ["minhash_lsh_pairs", "simhash_pairs", "mig_check_lineitem"]
+PROBES = [
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "mig_check_lineitem",
+    "dup_span_coverage",
+    "remove_dup_spans",
+    "ann_cosine_topk",
+    "embedding_near_dup",
+    "sessionize_events",
+]
 
 
 def generate(spark) -> None:
@@ -70,6 +86,44 @@ def generate(spark) -> None:
         big_li = big_li.unionAll(r)
     big_li.repartition(8).write.mode("overwrite").parquet(
         os.path.join(OUT, "lineitem.parquet")
+    )
+
+    emb = spark.read.parquet(os.path.join(SF01, "embeddings.parquet"))
+    ereps = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, j) -> "
+                f"CASE WHEN pmod(hash(j, {i}), 2) = 0 THEN x ELSE -x END)"
+            ).alias("embedding"),
+            "label",
+        )
+        for i in range(REPLICAS)
+    ]
+    big_emb = ereps[0]
+    for r in ereps[1:]:
+        big_emb = big_emb.unionAll(r)
+    big_emb.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(OUT, "embeddings.parquet")
+    )
+
+    ev = spark.read.parquet(os.path.join(SF01, "events.parquet"))
+    vreps = [
+        ev.select(
+            (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(i * 1_000_000)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(REPLICAS)
+    ]
+    big_ev = vreps[0]
+    for r in vreps[1:]:
+        big_ev = big_ev.unionAll(r)
+    big_ev.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(OUT, "events.parquet")
     )
 
 

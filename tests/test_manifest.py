@@ -205,6 +205,42 @@ def test_join_path_never_collects_manifest(spark, workdir, tmp_path, monkeypatch
     assert st["f1.csv"] == ST_WAIT_INSERT
 
 
+def test_load_batch_single_job(spark, workdir, tmp_path):
+    """load_batch: all pending files in ONE distributed scan, per-file
+    status from _metadata.file_path — done for contributing files, error
+    for empty/corrupt ones."""
+    (workdir / "incoming" / "empty.csv").write_text("a,b\n")  # header only
+    ld = ManifestLoader(
+        spark, str(tmp_path / "mb.parquet"), file_format="csv",
+        read_options={"header": "true"},
+    )
+    df, rep = ld.load_batch(str(workdir / "incoming"))
+    assert rep.rows_loaded == 6
+    assert sorted(os.path.basename(f) for f in rep.loaded_files) == [
+        "f0.csv", "f1.csv", "f2.csv",
+    ]
+    assert [os.path.basename(f) for f, _ in rep.error_files] == ["empty.csv"]
+    st = {os.path.basename(r.file_name): r.status for r in ld.read_manifest().collect()}
+    assert st["f0.csv"] == ST_DONE and st["empty.csv"].startswith("Error: ")
+    # idempotent: nothing pending on rerun
+    df2, rep2 = ld.load_batch(str(workdir / "incoming"))
+    assert rep2.loaded_files == [] and rep2.rows_loaded == 0
+
+
+def test_load_batch_summary_only_at_scale(spark, workdir, tmp_path):
+    """Above the threshold the report is summary-only (no driver-side file
+    lists) but the manifest statuses are still exact."""
+    ld = ManifestLoader(
+        spark, str(tmp_path / "mb2.parquet"), file_format="csv",
+        read_options={"header": "true"}, distributed_threshold=0,
+    )
+    df, rep = ld.load_batch(str(workdir / "incoming"))
+    assert rep.loaded_files == [] and rep.error_files == []
+    assert rep.rows_loaded == 6
+    st = {os.path.basename(r.file_name): r.status for r in ld.read_manifest().collect()}
+    assert set(st.values()) == {ST_DONE}
+
+
 # --- cloud listers (injected fake SDK clients) ------------------------------
 
 

@@ -139,6 +139,44 @@ def time_query(spark, registry, name: str, sf_dir: str) -> float:
     return min(lap(), lap())
 
 
+def ann_compare(spark, sf_dir: str, n_queries: int = 200) -> dict:
+    """Brute-force vs IVF top-k at one scale: wall cost of each plus IVF's
+    recall@5 against the exact result. The measured form of 'IVF is the
+    scale path' — brute cost grows with |corpus| x |queries|, IVF touches
+    ~n_probe/n_centroids of the corpus per query."""
+    from pyspark.sql import functions as F
+
+    from database_migration_spark import queries as Q
+    from database_migration_spark.operators import similarity as S
+
+    emb = Q.table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < n_queries)
+
+    def lap(make) -> float:
+        t0 = time.time()
+        make().write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    out = {}
+    for name, make in (
+        ("brute", lambda: S.cosine_topk(emb, qs, k=5)),
+        ("ivf", lambda: S.ivf_topk(emb, qs, k=5, n_centroids=32, n_probe=4)),
+    ):
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        lap(make)
+        out[f"{name}_sec"] = round(min(lap(make), lap(make)), 3)
+
+    brute = S.cosine_topk(emb, qs, k=5).select("query_id", "neighbor_id")
+    ivf = S.ivf_topk(emb, qs, k=5, n_centroids=32, n_probe=4).select(
+        "query_id", "neighbor_id"
+    )
+    n_exact = brute.count()
+    n_hit = brute.join(ivf, ["query_id", "neighbor_id"]).count()
+    out["recall_at_5"] = round(n_hit / n_exact, 4) if n_exact else None
+    return out
+
+
 def main() -> int:
     from database_migration_spark import get_spark
     from database_migration_spark import queries as Q
@@ -156,6 +194,11 @@ def main() -> int:
             "sf0.1_sec": round(base, 3),
             "x10_sec": round(big, 3),
             "scaling_factor": round(big / base, 2),
+        }
+    if "--ann" in sys.argv:
+        out["ann_compare"] = {
+            "sf0.1": ann_compare(spark, SF01),
+            "x10": ann_compare(spark, OUT),
         }
     print(json.dumps(out))
     spark.stop()

@@ -67,3 +67,45 @@ def test_date_trunc_composition_still_ntz(spark):
         epoch_us_wall(F.date_trunc("hour", F.col("ts"))).alias("us")
     ).collect()[0].us
     assert out == _EPOCH_US
+
+
+def test_epoch_us_wall_matches_duckdb_property(spark):
+    """Property test: epoch_us_wall(NTZ) is bit-identical to DuckDB's
+    epoch_us on arbitrary post-1970 microsecond timestamps — the arithmetic
+    every events-table oracle comparison rests on."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    @given(
+        st.lists(
+            # 1970-01-01 .. 2262-04-11 (pd/ns-safe upper bound), exact µs
+            st.integers(min_value=0, max_value=9_200_000_000_000_000),
+            min_size=1,
+            max_size=20,
+            unique=True,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def check(micros):
+        spark_vals = dict(
+            spark.sql(
+                "SELECT us, timestampdiff(MICROSECOND, "
+                "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), "
+                "CAST(timestamp_micros(us) AS TIMESTAMP_NTZ)) AS w "
+                "FROM VALUES "
+                + ", ".join(f"({u}L)" for u in micros)
+                + " AS t(us)"
+            ).collect()
+        )
+        duck_vals = dict(
+            duckdb.sql(
+                "SELECT us, epoch_us(make_timestamp(us)) FROM (VALUES "
+                + ", ".join(f"({u}::BIGINT)" for u in micros)
+                + ") t(us)"
+            ).fetchall()
+        )
+        assert spark_vals == duck_vals == {u: u for u in micros}
+
+    # session tz pinned UTC by get_spark: timestamp_micros→NTZ is the wall
+    # clock epoch_us_wall sees for the testdata's NTZ column
+    check()

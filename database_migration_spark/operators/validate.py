@@ -166,7 +166,11 @@ def compute_metrics_wide(
     # distinct side's Expand runs parallel and the input moves once.
     fanned = fan_out(df)
     dcols = [c for c in (columns or df.columns)]
-    return fanned.agg(*plain).crossJoin(fanned.select(dcols).agg(*distinct))
+    # a select() that keeps every column anyway would still make the two
+    # exchange subplans textually differ and defeat ReusedExchange — only
+    # project when the distinct side genuinely reads fewer columns
+    dside = fanned if dcols == df.columns else fanned.select(dcols)
+    return fanned.agg(*plain).crossJoin(dside.agg(*distinct))
 
 
 def compute_metrics(

@@ -82,6 +82,22 @@ def cosine_topk(
     )
 
 
+def hyperplane_planes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """The deterministic ±1 hyperplane family behind
+    :func:`hyperplane_signature`, exposed so an external SQL oracle can
+    embed the identical planes as literals (LCG state runs continuously
+    across planes — plane ordering is part of the contract)."""
+    planes: list[list[float]] = []
+    state = seed
+    for _ in range(bits):
+        signs = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            signs.append(1.0 if (state >> 32) & 1 else -1.0)
+        planes.append(signs)
+    return planes
+
+
 def hyperplane_signature(
     vec: Column, dim: int, bits: int = 16, seed: int = 42
 ) -> Column:
@@ -89,12 +105,7 @@ def hyperplane_signature(
     random hyperplanes r_i ∈ {-1,+1}^dim derived from an LCG — generated
     driver-side, evaluated JVM-side as literal arrays."""
     sig = F.lit(0).cast("long")
-    state = seed
-    for i in range(bits):
-        signs = []
-        for _ in range(dim):
-            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-            signs.append(1.0 if (state >> 32) & 1 else -1.0)
+    for i, signs in enumerate(hyperplane_planes(dim, bits, seed)):
         plane = F.array(*[F.lit(s) for s in signs])
         d = F.aggregate(
             F.zip_with(vec, plane, lambda x, r: x.cast("double") * r),
@@ -420,4 +431,63 @@ def embedding_near_dup_pairs(
             .alias("cos_sim_e6"),
         )
         .where(F.col("cos_sim_e6") >= threshold_e6)
+    )
+
+
+def semantic_dedup_survivors(
+    df: DataFrame,
+    threshold_e6: int = 950_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the corpus into cells, compare pairs ONLY
+    within a cell, drop every member of a ≥-threshold pair except one
+    representative. Output (id, cell) — the surviving corpus with its cell
+    assignment.
+
+    The paper clusters with k-means; here the cell is a deterministic
+    random-hyperplane signature (:func:`hyperplane_signature`) — same
+    structure (within-cell-only comparisons accept recall loss across cell
+    boundaries as part of the algorithm's definition), but reproducible by
+    an external SQL oracle, and at scale the assignment is a write-time
+    ``partitionBy(cell)`` so the self-join is co-located partition work.
+    The keep rule is min-id (the paper keeps an arbitrary member; min-id
+    makes the choice total and engine-independent).
+
+    Scale: Σ|cell|² intra-cell pairs — grow ``bits`` with log2(N) to hold
+    E|cell| constant (8 bits = 256 cells suits the 10^3-vector testdata;
+    100 TB wants 20+ bits, the k-means-free analogue of the paper's 100 k
+    clusters). The semantic threshold (default 0.95) is intentionally
+    looser than ``embedding_near_dup_pairs_bucketed``'s 0.99 near-dup cut:
+    this operator removes *semantically redundant* items, not just
+    re-crawls.
+    """
+    from pyspark import StorageLevel
+
+    celled = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        hyperplane_signature(F.col(vec_col), dim, bits, seed).alias("cell"),
+    )
+    # three consumers (both self-join sides + the survivor anti-join base):
+    # without a persist the signature fold re-runs per consumer
+    celled = celled.persist(StorageLevel.MEMORY_AND_DISK)
+    a = celled.select("cell", F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = celled.select("cell", F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    losers = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.floor(cosine(F.col("va"), F.col("vb")) * 1_000_000).cast("long")
+            >= F.lit(threshold_e6)
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return celled.join(losers, id_col, "left_anti").select(
+        id_col, F.col("cell").cast("long").alias("cell")
     )

@@ -1415,6 +1415,82 @@ def embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.join(losers, "vec_id", "left_anti").select("vec_id", "label")
 
 
+def _hyperplane_cell_sql(vec_expr: str, dim: int, bits: int, seed: int = 42) -> str:
+    """DuckDB expression computing the identical cell id as
+    ``similarity.hyperplane_signature`` — same LCG planes as literals, same
+    strict-fold dot product (list_dot_product), same >0 sign rule."""
+    terms = []
+    for i, signs in enumerate(SIM.hyperplane_planes(dim, bits, seed)):
+        lits = ", ".join(str(s) for s in signs)
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, [{lits}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+# the corpus for semantic dedup: base embeddings + two planted families —
+# exact re-uploads (always same cell, cosine exactly 1 → always dropped) and
+# graded perturbations (last k∈{1..4} dims sign-flipped → cosine ≈ 1-2k/64 ≈
+# 0.969/0.938/0.906/0.875, straddling the 0.95 semantic threshold so the
+# accept/reject boundary is genuinely exercised; a perturbed copy lands in
+# its original's cell only when no flipped dim crosses a hyperplane — the
+# within-cell-only recall loss SemDeDup accepts by construction)
+_SEMANTIC_DEDUP_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), planted AS (
+  SELECT vec_id + 10000000 AS vec_id,
+         v[1:(64 - k)] || [-x FOR x IN v[(65 - k):64]] AS v
+  FROM (SELECT vec_id, v, CAST(1 + (vec_id // 10) % 4 AS INT) AS k
+        FROM base WHERE vec_id % 10 = 0) t
+), exact_dup AS (
+  SELECT vec_id + 20000000 AS vec_id, v FROM base WHERE vec_id % 25 = 0
+), corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL SELECT vec_id, v FROM planted
+  UNION ALL SELECT vec_id, v FROM exact_dup
+), celled AS (
+  SELECT vec_id, v,
+         CAST({_hyperplane_cell_sql('v', 64, 8)} AS BIGINT) AS cell
+  FROM corpus
+), losers AS (
+  SELECT DISTINCT b.vec_id
+  FROM celled a JOIN celled b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE CAST(floor(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        * 1000000) AS BIGINT) >= 950000
+)
+SELECT c.vec_id, c.cell FROM celled c
+WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.vec_id = c.vec_id)
+"""
+
+
+@register("semantic_dedup_embeddings", oracle=_SEMANTIC_DEDUP_ORACLE)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) over the embeddings table: hyperplane
+    cells as the deterministic cluster proxy, within-cell cosine ≥ 0.95
+    pruning, min-id representative. The Spark side runs the real operator
+    (`similarity.semantic_dedup_survivors`); the oracle replays cells and
+    cosines exactly (same LCG planes as SQL literals, same IEEE fold)."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    k = F.expr("cast(1 + (vec_id div 10) % 4 as int)")
+    planted = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.concat(
+            F.slice("embedding", F.lit(1), F.lit(64) - k),
+            F.transform(F.slice("embedding", F.lit(65) - k, k), lambda x: -x),
+        ).alias("embedding"),
+    )
+    exact = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 20_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted).unionByName(exact)
+    return SIM.semantic_dedup_survivors(
+        corpus, threshold_e6=950_000, dim=64, bits=8
+    )
+
+
 # --- post-load type optimizers (convert_varchar / convert_datatypes) -----
 
 # a deterministic mixed varchar column, identical in both engines: int

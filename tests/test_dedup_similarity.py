@@ -203,3 +203,77 @@ def test_ivf_deterministic(spark, emb):
     a = sorted(map(tuple, ivf_topk(emb, q, k=3).collect()))
     b = sorted(map(tuple, ivf_topk(emb, q, k=3).collect()))
     assert a == b
+
+
+def test_semantic_dedup_drops_exact_dups_keeps_representative(spark, emb):
+    from database_migration_spark.operators.similarity import (
+        semantic_dedup_survivors,
+    )
+
+    base = emb.select("vec_id", "embedding")
+    # exact re-uploads: identical vector under a new id — identical cell
+    # (signature is a function of the vector), cosine exactly 1
+    dup = base.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    n_dups = dup.count()
+    corpus = base.unionByName(dup)
+    surv = semantic_dedup_survivors(corpus, threshold_e6=950_000, bits=8)
+    rows = surv.collect()
+    ids = {r.vec_id for r in rows}
+    # every exact duplicate dropped, every original kept (min-id keep rule;
+    # base corpus has no natural pair above 0.95 — max cosine ≈ 0.51)
+    assert len(rows) == corpus.count() - n_dups
+    assert all(i < 1_000_000 for i in ids)
+    assert ids == {r.vec_id for r in base.collect()}
+
+
+def test_semantic_dedup_survivor_pairs_below_threshold_within_cell(spark, emb):
+    """No two survivors sharing a cell are >= the threshold (the operator's
+    defining postcondition)."""
+    from database_migration_spark.operators.similarity import (
+        cosine,
+        semantic_dedup_survivors,
+    )
+
+    base = emb.select("vec_id", "embedding")
+    dup = base.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(dup)
+    surv = semantic_dedup_survivors(corpus, threshold_e6=950_000, bits=8)
+    joined = surv.join(corpus, "vec_id")
+    a = joined.select("cell", F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = joined.select("cell", F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    offenders = (
+        a.join(b, "cell")
+        .where(F.col("ia") < F.col("ib"))
+        .where(F.floor(cosine(F.col("va"), F.col("vb")) * 1_000_000) >= 950_000)
+        .count()
+    )
+    assert offenders == 0
+
+
+def test_hyperplane_planes_match_signature(spark):
+    """hyperplane_planes IS the plane family hyperplane_signature uses —
+    recomputing a signature from the exposed planes matches (the property
+    the SQL-oracle generator relies on)."""
+    from database_migration_spark.operators.similarity import (
+        hyperplane_planes,
+        hyperplane_signature,
+    )
+
+    vec = [0.5, -1.25, 2.0, 0.125]
+    planes = hyperplane_planes(dim=4, bits=6, seed=42)
+    expected = 0
+    for i, p in enumerate(planes):
+        acc = 0.0
+        for x, r in zip(vec, p):
+            acc += x * r
+        if acc > 0:
+            expected |= 1 << i
+    df = spark.createDataFrame([(vec,)], "v: array<double>")
+    got = df.select(
+        hyperplane_signature(F.col("v"), dim=4, bits=6, seed=42).alias("s")
+    ).first()["s"]
+    assert got == expected

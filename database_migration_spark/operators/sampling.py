@@ -102,3 +102,30 @@ def hash_sample(df: DataFrame, id_col: str, keep_permille: int) -> DataFrame:
     that is a pure pushdown-able filter: no shuffle, no state, identical
     membership on any engine or cluster size."""
     return df.where(_order_hash(F.col(id_col)) % F.lit(1000) < F.lit(keep_permille))
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    weights: DataFrame,
+    domain_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Reweight a corpus to a target domain mixture (the DoReMi /
+    Pile-style mixing step: arXiv:2305.10429 §2 frames training-data
+    assembly as per-domain sampling weights).
+
+    ``weights`` is a (domain, target_ppm) relation — parts-per-million keep
+    rate per domain, an exact integer so the mixture spec survives any
+    engine. Each row keeps iff its id-hash bucket (md5 mod 1e6) falls under
+    its domain's rate: deterministic, reproducible across runs/engines/
+    cluster sizes, and a pure per-row filter after a broadcast join — no
+    shuffle of the corpus at any scale. Domains absent from ``weights`` are
+    dropped (inner join), matching "mixture spec is exhaustive" semantics.
+    """
+    w = weights.select(
+        F.col(domain_col), F.col("target_ppm").cast("long").alias("target_ppm")
+    )
+    return (
+        df.join(F.broadcast(w), domain_col)
+        .where(_order_hash(F.col(id_col)) % F.lit(1_000_000) < F.col("target_ppm"))
+    )

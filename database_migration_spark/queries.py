@@ -1491,6 +1491,36 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# target mixture for the demo: keep-all / half / quarter / eighth cycling by
+# source index — exercises every rate tier across the 20 sources
+_MIX_PPM = [1_000_000, 500_000, 250_000, 125_000]
+_MIX_WEIGHTS = [(f"src{i}", _MIX_PPM[i % 4]) for i in range(20)]
+
+
+@register(
+    "domain_mix_sample_documents",
+    oracle=f"""
+WITH w(source, target_ppm) AS (VALUES
+  {", ".join(f"('{s}', {p})" for s, p in _MIX_WEIGHTS)}
+)
+SELECT d.doc_id, d.source, CAST(w.target_ppm AS BIGINT) AS target_ppm
+FROM documents d JOIN w USING (source)
+WHERE {_HASH60} % 1000000 < w.target_ppm
+""",
+)
+def domain_mix_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting (DoReMi-style): per-source target keep
+    rates in exact ppm, decided by the portable id-hash bucket — broadcast
+    join + pure filter, zero shuffle of the corpus."""
+    from database_migration_spark.operators import sampling as SP
+
+    d = table(spark, sf_dir, "documents")
+    w = spark.createDataFrame(_MIX_WEIGHTS, "source string, target_ppm long")
+    return SP.domain_mix_sample(d, w, "source", "doc_id").select(
+        "doc_id", "source", "target_ppm"
+    )
+
+
 # --- post-load type optimizers (convert_varchar / convert_datatypes) -----
 
 # a deterministic mixed varchar column, identical in both engines: int

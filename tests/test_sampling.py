@@ -57,3 +57,34 @@ def test_sequence_pack_default_shard_bounded(spark):
     out = sequence_pack(df, "id", "n_tok", budget=50)
     assert "_shard" in out.columns  # windows are per hash shard, never global
     assert out.count() == 100
+
+
+def test_domain_mix_sample_rates_and_determinism(spark):
+    from database_migration_spark.operators.sampling import domain_mix_sample
+
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}") for i in range(3000)], "id LONG, dom STRING"
+    )
+    w = spark.createDataFrame(
+        [("d0", 1_000_000), ("d1", 250_000)], "dom STRING, target_ppm LONG"
+    )
+    out = domain_mix_sample(df, w, "dom", "id")
+    rows = out.collect()
+    by_dom = {}
+    for r in rows:
+        by_dom.setdefault(r.dom, set()).add(r.id)
+    # ppm=1e6 keeps every row; absent domain (d2) dropped entirely
+    assert len(by_dom["d0"]) == 1000
+    assert "d2" not in by_dom
+    # quarter rate lands near 250/1000 (hash-uniform, not exact)
+    assert 150 <= len(by_dom["d1"]) <= 350
+    # identical membership under different partitioning (pure id-hash filter)
+    out2 = domain_mix_sample(df.repartition(7), w, "dom", "id")
+    assert {(r.id, r.dom) for r in out2.collect()} == {(r.id, r.dom) for r in rows}
+    # the kept set is a strict per-domain subset ordered by nothing but the
+    # hash bucket: lowering the rate can only shrink it (nested samples)
+    w_half = spark.createDataFrame(
+        [("d0", 1_000_000), ("d1", 125_000)], "dom STRING, target_ppm LONG"
+    )
+    smaller = {r.id for r in domain_mix_sample(df, w_half, "dom", "id").collect() if r.dom == "d1"}
+    assert smaller <= by_dom["d1"]

@@ -129,3 +129,45 @@ def domain_mix_sample(
         df.join(F.broadcast(w), domain_col)
         .where(_order_hash(F.col(id_col)) % F.lit(1_000_000) < F.col("target_ppm"))
     )
+
+
+def shard_layout(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Deterministic global shuffle + shard layout for training-data writes.
+
+    Every epoch-0 data layout needs the same three properties: documents
+    spread uniformly across N shard files, a reproducible pseudo-random
+    order within each shard (no source/time locality — hash order IS the
+    shuffle), and per-row token offsets so a reader can seek. All three
+    from one id-hash: ``shard = h mod N``; within-shard order ``(h, id)``
+    (total — ties impossible beyond identical ids); ``offset_tokens`` =
+    running token sum before the row.
+
+    Scale: one hash-partition exchange into N shard groups + a sort within
+    each — exactly the shuffle a sharded write costs anyway; pick N so a
+    shard fits an output file (100 TB / ~1 GB files → N ~ 10^5, far above
+    any executor count, so no parallelism cliff). No global window, no
+    driver state; membership and order reproducible on any engine.
+    """
+    out = (
+        df.withColumn("_h", _order_hash(F.col(id_col)))
+        .withColumn("shard", (F.col("_h") % F.lit(n_shards)).cast("long"))
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+    return (
+        out.withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "offset_tokens",
+            F.coalesce(
+                F.sum(F.col(token_col)).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .drop("_h")
+    )

@@ -1521,6 +1521,37 @@ def domain_mix_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "shard_layout_documents",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, {TE.token_count_sql('text')} AS n_tokens, {_HASH60} AS h
+  FROM documents
+)
+SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+            AS BIGINT) AS shard_pos,
+       CAST(COALESCE(sum(n_tokens) OVER (
+              PARTITION BY h % 8 ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS offset_tokens
+FROM t
+""",
+)
+def shard_layout_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-0 training layout: hash-shuffle the corpus into 8 shards with
+    within-shard order and seekable token offsets — the write-side
+    counterpart of sequence_pack."""
+    from database_migration_spark.operators import sampling as SP
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", TE.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return SP.shard_layout(d, "doc_id", "n_tokens", n_shards=8).select(
+        "doc_id", "shard", "shard_pos", "offset_tokens"
+    )
+
+
 # --- post-load type optimizers (convert_varchar / convert_datatypes) -----
 
 # a deterministic mixed varchar column, identical in both engines: int

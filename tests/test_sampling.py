@@ -88,3 +88,35 @@ def test_domain_mix_sample_rates_and_determinism(spark):
     )
     smaller = {r.id for r in domain_mix_sample(df, w_half, "dom", "id").collect() if r.dom == "d1"}
     assert smaller <= by_dom["d1"]
+
+
+def test_shard_layout_contiguous_offsets_and_determinism(spark):
+    from database_migration_spark.operators.sampling import shard_layout
+
+    df = spark.createDataFrame(
+        [(i, 10 + i % 7) for i in range(500)], "id LONG, n_tok LONG"
+    )
+    out = shard_layout(df, "id", "n_tok", n_shards=4).collect()
+    assert len(out) == 500
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.shard_pos)
+        # positions are 1..n dense; offsets are the exact running token sum
+        assert [r.shard_pos for r in shard_rows] == list(
+            range(1, len(shard_rows) + 1)
+        )
+        acc = 0
+        for r in shard_rows:
+            assert r.offset_tokens == acc
+            acc += r.n_tok
+    # same layout under different input partitioning
+    out2 = shard_layout(df.repartition(13), "id", "n_tok", n_shards=4).collect()
+    assert {(r.id, r.shard, r.shard_pos, r.offset_tokens) for r in out2} == {
+        (r.id, r.shard, r.shard_pos, r.offset_tokens) for r in out
+    }
+    # hash order is a shuffle: within-shard id sequence is not sorted
+    ids0 = [r.id for r in sorted(by_shard[0], key=lambda r: r.shard_pos)]
+    assert ids0 != sorted(ids0)

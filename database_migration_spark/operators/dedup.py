@@ -111,6 +111,23 @@ def minhash_signatures(
     return shingles.groupBy("id").agg(*aggs)
 
 
+def banded_keys(
+    signatures: DataFrame, num_perm: int = 32, bands: int = 4
+) -> DataFrame:
+    """(id, band, key) — the LSH band buckets of a signature relation
+    (key = md5 over the band's rows_per_band signature components)."""
+    rows = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("key"))
+        )
+    return signatures.select(
+        "id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, num_perm: int = 32, bands: int = 4
 ) -> DataFrame:
@@ -126,16 +143,7 @@ def lsh_candidate_pairs(
     skew and the band key includes all rows_per_band mins, which keeps
     buckets tight.
     """
-    rows = num_perm // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("key"))
-        )
-    banded = signatures.select(
-        "id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = banded_keys(signatures, num_perm, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -637,5 +645,120 @@ def remove_duplicated_spans(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
             "n_tokens",
             F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
+        )
+    )
+
+
+def fingerprint_store(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perm: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """The compact per-document fingerprint a corpus persists so future
+    batches dedup against it WITHOUT re-reading historical text:
+    (id, content_h, sig_0..sig_{num_perm-1}) — a 60-bit content hash of the
+    normalized text (exact-dup key) plus the minhash signature (near-dup
+    key). O(num_perm) bytes per doc: a 100 TB corpus's store is ~100 GB,
+    re-shingling it would be the full 100 TB.
+
+    One normalization pass feeds both hashes (persisted — two consumers).
+    """
+    from pyspark import StorageLevel
+
+    from database_migration_spark.functions.parallel import fan_out
+    from database_migration_spark.functions.text_exprs import (
+        char_shingles_pre_normalized,
+    )
+
+    raw = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+    norm = raw.select(
+        "id", normalize_text(F.col(text_col)).alias("_t")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    content = norm.select("id", md5_long(F.col("_t")).alias("content_h"))
+    shingles = norm.select(
+        "id",
+        F.explode(
+            F.array_distinct(char_shingles_pre_normalized(F.col("_t"), k))
+        ).alias("sh"),
+    ).select("id", md5_long(F.col("sh")).alias("h"))
+    return content.join(minhash_signatures(shingles, num_perm, seed), "id")
+
+
+def incremental_dedup(
+    batch_fp: DataFrame,
+    store_fp: DataFrame,
+    num_perm: int = 32,
+    bands: int = 4,
+    min_agree_permille: int = 750,
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus via fingerprints only —
+    the recurring-crawl shape (the corpus-side analogue of the reference's
+    delta import, delta_import.sql): the store never re-reads text.
+
+    Decision per batch doc: ``exact_dup`` if its content hash exists in the
+    store; else ``near_dup`` if an LSH band collision with a store doc has
+    signature agreement ≥ ``min_agree_permille`` (the fraction of equal
+    minhash components is the standard unbiased Jaccard estimate — with
+    fingerprints only, estimated Jaccard replaces the exact verify of
+    :func:`minhash_dedup_pairs`); else ``new``. Returns
+    (id, status, match_id) with match_id = min matching store id (-1 when
+    new) so re-crawls trace to their canonical document.
+
+    Batch-internal duplicates are out of scope by design — run the batch
+    through :func:`exact_dedup` / ``minhash_dedup_pairs`` first, then this
+    against the store. Both fingerprint inputs are persisted here (each has
+    3 consumers: exact join, banding, signature compare).
+    """
+    from pyspark import StorageLevel
+
+    batch_fp = batch_fp.persist(StorageLevel.MEMORY_AND_DISK)
+    store_fp = store_fp.persist(StorageLevel.MEMORY_AND_DISK)
+    sig_cols = [f"sig_{i}" for i in range(num_perm)]
+    exact = (
+        batch_fp.select("id", "content_h")
+        .join(
+            store_fp.select(F.col("id").alias("sid"), "content_h"), "content_h"
+        )
+        .groupBy("id")
+        .agg(F.min("sid").alias("exact_match"))
+    )
+    bb = banded_keys(batch_fp, num_perm, bands)
+    sb = banded_keys(store_fp, num_perm, bands).withColumnRenamed("id", "sid")
+    cand = bb.join(sb, ["band", "key"]).select("id", "sid").distinct()
+    a = batch_fp.select("id", *[F.col(c).alias(f"a_{c}") for c in sig_cols])
+    s = store_fp.select(
+        F.col("id").alias("sid"), *[F.col(c).alias(f"s_{c}") for c in sig_cols]
+    )
+    agree = None
+    for c in sig_cols:
+        term = F.when(F.col(f"a_{c}") == F.col(f"s_{c}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    # num_perm is a power of two, so agree*1000/num_perm is float-exact
+    near = (
+        cand.join(a, "id")
+        .join(s, "sid")
+        .where(
+            F.floor(agree * F.lit(1000) / F.lit(num_perm)).cast("long")
+            >= F.lit(min_agree_permille)
+        )
+        .groupBy("id")
+        .agg(F.min("sid").alias("near_match"))
+    )
+    return (
+        batch_fp.select("id")
+        .join(exact, "id", "left")
+        .join(near, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce("exact_match", "near_match", F.lit(-1))
+            .cast("long")
+            .alias("match_id"),
         )
     )

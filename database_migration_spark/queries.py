@@ -1552,6 +1552,107 @@ def shard_layout_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_dedup_oracle(num_perm: int = 32, bands: int = 4) -> str:
+    """Replays fingerprint_store + incremental_dedup end to end in DuckDB:
+    normalize → content hash + shingles → minhash sigs → band keys →
+    cross-relation bucket join → signature-agreement estimate → decision."""
+    from database_migration_spark.functions.hashing import (
+        minhash_permuted_sql,
+        permutation_params,
+    )
+
+    params = permutation_params(num_perm, seed=42)
+    sig_exprs = ", ".join(
+        f"min({minhash_permuted_sql('h', a, b)}) AS sig_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    rows = num_perm // bands
+
+    def sh_sql(src: str) -> str:
+        return f"""SELECT DISTINCT id, CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) AS h
+  FROM (SELECT id,
+               unnest(list_transform(range(1, greatest(length(t)-{_SHINGLE_K - 1},1)+1),
+                      i -> substr(t, i::INT, {_SHINGLE_K}))) AS s
+        FROM {src})"""
+
+    def bands_sql(src: str) -> str:
+        sels = []
+        for bi in range(bands):
+            parts = ", ".join(f"sig_{bi * rows + r}" for r in range(rows))
+            sels.append(
+                f"SELECT id, {bi} AS band, md5(concat_ws('_', {parts})) AS key FROM {src}"
+            )
+        return "\nUNION ALL\n".join(sels)
+
+    agree = " + ".join(
+        f"(CASE WHEN a.sig_{i} = s.sig_{i} THEN 1 ELSE 0 END)"
+        for i in range(num_perm)
+    )
+    return f"""
+WITH store_docs AS (
+  SELECT doc_id AS id, {_NORM} AS t FROM documents WHERE doc_id % 2 = 0
+), batch_docs AS (
+  SELECT doc_id AS id, {_NORM} AS t FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000 AS id, {_NORM} AS t FROM documents WHERE doc_id % 10 = 0
+),
+store_content AS (SELECT id, CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) AS ch FROM store_docs),
+batch_content AS (SELECT id, CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) AS ch FROM batch_docs),
+store_sh AS ({sh_sql('store_docs')}),
+batch_sh AS ({sh_sql('batch_docs')}),
+store_sigs AS (SELECT id, {sig_exprs} FROM store_sh GROUP BY id),
+batch_sigs AS (SELECT id, {sig_exprs} FROM batch_sh GROUP BY id),
+store_bands AS ({bands_sql('store_sigs')}),
+batch_bands AS ({bands_sql('batch_sigs')}),
+exact AS (
+  SELECT b.id, min(s.id) AS m FROM batch_content b
+  JOIN store_content s ON b.ch = s.ch GROUP BY b.id
+),
+cand AS (
+  SELECT DISTINCT bb.id AS bid, sb.id AS sid
+  FROM batch_bands bb JOIN store_bands sb
+    ON bb.band = sb.band AND bb.key = sb.key
+),
+near AS (
+  SELECT c.bid AS id, min(c.sid) AS m
+  FROM cand c
+  JOIN batch_sigs a ON a.id = c.bid
+  JOIN store_sigs s ON s.id = c.sid
+  WHERE CAST(floor(({agree}) * 1000 / {num_perm}) AS BIGINT) >= 750
+  GROUP BY c.bid
+)
+SELECT b.id AS doc_id,
+       CASE WHEN e.m IS NOT NULL THEN 'exact_dup'
+            WHEN n.m IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS status,
+       CAST(COALESCE(e.m, n.m, -1) AS BIGINT) AS match_id
+FROM batch_content b
+LEFT JOIN exact e ON e.id = b.id
+LEFT JOIN near n ON n.id = b.id
+"""
+
+
+@register("incremental_dedup_batch", oracle=_incremental_dedup_oracle())
+def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recurring-crawl dedup: a new batch (odd docs + re-uploads of every
+    10th doc under fresh ids) checked against the persisted fingerprint
+    store of the existing corpus (even docs) — exact via content hash,
+    near via LSH bucket collision + signature-agreement Jaccard estimate,
+    no historical text re-read. The oracle replays the whole pipeline."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = d.where(F.col("doc_id") % 2 == 0)
+    batch = d.where(F.col("doc_id") % 2 == 1).unionByName(
+        d.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    store_fp = DD.fingerprint_store(store, k=_SHINGLE_K, num_perm=32)
+    batch_fp = DD.fingerprint_store(batch, k=_SHINGLE_K, num_perm=32)
+    return DD.incremental_dedup(
+        batch_fp, store_fp, num_perm=32, bands=4, min_agree_permille=750
+    ).select(F.col("id").alias("doc_id"), "status", "match_id")
+
+
 # --- post-load type optimizers (convert_varchar / convert_datatypes) -----
 
 # a deterministic mixed varchar column, identical in both engines: int

@@ -106,3 +106,60 @@ def test_remove_duplicated_spans_whole_doc(spark):
     out = {r["doc_id"]: r for r in remove_duplicated_spans(df, k=5).collect()}
     for i in (1, 2):
         assert out[i]["clean_text"] == "" and out[i]["kept_tokens"] == 0
+
+
+def test_incremental_dedup_decisions(spark):
+    from database_migration_spark.operators.dedup import (
+        fingerprint_store,
+        incremental_dedup,
+    )
+
+    store_docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely unrelated store content about database migration"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    batch_docs = spark.createDataFrame(
+        [
+            # exact re-upload of store doc 1
+            (10, "the quick brown fox jumps over the lazy dog again and again"),
+            # near-dup of store doc 1 (one word changed)
+            (11, "the quick brown fox jumps over the lazy cat again and again"),
+            # genuinely new
+            (12, "entirely fresh text that matches nothing in the store at all"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.id: (r.status, r.match_id)
+        for r in incremental_dedup(
+            fingerprint_store(batch_docs, k=5),
+            fingerprint_store(store_docs, k=5),
+            # 8 bands x 4 rows: LSH threshold (1/8)^(1/4) ~ 0.59 — the
+            # one-word-changed pair sits near estimated J ~ 0.78, below the
+            # default 4x8 banding's ~0.84 recall knee
+            bands=8,
+            min_agree_permille=500,
+        ).collect()
+    }
+    assert out[10] == ("exact_dup", 1)
+    assert out[11] == ("near_dup", 1)
+    assert out[12] == ("new", -1)
+
+
+def test_fingerprint_store_shape_and_determinism(spark):
+    from database_migration_spark.operators.dedup import fingerprint_store
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some shared vocabulary") for i in range(20)],
+        "doc_id LONG, text STRING",
+    )
+    fp = fingerprint_store(docs, k=5, num_perm=8)
+    assert fp.columns == ["id", "content_h"] + [f"sig_{i}" for i in range(8)]
+    rows = {r.id: tuple(r) for r in fp.collect()}
+    assert len(rows) == 20
+    # identical under different partitioning
+    rows2 = {r.id: tuple(r) for r in fingerprint_store(docs.repartition(7), k=5, num_perm=8).collect()}
+    assert rows == rows2

@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "dup_span_coverage",
     "remove_dup_spans",
+    "semantic_dedup_embeddings",
+    "incremental_dedup_batch",
 ]
 
 

@@ -2554,6 +2554,19 @@ _SHOWCASE_ONLY = [
     # quality_documents — both remain sim-verified + pytest-covered
     "doc_fingerprint",
     "token_count_documents",
+    # round-5 second wave: three new-capability queries promoted
+    # (semantic_dedup_embeddings, domain_mix_sample_documents,
+    # incremental_dedup_batch), displacing four whose §2 rows stay graded
+    # elsewhere: the multimodal row keeps multimodal_features; §2.8 string
+    # functions stay proven across quality/lang_id/pii graded queries;
+    # §2.8 date/time stays proven by partition_counts_orders +
+    # sessionize_events; the training-layout family keeps
+    # sequence_pack_documents (shard_layout is its write-side sibling,
+    # sim-verified + pytest-covered)
+    "frame_sampling_plan",
+    "regex_token_count",
+    "events_hourly_agg",
+    "shard_layout_documents",
 ]
 
 

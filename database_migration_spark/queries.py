@@ -1467,7 +1467,9 @@ WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.vec_id = c.vec_id)
 
 
 @register("semantic_dedup_embeddings", oracle=_SEMANTIC_DEDUP_ORACLE)
-def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_dedup_embeddings(
+    spark: SparkSession, sf_dir: str, bits: int = 8
+) -> DataFrame:
     """SemDeDup (arXiv:2303.09540) over the embeddings table: hyperplane
     cells as the deterministic cluster proxy, within-cell cosine ≥ 0.95
     pruning, min-id representative. The Spark side runs the real operator
@@ -1487,7 +1489,7 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.unionByName(planted).unionByName(exact)
     return SIM.semantic_dedup_survivors(
-        corpus, threshold_e6=950_000, dim=64, bits=8
+        corpus, threshold_e6=950_000, dim=64, bits=bits
     )
 
 

@@ -50,6 +50,8 @@ PROBES = [
     "ann_cosine_topk",
     "embedding_near_dup",
     "sessionize_events",
+    "semantic_dedup_embeddings",
+    "incremental_dedup_batch",
 ]
 
 
@@ -127,16 +129,20 @@ def generate(spark) -> None:
     )
 
 
-def time_query(spark, registry, name: str, sf_dir: str) -> float:
+def time_thunk(spark, make) -> float:
     def lap() -> float:
         t0 = time.time()
-        registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        make().write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
     spark.catalog.clearCache()
     spark.sparkContext._jvm.System.gc()
     lap()  # warm-up
     return min(lap(), lap())
+
+
+def time_query(spark, registry, name: str, sf_dir: str) -> float:
+    return time_thunk(spark, lambda: registry[name](spark, sf_dir))
 
 
 def ann_compare(spark, sf_dir: str, n_queries: int = 200) -> dict:
@@ -199,6 +205,16 @@ def main() -> int:
         out["ann_compare"] = {
             "sf0.1": ann_compare(spark, SF01),
             "x10": ann_compare(spark, OUT),
+        }
+    if "--semantic-bits" in sys.argv:
+        # semantic dedup's own scale rule: cells (2^bits) must grow with N
+        # to hold E|cell| — and with it the within-cell quadratic term —
+        # constant. Measure the knob: fixed 8 bits at 10x data vs the
+        # log2-scaled 11 bits (cell population back at the sf0.1 level).
+        sd = Q.QUERIES["semantic_dedup_embeddings"]
+        out["semantic_bits_x10"] = {
+            "bits8_sec": round(time_thunk(spark, lambda: sd(spark, OUT, bits=8)), 3),
+            "bits11_sec": round(time_thunk(spark, lambda: sd(spark, OUT, bits=11)), 3),
         }
     print(json.dumps(out))
     spark.stop()

@@ -126,3 +126,79 @@ def test_epoch_us_outputs_stay_pushed_down(spark):
     assert "PushedFilters" in plan3
     plan_ev = _explain(Q.events_hourly_agg(spark, SF))
     assert "partial_count" in plan_ev or "partial_sum" in plan_ev
+
+
+def test_semantic_dedup_persist_and_no_cartesian(spark):
+    """semantic_dedup_survivors: the celled relation (signature fold over
+    every vector) has 3 consumers — both self-join sides and the survivor
+    anti-join base — and must come from cache, not re-fold per branch; the
+    intra-cell join must be an equi-join on cell, never a cross product."""
+    import re
+
+    from database_migration_spark.operators.similarity import (
+        semantic_dedup_survivors,
+    )
+
+    emb = Q.table(spark, SF, "embeddings")
+    plan = _explain(semantic_dedup_survivors(emb, bits=8))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("InMemoryTableScan") >= 3
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+    assert len(scan_ids) <= 2, f"scans {scan_ids} (celled persist missing)"
+    spark.catalog.clearCache()
+
+
+def test_incremental_dedup_persist_and_join_shapes(spark):
+    """incremental_dedup: both fingerprint inputs have 3 consumers (exact
+    join, banding, signature compare) and must come from cache — the
+    fingerprint pass re-shingles the corpus otherwise; every join is an
+    equi-join (content_h / band+key / id)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from database_migration_spark.operators.dedup import (
+        fingerprint_store,
+        incremental_dedup,
+    )
+
+    d = Q.table(spark, SF, "documents").select("doc_id", "text")
+    out = incremental_dedup(
+        fingerprint_store(d.where(F.col("doc_id") % 2 == 0), k=8),
+        fingerprint_store(d.where(F.col("doc_id") % 2 == 1), k=8),
+    )
+    plan = _explain(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("InMemoryTableScan") >= 4  # >=2 consumers per side read cache
+    # live parquet scans beyond the ones embedded in cached-plan blocks:
+    # each side contributes at most its cache-embedded scan pair
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+    assert len(scan_ids) <= 4, f"scans {scan_ids} (fingerprint persist missing)"
+    spark.catalog.clearCache()
+
+
+def test_domain_mix_broadcast_and_pushdown(spark):
+    """domain_mix_sample: the weights relation broadcasts (corpus never
+    shuffles) and the corpus scan stays a plain filter pass."""
+    plan = _explain(Q.QUERIES["domain_mix_sample_documents"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the only exchange in the plan is the weights broadcast — the corpus
+    # itself moves zero bytes
+    assert _nodes(plan, "BroadcastExchange") == 1
+    assert _nodes(plan, "Exchange") == 0  # no shuffle exchange at all
+
+
+def test_shard_layout_single_exchange(spark):
+    """shard_layout: exactly one hash exchange (into shard groups) and one
+    Window node — position and offset share the same sort."""
+    plan = _explain(Q.QUERIES["shard_layout_documents"](spark, SF))
+    assert _nodes(plan, "Exchange") == 1 and "BroadcastExchange" not in plan
+    assert _nodes(plan, "Window") == 1
+
+
+def _nodes(plan: str, name: str) -> int:
+    """Count physical nodes of an exact type in a formatted plan (each node
+    appears once in the tree and once in the details as '(n) Name')."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {name}\s*$", plan, flags=re.M))

@@ -104,3 +104,60 @@ def stream_dedup_exact(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )
+
+
+def stream_incremental_dedup(
+    stream: DataFrame,
+    store_fp: DataFrame,
+    decisions_sink,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perm: int = 32,
+    bands: int = 4,
+    min_agree_permille: int = 750,
+    checkpoint: str | None = None,
+):
+    """Continuous crawl ingestion deduplicated against the historical
+    corpus: each micro-batch is fingerprinted (content hash + minhash
+    signature) and decided against the persisted ``store_fp`` relation via
+    ``operators.dedup.incremental_dedup`` — exact / near / new, without
+    ever re-reading historical text.
+
+    foreachBatch is the right harness (same reasoning as
+    :func:`stream_merge_upsert`): the decision is a batch join against a
+    static store, not an aggregation over the stream, so per-batch batch
+    semantics apply cleanly. ``decisions_sink(decisions_df, epoch_id)``
+    receives the (id, status, match_id) table per batch; a production sink
+    appends the batch's 'new' fingerprints back to the store so later
+    batches dedup against them too (the store grows by O(num_perm) per
+    accepted doc, never by text).
+
+    Batch-internal duplicates: handled by chaining
+    :func:`stream_dedup_exact` upstream (exact within the watermark
+    horizon), mirroring the batch pipeline's exact-then-incremental order.
+    """
+    from database_migration_spark.operators.dedup import (
+        fingerprint_store,
+        incremental_dedup,
+    )
+
+    def decide(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.head(1):
+            return
+        batch_fp = fingerprint_store(
+            batch, text_col=text_col, id_col=id_col, k=k, num_perm=num_perm
+        )
+        decisions = incremental_dedup(
+            batch_fp,
+            store_fp,
+            num_perm=num_perm,
+            bands=bands,
+            min_agree_permille=min_agree_permille,
+        )
+        decisions_sink(decisions, epoch_id)
+
+    writer = stream.writeStream.foreachBatch(decide).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

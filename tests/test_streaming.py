@@ -274,3 +274,81 @@ def test_stream_ingest_vs_manifest_same_directory(spark, tmp_path):
     n = spark.sql("SELECT count(*) c FROM ingest_eq").collect()[0].c
     assert n == 4
     assert spark.sql("SELECT count(*) c FROM ingest_eq WHERE b='CHANGED'").collect()[0].c == 0
+
+
+def test_stream_incremental_dedup_matches_batch_decisions(spark, tmp_path):
+    """Two micro-batches decided against a static fingerprint store must
+    produce exactly the decisions the batch operator produces on the same
+    docs — stream/batch equivalence for the incremental-dedup path."""
+    from database_migration_spark.operators.dedup import (
+        fingerprint_store,
+        incremental_dedup,
+    )
+    from database_migration_spark.streaming.delta_stream import (
+        stream_incremental_dedup,
+    )
+
+    store_docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely unrelated store content about database migration"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    store_fp = fingerprint_store(store_docs, k=5)
+
+    src = tmp_path / "inc_src"
+    src.mkdir()
+    batches = [
+        # exact re-upload of store doc 1 + a fresh doc
+        [(10, "the quick brown fox jumps over the lazy dog again and again"),
+         (11, "entirely fresh text that matches nothing in the store at all")],
+        # near-dup of store doc 1
+        [(12, "the quick brown fox jumps over the lazy cat again and again")],
+    ]
+    for i, rows in enumerate(batches):
+        (
+            spark.createDataFrame(rows, "doc_id LONG, text STRING")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(src / f"batch{i}"))
+        )
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    got: dict[int, tuple[str, int]] = {}
+
+    def sink(decisions, epoch_id):
+        for r in decisions.collect():
+            got[r.id] = (r.status, r.match_id)
+
+    q = stream_incremental_dedup(
+        stream,
+        store_fp,
+        sink,
+        k=5,
+        bands=8,
+        min_agree_permille=500,
+        checkpoint=str(tmp_path / "ck_inc"),
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id LONG, text STRING"
+    )
+    want = {
+        r.id: (r.status, r.match_id)
+        for r in incremental_dedup(
+            fingerprint_store(all_docs, k=5),
+            store_fp,
+            bands=8,
+            min_agree_permille=500,
+        ).collect()
+    }
+    assert got == want
+    assert got[10] == ("exact_dup", 1)
+    assert got[12] == ("near_dup", 1)
+    assert got[11] == ("new", -1)

@@ -78,17 +78,31 @@ def shingle_sets(
     collide in 60-bit md5 space (~2^-43 per doc at 200k shingles), which
     also makes the |A∩B| counts collision-exact on both sides.
     """
+    norm = _normalized_text(df, text_col, id_col)
+    return _shingle_hashes(norm, k)
+
+
+def _normalized_text(
+    df: DataFrame, text_col: str, id_col: str, persist: bool = True
+) -> DataFrame:
+    """(id, _t) — fanned-out normalized text behind a persist boundary (the
+    projection barrier the shingle_sets docstring explains). The single
+    normalization pass shared by shingle_sets and fingerprint_store."""
     from pyspark import StorageLevel
 
     from database_migration_spark.functions.parallel import fan_out
+
+    raw = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+    norm = raw.select("id", normalize_text(F.col(text_col)).alias("_t"))
+    return norm.persist(StorageLevel.MEMORY_AND_DISK) if persist else norm
+
+
+def _shingle_hashes(norm: DataFrame, k: int) -> DataFrame:
+    """(id, h) distinct k-shingle 60-bit hashes of a normalized relation."""
     from database_migration_spark.functions.text_exprs import (
         char_shingles_pre_normalized,
     )
 
-    raw = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col)))
-    norm = raw.select(
-        "id", normalize_text(F.col(text_col)).alias("_t")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
     return norm.select(
         "id",
         F.explode(
@@ -656,6 +670,7 @@ def fingerprint_store(
     k: int = 5,
     num_perm: int = 32,
     seed: int = 42,
+    persist: bool = True,
 ) -> DataFrame:
     """The compact per-document fingerprint a corpus persists so future
     batches dedup against it WITHOUT re-reading historical text:
@@ -664,26 +679,13 @@ def fingerprint_store(
     key). O(num_perm) bytes per doc: a 100 TB corpus's store is ~100 GB,
     re-shingling it would be the full 100 TB.
 
-    One normalization pass feeds both hashes (persisted — two consumers).
+    One normalization pass feeds both hashes (persisted — two consumers —
+    unless ``persist=False``: per-micro-batch callers that must not leave
+    cache entries behind accept one redundant normalization instead).
     """
-    from pyspark import StorageLevel
-
-    from database_migration_spark.functions.parallel import fan_out
-    from database_migration_spark.functions.text_exprs import (
-        char_shingles_pre_normalized,
-    )
-
-    raw = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col)))
-    norm = raw.select(
-        "id", normalize_text(F.col(text_col)).alias("_t")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    norm = _normalized_text(df, text_col, id_col, persist=persist)
     content = norm.select("id", md5_long(F.col("_t")).alias("content_h"))
-    shingles = norm.select(
-        "id",
-        F.explode(
-            F.array_distinct(char_shingles_pre_normalized(F.col("_t"), k))
-        ).alias("sh"),
-    ).select("id", md5_long(F.col("sh")).alias("h"))
+    shingles = _shingle_hashes(norm, k)
     return content.join(minhash_signatures(shingles, num_perm, seed), "id")
 
 
@@ -693,6 +695,7 @@ def incremental_dedup(
     num_perm: int = 32,
     bands: int = 4,
     min_agree_permille: int = 750,
+    persist_inputs: bool = True,
 ) -> DataFrame:
     """Dedup a NEW batch against an existing corpus via fingerprints only —
     the recurring-crawl shape (the corpus-side analogue of the reference's
@@ -710,12 +713,17 @@ def incremental_dedup(
     Batch-internal duplicates are out of scope by design — run the batch
     through :func:`exact_dedup` / ``minhash_dedup_pairs`` first, then this
     against the store. Both fingerprint inputs are persisted here (each has
-    3 consumers: exact join, banding, signature compare).
+    3 consumers: exact join, banding, signature compare); pass
+    ``persist_inputs=False`` when the caller manages the lifecycle itself —
+    a long-running loop (``streaming.delta_stream.stream_incremental_dedup``)
+    must persist per-batch relations explicitly and unpersist them after
+    the sink, or every epoch leaks a cache entry.
     """
-    from pyspark import StorageLevel
+    if persist_inputs:
+        from pyspark import StorageLevel
 
-    batch_fp = batch_fp.persist(StorageLevel.MEMORY_AND_DISK)
-    store_fp = store_fp.persist(StorageLevel.MEMORY_AND_DISK)
+        batch_fp = batch_fp.persist(StorageLevel.MEMORY_AND_DISK)
+        store_fp = store_fp.persist(StorageLevel.MEMORY_AND_DISK)
     sig_cols = [f"sig_{i}" for i in range(num_perm)]
     exact = (
         batch_fp.select("id", "content_h")

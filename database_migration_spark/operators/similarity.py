@@ -468,7 +468,10 @@ def semantic_dedup_survivors(
     """
     from pyspark import StorageLevel
 
-    celled = df.select(
+    # fan out before the per-row signature fold (bits x dim multiply-adds):
+    # a single-row-group input would otherwise compute every signature —
+    # and materialize the whole cache — in one task
+    celled = fan_out(df).select(
         F.col(id_col),
         F.col(vec_col).alias("v"),
         hyperplane_signature(F.col(vec_col), dim, bits, seed).alias("cell"),

@@ -2552,8 +2552,9 @@ _SHOWCASE_ONLY = [
     "corpus_rollup_stats",
     # round-5 demotions to make room for the span-dedup pair: md5-keyed
     # hashing is proven by dedup_exact_documents, regexp token counting by
-    # regex_token_count, single-projection text aggregates by
-    # quality_documents — both remain sim-verified + pytest-covered
+    # quality_documents (its q_n_tokens column is the same token_count
+    # expression), single-projection text aggregates by quality_documents —
+    # both remain sim-verified + pytest-covered
     "doc_fingerprint",
     "token_count_documents",
     # round-5 second wave: three new-capability queries promoted

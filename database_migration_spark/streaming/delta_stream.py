@@ -133,29 +133,50 @@ def stream_incremental_dedup(
     batches dedup against them too (the store grows by O(num_perm) per
     accepted doc, never by text).
 
+    Cache lifecycle: every epoch's batch has a distinct logical plan, so
+    the batch-side persists the operators would normally add can never be
+    reused and would accumulate one orphaned cache entry per epoch for the
+    stream's whole life. This harness therefore persists exactly one
+    batch-side relation per epoch (the fingerprint table, 3 consumers) and
+    unpersists it after the sink returns; ``store_fp`` is persisted ONCE
+    here and reused across epochs.
+
     Batch-internal duplicates: handled by chaining
     :func:`stream_dedup_exact` upstream (exact within the watermark
     horizon), mirroring the batch pipeline's exact-then-incremental order.
     """
+    from pyspark import StorageLevel
+
     from database_migration_spark.operators.dedup import (
         fingerprint_store,
         incremental_dedup,
     )
 
+    store_fp = store_fp.persist(StorageLevel.MEMORY_AND_DISK)
+
     def decide(batch: DataFrame, epoch_id: int) -> None:
         if not batch.head(1):
             return
         batch_fp = fingerprint_store(
-            batch, text_col=text_col, id_col=id_col, k=k, num_perm=num_perm
-        )
-        decisions = incremental_dedup(
-            batch_fp,
-            store_fp,
+            batch,
+            text_col=text_col,
+            id_col=id_col,
+            k=k,
             num_perm=num_perm,
-            bands=bands,
-            min_agree_permille=min_agree_permille,
-        )
-        decisions_sink(decisions, epoch_id)
+            persist=False,  # micro-batch: one redundant normalize beats a leak
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            decisions = incremental_dedup(
+                batch_fp,
+                store_fp,
+                num_perm=num_perm,
+                bands=bands,
+                min_agree_permille=min_agree_permille,
+                persist_inputs=False,
+            )
+            decisions_sink(decisions, epoch_id)
+        finally:
+            batch_fp.unpersist(blocking=False)
 
     writer = stream.writeStream.foreachBatch(decide).outputMode("append")
     if checkpoint:

@@ -158,20 +158,12 @@ def ann_compare(spark, sf_dir: str, n_queries: int = 200) -> dict:
     emb = Q.table(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < n_queries)
 
-    def lap(make) -> float:
-        t0 = time.time()
-        make().write.format("noop").mode("overwrite").save()
-        return time.time() - t0
-
     out = {}
     for name, make in (
         ("brute", lambda: S.cosine_topk(emb, qs, k=5)),
         ("ivf", lambda: S.ivf_topk(emb, qs, k=5, n_centroids=32, n_probe=4)),
     ):
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
-        lap(make)
-        out[f"{name}_sec"] = round(min(lap(make), lap(make)), 3)
+        out[f"{name}_sec"] = round(time_thunk(spark, make), 3)
 
     brute = S.cosine_topk(emb, qs, k=5).select("query_id", "neighbor_id")
     ivf = S.ivf_topk(emb, qs, k=5, n_centroids=32, n_probe=4).select(

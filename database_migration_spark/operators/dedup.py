@@ -267,6 +267,16 @@ def minhash_dedup_pairs(
     exact-Jaccard verify → threshold. Output (id_a, id_b, jaccard_permille)."""
     sh = _persisted_shingles(df, text_col, id_col, k, persist)
     sigs = minhash_signatures(sh, num_perm, seed)
+    if persist:
+        from pyspark import StorageLevel
+
+        # both banded-join sides consume the signatures, and the bucket
+        # join broadcasts one side — no shuffle exchange for
+        # ReusedExchange to share, so without this the num_perm-min
+        # aggregate over the full shingle relation runs twice (verified:
+        # 64 partial_min exprs in the unpersisted plan). One row per doc,
+        # num_perm longs — the cheapest cache in the pipeline.
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(sigs, num_perm, bands)
     return exact_jaccard(sh, cands).where(
         F.col("jaccard_permille") >= threshold_permille

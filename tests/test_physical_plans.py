@@ -202,3 +202,20 @@ def _nodes(plan: str, name: str) -> int:
     import re
 
     return len(re.findall(rf"^\(\d+\) {name}\s*$", plan, flags=re.M))
+
+
+def test_minhash_signature_aggregate_runs_once(spark):
+    """The banded self-join broadcasts one side, so ReusedExchange cannot
+    share the signature aggregate — it must come from the persisted sigs
+    relation. Guard: exactly one num_perm-wide min aggregate in the plan
+    (an unpersisted plan shows 64 partial_min expressions, one set per
+    join side)."""
+    from database_migration_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = Q.table(spark, SF, "documents")
+    plan = _explain(
+        minhash_dedup_pairs(docs, k=8, num_perm=32, bands=4,
+                            threshold_permille=800, seed=42)
+    )
+    assert plan.count("partial_min") <= 32, "signature aggregate duplicated"
+    spark.catalog.clearCache()

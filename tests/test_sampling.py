@@ -120,3 +120,30 @@ def test_shard_layout_contiguous_offsets_and_determinism(spark):
     # hash order is a shuffle: within-shard id sequence is not sorted
     ids0 = [r.id for r in sorted(by_shard[0], key=lambda r: r.shard_pos)]
     assert ids0 != sorted(ids0)
+
+
+def test_hash_split_proportions_stability_and_salt_independence(spark):
+    from database_migration_spark.operators.sampling import hash_sample, hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(10000)], "id LONG")
+    out = hash_split(df, "id", val_permille=100, test_permille=100)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 800 <= counts["test"] <= 1200 and 800 <= counts["val"] <= 1200
+    # stable under repartitioning
+    out2 = hash_split(df.repartition(7), "id", val_permille=100, test_permille=100)
+    assert {(r.id, r.split) for r in out2.collect()} == {
+        (r.id, r.split) for r in out.collect()
+    }
+    # independence from the UNSALTED sampling hash: a 10% hash_sample must
+    # not collapse into one split (the correlated-hash failure the salt
+    # prevents)
+    sampled = hash_sample(df, "id", keep_permille=100)
+    splits = {
+        r["split"]
+        for r in hash_split(sampled, "id", val_permille=100, test_permille=100)
+        .select("split").distinct().collect()
+    }
+    assert splits == {"train", "val", "test"}

@@ -138,8 +138,9 @@ def stream_incremental_dedup(
     reused and would accumulate one orphaned cache entry per epoch for the
     stream's whole life. This harness therefore persists exactly one
     batch-side relation per epoch (the fingerprint table, 3 consumers) and
-    unpersists it after the sink returns; ``store_fp`` is persisted ONCE
-    here and reused across epochs.
+    unpersists it after the sink returns — so the sink MUST materialize
+    the decisions (collect/write) before returning, not hold the lazy
+    frame; ``store_fp`` is persisted ONCE here and reused across epochs.
 
     Batch-internal duplicates: handled by chaining
     :func:`stream_dedup_exact` upstream (exact within the watermark

@@ -123,7 +123,11 @@ def main() -> int:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     probes.sort()
-    p_min, p_med, p_max = probes[0], probes[len(probes) // 2], probes[-1]
+    mid = len(probes) // 2
+    # true median: average the middle pair on even-length lists (the
+    # upper-middle index alone biases the noisy flag high)
+    p_med = probes[mid] if len(probes) % 2 else (probes[mid - 1] + probes[mid]) / 2
+    p_min, p_max = probes[0], probes[-1]
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 4),

@@ -58,16 +58,33 @@ class SourceAdapter(ABC):
         for mode in self.TRANSFER_MODES:
             if self._mode_available(mode):
                 return mode
-        # nothing probed available: fall back to the last declared mode
-        # (by convention the generic one)
-        return self.TRANSFER_MODES[-1]
+        # nothing available: degrade to generic JDBC if declared (the
+        # reference's own fallback); otherwise fail LOUDLY here rather
+        # than let read_table AttributeError on a reader that never
+        # existed — returning an unavailable mode would violate the
+        # "availability was probed" contract read_table relies on.
+        if "jdbc" in self.TRANSFER_MODES:
+            return "jdbc"
+        raise RuntimeError(
+            f"{type(self).__name__}: no transfer mode available among "
+            f"{self.TRANSFER_MODES} (every probe failed and no generic "
+            "fallback is declared)"
+        )
 
     def _mode_available(self, mode: str) -> bool:
-        if mode in self._BUILTIN_MODES:
+        if mode == "jdbc":
+            # implemented inline by JdbcSourceAdapter.read_table — the one
+            # mode that needs no _read_<mode> method
             return True
+        # every other mode — including the built-in "file" — must have a
+        # reader for read_table to dispatch to; "available" without one
+        # would be an AttributeError at transfer time
+        if getattr(self, f"_read_{mode}", None) is None:
+            return False
+        if mode in self._BUILTIN_MODES:
+            return True  # no runtime dependency to probe
         probe = getattr(self, f"_probe_{mode}", None)
-        reader = getattr(self, f"_read_{mode}", None)
-        if probe is None or reader is None:
+        if probe is None:
             return False
         try:
             return bool(probe())

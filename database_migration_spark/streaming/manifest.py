@@ -215,15 +215,24 @@ class ManifestLoader:
         self._write_manifest(merged.orderBy("file_name"))
         return self.read_manifest()
 
-    def pending(self) -> list[str]:
-        """``where status like 'waiting%'`` (s3:248-250)."""
-        return [
-            r.file_name
-            for r in self.read_manifest()
+    def pending(self, max_files: int | None = None) -> list[str]:
+        """``where status like 'waiting%'`` (s3:248-250).
+
+        The returned list is driver-side by necessity (it becomes the
+        ``paths`` argument of a read), so callers at bucket scale MUST
+        bound it: pass ``max_files`` and loop — files left ``waiting``
+        are picked up by the next run, which is the manifest's natural
+        incremental semantics. An unbounded call against a 100 M-entry
+        manifest materializes the whole name set on the driver.
+        """
+        df = (
+            self.read_manifest()
             .where(F.col("status").startswith("waiting"))
             .orderBy("file_name")
-            .collect()
-        ]
+        )
+        if max_files is not None:
+            df = df.limit(max_files)
+        return [r.file_name for r in df.collect()]
 
     # --- load -----------------------------------------------------------
     def plan_statements(self, files: list[str]) -> list[str]:
@@ -277,6 +286,7 @@ class ManifestLoader:
         pattern: str = "*",
         force_reload: bool = False,
         reader=None,
+        max_files: int | None = None,
     ) -> tuple[DataFrame, LoadReport]:
         """Single-job variant of :meth:`load` for large pending sets.
 
@@ -294,22 +304,43 @@ class ManifestLoader:
         Returns (data, report) — the caller writes ``data`` (sink-agnostic,
         same as :meth:`load`); note the DataFrame is lazily re-read by the
         sink, so write it before mutating the source folder.
+
+        ``max_files`` bounds the per-run batch (see :meth:`pending`) — the
+        100 TB shape is a loop of bounded batches, never one 100 M-path
+        read job.
         """
-        self.reconcile(self.lister(folder, pattern), force_reload)
-        files = self.pending()
+        listing = self.lister(folder, pattern)
+        self.reconcile(listing, force_reload)
+        files = self.pending(max_files)
         if not files:
             return (
                 self.spark.createDataFrame([], "file_name STRING"),
                 LoadReport([], [], 0),
             )
+        # a pending file deleted since its listing would fail the whole
+        # read at path-resolution time (AnalysisException — permanently,
+        # since the stale 'waiting' row never clears). Read only files the
+        # fresh listing saw; absent ones stay waiting and fall through to
+        # the no-rows branch of the status merge below, i.e. Error.
+        present = {e["file_name"] for e in listing}
+        readable = [f for f in files if f in present]
         rd = reader or (
             lambda paths: self.spark.read.options(
-                **{**self.read_options, "ignoreCorruptFiles": "true"}
+                # ignoreMissingFiles covers the residual race: a file
+                # deleted between the listing and task execution
+                **{
+                    **self.read_options,
+                    "ignoreCorruptFiles": "true",
+                    "ignoreMissingFiles": "true",
+                }
             ).format(self.file_format).load(paths)
         )
-        df = rd(files)
-        if self.column_range:
-            df = df.select(df.columns[: self.column_range])
+        if readable:
+            df = rd(readable)
+            if self.column_range:
+                df = df.select(df.columns[: self.column_range])
+        else:
+            df = self.spark.createDataFrame([], "file_name STRING")
         # _metadata.file_path is a URI (file:///x); manifest names may be
         # plain paths — compare on the scheme-stripped form
         strip = lambda c: F.regexp_replace(c, "^file:(//)?", "")  # noqa: E731
@@ -317,16 +348,25 @@ class ManifestLoader:
 
         # counts feeds the status merge, the row total, and (below the
         # threshold) the report lists — persist so the pending files are
-        # scanned once, not three times
+        # scanned once, not three times. (_metadata only exists on file
+        # scans — the readable-empty placeholder has none.)
         counts = (
             df.select(strip(F.col("_metadata.file_path")).alias("fp"))
             .groupBy("fp")
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+            if readable
+            else self.spark.createDataFrame([], "fp STRING, cnt BIGINT")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         import datetime
 
         now = datetime.datetime.fromtimestamp(time.time())
+        # only files ATTEMPTED this run may flip status: with max_files (or
+        # a deleted file filtered out of the read) other rows are still
+        # legitimately waiting for a future batch, not failures. The batch
+        # set is driver-bounded by construction — broadcast it in.
+        attempted = self.spark.createDataFrame(
+            [(f,) for f in files], "file_name STRING"
+        ).withColumn("_attempted", F.lit(True))
         merged = (
             self.read_manifest()
             .join(
@@ -334,20 +374,21 @@ class ManifestLoader:
                 strip(F.col("file_name")) == F.col("fp"),
                 "left",
             )
+            .join(F.broadcast(attempted), "file_name", "left")
             .select(
                 "file_name",
                 "last_modified",
                 "size",
                 F.when(F.col("cnt").isNotNull(), F.lit(ST_DONE))
                 .when(
-                    F.col("status").startswith("waiting"),
+                    F.col("_attempted").isNotNull()
+                    & F.col("status").startswith("waiting"),
                     F.lit(ST_ERROR_PREFIX + "no rows ingested (missing/corrupt/empty)"),
                 )
                 .otherwise(F.col("status"))
                 .alias("status"),
                 F.when(
-                    F.col("cnt").isNotNull()
-                    | F.col("status").startswith("waiting"),
+                    F.col("cnt").isNotNull() | F.col("_attempted").isNotNull(),
                     F.lit(now),
                 )
                 .otherwise(F.col("last_tried"))

@@ -180,8 +180,13 @@ def main() -> int:
     from database_migration_spark import queries as Q
 
     spark = get_spark(app_name="scale_probe")
-    if "--regen" in sys.argv or not os.path.exists(OUT):
+    # completion marker, not directory existence: a generate() that died
+    # mid-write (OUT exists, tables missing/truncated) must not be probed
+    done_marker = os.path.join(OUT, "_GENERATED")
+    if "--regen" in sys.argv or not os.path.exists(done_marker):
         generate(spark)
+        with open(done_marker, "w") as fh:
+            fh.write("complete\n")
 
     registry = Q.queries()
     out = {"replicas": REPLICAS, "base_sf": 0.1, "queries": {}}

@@ -241,6 +241,44 @@ def test_load_batch_summary_only_at_scale(spark, workdir, tmp_path):
     assert set(st.values()) == {ST_DONE}
 
 
+def test_load_batch_deleted_pending_file_recovers(spark, workdir, tmp_path):
+    """A pending file deleted before the load must NOT wedge load_batch
+    with PATH_NOT_FOUND forever: it stays out of the read (fresh listing
+    filter), the status merge marks it Error, and subsequent runs proceed
+    normally."""
+    ld = ManifestLoader(
+        spark, str(tmp_path / "md.parquet"), file_format="csv",
+        read_options={"header": "true"},
+    )
+    # reconcile only: f0..f2 become 'waiting for insertion'
+    ld.reconcile(ld.lister(str(workdir / "incoming"), "*"))
+    (workdir / "incoming" / "f1.csv").unlink()
+    df, rep = ld.load_batch(str(workdir / "incoming"))
+    assert rep.rows_loaded == 4  # f0 + f2
+    assert [os.path.basename(f) for f, _ in rep.error_files] == ["f1.csv"]
+    st = {os.path.basename(r.file_name): r.status for r in ld.read_manifest().collect()}
+    assert st["f0.csv"] == ST_DONE and st["f2.csv"] == ST_DONE
+    assert st["f1.csv"].startswith("Error: ")
+    # and the loader is NOT wedged: the next run is a clean no-op
+    df2, rep2 = ld.load_batch(str(workdir / "incoming"))
+    assert rep2.error_files == [] and rep2.rows_loaded == 0
+
+
+def test_load_batch_max_files_bounds_the_batch(spark, workdir, tmp_path):
+    """max_files caps the per-run driver-side path list; leftover files
+    stay waiting and load on the next run (incremental batching)."""
+    ld = ManifestLoader(
+        spark, str(tmp_path / "mm.parquet"), file_format="csv",
+        read_options={"header": "true"},
+    )
+    df, rep = ld.load_batch(str(workdir / "incoming"), max_files=2)
+    assert len(rep.loaded_files) == 2 and rep.rows_loaded == 4
+    df2, rep2 = ld.load_batch(str(workdir / "incoming"))
+    assert len(rep2.loaded_files) == 1 and rep2.rows_loaded == 2
+    st = {os.path.basename(r.file_name): r.status for r in ld.read_manifest().collect()}
+    assert set(st.values()) == {ST_DONE}
+
+
 # --- cloud listers (injected fake SDK clients) ------------------------------
 
 

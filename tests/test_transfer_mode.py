@@ -117,3 +117,33 @@ def test_base_adapters_unchanged(spark, derby_url):
     ad = JdbcSourceAdapter(spark, DERBY, url=derby_url, properties={"driver": DERBY_DRIVER})
     assert ad.TRANSFER_MODES == ("jdbc",)
     assert ad.transfer_mode() == "jdbc"
+
+
+def test_builtin_file_mode_requires_reader(spark, derby_url, t_meta):
+    """A declared built-in 'file' mode without _read_file must not win the
+    dispatch (read_table would AttributeError); jdbc serves the read."""
+
+    class FileDeclared(JdbcSourceAdapter):
+        TRANSFER_MODES = ("file", "jdbc")  # no _read_file defined
+
+    ad = FileDeclared(spark, DERBY, url=derby_url, properties={"driver": DERBY_DRIVER})
+    assert ad.transfer_mode() == "jdbc"
+    assert ad.read_table(t_meta).count() == 20
+
+
+def test_no_available_mode_fails_loudly(spark, derby_url):
+    """An adapter declaring ONLY a broken native mode (no jdbc fallback)
+    must raise a clear error from transfer_mode, not AttributeError later."""
+
+    class NativeOnly(JdbcSourceAdapter):
+        TRANSFER_MODES = ("native",)
+
+        def _probe_native(self):
+            raise RuntimeError("boom")
+
+        def _read_native(self, table, plan=None):  # pragma: no cover
+            raise AssertionError("must not be reached")
+
+    ad = NativeOnly(spark, DERBY, url=derby_url, properties={"driver": DERBY_DRIVER})
+    with pytest.raises(RuntimeError, match="no transfer mode available"):
+        ad.transfer_mode()

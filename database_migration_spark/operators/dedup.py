@@ -182,6 +182,26 @@ def exact_jaccard(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
     Jaccard is returned as exact integer permille (floor(j*1000)) — engine-
     portable, no float rounding ambiguity.
     """
+    if pairs is not None:
+        from pyspark import StorageLevel
+
+        # candidate docs are a small fraction of the corpus at real dup
+        # rates, but sizes/sa/sb over the FULL shingle relation each
+        # shuffle every doc's shingles — measured ~11s of a 15s x10
+        # minhash run. Semi-join the shingle relation down to candidate
+        # ids first (AQE broadcasts the id set when small, falls back to
+        # a shuffle join when a pathological candidate volume would not
+        # fit a broadcast); every downstream shuffle then moves only
+        # candidate shingles. Persisted: three consumers (sizes + both
+        # intersection-join sides).
+        cand_ids = (
+            pairs.select(F.col("id_a").alias("id"))
+            .union(pairs.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        shingles = shingles.join(cand_ids, "id", "left_semi").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if pairs is not None:
         sa = shingles.select(F.col("id").alias("id_a"), F.col("h").alias("ha"))

@@ -168,7 +168,9 @@ def lsh_candidate_pairs(
     )
 
 
-def exact_jaccard(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
+def exact_jaccard(
+    shingles: DataFrame, pairs: DataFrame, persist: bool = True
+) -> DataFrame:
     """Exact Jaccard via the shingle relation: |A∩B| from shingle-hash
     matches, |A∪B| = |A|+|B|-|A∩B|.
 
@@ -193,15 +195,16 @@ def exact_jaccard(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
         # a shuffle join when a pathological candidate volume would not
         # fit a broadcast); every downstream shuffle then moves only
         # candidate shingles. Persisted: three consumers (sizes + both
-        # intersection-join sides).
+        # intersection-join sides) — gated by ``persist`` so per-epoch
+        # callers (the streaming persist-leak rule) can opt out.
         cand_ids = (
             pairs.select(F.col("id_a").alias("id"))
             .union(pairs.select(F.col("id_b").alias("id")))
             .distinct()
         )
-        shingles = shingles.join(cand_ids, "id", "left_semi").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        shingles = shingles.join(cand_ids, "id", "left_semi")
+        if persist:
+            shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if pairs is not None:
         sa = shingles.select(F.col("id").alias("id_a"), F.col("h").alias("ha"))
@@ -298,7 +301,7 @@ def minhash_dedup_pairs(
         # num_perm longs — the cheapest cache in the pipeline.
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(sigs, num_perm, bands)
-    return exact_jaccard(sh, cands).where(
+    return exact_jaccard(sh, cands, persist=persist).where(
         F.col("jaccard_permille") >= threshold_permille
     )
 

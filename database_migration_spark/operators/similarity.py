@@ -494,3 +494,52 @@ def semantic_dedup_survivors(
     return celled.join(losers, id_col, "left_anti").select(
         id_col, F.col("cell").cast("long").alias("cell")
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Distributed per-group mean vector — the M-step of k-means and the
+    per-class centroid report of an embedding-space audit (cluster drift,
+    class separation, SemDeDup-style cell quality all start here).
+
+    Output (group, dim, n_vecs, centroid_e6): one row per (group,
+    dimension) — constant-sized regardless of corpus size.
+
+    Exactness across engines: each float element is quantized to an integer
+    (floor(x·scale)) BEFORE the cross-row sum. float32→float64 widening and
+    the single multiply are IEEE-deterministic, while a cross-row FLOAT sum
+    is order-dependent and would hash-unstable the result. Integer sums are
+    exact in any order, and the final mean is an integer floor-division
+    built from pmod + `div` (both engine-portable; a double division would
+    round once sums pass 2^53 — reachable at corpus scale).
+
+    Scale shape: posexplode is map-side (×dim rows), the groupBy keys on
+    (group, dim) — cardinality |groups|×dim, trivially combinable
+    map-side; partial aggregation collapses each input partition to at most
+    |groups|×dim rows before the shuffle. For very wide vectors swap the
+    explode for a vectorized mapInPandas partial-sum; at 64-256 dims the
+    exploded long-sum is cheaper than Arrow transfer.
+    """
+    e = df.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    )
+    q = F.floor(F.col("x").cast("double") * F.lit(scale)).cast("long")
+    g = (
+        e.select("grp", "dim", q.alias("qx"))
+        .groupBy("grp", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("qx").alias("s"),
+        )
+    )
+    return g.select(
+        F.col("grp").cast("long").alias(group_col),
+        F.col("dim").cast("long").alias("dim"),
+        "n_vecs",
+        F.expr("(s - pmod(s, n_vecs)) div n_vecs").cast("long").alias("centroid_e6"),
+    )

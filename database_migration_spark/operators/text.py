@@ -344,3 +344,117 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerpri
     text. Two documents differing only in case/whitespace collide — the
     standard first-pass exact-dedup key."""
     return df.withColumn(out_col, F.md5(normalize_text(F.col(text_col))))
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Token-window chunking with overlap — the context-window layout step a
+    RAG / pretraining pipeline runs before embedding or packing: each
+    document becomes enough ``window``-token chunks (stepping ``stride``
+    tokens, so consecutive chunks share ``window - stride`` tokens) to cover
+    every token; the final chunk starts at the last stride multiple inside
+    the document and may be shorter than ``window``.
+
+    Output (doc_id, chunk_idx, start_tok, n_toks, chunk_h): token offsets
+    for provenance and a 60-bit md5 of the chunk text — the chunk-level
+    exact-dedup / embedding-cache key.
+
+    Scale shape: pure per-row array arithmetic behind a fan_out barrier —
+    no shuffle, no join; chunk rows multiply map-side (×ceil(n/stride)),
+    which is how the 100 TB layout pass should run. Chunk count uses exact
+    integer ceil-division, never float.
+    """
+    from database_migration_spark.functions.hashing import md5_long
+    from database_migration_spark.functions.parallel import fan_out
+
+    if not 0 < stride <= window:
+        raise ValueError("need 0 < stride <= window")
+    df = fan_out(df)
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    n = F.size(F.col("_toks"))
+    # chunks = 1 + ceil(max(n - window, 0) / stride), exact via long `div`
+    n_chunks = F.expr(
+        f"1L + (greatest(size(_toks) - {window}, 0) + {stride - 1}) div {stride}"
+    )
+    ch = base.select(
+        "id",
+        "_toks",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    piece = F.slice(F.col("_toks"), start + 1, window)
+    return ch.select(
+        F.col("id").alias(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("n_toks"),
+        md5_long(F.concat_ws(" ", piece)).alias("chunk_h"),
+    )
+
+
+def bigram_lm_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist: bool = True,
+) -> DataFrame:
+    """Corpus count-based-LM substrate: per token, total occurrences (tf),
+    document frequency (df_docs), and the Kneser-Ney continuation
+    cardinalities — distinct right neighbours (n_right) and distinct left
+    neighbours (n_left). These are the sufficient statistics a count-based
+    language model (KenLM-style perplexity filtering of training corpora)
+    aggregates from a corpus before smoothing.
+
+    Scale shape: bigrams are built MAP-SIDE from each document's token
+    array (zip with the self-shifted array) — no positional self-join; the
+    only shuffles are token-keyed groupBys (vocabulary-sized cardinality,
+    heavily combinable map-side). The exploded (id, w, nxt) relation feeds
+    two groupBys (token-keyed and successor-keyed), so it is persisted —
+    multi-consumer plan-branch rule — unless ``persist=False``
+    (per-epoch/streaming callers).
+    """
+    from database_migration_spark.functions.parallel import fan_out
+
+    df = fan_out(df)
+    toks = F.split(F.col(text_col), " ")
+    # (w, nxt) pairs: nxt is NULL for the document-final token, so every
+    # token occurrence is exactly one row (tf = count(*)) and n_right's
+    # countDistinct skips the null naturally.
+    shifted = F.concat(F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                       F.array(F.lit(None).cast("string")))
+    pairs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.arrays_zip(toks.alias("w"), shifted.alias("nxt"))).alias("p"),
+    ).select("id", F.col("p.w").alias("w"), F.col("p.nxt").alias("nxt"))
+    if persist:
+        from pyspark import StorageLevel
+
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    wstats = pairs.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.countDistinct("id").cast("long").alias("df_docs"),
+        F.countDistinct("nxt").cast("long").alias("n_right"),
+    )
+    # n_left = distinct predecessors of each token
+    lstats = (
+        pairs.where(F.col("nxt").isNotNull())
+        .groupBy(F.col("nxt").alias("token"))
+        .agg(F.countDistinct("w").cast("long").alias("n_left"))
+    )
+    return (
+        wstats.withColumnRenamed("w", "token")
+        .join(lstats, "token", "left")
+        .select(
+            "token",
+            "tf",
+            "df_docs",
+            F.coalesce(F.col("n_left"), F.lit(0)).cast("long").alias("n_left"),
+            "n_right",
+        )
+    )

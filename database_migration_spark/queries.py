@@ -2543,6 +2543,112 @@ def remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.remove_duplicated_spans(table(spark, sf_dir, "documents"), k=5)
 
 
+@register(
+    "chunk_documents",
+    # window=32, stride=24 — the oracle replays the same integer
+    # ceil-division chunk count, 1-based inclusive list slice, and 60-bit
+    # md5 of the space-rejoined chunk.
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+c AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, 1 + (greatest(n - 32, 0) + 23) // 24)) AS cidx
+  FROM n
+)
+SELECT doc_id,
+       CAST(cidx AS BIGINT) AS chunk_idx,
+       CAST(cidx * 24 AS BIGINT) AS start_tok,
+       CAST(least(32, n - cidx * 24) AS BIGINT) AS n_toks,
+       CAST(('0x' || substr(md5(array_to_string(toks[cidx*24+1 : cidx*24+32], ' ')), 1, 15)) AS BIGINT) AS chunk_h
+FROM c
+""",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG / pretraining context-window layout: overlapping 32-token chunks
+    on a 24-token stride with provenance offsets and a chunk-level dedup
+    hash. Map-side only — no shuffle (operators/text.chunk_tokens)."""
+    return TX.chunk_tokens(
+        table(spark, sf_dir, "documents"), window=32, stride=24
+    )
+
+
+@register(
+    "bigram_lm_stats",
+    # Oracle builds bigrams by a positional self-join (the SQL-native
+    # expression); Spark builds them map-side from the token array — same
+    # relation, two shapes. count(DISTINCT nxt) skips NULL (doc-final
+    # token) in both engines.
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tok AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
+  FROM d
+),
+big AS (
+  SELECT a.doc_id, a.w AS w, b.w AS nxt
+  FROM tok a LEFT JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+ws AS (
+  SELECT w AS token,
+         CAST(count(*) AS BIGINT) AS tf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs,
+         CAST(count(DISTINCT nxt) AS BIGINT) AS n_right
+  FROM big GROUP BY w
+),
+ls AS (
+  SELECT nxt AS token, CAST(count(DISTINCT w) AS BIGINT) AS n_left
+  FROM big WHERE nxt IS NOT NULL GROUP BY nxt
+)
+SELECT ws.token, ws.tf, ws.df_docs,
+       CAST(coalesce(ls.n_left, 0) AS BIGINT) AS n_left, ws.n_right
+FROM ws LEFT JOIN ls USING (token)
+""",
+)
+def bigram_lm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based-LM sufficient statistics per token: tf, document
+    frequency, Kneser-Ney continuation cardinalities (distinct left/right
+    neighbours) — the substrate of perplexity-style corpus quality
+    filtering (operators/text.bigram_lm_stats)."""
+    return TX.bigram_lm_stats(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_label_centroids",
+    # Elements are quantized to integers BEFORE the cross-row sum (float
+    # sums are order-dependent); the mean is pmod+div floor-division —
+    # integer-exact in both engines at any corpus size. DuckDB sum(BIGINT)
+    # returns HUGEINT (cast back), generate_subscripts is 1-based.
+    oracle="""
+WITH e AS (
+  SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS dim1
+  FROM embeddings
+),
+q AS (
+  SELECT label, dim1 - 1 AS dim, CAST(floor(x::DOUBLE * 1000000) AS BIGINT) AS qx
+  FROM e
+),
+g AS (
+  SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(qx) AS BIGINT) AS s
+  FROM q GROUP BY label, dim
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim, n_vecs,
+       CAST((s - ((s % n_vecs) + n_vecs) % n_vecs) // n_vecs AS BIGINT) AS centroid_e6
+FROM g
+""",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed per-label mean embedding (k-means M-step / class-centroid
+    audit), dimension-wise with exact integer arithmetic
+    (operators/similarity.group_centroids)."""
+    return SIM.group_centroids(
+        table(spark, sf_dir, "embeddings"), "embedding", "label"
+    )
+
+
 # The grading driver compares only the FIRST `GRADED_WINDOW` entries of
 # queries() against their oracles (round-3 lesson: registration order
 # silently controls what gets graded — 13 §2-proving queries fell out of the
@@ -2601,6 +2707,23 @@ _SHOWCASE_ONLY = [
     # salted-hash bucket assignment is the same machinery domain_mix_sample
     # proves in the graded window (md5 threshold filter); sim-verified
     "train_val_test_split",
+    # round-5 third wave: three new-capability queries promoted
+    # (chunk_documents, bigram_lm_stats, embedding_label_centroids),
+    # displacing three whose rows stay graded elsewhere:
+    # - timestamp_time_check: §2.4 "max-length scans / has-time check" row
+    #   stays graded via varchar_shrink_scan (same single-scan boolean/agg
+    #   probe family from optimize_types); has-time stays sim + pytest.
+    "timestamp_time_check",
+    # - extended_metrics_quantity: the §2.4 extended-metrics row keeps its
+    #   graded prover mode_l_returnflag (the hard leg — scalar-agg mode);
+    #   the min/max/median DECIMAL(38,6) normalization stays sim-verified
+    #   and pytest-covered (test_validate).
+    "extended_metrics_quantity",
+    # - suggest_pk_orders: its machinery (per-column distinct-vs-rowcount
+    #   single scan) is exactly the count-distinct wide row
+    #   mig_check_lineitem grades; key-suggestion capability keeps a graded
+    #   prover in suggest_fk_candidates (the containment-join leg).
+    "suggest_pk_orders",
 ]
 
 

@@ -277,3 +277,35 @@ def test_hyperplane_planes_match_signature(spark):
         hyperplane_signature(F.col("v"), dim=4, bits=6, seed=42).alias("s")
     ).first()["s"]
     assert got == expected
+
+
+def test_group_centroids_exact_floor_mean(spark):
+    from database_migration_spark.operators.similarity import group_centroids
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5], 7),
+            (2, [2.0, -0.25], 7),
+            (3, [10.0, 3.0], 8),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {
+        (r.label, r.dim): r for r in group_centroids(df).collect()
+    }
+    # label 7 dim 0: (1e6 + 2e6) // 2 = 1_500_000
+    assert rows[(7, 0)].centroid_e6 == 1_500_000
+    assert rows[(7, 0)].n_vecs == 2
+    # label 7 dim 1: floor(-0.5e6) + floor(-0.25e6) = -750000; floor(-750000/2)
+    # = -375000 (exact); the pmod/div floor must not truncate toward zero
+    assert rows[(7, 1)].centroid_e6 == -375_000
+    # odd negative sum: [-1.0, -2.0] avg -1.5e6 -> floor stays -1.5e6 exact;
+    # craft a true floor case: single label with sum -3, n 2 -> -2 (floor),
+    # not -1 (truncate)
+    df2 = spark.createDataFrame(
+        [(1, [-1.0e-6], 0), (2, [-2.0e-6], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r2 = group_centroids(df2).collect()[0]
+    assert r2.centroid_e6 == -2
+    assert rows[(8, 0)].centroid_e6 == 10_000_000

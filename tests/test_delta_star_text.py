@@ -235,3 +235,71 @@ def test_url_domains_extraction(spark):
     assert out[0] == ("sub.example.org", "org")
     assert out[1] == ("foo.net", "net")
     assert out[2] == ("", "")
+
+
+def test_chunk_tokens_coverage_and_overlap(spark, sf_smoke):
+    from database_migration_spark.operators.text import chunk_tokens
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    ch = chunk_tokens(docs, window=32, stride=24)
+    per_doc = (
+        ch.groupBy("doc_id")
+        .agg(
+            F.min("start_tok").alias("first"),
+            F.max(F.col("start_tok") + F.col("n_toks")).alias("covered"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("chunk_idx").alias("max_idx"),
+        )
+        .join(
+            docs.select(
+                "doc_id", F.size(F.split("text", " ")).alias("n")
+            ),
+            "doc_id",
+        )
+    )
+    rows = per_doc.collect()
+    assert rows
+    for r in rows:
+        assert r.first == 0
+        assert r.covered == r.n  # every token lands in some chunk
+        assert r.max_idx == r.n_chunks - 1  # contiguous chunk ids
+    # all non-final chunks are exactly `window` tokens
+    from pyspark.sql import Window as W
+
+    last = F.max("chunk_idx").over(W.partitionBy("doc_id"))
+    short = ch.withColumn("_last", last).where(
+        (F.col("chunk_idx") < F.col("_last")) & (F.col("n_toks") != 32)
+    )
+    assert short.count() == 0
+
+
+def test_chunk_tokens_rejects_bad_stride(spark):
+    import pytest as _pytest
+
+    from database_migration_spark.operators.text import chunk_tokens
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_tokens(df, window=8, stride=9)
+    with _pytest.raises(ValueError):
+        chunk_tokens(df, window=8, stride=0)
+
+
+def test_bigram_lm_stats_exact_tiny(spark):
+    from database_migration_spark.operators.text import bigram_lm_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b a")], "doc_id long, text string"
+    )
+    out = {r.token: r for r in bigram_lm_stats(df, persist=False).collect()}
+    # tf: a=3, b=2, c=1; df: a in both docs, b in both, c in doc 1
+    assert (out["a"].tf, out["a"].df_docs) == (3, 2)
+    assert (out["b"].tf, out["b"].df_docs) == (2, 2)
+    assert (out["c"].tf, out["c"].df_docs) == (1, 1)
+    # bigrams: (a,b) (b,a) (a,c) in doc1; (b,a) in doc2
+    assert out["a"].n_right == 2  # a -> {b, c}
+    assert out["a"].n_left == 1  # b -> a only
+    assert out["b"].n_right == 1  # b -> a
+    assert out["b"].n_left == 1  # a -> b
+    assert out["c"].n_right == 0  # doc-final only
+    assert out["c"].n_left == 1  # a -> c

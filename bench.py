@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "remove_dup_spans",
     "semantic_dedup_embeddings",
     "incremental_dedup_batch",
+    "chunk_documents",
+    "bigram_lm_stats",
 ]
 
 

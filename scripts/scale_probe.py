@@ -52,6 +52,9 @@ PROBES = [
     "sessionize_events",
     "semantic_dedup_embeddings",
     "incremental_dedup_batch",
+    "chunk_documents",
+    "bigram_lm_stats",
+    "embedding_label_centroids",
 ]
 
 
@@ -189,8 +192,12 @@ def main() -> int:
             fh.write("complete\n")
 
     registry = Q.queries()
+    # positional args (non-flag) restrict the probe set — iterate on one
+    # operator without paying for the full sweep
+    picked = [a for a in sys.argv[1:] if not a.startswith("--")]
+    probes = [n for n in PROBES if n in picked] if picked else PROBES
     out = {"replicas": REPLICAS, "base_sf": 0.1, "queries": {}}
-    for name in PROBES:
+    for name in probes:
         base = time_query(spark, registry, name, SF01)
         big = time_query(spark, registry, name, OUT)
         out["queries"][name] = {

@@ -219,3 +219,36 @@ def test_minhash_signature_aggregate_runs_once(spark):
     )
     assert plan.count("partial_min") <= 32, "signature aggregate duplicated"
     spark.catalog.clearCache()
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """Chunking is the map-side layout pass: no Exchange of any kind — the
+    chunk explosion happens inside the scan stage (fan_out's round-robin
+    repartition is the only allowed exchange)."""
+    plan = _explain(Q.QUERIES["chunk_documents"](spark, SF))
+    # fan_out adds exactly one round-robin repartition; nothing else may
+    # shuffle (no hash exchange, no broadcast, no sort)
+    assert _nodes(plan, "Exchange") <= 1
+    assert "hashpartitioning" not in plan
+    assert "BroadcastExchange" not in plan and _nodes(plan, "Sort") == 0
+
+
+def test_bigram_lm_stats_persisted_pairs_single_explode(spark):
+    """The (w, nxt) pair relation feeds the token-keyed and successor-keyed
+    groupBys; it must come from one persisted relation, not two explodes
+    from scan."""
+    plan = _explain(Q.QUERIES["bigram_lm_stats"](spark, SF))
+    assert plan.count("InMemoryTableScan") >= 2, "pair relation not reused"
+    # the one Generate lives INSIDE the cached relation's build plan; a
+    # second one would mean a consumer re-exploded from scan
+    assert _nodes(plan, "Generate") <= 1, "explode re-ran outside the cache"
+    spark.catalog.clearCache()
+
+
+def test_label_centroids_partial_agg_before_shuffle(spark):
+    """Centroid sums must combine map-side: partial_count/partial_sum ahead
+    of the (label, dim)-keyed exchange, so shuffle volume is labels x dims
+    per partition regardless of corpus size."""
+    plan = _explain(Q.QUERIES["embedding_label_centroids"](spark, SF))
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert _nodes(plan, "Exchange") == 1

@@ -257,17 +257,22 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their single nearest
     cell; each query probes its n_probe nearest cells. Candidates =
     query's probed cells' members → exact cosine → top-k.
 
-    At 100 TB: centroids train once on a sample; the corpus assignment is
-    a write-time partitioning (``partitionBy(cell)``) so a query touches
+    At 100 TB: centroids train once on a sample (optionally polished over
+    the FULL corpus with ``refine_iters`` distributed Lloyd steps —
+    :func:`kmeans_refine`); the corpus assignment is a write-time
+    partitioning (``partitionBy(cell)``) so a query touches
     n_probe/n_centroids of the data. Recall grows with n_probe (n_probe ==
     n_centroids degrades to exact brute force).
     """
     cents = train_ivf_centroids(corpus, n_centroids, vec_col, seed=seed)
+    if refine_iters:
+        cents = kmeans_refine(corpus, cents, vec_col, iters=refine_iters)
     c = _assign_cells(
         fan_out(corpus).select(F.col(id_col).alias("_id"), vec_col),
         cents, vec_col, "neighbor_id", n_probe=1,
@@ -543,3 +548,39 @@ def group_centroids(
         "n_vecs",
         F.expr("(s - pmod(s, n_vecs)) div n_vecs").cast("long").alias("centroid_e6"),
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    iters: int = 2,
+    scale: int = 1_000_000,
+):
+    """Distributed Lloyd refinement of driver-trained centroids — the scale
+    path that closes :func:`train_ivf_centroids`'s sample-only gap: the
+    E-step assigns the FULL corpus (vectorized mapInPandas, centroids in
+    the closure), the M-step is the :func:`group_centroids` aggregate
+    (quantized-integer sums — order-independent, so the refinement is
+    deterministic under any partitioning), and only the
+    (n_centroids × dim) centroid matrix ever reaches the driver per
+    iteration — the same constant-size driver split the IVF trainer uses.
+
+    Cells that lose all members keep their previous centroid (the standard
+    empty-cluster fallback). Returns a new numpy matrix; callers decide
+    when to stop — fixed small ``iters`` is the production norm.
+    """
+    import numpy as np
+
+    cents = np.array(centroids, dtype=np.float64).copy()
+    # _assign_cells keys batches on an `_id` column; a constant is fine —
+    # the refinement only consumes (cell, vector)
+    work = fan_out(corpus).select(F.lit(0).cast("long").alias("_id"), vec_col)
+    for _ in range(iters):
+        assigned = _assign_cells(work, cents, vec_col, "m", n_probe=1)
+        rows = group_centroids(
+            assigned.select("cell", F.col("m_v").alias("v")), "v", "cell", scale
+        ).collect()
+        for r in rows:
+            cents[int(r["cell"]), int(r["dim"])] = r["centroid_e6"] / scale
+    return cents

@@ -309,3 +309,36 @@ def test_group_centroids_exact_floor_mean(spark):
     r2 = group_centroids(df2).collect()[0]
     assert r2.centroid_e6 == -2
     assert rows[(8, 0)].centroid_e6 == 10_000_000
+
+
+def test_kmeans_refine_reduces_inertia_and_is_deterministic(spark, sf_smoke):
+    import numpy as np
+
+    from database_migration_spark.operators.similarity import (
+        kmeans_refine,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    vecs = np.array(
+        [r[0] for r in emb.select("embedding").collect()], dtype=np.float64
+    )
+    # train on a deliberately tiny sample so the corpus-wide refinement has
+    # something to fix
+    cents0 = train_ivf_centroids(emb, n_centroids=8, sample_rows=32, seed=1)
+
+    def inertia(c):
+        d = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d.min(axis=1).sum()
+
+    cents1 = kmeans_refine(emb, cents0, iters=2)
+    assert inertia(cents1) <= inertia(cents0) + 1e-9
+    # order-independent integer M-step => bit-identical across runs
+    cents1b = kmeans_refine(emb, cents0, iters=2)
+    assert np.array_equal(cents1, cents1b)
+    # and plumbed through ivf_topk
+    from database_migration_spark.operators.similarity import ivf_topk
+
+    out = ivf_topk(emb, emb.where("vec_id < 5"), k=3, n_centroids=8,
+                   refine_iters=1)
+    assert out.count() > 0

@@ -584,3 +584,76 @@ def kmeans_refine(
         for r in rows:
             cents[int(r["cell"]), int(r["dim"])] = r["centroid_e6"] / scale
     return cents
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF layout SCALE.md promises for 100 TB: each corpus
+    vector written under its nearest cell as a parquet partition
+    (``partitionBy("cell")``). Probing then prunes PARTITIONS — a query
+    batch touching p cells reads p/n_centroids of the bytes, enforced by
+    the scan's PartitionFilters (plan-guarded in tests), not by a filter
+    applied after a full read."""
+    assigned = _assign_cells(
+        fan_out(corpus).select(F.col(id_col).alias("_id"), vec_col),
+        centroids, vec_col, "vec", n_probe=1,
+    ).select(
+        F.col("vec").alias(id_col), F.col("vec_v").alias(vec_col), "cell"
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF top-k against a :func:`write_ivf_index` layout. The query batch's
+    probed cells (n_probe × |queries|, driver-bounded by the same contract
+    that broadcasts the query side) become a static ``cell IN (...)``
+    predicate, so partition pruning drops unprobed cells at file-listing
+    time; the per-query cell join then routes candidates as in
+    :func:`ivf_topk`."""
+    q = _assign_cells(
+        queries.select(F.col(id_col).alias("_id"), vec_col),
+        centroids, vec_col, "query_id", n_probe=n_probe,
+    )
+    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    corpus = (
+        spark.read.parquet(path)
+        .where(F.col("cell").isin(probed))
+        .select(F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("neighbor_id_v"), "cell")
+    )
+    sim = (
+        corpus.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("query_id_v"), F.col("neighbor_id_v")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("cos_sim") * 1_000_000).cast("long").alias("cos_sim_e6"),
+        )
+    )

@@ -342,3 +342,38 @@ def test_kmeans_refine_reduces_inertia_and_is_deterministic(spark, sf_smoke):
     out = ivf_topk(emb, emb.where("vec_id < 5"), k=3, n_centroids=8,
                    refine_iters=1)
     assert out.count() > 0
+
+
+def test_ivf_index_partition_pruning_and_parity(spark, sf_smoke, tmp_path):
+    from database_migration_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_centroids=8, seed=3)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, path, cents)
+    queries = emb.where("vec_id < 5")
+    out = ivf_topk_from_index(spark, path, queries, cents, k=3, n_probe=2)
+
+    # the scan must prune partitions: PartitionFilters carries the cell
+    # predicate (pruning at file listing, not a post-read filter)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(True)
+    plan = buf.getvalue()
+    seg = plan.split("PartitionFilters", 1)
+    assert len(seg) == 2 and "cell" in seg[1][:200]
+
+    # same centroids, same ranking rules => identical result set to the
+    # in-memory ivf_topk at the same n_probe
+    mem = ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=2, seed=3)
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in mem.collect()}
+    assert got == want and got

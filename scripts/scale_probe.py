@@ -169,12 +169,18 @@ def ann_compare(spark, sf_dir: str, n_queries: int = 200) -> dict:
         out[f"{name}_sec"] = round(time_thunk(spark, make), 3)
 
     brute = S.cosine_topk(emb, qs, k=5).select("query_id", "neighbor_id")
-    ivf = S.ivf_topk(emb, qs, k=5, n_centroids=32, n_probe=4).select(
-        "query_id", "neighbor_id"
-    )
     n_exact = brute.count()
-    n_hit = brute.join(ivf, ["query_id", "neighbor_id"]).count()
-    out["recall_at_5"] = round(n_hit / n_exact, 4) if n_exact else None
+    for label, kwargs in (
+        ("recall_at_5", {}),
+        # corpus-wide Lloyd polish of the sample-trained centroids — the
+        # kmeans_refine scale path; same probe budget, better cells
+        ("recall_at_5_refined", {"refine_iters": 2}),
+    ):
+        ivf = S.ivf_topk(
+            emb, qs, k=5, n_centroids=32, n_probe=4, **kwargs
+        ).select("query_id", "neighbor_id")
+        n_hit = brute.join(ivf, ["query_id", "neighbor_id"]).count()
+        out[label] = round(n_hit / n_exact, 4) if n_exact else None
     return out
 
 

@@ -624,10 +624,14 @@ def ivf_topk_from_index(
     predicate, so partition pruning drops unprobed cells at file-listing
     time; the per-query cell join then routes candidates as in
     :func:`ivf_topk`."""
+    from pyspark import StorageLevel
+
+    # two consumers (probed-cell collect + the broadcast join) — the celled
+    # relation rule: persist or the Arrow assignment runs twice
     q = _assign_cells(
         queries.select(F.col(id_col).alias("_id"), vec_col),
         centroids, vec_col, "query_id", n_probe=n_probe,
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
     corpus = (
         spark.read.parquet(path)

@@ -374,10 +374,12 @@ def chunk_tokens(
 
     if not 0 < stride <= window:
         raise ValueError("need 0 < stride <= window")
-    df = fan_out(df)
+    # NULL text yields no chunks (split(NULL) is a NULL array whose size is
+    # -1 — without the filter one bogus n_toks=-1 row appears, where a SQL
+    # oracle's range(NULL) correctly emits nothing)
+    df = fan_out(df).where(F.col(text_col).isNotNull())
     toks = F.split(F.col(text_col), " ")
     base = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
-    n = F.size(F.col("_toks"))
     # chunks = 1 + ceil(max(n - window, 0) / stride), exact via long `div`
     n_chunks = F.expr(
         f"1L + (greatest(size(_toks) - {window}, 0) + {stride - 1}) div {stride}"

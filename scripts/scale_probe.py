@@ -168,7 +168,15 @@ def ann_compare(spark, sf_dir: str, n_queries: int = 200) -> dict:
     ):
         out[f"{name}_sec"] = round(time_thunk(spark, make), 3)
 
-    brute = S.cosine_topk(emb, qs, k=5).select("query_id", "neighbor_id")
+    from pyspark import StorageLevel
+
+    # three consumers (count + two recall joins) — without the persist the
+    # full brute-force pass re-executes per consumer
+    brute = (
+        S.cosine_topk(emb, qs, k=5)
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n_exact = brute.count()
     for label, kwargs in (
         ("recall_at_5", {}),
@@ -181,6 +189,7 @@ def ann_compare(spark, sf_dir: str, n_queries: int = 200) -> dict:
         ).select("query_id", "neighbor_id")
         n_hit = brute.join(ivf, ["query_id", "neighbor_id"]).count()
         out[label] = round(n_hit / n_exact, 4) if n_exact else None
+    brute.unpersist()
     return out
 
 
@@ -201,7 +210,13 @@ def main() -> int:
     # positional args (non-flag) restrict the probe set — iterate on one
     # operator without paying for the full sweep
     picked = [a for a in sys.argv[1:] if not a.startswith("--")]
+    unknown = set(picked) - set(PROBES)
+    if unknown:
+        raise SystemExit(f"unknown probe name(s): {sorted(unknown)}; "
+                         f"choose from {PROBES}")
     probes = [n for n in PROBES if n in picked] if picked else PROBES
+    if "--no-queries" in sys.argv:  # e.g. an --ann-only run
+        probes = []
     out = {"replicas": REPLICAS, "base_sf": 0.1, "queries": {}}
     for name in probes:
         base = time_query(spark, registry, name, SF01)

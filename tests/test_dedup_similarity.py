@@ -368,8 +368,10 @@ def test_ivf_index_partition_pruning_and_parity(spark, sf_smoke, tmp_path):
     with contextlib.redirect_stdout(buf):
         out.explain(True)
     plan = buf.getvalue()
-    seg = plan.split("PartitionFilters", 1)
-    assert len(seg) == 2 and "cell" in seg[1][:200]
+    segs = plan.split("PartitionFilters")[1:]
+    # several scans appear (query side has no partitions); the INDEX scan's
+    # PartitionFilters must carry the cell predicate
+    assert any("cell" in s[:200] for s in segs), segs
 
     # same centroids, same ranking rules => identical result set to the
     # in-memory ivf_topk at the same n_probe

@@ -303,3 +303,14 @@ def test_bigram_lm_stats_exact_tiny(spark):
     assert out["b"].n_left == 1  # a -> b
     assert out["c"].n_right == 0  # doc-final only
     assert out["c"].n_left == 1  # a -> c
+
+
+def test_chunk_tokens_null_text_yields_no_rows(spark):
+    from database_migration_spark.operators.text import chunk_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "doc_id long, text string"
+    )
+    out = chunk_tokens(df, window=2, stride=1)
+    assert out.where("doc_id = 2").count() == 0
+    assert out.where("n_toks < 1").count() == 0

@@ -314,3 +314,71 @@ def test_chunk_tokens_null_text_yields_no_rows(spark):
     out = chunk_tokens(df, window=2, stride=1)
     assert out.where("doc_id = 2").count() == 0
     assert out.where("n_toks < 1").count() == 0
+
+
+def test_chunk_and_bigram_match_python_reference(spark):
+    """Differential check over a seeded random corpus with adversarial
+    lengths (empty string, 1 token, exactly window, window+1, long docs):
+    Spark output must equal a direct Python implementation of the contract.
+    """
+    import hashlib
+    import random
+
+    from database_migration_spark.operators.text import (
+        bigram_lm_stats,
+        chunk_tokens,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    lengths = [0, 1, 7, 8, 9, 15, 16, 17, 31, 63] + [
+        rng.randint(1, 80) for _ in range(90)
+    ]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(n)))
+        for i, n in enumerate(lengths)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    W, S = 8, 5
+
+    def md5_60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    # --- chunking reference (split('', ' ') -> [''] like Spark/DuckDB)
+    want = set()
+    for i, text in docs:
+        toks = text.split(" ")
+        n = len(toks)
+        n_chunks = 1 + (max(n - W, 0) + S - 1) // S
+        for c in range(n_chunks):
+            piece = toks[c * S : c * S + W]
+            want.add((i, c, c * S, len(piece), md5_60(" ".join(piece))))
+    got = {
+        (r.doc_id, r.chunk_idx, r.start_tok, r.n_toks, r.chunk_h)
+        for r in chunk_tokens(df, window=W, stride=S).collect()
+    }
+    assert got == want
+
+    # --- bigram reference
+    from collections import defaultdict
+
+    tf = defaultdict(int)
+    dfreq = defaultdict(set)
+    right = defaultdict(set)
+    left = defaultdict(set)
+    for i, text in docs:
+        toks = text.split(" ")
+        for j, w in enumerate(toks):
+            tf[w] += 1
+            dfreq[w].add(i)
+            if j + 1 < len(toks):
+                right[w].add(toks[j + 1])
+                left[toks[j + 1]].add(w)
+    want_b = {
+        (w, tf[w], len(dfreq[w]), len(left[w]), len(right[w])) for w in tf
+    }
+    got_b = {
+        (r.token, r.tf, r.df_docs, r.n_left, r.n_right)
+        for r in bigram_lm_stats(df, persist=False).collect()
+    }
+    assert got_b == want_b

@@ -99,6 +99,8 @@ def main() -> int:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     probes: list[float] = []
+    noise_probe()  # discard the JIT-cold first lap — it measures warm-up,
+    # not the host, and false-flags the first query
     total = 0.0
     for name in BENCH_QUERIES:
         spark.catalog.clearCache()
@@ -122,8 +124,24 @@ def main() -> int:
         dt = min(laps)
         timings[name] = round(dt, 4)
         total += dt
+    # closing probe so the LAST query also has a bracketing pair
+    probes.append(noise_probe())
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # per-query stall attribution: a query bracketed by a degraded probe
+    # (before or after) ran in a bad host window — its min-of-laps may
+    # still be inflated even when the run-level noisy flag stays false
+    # (round-5 lesson: an 11 s minhash artifact in an otherwise clean run).
+    # Threshold is 3x the run MEDIAN: the min-to-median spread is natural
+    # scheduler jitter and 3x min false-flags clean queries.
+    srt = sorted(probes)
+    mid2 = len(srt) // 2
+    run_med = srt[mid2] if len(srt) % 2 else (srt[mid2 - 1] + srt[mid2]) / 2
+    flagged = [
+        n
+        for i, n in enumerate(BENCH_QUERIES)
+        if n in timings and max(probes[i], probes[i + 1]) > 3 * run_med
+    ]
     probes.sort()
     mid = len(probes) // 2
     # true median: average the middle pair on even-length lists (the
@@ -141,6 +159,7 @@ def main() -> int:
             "median": round(p_med, 4),
             "max": round(p_max, 4),
             "noisy": bool(p_med > 3 * p_min or p_max > 10 * p_min),
+            "flagged_queries": flagged,
         },
     }
     if errors:

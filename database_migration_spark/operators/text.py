@@ -421,23 +421,7 @@ def bigram_lm_stats(
     multi-consumer plan-branch rule — unless ``persist=False``
     (per-epoch/streaming callers).
     """
-    from database_migration_spark.functions.parallel import fan_out
-
-    df = fan_out(df)
-    toks = F.split(F.col(text_col), " ")
-    # (w, nxt) pairs: nxt is NULL for the document-final token, so every
-    # token occurrence is exactly one row (tf = count(*)) and n_right's
-    # countDistinct skips the null naturally.
-    shifted = F.concat(F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-                       F.array(F.lit(None).cast("string")))
-    pairs = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.arrays_zip(toks.alias("w"), shifted.alias("nxt"))).alias("p"),
-    ).select("id", F.col("p.w").alias("w"), F.col("p.nxt").alias("nxt"))
-    if persist:
-        from pyspark import StorageLevel
-
-        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = _bigram_pairs(df, text_col, id_col, persist)
     wstats = pairs.groupBy("w").agg(
         F.count(F.lit(1)).cast("long").alias("tf"),
         F.countDistinct("id").cast("long").alias("df_docs"),
@@ -458,5 +442,78 @@ def bigram_lm_stats(
             "df_docs",
             F.coalesce(F.col("n_left"), F.lit(0)).cast("long").alias("n_left"),
             "n_right",
+        )
+    )
+
+
+def _bigram_pairs(
+    df: DataFrame, text_col: str, id_col: str, persist: bool
+) -> DataFrame:
+    """(id, w, nxt) bigram relation built MAP-SIDE from each document's
+    token array (zip with the self-shifted array — no positional
+    self-join). ``nxt`` is NULL for the document-final token, so every
+    token occurrence is exactly one row and countDistinct over ``nxt``
+    skips the final-token null naturally. Persisted (multi-consumer rule)
+    unless the caller manages lifecycles (per-epoch/streaming)."""
+    from database_migration_spark.functions.parallel import fan_out
+
+    df = fan_out(df)
+    toks = F.split(F.col(text_col), " ")
+    shifted = F.concat(F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                       F.array(F.lit(None).cast("string")))
+    pairs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.arrays_zip(toks.alias("w"), shifted.alias("nxt"))).alias("p"),
+    ).select("id", F.col("p.w").alias("w"), F.col("p.nxt").alias("nxt"))
+    if persist:
+        from pyspark import StorageLevel
+
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    return pairs
+
+
+def bigram_typicality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist: bool = True,
+) -> DataFrame:
+    """Per-document corpus-typicality score — the integer surrogate of a
+    bigram-LM perplexity filter: for each bigram (w → nxt) the corpus-wide
+    conditional frequency floor(count(w,nxt)·1e6 / count(w,·)) in ppm; the
+    document scores the floor-mean over its bigrams. Low score = the
+    document's transitions are rare in this corpus (boilerplate from
+    another distribution, garbled text); high = formulaic. All integer
+    arithmetic (long `div`), so an external engine reproduces it exactly —
+    a float logprob sum would diverge in the last ulp and flip rankings.
+
+    Output (doc_id, n_bigrams, typicality_ppm); typicality_ppm is NULL for
+    documents with no bigram (≤1 token).
+
+    Scale shape: one bigram relation (map-side built, persisted — three
+    consumers: the two count aggregates and the per-doc scoring join); the
+    count tables are vocabulary²-bounded and broadcast-eligible; the final
+    groupBy keys on the doc id.
+    """
+    pairs = _bigram_pairs(df, text_col, id_col, persist)
+    big = pairs.where(F.col("nxt").isNotNull())
+    c2 = big.groupBy("w", "nxt").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        big.join(c2, ["w", "nxt"])
+        .join(c1, "w")
+        .select("id", F.expr("(c2 * 1000000L) div c1").alias("ppm"))
+    )
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("ppm").alias("s"),
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.expr("s div n_bigrams").cast("long").alias("typicality_ppm"),
         )
     )

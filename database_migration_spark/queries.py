@@ -2649,6 +2649,46 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bigram_typicality_documents",
+    # same positional-self-join bigram relation as the bigram_lm_stats
+    # oracle; conditional frequency and the per-doc mean are integer floor
+    # divisions on both engines (no float logprob — engines would diverge
+    # in the last ulp)
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tok AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
+  FROM d
+),
+big AS (
+  SELECT a.doc_id, a.w AS w, b.w AS nxt
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+c2 AS (SELECT w, nxt, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY w, nxt),
+c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY w),
+scored AS (
+  SELECT big.doc_id, (c2.c2 * 1000000) // c1.c1 AS ppm
+  FROM big JOIN c2 USING (w, nxt) JOIN c1 USING (w)
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(ppm) AS BIGINT) AS s
+  FROM scored GROUP BY doc_id
+)
+SELECT doc.doc_id,
+       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(a.s // a.n_bigrams AS BIGINT) AS typicality_ppm
+FROM (SELECT doc_id FROM documents) doc LEFT JOIN agg a USING (doc_id)
+""",
+)
+def bigram_typicality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-filter surrogate: per-doc floor-mean of corpus-wide
+    conditional bigram frequencies in ppm — low = out-of-distribution /
+    garbled text (operators/text.bigram_typicality)."""
+    return TX.bigram_typicality(table(spark, sf_dir, "documents"))
+
+
 # The grading driver compares only the FIRST `GRADED_WINDOW` entries of
 # queries() against their oracles (round-3 lesson: registration order
 # silently controls what gets graded — 13 §2-proving queries fell out of the
@@ -2724,6 +2764,11 @@ _SHOWCASE_ONLY = [
     #   mig_check_lineitem grades; key-suggestion capability keeps a graded
     #   prover in suggest_fk_candidates (the containment-join leg).
     "suggest_pk_orders",
+    # showcase from birth: the typicality scorer is the application layer
+    # of bigram_lm_stats (GRADED) — same map-side bigram relation, same
+    # integer-exact division family (tfidf_top_terms, quality ppm);
+    # sim-verified + differential pytest
+    "bigram_typicality_documents",
 ]
 
 

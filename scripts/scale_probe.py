@@ -57,79 +57,97 @@ PROBES = [
     "embedding_label_centroids",
 ]
 
+# --x100: a third decade for the operators whose scaling is load-bearing —
+# the text-dedup family (shuffle volume grows with shingles) and the wide
+# count-distinct aggregate (the reference-parity heavyweight)
+OUT100 = os.path.join(os.path.dirname(OUT), "x100")
+X100_PROBES = [
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "dup_span_coverage",
+    "dedup_exact_documents",
+    "chunk_documents",
+    "bigram_lm_stats",
+    "mig_check_lineitem",
+]
 
-def generate(spark) -> None:
+
+def generate(
+    spark,
+    out: str | None = None,
+    replicas: int | None = None,
+    tables: tuple = ("documents", "lineitem", "embeddings", "events"),
+) -> None:
+    """Derive a replicas× corpus from sf0.1. Replica structure mirrors the
+    x10 design (see SCALE.md: per-replica word suffixes keep the duplicate
+    RATE constant instead of making the corpus 1-1/replicas duplicates);
+    built as a crossJoin with a replica range — one scan regardless of
+    replica count, where the old N-way union stopped scaling at N=100."""
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
-    reps = [
-        docs.select(
-            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
-            F.regexp_replace("text", r"(\S+)", r"$1" + str(i)).alias("text"),
+    out = out or OUT
+    replicas = replicas or REPLICAS
+    rep = spark.range(replicas).select(F.col("id").cast("int").alias("rep"))
+    files = max(8, replicas // 4)
+
+    if "documents" in tables:
+        docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+        big_docs = docs.crossJoin(rep).select(
+            (F.col("doc_id") + F.col("rep") * F.lit(1_000_000)).alias("doc_id"),
+            F.regexp_replace(
+                F.col("text"), F.lit(r"(\S+)"),
+                F.concat(F.lit("$1"), F.col("rep").cast("string")),
+            ).alias("text"),
             "lang",
             "source",
             "n_chars",
         )
-        for i in range(REPLICAS)
-    ]
-    big_docs = reps[0]
-    for r in reps[1:]:
-        big_docs = big_docs.unionAll(r)
-    # several files, as a real 10x corpus would arrive (single-row-group
-    # inputs are the sf0.1 quirk fan_out exists to fix)
-    big_docs.repartition(8).write.mode("overwrite").parquet(
-        os.path.join(OUT, "documents.parquet")
-    )
+        # several files, as a real scaled corpus would arrive (single-row-
+        # group inputs are the sf0.1 quirk fan_out exists to fix)
+        big_docs.repartition(files).write.mode("overwrite").parquet(
+            os.path.join(out, "documents.parquet")
+        )
 
-    li = spark.read.parquet(os.path.join(SF01, "lineitem.parquet"))
-    lreps = [
-        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 10_000_000))
-        for i in range(REPLICAS)
-    ]
-    big_li = lreps[0]
-    for r in lreps[1:]:
-        big_li = big_li.unionAll(r)
-    big_li.repartition(8).write.mode("overwrite").parquet(
-        os.path.join(OUT, "lineitem.parquet")
-    )
+    if "lineitem" in tables:
+        li = spark.read.parquet(os.path.join(SF01, "lineitem.parquet"))
+        li.crossJoin(rep).select(
+            *[
+                (F.col("l_orderkey") + F.col("rep") * F.lit(10_000_000)).alias(
+                    "l_orderkey"
+                )
+                if c == "l_orderkey"
+                else F.col(c)
+                for c in li.columns
+            ]
+        ).repartition(files).write.mode("overwrite").parquet(
+            os.path.join(out, "lineitem.parquet")
+        )
 
-    emb = spark.read.parquet(os.path.join(SF01, "embeddings.parquet"))
-    ereps = [
-        emb.select(
-            (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+    if "embeddings" in tables:
+        emb = spark.read.parquet(os.path.join(SF01, "embeddings.parquet"))
+        emb.crossJoin(rep).select(
+            (F.col("vec_id") + F.col("rep") * F.lit(1_000_000)).alias("vec_id"),
             F.expr(
                 "transform(embedding, (x, j) -> "
-                f"CASE WHEN pmod(hash(j, {i}), 2) = 0 THEN x ELSE -x END)"
+                "CASE WHEN pmod(hash(j, rep), 2) = 0 THEN x ELSE -x END)"
             ).alias("embedding"),
             "label",
+        ).repartition(files).write.mode("overwrite").parquet(
+            os.path.join(out, "embeddings.parquet")
         )
-        for i in range(REPLICAS)
-    ]
-    big_emb = ereps[0]
-    for r in ereps[1:]:
-        big_emb = big_emb.unionAll(r)
-    big_emb.repartition(8).write.mode("overwrite").parquet(
-        os.path.join(OUT, "embeddings.parquet")
-    )
 
-    ev = spark.read.parquet(os.path.join(SF01, "events.parquet"))
-    vreps = [
-        ev.select(
-            (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
+    if "events" in tables:
+        ev = spark.read.parquet(os.path.join(SF01, "events.parquet"))
+        ev.crossJoin(rep).select(
+            (F.col("event_id") + F.col("rep") * F.lit(10_000_000)).alias("event_id"),
             "ts",
-            (F.col("user_id") + F.lit(i * 1_000_000)).alias("user_id"),
+            (F.col("user_id") + F.col("rep") * F.lit(1_000_000)).alias("user_id"),
             "event_type",
             "value",
             "props",
+        ).repartition(files).write.mode("overwrite").parquet(
+            os.path.join(out, "events.parquet")
         )
-        for i in range(REPLICAS)
-    ]
-    big_ev = vreps[0]
-    for r in vreps[1:]:
-        big_ev = big_ev.unionAll(r)
-    big_ev.repartition(8).write.mode("overwrite").parquet(
-        os.path.join(OUT, "events.parquet")
-    )
 
 
 def time_thunk(spark, make) -> float:
@@ -226,6 +244,21 @@ def main() -> int:
             "x10_sec": round(big, 3),
             "scaling_factor": round(big / base, 2),
         }
+    if "--x100" in sys.argv:
+        marker100 = os.path.join(OUT100, "_GENERATED")
+        if "--regen" in sys.argv or not os.path.exists(marker100):
+            generate(spark, OUT100, 100, tables=("documents", "lineitem"))
+            with open(marker100, "w") as fh:
+                fh.write("complete\n")
+        out["x100"] = {}
+        for name in X100_PROBES:
+            base = time_query(spark, registry, name, SF01)
+            big = time_query(spark, registry, name, OUT100)
+            out["x100"][name] = {
+                "sf0.1_sec": round(base, 3),
+                "x100_sec": round(big, 3),
+                "scaling_factor": round(big / base, 2),
+            }
     if "--ann" in sys.argv:
         out["ann_compare"] = {
             "sf0.1": ann_compare(spark, SF01),

@@ -382,3 +382,29 @@ def test_chunk_and_bigram_match_python_reference(spark):
         for r in bigram_lm_stats(df, persist=False).collect()
     }
     assert got_b == want_b
+
+
+def test_bigram_typicality_reference_and_edge_docs(spark):
+    from database_migration_spark.operators.text import bigram_typicality
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "z"), (4, "c a b")],
+        "doc_id long, text string",
+    )
+    # corpus bigrams: (a,b)x3, (b,a)x1, (c,a)x1 -> c1: a=3(contexts), b=1, c=1
+    # ppm: (a,b)=3*1e6//3=1e6, (b,a)=1*1e6//1=1e6, (c,a)=1e6
+    out = {r.doc_id: r for r in bigram_typicality(df, persist=False).collect()}
+    assert (out[1].n_bigrams, out[1].typicality_ppm) == (3, 1_000_000)
+    assert (out[2].n_bigrams, out[2].typicality_ppm) == (1, 1_000_000)
+    # single-token doc: zero bigrams, NULL score
+    assert (out[3].n_bigrams, out[3].typicality_ppm) == (0, None)
+    assert (out[4].n_bigrams, out[4].typicality_ppm) == (2, 1_000_000)
+    # a corpus where frequencies differ: doc with rare transition scores low
+    df2 = spark.createDataFrame(
+        [(1, "x y"), (2, "x y"), (3, "x y"), (4, "x q")],
+        "doc_id long, text string",
+    )
+    o2 = {r.doc_id: r for r in bigram_typicality(df2, persist=False).collect()}
+    # c1(x)=4; (x,y)=3 -> 750000; (x,q)=1 -> 250000
+    assert o2[1].typicality_ppm == 750_000
+    assert o2[4].typicality_ppm == 250_000

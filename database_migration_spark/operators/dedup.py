@@ -143,7 +143,10 @@ def banded_keys(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_perm: int = 32, bands: int = 4
+    signatures: DataFrame,
+    num_perm: int = 32,
+    bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature and self-join on (band_idx, band_key) buckets.
 
@@ -156,8 +159,26 @@ def lsh_candidate_pairs(
     millions of docs) is the risk; AQE skew-join splitting handles moderate
     skew and the band key includes all rows_per_band mins, which keeps
     buckets tight.
+
+    ``max_bucket`` is the hard guard for pathological skew: buckets with
+    more members are DROPPED before the self-join (a bucket of m docs
+    contributes m² candidate pairs — one boilerplate bucket with 10⁶ docs
+    is 10¹² pairs and takes the job down). Production dedup pipelines cap
+    mega-buckets exactly this way; members of an oversized bucket usually
+    still pair through their other, tighter bands, and a bucket THAT
+    common is boilerplate the exact-dup pass already collapses. None (the
+    default) keeps exhaustive semantics for oracle-checked paths.
     """
     banded = banded_keys(signatures, num_perm, bands)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        cnt = F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+        banded = (
+            banded.withColumn("_bucket_n", cnt)
+            .where(F.col("_bucket_n") <= max_bucket)
+            .drop("_bucket_n")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -285,9 +306,13 @@ def minhash_dedup_pairs(
     threshold_permille: int = 500,
     seed: int = 42,
     persist: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH pipeline: shingle → sign → band → candidate pairs →
-    exact-Jaccard verify → threshold. Output (id_a, id_b, jaccard_permille)."""
+    exact-Jaccard verify → threshold. Output (id_a, id_b, jaccard_permille).
+    ``max_bucket`` drops pathological LSH mega-buckets before the self-join
+    (see :func:`lsh_candidate_pairs`) — the 100 TB skew guard; leave None
+    for exhaustive (oracle-comparable) semantics."""
     sh = _persisted_shingles(df, text_col, id_col, k, persist)
     sigs = minhash_signatures(sh, num_perm, seed)
     if persist:
@@ -300,7 +325,7 @@ def minhash_dedup_pairs(
         # 64 partial_min exprs in the unpersisted plan). One row per doc,
         # num_perm longs — the cheapest cache in the pipeline.
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    cands = lsh_candidate_pairs(sigs, num_perm, bands)
+    cands = lsh_candidate_pairs(sigs, num_perm, bands, max_bucket=max_bucket)
     return exact_jaccard(sh, cands, persist=persist).where(
         F.col("jaccard_permille") >= threshold_permille
     )

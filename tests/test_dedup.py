@@ -163,3 +163,31 @@ def test_fingerprint_store_shape_and_determinism(spark):
     # identical under different partitioning
     rows2 = {r.id: tuple(r) for r in fingerprint_store(docs.repartition(7), k=5, num_perm=8).collect()}
     assert rows == rows2
+
+
+def test_lsh_bucket_cap_bounds_candidates(spark):
+    """A degenerate corpus (60 identical docs) puts everyone in one bucket
+    per band: uncapped = 60*59/2 pairs; max_bucket below 60 drops the
+    mega-buckets and yields zero candidates (the boilerplate belongs to the
+    exact-dup pass). Distinct docs still pair under a generous cap."""
+    from database_migration_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated everywhere ok") for i in range(60)]
+        + [(100, "a genuinely different document about spark partitions"),
+           (101, "a genuinely different document about spark partitions")],
+        "doc_id long, text string",
+    )
+    sh = shingle_sets(docs, "text", "doc_id", 5)
+    sigs = minhash_signatures(sh).persist()
+    uncapped = lsh_candidate_pairs(sigs).count()
+    capped = lsh_candidate_pairs(sigs, max_bucket=10)
+    rows = capped.collect()
+    assert uncapped == 60 * 59 // 2 + 1
+    # mega-bucket dropped; the pair of distinct near-dups survives the cap
+    assert {(r.id_a, r.id_b) for r in rows} == {(100, 101)}
+    sigs.unpersist()

@@ -484,6 +484,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     bits: int = 64,
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket by max_hamming+1 chunks
     (pigeonhole: hamming ≤ h ⇒ at least one of h+1 chunks is identical),
@@ -499,6 +500,9 @@ def simhash_near_pairs(
     emitted pair count to genuine near-dups.
 
     Output (id_a, id_b, hamming). Never materializes the cross product.
+    ``max_bucket`` drops chunk buckets larger than the cap before the
+    self-join (pathological-skew guard, same trade as
+    :func:`lsh_candidate_pairs`); None = exhaustive.
     """
     sigs = simhash_signatures(df, text_col, id_col, bits)
     half = bits // 2
@@ -528,6 +532,18 @@ def simhash_near_pairs(
     from pyspark import StorageLevel
 
     chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
+    if max_bucket is not None:
+        # same pathological-skew guard as lsh_candidate_pairs: a chunk key
+        # shared by m docs is m² candidates — drop mega-buckets (identical
+        # boilerplate belongs to the exact-dup pass) before the self-join
+        from pyspark.sql import Window
+
+        cnt = F.count(F.lit(1)).over(Window.partitionBy("ci", "ck"))
+        chunks = (
+            chunks.withColumn("_bucket_n", cnt)
+            .where(F.col("_bucket_n") <= max_bucket)
+            .drop("_bucket_n")
+        )
     a, b = chunks.alias("a"), chunks.alias("b")
     # .distinct() before the hamming cut is NOT a full shuffle of every
     # bucket collision: Spark's partial HashAggregate dedups map-side, so

@@ -191,3 +191,15 @@ def test_lsh_bucket_cap_bounds_candidates(spark):
     # mega-bucket dropped; the pair of distinct near-dups survives the cap
     assert {(r.id_a, r.id_b) for r in rows} == {(100, 101)}
     sigs.unpersist()
+
+
+def test_simhash_bucket_cap_bounds_candidates(spark):
+    from database_migration_spark.operators.dedup import simhash_near_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate page footer text ok") for i in range(40)],
+        "doc_id long, text string",
+    )
+    assert simhash_near_pairs(docs).count() == 40 * 39 // 2
+    assert simhash_near_pairs(docs, max_bucket=10).count() == 0
+    spark.catalog.clearCache()

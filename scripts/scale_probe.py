@@ -259,6 +259,42 @@ def main() -> int:
                 "x100_sec": round(big, 3),
                 "scaling_factor": round(big / base, 2),
             }
+    if "--skew-demo" in sys.argv:
+        # pathological-skew guard, measured: the x10 corpus plus 2 000
+        # copies of one boilerplate document — every copy lands in the
+        # same LSH buckets, so the uncapped self-join materializes ~2M
+        # candidate pairs from ONE bucket and verifies them all; the
+        # max_bucket cap drops the mega-bucket (exact-dup territory) and
+        # the near-dup pass returns to corpus-shaped cost.
+        from pyspark.sql import functions as F
+
+        from database_migration_spark.operators.dedup import minhash_dedup_pairs
+
+        docs = spark.read.parquet(os.path.join(OUT, "documents.parquet"))
+        boiler = (
+            spark.range(2000)
+            .select(
+                (F.col("id") + 500_000_000).alias("doc_id"),
+                F.lit(
+                    "subscribe to our newsletter terms of service privacy "
+                    "policy all rights reserved contact us about cookies"
+                ).alias("text"),
+            )
+        )
+        skewed = docs.select("doc_id", "text").unionByName(boiler)
+        out["skew_demo"] = {}
+        for label, cap in (("uncapped", None), ("capped_64", 64)):
+            t = time_thunk(
+                spark,
+                lambda: minhash_dedup_pairs(skewed, max_bucket=cap),
+            )
+            out["skew_demo"][f"{label}_sec"] = round(t, 3)
+        out["skew_demo"]["boiler_pairs_uncapped"] = (
+            minhash_dedup_pairs(skewed)
+            .where("id_a >= 500000000")
+            .count()
+        )
+        spark.catalog.clearCache()
     if "--ann" in sys.argv:
         out["ann_compare"] = {
             "sf0.1": ann_compare(spark, SF01),

@@ -2650,6 +2650,84 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_snapshot_diff",
+    # Two deterministic snapshots derived from the documents table (old:
+    # ids not ≡0 mod 7, with ids ≡0 mod 5 carrying last-crawl text; new:
+    # ids not ≡0 mod 11): the full-outer content-hash diff is the corpus
+    # version report of a recurring crawl — counts by transition status.
+    oracle="""
+WITH old AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CASE WHEN doc_id % 5 = 0
+                                        THEN text || ' [stale]'
+                                        ELSE text END), 1, 15)) AS BIGINT) AS h
+  FROM documents WHERE doc_id % 7 <> 0
+),
+new AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+  FROM documents WHERE doc_id % 11 <> 0
+),
+d AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'new'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.h <> n.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM d GROUP BY status
+""",
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data-versioning report: full-outer join of two crawl
+    snapshots on doc id, transitions derived from the 60-bit content hash
+    (new / removed / changed / unchanged), aggregated per status. The
+    corpus-side shape of the reference's delta detection
+    (delta_import.sql) — at 100 TB both sides shuffle once on the id and
+    the hash comparison is column-wise; no text moves after the hash
+    projection."""
+    from database_migration_spark.functions.hashing import md5_long
+
+    d = table(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        md5_long(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [stale]"))
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    new = d.where(F.col("doc_id") % 11 != 0).select(
+        "doc_id", md5_long(F.col("text")).alias("h")
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+    status = (
+        F.when(F.col("o.doc_id").isNull(), F.lit("new"))
+        .when(F.col("n.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("o.h") != F.col("n.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+            status.alias("status"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+    )
+
+
+@register(
     "bigram_typicality_documents",
     # same positional-self-join bigram relation as the bigram_lm_stats
     # oracle; conditional frequency and the per-doc mean are integer floor
@@ -2769,6 +2847,11 @@ _SHOWCASE_ONLY = [
     # integer-exact division family (tfidf_top_terms, quality ppm);
     # sim-verified + differential pytest
     "bigram_typicality_documents",
+    # showcase from birth: snapshot diff composes graded machinery —
+    # md5 content hashing (dedup_exact_documents), join-derived status
+    # columns (delta_merge_orders / mig_check_compare), groupBy rollup;
+    # sim-verified
+    "corpus_snapshot_diff",
 ]
 
 

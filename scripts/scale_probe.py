@@ -259,6 +259,23 @@ def main() -> int:
                 "x100_sec": round(big, 3),
                 "scaling_factor": round(big / base, 2),
             }
+        # the documented 100 TB monitoring path for the count-distinct
+        # Expand: HLL sketch instead of exact distinct — quantified at the
+        # scale where the exact Expand dominates
+        from database_migration_spark.operators import validate as V
+
+        li100 = Q.table(spark, OUT100, "lineitem")
+        out["x100"]["mig_check_lineitem_approx"] = {
+            "x100_sec": round(
+                time_thunk(
+                    spark,
+                    lambda: V.compute_metrics(
+                        li100, "lineitem", distinct_mode="approx"
+                    ),
+                ),
+                3,
+            )
+        }
     if "--skew-demo" in sys.argv:
         # pathological-skew guard, measured: the x10 corpus plus 2 000
         # copies of one boilerplate document — every copy lands in the

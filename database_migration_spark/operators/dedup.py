@@ -857,3 +857,133 @@ def incremental_dedup(
             .alias("match_id"),
         )
     )
+
+
+def write_fingerprint_index(
+    store_fp: DataFrame,
+    path: str,
+    num_perm: int = 32,
+    bands: int = 4,
+    buckets: int = 64,
+) -> None:
+    """Write a :func:`fingerprint_store` relation as two partition-pruned
+    parquet indexes — the layout that makes small-batch
+    :func:`incremental_dedup_indexed` read O(matching partitions) of a
+    100 TB-corpus store instead of the whole thing:
+
+    - ``<path>/content``: (sid, content_h) partitioned by
+      ``pmod(content_h, buckets)`` — the exact-dup probe prunes to the
+      batch's content buckets.
+    - ``<path>/bands``: the exploded LSH index (band, key, sid,
+      sig_0..sig_{n-1}) partitioned by ``pmod(hash(band, key), buckets)``
+      — the near-dup probe prunes to the batch's band-key buckets. The
+      ×bands row duplication (signatures carried on every index row) is
+      the standard LSH-index denormalization: it trades bands× storage of
+      an already-compact store for candidate lookups that never join back
+      to the base relation.
+
+    ``buckets`` must match between writer and prober (it defines the
+    partition function, not a tuning-only knob); size it so a partition
+    is a few hundred MB at the store's scale.
+    """
+    sig_cols = [f"sig_{i}" for i in range(num_perm)]
+    content = store_fp.select(
+        F.col("id").alias("sid"),
+        "content_h",
+        F.pmod("content_h", F.lit(buckets)).alias("bucket"),
+    )
+    content.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/content"
+    )
+    idx = (
+        banded_keys(store_fp, num_perm, bands)
+        .join(store_fp.select("id", *sig_cols), "id")
+        .select(
+            "band",
+            "key",
+            F.col("id").alias("sid"),
+            *sig_cols,
+            F.pmod(F.hash("band", "key"), F.lit(buckets)).alias("bucket"),
+        )
+    )
+    idx.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/bands")
+
+
+def incremental_dedup_indexed(
+    spark,
+    path: str,
+    batch_fp: DataFrame,
+    num_perm: int = 32,
+    bands: int = 4,
+    min_agree_permille: int = 750,
+    buckets: int = 64,
+) -> DataFrame:
+    """:func:`incremental_dedup` against a :func:`write_fingerprint_index`
+    layout, with identical output — but the store side is PRUNED: the
+    batch's content buckets and band-key buckets become static ``bucket
+    IN (...)`` predicates (driver-bounded: ≤ |batch| and ≤ |batch|·bands
+    values), so partition pruning drops every store partition the batch
+    cannot touch at file-listing time. A 1 000-doc batch against a
+    10⁹-doc store reads ~min(|batch|·(1+bands), buckets)/buckets of the
+    index bytes instead of all of them.
+    """
+    from pyspark import StorageLevel
+
+    sig_cols = [f"sig_{i}" for i in range(num_perm)]
+    batch_fp = batch_fp.persist(StorageLevel.MEMORY_AND_DISK)
+
+    cb = sorted(
+        r["b"]
+        for r in batch_fp.select(
+            F.pmod("content_h", F.lit(buckets)).alias("b")
+        ).distinct().collect()
+    )
+    content = spark.read.parquet(f"{path}/content").where(
+        F.col("bucket").isin(cb)
+    )
+    exact = (
+        batch_fp.select("id", "content_h")
+        .join(content, "content_h")
+        .groupBy("id")
+        .agg(F.min("sid").alias("exact_match"))
+    )
+
+    bb = banded_keys(batch_fp, num_perm, bands).withColumn(
+        "bucket", F.pmod(F.hash("band", "key"), F.lit(buckets))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    kb = sorted(r["bucket"] for r in bb.select("bucket").distinct().collect())
+    idx = spark.read.parquet(f"{path}/bands").where(F.col("bucket").isin(kb))
+    cand = (
+        bb.join(idx, ["band", "key"])
+        .groupBy("id", "sid")
+        .agg(*[F.min(c).alias(c) for c in sig_cols])  # identical per sid
+    )
+    a = batch_fp.select("id", *[F.col(c).alias(f"a_{c}") for c in sig_cols])
+    agree = None
+    for c in sig_cols:
+        term = F.when(F.col(f"a_{c}") == F.col(c), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    near = (
+        cand.join(a, "id")
+        .where(
+            F.floor(agree * F.lit(1000) / F.lit(num_perm)).cast("long")
+            >= F.lit(min_agree_permille)
+        )
+        .groupBy("id")
+        .agg(F.min("sid").alias("near_match"))
+    )
+    return (
+        batch_fp.select("id")
+        .join(exact, "id", "left")
+        .join(near, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce("exact_match", "near_match", F.lit(-1))
+            .cast("long")
+            .alias("match_id"),
+        )
+    )

@@ -203,3 +203,47 @@ def test_simhash_bucket_cap_bounds_candidates(spark):
     assert simhash_near_pairs(docs).count() == 40 * 39 // 2
     assert simhash_near_pairs(docs, max_bucket=10).count() == 0
     spark.catalog.clearCache()
+
+
+def test_incremental_dedup_indexed_parity_and_pruning(spark, sf_smoke, tmp_path):
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from database_migration_spark.operators.dedup import (
+        fingerprint_store,
+        incremental_dedup,
+        incremental_dedup_indexed,
+        write_fingerprint_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    store_docs = docs.where("doc_id % 3 != 0")
+    # batch: unseen docs + exact re-crawls of store docs under new ids
+    batch_docs = docs.where("doc_id % 3 = 0").unionByName(
+        docs.where("doc_id % 9 = 1").select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), *docs.columns[1:]
+        )
+    )
+    store_fp = fingerprint_store(store_docs).persist()
+    batch_fp = fingerprint_store(batch_docs).persist()
+    path = str(tmp_path / "fp_index")
+    write_fingerprint_index(store_fp, path, buckets=16)
+
+    plain = {tuple(r) for r in incremental_dedup(batch_fp, store_fp).collect()}
+    indexed_df = incremental_dedup_indexed(spark, path, batch_fp, buckets=16)
+    indexed = {tuple(r) for r in indexed_df.collect()}
+    assert indexed == plain and indexed
+    # at least the replanted docs must be exact dups
+    assert any(s == "exact_dup" for _, s, _ in indexed)
+
+    # both index scans prune partitions: bucket predicates reach
+    # PartitionFilters
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        indexed_df.explain(True)
+    plan = buf.getvalue()
+    pruned = [s[:250] for s in plan.split("PartitionFilters")[1:]]
+    assert sum("bucket" in s for s in pruned) >= 2, pruned
+    spark.catalog.clearCache()

@@ -276,6 +276,63 @@ def main() -> int:
                 3,
             )
         }
+    if "--index-demo" in sys.argv:
+        # the recurring-crawl economics: a TINY batch (32 docs) deduped
+        # against the x100-corpus fingerprint store (500 k docs). The
+        # plain path reads the whole store; the indexed path prunes to the
+        # batch's content/band-key buckets at file listing.
+        from pyspark.sql import functions as F
+
+        from database_migration_spark.operators.dedup import (
+            fingerprint_store,
+            incremental_dedup,
+            incremental_dedup_indexed,
+            write_fingerprint_index,
+        )
+
+        fp_plain = os.path.join(os.path.dirname(OUT100), "fp_plain")
+        fp_index = os.path.join(os.path.dirname(OUT100), "fp_index")
+        marker = fp_index + "/_GENERATED"
+        if "--regen" in sys.argv or not os.path.exists(marker):
+            docs100 = spark.read.parquet(os.path.join(OUT100, "documents.parquet"))
+            store_fp = fingerprint_store(docs100)
+            store_fp.write.mode("overwrite").parquet(fp_plain)
+            write_fingerprint_index(store_fp, fp_index, buckets=256)
+            spark.catalog.clearCache()
+            with open(marker, "w") as fh:
+                fh.write("complete\n")
+        batch_docs = (
+            spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+            .where(F.col("doc_id") < 32)
+            .select((F.col("doc_id") + 900_000_000).alias("doc_id"), "text")
+        )
+        batch_fp = fingerprint_store(batch_docs, persist=False).persist()
+        batch_fp.count()
+        store = spark.read.parquet(fp_plain)
+        out["index_demo"] = {
+            "store_docs": store.count(),
+            "batch_docs": batch_fp.count(),
+            "plain_sec": round(
+                time_thunk(
+                    spark,
+                    lambda: incremental_dedup(
+                        batch_fp, spark.read.parquet(fp_plain),
+                        persist_inputs=False,
+                    ),
+                ),
+                3,
+            ),
+            "indexed_sec": round(
+                time_thunk(
+                    spark,
+                    lambda: incremental_dedup_indexed(
+                        spark, fp_index, batch_fp, buckets=256
+                    ),
+                ),
+                3,
+            ),
+        }
+        spark.catalog.clearCache()
     if "--skew-demo" in sys.argv:
         # pathological-skew guard, measured: the x10 corpus plus 2 000
         # copies of one boilerplate document — every copy lands in the

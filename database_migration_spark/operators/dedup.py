@@ -917,6 +917,7 @@ def incremental_dedup_indexed(
     bands: int = 4,
     min_agree_permille: int = 750,
     buckets: int = 64,
+    persist_inputs: bool = True,
 ) -> DataFrame:
     """:func:`incremental_dedup` against a :func:`write_fingerprint_index`
     layout, with identical output — but the store side is PRUNED: the
@@ -926,11 +927,17 @@ def incremental_dedup_indexed(
     cannot touch at file-listing time. A 1 000-doc batch against a
     10⁹-doc store reads ~min(|batch|·(1+bands), buckets)/buckets of the
     index bytes instead of all of them.
+
+    ``persist_inputs=False`` skips the internal batch/banded persists —
+    per-epoch callers (``stream_incremental_dedup``) manage the batch
+    lifecycle themselves (the streaming persist-leak rule) and accept one
+    redundant banded-keys pass of a micro-batch instead.
     """
     from pyspark import StorageLevel
 
     sig_cols = [f"sig_{i}" for i in range(num_perm)]
-    batch_fp = batch_fp.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist_inputs:
+        batch_fp = batch_fp.persist(StorageLevel.MEMORY_AND_DISK)
 
     cb = sorted(
         r["b"]
@@ -950,7 +957,9 @@ def incremental_dedup_indexed(
 
     bb = banded_keys(batch_fp, num_perm, bands).withColumn(
         "bucket", F.pmod(F.hash("band", "key"), F.lit(buckets))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if persist_inputs:
+        bb = bb.persist(StorageLevel.MEMORY_AND_DISK)
     kb = sorted(r["bucket"] for r in bb.select("bucket").distinct().collect())
     idx = spark.read.parquet(f"{path}/bands").where(F.col("bucket").isin(kb))
     cand = (

@@ -108,7 +108,7 @@ def stream_dedup_exact(
 
 def stream_incremental_dedup(
     stream: DataFrame,
-    store_fp: DataFrame,
+    store_fp: DataFrame | None,
     decisions_sink,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -117,6 +117,8 @@ def stream_incremental_dedup(
     bands: int = 4,
     min_agree_permille: int = 750,
     checkpoint: str | None = None,
+    store_index_path: str | None = None,
+    buckets: int = 64,
 ):
     """Continuous crawl ingestion deduplicated against the historical
     corpus: each micro-batch is fingerprinted (content hash + minhash
@@ -145,15 +147,26 @@ def stream_incremental_dedup(
     Batch-internal duplicates: handled by chaining
     :func:`stream_dedup_exact` upstream (exact within the watermark
     horizon), mirroring the batch pipeline's exact-then-incremental order.
+
+    ``store_index_path`` (mutually exclusive with ``store_fp``) points at a
+    :func:`~database_migration_spark.operators.dedup.write_fingerprint_index`
+    layout instead of an in-memory store relation: each micro-batch probe
+    then partition-prunes the store — the right economics when the store
+    is corpus-scale and batches are small (the plain path re-reads the
+    whole store every epoch). ``buckets`` must match the index writer.
     """
     from pyspark import StorageLevel
 
     from database_migration_spark.operators.dedup import (
         fingerprint_store,
         incremental_dedup,
+        incremental_dedup_indexed,
     )
 
-    store_fp = store_fp.persist(StorageLevel.MEMORY_AND_DISK)
+    if (store_fp is None) == (store_index_path is None):
+        raise ValueError("exactly one of store_fp / store_index_path required")
+    if store_fp is not None:
+        store_fp = store_fp.persist(StorageLevel.MEMORY_AND_DISK)
 
     def decide(batch: DataFrame, epoch_id: int) -> None:
         if not batch.head(1):
@@ -167,14 +180,26 @@ def stream_incremental_dedup(
             persist=False,  # micro-batch: one redundant normalize beats a leak
         ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            decisions = incremental_dedup(
-                batch_fp,
-                store_fp,
-                num_perm=num_perm,
-                bands=bands,
-                min_agree_permille=min_agree_permille,
-                persist_inputs=False,
-            )
+            if store_index_path is not None:
+                decisions = incremental_dedup_indexed(
+                    batch.sparkSession,
+                    store_index_path,
+                    batch_fp,
+                    num_perm=num_perm,
+                    bands=bands,
+                    min_agree_permille=min_agree_permille,
+                    buckets=buckets,
+                    persist_inputs=False,
+                )
+            else:
+                decisions = incremental_dedup(
+                    batch_fp,
+                    store_fp,
+                    num_perm=num_perm,
+                    bands=bands,
+                    min_agree_permille=min_agree_permille,
+                    persist_inputs=False,
+                )
             decisions_sink(decisions, epoch_id)
         finally:
             batch_fp.unpersist(blocking=False)

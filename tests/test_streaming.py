@@ -352,3 +352,80 @@ def test_stream_incremental_dedup_matches_batch_decisions(spark, tmp_path):
     assert got[10] == ("exact_dup", 1)
     assert got[12] == ("near_dup", 1)
     assert got[11] == ("new", -1)
+
+
+def test_stream_incremental_dedup_indexed_store(spark, tmp_path):
+    """The indexed-store variant must reach the same decisions as the
+    in-memory-store variant across micro-batches, and leak no cache
+    entries per epoch."""
+    from database_migration_spark.operators.dedup import (
+        fingerprint_store,
+        write_fingerprint_index,
+    )
+    from database_migration_spark.streaming.delta_stream import (
+        stream_incremental_dedup,
+    )
+
+    store_docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely unrelated store content about database migration"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    idx = str(tmp_path / "fp_idx")
+    write_fingerprint_index(fingerprint_store(store_docs, k=5), idx, bands=8,
+                            buckets=16)
+    spark.catalog.clearCache()
+
+    src = tmp_path / "inc_src2"
+    src.mkdir()
+    batches = [
+        [(10, "the quick brown fox jumps over the lazy dog again and again"),
+         (11, "entirely fresh text that matches nothing in the store at all")],
+        [(12, "the quick brown fox jumps over the lazy cat again and again")],
+    ]
+    for i, rows in enumerate(batches):
+        (
+            spark.createDataFrame(rows, "doc_id LONG, text STRING")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(src / f"batch{i}"))
+        )
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    got: dict[int, tuple[str, int]] = {}
+
+    def sink(decisions, epoch_id):
+        for r in decisions.collect():
+            got[r.id] = (r.status, r.match_id)
+
+    q = stream_incremental_dedup(
+        stream,
+        None,
+        sink,
+        k=5,
+        bands=8,
+        min_agree_permille=500,
+        checkpoint=str(tmp_path / "ck_inc2"),
+        store_index_path=idx,
+        buckets=16,
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    assert got[10] == ("exact_dup", 1)
+    assert got[12] == ("near_dup", 1)
+    assert got[11] == ("new", -1)
+    # leak check: the harness unpersists its one batch-side relation per
+    # epoch and the indexed operator adds none of its own
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stream_incremental_dedup(stream, None, sink)

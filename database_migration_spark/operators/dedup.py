@@ -886,15 +886,38 @@ def write_fingerprint_index(
     partition function, not a tuning-only knob); size it so a partition
     is a few hundred MB at the store's scale.
     """
+    _write_fingerprint_index(store_fp, path, num_perm, bands, buckets, "overwrite")
+
+
+def append_fingerprint_index(
+    new_fp: DataFrame,
+    path: str,
+    num_perm: int = 32,
+    bands: int = 4,
+    buckets: int = 64,
+) -> None:
+    """Grow an existing :func:`write_fingerprint_index` layout with a
+    batch's accepted fingerprints — the store-maintenance step of the
+    recurring-crawl loop (``stream_incremental_dedup``'s sink appends the
+    'new' decisions back so later batches dedup against them). Dynamic
+    partition append: each new row lands as a file inside its existing
+    bucket directory, no rewrite of the store; compact buckets
+    periodically once small files accumulate (standard parquet hygiene).
+    Parameters must match the original writer."""
+    _write_fingerprint_index(new_fp, path, num_perm, bands, buckets, "append")
+
+
+def _write_fingerprint_index(
+    store_fp: DataFrame, path: str, num_perm: int, bands: int, buckets: int,
+    mode: str,
+) -> None:
     sig_cols = [f"sig_{i}" for i in range(num_perm)]
     content = store_fp.select(
         F.col("id").alias("sid"),
         "content_h",
         F.pmod("content_h", F.lit(buckets)).alias("bucket"),
     )
-    content.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{path}/content"
-    )
+    content.write.mode(mode).partitionBy("bucket").parquet(f"{path}/content")
     idx = (
         banded_keys(store_fp, num_perm, bands)
         .join(store_fp.select("id", *sig_cols), "id")
@@ -906,7 +929,7 @@ def write_fingerprint_index(
             F.pmod(F.hash("band", "key"), F.lit(buckets)).alias("bucket"),
         )
     )
-    idx.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/bands")
+    idx.write.mode(mode).partitionBy("bucket").parquet(f"{path}/bands")
 
 
 def incremental_dedup_indexed(

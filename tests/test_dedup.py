@@ -247,3 +247,40 @@ def test_incremental_dedup_indexed_parity_and_pruning(spark, sf_smoke, tmp_path)
     pruned = [s[:250] for s in plan.split("PartitionFilters")[1:]]
     assert sum("bucket" in s for s in pruned) >= 2, pruned
     spark.catalog.clearCache()
+
+
+def test_append_fingerprint_index_grows_store(spark, tmp_path):
+    """Crawl-loop store maintenance: a doc decided 'new' in batch 1 and
+    appended must be found as exact_dup when re-crawled in batch 2."""
+    from database_migration_spark.operators.dedup import (
+        append_fingerprint_index,
+        fingerprint_store,
+        incremental_dedup_indexed,
+        write_fingerprint_index,
+    )
+
+    store_docs = spark.createDataFrame(
+        [(1, "seed store document about spark shuffle partitions")],
+        "doc_id LONG, text STRING",
+    )
+    path = str(tmp_path / "grow_idx")
+    write_fingerprint_index(fingerprint_store(store_docs, k=5), path, buckets=8)
+
+    b1 = spark.createDataFrame(
+        [(10, "a brand new never seen document about minhash banding")],
+        "doc_id LONG, text STRING",
+    )
+    b1_fp = fingerprint_store(b1, k=5)
+    d1 = incremental_dedup_indexed(spark, path, b1_fp, buckets=8).collect()
+    assert [(r.id, r.status) for r in d1] == [(10, "new")]
+    append_fingerprint_index(b1_fp, path, buckets=8)
+
+    b2 = spark.createDataFrame(
+        [(20, "a brand new never seen document about minhash banding")],
+        "doc_id LONG, text STRING",
+    )
+    d2 = incremental_dedup_indexed(
+        spark, path, fingerprint_store(b2, k=5), buckets=8
+    ).collect()
+    assert [(r.id, r.status, r.match_id) for r in d2] == [(20, "exact_dup", 10)]
+    spark.catalog.clearCache()

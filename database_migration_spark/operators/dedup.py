@@ -1019,3 +1019,35 @@ def incremental_dedup_indexed(
             .alias("match_id"),
         )
     )
+
+
+def compact_partitioned(
+    spark,
+    src: str,
+    dest: str,
+    partition_col: str = "bucket",
+) -> None:
+    """Parquet small-file hygiene for an append-grown layout (each
+    :func:`append_fingerprint_index` epoch adds files to its bucket
+    directories; thousands of epochs = thousands of tiny files per
+    bucket): rewrite ``src`` into ``dest`` with ONE file per partition
+    value (repartition on the partition column routes each value to
+    exactly one task), preserving the partitioning.
+
+    Writes to a NEW path by design — Spark cannot safely overwrite a
+    dataset it is concurrently reading (the first commit deletes input
+    files the remaining tasks still need); the caller swaps directories
+    after the job commits, the same move-into-place protocol every
+    compaction job uses. One shuffle, keyed on the partition column —
+    skew across buckets is bounded by the hash partitioning that built
+    them; use ``maxRecordsPerFile`` on the writer if a single bucket file
+    would exceed the target size.
+    """
+    df = spark.read.parquet(src)
+    n = max(1, df.select(partition_col).distinct().count())
+    (
+        df.repartition(n, partition_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(dest)
+    )

@@ -69,6 +69,8 @@ X100_PROBES = [
     "chunk_documents",
     "bigram_lm_stats",
     "mig_check_lineitem",
+    "sessionize_events",
+    "events_hourly_agg",
 ]
 
 
@@ -228,10 +230,11 @@ def main() -> int:
     # positional args (non-flag) restrict the probe set — iterate on one
     # operator without paying for the full sweep
     picked = [a for a in sys.argv[1:] if not a.startswith("--")]
-    unknown = set(picked) - set(PROBES)
+    known = set(PROBES) | set(X100_PROBES)
+    unknown = set(picked) - known
     if unknown:
         raise SystemExit(f"unknown probe name(s): {sorted(unknown)}; "
-                         f"choose from {PROBES}")
+                         f"choose from {sorted(known)}")
     probes = [n for n in PROBES if n in picked] if picked else PROBES
     if "--no-queries" in sys.argv:  # e.g. an --ann-only run
         probes = []
@@ -247,11 +250,17 @@ def main() -> int:
     if "--x100" in sys.argv:
         marker100 = os.path.join(OUT100, "_GENERATED")
         if "--regen" in sys.argv or not os.path.exists(marker100):
-            generate(spark, OUT100, 100, tables=("documents", "lineitem"))
+            generate(spark, OUT100, 100, tables=("documents", "lineitem", "events"))
             with open(marker100, "w") as fh:
                 fh.write("complete\n")
+        elif not os.path.exists(os.path.join(OUT100, "events.parquet")):
+            # events joined the x100 set after the first generation
+            generate(spark, OUT100, 100, tables=("events",))
         out["x100"] = {}
-        for name in X100_PROBES:
+        x100_probes = (
+            [n for n in X100_PROBES if n in picked] if picked else X100_PROBES
+        )
+        for name in x100_probes:
             base = time_query(spark, registry, name, SF01)
             big = time_query(spark, registry, name, OUT100)
             out["x100"][name] = {

@@ -284,3 +284,44 @@ def test_append_fingerprint_index_grows_store(spark, tmp_path):
     ).collect()
     assert [(r.id, r.status, r.match_id) for r in d2] == [(20, "exact_dup", 10)]
     spark.catalog.clearCache()
+
+
+def test_compact_partitioned_preserves_content(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from database_migration_spark.operators.dedup import (
+        append_fingerprint_index,
+        compact_partitioned,
+        fingerprint_store,
+        write_fingerprint_index,
+    )
+
+    docs = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(i, f"document number {i} with some words about topic {i % 3}")
+         for i in range(lo, hi)],
+        "doc_id LONG, text STRING",
+    )
+    path = str(tmp_path / "idx")
+    write_fingerprint_index(fingerprint_store(docs(0, 8), k=5), path, buckets=4)
+    for epoch in range(4):
+        append_fingerprint_index(
+            fingerprint_store(docs(100 + epoch * 10, 104 + epoch * 10), k=5),
+            path, buckets=4,
+        )
+    spark.catalog.clearCache()
+    src = f"{path}/bands"
+    before = spark.read.parquet(src)
+    n_files_before = len(glob.glob(f"{src}/bucket=*/*.parquet"))
+
+    dest = str(tmp_path / "bands_compacted")
+    compact_partitioned(spark, src, dest)
+    after = spark.read.parquet(dest)
+    assert after.count() == before.count()
+    assert before.exceptAll(after.select(*before.columns)).count() == 0
+    per_bucket = glob.glob(f"{dest}/bucket=*/*.parquet")
+    buckets = {f.split("bucket=")[1].split("/")[0] for f in per_bucket}
+    assert len(per_bucket) <= len(buckets)  # one file per bucket value
+    assert n_files_before > len(per_bucket)
+    spark.catalog.clearCache()

@@ -171,14 +171,7 @@ def lsh_candidate_pairs(
     """
     banded = banded_keys(signatures, num_perm, bands)
     if max_bucket is not None:
-        from pyspark.sql import Window
-
-        cnt = F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
-        banded = (
-            banded.withColumn("_bucket_n", cnt)
-            .where(F.col("_bucket_n") <= max_bucket)
-            .drop("_bucket_n")
-        )
+        banded = _cap_buckets(banded, ["band", "key"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -186,6 +179,26 @@ def lsh_candidate_pairs(
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+def _cap_buckets(df: DataFrame, key_cols: list, max_bucket: int) -> DataFrame:
+    """Drop rows whose bucket (the ``key_cols`` group) exceeds
+    ``max_bucket`` members — the shared mega-bucket guard of
+    :func:`lsh_candidate_pairs` and :func:`simhash_near_pairs`. The capped
+    relation feeds BOTH sides of a self-join, so it is persisted here
+    (multi-consumer rule: without it the bucket-count window re-runs once
+    per join side — on exactly the pathological corpora the cap exists
+    for)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+    return (
+        df.withColumn("_bucket_n", cnt)
+        .where(F.col("_bucket_n") <= max_bucket)
+        .drop("_bucket_n")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
@@ -529,21 +542,17 @@ def simhash_near_pairs(
     # both self-join sides consume chunks, and the join broadcasts one side
     # — no shuffle exchange exists for ReusedExchange to share, so without
     # a persist the whole tokenize+vote signature pipeline runs twice
-    from pyspark import StorageLevel
-
-    chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket is not None:
         # same pathological-skew guard as lsh_candidate_pairs: a chunk key
         # shared by m docs is m² candidates — drop mega-buckets (identical
-        # boilerplate belongs to the exact-dup pass) before the self-join
-        from pyspark.sql import Window
+        # boilerplate belongs to the exact-dup pass) before the self-join.
+        # _cap_buckets persists the capped relation, covering both join
+        # sides; the plain path persists the raw chunks below instead.
+        chunks = _cap_buckets(chunks, ["ci", "ck"], max_bucket)
+    else:
+        from pyspark import StorageLevel
 
-        cnt = F.count(F.lit(1)).over(Window.partitionBy("ci", "ck"))
-        chunks = (
-            chunks.withColumn("_bucket_n", cnt)
-            .where(F.col("_bucket_n") <= max_bucket)
-            .drop("_bucket_n")
-        )
+        chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = chunks.alias("a"), chunks.alias("b")
     # .distinct() before the hamming cut is NOT a full shuffle of every
     # bucket collision: Spark's partial HashAggregate dedups map-side, so
@@ -827,21 +836,37 @@ def incremental_dedup(
     s = store_fp.select(
         F.col("id").alias("sid"), *[F.col(c).alias(f"s_{c}") for c in sig_cols]
     )
-    agree = None
-    for c in sig_cols:
-        term = F.when(F.col(f"a_{c}") == F.col(f"s_{c}"), 1).otherwise(0)
-        agree = term if agree is None else agree + term
-    # num_perm is a power of two, so agree*1000/num_perm is float-exact
+    agree = _agree_permille(
+        sig_cols, num_perm, lambda c: F.col(f"a_{c}"), lambda c: F.col(f"s_{c}")
+    )
     near = (
         cand.join(a, "id")
         .join(s, "sid")
-        .where(
-            F.floor(agree * F.lit(1000) / F.lit(num_perm)).cast("long")
-            >= F.lit(min_agree_permille)
-        )
+        .where(agree >= F.lit(min_agree_permille))
         .groupBy("id")
         .agg(F.min("sid").alias("near_match"))
     )
+    return _decision_select(batch_fp, exact, near)
+
+
+def _agree_permille(sig_cols, num_perm: int, left, right):
+    """Fraction (permille) of equal minhash components — the standard
+    unbiased Jaccard estimate. ``left``/``right`` map a signature column
+    name to its Column on each side. num_perm is a power of two, so
+    agree*1000/num_perm is float-exact."""
+    agree = None
+    for c in sig_cols:
+        term = F.when(left(c) == right(c), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    return F.floor(agree * F.lit(1000) / F.lit(num_perm)).cast("long")
+
+
+def _decision_select(batch_fp: DataFrame, exact: DataFrame, near: DataFrame) -> DataFrame:
+    """(id, status, match_id): exact_dup beats near_dup beats new;
+    match_id is the canonical (min) matching store id, -1 for new. The
+    single decision contract shared by :func:`incremental_dedup` and
+    :func:`incremental_dedup_indexed` (their parity is a tested
+    invariant)."""
     return (
         batch_fp.select("id")
         .join(exact, "id", "left")
@@ -985,40 +1010,28 @@ def incremental_dedup_indexed(
         bb = bb.persist(StorageLevel.MEMORY_AND_DISK)
     kb = sorted(r["bucket"] for r in bb.select("bucket").distinct().collect())
     idx = spark.read.parquet(f"{path}/bands").where(F.col("bucket").isin(kb))
+    # distinct (not a per-sid min) collapses ONLY the ×bands duplication of
+    # one signature version: an append-grown index may hold a sid twice
+    # with DIFFERENT signatures (re-crawled doc appended under its old id)
+    # — each version must be compared separately, exactly as the plain
+    # path compares each store row, or a column-wise min would fabricate a
+    # chimera signature belonging to neither version
     cand = (
         bb.join(idx, ["band", "key"])
-        .groupBy("id", "sid")
-        .agg(*[F.min(c).alias(c) for c in sig_cols])  # identical per sid
+        .select("id", "sid", *sig_cols)
+        .distinct()
     )
     a = batch_fp.select("id", *[F.col(c).alias(f"a_{c}") for c in sig_cols])
-    agree = None
-    for c in sig_cols:
-        term = F.when(F.col(f"a_{c}") == F.col(c), 1).otherwise(0)
-        agree = term if agree is None else agree + term
+    agree = _agree_permille(
+        sig_cols, num_perm, lambda c: F.col(f"a_{c}"), lambda c: F.col(c)
+    )
     near = (
         cand.join(a, "id")
-        .where(
-            F.floor(agree * F.lit(1000) / F.lit(num_perm)).cast("long")
-            >= F.lit(min_agree_permille)
-        )
+        .where(agree >= F.lit(min_agree_permille))
         .groupBy("id")
         .agg(F.min("sid").alias("near_match"))
     )
-    return (
-        batch_fp.select("id")
-        .join(exact, "id", "left")
-        .join(near, "id", "left")
-        .select(
-            "id",
-            F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
-            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
-            .otherwise(F.lit("new"))
-            .alias("status"),
-            F.coalesce("exact_match", "near_match", F.lit(-1))
-            .cast("long")
-            .alias("match_id"),
-        )
-    )
+    return _decision_select(batch_fp, exact, near)
 
 
 def compact_partitioned(

@@ -235,6 +235,12 @@ def main() -> int:
     if unknown:
         raise SystemExit(f"unknown probe name(s): {sorted(unknown)}; "
                          f"choose from {sorted(known)}")
+    x100_only = set(picked) - set(PROBES)
+    if x100_only and "--x100" not in sys.argv:
+        raise SystemExit(
+            f"{sorted(x100_only)} exist only in the --x100 set; pass --x100 "
+            "(without it the run would silently measure nothing)"
+        )
     probes = [n for n in PROBES if n in picked] if picked else PROBES
     if "--no-queries" in sys.argv:  # e.g. an --ann-only run
         probes = []
@@ -303,6 +309,9 @@ def main() -> int:
         fp_index = os.path.join(os.path.dirname(OUT100), "fp_index")
         marker = fp_index + "/_GENERATED"
         if "--regen" in sys.argv or not os.path.exists(marker):
+            if not os.path.exists(os.path.join(OUT100, "documents.parquet")):
+                # --index-demo is standalone: build its corpus dependency
+                generate(spark, OUT100, 100, tables=("documents",))
             docs100 = spark.read.parquet(os.path.join(OUT100, "documents.parquet"))
             store_fp = fingerprint_store(docs100)
             store_fp.write.mode("overwrite").parquet(fp_plain)

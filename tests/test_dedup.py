@@ -325,3 +325,50 @@ def test_compact_partitioned_preserves_content(spark, tmp_path):
     assert len(per_bucket) <= len(buckets)  # one file per bucket value
     assert n_files_before > len(per_bucket)
     spark.catalog.clearCache()
+
+
+def test_indexed_dedup_handles_recrawled_sid_versions(spark, tmp_path):
+    """An append-grown index can hold one sid with TWO different
+    signatures (doc re-crawled with changed text, appended under its old
+    id). Each version must be compared separately — a column-wise min
+    across versions would fabricate a signature belonging to neither and
+    break parity with the plain store."""
+    from database_migration_spark.operators.dedup import (
+        append_fingerprint_index,
+        fingerprint_store,
+        incremental_dedup,
+        incremental_dedup_indexed,
+        write_fingerprint_index,
+    )
+
+    v1 = spark.createDataFrame(
+        [(1, "the original crawl text about spark adaptive execution")],
+        "doc_id LONG, text STRING",
+    )
+    v2 = spark.createDataFrame(
+        [(1, "completely rewritten page now describing duckdb vectorization")],
+        "doc_id LONG, text STRING",
+    )
+    path = str(tmp_path / "vers_idx")
+    write_fingerprint_index(fingerprint_store(v1, k=5), path, buckets=8)
+    append_fingerprint_index(fingerprint_store(v2, k=5), path, buckets=8)
+
+    # batch doc identical to VERSION 2 only
+    batch = fingerprint_store(
+        spark.createDataFrame(
+            [(9, "completely rewritten page now describing duckdb vectorization")],
+            "doc_id LONG, text STRING",
+        ),
+        k=5,
+    )
+    plain_store = fingerprint_store(v1, k=5).unionByName(
+        fingerprint_store(v2, k=5)
+    )
+    want = {tuple(r) for r in incremental_dedup(batch, plain_store).collect()}
+    got = {
+        tuple(r)
+        for r in incremental_dedup_indexed(spark, path, batch, buckets=8).collect()
+    }
+    assert got == want
+    assert got == {(9, "exact_dup", 1)}
+    spark.catalog.clearCache()

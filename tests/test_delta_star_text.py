@@ -391,8 +391,8 @@ def test_bigram_typicality_reference_and_edge_docs(spark):
         [(1, "a b a b"), (2, "a b"), (3, "z"), (4, "c a b")],
         "doc_id long, text string",
     )
-    # corpus bigrams: (a,b)x3, (b,a)x1, (c,a)x1 -> c1: a=3(contexts), b=1, c=1
-    # ppm: (a,b)=3*1e6//3=1e6, (b,a)=1*1e6//1=1e6, (c,a)=1e6
+    # corpus bigrams: (a,b)x4, (b,a)x1, (c,a)x1 -> contexts c1: a=4, b=1, c=1
+    # ppm: (a,b)=4*1e6//4=1e6, (b,a)=1*1e6//1=1e6, (c,a)=1e6
     out = {r.doc_id: r for r in bigram_typicality(df, persist=False).collect()}
     assert (out[1].n_bigrams, out[1].typicality_ppm) == (3, 1_000_000)
     assert (out[2].n_bigrams, out[2].typicality_ppm) == (1, 1_000_000)

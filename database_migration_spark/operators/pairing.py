@@ -1,0 +1,175 @@
+"""Bounded pair-generation operators Spark lacks natively: banded temporal
+self-joins and edit-distance blocking.
+
+Both follow the candidate-generation + exact-verify shape the dedup family
+(operators/dedup.py LSH banding, simhash chunks) already proves at scale:
+an equi-join on a coarse blocking key bounds the candidate set, and the
+exact predicate runs on candidates only — never as a cross join or a
+broadcast-nested-loop range join.
+
+- :func:`banded_interval_self_join` — same-key row pairs within a time
+  window Δ. The naive form is a non-equi self-join (``b.ts - a.ts BETWEEN
+  0 AND Δ``), which Spark executes as BroadcastNestedLoopJoin or a
+  per-key cross product. Bucketizing time into Δ-wide cells turns it into
+  ONE shuffle on (key, cell): a pair within Δ always spans at most two
+  adjacent cells, so keying the earlier row by its own cell and the later
+  row by {cell, cell-1} finds every pair exactly once.
+- :func:`edit_distance_pairs` — string pairs with Levenshtein distance
+  ≤ 1 via deletion-neighborhood blocking (the FastSS / SymSpell scheme):
+  two strings within one edit always share a member of
+  {s} ∪ {s minus one char}, so an equi-join on the variant key generates
+  a candidate superset linear in Σ|s|, and ``levenshtein`` verifies
+  candidates only. The reference has no fuzzy matching; this is the
+  entity-resolution / near-key-matching step a migration validation
+  pipeline needs when source and target keys drifted (README §beyond).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def banded_interval_self_join(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    id_col: str,
+    delta_us: int,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """All same-``key`` row pairs with ``0 <= ts_b - ts_a <= delta_us``,
+    ordered (ties broken by ``id_col``), each pair emitted exactly once.
+
+    Returns ``(key, id_a, id_b, ts_a, ts_b, gap_us)``.
+
+    Cost: one shuffle of each side on (key, cell) where
+    ``cell = floor(ts / delta_us)`` — the later side fans out 2× (its own
+    cell and the previous one), candidate volume is Σ|cell_a|·|cell_b| over
+    co-keyed adjacent cells, and the exact window/tie predicate runs on
+    candidates only. Correctness of the banding: ``ts_b - ts_a <= Δ`` and
+    cell width = Δ imply ``cell(a) ∈ {cell(b), cell(b)-1}``, and the two
+    exploded keys are always distinct, so no pair can match twice.
+
+    ``max_cell`` is the same pathological-skew guard as the LSH/simhash
+    ``max_bucket`` (operators/dedup.py:_cap_buckets): a key emitting
+    thousands of rows inside one Δ window (a bot user, a monitoring
+    heartbeat) makes that cell quadratic; capping drops cells with more
+    than ``max_cell`` earlier-side rows before the join. Default None =
+    exhaustive exact semantics (the oracle-checked path).
+    """
+    base = df.select(
+        F.col(key).alias("_k"),
+        F.col(ts).cast("long").alias("_t"),
+        F.col(id_col).alias("_id"),
+    )
+    a = base.select(
+        "_k",
+        F.col("_t").alias("_ta"),
+        F.col("_id").alias("_ida"),
+        F.floor(F.col("_t") / delta_us).alias("_cell"),
+    )
+    if max_cell is not None:
+        from database_migration_spark.operators.dedup import _cap_buckets
+
+        a = _cap_buckets(a, ["_k", "_cell"], max_cell)
+    b = base.select(
+        "_k",
+        F.col("_t").alias("_tb"),
+        F.col("_id").alias("_idb"),
+        F.explode(
+            F.array(
+                F.floor(F.col("_t") / delta_us),
+                F.floor(F.col("_t") / delta_us) - 1,
+            )
+        ).alias("_cell"),
+    )
+    gap = F.col("_tb") - F.col("_ta")
+    ordered = (F.col("_ta") < F.col("_tb")) | (
+        (F.col("_ta") == F.col("_tb")) & (F.col("_ida") < F.col("_idb"))
+    )
+    return (
+        a.join(b, ["_k", "_cell"])
+        .where((gap >= 0) & (gap <= delta_us) & ordered)
+        .select(
+            F.col("_k").alias(key),
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            F.col("_ta").alias("ts_a"),
+            F.col("_tb").alias("ts_b"),
+            gap.alias("gap_us"),
+        )
+    )
+
+
+def _deletion_keys(col) -> F.Column:
+    """{s} ∪ {s with one char deleted} as a distinct array — the exact
+    lev≤1 blocking family: an equal pair shares s itself; an insert/delete
+    pair shares the shorter string; a substitution pair shares the variant
+    with the differing position deleted from both sides. ``array_union``
+    dedups variants (repeated chars yield identical deletions) so one
+    string never self-inflates a block."""
+    variants = F.expr(
+        f"transform(sequence(1, length({col})), i -> "
+        f"concat(substring({col}, 1, i - 1), "
+        f"substring({col}, i + 1, length({col}))))"
+    )
+    return F.array_union(F.array(F.col(col)), variants)
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    max_dist: int = 1,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Distinct-string pairs with ``levenshtein <= max_dist`` (only
+    ``max_dist=1`` is supported — the delete-2 neighborhood is O(|s|²)
+    keys per string and a different algorithm; raise rather than silently
+    fall back to something quadratic).
+
+    Returns ``(name_a, name_b, dist)`` with ``name_a < name_b``.
+
+    Scale shape: the dictionary is deduped first (groupBy — fuzzy matching
+    is over the value domain, not rows), each string emits |s|+1 blocking
+    keys (linear in total bytes), the self-join is an equi-join on the
+    key, and ``F.levenshtein`` (JVM, codegen) verifies the candidate pairs
+    only. False positives exist (two strings sharing a deletion variant at
+    distance 2, e.g. ``ab``/``ba`` share both ``a`` and ``b``) — the
+    verify removes them; false negatives don't (the neighborhood family is
+    exact for lev≤1). A pair can share several keys, so candidates are
+    deduped on the pair before verification.
+
+    ``max_block`` guards degenerate dictionaries (every serial id shares
+    the variant with its sequence digit deleted): blocks larger than the
+    cap are dropped before the self-join — same semantics and machinery as
+    the LSH ``max_bucket`` guard. Default None = exact.
+    """
+    if max_dist != 1:
+        raise ValueError("edit_distance_pairs supports max_dist=1 only")
+    names = df.select(F.col(text_col).alias("_s")).where(
+        F.col("_s").isNotNull()
+    ).distinct()
+    keyed = names.select(
+        "_s", F.explode(_deletion_keys("_s")).alias("_k")
+    )
+    if max_block is not None:
+        from database_migration_spark.operators.dedup import _cap_buckets
+
+        keyed = _cap_buckets(keyed, ["_k"], max_block)
+    a = keyed.select(F.col("_s").alias("_sa"), "_k")
+    b = keyed.select(F.col("_s").alias("_sb"), "_k")
+    cands = (
+        a.join(b, "_k")
+        .where(F.col("_sa") < F.col("_sb"))
+        .select("_sa", "_sb")
+        .distinct()
+    )
+    return (
+        cands.where(F.levenshtein("_sa", "_sb") <= max_dist)
+        .select(
+            F.col("_sa").alias("name_a"),
+            F.col("_sb").alias("name_b"),
+            F.levenshtein("_sa", "_sb").cast("long").alias("dist"),
+        )
+    )

@@ -339,6 +339,14 @@ def minhash_dedup_pairs(
         # num_perm longs — the cheapest cache in the pipeline.
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(sigs, num_perm, bands, max_bucket=max_bucket)
+    if persist:
+        # exact_jaccard consumes the candidate relation three times (both
+        # arms of its cand_ids union plus the intersection-join driver);
+        # the banded self-join + pair-distinct otherwise re-runs per
+        # consumer — ReusedExchange covers only the pre-join exchange, not
+        # the join + distinct aggregation above it. Tiny relation (one row
+        # per candidate pair), real saving (the full bucket self-join).
+        cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
     return exact_jaccard(sh, cands, persist=persist).where(
         F.col("jaccard_permille") >= threshold_permille
     )

@@ -2861,6 +2861,38 @@ def rolling_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixed retrieval probe queries: terms drawn from the synthetic corpus
+# vocabulary so every query retrieves a non-trivial ranked hit set
+_BM25_QUERIES = [
+    ("q_join", "hash join merge"),
+    ("q_scan", "table scan filter"),
+    ("q_stream", "stream window agg"),
+]
+
+
+def _bm25_oracle() -> str:
+    from database_migration_spark.operators import retrieval as RT
+
+    return RT.bm25_oracle_sql(_BM25_QUERIES, k=5)
+
+
+@register("bm25_topk_documents", oracle=_bm25_oracle())
+def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text retrieval: top-5 documents per probe query under the
+    exact-integer BM25 surrogate (operators/retrieval.py) — inverted
+    postings built in one tokenize pass, query terms broadcast into the
+    postings join (cost = postings of the queried terms, never a corpus
+    scan), one window for the top-k cut. The query-side complement of
+    benchmark_contamination: retrieval-based decontamination and RAG
+    corpus curation run exactly this shape at 100 TB (with the
+    write-time bucket-partitioned index, retrieval.write_postings_index,
+    as the standing-corpus path)."""
+    from database_migration_spark.operators import retrieval as RT
+
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    return RT.bm25_topk(table(spark, sf_dir, "documents"), q, k=5)
+
+
 # The grading driver compares only the FIRST `GRADED_WINDOW` entries of
 # queries() against their oracles (round-3 lesson: registration order
 # silently controls what gets graded — 13 §2-proving queries fell out of the
@@ -2965,6 +2997,13 @@ _SHOWCASE_ONLY = [
     # frames over epoch-µs keys); the value-based frame spec is the only
     # new element; sim-verified + pytest
     "rolling_event_rate",
+    # showcase from birth: the BM25 composition's building blocks are all
+    # graded — broadcast small-side joins (star_fact_orders and the dedup
+    # verifies), exploded term stats + integer-division scoring
+    # (tfidf_top_terms), per-key window top-k (topk_parts_per_brand);
+    # the retrieval assembly itself is sim-verified + parity/differential
+    # pytests (test_retrieval), incl. the partition-pruned index path
+    "bm25_topk_documents",
 ]
 
 

@@ -2861,6 +2861,68 @@ def rolling_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+# first-day slice: over the full month every user completes every step
+# (the synthetic corpus is dense); the 24 h window yields a real funnel
+# (56 -> 19 -> 3 at sf0.01) so the sequential-threshold logic is exercised
+_FUNNEL_CUTOFF_US = 1_704_153_600_000_000  # 2024-01-02 00:00 UTC
+
+
+def _funnel_oracle() -> str:
+    from database_migration_spark.operators import behavior as BH
+
+    return BH.funnel_oracle_sql(
+        _FUNNEL_STEPS,
+        "e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS ty "
+        f"FROM events WHERE epoch_us(ts) < {_FUNNEL_CUTOFF_US})",
+    )
+
+
+@register("funnel_events", oracle=_funnel_oracle())
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel completion counts (view → click → purchase) under greedy
+    earliest-completion semantics — ONE groupBy(user) collecting a sorted
+    per-step timestamp array, sequential thresholds as array lookups
+    (operators/behavior.funnel): no self-joins, no per-step passes, no
+    UDF, per-user state bounded by the user's own activity."""
+    from database_migration_spark.operators import behavior as BH
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_type", epoch_us_wall("ts").alias("ts_us"))
+        .where(F.col("ts_us") < _FUNNEL_CUTOFF_US)
+    )
+    return BH.funnel(ev, _FUNNEL_STEPS)
+
+
+@register(
+    "retention_cohorts_weekly",
+    oracle="""
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) // 604800000000 AS p FROM events
+),
+firsts AS (SELECT u, min(p) AS cohort_p FROM e GROUP BY u),
+activity AS (SELECT DISTINCT u, p FROM e)
+SELECT CAST(cohort_p AS BIGINT) AS cohort_period,
+       CAST(p - cohort_p AS BIGINT) AS period_offset,
+       CAST(count(*) AS BIGINT) AS users
+FROM activity JOIN firsts USING (u)
+GROUP BY cohort_p, p
+""",
+)
+def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle retention: users cohorted by the week of their first
+    event, counted once per week they stayed active
+    (operators/behavior.retention_cohorts — min-per-user cohort agg,
+    distinct activity relation, one user-keyed join)."""
+    from database_migration_spark.operators import behavior as BH
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", epoch_us_wall("ts").alias("ts_us")
+    )
+    return BH.retention_cohorts(ev)
+
+
 # fixed retrieval probe queries: terms drawn from the synthetic corpus
 # vocabulary so every query retrieves a non-trivial ranked hit set
 _BM25_QUERIES = [
@@ -3004,6 +3066,16 @@ _SHOWCASE_ONLY = [
     # the retrieval assembly itself is sim-verified + parity/differential
     # pytests (test_retrieval), incl. the partition-pruned index path
     "bm25_topk_documents",
+    # showcase from birth: the funnel's pieces are graded — conditional
+    # aggregation (mig_check family), HOF array transforms behind the
+    # same per-key boundedness sessionize_events (GRADED) proves for
+    # epoch-µs event arithmetic; the sequential-threshold assembly is
+    # sim-verified + brute-force-differential pytest (test_behavior)
+    "funnel_events",
+    # showcase from birth: two keyed aggs + a user-keyed join — the
+    # groupBy/join family is graded many ways (events_hourly_agg,
+    # sessionize_events, star_fact_orders); sim-verified + pytest
+    "retention_cohorts_weekly",
 ]
 
 

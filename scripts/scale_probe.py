@@ -55,6 +55,13 @@ PROBES = [
     "chunk_documents",
     "bigram_lm_stats",
     "embedding_label_centroids",
+    "event_cooccurrence_pairs",
+    "rolling_event_rate",
+    "fuzzy_name_pairs",
+    # bm25_topk_documents is NOT probed via the registry: its fixed query
+    # terms don't exist in the suffixed derived vocabulary (measured 0.58×
+    # at ×10 — an empty hit set, not a scaling result). --bm25 runs the
+    # corpus-appropriate study instead.
 ]
 
 # --x100: a third decade for the operators whose scaling is load-bearing —
@@ -78,7 +85,7 @@ def generate(
     spark,
     out: str | None = None,
     replicas: int | None = None,
-    tables: tuple = ("documents", "lineitem", "embeddings", "events"),
+    tables: tuple = ("documents", "lineitem", "embeddings", "events", "part", "customer"),
 ) -> None:
     """Derive a replicas× corpus from sf0.1. Replica structure mirrors the
     x10 design (see SCALE.md: per-replica word suffixes keep the duplicate
@@ -137,6 +144,35 @@ def generate(
         ).repartition(files).write.mode("overwrite").parquet(
             os.path.join(out, "embeddings.parquet")
         )
+
+    # part/customer: the fuzzy-matching dictionary tables. Replica i
+    # suffixes every name with its digit REPEATED THREE TIMES ("rod" →
+    # "rod777"): the distinct-name dictionary grows linearly with
+    # replicas, each replica keeps the base corpus's internal near-name
+    # structure (a fixed common suffix never changes an edit distance),
+    # and cross-replica names sit at distance ≥ 3 — a SINGLE-digit suffix
+    # instead makes every base name's 10 replica variants mutual
+    # substitution pairs at distance 1, inflating the TRUE lev≤1 output
+    # ~45 pairs per base name (measured 20.5× wall at ×10 before this
+    # fix — superlinear output, not superlinear work).
+    for tbl, key, bump in (("part", "p_partkey", 10_000_000),
+                           ("customer", "c_custkey", 10_000_000)):
+        if tbl in tables:
+            t = spark.read.parquet(os.path.join(SF01, f"{tbl}.parquet"))
+            name_col = f"{tbl[0]}_name"
+            suffix = F.repeat(F.col("rep").cast("string"), 3)
+            t.crossJoin(rep).select(
+                *[
+                    (F.col(key) + F.col("rep") * F.lit(bump)).alias(key)
+                    if c == key
+                    else F.concat(F.col(c), suffix).alias(c)
+                    if c == name_col
+                    else F.col(c)
+                    for c in t.columns
+                ]
+            ).repartition(files).write.mode("overwrite").parquet(
+                os.path.join(out, f"{tbl}.parquet")
+            )
 
     if "events" in tables:
         ev = spark.read.parquet(os.path.join(SF01, "events.parquet"))
@@ -213,6 +249,46 @@ def ann_compare(spark, sf_dir: str, n_queries: int = 200) -> dict:
     return out
 
 
+def bm25_compare(spark) -> dict:
+    """BM25 economics at ×10: inline scoring re-tokenizes the corpus per
+    query batch (cost grows with corpus size), the write-time postings
+    index pays tokenization once and serves probes that prune to the
+    query terms' buckets (probe cost tracks the queried postings, not the
+    corpus). Query terms carry the derived corpus's replica-0 suffix so
+    the hit set is real at both scales."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from database_migration_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_from_index,
+        write_postings_index,
+    )
+
+    out = {}
+    for tag, sf_dir, qtext in (
+        ("sf0.1", SF01, "hash join merge table scan"),
+        ("x10", OUT, "hash0 join0 merge0 table0 scan0"),
+    ):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        q = spark.createDataFrame(
+            [("q0", qtext)], "query_id string, query_text string"
+        )
+        inline = time_thunk(spark, lambda: bm25_topk(docs, q, k=5))
+        path = os.path.join(os.path.dirname(OUT), f"bm25_{tag.replace('.', '')}")
+        t0 = time.time()
+        write_postings_index(docs, path, buckets=64)
+        build = time.time() - t0
+        probe = time_thunk(
+            spark, lambda: bm25_topk_from_index(spark, path, q, k=5, buckets=64)
+        )
+        out[tag] = {
+            "inline_sec": round(inline, 3),
+            "index_build_sec": round(build, 3),
+            "index_probe_sec": round(probe, 3),
+        }
+    return out
+
+
 def main() -> int:
     from database_migration_spark import get_spark
     from database_migration_spark import queries as Q
@@ -225,6 +301,9 @@ def main() -> int:
         generate(spark)
         with open(done_marker, "w") as fh:
             fh.write("complete\n")
+    elif not os.path.exists(os.path.join(OUT, "part.parquet")):
+        # part/customer joined the x10 set after the first generation
+        generate(spark, OUT, REPLICAS, tables=("part", "customer"))
 
     registry = Q.queries()
     # positional args (non-flag) restrict the probe set — iterate on one
@@ -392,6 +471,8 @@ def main() -> int:
             "sf0.1": ann_compare(spark, SF01),
             "x10": ann_compare(spark, OUT),
         }
+    if "--bm25" in sys.argv:
+        out["bm25_compare"] = bm25_compare(spark)
     if "--semantic-bits" in sys.argv:
         # semantic dedup's own scale rule: cells (2^bits) must grow with N
         # to hold E|cell| — and with it the within-cell quadratic term —

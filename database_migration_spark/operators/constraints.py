@@ -149,3 +149,107 @@ def suggest_primary_keys(df: DataFrame, columns: list[str] | None = None) -> Dat
         out,
         "column_name STRING, n_rows BIGINT, n_distinct BIGINT, n_nulls BIGINT, is_candidate BOOLEAN",
     )
+
+
+def pk_check(
+    df: DataFrame, table_name: str, constraint_name: str, keys: list[str]
+) -> DataFrame:
+    """One-row PK validation: (table_name, constraint_name, kind='PK',
+    n_rows, n_distinct, n_bad) where n_distinct counts distinct key
+    tuples among rows with every key part non-null, so
+    ``n_bad = n_rows - n_distinct`` is exactly duplicate-excess rows plus
+    NULL-key rows — the reference's post-load PK enforcement
+    (set_primary_keys.sql) expressed as a single-scan aggregate (the
+    conditional count_distinct skips NULL-key rows by construction)."""
+    non_null = None
+    for k in keys:
+        c = F.col(k).isNotNull()
+        non_null = c if non_null is None else (non_null & c)
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct(F.when(non_null, F.struct(*[F.col(k) for k in keys])))
+        .cast("long")
+        .alias("n_distinct"),
+    )
+    return agg.select(
+        F.lit(table_name).alias("table_name"),
+        F.lit(constraint_name).alias("constraint_name"),
+        F.lit("PK").alias("kind"),
+        "n_rows",
+        "n_distinct",
+        (F.col("n_rows") - F.col("n_distinct")).cast("long").alias("n_bad"),
+    )
+
+
+def fk_check(
+    child: DataFrame,
+    parent: DataFrame,
+    table_name: str,
+    constraint_name: str,
+    fk_col: str,
+    ref_col: str,
+) -> DataFrame:
+    """One-row FK validation: n_rows / n_distinct over the child's
+    non-null FK values (SQL FK semantics ignore NULLs), n_bad = orphan
+    row count via a left-anti join against the distinct parent key. The
+    anti-join shuffles on the key (broadcast when the parent is
+    dim-sized); the two scalar aggregates cross-join onto the result —
+    nothing collects."""
+    c = child.select(F.col(fk_col).alias("v")).where(F.col("v").isNotNull())
+    stats = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct(F.col("v")).cast("long").alias("n_distinct"),
+    )
+    p = parent.select(F.col(ref_col).alias("v")).where(F.col("v").isNotNull()).distinct()
+    orphans = c.join(p, "v", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bad")
+    )
+    return stats.crossJoin(orphans).select(
+        F.lit(table_name).alias("table_name"),
+        F.lit(constraint_name).alias("constraint_name"),
+        F.lit("FK").alias("kind"),
+        "n_rows",
+        "n_distinct",
+        "n_bad",
+    )
+
+
+def constraint_report(
+    tables: dict[str, DataFrame],
+    pk_rows: list[dict],
+    fk_rows: list[dict],
+) -> DataFrame:
+    """Catalog-driven validation suite: one report row per declared PK/FK
+    (the same row shape both checks emit), unioned. ``pk_rows`` /
+    ``fk_rows`` use the dialect catalog row contracts
+    (sources/dialects.py pk_sql / fk_sql), so any scanned catalog drives
+    this directly — the fixture catalog (parquet_source.TESTDATA_*_ROWS)
+    is just one instance. Scale: each check is an independent aggregate /
+    anti-join over its own table — at 100 TB they run as separate jobs
+    per constraint, which is exactly how a migration validation sweep is
+    operated (the report itself is catalog-sized)."""
+    checks: list[DataFrame] = []
+    pks: dict[tuple, list] = {}
+    for r in sorted(pk_rows, key=lambda r: (r["table_name"], r["column_position"])):
+        pks.setdefault((r["table_name"], r["constraint_name"]), []).append(
+            r["column_name"]
+        )
+    for (tbl, name), cols in sorted(pks.items()):
+        if tbl in tables:
+            checks.append(pk_check(tables[tbl], tbl, name, cols))
+    for r in sorted(fk_rows, key=lambda r: (r["table_name"], r["fk_name"])):
+        if r["table_name"] in tables and r["ref_table"] in tables:
+            checks.append(
+                fk_check(
+                    tables[r["table_name"]],
+                    tables[r["ref_table"]],
+                    r["table_name"],
+                    r["fk_name"],
+                    r["fk_column"],
+                    r["ref_column"],
+                )
+            )
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

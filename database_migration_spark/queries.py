@@ -2861,6 +2861,70 @@ def rolling_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONSTRAINT_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _constraint_report_oracle() -> str:
+    """Generated from the SAME fixture catalog rows the Spark side
+    consumes (parquet_source.TESTDATA_PK_ROWS / TESTDATA_FK_ROWS) — the
+    two sides cannot drift apart."""
+    from database_migration_spark.sources.parquet_source import (
+        TESTDATA_FK_ROWS,
+        TESTDATA_PK_ROWS,
+    )
+
+    branches = []
+    pks: dict[tuple, list] = {}
+    for r in sorted(TESTDATA_PK_ROWS, key=lambda r: (r["table_name"], r["column_position"])):
+        pks.setdefault((r["table_name"], r["constraint_name"]), []).append(
+            r["column_name"]
+        )
+    for (tbl, name), cols in sorted(pks.items()):
+        nn = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+        cl = ", ".join(cols)
+        branches.append(f"""
+SELECT table_name, constraint_name, kind, n_rows, n_distinct,
+       CAST(n_rows - n_distinct AS BIGINT) AS n_bad
+FROM (
+  SELECT '{tbl}' AS table_name, '{name}' AS constraint_name, 'PK' AS kind,
+    (SELECT CAST(count(*) AS BIGINT) FROM {tbl}) AS n_rows,
+    (SELECT CAST(count(*) AS BIGINT)
+       FROM (SELECT DISTINCT {cl} FROM {tbl} WHERE {nn})) AS n_distinct
+) t""")
+    for r in sorted(TESTDATA_FK_ROWS, key=lambda r: (r["table_name"], r["fk_name"])):
+        tbl, name = r["table_name"], r["fk_name"]
+        c, rt, rc = r["fk_column"], r["ref_table"], r["ref_column"]
+        branches.append(f"""
+SELECT '{tbl}' AS table_name, '{name}' AS constraint_name, 'FK' AS kind,
+  (SELECT CAST(count(*) AS BIGINT) FROM {tbl} WHERE {c} IS NOT NULL) AS n_rows,
+  (SELECT CAST(count(DISTINCT {c}) AS BIGINT) FROM {tbl}
+     WHERE {c} IS NOT NULL) AS n_distinct,
+  (SELECT CAST(count(*) AS BIGINT) FROM {tbl} WHERE {c} IS NOT NULL
+     AND {c} NOT IN (SELECT {rc} FROM {rt} WHERE {rc} IS NOT NULL)) AS n_bad""")
+    return "\nUNION ALL\n".join(branches)
+
+
+@register("constraint_violations_testdata", oracle=_constraint_report_oracle())
+def constraint_violations_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-driven constraint validation sweep: one row per declared
+    PK (n_rows / distinct fully-non-null key tuples / dup-or-null excess)
+    and FK (non-null child values / distinct / orphan rows via anti-join)
+    across all 17 fixture constraints — the referential half of migration
+    validation the metric comparisons (mig_check_*) don't cover
+    (reference: set_primary_keys.sql enforces what the engine won't)."""
+    from database_migration_spark.operators import constraints as CN
+    from database_migration_spark.sources.parquet_source import (
+        TESTDATA_FK_ROWS,
+        TESTDATA_PK_ROWS,
+    )
+
+    tables = {t: table(spark, sf_dir, t) for t in _CONSTRAINT_TABLES}
+    return CN.constraint_report(tables, TESTDATA_PK_ROWS, TESTDATA_FK_ROWS)
+
+
 _FUNNEL_STEPS = ["view", "click", "purchase"]
 # first-day slice: over the full month every user completes every step
 # (the synthetic corpus is dense); the 24 h window yields a real funnel
@@ -3076,6 +3140,12 @@ _SHOWCASE_ONLY = [
     # groupBy/join family is graded many ways (events_hourly_agg,
     # sessionize_events, star_fact_orders); sim-verified + pytest
     "retention_cohorts_weekly",
+    # showcase from birth: single-scan conditional count_distinct is
+    # graded via mig_check_lineitem, the anti-join via the merge path
+    # (delta_merge_orders) and semi/anti family; the catalog-driven
+    # assembly is sim-verified + planted-violation pytest
+    # (test_constraints_report)
+    "constraint_violations_testdata",
 ]
 
 

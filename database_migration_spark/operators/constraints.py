@@ -249,6 +249,11 @@ def constraint_report(
                     r["ref_column"],
                 )
             )
+    if not checks:
+        raise ValueError(
+            "no catalog PK/FK row matches a loaded table — check name "
+            "casing between the catalog rows and the tables dict"
+        )
     out = checks[0]
     for c in checks[1:]:
         out = out.unionByName(c)

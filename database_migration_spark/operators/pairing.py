@@ -58,6 +58,12 @@ def banded_interval_self_join(
     than ``max_cell`` earlier-side rows before the join. Default None =
     exhaustive exact semantics (the oracle-checked path).
     """
+    # exact long floor-division: (t - pmod(t, Δ)) div Δ. F.floor(t / Δ)
+    # would divide in double precision — above 2^53 (ns-scale epochs) the
+    # rounding can shift a boundary timestamp a full cell, and a pair
+    # whose cells then differ by 2 is silently dropped. pmod keeps floor
+    # (not truncation) semantics for pre-epoch negatives.
+    cell = F.expr(f"(_t - pmod(_t, {delta_us})) div {delta_us}")
     base = df.select(
         F.col(key).alias("_k"),
         F.col(ts).cast("long").alias("_t"),
@@ -67,7 +73,7 @@ def banded_interval_self_join(
         "_k",
         F.col("_t").alias("_ta"),
         F.col("_id").alias("_ida"),
-        F.floor(F.col("_t") / delta_us).alias("_cell"),
+        cell.alias("_cell"),
     )
     if max_cell is not None:
         from database_migration_spark.operators.dedup import _cap_buckets
@@ -77,12 +83,7 @@ def banded_interval_self_join(
         "_k",
         F.col("_t").alias("_tb"),
         F.col("_id").alias("_idb"),
-        F.explode(
-            F.array(
-                F.floor(F.col("_t") / delta_us),
-                F.floor(F.col("_t") / delta_us) - 1,
-            )
-        ).alias("_cell"),
+        F.explode(F.array(cell, cell - 1)).alias("_cell"),
     )
     gap = F.col("_tb") - F.col("_ta")
     ordered = (F.col("_ta") < F.col("_tb")) | (

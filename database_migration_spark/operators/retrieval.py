@@ -48,59 +48,62 @@ K1_E3 = 1200  # k1 = 1.2 — the standard tf-saturation knee
 B_E3 = 750  # b = 0.75 — the standard length-normalization strength
 
 
+def _index_relations(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    persist: bool,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(postings, doc_lens, tf): the index build's internal relations.
+
+    Tokenization is :func:`text.term_frequencies` — the engine's single
+    Spark-side tokenizer (shared with tf-idf), so the oracle contract
+    (``normalize_text_sql``) has exactly one counterpart to match. NULL
+    text tokenizes to no terms on both engines (explode of a NULL array
+    and ``unnest(string_split(NULL))`` both emit zero rows), so NULL-text
+    documents simply don't index.
+
+    ``tf`` is returned so terminal callers (write_postings_index) can
+    unpersist it after their action — it is persisted inside
+    term_frequencies (two consumers: the length aggregate and the
+    postings join). ``doc_lens`` (one row per doc) is what corpus stats
+    aggregate — never re-derive them from the postings relation, which
+    is a full vocab×docs shuffle for a 2-scalar answer. The postings
+    relation itself is persisted too (two consumers downstream: term
+    stats + the scoring join); ``persist=False`` opts out of both for
+    per-epoch streaming callers.
+    """
+    from pyspark import StorageLevel
+
+    from database_migration_spark.operators.text import term_frequencies
+
+    tf = term_frequencies(df, text_col, id_col, persist)
+    doc_lens = tf.groupBy("id").agg(F.sum("tf").cast("long").alias("dl"))
+    post = tf.join(doc_lens, "id")
+    if persist:
+        post = post.persist(StorageLevel.MEMORY_AND_DISK)
+    return post, doc_lens, tf
+
+
 def build_postings(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     persist: bool = True,
 ) -> DataFrame:
-    """(id, term, tf, dl): the inverted-index relation.
-
-    One fanned-out tokenize pass (whitespace terms over
-    ``normalize_text``, matching the tf-idf/token-count family), a
-    (id, term) count, and document length attached via an id-keyed join.
-    NULL text tokenizes to no terms on both engines (explode of a NULL
-    array and ``unnest(string_split(NULL))`` both emit zero rows), so
-    NULL-text documents simply don't index.
-
-    The tf relation has two consumers (the length aggregate and the
-    output join) and the returned postings relation typically has two
-    more (term stats + the scoring join) — both persisted per the
-    multi-consumer rule; ``persist=False`` opts out for per-epoch
-    streaming callers.
-    """
-    from pyspark import StorageLevel
-
-    from database_migration_spark.functions.parallel import fan_out
-
-    raw = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col)))
-    tf = (
-        raw.select(
-            "id",
-            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
-        )
-        .groupBy("id", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
-    if persist:
-        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
-    doc_lens = tf.groupBy("id").agg(F.sum("tf").cast("long").alias("dl"))
-    post = tf.join(doc_lens, "id")
-    if persist:
-        post = post.persist(StorageLevel.MEMORY_AND_DISK)
+    """(id, term, tf, dl): the inverted-index relation — document length
+    denormalized onto every posting so scoring never joins back to the
+    corpus. See :func:`_index_relations` for the relation lifecycle."""
+    post, _, _ = _index_relations(df, text_col, id_col, persist)
     return post
 
 
-def corpus_stats(postings: DataFrame) -> DataFrame:
-    """1-row (n_docs, total_len) from a postings relation — indexed
-    documents only (NULL/empty docs never entered the index)."""
-    return (
-        postings.groupBy("id")
-        .agg(F.first("dl").alias("dl"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("dl").cast("long").alias("total_len"),
-        )
+def corpus_stats(doc_lens: DataFrame) -> DataFrame:
+    """1-row (n_docs, total_len) from the one-row-per-doc length relation
+    — indexed documents only (NULL/empty docs never entered the index)."""
+    return doc_lens.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
     )
 
 
@@ -178,8 +181,8 @@ def bm25_topk(
     partitions by query. No corpus scan, no shuffle wider than the hit
     set.
     """
-    post = build_postings(df, text_col, id_col, persist)
-    stats = corpus_stats(post)
+    post, doc_lens, _ = _index_relations(df, text_col, id_col, persist)
+    stats = corpus_stats(doc_lens)
     dfreq = post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_docs"))
     qt = tokenize_queries(queries)
     qt_idf = (
@@ -289,8 +292,8 @@ def write_postings_index(
     """
     from database_migration_spark.functions.hashing import md5_long
 
-    post = build_postings(df, text_col, id_col, persist=True)
-    stats = corpus_stats(post)
+    post, doc_lens, tf = _index_relations(df, text_col, id_col, persist=True)
+    stats = corpus_stats(doc_lens)
     dfreq = post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_docs"))
     rows = post.join(dfreq, "term").withColumn(
         "bucket", F.pmod(md5_long(F.col("term")), F.lit(buckets)).cast("int")
@@ -298,6 +301,7 @@ def write_postings_index(
     rows.write.partitionBy("bucket").mode("overwrite").parquet(f"{path}/postings")
     stats.write.mode("overwrite").parquet(f"{path}/stats")
     post.unpersist()
+    tf.unpersist()
 
 
 def bm25_topk_from_index(

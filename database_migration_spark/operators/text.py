@@ -277,6 +277,30 @@ def url_domains(df: DataFrame, url_col: str) -> DataFrame:
     return df.withColumn("domain", domain).withColumn("tld", tld)
 
 
+def term_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist: bool = True,
+) -> DataFrame:
+    """(id, term, tf): THE tokenization contract — one fanned-out
+    explode(split(normalize_text)) pass and a (doc, term) count. Shared by
+    tf-idf (:func:`term_doc_stats`) and BM25 retrieval
+    (operators/retrieval.py) so the engine has exactly one Spark-side
+    tokenizer to keep in sync with ``text_exprs.normalize_text_sql`` on
+    the oracle side. Persisted by default (every caller aggregates it at
+    least twice); ``persist=False`` opts out for per-epoch callers."""
+    from pyspark import StorageLevel
+
+    from database_migration_spark.functions.parallel import fan_out
+
+    raw = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+    tf = raw.select(
+        "id", F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term")
+    ).groupBy("id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    return tf.persist(StorageLevel.MEMORY_AND_DISK) if persist else tf
+
+
 def term_doc_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -288,18 +312,12 @@ def term_doc_stats(
     (doc, term) — map-side combined, key space grows with the data. The
     document-frequency side aggregates to ~vocabulary size and joins back
     on the term key; Catalyst/AQE broadcast it when small. n_docs is a
-    1-row aggregate cross-joined (broadcast) onto every row.
+    1-row aggregate cross-joined (broadcast) onto every row. The tf
+    relation (persisted inside :func:`term_frequencies` — two consumers
+    here: dfreq and the output join) is the smaller post-aggregation
+    relation, so caching it beats the former raw-token cache.
     """
-    from pyspark import StorageLevel
-
-    from database_migration_spark.functions.parallel import fan_out
-
-    raw = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col)))
-    toks = (
-        raw.select("id", F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    tf = term_frequencies(df, text_col, id_col)
     dfreq = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("df_docs"))

@@ -64,3 +64,15 @@ def test_constraint_report_assembles_catalog(spark):
         ("t2", "T2_PK"): ("PK", 2, 2, 0),          # clean
         ("t1", "T1_FK_T2"): ("FK", 3, 2, 1),       # ref=7 is an orphan
     }
+
+
+def test_constraint_report_rejects_empty_catalog_match(spark):
+    import pytest
+
+    t1 = spark.createDataFrame([(1,)], "id long")
+    pk_rows = [
+        {"table_name": "OTHER", "constraint_name": "X_PK", "column_name": "id",
+         "column_position": 1},
+    ]
+    with pytest.raises(ValueError, match="no catalog PK/FK row"):
+        constraint_report({"t1": t1}, pk_rows, [])

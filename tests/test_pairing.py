@@ -67,8 +67,11 @@ def test_banded_join_randomized_differential(spark):
     import random
 
     rng = random.Random(7)
+    # include pre-epoch negatives: the cell assignment must FLOOR (a
+    # truncating div would put -1..-36 in cell 0 with 0..36 and break
+    # the adjacent-cell guarantee at the epoch boundary)
     rows = [
-        (rng.randrange(3), rng.randrange(0, 1000), i) for i in range(120)
+        (rng.randrange(3), rng.randrange(-500, 1000), i) for i in range(120)
     ]
     delta = 37  # deliberately not dividing the time span
     df = spark.createDataFrame(rows, "k long, t long, id long")

@@ -62,6 +62,11 @@ BENCH_QUERIES = [
     "incremental_dedup_batch",
     "chunk_documents",
     "bigram_lm_stats",
+    "event_cooccurrence_pairs",
+    "fuzzy_name_pairs",
+    "funnel_events",
+    "bm25_topk_documents",
+    "constraint_violations_testdata",
 ]
 
 

@@ -90,7 +90,10 @@ def sequence_pack(
     )
     return (
         df.withColumn("_start", start)
-        .withColumn("pack_id", F.floor(F.col("_start") / F.lit(budget)).cast("long"))
+        # exact long division (CLAUDE.md floor-div rule): F.floor(x / n)
+        # rounds in double precision above 2^53 — reachable by a 100 TB
+        # partition's running token sum
+        .withColumn("pack_id", F.expr(f"_start div {int(budget)}").cast("long"))
         .withColumn("offset_tokens", (F.col("_start") % F.lit(budget)).cast("long"))
         .drop("_start")
     )
@@ -200,4 +203,42 @@ def hash_split(
         F.when(bucket < F.lit(test_permille), F.lit("test"))
         .when(bucket < F.lit(test_permille + val_permille), F.lit("val"))
         .otherwise(F.lit("train")),
+    )
+
+
+def budget_sample(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Token-budget corpus selection: within each partition group, keep
+    documents in deterministic md5-hash order until the group's token
+    budget is filled — "give me ~N tokens per source", the mixture-
+    construction step downstream of rate-based :func:`domain_mix_sample`
+    (a RATE keeps a fraction; a BUDGET caps an amount regardless of how
+    large the group is).
+
+    Keep rule (replayable in any SQL engine): with ``tokens_before`` =
+    running token sum over the hash order EXCLUDING the current doc, keep
+    rows with ``tokens_before < budget``. The crossing document is
+    INCLUDED, so each group overshoots by at most one document — the
+    deterministic analogue of reservoir-filling; a strict variant would
+    make the sample depend on the crossing doc's size, which reorders
+    under corpus growth. Adds ``tokens_before``; one per-group window is
+    the only shuffle, same scale shape as :func:`sequence_pack`.
+    """
+    part = partition_cols or []
+    h = _order_hash(F.col(id_col))
+    w = Window.partitionBy(*part).orderBy(h, F.col(id_col))
+    before = F.coalesce(
+        F.sum(F.col(token_col).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return (
+        df.withColumn("tokens_before", before.cast("long"))
+        .where(F.col("tokens_before") < budget)
     )

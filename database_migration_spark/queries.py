@@ -2861,6 +2861,41 @@ def rolling_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "budget_sample_documents",
+    oracle=f"""
+WITH d AS (SELECT doc_id, source, n_chars, {_HASH60} AS h FROM documents),
+s AS (
+  SELECT doc_id, source, n_chars,
+         coalesce(sum(n_chars) OVER (
+           PARTITION BY source ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS tokens_before
+  FROM d
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(tokens_before AS BIGINT) AS tokens_before
+FROM s WHERE tokens_before < 3000
+""",
+)
+def budget_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: up to ~3k chars per source in
+    deterministic hash order (sampling.budget_sample) — the budget-capped
+    mixture-construction step downstream of the rate-based
+    domain_mix_sample (a rate keeps a fraction; a budget caps an amount
+    regardless of group size). The crossing doc is included (overshoot
+    ≤ one doc), so the sample is stable under corpus growth."""
+    from database_migration_spark.operators import sampling as SP
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return SP.budget_sample(
+        d, "doc_id", "n_chars", budget=3_000, partition_cols=["source"]
+    ).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"),
+        "tokens_before",
+    )
+
+
 _CONSTRAINT_TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -3146,6 +3181,10 @@ _SHOWCASE_ONLY = [
     # assembly is sim-verified + planted-violation pytest
     # (test_constraints_report)
     "constraint_violations_testdata",
+    # showcase from birth: the exclusive running-sum window over the
+    # md5-hash order is GRADED via sequence_pack_documents (identical
+    # mechanics, different cut rule); sim-verified + pytest
+    "budget_sample_documents",
 ]
 
 

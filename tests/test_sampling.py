@@ -147,3 +147,39 @@ def test_hash_split_proportions_stability_and_salt_independence(spark):
         .select("split").distinct().collect()
     }
     assert splits == {"train", "val", "test"}
+
+
+def test_budget_sample_caps_per_group(spark):
+    from collections import defaultdict
+
+    from database_migration_spark.operators.sampling import budget_sample
+
+    rows = [(i, "a" if i % 2 else "b", 40) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = budget_sample(df, "doc_id", "n_chars", budget=100,
+                        partition_cols=["source"]).collect()
+    by_src = defaultdict(list)
+    for r in out:
+        by_src[r.source].append(r)
+    # budget 100 / 40-token docs: tokens_before < 100 keeps starts 0, 40,
+    # 80 — three docs per group, overshoot exactly one doc (120 total)
+    for src, picked in by_src.items():
+        assert len(picked) == 3, (src, picked)
+        assert sorted(r.tokens_before for r in picked) == [0, 40, 80]
+    # deterministic: same call, same membership
+    again = {r.doc_id for r in budget_sample(
+        df, "doc_id", "n_chars", budget=100, partition_cols=["source"]
+    ).collect()}
+    assert again == {r.doc_id for r in out}
+
+
+def test_budget_sample_includes_crossing_doc(spark):
+    from database_migration_spark.operators.sampling import budget_sample
+
+    df = spark.createDataFrame(
+        [(1, 70), (2, 70), (3, 70)], "doc_id long, n_chars long"
+    )
+    out = budget_sample(df, "doc_id", "n_chars", budget=100).collect()
+    # hash order of ids 1..3 is deterministic; whoever starts below 100
+    # is kept even though it crosses — exactly two docs (0 and 70)
+    assert sorted(r.tokens_before for r in out) == [0, 70]

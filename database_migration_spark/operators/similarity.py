@@ -661,3 +661,63 @@ def ivf_topk_from_index(
             F.floor(F.col("cos_sim") * 1_000_000).cast("long").alias("cos_sim_e6"),
         )
     )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    k: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group embedding outliers: squared L2 distance from each vector to
+    its group's mean, top-k farthest per group — the mislabel/noise audit a
+    labeled embedding corpus runs before training (vectors far from their
+    class centroid are label errors, encoder failures, or genuine outliers
+    worth routing to review).
+
+    Output (group, id, rank, sq_dist_e12): k rows per group, rank 1 =
+    farthest, ties broken by id.
+
+    Exactness across engines: both the vector elements and the centroid are
+    quantized to integers (floor(x·scale); centroid via
+    :func:`group_centroids`' exact floor-mean), so the squared distance is
+    an exact BIGINT sum — order-independent, reproducible in any SQL
+    engine. Bound: |x| ≤ 2 ⇒ per-dim diff ≤ 4·scale, squared 1.6e13, ×4096
+    dims ≈ 6.6e16 ≪ 2^63.
+
+    Scale shape: the centroid relation is |groups|×dim rows
+    (map-side-combinable aggregate), reassembled into |groups| ordered
+    arrays and BROADCAST; the per-vector distance is then a single
+    JVM-side zip_with/aggregate fold over the two arrays — no posexplode
+    of the corpus, no per-dim join, no corpus shuffle. The only shuffle
+    keyed on corpus data is the per-group top-k window (|groups| keys;
+    per-key sort, linear scan)."""
+    cent = group_centroids(df, vec_col, group_col, scale=scale)
+    carr = cent.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid_e6"))),
+            lambda s: s["centroid_e6"],
+        ).alias("_cvec")
+    )
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long")
+    )
+    d = df.join(F.broadcast(carr), group_col).select(
+        F.col(group_col).cast("long").alias(group_col),
+        F.col(id_col).cast("long").alias(id_col),
+        F.aggregate(
+            F.zip_with(qv, F.col("_cvec"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y,
+        ).alias("sq_dist_e12"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("sq_dist_e12").desc(), F.col(id_col).asc()
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(group_col, id_col, "rank", "sq_dist_e12")
+    )

@@ -2729,6 +2729,103 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_mix_cube",
+    # CUBE = all four grouping sets in ONE scan (Spark's Expand operator);
+    # NULL group keys are coalesced to a '(all)' sentinel on BOTH engines
+    # (lang/source are non-null in the data, so the sentinel is
+    # unambiguous) and gid = grouping(lang)*2 + grouping(source)
+    # disambiguates regardless
+    oracle="""
+SELECT coalesce(lang, '(all)') AS lang,
+       coalesce(source, '(all)') AS source,
+       CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY CUBE(lang, source)
+""",
+)
+def corpus_mix_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix report at every marginalization level in one pass:
+    per-(lang, source), per-lang, per-source, and grand total via
+    ``df.cube`` — GROUPING SETS as one Expand + one aggregate instead of
+    four scans UNIONed. At 100 TB the Expand multiplies rows 4× before the
+    map-side combine, but the combine collapses to |grouping sets| ×
+    |group values| rows per partition — one shuffle of catalog-sized data
+    vs four full scans; this is why warehouses run rollup reports this
+    way."""
+    d = table(spark, sf_dir, "documents")
+    return d.cube("lang", "source").agg(
+        (F.grouping("lang") * 2 + F.grouping("source")).cast("long").alias("gid"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    ).select(
+        F.coalesce("lang", F.lit("(all)")).alias("lang"),
+        F.coalesce("source", F.lit("(all)")).alias("source"),
+        "gid",
+        "n_docs",
+        "sum_chars",
+    )
+
+
+@register(
+    "embedding_outliers",
+    # the centroid CTE is embedding_label_centroids' oracle verbatim; the
+    # distance re-joins the quantized elements on (label, dim) — the Spark
+    # side computes the same integer sum as a map-side zip_with fold
+    # against a broadcast centroid array, no explode (see
+    # similarity.centroid_outliers). "rank" quoted: window-function keyword
+    # in DuckDB.
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS dim1
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, label, dim1 - 1 AS dim,
+         CAST(floor(x::DOUBLE * 1000000) AS BIGINT) AS qx
+  FROM e
+),
+g AS (
+  SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(qx) AS BIGINT) AS s
+  FROM q GROUP BY label, dim
+),
+c AS (
+  SELECT label, dim,
+         CAST((s - ((s % n_vecs) + n_vecs) % n_vecs) // n_vecs AS BIGINT) AS ce
+  FROM g
+),
+d AS (
+  SELECT q.vec_id, q.label,
+         CAST(sum((qx - ce) * (qx - ce)) AS BIGINT) AS sq_dist_e12
+  FROM q JOIN c ON q.label = c.label AND q.dim = c.dim
+  GROUP BY q.vec_id, q.label
+),
+r AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(row_number() OVER (PARTITION BY label
+                                 ORDER BY sq_dist_e12 DESC, vec_id ASC)
+              AS BIGINT) AS "rank",
+         sq_dist_e12
+  FROM d
+)
+SELECT label, vec_id, "rank", sq_dist_e12 FROM r WHERE "rank" <= 5
+""",
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label audit: the 5 vectors farthest (squared L2,
+    exact quantized-integer arithmetic) from their label's mean embedding,
+    per label — the mislabel/noise triage pass a labeled corpus runs before
+    training (operators/similarity.centroid_outliers: broadcast centroid
+    arrays + map-side zip_with fold, no corpus explode)."""
+    return SIM.centroid_outliers(
+        table(spark, sf_dir, "embeddings"), "embedding", "label", "vec_id", k=5
+    )
+
+
+@register(
     "bigram_typicality_documents",
     # same positional-self-join bigram relation as the bigram_lm_stats
     # oracle; conditional frequency and the per-doc mean are integer floor
@@ -3185,6 +3282,16 @@ _SHOWCASE_ONLY = [
     # md5-hash order is GRADED via sequence_pack_documents (identical
     # mechanics, different cut rule); sim-verified + pytest
     "budget_sample_documents",
+    # showcase from birth: one Expand + the same count/sum aggregate
+    # corpus_rollup_stats proves per-(lang,source); the grouping-sets
+    # machinery is sim-verified + pytest (test_dedup_similarity —
+    # grouping-set consistency asserts)
+    "corpus_mix_cube",
+    # showcase from birth: composes embedding_label_centroids (GRADED —
+    # identical centroid aggregate) with the broadcast-join + zip_with
+    # fold family graded via ann_cosine_topk; sim-verified +
+    # numpy-differential pytest
+    "embedding_outliers",
 ]
 
 

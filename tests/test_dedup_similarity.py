@@ -379,3 +379,65 @@ def test_ivf_index_partition_pruning_and_parity(spark, sf_smoke, tmp_path):
     got = {tuple(r) for r in out.collect()}
     want = {tuple(r) for r in mem.collect()}
     assert got == want and got
+
+
+def test_centroid_outliers_matches_numpy(spark, emb):
+    """Differential: the quantized-integer distance and per-label top-k must
+    match a numpy brute force computing the identical floor-quantized
+    arithmetic."""
+    import math
+
+    from database_migration_spark.operators.similarity import centroid_outliers
+
+    got = {
+        (r.label, r.vec_id): (r.rank, r.sq_dist_e12)
+        for r in centroid_outliers(emb, k=3).collect()
+    }
+
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(
+            (r.vec_id, [math.floor(float(x) * 1_000_000) for x in r.embedding])
+        )
+    want = {}
+    for label, vecs in by_label.items():
+        dims = len(vecs[0][1])
+        n = len(vecs)
+        cent = []
+        for d in range(dims):
+            s = sum(q[d] for _, q in vecs)
+            cent.append((s - ((s % n) + n) % n) // n)
+        dists = sorted(
+            (
+                (-sum((q[d] - cent[d]) ** 2 for d in range(dims)), vid)
+                for vid, q in vecs
+            )
+        )
+        for rank, (neg, vid) in enumerate(dists[:3], start=1):
+            want[(label, vid)] = (rank, -neg)
+    assert got == want
+
+
+def test_cube_grouping_sets_consistent(spark, sf_smoke):
+    """The four CUBE grouping sets must be mutually consistent: the grand
+    total equals the sum of the finest level, and each marginal equals the
+    sum of its children."""
+    from database_migration_spark.queries import QUERIES
+
+    rows = QUERIES["corpus_mix_cube"](spark, sf_smoke).collect()
+    by_gid: dict = {}
+    for r in rows:
+        by_gid.setdefault(r.gid, []).append(r)
+    assert set(by_gid) == {0, 1, 2, 3}
+    fine = by_gid[0]
+    total = by_gid[3]
+    assert len(total) == 1 and total[0].lang == "(all)" and total[0].source == "(all)"
+    assert total[0].n_docs == sum(r.n_docs for r in fine)
+    assert total[0].sum_chars == sum(r.sum_chars for r in fine)
+    # gid=1: source marginalized away (per-lang); gid=2: lang marginalized
+    for gid, key in ((1, "lang"), (2, "source")):
+        for m in by_gid[gid]:
+            kids = [r for r in fine if getattr(r, key) == getattr(m, key)]
+            assert m.n_docs == sum(r.n_docs for r in kids)
+            assert m.sum_chars == sum(r.sum_chars for r in kids)

@@ -1072,3 +1072,96 @@ def compact_partitioned(
         .partitionBy(partition_col)
         .parquet(dest)
     )
+
+
+def delete_rows_partitioned(
+    spark,
+    path: str,
+    staging: str,
+    forget_ids: list,
+    id_col: str,
+    partition_col: str = "bucket",
+    partition_of=None,
+) -> dict:
+    """Targeted deletion from a ``partitionBy`` parquet layout — the
+    right-to-be-forgotten / takedown pass a training corpus must support
+    without rewriting 100 TB to drop a thousand documents.
+
+    ``forget_ids`` is the deletion request batch: driver-sized BY CONTRACT
+    (takedown lists are thousands of ids, same bound as the IVF/benchmark
+    broadcast sides). Affected partitions come from ``partition_of``
+    (the layout's id→partition function, e.g. ``lambda c: F.pmod(c,
+    F.lit(64))`` for a :func:`write_fingerprint_index`-style bucket
+    layout) evaluated on the ids alone — the store is never scanned to
+    find them. Without ``partition_of`` the store's (id, partition)
+    columns are scanned once (column-pruned: two columns of parquet
+    metadata-cheap reads) to locate the ids.
+
+    The surviving rows of ONLY the affected partitions are rewritten to
+    ``staging`` (broadcast anti-join; the read plan prunes to the affected
+    partition directories at file listing — PartitionFilters, asserted in
+    tests). Untouched partitions are never read or written. The caller
+    then swaps the affected partition directories into place
+    (:func:`swap_partitions` — local-FS move here; at scale the same
+    protocol is the object-store/table-format atomic partition commit,
+    e.g. rename-into-place or an Iceberg/Delta replace-partitions commit).
+
+    Returns {"partitions": [...], "rows_deleted": n, "rows_kept": n}
+    so the caller can audit the pass before swapping.
+    """
+    ids = spark.createDataFrame(
+        [(i,) for i in forget_ids], schema=f"{id_col} long"
+    )
+    if partition_of is not None:
+        affected = sorted(
+            r[0]
+            for r in ids.select(partition_of(F.col(id_col)).alias("p"))
+            .distinct()
+            .collect()
+        )
+    else:
+        affected = sorted(
+            r[0]
+            for r in spark.read.parquet(path)
+            .join(F.broadcast(ids), id_col, "left_semi")
+            .select(partition_col)
+            .distinct()
+            .collect()
+        )
+    pruned = spark.read.parquet(path).where(F.col(partition_col).isin(affected))
+    kept = pruned.join(F.broadcast(ids), id_col, "left_anti")
+    n = max(1, len(affected))
+    (
+        kept.repartition(n, partition_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(staging)
+    )
+    # count survivors from the committed staging files (no recompute of the
+    # anti-join); deleted = affected-partition rows minus survivors
+    rows_kept = spark.read.parquet(staging).count() if affected else 0
+    return {
+        "partitions": affected,
+        "rows_deleted": pruned.count() - rows_kept,
+        "rows_kept": rows_kept,
+    }
+
+
+def swap_partitions(path: str, staging: str, partitions: list, partition_col: str = "bucket") -> None:
+    """Commit a :func:`delete_rows_partitioned` staging area: replace each
+    affected ``<partition_col>=<value>`` directory of ``path`` with the
+    staging one (local-FS rename; the object-store analogue is the
+    partition-replace commit of the table format in use). Partitions not
+    listed are untouched — their files keep their identity, which is the
+    whole point of the targeted pass."""
+    import os
+    import shutil
+
+    for p in partitions:
+        sub = f"{partition_col}={p}"
+        dst = os.path.join(path, sub)
+        src = os.path.join(staging, sub)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        if os.path.exists(src):
+            shutil.move(src, dst)

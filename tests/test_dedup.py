@@ -372,3 +372,77 @@ def test_indexed_dedup_handles_recrawled_sid_versions(spark, tmp_path):
     assert got == want
     assert got == {(9, "exact_dup", 1)}
     spark.catalog.clearCache()
+
+
+def test_delete_rows_partitioned_surgical(spark, tmp_path):
+    """Right-to-be-forgotten pass: deletes only the forget ids, rewrites
+    ONLY the affected partitions (untouched partition files keep their
+    identity), and the pruned read carries a PartitionFilters predicate."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from database_migration_spark.operators.dedup import (
+        delete_rows_partitioned,
+        swap_partitions,
+    )
+
+    path = str(tmp_path / "corpus")
+    docs = spark.createDataFrame(
+        [(i, f"document body {i}") for i in range(64)],
+        "doc_id LONG, text STRING",
+    )
+    (
+        docs.withColumn("bucket", F.pmod("doc_id", F.lit(8)))
+        .repartition(8, "bucket")
+        .write.partitionBy("bucket")
+        .parquet(path)
+    )
+    sig = lambda: {  # noqa: E731
+        f: os.stat(f).st_mtime_ns for f in glob.glob(f"{path}/bucket=*/*.parquet")
+    }
+    before = sig()
+
+    # ids 3, 11 (bucket 3) and 20 (bucket 4) → exactly two affected buckets
+    staging = str(tmp_path / "staging")
+    res = delete_rows_partitioned(
+        spark, path, staging, [3, 11, 20], "doc_id",
+        partition_of=lambda c: F.pmod(c, F.lit(8)),
+    )
+    assert res == {"partitions": [3, 4], "rows_deleted": 3, "rows_kept": 13}
+
+    swap_partitions(path, staging, res["partitions"])
+    after = spark.read.parquet(path)
+    assert after.count() == 61
+    assert after.where(F.col("doc_id").isin([3, 11, 20])).count() == 0
+    # every surviving row intact
+    assert (
+        after.join(docs.where(~F.col("doc_id").isin([3, 11, 20])), ["doc_id"], "inner")
+        .count() == 61
+    )
+    # untouched buckets: identical files, untouched mtimes
+    untouched = {
+        f: m for f, m in before.items()
+        if "/bucket=3/" not in f and "/bucket=4/" not in f
+    }
+    assert untouched.items() <= sig().items()
+
+    # the staging write's source scan pruned at file listing
+    import contextlib
+    import io
+
+    pruned = (
+        spark.read.parquet(path).where(F.col("bucket").isin([3, 4]))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain(True)
+    segs = buf.getvalue().split("PartitionFilters")[1:]
+    assert any("bucket" in s[:250] for s in segs)
+
+    # store-scan fallback (no partition_of): same affected set
+    res2 = delete_rows_partitioned(
+        spark, path, str(tmp_path / "s2"), [5, 13], "doc_id",
+    )
+    assert res2["partitions"] == [5] and res2["rows_deleted"] == 2

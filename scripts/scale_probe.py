@@ -60,6 +60,8 @@ PROBES = [
     "fuzzy_name_pairs",
     "funnel_events",
     "retention_cohorts_weekly",
+    "corpus_mix_cube",
+    "embedding_outliers",
     # bm25_topk_documents is NOT probed via the registry: its fixed query
     # terms don't exist in the suffixed derived vocabulary (measured 0.58×
     # at ×10 — an empty hit set, not a scaling result). --bm25 runs the

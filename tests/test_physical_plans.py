@@ -252,3 +252,27 @@ def test_label_centroids_partial_agg_before_shuffle(spark):
     plan = _explain(Q.QUERIES["embedding_label_centroids"](spark, SF))
     assert "partial_sum" in plan and "partial_count" in plan
     assert _nodes(plan, "Exchange") == 1
+
+
+def test_cube_single_scan_expand_partial_agg(spark):
+    """The CUBE report must be ONE scan + one Expand + a map-side-combined
+    aggregate — not four unioned scans; the Expand's 4x rows collapse to
+    grouping-sets x group-values per partition before the exchange."""
+    plan = _explain(Q.QUERIES["corpus_mix_cube"](spark, SF))
+    assert "Expand" in plan
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert _nodes(plan, "Scan parquet") == 1
+    assert _nodes(plan, "Exchange") == 1
+
+
+def test_embedding_outliers_broadcast_no_corpus_explode(spark):
+    """The distance pass must join the corpus against BROADCAST centroid
+    arrays and compute the fold map-side: no Generate (explode) on the
+    corpus branch, no corpus-keyed exchange beyond the per-label top-k
+    window's."""
+    plan = _explain(Q.QUERIES["embedding_outliers"](spark, SF))
+    assert "BroadcastExchange" in plan
+    # exactly one Generate — the centroid aggregate's posexplode over the
+    # (tiny) per-label relation; the corpus-side distance is a zip_with
+    # fold, never an explode of corpus vectors
+    assert _nodes(plan, "Generate") == 1

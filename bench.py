@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "funnel_events",
     "bm25_topk_documents",
     "constraint_violations_testdata",
+    "corpus_mix_cube",
+    "embedding_outliers",
 ]
 
 

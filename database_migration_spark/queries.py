@@ -216,6 +216,48 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_daily_pivot",
+    # pivot cells with no rows are NULL in Spark but 0 under FILTER-count —
+    # coalesce on the Spark side; the oracle's conditional aggregation is
+    # exactly what Spark compiles an explicit-values pivot into
+    oracle="""
+SELECT epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS day_us,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+FROM events
+GROUP BY 1
+""",
+)
+def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide PIVOT: one row per day, one count column per event type —
+    the daily-traffic matrix every event dashboard renders. The value list
+    is EXPLICIT (`pivot(col, values)`), which matters at 100 TB: without
+    it Spark runs a driver-side distinct scan over the pivot column to
+    discover the columns before planning; with it the pivot compiles to
+    conditional aggregates in the same single-scan map-side-combined
+    aggregate as any groupBy."""
+    ev = table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(epoch_us_wall(F.date_trunc("day", F.col("ts"))).alias("day_us"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)).cast("long"))
+    )
+    return wide.select(
+        "day_us",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
 @register(
     "q4_order_priority",
     oracle="""
@@ -3282,6 +3324,11 @@ _SHOWCASE_ONLY = [
     # md5-hash order is GRADED via sequence_pack_documents (identical
     # mechanics, different cut rule); sim-verified + pytest
     "budget_sample_documents",
+    # showcase from birth: an explicit-values pivot compiles to the
+    # conditional-aggregation family the mig_check queries grade; the
+    # epoch-µs day key is graded via events_hourly_agg's hour key;
+    # sim-verified + plan-guarded single scan
+    "events_daily_pivot",
     # showcase from birth: one Expand + the same count/sum aggregate
     # corpus_rollup_stats proves per-(lang,source); the grouping-sets
     # machinery is sim-verified + pytest (test_dedup_similarity —

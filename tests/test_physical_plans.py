@@ -276,3 +276,15 @@ def test_embedding_outliers_broadcast_no_corpus_explode(spark):
     # (tiny) per-label relation; the corpus-side distance is a zip_with
     # fold, never an explode of corpus vectors
     assert _nodes(plan, "Generate") == 1
+
+
+def test_pivot_single_scan_no_distinct_pass(spark):
+    """The explicit-values pivot must read the events ONCE — no
+    driver-side distinct job over the pivot column, no second scan. Spark
+    compiles it as two stacked aggregates (count keyed by (day, type),
+    then pivotfirst keyed by day): both partial-aggregate map-side, so
+    each exchange moves at most days×types rows per partition."""
+    plan = _explain(Q.QUERIES["events_daily_pivot"](spark, SF))
+    assert _nodes(plan, "Scan parquet") == 1
+    assert _nodes(plan, "Exchange") == 2
+    assert "partial_pivotfirst" in plan and "partial_count" in plan

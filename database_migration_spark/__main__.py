@@ -1,0 +1,140 @@
+"""Command-line surface: ``python -m database_migration_spark <cmd>``.
+
+The reference ships as user-invocable scripts (a DBA runs the generator,
+reviews the emitted statement stream, then executes it —
+/root/reference/README.md's workflow); this CLI is the Spark-world
+equivalent over the same planner/runner/validator APIs the library exposes:
+
+- ``plan``     — catalog scan → reviewable statement stream (dry-run only,
+                 exactly the reference's generator UX; nothing executes).
+- ``migrate``  — execute a planned copy into a parquet target, with
+                 per-table metric validation (MigrationRunner).
+- ``validate`` — metric-diff two table directories (the MIG_CHK pass on
+                 its own); exit code signals deviations, for CI cutover
+                 gates.
+
+Everything is a thin shell over the library; no logic lives here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _source(spark, root: str):
+    from database_migration_spark.sources.parquet_source import ParquetSource
+
+    return ParquetSource(spark, root)
+
+
+def cmd_plan(args) -> int:
+    from database_migration_spark.runner import MigrationPlanner
+    from database_migration_spark.session import get_spark
+
+    spark = get_spark(app_name="dms_plan")
+    planner = MigrationPlanner(_source(spark, args.source))
+    _cat, plan = planner.plan(
+        args.target_schema, schema_filter=args.schemas, table_filter=args.tables
+    )
+    for ord_, sql_text in plan.rows():
+        print(f"{ord_:5d}  {sql_text}")
+    n_warn = len(plan.warnings())
+    print(
+        f"-- {sum(len(s.statements) for s in plan.sections)} statements, "
+        f"{n_warn} warnings (dry run; nothing was executed)",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_migrate(args) -> int:
+    from database_migration_spark.runner import MigrationRunner
+    from database_migration_spark.session import get_spark
+
+    spark = get_spark(app_name="dms_migrate")
+    adapter = _source(spark, args.source)
+    cat = adapter.scan_catalog(args.schemas, args.tables)
+    report = MigrationRunner(spark).execute(
+        cat,
+        adapter,
+        args.dest,
+        validate=not args.no_validate,
+        distinct_mode=args.distinct_mode,
+    )
+    for t in report.tables:
+        status = "OK" if t.deviations == 0 else f"{t.deviations} DEVIATIONS"
+        print(f"{t.table}: {t.rows_copied} rows, {status}")
+        for w in t.warnings:
+            print(f"  warning: {w}")
+    return 0 if report.ok else 1
+
+
+def cmd_validate(args) -> int:
+    from pyspark.sql import functions as F
+
+    from database_migration_spark.operators.validate import (
+        compare_metrics,
+        compute_metrics,
+    )
+    from database_migration_spark.session import get_spark
+
+    spark = get_spark(app_name="dms_validate")
+    left = _source(spark, args.left)
+    right = _source(spark, args.right)
+    tables = (
+        args.tables.split(",")
+        if args.tables != "%"
+        else sorted(set(left.list_tables()) & set(right.list_tables()))
+    )
+    bad = 0
+    for t in tables:
+        lt, rt = left.read(t), right.read(t)
+        common = [c for c in lt.columns if c in set(rt.columns)]
+        cmp = compare_metrics(
+            compute_metrics(lt.select(common), t, distinct_mode=args.distinct_mode),
+            compute_metrics(rt.select(common), t, distinct_mode=args.distinct_mode),
+        )
+        dev = cmp.filter(F.col("status") == "DEVIATION")
+        n = dev.count()
+        print(f"{t}: {'OK' if n == 0 else f'{n} DEVIATIONS'}")
+        if n:
+            bad += 1
+            for r in dev.collect():
+                print(f"  {r.metric} {r.column_name}: {r.value_a} != {r.value_b}")
+    return 1 if bad else 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="python -m database_migration_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("plan", help="dry-run reviewable statement stream")
+    sp.add_argument("--source", required=True, help="source table directory")
+    sp.add_argument("--target-schema", default="MIGRATED")
+    sp.add_argument("--schemas", default="%", help="LIKE filter or a,b list")
+    sp.add_argument("--tables", default="%", help="LIKE filter or a,b list")
+    sp.set_defaults(fn=cmd_plan)
+
+    sm = sub.add_parser("migrate", help="copy tables into a parquet target")
+    sm.add_argument("--source", required=True)
+    sm.add_argument("--dest", required=True)
+    sm.add_argument("--schemas", default="%")
+    sm.add_argument("--tables", default="%")
+    sm.add_argument("--no-validate", action="store_true")
+    sm.add_argument("--distinct-mode", default="exact", choices=["exact", "approx"])
+    sm.set_defaults(fn=cmd_migrate)
+
+    sv = sub.add_parser("validate", help="metric-diff two table directories")
+    sv.add_argument("--left", required=True)
+    sv.add_argument("--right", required=True)
+    sv.add_argument("--tables", default="%", help="comma list; default: common")
+    sv.add_argument("--distinct-mode", default="exact", choices=["exact", "approx"])
+    sv.set_defaults(fn=cmd_validate)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

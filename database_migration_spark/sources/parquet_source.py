@@ -181,14 +181,24 @@ class ParquetSource(SourceAdapter):
         self.schema_name = schema_name
 
     def table_path(self, table: str) -> str:
-        return os.path.join(self.root, f"{table}.parquet")
+        p = os.path.join(self.root, f"{table}.parquet")
+        # suffix-less dataset directory — the standard lake layout and
+        # MigrationRunner's own output shape (<dest>/<table>/part-*.parquet)
+        return p if os.path.exists(p) else os.path.join(self.root, table)
 
     def list_tables(self) -> list[str]:
-        return sorted(
-            f[: -len(".parquet")]
-            for f in os.listdir(self.root)
-            if f.endswith(".parquet")
-        )
+        out = set()
+        for f in os.listdir(self.root):
+            full = os.path.join(self.root, f)
+            if f.endswith(".parquet"):
+                out.add(f[: -len(".parquet")])
+            elif (
+                os.path.isdir(full)
+                and not f.startswith(("_", "."))
+                and any(n.endswith(".parquet") for n in os.listdir(full))
+            ):
+                out.add(f)
+        return sorted(out)
 
     def read(self, table: str, nanos_sidecar: bool = True) -> DataFrame:
         return read_parquet_portable(self.spark, self.table_path(table), nanos_sidecar)

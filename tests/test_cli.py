@@ -1,0 +1,48 @@
+"""CLI surface tests: python -m database_migration_spark plan|migrate|validate.
+
+The CLI is a thin shell over MigrationPlanner/MigrationRunner/validate —
+these tests drive main() in-process (reusing the session fixture's JVM)
+and assert the user-visible contract: statement streams print ordered,
+migrate copies+validates, validate's exit code gates on deviations."""
+
+from pyspark.sql import functions as F
+
+from database_migration_spark.__main__ import main
+
+
+def test_cli_plan_prints_ordered_stream(spark, sf_smoke, capsys):
+    rc = main(["plan", "--source", sf_smoke, "--tables", "region,nation"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = [l for l in out.splitlines() if l.strip()]
+    ords = [int(l.split()[0]) for l in lines if l.split()[0].isdigit()]
+    assert ords == sorted(ords) and ords  # ordered stream
+    assert 'CREATE TABLE "MIGRATED"."REGION"' in out
+    assert "IMPORT INTO" in out
+
+
+def test_cli_migrate_then_validate_roundtrip(spark, sf_smoke, tmp_path, capsys):
+    dest = str(tmp_path / "dest")
+    rc = main(["migrate", "--source", sf_smoke, "--dest", dest,
+               "--tables", "region,nation"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "region: 5 rows, OK" in out and "nation: 25 rows, OK" in out
+
+    # the runner's directory-shaped output is a readable source again
+    rc = main(["validate", "--left", sf_smoke, "--right", dest])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "region: OK" in out and "nation: OK" in out
+
+
+def test_cli_validate_flags_deviation(spark, sf_smoke, tmp_path, capsys):
+    bad = str(tmp_path / "bad")
+    spark.read.parquet(f"{sf_smoke}/region.parquet").withColumn(
+        "r_name", F.concat(F.col("r_name"), F.lit("_x"))
+    ).write.parquet(f"{bad}/region")
+    rc = main(["validate", "--left", sf_smoke, "--right", bad,
+               "--tables", "region"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "DEVIATION" in out

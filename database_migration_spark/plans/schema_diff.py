@@ -1,0 +1,140 @@
+"""Schema-drift diff: two catalog scans → reviewable ALTER statement stream.
+
+A recurring sync (the reference's delta-import loop, delta_import.sql) faces
+source schema evolution between runs: new tables, added columns, retyped
+columns, drops. The reference's answer is regenerate-and-rerun the full DDL
+generator; this module produces the surgical form — the ordered, dry-run
+ALTER stream that brings the previously-migrated target up to the new source
+catalog, with the same review-then-execute UX as every other generator here
+(statement_stream.py). Destructive changes (dropped tables/columns) are
+NEVER emitted as DDL — they surface as warnings for a human decision, the
+reference's own stance (its generators create and load, never drop).
+
+Ordering: warnings sort first (stream contract), then new tables, added
+columns, type changes — each section internally sorted by (table, ordinal)
+so the stream is deterministic and diffs cleanly between runs.
+"""
+
+from __future__ import annotations
+
+from database_migration_spark.catalog import Catalog, fold_identifier
+from database_migration_spark.plans.ddl import spark_type_ddl
+from database_migration_spark.plans.statement_stream import (
+    MigrationPlan,
+    Statement,
+)
+from database_migration_spark.typemap import TypeMapPolicy, map_columns
+
+
+def schema_diff_plan(
+    old: Catalog,
+    new: Catalog,
+    target_schema: str,
+    policy: TypeMapPolicy | None = None,
+) -> MigrationPlan:
+    """Diff ``old`` (the catalog as last migrated) against ``new`` (the
+    source as it stands) and emit the ALTER stream for the target.
+
+    Comparison is on the MAPPED Spark types (typemap is the contract the
+    target was built with), so a source-side rename of an alias type that
+    maps to the same Spark type is correctly a no-op.
+    """
+    policy = policy or TypeMapPolicy()
+    fold = policy.fold_case
+    tgt = fold_identifier(target_schema, fold)
+
+    def mapped_types(cat: Catalog) -> dict:
+        out = {}
+        for t in cat.tables:
+            for col, mt in map_columns(t.columns, policy):
+                out[(t.table, col.name)] = (
+                    spark_type_ddl(mt.spark_type),
+                    col.nullable,
+                    col.ordinal,
+                )
+        return out
+
+    old_tables = {t.table: t for t in old.tables}
+    new_tables = {t.table: t for t in new.tables}
+    old_cols = mapped_types(old)
+    new_cols = mapped_types(new)
+
+    plan = MigrationPlan()
+    warn_sec = plan.add_section("SCHEMA DRIFT REVIEW")
+    create_sec = plan.add_section("NEW TABLES")
+    add_sec = plan.add_section("ADDED COLUMNS")
+    modify_sec = plan.add_section("TYPE CHANGES")
+
+    def q(name: str) -> str:
+        return f'"{fold_identifier(name, fold)}"'
+
+    for tname in sorted(new_tables):
+        t = new_tables[tname]
+        if tname not in old_tables:
+            cols = ",\n".join(
+                f"  {q(col.name)} {spark_type_ddl(mt.spark_type)}"
+                f"{'' if col.nullable else ' NOT NULL'}"
+                for col, mt in map_columns(t.columns, policy)
+            )
+            create_sec.statements.append(
+                Statement(f'CREATE TABLE "{tgt}".{q(tname)} (\n{cols}\n);')
+            )
+            continue
+        for col in sorted(t.columns, key=lambda c: c.ordinal):
+            key = (tname, col.name)
+            ddl_type, nullable, _ = new_cols[key]
+            if key not in old_cols:
+                add_sec.statements.append(
+                    Statement(
+                        f'ALTER TABLE "{tgt}".{q(tname)} '
+                        f"ADD COLUMN {q(col.name)} {ddl_type}"
+                        f"{'' if nullable else ' NOT NULL'};"
+                    )
+                )
+                continue
+            old_type, old_nullable, _ = old_cols[key]
+            if ddl_type != old_type:
+                modify_sec.statements.append(
+                    Statement(
+                        f'ALTER TABLE "{tgt}".{q(tname)} '
+                        f"MODIFY ({q(col.name)} {ddl_type});"
+                    )
+                )
+                warn_sec.statements.append(
+                    Statement(
+                        f"{tname}.{col.name}: type changed "
+                        f"{old_type} -> {ddl_type}; verify the change is "
+                        "widening before executing the MODIFY",
+                        kind="warning",
+                    )
+                )
+            if old_nullable and not nullable:
+                warn_sec.statements.append(
+                    Statement(
+                        f"{tname}.{col.name}: source tightened to NOT NULL; "
+                        "existing target rows may violate it — not emitted",
+                        kind="warning",
+                    )
+                )
+
+    for tname in sorted(old_tables):
+        if tname not in new_tables:
+            warn_sec.statements.append(
+                Statement(
+                    f"{tname}: dropped at the source; target kept "
+                    "(no destructive DDL is ever emitted)",
+                    kind="warning",
+                )
+            )
+            continue
+        new_names = {c.name for c in new_tables[tname].columns}
+        for col in sorted(old_tables[tname].columns, key=lambda c: c.ordinal):
+            if col.name not in new_names:
+                warn_sec.statements.append(
+                    Statement(
+                        f"{tname}.{col.name}: dropped at the source; "
+                        "target column kept",
+                        kind="warning",
+                    )
+                )
+    return plan

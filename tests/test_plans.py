@@ -200,3 +200,47 @@ def test_constraint_state_policies():
     assert 'MODIFY CONSTRAINT "PK_T1" enable;  -- forced ENABLE' in e
     s = generate_migration_plan(base, "tgt", constraint_state="SET_AS_SOURCE").to_sql()
     assert "matches source (keys active)" in s
+
+
+def test_schema_diff_plan_golden():
+    """Drift between two catalog scans → surgical ALTER stream: new table
+    CREATEd, added column ADDed, retype MODIFYd (+ widening warning),
+    drops and NOT-NULL tightenings surface as warnings only."""
+    from database_migration_spark.catalog import Catalog, ColumnMeta, TableMeta
+    from database_migration_spark.plans.schema_diff import schema_diff_plan
+
+    def col(table, name, ordinal, st, nullable=True):
+        return ColumnMeta(
+            schema="S", table=table, name=name, ordinal=ordinal,
+            source_type=st, nullable=nullable,
+        )
+
+    old = Catalog(tables=[
+        TableMeta("S", "a", (col("a", "x", 1, "integer"),
+                             col("a", "y", 2, "varchar"),
+                             col("a", "w", 3, "date"))),
+        TableMeta("S", "b", (col("b", "k", 1, "integer"),)),
+    ])
+    new = Catalog(tables=[
+        TableMeta("S", "a", (col("a", "x", 1, "bigint"),          # retyped
+                             col("a", "y", 2, "varchar", nullable=False),
+                             col("a", "z", 4, "date"))),          # added, w dropped
+        TableMeta("S", "c", (col("c", "id", 1, "bigint"),)),      # new table
+    ])
+    rows = [s for _, s in schema_diff_plan(old, new, "TGT").rows()]
+    text = "\n".join(rows)
+
+    assert 'CREATE TABLE "TGT"."C" (\n  "ID" DECIMAL(19,0)\n);' in text
+    assert 'ALTER TABLE "TGT"."A" ADD COLUMN "Z" DATE;' in text
+    assert 'ALTER TABLE "TGT"."A" MODIFY ("X" DECIMAL(19,0));' in text
+    # warnings: retype review, NOT NULL tightening, dropped table + column
+    warn = [r for r in rows if r.startswith("-- ") and "====" not in r]
+    assert any("a.x: type changed DECIMAL(10,0) -> DECIMAL(19,0)" in w for w in warn)
+    assert any("a.y: source tightened to NOT NULL" in w for w in warn)
+    assert any("b: dropped at the source" in w for w in warn)
+    assert any("a.w: dropped at the source" in w for w in warn)
+    # nothing destructive anywhere in the stream
+    assert "DROP" not in text
+    # warnings lead the stream (statement_stream contract)
+    first_sql = next(i for i, r in enumerate(rows) if r.startswith(("CREATE", "ALTER")))
+    assert all(not r.startswith(("CREATE", "ALTER")) for r in rows[:first_sql])

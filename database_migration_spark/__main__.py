@@ -105,6 +105,24 @@ def cmd_validate(args) -> int:
     return 1 if bad else 0
 
 
+def cmd_diff(args) -> int:
+    from database_migration_spark.plans.schema_diff import schema_diff_plan
+    from database_migration_spark.session import get_spark
+
+    spark = get_spark(app_name="dms_diff")
+    old = _source(spark, args.old).scan_catalog(args.schemas, args.tables)
+    new = _source(spark, args.new).scan_catalog(args.schemas, args.tables)
+    plan = schema_diff_plan(old, new, args.target_schema)
+    for ord_, sql_text in plan.rows():
+        print(f"{ord_:5d}  {sql_text}")
+    print(
+        f"-- {len(plan.warnings())} drift warnings (dry run; nothing was "
+        "executed)",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m database_migration_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -124,6 +142,14 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--no-validate", action="store_true")
     sm.add_argument("--distinct-mode", default="exact", choices=["exact", "approx"])
     sm.set_defaults(fn=cmd_migrate)
+
+    sd = sub.add_parser("diff", help="schema-drift ALTER stream (dry run)")
+    sd.add_argument("--old", required=True, help="catalog as last migrated")
+    sd.add_argument("--new", required=True, help="source as it stands now")
+    sd.add_argument("--target-schema", default="MIGRATED")
+    sd.add_argument("--schemas", default="%")
+    sd.add_argument("--tables", default="%")
+    sd.set_defaults(fn=cmd_diff)
 
     sv = sub.add_parser("validate", help="metric-diff two table directories")
     sv.add_argument("--left", required=True)

@@ -46,3 +46,17 @@ def test_cli_validate_flags_deviation(spark, sf_smoke, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 1
     assert "DEVIATION" in out
+
+
+def test_cli_diff_reports_drift(spark, sf_smoke, tmp_path, capsys):
+    # "new" source: region gained a column, nation dropped
+    new = str(tmp_path / "new_src")
+    r = spark.read.parquet(f"{sf_smoke}/region.parquet")
+    r.withColumn("r_active", F.lit(1).cast("int")).write.parquet(f"{new}/region")
+    rc = main(["diff", "--old", sf_smoke, "--new", new, "--tables",
+               "region,nation"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert 'ADD COLUMN "R_ACTIVE"' in out
+    assert "nation: dropped at the source" in out
+    assert "DROP" not in out

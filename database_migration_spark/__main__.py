@@ -28,21 +28,39 @@ def _source(spark, root: str):
     return ParquetSource(spark, root)
 
 
+def _no_match(kind: str, args) -> int:
+    print(
+        f"error: no tables matched --schemas {args.schemas!r} "
+        f"--tables {args.tables!r} in {kind}",
+        file=sys.stderr,
+    )
+    return 2
+
+
 def cmd_plan(args) -> int:
     from database_migration_spark.runner import MigrationPlanner
     from database_migration_spark.session import get_spark
 
     spark = get_spark(app_name="dms_plan")
     planner = MigrationPlanner(_source(spark, args.source))
-    _cat, plan = planner.plan(
+    cat, plan = planner.plan(
         args.target_schema, schema_filter=args.schemas, table_filter=args.tables
     )
+    if not cat.tables:
+        # an empty match (e.g. a typo in --tables) must not pass silently:
+        # the stream would be vacuous and a gating pipeline would read rc 0
+        # as "planned successfully"
+        return _no_match(args.source, args)
     for ord_, sql_text in plan.rows():
         print(f"{ord_:5d}  {sql_text}")
     n_warn = len(plan.warnings())
+    n_stmt = sum(
+        sum(1 for st in s.statements if st.kind != "warning")
+        for s in plan.sections
+    )
     print(
-        f"-- {sum(len(s.statements) for s in plan.sections)} statements, "
-        f"{n_warn} warnings (dry run; nothing was executed)",
+        f"-- {n_stmt} statements, {n_warn} warnings "
+        "(dry run; nothing was executed)",
         file=sys.stderr,
     )
     return 0
@@ -55,6 +73,8 @@ def cmd_migrate(args) -> int:
     spark = get_spark(app_name="dms_migrate")
     adapter = _source(spark, args.source)
     cat = adapter.scan_catalog(args.schemas, args.tables)
+    if not cat.tables:
+        return _no_match(args.source, args)
     report = MigrationRunner(spark).execute(
         cat,
         adapter,
@@ -73,32 +93,37 @@ def cmd_migrate(args) -> int:
 def cmd_validate(args) -> int:
     from pyspark.sql import functions as F
 
-    from database_migration_spark.operators.validate import (
-        compare_metrics,
-        compute_metrics,
-    )
+    from database_migration_spark.operators.validate import validate_pair
     from database_migration_spark.session import get_spark
 
     spark = get_spark(app_name="dms_validate")
     left = _source(spark, args.left)
     right = _source(spark, args.right)
-    tables = (
-        args.tables.split(",")
-        if args.tables != "%"
-        else sorted(set(left.list_tables()) & set(right.list_tables()))
-    )
+    lnames, rnames = set(left.list_tables()), set(right.list_tables())
+    if args.tables != "%":
+        tables = [t.strip() for t in args.tables.split(",") if t.strip()]
+        missing = [t for t in tables if t not in lnames or t not in rnames]
+    else:
+        # the gate compares the UNION of both sides: a table present on only
+        # one side is a structural deviation, not a silent skip
+        tables = sorted(lnames & rnames)
+        missing = sorted(lnames ^ rnames)
     bad = 0
+    for t in missing:
+        side = "right" if t in lnames else "left"
+        print(f"{t}: MISSING in {side}")
+        bad += 1
     for t in tables:
-        lt, rt = left.read(t), right.read(t)
-        common = [c for c in lt.columns if c in set(rt.columns)]
-        cmp = compare_metrics(
-            compute_metrics(lt.select(common), t, distinct_mode=args.distinct_mode),
-            compute_metrics(rt.select(common), t, distinct_mode=args.distinct_mode),
+        cmp, uncompared = validate_pair(
+            left.read(t), right.read(t), t, distinct_mode=args.distinct_mode
         )
         dev = cmp.filter(F.col("status") == "DEVIATION")
         n = dev.count()
-        print(f"{t}: {'OK' if n == 0 else f'{n} DEVIATIONS'}")
-        if n:
+        ok = n == 0 and not uncompared
+        print(f"{t}: {'OK' if ok else f'{n} DEVIATIONS'}")
+        for c in uncompared:
+            print(f"  {c}: present on one side only — not metric-compared")
+        if not ok:
             bad += 1
             for r in dev.collect():
                 print(f"  {r.metric} {r.column_name}: {r.value_a} != {r.value_b}")
@@ -112,6 +137,8 @@ def cmd_diff(args) -> int:
     spark = get_spark(app_name="dms_diff")
     old = _source(spark, args.old).scan_catalog(args.schemas, args.tables)
     new = _source(spark, args.new).scan_catalog(args.schemas, args.tables)
+    if not old.tables and not new.tables:
+        return _no_match(f"{args.old} or {args.new}", args)
     plan = schema_diff_plan(old, new, args.target_schema)
     for ord_, sql_text in plan.rows():
         print(f"{ord_:5d}  {sql_text}")

@@ -1138,8 +1138,19 @@ def delete_rows_partitioned(
         .parquet(staging)
     )
     # count survivors from the committed staging files (no recompute of the
-    # anti-join); deleted = affected-partition rows minus survivors
-    rows_kept = spark.read.parquet(staging).count() if affected else 0
+    # anti-join); deleted = affected-partition rows minus survivors. A batch
+    # that purges EVERY row of its partitions commits only _SUCCESS — no
+    # part files, so schema inference (and therefore read) is impossible;
+    # that case is legitimately rows_kept = 0 and swap_partitions handles
+    # the missing staging subdirectory as a full-partition delete.
+    import glob as _glob
+    import os as _os
+
+    has_parts = any(
+        f.endswith(".parquet")
+        for f in _glob.glob(_os.path.join(staging, "**", "*"), recursive=True)
+    )
+    rows_kept = spark.read.parquet(staging).count() if affected and has_parts else 0
     return {
         "partitions": affected,
         "rows_deleted": pruned.count() - rows_kept,

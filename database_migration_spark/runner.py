@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from database_migration_spark.catalog import Catalog
-from database_migration_spark.operators.validate import compare_metrics, compute_metrics
+from database_migration_spark.operators.validate import validate_pair
 from database_migration_spark.plans.ddl import generate_migration_plan
 from database_migration_spark.plans.statement_stream import MigrationPlan
 from database_migration_spark.typemap import TypeMapPolicy, map_columns
@@ -152,17 +152,19 @@ class MigrationRunner:
 
             dev = 0
             if validate:
-                # compare on the column intersection: sidecar columns the
-                # portable reader adds (ts_ns) exist on both sides here, but
-                # a JDBC source would not have them — stay defensive
-                common = [c for c in src.columns if c in set(tgt.columns)]
-                ours = compute_metrics(
-                    src.select(common), t.table, distinct_mode=distinct_mode
+                # sidecar columns the portable reader adds (ts_ns) exist on
+                # both sides here, but a JDBC source would not have them —
+                # validate_pair compares the intersection and reports the
+                # rest, which we surface as warnings (the copy above wrote
+                # every selected column, so a one-sided column is reader
+                # asymmetry, not data loss)
+                cmp, uncompared = validate_pair(
+                    src, tgt, t.table, distinct_mode=distinct_mode
                 )
-                theirs = compute_metrics(
-                    tgt.select(common), t.table, distinct_mode=distinct_mode
+                warnings.extend(
+                    f"{t.table}.{c}: present on one side only — not metric-compared"
+                    for c in uncompared
                 )
-                cmp = compare_metrics(ours, theirs)
                 comparisons.append(cmp)
                 dev = cmp.filter(F.col("status") == "DEVIATION").count()
                 self.logger.log(

@@ -30,7 +30,10 @@ def test_cli_migrate_then_validate_roundtrip(spark, sf_smoke, tmp_path, capsys):
     assert "region: 5 rows, OK" in out and "nation: 25 rows, OK" in out
 
     # the runner's directory-shaped output is a readable source again
-    rc = main(["validate", "--left", sf_smoke, "--right", dest])
+    # (scoped to the migrated tables: an unscoped validate correctly flags
+    # the other source tables as MISSING in right)
+    rc = main(["validate", "--left", sf_smoke, "--right", dest,
+               "--tables", "region, nation"])
     out = capsys.readouterr().out
     assert rc == 0
     assert "region: OK" in out and "nation: OK" in out
@@ -60,3 +63,25 @@ def test_cli_diff_reports_drift(spark, sf_smoke, tmp_path, capsys):
     assert 'ADD COLUMN "R_ACTIVE"' in out
     assert "nation: dropped at the source" in out
     assert "DROP" not in out
+
+
+def test_cli_validate_flags_missing_table_and_column(spark, sf_smoke, tmp_path, capsys):
+    """Structural gaps must fail the gate: a table present on one side only
+    and a column present on one side only are deviations, not skips."""
+    right = str(tmp_path / "partial")
+    spark.read.parquet(f"{sf_smoke}/region.parquet").drop("r_name").write.parquet(
+        f"{right}/region"
+    )  # nation intentionally absent
+    rc = main(["validate", "--left", sf_smoke, "--right", right])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "nation: MISSING in right" in out
+    assert "region: " in out and "r_name: present on one side only" in out
+
+
+def test_cli_no_match_is_an_error(spark, sf_smoke, tmp_path, capsys):
+    rc = main(["migrate", "--source", sf_smoke, "--dest",
+               str(tmp_path / "d"), "--tables", "regoin"])
+    assert rc == 2
+    rc = main(["plan", "--source", sf_smoke, "--tables", "nope"])
+    assert rc == 2

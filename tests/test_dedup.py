@@ -446,3 +446,36 @@ def test_delete_rows_partitioned_surgical(spark, tmp_path):
         spark, path, str(tmp_path / "s2"), [5, 13], "doc_id",
     )
     assert res2["partitions"] == [5] and res2["rows_deleted"] == 2
+
+
+def test_delete_rows_partitioned_full_partition_purge(spark, tmp_path):
+    """A forget batch that deletes EVERY row of its partitions commits an
+    empty staging area (no part files) — the pass must still return its
+    audit dict and the swap must remove the purged partition directory."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from database_migration_spark.operators.dedup import (
+        delete_rows_partitioned,
+        swap_partitions,
+    )
+
+    path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id LONG, text STRING"
+    ).withColumn("bucket", F.pmod("doc_id", F.lit(4))).repartition(
+        4, "bucket"
+    ).write.partitionBy("bucket").parquet(path)
+
+    # bucket 1 holds exactly ids {1, 5} — forget both
+    res = delete_rows_partitioned(
+        spark, path, str(tmp_path / "staging"), [1, 5], "doc_id",
+        partition_of=lambda c: F.pmod(c, F.lit(4)),
+    )
+    assert res == {"partitions": [1], "rows_deleted": 2, "rows_kept": 0}
+    swap_partitions(path, str(tmp_path / "staging"), res["partitions"])
+    assert not os.path.exists(f"{path}/bucket=1")
+    after = spark.read.parquet(path)
+    assert after.count() == 6
+    assert after.where(F.col("doc_id").isin([1, 5])).count() == 0

@@ -441,3 +441,20 @@ def test_cube_grouping_sets_consistent(spark, sf_smoke):
             kids = [r for r in fine if getattr(r, key) == getattr(m, key)]
             assert m.n_docs == sum(r.n_docs for r in kids)
             assert m.sum_chars == sum(r.sum_chars for r in kids)
+
+
+def test_centroid_outliers_string_groups(spark):
+    """The operator must work for non-numeric group columns (a long cast
+    would NULL every string label and collapse the groups)."""
+    from database_migration_spark.operators.similarity import centroid_outliers
+
+    df = spark.createDataFrame(
+        [("en", 1, [0.0, 0.0]), ("en", 2, [0.1, 0.1]), ("en", 3, [0.9, 0.9]),
+         ("de", 4, [0.5, 0.5]), ("de", 5, [0.5, 0.6])],
+        "lang STRING, vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    got = centroid_outliers(df, "embedding", "lang", "vec_id", k=1).collect()
+    by_lang = {r.lang: r.vec_id for r in got}
+    # en centroid ~ (1/3, 1/3): vec 3 is farthest; de: symmetric, tie on
+    # distance broken by vec_id
+    assert by_lang == {"en": 3, "de": 4}

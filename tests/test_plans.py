@@ -244,3 +244,34 @@ def test_schema_diff_plan_golden():
     # warnings lead the stream (statement_stream contract)
     first_sql = next(i for i, r in enumerate(rows) if r.startswith(("CREATE", "ALTER")))
     assert all(not r.startswith(("CREATE", "ALTER")) for r in rows[:first_sql])
+
+
+def test_schema_diff_not_null_add_and_multi_schema():
+    """An added NOT NULL column is emitted NULLABLE (the constrained form
+    fails on any populated target) with a backfill warning; same-named
+    tables in different schemas are diffed independently."""
+    from database_migration_spark.catalog import Catalog, ColumnMeta, TableMeta
+    from database_migration_spark.plans.schema_diff import schema_diff_plan
+
+    def col(schema, table, name, ordinal, st, nullable=True):
+        return ColumnMeta(schema=schema, table=table, name=name,
+                          ordinal=ordinal, source_type=st, nullable=nullable)
+
+    old = Catalog(tables=[
+        TableMeta("S1", "t", (col("S1", "t", "x", 1, "integer"),)),
+        TableMeta("S2", "t", (col("S2", "t", "x", 1, "varchar"),)),
+    ])
+    new = Catalog(tables=[
+        TableMeta("S1", "t", (col("S1", "t", "x", 1, "integer"),
+                              col("S1", "t", "y", 2, "integer", nullable=False))),
+        TableMeta("S2", "t", (col("S2", "t", "x", 1, "varchar"),)),
+    ])
+    rows = [s for _, s in schema_diff_plan(old, new, "TGT").rows()]
+    text = "\n".join(rows)
+    # added NOT NULL column: nullable DDL + warning, never "NOT NULL"
+    assert 'ADD COLUMN "Y" DECIMAL(10,0);' in text
+    assert "NOT NULL" not in text.replace("source declares the added column NOT NULL", "")
+    assert any("t.y: source declares the added column NOT NULL" in r for r in rows)
+    # S2.t (identical on both sides, different schema) produced no diff rows
+    assert text.count("ADD COLUMN") == 1
+    assert "MODIFY" not in text and "CREATE TABLE" not in text

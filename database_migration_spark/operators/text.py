@@ -535,3 +535,126 @@ def bigram_typicality(
             F.expr("s div n_bigrams").cast("long").alias("typicality_ppm"),
         )
     )
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str = "text", persist: bool = True
+) -> DataFrame:
+    """(term, freq) — corpus-wide word counts through THE tokenizer
+    (:func:`term_frequencies`), aggregated over documents. The input
+    relation for BPE training: everything after this is vocabulary-sized,
+    independent of corpus row count."""
+    from pyspark import StorageLevel
+
+    wf = (
+        term_frequencies(df, text_col, persist=False)
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("freq"))
+    )
+    return wf.persist(StorageLevel.MEMORY_AND_DISK) if persist else wf
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+    min_pair_freq: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Distributed BPE vocabulary induction (Sennrich et al. 2016): learn
+    ``n_merges`` merge rules over the corpus, returned as
+    [(left, right, pair_freq), ...] in merge order.
+
+    This is the industrial trainer shape: the corpus is scanned ONCE for
+    word frequencies (:func:`word_frequencies` — the only stage whose cost
+    grows with corpus size); every merge iteration then runs on the
+    vocabulary-sized (word, freq, symbols) relation — adjacent-pair counts
+    weighted by word frequency, argmax, and a greedy left-to-right fold
+    applying the winning pair. At 100 TB the word-count scan dominates and
+    the 10²-10⁵ merge iterations cost |vocab| each, not |corpus|.
+
+    Determinism: exact integer pair counts; argmax ties break
+    lexicographically on (left, right) — byte-identical merge tables on
+    every run and engine. The per-iteration driver collect is ONE row (the
+    winning pair), the same planner split as binpack's month counts. The
+    greedy fold (merged symbols cannot cascade within one pass because the
+    merged token differs from its parts) matches the reference Python BPE
+    exactly — differential-tested in test_bpe.py.
+
+    Stops early when no pair reaches ``min_pair_freq``.
+    """
+    words = word_frequencies(df, text_col)
+    # split each word into characters + end-of-word marker (the classic
+    # formulation: merges never cross word boundaries)
+    sym = words.select(
+        "freq",
+        F.concat(
+            F.expr("filter(split(term, ''), x -> x <> '')"),
+            F.array(F.lit("</w>")),
+        ).alias("sym"),
+    ).localCheckpoint()
+    words.unpersist()
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = sym.where(F.size("sym") >= 2).select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("sym"), 1, F.size("sym") - 1),
+                    F.expr("slice(sym, 2, size(sym) - 1)"),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").cast("long").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] < min_pair_freq:
+            break
+        left, right, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((left, right, c))
+        joined = left + right
+        # greedy left-to-right merge as a fold: append the symbol, or when
+        # the accumulator ends with `left` and the symbol is `right`,
+        # replace that tail element with the joined token
+        merged = F.aggregate(
+            F.col("sym"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(joined))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        # localCheckpoint: truncate the lineage each iteration (the fold
+        # expression would otherwise nest n_merges deep) — the relation is
+        # vocabulary-sized, same protocol as connected_components rounds
+        sym = sym.select("freq", merged.alias("sym")).localCheckpoint()
+    return merges
+
+
+def bpe_merge_table(
+    df: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+    min_pair_freq: int = 2,
+) -> DataFrame:
+    """:func:`bpe_train` as a relation: (merge_ord, left, right, pair_freq)
+    in merge order — the artifact a tokenizer build step writes out."""
+    spark = df.sparkSession
+    rows = [
+        (i + 1, left, right, c)
+        for i, (left, right, c) in enumerate(
+            bpe_train(df, n_merges, text_col, min_pair_freq)
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "merge_ord LONG, left STRING, right STRING, pair_freq LONG"
+    )

@@ -2873,6 +2873,18 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bpe_merge_table_documents")  # rows-only: iterative argmax loop
+def bpe_merge_table_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction over the corpus (16 merges):
+    word-frequency scan once, then vocabulary-sized merge iterations
+    (operators/text.bpe_train). No SQL oracle — the per-iteration argmax +
+    greedy re-segmentation is an iterative algorithm (same category as the
+    streaming ops); exactness is covered by the merge-for-merge
+    differential test against a pure-Python reference BPE (test_bpe.py)
+    and the deterministic lexicographic tie-break."""
+    return TX.bpe_merge_table(table(spark, sf_dir, "documents"), n_merges=16)
+
+
 @register(
     "bigram_typicality_documents",
     # same positional-self-join bigram relation as the bigram_lm_stats
@@ -3330,6 +3342,11 @@ _SHOWCASE_ONLY = [
     # md5-hash order is GRADED via sequence_pack_documents (identical
     # mechanics, different cut rule); sim-verified + pytest
     "budget_sample_documents",
+    # showcase from birth (rows-only by nature): the BPE trainer's merge
+    # loop is iterative and not SQL-expressible; keeping it out of the
+    # graded window preserves the window's all-oracle-checked property.
+    # Differential-tested merge-for-merge vs a Python reference (test_bpe)
+    "bpe_merge_table_documents",
     # showcase from birth: an explicit-values pivot compiles to the
     # conditional-aggregation family the mig_check queries grade; the
     # epoch-µs day key is graded via events_hourly_agg's hour key;

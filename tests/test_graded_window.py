@@ -24,10 +24,21 @@ def test_proving_queries_inside_graded_window():
     assert not missing, f"proving queries outside graded window: {missing}"
 
 
+# rows-only by nature (iterative algorithms): allowed to lack an oracle,
+# but each MUST carry a differential pytest instead — named here so adding
+# one is an explicit decision, not an accident
+ROWS_ONLY = {"bpe_merge_table_documents"}
+
+
 def test_showcase_list_names_real_queries():
     assert set(Q._SHOWCASE_ONLY) <= set(Q.QUERIES)
-    # and they stay runnable: each demoted query still has an oracle
-    assert set(Q._SHOWCASE_ONLY) <= set(Q.ORACLE)
+    # and they stay runnable: each demoted query still has an oracle,
+    # except the explicitly rows-only iterative ops
+    assert set(Q._SHOWCASE_ONLY) - ROWS_ONLY <= set(Q.ORACLE)
+    # rows-only entries must never sit in the graded window (the window's
+    # all-oracle-checked property is load-bearing for the driver artifact)
+    window = list(Q.queries())[: Q.GRADED_WINDOW]
+    assert not (ROWS_ONLY & set(window))
 
 
 def test_queries_and_oracles_align():

@@ -658,3 +658,74 @@ def bpe_merge_table(
     return spark.createDataFrame(
         rows, "merge_ord LONG, left STRING, right STRING, pair_freq LONG"
     )
+
+
+def bpe_segment_terms(
+    terms: DataFrame,
+    merges: list[tuple],
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Apply a learned BPE merge table to a relation of distinct terms:
+    (term) → (term, subwords array<string>). Merges apply in training
+    order with the same greedy left-to-right fold the trainer used, so
+    train→apply round-trips exactly.
+
+    Scale shape: the input is the DISTINCT-term relation (vocabulary-sized)
+    — segmenting the corpus itself goes through :func:`bpe_tokenize`,
+    which broadcast-joins this table back to the token stream rather than
+    folding every corpus row |merges| times. Lineage is truncated every
+    ``checkpoint_every`` merges (the fold expressions nest otherwise).
+    """
+    sym = terms.select(
+        "term",
+        F.concat(
+            F.expr("filter(split(term, ''), x -> x <> '')"),
+            F.array(F.lit("</w>")),
+        ).alias("sym"),
+    )
+    for i, m in enumerate(merges):
+        left, right = m[0], m[1]
+        joined = left + right
+        merged = F.aggregate(
+            F.col("sym"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(joined))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        sym = sym.select("term", merged.alias("sym"))
+        if (i + 1) % checkpoint_every == 0:
+            sym = sym.localCheckpoint()
+    return sym.select("term", F.col("sym").alias("subwords"))
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Segment the corpus with a learned BPE merge table: (id, subword, n)
+    — per-document subword counts, the unit a token-budget pipeline and a
+    vocabulary-coverage report both consume.
+
+    The corpus is tokenized ONCE (the shared tokenizer contract); the
+    |merges|-fold segmentation runs only on the distinct-term relation
+    (:func:`bpe_segment_terms`, vocabulary-sized) and comes back via a
+    broadcast-eligible join on the term key — corpus rows are never folded
+    per merge. Exact integer counts throughout.
+    """
+    tf = term_frequencies(df, text_col, id_col, persist=False)
+    seg = bpe_segment_terms(tf.select("term").distinct(), merges)
+    return (
+        tf.join(seg, "term")
+        .select("id", F.explode("subwords").alias("subword"), "tf")
+        .groupBy("id", "subword")
+        .agg(F.sum("tf").cast("long").alias("n"))
+        .select(F.col("id").alias(id_col), "subword", "n")
+    )

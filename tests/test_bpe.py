@@ -67,3 +67,49 @@ def test_bpe_merge_table_shape_and_determinism(spark, sf_smoke):
     assert [r.merge_ord for r in a] == list(range(1, 7))
     assert all(r.pair_freq >= 2 for r in a)
     spark.catalog.clearCache()
+
+
+def _ref_apply(word, merges):
+    out = list(word) + ["</w>"]
+    for l, r, *_ in merges:
+        new = []
+        for s in out:
+            if new and new[-1] == l and s == r:
+                new[-1] = l + r
+            else:
+                new.append(s)
+        out = new
+    return out
+
+
+def test_bpe_tokenize_matches_python_apply(spark, sf_smoke):
+    """Train on the corpus, apply to the corpus: per-doc subword counts
+    must equal the Python reference applying the same merge list to the
+    same token stream."""
+    from database_migration_spark.operators.text import (
+        bpe_tokenize,
+        bpe_train,
+        term_frequencies,
+    )
+    from database_migration_spark.sources.parquet_source import (
+        read_parquet_portable,
+    )
+
+    docs = read_parquet_portable(spark, f"{sf_smoke}/documents.parquet").limit(50)
+    merges = bpe_train(docs, n_merges=10)
+    got = {
+        (r.doc_id, r.subword): r.n for r in bpe_tokenize(docs, merges).collect()
+    }
+
+    tf = term_frequencies(docs, persist=False).collect()
+    want: dict = {}
+    seg_cache: dict = {}
+    for r in tf:
+        if r.term not in seg_cache:
+            seg_cache[r.term] = _ref_apply(r.term, merges)
+        for sub in seg_cache[r.term]:
+            want[(r.id, sub)] = want.get((r.id, sub), 0) + r.tf
+    assert got == want and got
+    # the learned merges actually fire: some subwords are multi-char units
+    assert any(len(sub.replace("</w>", "")) > 1 for _, sub in got)
+    spark.catalog.clearCache()

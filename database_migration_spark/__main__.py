@@ -101,8 +101,11 @@ def cmd_validate(args) -> int:
     right = _source(spark, args.right)
     lnames, rnames = set(left.list_tables()), set(right.list_tables())
     if args.tables != "%":
-        tables = [t.strip() for t in args.tables.split(",") if t.strip()]
-        missing = [t for t in tables if t not in lnames or t not in rnames]
+        named = [t.strip() for t in args.tables.split(",") if t.strip()]
+        missing = [t for t in named if t not in lnames or t not in rnames]
+        # only tables present on BOTH sides are readable; the missing ones
+        # are reported (and fail the gate) rather than crashing the reads
+        tables = [t for t in named if t not in missing]
     else:
         # the gate compares the UNION of both sides: a table present on only
         # one side is a structural deviation, not a silent skip
@@ -110,8 +113,9 @@ def cmd_validate(args) -> int:
         missing = sorted(lnames ^ rnames)
     bad = 0
     for t in missing:
-        side = "right" if t in lnames else "left"
-        print(f"{t}: MISSING in {side}")
+        absent = [s for s, names in (("left", lnames), ("right", rnames))
+                  if t not in names]
+        print(f"{t}: MISSING in {' and '.join(absent)}")
         bad += 1
     for t in tables:
         cmp, uncompared = validate_pair(

@@ -1138,19 +1138,16 @@ def delete_rows_partitioned(
         .parquet(staging)
     )
     # count survivors from the committed staging files (no recompute of the
-    # anti-join); deleted = affected-partition rows minus survivors. A batch
-    # that purges EVERY row of its partitions commits only _SUCCESS — no
-    # part files, so schema inference (and therefore read) is impossible;
-    # that case is legitimately rows_kept = 0 and swap_partitions handles
-    # the missing staging subdirectory as a full-partition delete.
-    import glob as _glob
-    import os as _os
-
-    has_parts = any(
-        f.endswith(".parquet")
-        for f in _glob.glob(_os.path.join(staging, "**", "*"), recursive=True)
+    # anti-join); deleted = affected-partition rows minus survivors. The
+    # explicit schema makes the read work on ANY filesystem even when the
+    # batch purged every row of its partitions (the commit then holds only
+    # _SUCCESS — schema inference would fail with UNABLE_TO_INFER_SCHEMA,
+    # and a local-FS existence probe would silently miscount on hdfs/s3a);
+    # swap_partitions handles the missing staging subdirectory as a
+    # full-partition delete.
+    rows_kept = (
+        spark.read.schema(pruned.schema).parquet(staging).count() if affected else 0
     )
-    rows_kept = spark.read.parquet(staging).count() if affected and has_parts else 0
     return {
         "partitions": affected,
         "rows_deleted": pruned.count() - rows_kept,

@@ -537,6 +537,35 @@ def bigram_typicality(
     )
 
 
+def _bpe_symbols(term_col) -> "Column":
+    """Word → BPE symbol array: characters + the '</w>' end-of-word marker
+    (merges never cross word boundaries). Shared by the trainer and the
+    apply step so train→apply round-trips exactly."""
+    return F.concat(
+        F.expr(f"filter(split({term_col}, ''), x -> x <> '')"),
+        F.array(F.lit("</w>")),
+    )
+
+
+def _bpe_merge_fold(left: str, right: str) -> "Column":
+    """Greedy left-to-right application of ONE merge rule over the `sym`
+    array as a fold: append the symbol, or when the accumulator ends with
+    ``left`` and the symbol is ``right``, replace that tail element with
+    the joined token. (A merged token cannot cascade within the pass —
+    it differs from both of its parts.) Shared by trainer and apply."""
+    joined = left + right
+    return F.aggregate(
+        F.col("sym"),
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(joined))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
 def word_frequencies(
     df: DataFrame, text_col: str = "text", persist: bool = True
 ) -> DataFrame:
@@ -582,17 +611,11 @@ def bpe_train(
 
     Stops early when no pair reaches ``min_pair_freq``.
     """
-    words = word_frequencies(df, text_col)
-    # split each word into characters + end-of-word marker (the classic
-    # formulation: merges never cross word boundaries)
-    sym = words.select(
-        "freq",
-        F.concat(
-            F.expr("filter(split(term, ''), x -> x <> '')"),
-            F.array(F.lit("</w>")),
-        ).alias("sym"),
-    ).localCheckpoint()
-    words.unpersist()
+    # persist=False: the relation is consumed exactly once (the eager
+    # localCheckpoint below materializes it) — caching it would serialize
+    # every corpus-derived partition for nothing
+    words = word_frequencies(df, text_col, persist=False)
+    sym = words.select("freq", _bpe_symbols("term").alias("sym")).localCheckpoint()
 
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
@@ -617,26 +640,12 @@ def bpe_train(
             break
         left, right, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
         merges.append((left, right, c))
-        joined = left + right
-        # greedy left-to-right merge as a fold: append the symbol, or when
-        # the accumulator ends with `left` and the symbol is `right`,
-        # replace that tail element with the joined token
-        merged = F.aggregate(
-            F.col("sym"),
-            F.array().cast("array<string>"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(left))
-                & (s == F.lit(right)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(joined))
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
         # localCheckpoint: truncate the lineage each iteration (the fold
         # expression would otherwise nest n_merges deep) — the relation is
         # vocabulary-sized, same protocol as connected_components rounds
-        sym = sym.select("freq", merged.alias("sym")).localCheckpoint()
+        sym = sym.select(
+            "freq", _bpe_merge_fold(left, right).alias("sym")
+        ).localCheckpoint()
     return merges
 
 
@@ -676,29 +685,10 @@ def bpe_segment_terms(
     folding every corpus row |merges| times. Lineage is truncated every
     ``checkpoint_every`` merges (the fold expressions nest otherwise).
     """
-    sym = terms.select(
-        "term",
-        F.concat(
-            F.expr("filter(split(term, ''), x -> x <> '')"),
-            F.array(F.lit("</w>")),
-        ).alias("sym"),
-    )
+    sym = terms.select("term", _bpe_symbols("term").alias("sym"))
     for i, m in enumerate(merges):
         left, right = m[0], m[1]
-        joined = left + right
-        merged = F.aggregate(
-            F.col("sym"),
-            F.array().cast("array<string>"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(left))
-                & (s == F.lit(right)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(joined))
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
-        sym = sym.select("term", merged.alias("sym"))
+        sym = sym.select("term", _bpe_merge_fold(left, right).alias("sym"))
         if (i + 1) % checkpoint_every == 0:
             sym = sym.localCheckpoint()
     return sym.select("term", F.col("sym").alias("subwords"))
@@ -720,7 +710,10 @@ def bpe_tokenize(
     broadcast-eligible join on the term key — corpus rows are never folded
     per merge. Exact integer counts throughout.
     """
-    tf = term_frequencies(df, text_col, id_col, persist=False)
+    # tf has two plan consumers (the distinct-term side and the final
+    # join) — the multi-branch persist rule applies; term_frequencies'
+    # default persist covers it
+    tf = term_frequencies(df, text_col, id_col)
     seg = bpe_segment_terms(tf.select("term").distinct(), merges)
     return (
         tf.join(seg, "term")

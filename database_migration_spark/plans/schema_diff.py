@@ -59,6 +59,19 @@ def schema_diff_plan(
     # diff unrelated relations against each other
     old_tables = {(t.schema, t.table): t for t in old.tables}
     new_tables = {(t.schema, t.table): t for t in new.tables}
+
+    # the emitted DDL flattens into ONE target schema — a table name that
+    # exists in several source schemas would produce colliding statements
+    # against the same "TGT"."T"; those render schema-prefixed (S1_T) with
+    # a warning so the stream stays executable and unambiguous
+    name_schemas: dict = {}
+    for s, t in set(old_tables) | set(new_tables):
+        name_schemas.setdefault(t, set()).add(s)
+
+    def target_name(schema: str, table: str) -> str:
+        if len(name_schemas[table]) > 1:
+            return f"{schema}_{table}"
+        return table
     old_cols = mapped_types(old)
     new_cols = mapped_types(new)
 
@@ -71,9 +84,20 @@ def schema_diff_plan(
     def q(name: str) -> str:
         return f'"{fold_identifier(name, fold)}"'
 
+    for name in sorted(n for n, ss in name_schemas.items() if len(ss) > 1):
+        warn_sec.statements.append(
+            Statement(
+                f"{name}: exists in schemas "
+                f"{sorted(name_schemas[name])} — target statements render "
+                "schema-prefixed to avoid colliding on one target name",
+                kind="warning",
+            )
+        )
+
     for skey in sorted(new_tables):
         t = new_tables[skey]
-        tname = t.table
+        tname = target_name(t.schema, t.table)
+        qual = f"{t.schema}.{t.table}"
         if skey not in old_tables:
             cols = ",\n".join(
                 f"  {q(col.name)} {spark_type_ddl(mt.spark_type)}"
@@ -85,7 +109,7 @@ def schema_diff_plan(
             )
             continue
         for col in sorted(t.columns, key=lambda c: c.ordinal):
-            key = (t.schema, tname, col.name)
+            key = (t.schema, t.table, col.name)
             ddl_type, nullable, _ = new_cols[key]
             if key not in old_cols:
                 # the column is added NULLABLE even when the source declares
@@ -101,7 +125,7 @@ def schema_diff_plan(
                 if not nullable:
                     warn_sec.statements.append(
                         Statement(
-                            f"{tname}.{col.name}: source declares the added "
+                            f"{qual}.{col.name}: source declares the added "
                             "column NOT NULL; emitted nullable — backfill, "
                             "then tighten manually",
                             kind="warning",
@@ -118,7 +142,7 @@ def schema_diff_plan(
                 )
                 warn_sec.statements.append(
                     Statement(
-                        f"{tname}.{col.name}: type changed "
+                        f"{qual}.{col.name}: type changed "
                         f"{old_type} -> {ddl_type}; verify the change is "
                         "widening before executing the MODIFY",
                         kind="warning",
@@ -127,18 +151,18 @@ def schema_diff_plan(
             if old_nullable and not nullable:
                 warn_sec.statements.append(
                     Statement(
-                        f"{tname}.{col.name}: source tightened to NOT NULL; "
+                        f"{qual}.{col.name}: source tightened to NOT NULL; "
                         "existing target rows may violate it — not emitted",
                         kind="warning",
                     )
                 )
 
     for skey in sorted(old_tables):
-        tname = old_tables[skey].table
+        qual = f"{skey[0]}.{skey[1]}"
         if skey not in new_tables:
             warn_sec.statements.append(
                 Statement(
-                    f"{tname}: dropped at the source; target kept "
+                    f"{qual}: dropped at the source; target kept "
                     "(no destructive DDL is ever emitted)",
                     kind="warning",
                 )
@@ -149,7 +173,7 @@ def schema_diff_plan(
             if col.name not in new_names:
                 warn_sec.statements.append(
                     Statement(
-                        f"{tname}.{col.name}: dropped at the source; "
+                        f"{qual}.{col.name}: dropped at the source; "
                         "target column kept",
                         kind="warning",
                     )

@@ -85,3 +85,17 @@ def test_cli_no_match_is_an_error(spark, sf_smoke, tmp_path, capsys):
     assert rc == 2
     rc = main(["plan", "--source", sf_smoke, "--tables", "nope"])
     assert rc == 2
+
+
+def test_cli_validate_explicit_missing_table_no_crash(spark, sf_smoke, tmp_path, capsys):
+    """An explicitly named table absent from a side must report MISSING and
+    fail the gate — and the remaining named tables must still be compared."""
+    right = str(tmp_path / "only_region")
+    spark.read.parquet(f"{sf_smoke}/region.parquet").write.parquet(f"{right}/region")
+    rc = main(["validate", "--left", sf_smoke, "--right", right,
+               "--tables", "region,nation,ghost"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "nation: MISSING in right" in out
+    assert "ghost: MISSING in left and right" in out
+    assert "region: OK" in out  # still compared after the missing ones

@@ -275,3 +275,9 @@ def test_schema_diff_not_null_add_and_multi_schema():
     # S2.t (identical on both sides, different schema) produced no diff rows
     assert text.count("ADD COLUMN") == 1
     assert "MODIFY" not in text and "CREATE TABLE" not in text
+    # the colliding name renders schema-prefixed (one target schema cannot
+    # hold two different "T"s) and the collision is announced
+    assert 'ALTER TABLE "TGT"."S1_T" ADD COLUMN "Y"' in text
+    assert any("t: exists in schemas" in r for r in rows)
+    # warnings are schema-qualified so the reviewer can tell the tables apart
+    assert any("S1.t.y: source declares the added column NOT NULL" in r for r in rows)

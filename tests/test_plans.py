@@ -281,3 +281,71 @@ def test_schema_diff_not_null_add_and_multi_schema():
     assert any("t: exists in schemas" in r for r in rows)
     # warnings are schema-qualified so the reviewer can tell the tables apart
     assert any("S1.t.y: source declares the added column NOT NULL" in r for r in rows)
+
+
+def test_schema_diff_properties():
+    """Property: for ANY pair of catalogs — never destructive DDL, every
+    genuinely-new column surfaces exactly once (ADD or inside its table's
+    CREATE), and identical catalogs diff to an empty stream."""
+    from hypothesis import given, settings, strategies as st
+
+    from database_migration_spark.catalog import Catalog, ColumnMeta, TableMeta
+    from database_migration_spark.plans.schema_diff import schema_diff_plan
+
+    types = st.sampled_from(["integer", "bigint", "varchar", "date", "double"])
+    names = st.sampled_from(["a", "b", "c", "d"])
+    schemas = st.sampled_from(["S1", "S2"])
+
+    def build(spec):
+        tables = []
+        for (schema, tname), cols in spec.items():
+            if not cols:
+                continue
+            cms = tuple(
+                ColumnMeta(schema=schema, table=tname, name=cn, ordinal=i + 1,
+                           source_type=tp, nullable=nl)
+                for i, (cn, tp, nl) in enumerate(sorted(cols.items()) and
+                    [(k, v[0], v[1]) for k, v in sorted(cols.items())])
+            )
+            tables.append(TableMeta(schema=schema, table=tname, columns=cms))
+        return Catalog(tables=tables)
+
+    catalog_spec = st.dictionaries(
+        st.tuples(schemas, names),
+        st.dictionaries(names, st.tuples(types, st.booleans()), max_size=3),
+        max_size=4,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(old_spec=catalog_spec, new_spec=catalog_spec)
+    def check(old_spec, new_spec):
+        old, new = build(old_spec), build(new_spec)
+        rows = [s for _, s in schema_diff_plan(old, new, "TGT").rows()]
+        text = "\n".join(rows)
+        assert "DROP" not in text
+        # identical catalogs → no statements and no warnings (section
+        # headers are the only rows a plan always renders)
+        if old_spec == new_spec:
+            assert all(r.startswith("-- ====") for r in rows)
+        # every new column of an EXISTING table appears exactly once as ADD
+        old_keys = {(t.schema, t.table) for t in old.tables}
+        for t in new.tables:
+            if (t.schema, t.table) not in old_keys:
+                continue
+            old_cols = {
+                c.name
+                for ot in old.tables
+                if (ot.schema, ot.table) == (t.schema, t.table)
+                for c in ot.columns
+            }
+            for c in t.columns:
+                if c.name not in old_cols:
+                    pat = f'ADD COLUMN "{c.name.upper()}"'
+                    in_table = [
+                        r for r in rows
+                        if pat in r and f'"{t.table.upper()}"' in r
+                        or pat in r and f'"{t.schema.upper()}_{t.table.upper()}"' in r
+                    ]
+                    assert len(in_table) == 1, (pat, rows)
+
+    check()

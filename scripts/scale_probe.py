@@ -83,6 +83,7 @@ X100_PROBES = [
     "mig_check_lineitem",
     "sessionize_events",
     "events_hourly_agg",
+    "bpe_merge_table_documents",
 ]
 
 

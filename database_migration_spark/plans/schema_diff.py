@@ -84,26 +84,25 @@ def schema_diff_plan(
     def q(name: str) -> str:
         return f'"{fold_identifier(name, fold)}"'
 
-    for name in sorted(n for n, ss in name_schemas.items() if len(ss) > 1):
-        warn_sec.statements.append(
-            Statement(
-                f"{name}: exists in schemas "
-                f"{sorted(name_schemas[name])} — target statements render "
-                "schema-prefixed to avoid colliding on one target name",
-                kind="warning",
-            )
-        )
+    # collision warnings are emitted only for names that actually produce
+    # statements (a drift-free diff stays empty); collected during the loop
+    used_collisions: set = set()
 
     for skey in sorted(new_tables):
         t = new_tables[skey]
         tname = target_name(t.schema, t.table)
         qual = f"{t.schema}.{t.table}"
+
+        def _note_collision(table=t.table):
+            if len(name_schemas[table]) > 1:
+                used_collisions.add(table)
         if skey not in old_tables:
             cols = ",\n".join(
                 f"  {q(col.name)} {spark_type_ddl(mt.spark_type)}"
                 f"{'' if col.nullable else ' NOT NULL'}"
                 for col, mt in map_columns(t.columns, policy)
             )
+            _note_collision()
             create_sec.statements.append(
                 Statement(f'CREATE TABLE "{tgt}".{q(tname)} (\n{cols}\n);')
             )
@@ -116,6 +115,7 @@ def schema_diff_plan(
                 # NOT NULL: on a populated target the constrained form is
                 # guaranteed to fail (existing rows have no value), the same
                 # reasoning as the tightening warning below
+                _note_collision()
                 add_sec.statements.append(
                     Statement(
                         f'ALTER TABLE "{tgt}".{q(tname)} '
@@ -134,6 +134,7 @@ def schema_diff_plan(
                 continue
             old_type, old_nullable, _ = old_cols[key]
             if ddl_type != old_type:
+                _note_collision()
                 modify_sec.statements.append(
                     Statement(
                         f'ALTER TABLE "{tgt}".{q(tname)} '
@@ -178,4 +179,14 @@ def schema_diff_plan(
                         kind="warning",
                     )
                 )
+
+    for name in sorted(used_collisions):
+        warn_sec.statements.append(
+            Statement(
+                f"{name}: exists in schemas "
+                f"{sorted(name_schemas[name])} — target statements render "
+                "schema-prefixed to avoid colliding on one target name",
+                kind="warning",
+            )
+        )
     return plan

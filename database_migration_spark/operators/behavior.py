@@ -186,3 +186,60 @@ def retention_cohorts(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("users"))
     )
+
+
+def daily_user_sketches(
+    events: DataFrame,
+    user_col: str = "user_id",
+    lg_k: int = 14,
+) -> DataFrame:
+    """(day_us, sketch): one mergeable HLL sketch of distinct users per day
+    (Datasketches HllSketch via ``hll_sketch_agg`` — Spark 3.5+).
+
+    THE incremental-distinct pattern for 100 TB event stores: each day's
+    partition is scanned once, ever, and reduced to a ~2^lg_k-byte sketch;
+    every rolling window after that unions sketches instead of rescanning
+    events. lg_k=14 gives ~0.8 % standard error — the monitoring-grade
+    counterpart to the exact count_distinct the cutover gate uses."""
+    from database_migration_spark.functions.time import epoch_us_wall
+
+    return events.groupBy(
+        epoch_us_wall(F.date_trunc("day", F.col("ts"))).alias("day_us")
+    ).agg(
+        F.hll_sketch_agg(F.col(user_col).cast("string"), F.lit(lg_k)).alias(
+            "sketch"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+def rolling_distinct_users(
+    sketches: DataFrame,
+    window_days: int = 7,
+) -> DataFrame:
+    """(day_us, rolling_users): per day, the estimated distinct users over
+    the trailing ``window_days`` — computed by UNIONING the persisted daily
+    sketches (``hll_union_agg``), never by touching the event rows again.
+
+    Shape: the day grid self-joins to its trailing window (each day picks
+    up ≤ window_days sketch rows — a days×window relation of kilobyte
+    sketches, broadcast-scale regardless of corpus size), then one
+    group-union per day. The estimate is approximate by design; parity
+    with exact distinct is asserted within HLL error bounds in
+    test_behavior.py, not via the value-hash oracle."""
+    day_us = 86_400_000_000
+    a = sketches.select(F.col("day_us").alias("d"), "sketch")
+    days = sketches.select("day_us")
+    joined = days.join(
+        a,
+        (F.col("d") <= F.col("day_us"))
+        & (F.col("d") > F.col("day_us") - F.lit(window_days * day_us)),
+    )
+    return (
+        joined.groupBy("day_us")
+        .agg(F.hll_union_agg("sketch").alias("u"))
+        .select(
+            "day_us",
+            F.hll_sketch_estimate("u").cast("long").alias("rolling_users"),
+        )
+    )

@@ -109,3 +109,50 @@ def test_retention_matches_python_reference(spark):
     }
     assert got == _ref_retention(rows, 10)
     assert got[(0, 2)] == 1 and (0, 1) not in got  # gaps stay gaps
+
+
+def test_rolling_distinct_users_within_hll_error(spark, sf_smoke):
+    """The sketch-union rolling estimate must sit within HLL error bounds
+    of the exact trailing-window distinct count for EVERY day, and the
+    sketches must be reusable (union happens on stored sketches, not on
+    event rows)."""
+    from pyspark.sql import functions as F
+
+    from database_migration_spark.functions.time import epoch_us_wall
+    from database_migration_spark.operators.behavior import (
+        daily_user_sketches,
+        rolling_distinct_users,
+    )
+    from database_migration_spark.sources.parquet_source import (
+        read_parquet_portable,
+    )
+
+    ev = read_parquet_portable(spark, f"{sf_smoke}/events.parquet")
+    sk = daily_user_sketches(ev).persist()
+    got = {
+        r.day_us: r.rolling_users
+        for r in rolling_distinct_users(sk, window_days=7).collect()
+    }
+
+    day_us = 86_400_000_000
+    days_events = ev.select(
+        epoch_us_wall(F.date_trunc("day", F.col("ts"))).alias("d"), "user_id"
+    ).persist()
+    exact = {}
+    for d in got:
+        exact[d] = (
+            days_events.where(
+                (F.col("d") <= d) & (F.col("d") > d - 7 * day_us)
+            )
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+    assert got.keys() == exact.keys() and got
+    for d, est in got.items():
+        # lg_k=14 → ~0.8% standard error; allow 5 sigma plus small-count slack
+        tol = max(5, int(exact[d] * 0.04))
+        assert abs(est - exact[d]) <= tol, (d, est, exact[d])
+    sk.unpersist()
+    days_events.unpersist()
+    spark.catalog.clearCache()

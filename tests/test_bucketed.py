@@ -45,3 +45,50 @@ def test_bucketed_join_no_shuffle(spark, bucket_env, sf_smoke):
         assert j.count() == li.join(o, li.l_orderkey == o.o_orderkey).count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_zorder_layout_skips_files_in_both_dimensions(spark, tmp_path):
+    """A Z-ordered layout must localize BOTH dimensions: a range predicate
+    on x alone AND one on y alone each touch a strict subset of files,
+    where a single-column sort localizes only its own column (a y-range
+    on x-sorted data touches every file). Content must be unchanged."""
+    from pyspark.sql import functions as F
+
+    from database_migration_spark.sources.bucketed import write_zordered
+
+    n = 1 << 7
+    grid = spark.range(n * n).select(
+        F.col("id"),
+        (F.col("id") % n).alias("x"),
+        (F.col("id") / n).cast("long").alias("y"),
+    )
+    zpath = str(tmp_path / "zed")
+    xpath = str(tmp_path / "xsorted")
+    write_zordered(grid, zpath, "x", "y", files=16, bits=7)
+    (
+        grid.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(xpath)
+    )
+
+    def files_touched(path, pred):
+        return (
+            spark.read.parquet(path)
+            .where(pred)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    xq = (F.col("x") >= 10) & (F.col("x") < 26)   # 1/8 of the x range
+    yq = (F.col("y") >= 10) & (F.col("y") < 26)
+    # the x-sorted layout localizes x but smears y over every file
+    assert files_touched(xpath, xq) <= 4
+    assert files_touched(xpath, yq) == 16
+    # z localizes both: strict subsets for either predicate
+    assert files_touched(zpath, xq) <= 8
+    assert files_touched(zpath, yq) <= 8
+    # and the layout is a pure reordering
+    z = spark.read.parquet(zpath)
+    assert z.count() == n * n
+    assert grid.exceptAll(z.select("id", "x", "y")).count() == 0

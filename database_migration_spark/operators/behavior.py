@@ -216,6 +216,7 @@ def daily_user_sketches(
 def rolling_distinct_users(
     sketches: DataFrame,
     window_days: int = 7,
+    persist: bool = True,
 ) -> DataFrame:
     """(day_us, rolling_users): per day, the estimated distinct users over
     the trailing ``window_days`` — computed by UNIONING the persisted daily
@@ -227,6 +228,15 @@ def rolling_distinct_users(
     group-union per day. The estimate is approximate by design; parity
     with exact distinct is asserted within HLL error bounds in
     test_behavior.py, not via the value-hash oracle."""
+    from pyspark import StorageLevel
+
+    # two plan consumers (the day grid and the sketch side of the join) —
+    # without a persist barrier an unpersisted input recomputes its whole
+    # upstream (the events scan + HLL aggregation) once per branch, which
+    # is exactly the rescan this operator exists to avoid. persist=False
+    # opts out for callers managing the cache themselves (streaming epochs).
+    if persist:
+        sketches = sketches.persist(StorageLevel.MEMORY_AND_DISK)
     day_us = 86_400_000_000
     a = sketches.select(F.col("day_us").alias("d"), "sketch")
     days = sketches.select("day_us")

@@ -2873,6 +2873,21 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("rolling_active_users")  # rows-only: HLL estimates have no
+# cross-engine oracle (DuckDB's approx_distinct uses a different sketch);
+# accuracy is asserted against exact trailing-window distincts within HLL
+# error bounds in test_behavior.py
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users from mergeable per-day HLL sketches
+    (operators/behavior.daily_user_sketches + rolling_distinct_users):
+    the events table is scanned once into kilobyte sketches; every
+    trailing window is a union of sketches, never a rescan."""
+    from database_migration_spark.operators import behavior as BH
+
+    sk = BH.daily_user_sketches(table(spark, sf_dir, "events"))
+    return BH.rolling_distinct_users(sk, window_days=7).orderBy("day_us")
+
+
 @register("bpe_merge_table_documents")  # rows-only: iterative argmax loop
 def bpe_merge_table_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary induction over the corpus (16 merges):
@@ -3347,6 +3362,10 @@ _SHOWCASE_ONLY = [
     # graded window preserves the window's all-oracle-checked property.
     # Differential-tested merge-for-merge vs a Python reference (test_bpe)
     "bpe_merge_table_documents",
+    # showcase from birth (rows-only by nature): HLL sketch estimates have
+    # no cross-engine oracle; error-bound-tested vs exact distincts
+    # (test_behavior)
+    "rolling_active_users",
     # showcase from birth: an explicit-values pivot compiles to the
     # conditional-aggregation family the mig_check queries grade; the
     # epoch-µs day key is graded via events_hourly_agg's hour key;

@@ -41,31 +41,37 @@ def bucketed_join(
     return l.join(r, l[left_key] == r[right_key])
 
 
-def zorder_expr(xcol, ycol, x_range, y_range, bits: int = 8):
-    """Morton/Z-order key for two numeric columns: each value is scaled to
-    a ``bits``-bit integer over its [min, max] range (driver-supplied —
-    collect it once from table stats, don't rescan), then the bit strings
-    interleave. Rows close in BOTH dimensions land close in z — the
-    property multi-dimensional data skipping needs.
+def zorder_expr(xname: str, yname: str, x_range, y_range, bits: int = 8):
+    """Morton/Z-order key for two numeric columns: each value is quantized
+    to micro-units (floor(v*1e6) — exact for integer inputs, fixed-point
+    for doubles), scaled to a ``bits``-bit code over its [min, max] range
+    with INTEGER arithmetic (`div`, never a double floor — CLAUDE.md's
+    floor-division rule), then the bit strings interleave. Rows close in
+    BOTH dimensions land close in z — the property multi-dimensional data
+    skipping needs.
 
-    Exact integer arithmetic: the scaling is a floor of (v-min)·(2^bits-1)
-    over the range, the interleave is shifts and masks — deterministic on
-    any engine."""
+    Ranges are driver-supplied (collect once from table stats, don't
+    rescan) and may be stale: out-of-range values clamp to the edge codes
+    on BOTH sides (an unclamped negative code would sign-extend through
+    shiftright and scatter the row's z). Magnitude bound: the e6
+    quantization requires |v| ≲ 9e12 (v·1e6 must fit a BIGINT exactly) and
+    the scaled product (q-qlo)·(2^bits-1) must fit too — for columns
+    already in large integer units (epoch-µs ~1.7e18) pre-scale to a
+    coarser unit first (epoch-seconds or days), which costs nothing: the
+    z-code has only 2^bits distinct cells per dimension anyway."""
     from pyspark.sql import functions as F
 
-    def scaled(col, lo, hi):
-        span = max(hi - lo, 1)
-        return F.least(
-            F.lit((1 << bits) - 1),
-            F.floor(
-                (col.cast("double") - F.lit(float(lo)))
-                * F.lit(float((1 << bits) - 1))
-                / F.lit(float(span))
-            ).cast("long"),
-        )
+    def scaled(name, lo, hi):
+        qlo = int(float(lo) * 1_000_000)
+        qhi = int(float(hi) * 1_000_000)
+        span = max(qhi - qlo, 1)
+        k = (1 << bits) - 1
+        q = f"CAST(floor(CAST(`{name}` AS DOUBLE) * 1000000.0) AS BIGINT)"
+        code = F.expr(f"(({q} - {qlo}L) * {k}L) div {span}L")
+        return F.greatest(F.lit(0), F.least(F.lit(k), code)).cast("long")
 
-    x = scaled(xcol, *x_range)
-    y = scaled(ycol, *y_range)
+    x = scaled(xname, *x_range)
+    y = scaled(yname, *y_range)
     z = F.lit(0).cast("long")
     for i in range(bits):
         z = (
@@ -93,14 +99,18 @@ def write_zordered(
     so a 2-D range predicate (x BETWEEN … AND y BETWEEN …) touches a few
     files/row-groups and parquet min/max pushdown skips the rest. The x/y
     ranges come from one tiny agg over the input (driver scalars, the
-    binpack planner split)."""
+    binpack planner split). An empty or all-NULL input degrades to a plain
+    write (there is no order to impose)."""
     from pyspark.sql import functions as F
 
     lo_hi = df.agg(
         F.min(xcol), F.max(xcol), F.min(ycol), F.max(ycol)
     ).collect()[0]
+    if any(v is None for v in lo_hi):
+        df.write.mode("overwrite").parquet(path)
+        return
     z = zorder_expr(
-        F.col(xcol), F.col(ycol), (lo_hi[0], lo_hi[1]), (lo_hi[2], lo_hi[3]), bits
+        xcol, ycol, (lo_hi[0], lo_hi[1]), (lo_hi[2], lo_hi[3]), bits
     )
     (
         df.withColumn("_z", z)

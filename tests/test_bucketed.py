@@ -82,9 +82,12 @@ def test_zorder_layout_skips_files_in_both_dimensions(spark, tmp_path):
 
     xq = (F.col("x") >= 10) & (F.col("x") < 26)   # 1/8 of the x range
     yq = (F.col("y") >= 10) & (F.col("y") < 26)
-    # the x-sorted layout localizes x but smears y over every file
+    # the x-sorted layout localizes x but smears y over EVERY written file
+    # (compare against the actual file count — repartitionByRange may
+    # write fewer than the requested partitions when ranges sample empty)
+    n_files = files_touched(xpath, F.lit(True))
     assert files_touched(xpath, xq) <= 4
-    assert files_touched(xpath, yq) == 16
+    assert files_touched(xpath, yq) == n_files
     # z localizes both: strict subsets for either predicate
     assert files_touched(zpath, xq) <= 8
     assert files_touched(zpath, yq) <= 8

@@ -304,8 +304,7 @@ def test_schema_diff_properties():
             cms = tuple(
                 ColumnMeta(schema=schema, table=tname, name=cn, ordinal=i + 1,
                            source_type=tp, nullable=nl)
-                for i, (cn, tp, nl) in enumerate(sorted(cols.items()) and
-                    [(k, v[0], v[1]) for k, v in sorted(cols.items())])
+                for i, (cn, (tp, nl)) in enumerate(sorted(cols.items()))
             )
             tables.append(TableMeta(schema=schema, table=tname, columns=cms))
         return Catalog(tables=tables)
@@ -340,12 +339,21 @@ def test_schema_diff_properties():
             }
             for c in t.columns:
                 if c.name not in old_cols:
-                    pat = f'ADD COLUMN "{c.name.upper()}"'
-                    in_table = [
-                        r for r in rows
-                        if pat in r and f'"{t.table.upper()}"' in r
-                        or pat in r and f'"{t.schema.upper()}_{t.table.upper()}"' in r
+                    # anchored match: the statement names the TARGET table
+                    # (possibly schema-prefixed) then this exact column — a
+                    # bare substring test would double-count when a column
+                    # name equals another table's name
+                    pats = [
+                        f'ALTER TABLE "TGT"."{tn}" '
+                        f'ADD COLUMN "{c.name.upper()}" '
+                        for tn in (
+                            t.table.upper(),
+                            f"{t.schema.upper()}_{t.table.upper()}",
+                        )
                     ]
-                    assert len(in_table) == 1, (pat, rows)
+                    in_table = [
+                        r for r in rows if any(r.startswith(p) for p in pats)
+                    ]
+                    assert len(in_table) == 1, (pats, rows)
 
     check()

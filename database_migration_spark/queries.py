@@ -216,6 +216,46 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "json_props_stats",
+    # schema-on-read over the semi-structured props column: Spark parses
+    # with from_json (typed null on malformed — the permissive-mode
+    # contract), DuckDB with json_extract_string; both sides aggregate the
+    # extracted BIGINT exactly
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS n_with_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the semi-structured ``props`` JSON column:
+    ``from_json`` projects a typed struct (malformed rows become typed
+    NULLs, counted via n_events - n_with_k) and the extracted field
+    aggregates like any native column — the JSON path stays inside
+    whole-stage codegen, no UDF. At 100 TB this is the standard
+    late-binding pattern for event payloads that evolve faster than the
+    table schema."""
+    ev = table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k LONG")["k"]
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("k").cast("long").alias("n_with_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -3366,6 +3406,10 @@ _SHOWCASE_ONLY = [
     # no cross-engine oracle; error-bound-tested vs exact distincts
     # (test_behavior)
     "rolling_active_users",
+    # showcase from birth: the JSON-extract aggregate is the conditional
+    # groupBy family many graded queries prove; the new element
+    # (from_json schema-on-read) is oracle-checked here and sim-verified
+    "json_props_stats",
     # showcase from birth: an explicit-values pivot compiles to the
     # conditional-aggregation family the mig_check queries grade; the
     # epoch-µs day key is graded via events_hourly_agg's hour key;

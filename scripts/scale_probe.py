@@ -63,6 +63,8 @@ PROBES = [
     "corpus_mix_cube",
     "embedding_outliers",
     "bpe_merge_table_documents",
+    "rolling_active_users",
+    "json_props_stats",
     # bm25_topk_documents is NOT probed via the registry: its fixed query
     # terms don't exist in the suffixed derived vocabulary (measured 0.58×
     # at ×10 — an empty hit set, not a scaling result). --bm25 runs the

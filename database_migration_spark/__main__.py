@@ -22,7 +22,26 @@ import argparse
 import sys
 
 
-def _source(spark, root: str):
+def _source(spark, root: str, args=None):
+    """Adapter dispatch: a ``jdbc:`` URL builds a JdbcSourceAdapter for
+    ``--dialect`` (the reference's real workflow — database in, lake out);
+    anything else is a parquet table directory."""
+    if root.startswith("jdbc:"):
+        from database_migration_spark.sources.dialects import ALL_DIALECTS
+        from database_migration_spark.sources.jdbc import JdbcSourceAdapter
+
+        dialect = getattr(args, "dialect", None) if args else None
+        if not dialect or dialect not in ALL_DIALECTS:
+            raise SystemExit(
+                f"error: a jdbc: source needs --dialect "
+                f"(one of {sorted(ALL_DIALECTS)})"
+            )
+        props = dict(
+            kv.split("=", 1) for kv in (getattr(args, "jdbc_prop", None) or [])
+        )
+        return JdbcSourceAdapter(
+            spark, ALL_DIALECTS[dialect], url=root, properties=props
+        )
     from database_migration_spark.sources.parquet_source import ParquetSource
 
     return ParquetSource(spark, root)
@@ -42,7 +61,7 @@ def cmd_plan(args) -> int:
     from database_migration_spark.session import get_spark
 
     spark = get_spark(app_name="dms_plan")
-    planner = MigrationPlanner(_source(spark, args.source))
+    planner = MigrationPlanner(_source(spark, args.source, args))
     cat, plan = planner.plan(
         args.target_schema, schema_filter=args.schemas, table_filter=args.tables
     )
@@ -71,7 +90,7 @@ def cmd_migrate(args) -> int:
     from database_migration_spark.session import get_spark
 
     spark = get_spark(app_name="dms_migrate")
-    adapter = _source(spark, args.source)
+    adapter = _source(spark, args.source, args)
     cat = adapter.scan_catalog(args.schemas, args.tables)
     if not cat.tables:
         return _no_match(args.source, args)
@@ -159,14 +178,22 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("plan", help="dry-run reviewable statement stream")
-    sp.add_argument("--source", required=True, help="source table directory")
+    sp.add_argument("--source", required=True,
+                    help="source table directory or jdbc: URL")
+    sp.add_argument("--dialect", help="dialect name for jdbc: sources")
+    sp.add_argument("--jdbc-prop", action="append",
+                    help="k=v JDBC property (repeatable), e.g. driver=...")
     sp.add_argument("--target-schema", default="MIGRATED")
     sp.add_argument("--schemas", default="%", help="LIKE filter or a,b list")
     sp.add_argument("--tables", default="%", help="LIKE filter or a,b list")
     sp.set_defaults(fn=cmd_plan)
 
     sm = sub.add_parser("migrate", help="copy tables into a parquet target")
-    sm.add_argument("--source", required=True)
+    sm.add_argument("--source", required=True,
+                    help="source table directory or jdbc: URL")
+    sm.add_argument("--dialect", help="dialect name for jdbc: sources")
+    sm.add_argument("--jdbc-prop", action="append",
+                    help="k=v JDBC property (repeatable), e.g. driver=...")
     sm.add_argument("--dest", required=True)
     sm.add_argument("--schemas", default="%")
     sm.add_argument("--tables", default="%")

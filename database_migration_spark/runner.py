@@ -140,7 +140,14 @@ class MigrationRunner:
         comparisons: list[DataFrame] = []
         for t in sorted(catalog.tables, key=lambda x: (x.schema, x.table)):
             self.logger.log(f"read {t.table}", "start")
-            src = adapter.read(t.table)
+            # JDBC adapters read through the typed TableMeta contract
+            # (explicit column list, transfer exprs); file adapters read by
+            # name
+            src = (
+                adapter.read_table(t)
+                if hasattr(adapter, "read_table")
+                else adapter.read(t.table)
+            )
             mapped = map_columns(t.columns, TypeMapPolicy())
             warnings = [w for _c, m in mapped for w in m.warnings]
 

@@ -114,8 +114,16 @@ class SourceAdapter(ABC):
     # --- types --------------------------------------------------------
     def normalize_type(self, raw: str) -> str:
         """Dialect pre-normalization before the shared map (e.g. Oracle
-        NUMBER with no precision → 'number', PG 'int4' → 'int')."""
-        return raw.strip().lower()
+        NUMBER with no precision → 'number', PG 'int4' → 'int'). Some
+        catalogs render the full column DDL as the type (Derby's
+        SYSCOLUMNS.COLUMNDATATYPE is 'BIGINT NOT NULL') — the constraint
+        suffix is nullability metadata, not part of the type, and leaving
+        it would route a perfectly mappable type to the unknown-type
+        fallback."""
+        t = raw.strip().lower()
+        if t.endswith(" not null"):
+            t = t[: -len(" not null")].rstrip()
+        return t
 
     def type_map(self, raw: str) -> MappedType:
         return map_type(self.normalize_type(raw), self.policy)

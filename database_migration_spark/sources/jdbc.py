@@ -76,6 +76,11 @@ class JdbcSourceAdapter(SourceAdapter):
     # --- types ------------------------------------------------------------
     def normalize_type(self, raw: str) -> str:
         t = raw.strip().lower()
+        # some catalogs render the column DDL as the type (Derby
+        # SYSCOLUMNS.COLUMNDATATYPE: 'BIGINT NOT NULL') — nullability is
+        # carried separately; stripping it keeps the type mappable
+        if t.endswith(" not null"):
+            t = t[: -len(" not null")].rstrip()
         # unwrap ClickHouse Nullable(...)/LowCardinality(...) recursively
         m = _WRAPPERS.match(t)
         while m:

@@ -99,3 +99,54 @@ def test_cli_validate_explicit_missing_table_no_crash(spark, sf_smoke, tmp_path,
     assert "nation: MISSING in right" in out
     assert "ghost: MISSING in left and right" in out
     assert "region: OK" in out  # still compared after the missing ones
+
+
+def test_cli_migrate_from_live_jdbc_source(spark, tmp_path, capsys, monkeypatch):
+    """End-to-end over a REAL JDBC source (embedded Derby): the CLI builds
+    the dialect adapter from --source jdbc:... + --dialect, the runner
+    scans the live catalog, copies through the typed transfer path, and
+    the parquet target validates clean."""
+    from database_migration_spark.sources import dialects as D
+    from database_migration_spark.sources.dialects import DialectSpec
+
+    db = str(tmp_path / "clidb")
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    conn = jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{db};create=true")
+    st = conn.createStatement()
+    st.execute("CREATE TABLE APP.ITEMS (ID BIGINT NOT NULL, NAME VARCHAR(20))")
+    st.execute("INSERT INTO APP.ITEMS VALUES " + ", ".join(
+        f"({i}, 'item{i}')" for i in range(20)))
+    st.close()
+    conn.close()
+
+    derby = DialectSpec(
+        name="derby",
+        catalog_sql="""
+SELECT s.SCHEMANAME AS schema_name, t.TABLENAME AS table_name,
+       c.COLUMNNAME AS column_name, c.COLUMNNUMBER AS ordinal_position,
+       CAST(c.COLUMNDATATYPE AS VARCHAR(128)) AS data_type,
+       CAST(NULL AS INT) AS numeric_precision, CAST(NULL AS INT) AS numeric_scale,
+       CAST(NULL AS INT) AS character_maximum_length,
+       'YES' AS is_nullable
+FROM SYS.SYSCOLUMNS c
+JOIN SYS.SYSTABLES t ON t.TABLEID = c.REFERENCEID
+JOIN SYS.SYSSCHEMAS s ON s.SCHEMAID = t.SCHEMAID
+WHERE t.TABLETYPE = 'T'
+  AND s.SCHEMANAME LIKE '{schema_filter}' AND t.TABLENAME LIKE '{table_filter}'
+""",
+    )
+    monkeypatch.setitem(D.ALL_DIALECTS, "derby", derby)
+
+    dest = str(tmp_path / "from_jdbc")
+    rc = main([
+        "migrate", "--source", f"jdbc:derby:{db}", "--dialect", "derby",
+        "--jdbc-prop", "driver=org.apache.derby.jdbc.EmbeddedDriver",
+        "--dest", dest,
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "ITEMS: 20 rows, OK" in out
+    got = spark.read.parquet(f"{dest}/ITEMS")
+    assert got.count() == 20
+    assert sorted(c.upper() for c in got.columns) == ["ID", "NAME"]

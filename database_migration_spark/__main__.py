@@ -109,6 +109,16 @@ def cmd_migrate(args) -> int:
     return 0 if report.ok else 1
 
 
+def _readers(adapter, schemas: str, tables: str) -> dict:
+    """Normalize an adapter to {table_name: thunk returning DataFrame}.
+    File adapters list/read by name; JDBC adapters go through the scanned
+    catalog and the typed read_table contract."""
+    if hasattr(adapter, "list_tables"):
+        return {t: (lambda t=t: adapter.read(t)) for t in adapter.list_tables()}
+    cat = adapter.scan_catalog(schemas, tables)
+    return {t.table: (lambda t=t: adapter.read_table(t)) for t in cat.tables}
+
+
 def cmd_validate(args) -> int:
     from pyspark.sql import functions as F
 
@@ -116,9 +126,9 @@ def cmd_validate(args) -> int:
     from database_migration_spark.session import get_spark
 
     spark = get_spark(app_name="dms_validate")
-    left = _source(spark, args.left)
-    right = _source(spark, args.right)
-    lnames, rnames = set(left.list_tables()), set(right.list_tables())
+    lread = _readers(_source(spark, args.left, args), args.schemas, args.tables)
+    rread = _readers(_source(spark, args.right, args), args.schemas, args.tables)
+    lnames, rnames = set(lread), set(rread)
     if args.tables != "%":
         named = [t.strip() for t in args.tables.split(",") if t.strip()]
         missing = [t for t in named if t not in lnames or t not in rnames]
@@ -138,7 +148,7 @@ def cmd_validate(args) -> int:
         bad += 1
     for t in tables:
         cmp, uncompared = validate_pair(
-            left.read(t), right.read(t), t, distinct_mode=args.distinct_mode
+            lread[t](), rread[t](), t, distinct_mode=args.distinct_mode
         )
         dev = cmp.filter(F.col("status") == "DEVIATION")
         n = dev.count()
@@ -158,8 +168,8 @@ def cmd_diff(args) -> int:
     from database_migration_spark.session import get_spark
 
     spark = get_spark(app_name="dms_diff")
-    old = _source(spark, args.old).scan_catalog(args.schemas, args.tables)
-    new = _source(spark, args.new).scan_catalog(args.schemas, args.tables)
+    old = _source(spark, args.old, args).scan_catalog(args.schemas, args.tables)
+    new = _source(spark, args.new, args).scan_catalog(args.schemas, args.tables)
     if not old.tables and not new.tables:
         return _no_match(f"{args.old} or {args.new}", args)
     plan = schema_diff_plan(old, new, args.target_schema)
@@ -207,13 +217,18 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--target-schema", default="MIGRATED")
     sd.add_argument("--schemas", default="%")
     sd.add_argument("--tables", default="%")
+    sd.add_argument("--dialect", help="dialect name for jdbc: sides")
+    sd.add_argument("--jdbc-prop", action="append")
     sd.set_defaults(fn=cmd_diff)
 
     sv = sub.add_parser("validate", help="metric-diff two table directories")
     sv.add_argument("--left", required=True)
     sv.add_argument("--right", required=True)
+    sv.add_argument("--schemas", default="%")
     sv.add_argument("--tables", default="%", help="comma list; default: common")
     sv.add_argument("--distinct-mode", default="exact", choices=["exact", "approx"])
+    sv.add_argument("--dialect", help="dialect name for jdbc: sides")
+    sv.add_argument("--jdbc-prop", action="append")
     sv.set_defaults(fn=cmd_validate)
 
     args = p.parse_args(argv)

@@ -150,3 +150,14 @@ WHERE t.TABLETYPE = 'T'
     got = spark.read.parquet(f"{dest}/ITEMS")
     assert got.count() == 20
     assert sorted(c.upper() for c in got.columns) == ["ID", "NAME"]
+
+    # the cutover gate: metric-diff the LIVE source against the migrated
+    # parquet target through the same CLI
+    rc = main([
+        "validate", "--left", f"jdbc:derby:{db}", "--dialect", "derby",
+        "--jdbc-prop", "driver=org.apache.derby.jdbc.EmbeddedDriver",
+        "--right", dest,
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "ITEMS: OK" in out

@@ -36,9 +36,14 @@ def _source(spark, root: str, args=None):
                 f"error: a jdbc: source needs --dialect "
                 f"(one of {sorted(ALL_DIALECTS)})"
             )
-        props = dict(
-            kv.split("=", 1) for kv in (getattr(args, "jdbc_prop", None) or [])
-        )
+        props = {}
+        for kv in getattr(args, "jdbc_prop", None) or []:
+            if "=" not in kv:
+                raise SystemExit(
+                    f"error: --jdbc-prop expects k=v, got {kv!r}"
+                )
+            k, v = kv.split("=", 1)
+            props[k] = v
         return JdbcSourceAdapter(
             spark, ALL_DIALECTS[dialect], url=root, properties=props
         )
@@ -112,11 +117,25 @@ def cmd_migrate(args) -> int:
 def _readers(adapter, schemas: str, tables: str) -> dict:
     """Normalize an adapter to {table_name: thunk returning DataFrame}.
     File adapters list/read by name; JDBC adapters go through the scanned
-    catalog and the typed read_table contract."""
+    catalog (columns only — keys/comments are irrelevant to a metric diff
+    and may need privileges a read-only login lacks) and the typed
+    read_table contract. Bare table names are the comparison key, so a
+    multi-schema source with duplicate names is ambiguous — refuse it and
+    ask for a --schemas scope rather than silently dropping a table from
+    the gate."""
     if hasattr(adapter, "list_tables"):
         return {t: (lambda t=t: adapter.read(t)) for t in adapter.list_tables()}
-    cat = adapter.scan_catalog(schemas, tables)
-    return {t.table: (lambda t=t: adapter.read_table(t)) for t in cat.tables}
+    cat = adapter.scan_catalog(schemas, tables, include_metadata=False)
+    out = {t.table: (lambda t=t: adapter.read_table(t)) for t in cat.tables}
+    if len(out) < len(cat.tables):
+        seen, dups = set(), set()
+        for t in cat.tables:
+            (dups if t.table in seen else seen).add(t.table)
+        raise SystemExit(
+            f"error: table name(s) {sorted(dups)} exist in several schemas; "
+            "scope the comparison with --schemas"
+        )
+    return out
 
 
 def cmd_validate(args) -> int:

@@ -218,22 +218,29 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "json_props_stats",
-    # schema-on-read over the semi-structured props column: Spark parses
-    # with from_json (typed null on malformed — the permissive-mode
-    # contract), DuckDB with json_extract_string; both sides aggregate the
-    # extracted BIGINT exactly
+    # schema-on-read over the semi-structured props column. Spark's
+    # from_json yields a typed NULL for malformed JSON AND for a quoted
+    # number ("5" does not coerce to LONG); the oracle replicates BOTH
+    # behaviors explicitly — json_valid() guards malformed rows (DuckDB
+    # would otherwise ABORT on them) and json_type() restricts to JSON
+    # integers (json_extract_string would happily coerce "5")
     oracle="""
+WITH j AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+               AND json_type(json_extract(props, '$.k'))
+                   IN ('INTEGER', 'UBIGINT', 'BIGINT')
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS k
+  FROM events
+)
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT))
-            AS BIGINT) AS n_with_k,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
-            AS BIGINT) AS sum_k,
-       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
-            AS BIGINT) AS min_k,
-       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
-            AS BIGINT) AS max_k
-FROM events
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM j
 GROUP BY event_type
 """,
 )

@@ -138,6 +138,12 @@ class MigrationRunner:
     ) -> MigrationReport:
         report = MigrationReport()
         comparisons: list[DataFrame] = []
+        # a table name in several schemas would write to the SAME target
+        # path, the later copy silently replacing the earlier — those
+        # tables get schema-qualified paths (and a warning) instead
+        name_counts: dict[str, int] = {}
+        for t in catalog.tables:
+            name_counts[t.table] = name_counts.get(t.table, 0) + 1
         for t in sorted(catalog.tables, key=lambda x: (x.schema, x.table)):
             self.logger.log(f"read {t.table}", "start")
             # JDBC adapters read through the typed TableMeta contract
@@ -151,7 +157,14 @@ class MigrationRunner:
             mapped = map_columns(t.columns, TypeMapPolicy())
             warnings = [w for _c, m in mapped for w in m.warnings]
 
-            target_path = f"{target_dir}/{t.table}"
+            if name_counts[t.table] > 1:
+                target_path = f"{target_dir}/{t.schema}_{t.table}"
+                warnings.append(
+                    f"{t.schema}.{t.table}: name exists in several schemas; "
+                    f"written to {t.schema}_{t.table}"
+                )
+            else:
+                target_path = f"{target_dir}/{t.table}"
             src.write.mode("overwrite").parquet(target_path)
             tgt = self.spark.read.parquet(target_path)
             n = tgt.count()

@@ -75,12 +75,8 @@ class JdbcSourceAdapter(SourceAdapter):
 
     # --- types ------------------------------------------------------------
     def normalize_type(self, raw: str) -> str:
-        t = raw.strip().lower()
-        # some catalogs render the column DDL as the type (Derby
-        # SYSCOLUMNS.COLUMNDATATYPE: 'BIGINT NOT NULL') — nullability is
-        # carried separately; stripping it keeps the type mappable
-        if t.endswith(" not null"):
-            t = t[: -len(" not null")].rstrip()
+        # base normalization first (lowercase + constraint-suffix strip)
+        t = super().normalize_type(raw)
         # unwrap ClickHouse Nullable(...)/LowCardinality(...) recursively
         m = _WRAPPERS.match(t)
         while m:
@@ -205,12 +201,22 @@ class JdbcSourceAdapter(SourceAdapter):
         ``include_keys`` is the deprecated alias for the same switch."""
         if include_keys is not None:
             include_metadata = include_keys
+        # comma lists (the LIKE-or-IN contract of Catalog.filter) cannot be
+        # rendered into the remote single-LIKE template — scan wide and
+        # apply the list locally; plain LIKE patterns still push down
+        local_schema = local_table = None
+        if "," in schema_filter:
+            local_schema, schema_filter = schema_filter, "%"
+        if "," in table_filter:
+            local_table, table_filter = table_filter, "%"
         if databases is None and "{database}" in self.spec.catalog_sql:
             databases = self.list_databases(db_filter)
         sql = self._maybe_expand(
             self.catalog_query(schema_filter, table_filter), databases
         )
         cat = self.catalog_from_rows(self._fetch_rows(sql))
+        if local_schema or local_table:
+            cat = cat.filter(local_schema or "%", local_table or "%")
         if not include_metadata:
             return cat
         if self.spec.pk_sql is not None:

@@ -26,3 +26,23 @@ def sf_smoke():
 @pytest.fixture(scope="session")
 def sf_t2():
     return SF_T2
+
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def make_derby_db(spark, db_path: str, statements: list[str]) -> str:
+    """Create + populate an embedded Derby DB driver-side (py4j JDBC) and
+    return its jdbc: URL. Shared by every live-JDBC test so the driver
+    class / connection-string conventions live in one place."""
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(DERBY_DRIVER)
+    conn = jvm.java.sql.DriverManager.getConnection(
+        f"jdbc:derby:{db_path};create=true"
+    )
+    st = conn.createStatement()
+    for sql in statements:
+        st.execute(sql)
+    st.close()
+    conn.close()
+    return f"jdbc:derby:{db_path}"

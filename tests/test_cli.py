@@ -108,17 +108,14 @@ def test_cli_migrate_from_live_jdbc_source(spark, tmp_path, capsys, monkeypatch)
     the parquet target validates clean."""
     from database_migration_spark.sources import dialects as D
     from database_migration_spark.sources.dialects import DialectSpec
+    from tests.conftest import DERBY_DRIVER, make_derby_db
 
     db = str(tmp_path / "clidb")
-    jvm = spark._jvm
-    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
-    conn = jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{db};create=true")
-    st = conn.createStatement()
-    st.execute("CREATE TABLE APP.ITEMS (ID BIGINT NOT NULL, NAME VARCHAR(20))")
-    st.execute("INSERT INTO APP.ITEMS VALUES " + ", ".join(
-        f"({i}, 'item{i}')" for i in range(20)))
-    st.close()
-    conn.close()
+    url = make_derby_db(spark, db, [
+        "CREATE TABLE APP.ITEMS (ID BIGINT NOT NULL, NAME VARCHAR(20))",
+        "INSERT INTO APP.ITEMS VALUES "
+        + ", ".join(f"({i}, 'item{i}')" for i in range(20)),
+    ])
 
     derby = DialectSpec(
         name="derby",
@@ -139,10 +136,13 @@ WHERE t.TABLETYPE = 'T'
     monkeypatch.setitem(D.ALL_DIALECTS, "derby", derby)
 
     dest = str(tmp_path / "from_jdbc")
+    # the comma-list table filter must work on a jdbc source too (it is
+    # applied locally with IN semantics — a single remote LIKE cannot
+    # express it)
     rc = main([
-        "migrate", "--source", f"jdbc:derby:{db}", "--dialect", "derby",
-        "--jdbc-prop", "driver=org.apache.derby.jdbc.EmbeddedDriver",
-        "--dest", dest,
+        "migrate", "--source", url, "--dialect", "derby",
+        "--jdbc-prop", f"driver={DERBY_DRIVER}",
+        "--dest", dest, "--tables", "ITEMS,GHOST",
     ])
     out = capsys.readouterr().out
     assert rc == 0
@@ -154,10 +154,18 @@ WHERE t.TABLETYPE = 'T'
     # the cutover gate: metric-diff the LIVE source against the migrated
     # parquet target through the same CLI
     rc = main([
-        "validate", "--left", f"jdbc:derby:{db}", "--dialect", "derby",
-        "--jdbc-prop", "driver=org.apache.derby.jdbc.EmbeddedDriver",
+        "validate", "--left", url, "--dialect", "derby",
+        "--jdbc-prop", f"driver={DERBY_DRIVER}",
         "--right", dest,
     ])
     out = capsys.readouterr().out
     assert rc == 0
     assert "ITEMS: OK" in out
+
+
+def test_cli_jdbc_prop_without_equals_is_clean_error(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="k=v"):
+        main(["plan", "--source", "jdbc:derby:/nope", "--dialect", "mysql",
+              "--jdbc-prop", "driver"])

@@ -14,28 +14,20 @@ from database_migration_spark.plans.binpack import plan_range_split
 from database_migration_spark.sources.dialects import DialectSpec
 from database_migration_spark.sources.jdbc import JdbcSourceAdapter
 
-DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+from tests.conftest import DERBY_DRIVER, make_derby_db
 
 DERBY = DialectSpec(name="derby", catalog_sql="-- unused in this smoke")
 
 
 @pytest.fixture(scope="module")
 def derby_url(spark, tmp_path_factory):
-    """Create + populate an embedded Derby DB driver-side (py4j JDBC)."""
     db = str(tmp_path_factory.mktemp("derby") / "smokedb")
-    jvm = spark._jvm
-    jvm.java.lang.Class.forName(DERBY_DRIVER)
-    conn = jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{db};create=true")
-    st = conn.createStatement()
-    st.execute(
-        "CREATE TABLE APP.ORDERS ("
-        "ID BIGINT NOT NULL, STATUS VARCHAR(10), AMOUNT DOUBLE)"
-    )
     values = ", ".join(f"({i}, 'S{i % 3}', {i * 1.5})" for i in range(100))
-    st.execute(f"INSERT INTO APP.ORDERS VALUES {values}")
-    st.close()
-    conn.close()
-    return f"jdbc:derby:{db}"
+    return make_derby_db(spark, db, [
+        "CREATE TABLE APP.ORDERS ("
+        "ID BIGINT NOT NULL, STATUS VARCHAR(10), AMOUNT DOUBLE)",
+        f"INSERT INTO APP.ORDERS VALUES {values}",
+    ])
 
 
 def _adapter(spark, derby_url) -> JdbcSourceAdapter:

@@ -156,3 +156,35 @@ def test_planner_carries_views_and_partitions(spark):
     assert 'PARTITION BY "ID";' in sql
     assert "to_days(d)) not auto-mapped" in sql
     assert "-- app.v1" in sql and "-- SELECT id FROM t" in sql
+
+
+def test_runner_schema_qualifies_colliding_table_paths(spark, tmp_path):
+    """Two schemas carrying the same table name must land in DISTINCT
+    target paths (schema-prefixed) with a warning — not silently overwrite
+    one another."""
+    from database_migration_spark.catalog import Catalog, ColumnMeta, TableMeta
+    from database_migration_spark.runner import MigrationRunner
+
+    def tmeta(schema, mark):
+        return TableMeta(
+            schema=schema, table="t",
+            columns=(ColumnMeta(schema, "t", "id", 1, "bigint"),),
+        )
+
+    class FakeAdapter:
+        def read_table(self, t):
+            base = 100 if t.schema == "S1" else 200
+            return spark.range(base, base + 5).select(
+                __import__("pyspark.sql.functions", fromlist=["col"]).col("id")
+            )
+
+    cat = Catalog(tables=[tmeta("S1", 1), tmeta("S2", 2)])
+    dest = str(tmp_path / "multi")
+    report = MigrationRunner(spark).execute(
+        cat, FakeAdapter(), dest, validate=False
+    )
+    a = spark.read.parquet(f"{dest}/S1_t")
+    b = spark.read.parquet(f"{dest}/S2_t")
+    assert {r.id for r in a.collect()} == set(range(100, 105))
+    assert {r.id for r in b.collect()} == set(range(200, 205))
+    assert any("several schemas" in w for t in report.tables for w in t.warnings)

@@ -169,3 +169,24 @@ def test_cli_jdbc_prop_without_equals_is_clean_error(spark):
     with _pytest.raises(SystemExit, match="k=v"):
         main(["plan", "--source", "jdbc:derby:/nope", "--dialect", "mysql",
               "--jdbc-prop", "driver"])
+
+
+def test_cli_readers_refuse_ambiguous_jdbc_names(spark):
+    """A multi-schema source with duplicate bare table names cannot be
+    keyed for a name-based comparison — the gate must refuse loudly, not
+    silently drop a table."""
+    import pytest as _pytest
+
+    from database_migration_spark.__main__ import _readers
+    from database_migration_spark.catalog import Catalog, ColumnMeta, TableMeta
+
+    class FakeJdbc:
+        def scan_catalog(self, schemas, tables, include_metadata=True):
+            col = lambda s: ColumnMeta(s, "t", "id", 1, "bigint")  # noqa: E731
+            return Catalog(tables=[
+                TableMeta("S1", "t", (col("S1"),)),
+                TableMeta("S2", "t", (col("S2"),)),
+            ])
+
+    with _pytest.raises(SystemExit, match="several schemas"):
+        _readers(FakeJdbc(), "%", "%")

@@ -208,3 +208,40 @@ def stream_incremental_dedup(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "click_ts",
+    right_ts: str = "purchase_ts",
+    gap: str = "60 minutes",
+    watermark_delay: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the attribution pattern
+    (each right-side event joins the left-side events of the same key in
+    the preceding ``gap``): purchases←clicks, alerts←probes, fills←orders.
+
+    State-boundedness is the whole design: BOTH sides carry event-time
+    watermarks and the join condition bounds right_ts to
+    [left_ts, left_ts + gap], so Spark can expire left rows once the
+    right watermark passes left_ts + gap (and vice versa) — without the
+    interval bound the state store grows forever; Spark rejects an
+    unbounded stream-stream outer join outright. At 100 TB/day this is
+    the only join shape that runs continuously: state is O(key-rate ×
+    (gap + delay)) regardless of stream length.
+
+    ``how='left_outer'`` emits unmatched left rows after the watermark
+    closes their interval (attribution "no conversion" rows)."""
+    lw = left.withWatermark(left_ts, watermark_delay)
+    rw = right.withWatermark(right_ts, watermark_delay)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {gap}"))
+    )
+    # one key column out: the right copy is redundant on inner/left_outer
+    # (equal when matched, NULL when not)
+    return lw.join(rw, cond, how).drop(rw[key])

@@ -436,3 +436,76 @@ def test_stream_incremental_dedup_indexed_store(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         stream_incremental_dedup(stream, None, sink)
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream attribution join must produce exactly
+    the pairs a batch interval join produces on the same data, across
+    micro-batch boundaries."""
+    from database_migration_spark.streaming.delta_stream import (
+        stream_interval_join,
+    )
+
+    def rows(kind, specs):
+        return spark.createDataFrame(
+            [(u, f"2024-01-01 10:{m:02d}:00") for u, m in specs],
+            f"user_id LONG, {kind} STRING",
+        ).select("user_id", F.col(kind).cast("timestamp").alias(kind))
+
+    # user 1: click 10:00 → purchase 10:20 (within 30m) and 10:45 (outside)
+    # user 2: click 10:05 → purchase 10:30 (within); user 3: purchase only
+    clicks = rows("click_ts", [(1, 0), (2, 5)])
+    purchases = rows("purchase_ts", [(1, 20), (1, 45), (2, 30), (3, 10)])
+
+    csrc, psrc = tmp_path / "clicks", tmp_path / "purch"
+    # two files per side — the join must match across micro-batches
+    for i in range(2):
+        clicks.where(F.col("user_id") % 2 == i).write.parquet(
+            str(csrc / f"b{i}")
+        )
+        purchases.where(F.col("user_id") % 2 == i).write.parquet(
+            str(psrc / f"b{i}")
+        )
+
+    def stream(path, schema):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(path) + "/*")
+        )
+
+    joined = stream_interval_join(
+        stream(csrc, "user_id LONG, click_ts TIMESTAMP"),
+        stream(psrc, "user_id LONG, purchase_ts TIMESTAMP"),
+        gap="30 minutes",
+    ).select("user_id", "click_ts", "purchase_ts")
+
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, str(r.click_ts), str(r.purchase_ts))
+        for r in spark.sql("select * from attrib").collect()
+    }
+
+    batch = {
+        (r.user_id, str(r.click_ts), str(r.purchase_ts))
+        for r in clicks.join(
+            purchases,
+            (clicks.user_id == purchases.user_id)
+            & (purchases.purchase_ts >= clicks.click_ts)
+            & (
+                purchases.purchase_ts
+                <= clicks.click_ts + F.expr("INTERVAL 30 minutes")
+            ),
+        )
+        .select(clicks.user_id, "click_ts", "purchase_ts")
+        .collect()
+    }
+    assert got == batch
+    assert len(got) == 2  # (1, 10:00→10:20) and (2, 10:05→10:30)

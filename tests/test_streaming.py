@@ -509,3 +509,62 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     }
     assert got == batch
     assert len(got) == 2  # (1, 10:00→10:20) and (2, 10:05→10:30)
+
+
+def test_stream_interval_join_left_outer_no_conversion_rows(spark, tmp_path):
+    """left_outer attribution: a click with no purchase in its interval
+    emits with NULL purchase_ts once the watermark passes the interval's
+    close (driven here by a later flush batch — outer results are
+    watermark-gated, the documented Structured Streaming semantics)."""
+    from database_migration_spark.streaming.delta_stream import (
+        stream_interval_join,
+    )
+
+    def df(kind, specs):
+        return spark.createDataFrame(
+            [(u, t) for u, t in specs], f"user_id LONG, {kind} STRING"
+        ).select("user_id", F.col(kind).cast("timestamp").alias(kind))
+
+    csrc, psrc = tmp_path / "c", tmp_path / "p"
+    # batch 0: user 1 converts, user 2 does not
+    df("click_ts", [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:00:00")]
+       ).write.parquet(str(csrc / "b0"))
+    df("purchase_ts", [(1, "2024-01-01 10:10:00")]).write.parquet(
+        str(psrc / "b0"))
+    # batch 1: far-future activity pushes both watermarks past 10:30+delay
+    df("click_ts", [(9, "2024-01-01 13:00:00")]).write.parquet(str(csrc / "b1"))
+    df("purchase_ts", [(9, "2024-01-01 13:01:00")]).write.parquet(
+        str(psrc / "b1"))
+
+    def stream(path, schema):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(path) + "/*")
+        )
+
+    joined = stream_interval_join(
+        stream(csrc, "user_id LONG, click_ts TIMESTAMP"),
+        stream(psrc, "user_id LONG, purchase_ts TIMESTAMP"),
+        gap="30 minutes",
+        watermark_delay="5 minutes",
+        how="left_outer",
+    ).select("user_id", "click_ts", "purchase_ts")
+
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_outer")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from attrib_outer").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, set()).add(
+            str(r.purchase_ts) if r.purchase_ts else None
+        )
+    assert by_user[1] == {"2024-01-01 10:10:00"}
+    # user 2's interval closed under the advanced watermark → outer row
+    assert by_user[2] == {None}

@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "constraint_violations_testdata",
     "corpus_mix_cube",
     "embedding_outliers",
+    "rolling_active_users",
+    "json_props_stats",
 ]
 
 

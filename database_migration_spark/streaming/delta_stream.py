@@ -242,6 +242,11 @@ def stream_interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {gap}"))
     )
-    # one key column out: the right copy is redundant on inner/left_outer
-    # (equal when matched, NULL when not)
-    return lw.join(rw, cond, how).drop(rw[key])
+    joined = lw.join(rw, cond, how)
+    # one key column out, COALESCED: on an outer join the unmatched side's
+    # key is NULL, so dropping either copy outright would lose the key for
+    # those rows (right_outer/full_outer no-click purchases)
+    cols = [F.coalesce(lw[key], rw[key]).alias(key)]
+    cols += [lw[c] for c in left.columns if c != key]
+    cols += [rw[c] for c in right.columns if c != key]
+    return joined.select(*cols)

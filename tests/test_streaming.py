@@ -458,12 +458,14 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     purchases = rows("purchase_ts", [(1, 20), (1, 45), (2, 30), (3, 10)])
 
     csrc, psrc = tmp_path / "clicks", tmp_path / "purch"
-    # two files per side — the join must match across micro-batches
+    # two files per side, split on OPPOSITE parities: each trigger pairs a
+    # click file with the OTHER parity's purchase file, so every match
+    # spans a micro-batch boundary and genuinely exercises join state
     for i in range(2):
         clicks.where(F.col("user_id") % 2 == i).write.parquet(
             str(csrc / f"b{i}")
         )
-        purchases.where(F.col("user_id") % 2 == i).write.parquet(
+        purchases.where(F.col("user_id") % 2 == 1 - i).write.parquet(
             str(psrc / f"b{i}")
         )
 

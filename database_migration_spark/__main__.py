@@ -99,6 +99,11 @@ def cmd_migrate(args) -> int:
     cat = adapter.scan_catalog(args.schemas, args.tables)
     if not cat.tables:
         return _no_match(args.source, args)
+    if args.save_catalog:
+        from database_migration_spark.catalog import catalog_to_json
+
+        with open(args.save_catalog, "w") as fh:
+            fh.write(catalog_to_json(cat))
     report = MigrationRunner(spark).execute(
         cat,
         adapter,
@@ -187,8 +192,22 @@ def cmd_diff(args) -> int:
     from database_migration_spark.session import get_spark
 
     spark = get_spark(app_name="dms_diff")
-    old = _source(spark, args.old, args).scan_catalog(args.schemas, args.tables)
-    new = _source(spark, args.new, args).scan_catalog(args.schemas, args.tables)
+
+    def catalog_of(side):
+        # a .json side is a saved snapshot (migrate --save-catalog) — the
+        # normal case for `--old`: the source as it stood at migration
+        # time, no longer reachable or already drifted
+        if side.endswith(".json"):
+            from database_migration_spark.catalog import catalog_from_json
+
+            with open(side) as fh:
+                return catalog_from_json(fh.read()).filter(
+                    args.schemas, args.tables
+                )
+        return _source(spark, side, args).scan_catalog(args.schemas, args.tables)
+
+    old = catalog_of(args.old)
+    new = catalog_of(args.new)
     if not old.tables and not new.tables:
         return _no_match(f"{args.old} or {args.new}", args)
     plan = schema_diff_plan(old, new, args.target_schema)
@@ -227,11 +246,16 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--schemas", default="%")
     sm.add_argument("--tables", default="%")
     sm.add_argument("--no-validate", action="store_true")
+    sm.add_argument("--save-catalog",
+                    help="write the scanned catalog as a JSON snapshot "
+                         "(feed it to `diff --old` later)")
     sm.add_argument("--distinct-mode", default="exact", choices=["exact", "approx"])
     sm.set_defaults(fn=cmd_migrate)
 
     sd = sub.add_parser("diff", help="schema-drift ALTER stream (dry run)")
-    sd.add_argument("--old", required=True, help="catalog as last migrated")
+    sd.add_argument("--old", required=True,
+                    help="catalog as last migrated: a table dir, jdbc: URL, "
+                         "or a .json snapshot from migrate --save-catalog")
     sd.add_argument("--new", required=True, help="source as it stands now")
     sd.add_argument("--target-schema", default="MIGRATED")
     sd.add_argument("--schemas", default="%")

@@ -265,3 +265,57 @@ class Catalog:
                 if match(t.schema, schema_filter) and match(t.table, table_filter)
             ]
         )
+
+
+def catalog_to_json(cat: Catalog) -> str:
+    """Serialize a scanned catalog to JSON — the snapshot a migration run
+    saves so later schema-drift diffs can compare against the catalog AS
+    MIGRATED without the old source being reachable (decommissioned,
+    credentials rotated, or simply changed since)."""
+    import dataclasses
+    import json
+
+    def enc(o):
+        if dataclasses.is_dataclass(o):
+            return {k: enc(v) for k, v in dataclasses.asdict(o).items()}
+        if isinstance(o, tuple):
+            return list(o)
+        return o
+
+    return json.dumps(
+        {"tables": [enc(t) for t in cat.tables]}, indent=1, sort_keys=True
+    )
+
+
+def catalog_from_json(text: str) -> Catalog:
+    """Inverse of :func:`catalog_to_json` (tuples restored, keys rebuilt)."""
+    import json
+
+    def key(d):
+        if d is None:
+            return None
+        return KeyMeta(
+            schema=d["schema"], table=d["table"], name=d["name"],
+            kind=d["kind"], columns=tuple(d["columns"]),
+            ref_schema=d.get("ref_schema"), ref_table=d.get("ref_table"),
+            ref_columns=tuple(d.get("ref_columns") or ()),
+        )
+
+    tables = []
+    for t in json.loads(text)["tables"]:
+        cols = tuple(
+            ColumnMeta(**{**c, "name": c["name"]}) for c in t["columns"]
+        )
+        tables.append(
+            TableMeta(
+                schema=t["schema"],
+                table=t["table"],
+                columns=cols,
+                primary_key=key(t.get("primary_key")),
+                foreign_keys=tuple(key(k) for k in t.get("foreign_keys") or ()),
+                partition_columns=tuple(t.get("partition_columns") or ()),
+                distribution_columns=tuple(t.get("distribution_columns") or ()),
+                comment=t.get("comment"),
+            )
+        )
+    return Catalog(tables=tables)

@@ -190,3 +190,27 @@ def test_cli_readers_refuse_ambiguous_jdbc_names(spark):
 
     with _pytest.raises(SystemExit, match="several schemas"):
         _readers(FakeJdbc(), "%", "%")
+
+
+def test_cli_snapshot_diff_workflow(spark, sf_smoke, tmp_path, capsys):
+    """The drift workflow end-to-end: migrate saves a catalog snapshot; a
+    later diff compares the snapshot (the source AS MIGRATED) against the
+    drifted source — no access to the old database needed."""
+    snap = str(tmp_path / "cat.json")
+    rc = main(["migrate", "--source", sf_smoke, "--dest",
+               str(tmp_path / "dest"), "--tables", "region",
+               "--save-catalog", snap])
+    capsys.readouterr()
+    assert rc == 0
+
+    # the 'source' later gains a column
+    drifted = str(tmp_path / "drifted")
+    spark.read.parquet(f"{sf_smoke}/region.parquet").withColumn(
+        "r_active", F.lit(1).cast("int")
+    ).write.parquet(f"{drifted}/region")
+
+    rc = main(["diff", "--old", snap, "--new", drifted, "--tables", "region"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert 'ADD COLUMN "R_ACTIVE"' in out
+    assert "DROP" not in out

@@ -104,13 +104,18 @@ def cmd_migrate(args) -> int:
 
         with open(args.save_catalog, "w") as fh:
             fh.write(catalog_to_json(cat))
-    report = MigrationRunner(spark).execute(
+    runner = MigrationRunner(spark)
+    report = runner.execute(
         cat,
         adapter,
         args.dest,
         validate=not args.no_validate,
         distinct_mode=args.distinct_mode,
     )
+    if args.log:
+        # the reference logs every job step to JOB_LOG/JOB_DETAILS through
+        # QUERY_WRAPPER (delta_import:326-332); this is that table
+        runner.logger.to_df(spark).write.mode("overwrite").parquet(args.log)
     for t in report.tables:
         status = "OK" if t.deviations == 0 else f"{t.deviations} DEVIATIONS"
         print(f"{t.table}: {t.rows_copied} rows, {status}")
@@ -246,6 +251,8 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--schemas", default="%")
     sm.add_argument("--tables", default="%")
     sm.add_argument("--no-validate", action="store_true")
+    sm.add_argument("--log", help="write the job log (steps, rows, "
+                    "status) as parquet to this path")
     sm.add_argument("--save-catalog",
                     help="write the scanned catalog as a JSON snapshot "
                          "(feed it to `diff --old` later)")

@@ -197,11 +197,16 @@ def test_cli_snapshot_diff_workflow(spark, sf_smoke, tmp_path, capsys):
     later diff compares the snapshot (the source AS MIGRATED) against the
     drifted source — no access to the old database needed."""
     snap = str(tmp_path / "cat.json")
+    log = str(tmp_path / "job_log")
     rc = main(["migrate", "--source", sf_smoke, "--dest",
                str(tmp_path / "dest"), "--tables", "region",
-               "--save-catalog", snap])
+               "--save-catalog", snap, "--log", log])
     capsys.readouterr()
     assert rc == 0
+    logged = spark.read.parquet(log)
+    steps = {r.step for r in logged.collect()}
+    assert "read region" in steps and "copy region" in steps
+    assert "validate region" in steps
 
     # the 'source' later gains a column
     drifted = str(tmp_path / "drifted")

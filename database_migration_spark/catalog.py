@@ -303,9 +303,7 @@ def catalog_from_json(text: str) -> Catalog:
 
     tables = []
     for t in json.loads(text)["tables"]:
-        cols = tuple(
-            ColumnMeta(**{**c, "name": c["name"]}) for c in t["columns"]
-        )
+        cols = tuple(ColumnMeta(**c) for c in t["columns"])
         tables.append(
             TableMeta(
                 schema=t["schema"],

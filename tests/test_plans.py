@@ -357,3 +357,50 @@ def test_schema_diff_properties():
                     assert len(in_table) == 1, (pats, rows)
 
     check()
+
+
+def test_catalog_json_roundtrip_property():
+    """Any catalog (keys, comments, placement included) must survive the
+    JSON snapshot byte-exactly — dataclass equality after a roundtrip."""
+    from hypothesis import given, settings, strategies as st
+
+    from database_migration_spark.catalog import (
+        Catalog,
+        ColumnMeta,
+        KeyMeta,
+        TableMeta,
+        catalog_from_json,
+        catalog_to_json,
+    )
+
+    names = st.sampled_from(["a", "b", "c"])
+    types = st.sampled_from(["integer", "varchar(10)", "date"])
+
+    @st.composite
+    def tables(draw):
+        schema, tname = draw(names), draw(names)
+        cols = tuple(
+            ColumnMeta(schema, tname, f"c{i}", i + 1, draw(types),
+                       nullable=draw(st.booleans()),
+                       comment=draw(st.none() | st.text(max_size=5)))
+            for i in range(draw(st.integers(1, 3)))
+        )
+        pk = None
+        if draw(st.booleans()):
+            pk = KeyMeta(schema, tname, "pk", "PRIMARY KEY", (cols[0].name,))
+        fks = ()
+        if draw(st.booleans()):
+            fks = (KeyMeta(schema, tname, "fk", "FOREIGN KEY",
+                           (cols[0].name,), "S", "other", ("id",)),)
+        return TableMeta(schema, tname, cols, primary_key=pk,
+                         foreign_keys=fks,
+                         partition_columns=tuple(draw(st.lists(names, max_size=2))),
+                         comment=draw(st.none() | st.text(max_size=8)))
+
+    @settings(max_examples=40, deadline=None)
+    @given(ts=st.lists(tables(), max_size=3))
+    def check(ts):
+        cat = Catalog(tables=ts)
+        assert catalog_from_json(catalog_to_json(cat)).tables == cat.tables
+
+    check()

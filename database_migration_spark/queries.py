@@ -2920,6 +2920,91 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "expectations_lineitem",
+    # every rule is a conditional aggregate over ONE scan on both engines;
+    # the unique rule's NULL-safe key uses chr(0)/chr(1) sentinels
+    # identically; regex share is exact integer ppm (floor div). The PK
+    # uniqueness rule genuinely FAILs on the fixture (the driver testdata
+    # ships a violated lineitem PK — see constraint_violations_testdata).
+    oracle="""
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count(DISTINCT concat_ws(chr(0),
+              coalesce(CAST(l_orderkey AS VARCHAR), chr(1)),
+              coalesce(CAST(l_linenumber AS VARCHAR), chr(1)))) AS BIGINT)
+           AS pk_dups,
+         CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                        OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+           AS qty_oor,
+         CAST(sum(CASE WHEN l_returnflag IS NULL
+                        OR l_returnflag NOT IN ('A','N','R')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS flag_bad,
+         CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS ship_nulls,
+         CAST(sum(CASE WHEN regexp_matches(l_linestatus, '^[OF]$')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS mode_ok
+  FROM lineitem
+)
+SELECT * FROM (
+  SELECT 'r1_pk_unique' AS rule_id,
+         '(l_orderkey, l_linenumber) unique' AS rule,
+         'l_orderkey' AS column_name, pk_dups AS measured,
+         CAST(0 AS BIGINT) AS threshold,
+         CASE WHEN pk_dups <= 0 THEN 'PASS' ELSE 'FAIL' END AS status
+  FROM m
+  UNION ALL
+  SELECT 'r2_qty_range', 'l_quantity in [1, 50]', 'l_quantity', qty_oor,
+         CAST(0 AS BIGINT),
+         CASE WHEN qty_oor <= 0 THEN 'PASS' ELSE 'FAIL' END FROM m
+  UNION ALL
+  SELECT 'r3_flag_values', Q.flag_rule, 'l_returnflag', flag_bad,
+         CAST(0 AS BIGINT),
+         CASE WHEN flag_bad <= 0 THEN 'PASS' ELSE 'FAIL' END
+  FROM m, (SELECT 'l_returnflag in [''A'', ''N'', ''R'']' AS flag_rule) Q
+  UNION ALL
+  SELECT 'r4_ship_notnull', 'l_shipdate has no NULLs', 'l_shipdate',
+         ship_nulls, CAST(0 AS BIGINT),
+         CASE WHEN ship_nulls <= 0 THEN 'PASS' ELSE 'FAIL' END FROM m
+  UNION ALL
+  SELECT 'r5_rowcount', 'rowcount in [1, 100000000]', '*', n_rows,
+         CAST(100000000 AS BIGINT),
+         CASE WHEN n_rows >= 1 AND n_rows <= 100000000
+              THEN 'PASS' ELSE 'FAIL' END FROM m
+  UNION ALL
+  SELECT 'r6_status_regex', 'l_linestatus matches ^[OF]$ in >=1000000 ppm',
+         'l_linestatus', (mode_ok * 1000000) // n_rows,
+         CAST(1000000 AS BIGINT),
+         CASE WHEN (mode_ok * 1000000) // n_rows >= 1000000
+              THEN 'PASS' ELSE 'FAIL' END FROM m
+) ORDER BY rule_id
+""",
+)
+def expectations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite over lineitem in ONE scan
+    (operators/expectations.run_expectations): PK uniqueness (FAILs — the
+    fixture PK is genuinely violated), value range, accepted values,
+    not-null, row count, and an exact-ppm regex share."""
+    from database_migration_spark.operators.expectations import (
+        Expectation as E,
+        run_expectations,
+    )
+
+    rules = [
+        E("r1_pk_unique", "unique", "l_orderkey",
+          {"columns": ["l_orderkey", "l_linenumber"]}),
+        E("r2_qty_range", "in_range", "l_quantity", {"lo": 1, "hi": 50}),
+        E("r3_flag_values", "accepted_values", "l_returnflag",
+          {"values": ["A", "N", "R"]}),
+        E("r4_ship_notnull", "not_null", "l_shipdate"),
+        E("r5_rowcount", "row_count_between", "",
+          {"lo": 1, "hi": 100_000_000}),
+        E("r6_status_regex", "matches_regex", "l_linestatus",
+          {"pattern": "^[OF]$", "min_ppm": 1_000_000}),
+    ]
+    return run_expectations(table(spark, sf_dir, "lineitem"), rules)
+
+
 @register("rolling_active_users")  # rows-only: HLL estimates have no
 # cross-engine oracle (DuckDB's approx_distinct uses a different sketch);
 # accuracy is asserted against exact trailing-window distincts within HLL
@@ -3413,6 +3498,11 @@ _SHOWCASE_ONLY = [
     # no cross-engine oracle; error-bound-tested vs exact distincts
     # (test_behavior)
     "rolling_active_users",
+    # showcase from birth: every rule is the conditional-aggregate /
+    # count-distinct machinery the mig_check family grades; the
+    # declarative-suite assembly is oracle-checked here, sim-verified, and
+    # planted-violation pytested (test_expectations)
+    "expectations_lineitem",
     # showcase from birth: the JSON-extract aggregate is the conditional
     # groupBy family many graded queries prove; the new element
     # (from_json schema-on-read) is oracle-checked here and sim-verified

@@ -226,6 +226,34 @@ def cmd_diff(args) -> int:
     return 0
 
 
+def cmd_expect(args) -> int:
+    import json
+
+    from pyspark.sql import functions as F
+
+    from database_migration_spark.operators.expectations import (
+        Expectation,
+        run_expectations,
+    )
+    from database_migration_spark.session import get_spark
+
+    spark = get_spark(app_name="dms_expect")
+    with open(args.rules) as fh:
+        rules = [Expectation(**r) for r in json.load(fh)]
+    adapter = _source(spark, args.source, args)
+    readers = _readers(adapter, args.schemas, "%")
+    if args.table not in readers:
+        print(f"error: table {args.table!r} not found", file=sys.stderr)
+        return 2
+    report = run_expectations(readers[args.table](), rules)
+    bad = 0
+    for r in report.collect():
+        print(f"{r.rule_id}: {r.status}  ({r.rule}; measured={r.measured}, "
+              f"threshold={r.threshold})")
+        bad += r.status == "FAIL"
+    return 1 if bad else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m database_migration_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -280,6 +308,18 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--dialect", help="dialect name for jdbc: sides")
     sv.add_argument("--jdbc-prop", action="append")
     sv.set_defaults(fn=cmd_validate)
+
+    se = sub.add_parser("expect", help="run a data-quality rule file; "
+                        "rc=1 on any FAIL")
+    se.add_argument("--source", required=True,
+                    help="table directory or jdbc: URL")
+    se.add_argument("--table", required=True)
+    se.add_argument("--rules", required=True,
+                    help="JSON list of {rule_id, kind, column, params}")
+    se.add_argument("--schemas", default="%")
+    se.add_argument("--dialect", help="dialect name for jdbc: sources")
+    se.add_argument("--jdbc-prop", action="append")
+    se.set_defaults(fn=cmd_expect)
 
     args = p.parse_args(argv)
     return args.fn(args)

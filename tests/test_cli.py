@@ -219,3 +219,30 @@ def test_cli_snapshot_diff_workflow(spark, sf_smoke, tmp_path, capsys):
     assert rc == 0
     assert 'ADD COLUMN "R_ACTIVE"' in out
     assert "DROP" not in out
+
+
+def test_cli_expect_gates_on_rule_file(spark, sf_smoke, tmp_path, capsys):
+    import json
+
+    rules = [
+        {"rule_id": "r1", "kind": "not_null", "column": "r_name"},
+        {"rule_id": "r2", "kind": "row_count_between", "column": "",
+         "params": {"lo": 1, "hi": 10}},
+    ]
+    rf = str(tmp_path / "rules.json")
+    with open(rf, "w") as fh:
+        json.dump(rules, fh)
+    rc = main(["expect", "--source", sf_smoke, "--table", "region",
+               "--rules", rf])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "r1: PASS" in out and "r2: PASS" in out
+
+    # a failing rule gates
+    rules[1]["params"] = {"lo": 1, "hi": 2}
+    with open(rf, "w") as fh:
+        json.dump(rules, fh)
+    rc = main(["expect", "--source", sf_smoke, "--table", "region",
+               "--rules", rf])
+    out = capsys.readouterr().out
+    assert rc == 1 and "r2: FAIL" in out

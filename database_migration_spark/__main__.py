@@ -229,8 +229,6 @@ def cmd_diff(args) -> int:
 def cmd_expect(args) -> int:
     import json
 
-    from pyspark.sql import functions as F
-
     from database_migration_spark.operators.expectations import (
         Expectation,
         run_expectations,
@@ -241,7 +239,10 @@ def cmd_expect(args) -> int:
     with open(args.rules) as fh:
         rules = [Expectation(**r) for r in json.load(fh)]
     adapter = _source(spark, args.source, args)
-    readers = _readers(adapter, args.schemas, "%")
+    # scope the catalog scan to the one requested table — a wide scan
+    # wastes remote round-trips and can trip the duplicate-name refusal
+    # on tables unrelated to --table
+    readers = _readers(adapter, args.schemas, args.table)
     if args.table not in readers:
         print(f"error: table {args.table!r} not found", file=sys.stderr)
         return 2

@@ -108,7 +108,21 @@ def run_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
     usual case — PK columns vs measure columns) it plans two scans EACH
     PRUNED to its own columns, which moves strictly less data than one
     union-of-columns exchange would."""
+    import re as _re
+
     from database_migration_spark.functions.parallel import fan_out
+
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    ids = [e.rule_id for e in rules]
+    if len(set(ids)) != len(ids):
+        dupes = sorted({i for i in ids if ids.count(i) > 1})
+        raise ValueError(f"duplicate rule_id(s): {dupes}")
+    bad_ids = [i for i in ids if not _re.fullmatch(r"[A-Za-z0-9_]+", i)]
+    if bad_ids:
+        # rule_ids become column aliases/expr fragments — restrict them
+        # before Catalyst turns a stray backtick into an opaque parse error
+        raise ValueError(f"rule_id must be [A-Za-z0-9_]+: {bad_ids}")
 
     plain, distinct = [], []
     for e in rules:
@@ -122,17 +136,26 @@ def run_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
             distinct.append(_violations(e).alias(f"_m_{e.rule_id}"))
         else:
             plain.append(_violations(e).alias(f"_m_{e.rule_id}"))
-    if distinct:
+    if distinct and plain:
         fanned = fan_out(df)
         wide = fanned.agg(*plain).crossJoin(fanned.agg(*distinct))
+    elif distinct:
+        # a unique-only rule file (the canonical dbt PK test) has no plain
+        # aggregates; agg() rejects an empty list
+        wide = df.agg(*distinct)
     else:
         wide = df.agg(*plain)
 
     rows = []
     for e in rules:
         if e.kind == "matches_regex":
-            measured = F.expr(
-                f"`_ok_{e.rule_id}` div `_n_{e.rule_id}`"
+            # empty table: the share is vacuously full (all zero rows
+            # match), mirroring not_null's 0-violations pass — and `0 div
+            # 0` would otherwise be NULL and always FAIL
+            measured = F.when(
+                F.col(f"_n_{e.rule_id}") == 0, F.lit(1_000_000)
+            ).otherwise(
+                F.expr(f"`_ok_{e.rule_id}` div `_n_{e.rule_id}`")
             ).cast("long")
         else:
             measured = F.col(f"_m_{e.rule_id}").cast("long")

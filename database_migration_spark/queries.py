@@ -2973,9 +2973,12 @@ SELECT * FROM (
               THEN 'PASS' ELSE 'FAIL' END FROM m
   UNION ALL
   SELECT 'r6_status_regex', 'l_linestatus matches ^[OF]$ in >=1000000 ppm',
-         'l_linestatus', (mode_ok * 1000000) // n_rows,
+         'l_linestatus',
+         CASE WHEN n_rows = 0 THEN 1000000
+              ELSE (mode_ok * 1000000) // n_rows END,
          CAST(1000000 AS BIGINT),
-         CASE WHEN (mode_ok * 1000000) // n_rows >= 1000000
+         CASE WHEN n_rows = 0
+                OR (mode_ok * 1000000) // n_rows >= 1000000
               THEN 'PASS' ELSE 'FAIL' END FROM m
 ) ORDER BY rule_id
 """,

@@ -90,3 +90,30 @@ def test_pruned_two_sided_plan(spark, sf_smoke):
     assert any(
         "l_orderkey" in sch and "l_quantity" not in sch for sch in schemas
     )
+
+
+def test_unique_only_rules_and_empty_table_semantics(spark):
+    """A unique-only rule file (the canonical dbt PK test) must run; regex
+    rules on an EMPTY table pass vacuously; duplicate/invalid rule_ids are
+    clean errors."""
+    import pytest
+
+    df = _df(spark)
+    only_unique = [E("pk", "unique", "id", {"columns": ["id"]})]
+    rows = run_expectations(df, only_unique).collect()
+    assert [(r.rule_id, r.measured, r.status)
+            for r in rows] == [("pk", 1, "FAIL")]
+
+    empty = df.limit(0)
+    got = {r.rule_id: (r.measured, r.status)
+           for r in run_expectations(empty, RULES).collect()}
+    assert got["r6_regex"] == (1_000_000, "PASS")  # vacuous share
+    assert got["r1_unique"] == (0, "PASS")
+    assert got["r5_rows"] == (0, "FAIL")  # lo=1 still binds
+
+    with pytest.raises(ValueError, match="duplicate rule_id"):
+        run_expectations(df, [RULES[0], RULES[0]])
+    with pytest.raises(ValueError, match="rule_id must be"):
+        run_expectations(df, [E("bad`id", "not_null", "qty")])
+    with pytest.raises(ValueError, match="non-empty"):
+        run_expectations(df, [])

@@ -65,6 +65,7 @@ PROBES = [
     "bpe_merge_table_documents",
     "rolling_active_users",
     "json_props_stats",
+    "expectations_lineitem",
     # bm25_topk_documents is NOT probed via the registry: its fixed query
     # terms don't exist in the suffixed derived vocabulary (measured 0.58×
     # at ×10 — an empty hit set, not a scaling result). --bm25 runs the

@@ -87,6 +87,7 @@ X100_PROBES = [
     "sessionize_events",
     "events_hourly_agg",
     "bpe_merge_table_documents",
+    "expectations_lineitem",
 ]
 
 

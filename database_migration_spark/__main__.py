@@ -255,6 +255,37 @@ def cmd_expect(args) -> int:
     return 1 if bad else 0
 
 
+def cmd_ping(args) -> int:
+    """The reference ships a connection smoke test with every script
+    (SELECT 'Connection works' — mysql_to_exasol.sql:396-397); this is
+    that check: one trivial remote round-trip (or a table listing for a
+    file source), a clear message, and an exit code."""
+    from database_migration_spark.session import get_spark
+
+    spark = get_spark(app_name="dms_ping")
+    adapter = _source(spark, args.source, args)
+    try:
+        if hasattr(adapter, "list_tables"):
+            n = len(adapter.list_tables())
+            print(f"Connection works ({n} tables at {args.source})")
+        else:
+            # FROM-less SELECT is not universal: Oracle needs DUAL,
+            # DB2/Derby need SYSIBM.SYSDUMMY1
+            dummy = {
+                "oracle": "SELECT 1 AS ok FROM DUAL",
+                "db2": "SELECT 1 AS ok FROM SYSIBM.SYSDUMMY1",
+                "derby": "SELECT 1 AS ok FROM SYSIBM.SYSDUMMY1",
+            }
+            sql = dummy.get(adapter.spec.name, "SELECT 1 AS ok")
+            rows = adapter._fetch_rows(sql)
+            assert rows and rows[0]["ok"] == 1
+            print(f"Connection works ({args.source})")
+        return 0
+    except Exception as e:  # noqa: BLE001 — the whole point is a clean report
+        print(f"Connection FAILED: {e}", file=sys.stderr)
+        return 1
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m database_migration_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -321,6 +352,13 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--dialect", help="dialect name for jdbc: sources")
     se.add_argument("--jdbc-prop", action="append")
     se.set_defaults(fn=cmd_expect)
+
+    pg = sub.add_parser("ping", help="connection smoke test")
+    pg.add_argument("--source", required=True,
+                    help="table directory or jdbc: URL")
+    pg.add_argument("--dialect", help="dialect name for jdbc: sources")
+    pg.add_argument("--jdbc-prop", action="append")
+    pg.set_defaults(fn=cmd_ping)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -246,3 +246,31 @@ def test_cli_expect_gates_on_rule_file(spark, sf_smoke, tmp_path, capsys):
                "--rules", rf])
     out = capsys.readouterr().out
     assert rc == 1 and "r2: FAIL" in out
+
+
+def test_cli_ping(spark, sf_smoke, tmp_path, capsys, monkeypatch):
+    # parquet source
+    rc = main(["ping", "--source", sf_smoke])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Connection works" in out
+
+    # live jdbc source (Derby uses SYSIBM.SYSDUMMY1)
+    from database_migration_spark.sources import dialects as D
+    from database_migration_spark.sources.dialects import DialectSpec
+    from tests.conftest import DERBY_DRIVER, make_derby_db
+
+    url = make_derby_db(spark, str(tmp_path / "pingdb"), [])
+    monkeypatch.setitem(
+        D.ALL_DIALECTS, "derby", DialectSpec(name="derby", catalog_sql="--")
+    )
+    rc = main(["ping", "--source", url, "--dialect", "derby",
+               "--jdbc-prop", f"driver={DERBY_DRIVER}"])
+    assert rc == 0
+    assert "Connection works" in capsys.readouterr().out
+
+    # failure path: unreachable database → clean rc=1
+    rc = main(["ping", "--source", "jdbc:derby:/nonexistent/nope",
+               "--dialect", "derby",
+               "--jdbc-prop", f"driver={DERBY_DRIVER}"])
+    err = capsys.readouterr().err
+    assert rc == 1 and "Connection FAILED" in err

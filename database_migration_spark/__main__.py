@@ -157,27 +157,36 @@ def cmd_validate(args) -> int:
     spark = get_spark(app_name="dms_validate")
     lread = _readers(_source(spark, args.left, args), args.schemas, args.tables)
     rread = _readers(_source(spark, args.right, args), args.schemas, args.tables)
-    lnames, rnames = set(lread), set(rread)
+    # identifier matching everywhere else in the tool (Catalog.filter, LIKE
+    # patterns) is case-insensitive; the explicit --tables list and the
+    # cross-side intersection must be too, or `--tables items` against a
+    # case-folding catalog (Derby/Oracle store ITEMS) reads as missing.
+    # Compare case-folded, read through the real stored keys.
+    lfold = {t.upper(): t for t in sorted(lread)}
+    rfold = {t.upper(): t for t in sorted(rread)}
     if args.tables != "%":
         named = [t.strip() for t in args.tables.split(",") if t.strip()]
-        missing = [t for t in named if t not in lnames or t not in rnames]
+        missing = [t for t in named
+                   if t.upper() not in lfold or t.upper() not in rfold]
         # only tables present on BOTH sides are readable; the missing ones
         # are reported (and fail the gate) rather than crashing the reads
-        tables = [t for t in named if t not in missing]
+        keys = [t.upper() for t in named if t not in missing]
     else:
         # the gate compares the UNION of both sides: a table present on only
         # one side is a structural deviation, not a silent skip
-        tables = sorted(lnames & rnames)
-        missing = sorted(lnames ^ rnames)
+        keys = sorted(set(lfold) & set(rfold))
+        missing = sorted((lfold | rfold)[k] for k in set(lfold) ^ set(rfold))
     bad = 0
     for t in missing:
-        absent = [s for s, names in (("left", lnames), ("right", rnames))
-                  if t not in names]
+        absent = [s for s, fold in (("left", lfold), ("right", rfold))
+                  if t.upper() not in fold]
         print(f"{t}: MISSING in {' and '.join(absent)}")
         bad += 1
-    for t in tables:
+    for k in keys:
+        t = lfold[k]
         cmp, uncompared = validate_pair(
-            lread[t](), rread[t](), t, distinct_mode=args.distinct_mode
+            lread[lfold[k]](), rread[rfold[k]](), t,
+            distinct_mode=args.distinct_mode,
         )
         dev = cmp.filter(F.col("status") == "DEVIATION")
         n = dev.count()
@@ -253,6 +262,124 @@ def cmd_expect(args) -> int:
               f"threshold={r.threshold})")
         bad += r.status == "FAIL"
     return 1 if bad else 0
+
+
+def cmd_sync(args) -> int:
+    """The reference's most-used executor after the generators: DELTA_IMPORT
+    (delta_import_on_primary_keys.sql:374-435 three-strategy machine, with
+    the :439-463 execute_statements=false preview as --dry-run)."""
+    from database_migration_spark.operators.delta_sync import sync_table
+    from database_migration_spark.session import get_spark
+
+    spark = get_spark(app_name="dms_sync")
+    adapter = _source(spark, args.source, args)
+    keys = (
+        tuple(k.strip() for k in args.keys.split(",") if k.strip())
+        if args.keys
+        else None
+    )
+    try:
+        result = sync_table(
+            spark,
+            adapter,
+            args.target,
+            args.table,
+            keys=keys,
+            delta_col=args.delta_col,
+            dry_run=args.dry_run,
+            validate=not args.no_validate,
+            distinct_mode=args.distinct_mode,
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    plan = result if args.dry_run else result.plan
+    print(f"strategy: {plan.strategy.name} — {plan.strategy.value}")
+    if plan.watermark is not None:
+        print(f"watermark: {plan.watermark}")
+    for i, s in enumerate(plan.statements, 1):
+        print(f"{i:5d}  {s}")
+    if args.dry_run:
+        print("-- dry run; nothing was executed", file=sys.stderr)
+        return 0
+    if result.deviations is None:
+        status = "not validated"
+    elif result.deviations == 0:
+        status = "OK"
+    else:
+        status = f"{result.deviations} DEVIATIONS"
+    print(f"{result.table}: {result.rows_after} rows after sync, {status}")
+    for c in result.uncompared:
+        print(f"  {c}: present on one side only — not metric-compared")
+    return 1 if result.deviations else 0
+
+
+def cmd_load(args) -> int:
+    """The reference's parallel file loaders (s3_to_exasol.sql:107-319):
+    manifest-driven list → reconcile → load pending → per-file statuses,
+    with --dry-run as execute_statements=false (:290-292)."""
+    from pyspark.sql import functions as F
+
+    from database_migration_spark.session import get_spark
+    from database_migration_spark.streaming.manifest import ManifestLoader
+
+    spark = get_spark(app_name="dms_load")
+    options = {}
+    for kv in args.read_option or []:
+        if "=" not in kv:
+            raise SystemExit(f"error: --read-option expects k=v, got {kv!r}")
+        k, v = kv.split("=", 1)
+        options[k] = v
+    loader = ManifestLoader(
+        spark,
+        args.manifest,
+        file_format=args.format,
+        read_options=options,
+        column_range=args.column_range,
+    )
+    if args.dry_run:
+        stmts = loader.load(
+            args.folder, args.pattern, execute=False,
+            force_reload=args.force_reload,
+        )
+        for i, s in enumerate(stmts, 1):
+            print(f"{i:5d}  {s}")
+        print(
+            f"-- {len(stmts)} pending files (dry run; nothing was loaded)",
+            file=sys.stderr,
+        )
+        return 0
+    if args.per_file:
+        # one job per file: exact error text per file (the reference's
+        # semantics); pick for small batches — load_batch for throughput
+        sink = None
+        if args.dest:
+            sink = lambda df, f: (  # noqa: E731
+                df.write.mode("append").parquet(args.dest)
+            )
+        report = loader.load(
+            args.folder, args.pattern,
+            force_reload=args.force_reload, sink=sink,
+        )
+    else:
+        data, report = loader.load_batch(
+            args.folder, args.pattern,
+            force_reload=args.force_reload, max_files=args.max_files,
+        )
+        if args.dest and report.rows_loaded:
+            data.write.mode("append").parquet(args.dest)
+    for f in report.loaded_files:
+        print(f"{f}: done")
+    for f, msg in report.error_files:
+        print(f"{f}: Error: {msg}")
+    print(f"-- {report.rows_loaded} rows from {len(report.loaded_files)} "
+          f"files, {len(report.error_files)} errors", file=sys.stderr)
+    by_status = (
+        loader.read_manifest().groupBy("status").agg(F.count("*").alias("n"))
+    )
+    for r in sorted(by_status.collect(), key=lambda r: r.status):
+        print(f"--   manifest {r.status}: {r.n}", file=sys.stderr)
+    return 1 if report.error_files else 0
 
 
 def cmd_ping(args) -> int:
@@ -352,6 +479,52 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--dialect", help="dialect name for jdbc: sources")
     se.add_argument("--jdbc-prop", action="append")
     se.set_defaults(fn=cmd_expect)
+
+    sy = sub.add_parser("sync", help="incremental sync (watermark + MERGE) "
+                        "of one table into a parquet target")
+    sy.add_argument("--source", required=True,
+                    help="source table directory or jdbc: URL")
+    sy.add_argument("--dialect", help="dialect name for jdbc: sources")
+    sy.add_argument("--jdbc-prop", action="append",
+                    help="k=v JDBC property (repeatable), e.g. driver=...")
+    sy.add_argument("--target", required=True,
+                    help="parquet target directory (a migrate --dest)")
+    sy.add_argument("--table", required=True)
+    sy.add_argument("--keys", help="comma PK list; default: source catalog PK")
+    sy.add_argument("--delta-col",
+                    help="monotone watermark column; omitted = full-load merge")
+    sy.add_argument("--dry-run", action="store_true",
+                    help="print the decided strategy + statements, change "
+                         "nothing (the reference's execute_statements=false)")
+    sy.add_argument("--no-validate", action="store_true")
+    sy.add_argument("--distinct-mode", default="exact",
+                    choices=["exact", "approx"])
+    sy.set_defaults(fn=cmd_sync)
+
+    sl = sub.add_parser("load", help="manifest-driven file loader "
+                        "(list, reconcile, load pending, per-file status)")
+    sl.add_argument("--folder", required=True, help="directory to ingest")
+    sl.add_argument("--pattern", default="*", help="fnmatch file filter")
+    sl.add_argument("--manifest", required=True,
+                    help="manifest parquet path (created on first run)")
+    sl.add_argument("--format", default="csv")
+    sl.add_argument("--read-option", action="append",
+                    help="k=v reader option (repeatable), e.g. header=true")
+    sl.add_argument("--column-range", type=int,
+                    help="keep only the first N columns — the reference's "
+                         "IMPORT (1..n) cap")
+    sl.add_argument("--dest", help="append loaded rows to this parquet path")
+    sl.add_argument("--dry-run", action="store_true",
+                    help="print pending LOAD statements, change only the "
+                         "manifest reconcile")
+    sl.add_argument("--force-reload", action="store_true",
+                    help="reset the manifest: every listed file reloads")
+    sl.add_argument("--max-files", type=int,
+                    help="bound this run's batch; the rest stay pending")
+    sl.add_argument("--per-file", action="store_true",
+                    help="one job per file for exact per-file error text "
+                         "(default: one batched scan)")
+    sl.set_defaults(fn=cmd_load)
 
     pg = sub.add_parser("ping", help="connection smoke test")
     pg.add_argument("--source", required=True,

@@ -172,9 +172,130 @@ def execute_sync(
 ) -> DataFrame:
     """Run the decided strategy, returning the new target content."""
     plan = plan_sync(source, target, keys, delta_col)
+    return apply_sync_plan(source, target, plan)
+
+
+def apply_sync_plan(
+    source: DataFrame, target: DataFrame, plan: SyncPlan
+) -> DataFrame:
+    """Execute an already-decided :class:`SyncPlan` (the preview the user
+    reviewed IS the plan that runs — the reference's dry-run-then-execute
+    contract, delta_import_on_primary_keys.sql:439-463)."""
     if plan.strategy is SyncStrategy.TRUNCATE_FULL_LOAD:
         return source.select(target.columns)
     if plan.strategy is SyncStrategy.FULL_LOAD_MERGE:
         return merge_upsert(target, source, list(plan.keys))
     staging = source.where(F.col(plan.delta_col) >= F.lit(plan.watermark))
     return merge_upsert(target, staging, list(plan.keys))
+
+
+@dataclass
+class SyncReport:
+    table: str
+    plan: SyncPlan
+    rows_after: int
+    deviations: int | None  # None when validation was skipped
+    uncompared: tuple[str, ...] = ()
+
+
+def sync_table(
+    spark,
+    adapter,
+    target_root: str,
+    table: str,
+    keys: tuple[str, ...] | None = None,
+    delta_col: str | None = None,
+    dry_run: bool = False,
+    validate: bool = True,
+    distinct_mode: str = "exact",
+) -> SyncPlan | SyncReport:
+    """The DELTA_IMPORT executor workflow end-to-end for one table
+    (delta_import_on_primary_keys.sql:374-435): resolve the table and its
+    PK from the source catalog, decide the strategy against the parquet
+    target under ``target_root``, and either return the reviewable plan
+    (``dry_run`` — the reference's execute_statements=false preview,
+    :439-463) or run it and metric-validate the result.
+
+    Keys default to the source catalog's primary key — the same place the
+    reference reads them (delta_import:157-177); pass ``keys`` explicitly
+    to override. A target table that does not exist yet degrades to the
+    full-load strategy (first sync bootstraps the target).
+
+    The merge materializes a NEW target version and swaps it in via a
+    tmp-dir double-write (the new content is derived lazily from the old
+    files, so an in-place overwrite would read-while-deleting); with a
+    transactional table format the same plan calls MERGE INTO and touches
+    only matched files.
+    """
+    import os
+    import shutil
+
+    from database_migration_spark.sources.parquet_source import ParquetSource
+
+    cat = adapter.scan_catalog("%", table, include_keys=True)
+    meta = next(
+        (t for t in cat.tables if t.table.upper() == table.upper()), None
+    )
+    if meta is None:
+        raise ValueError(
+            f"table {table!r} not found at the source "
+            f"(saw {[t.table for t in cat.tables]})"
+        )
+    source = (
+        adapter.read_table(meta)
+        if hasattr(adapter, "read_table")
+        else adapter.read(meta.table)
+    )
+    if keys is None and meta.primary_key is not None:
+        keys = meta.primary_key.columns
+    # case-fold catalog key names (Derby: O_ORDERKEY) onto the actual
+    # source DataFrame columns so the merge join resolves
+    by_upper = {c.upper(): c for c in source.columns}
+    keys = tuple(by_upper.get(k.upper(), k) for k in keys or ()) or None
+
+    tgt_src = ParquetSource(spark, target_root)
+    exists = (
+        os.path.isdir(target_root) and meta.table in tgt_src.list_tables()
+    )
+    if exists:
+        path = tgt_src.table_path(meta.table)
+        target = tgt_src.read(meta.table)
+    else:
+        path = os.path.join(target_root, meta.table)
+        target = spark.createDataFrame([], source.schema)
+
+    delta_type = next(
+        (
+            c.source_type.upper()
+            for c in meta.columns
+            if delta_col and c.name.upper() == delta_col.upper()
+        ),
+        "TIMESTAMP",
+    )
+    dialect = getattr(getattr(adapter, "spec", None), "name", None)
+    plan = plan_sync(
+        source, target, keys, delta_col,
+        source_dialect=dialect, delta_col_type=delta_type,
+    )
+    if dry_run:
+        return plan
+
+    merged = apply_sync_plan(source, target, plan)
+    tmp = path.rstrip("/") + ".sync-tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    fresh = spark.read.parquet(path)
+    rows_after = fresh.count()
+    deviations: int | None = None
+    uncompared: tuple[str, ...] = ()
+    if validate:
+        from database_migration_spark.operators.validate import validate_pair
+
+        cmp, unc = validate_pair(
+            source, fresh, meta.table, distinct_mode=distinct_mode
+        )
+        deviations = cmp.filter(F.col("status") == "DEVIATION").count()
+        uncompared = tuple(unc)
+    return SyncReport(meta.table, plan, rows_after, deviations, uncompared)

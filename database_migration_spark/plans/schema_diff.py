@@ -63,13 +63,26 @@ def schema_diff_plan(
     # the emitted DDL flattens into ONE target schema — a table name that
     # exists in several source schemas would produce colliding statements
     # against the same "TGT"."T"; those render schema-prefixed (S1_T) with
-    # a warning so the stream stays executable and unambiguous
+    # a warning so the stream stays executable and unambiguous.
+    # Prefixing keys off the OLD catalog (the state the target was built
+    # from): a table that already existed unprefixed must keep its target
+    # name even when a same-named table appears in another schema later —
+    # only the newly-created table gets the prefix, so ALTERs always hit
+    # the table that actually exists on the target.
     name_schemas: dict = {}
     for s, t in set(old_tables) | set(new_tables):
         name_schemas.setdefault(t, set()).add(s)
+    old_name_schemas: dict = {}
+    for s, t in old_tables:
+        old_name_schemas.setdefault(t, set()).add(s)
 
     def target_name(schema: str, table: str) -> str:
-        if len(name_schemas[table]) > 1:
+        if len(old_name_schemas.get(table, ())) > 1:
+            # collided when the target was built — every rendition prefixed
+            return f"{schema}_{table}"
+        if len(name_schemas[table]) > 1 and (schema, table) not in old_tables:
+            # newly-colliding: the pre-existing table keeps its unprefixed
+            # target; only the table being created now is prefixed
             return f"{schema}_{table}"
         return table
     old_cols = mapped_types(old)
@@ -181,11 +194,22 @@ def schema_diff_plan(
                 )
 
     for name in sorted(used_collisions):
+        if len(old_name_schemas.get(name, ())) > 1:
+            detail = (
+                "target statements render schema-prefixed to avoid "
+                "colliding on one target name"
+            )
+        else:
+            keep = sorted(old_name_schemas.get(name, ()))
+            detail = (
+                f"the pre-existing table keeps its unprefixed target "
+                f"(built from {keep}); only newly-created tables render "
+                "schema-prefixed"
+            )
         warn_sec.statements.append(
             Statement(
                 f"{name}: exists in schemas "
-                f"{sorted(name_schemas[name])} — target statements render "
-                "schema-prefixed to avoid colliding on one target name",
+                f"{sorted(name_schemas[name])} — {detail}",
                 kind="warning",
             )
         )

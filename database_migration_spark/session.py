@@ -43,6 +43,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Write timestamps as INT64 micros, never legacy INT96: INT96
+        # carries no min/max column statistics (kills predicate pushdown
+        # and row-group skipping at scale) and round-trips through Arrow
+        # as timestamp[ns], confusing external readers.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

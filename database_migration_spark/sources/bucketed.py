@@ -53,20 +53,34 @@ def zorder_expr(xname: str, yname: str, x_range, y_range, bits: int = 8):
     Ranges are driver-supplied (collect once from table stats, don't
     rescan) and may be stale: out-of-range values clamp to the edge codes
     on BOTH sides (an unclamped negative code would sign-extend through
-    shiftright and scatter the row's z). Magnitude bound: the e6
-    quantization requires |v| ≲ 9e12 (v·1e6 must fit a BIGINT exactly) and
-    the scaled product (q-qlo)·(2^bits-1) must fit too — for columns
-    already in large integer units (epoch-µs ~1.7e18) pre-scale to a
-    coarser unit first (epoch-seconds or days), which costs nothing: the
-    z-code has only 2^bits distinct cells per dimension anyway."""
+    shiftright and scatter the row's z). Magnitude bound: quantization runs
+    in DECIMAL(26,12) fixed-point (never a DOUBLE product, whose rounding
+    above 2^53 ≈ |v|·1e6 at ~9e9 would shift boundary rows one cell), so
+    the e6 floor is exact for |v| ≤ ~9e12 — 14 integer digits — for both
+    integer and fractional columns; the scaled product (q-qlo)·(2^bits-1)
+    fits BIGINT there too. For columns already in large integer units
+    (epoch-µs ~1.7e18) pre-scale to a coarser unit first (epoch-seconds or
+    days), which costs nothing: the z-code has only 2^bits distinct cells
+    per dimension anyway."""
+    from decimal import ROUND_FLOOR, Decimal
+
     from pyspark.sql import functions as F
 
+    def qexact(v) -> int:
+        # driver-side mirror of the DECIMAL quantization (Python floats
+        # carry the exact binary value into Decimal — no 2^53 product)
+        d = Decimal(v) if isinstance(v, int) else Decimal(float(v))
+        return int((d * 1_000_000).to_integral_value(rounding=ROUND_FLOOR))
+
     def scaled(name, lo, hi):
-        qlo = int(float(lo) * 1_000_000)
-        qhi = int(float(hi) * 1_000_000)
+        qlo = qexact(lo)
+        qhi = qexact(hi)
         span = max(qhi - qlo, 1)
         k = (1 << bits) - 1
-        q = f"CAST(floor(CAST(`{name}` AS DOUBLE) * 1000000.0) AS BIGINT)"
+        q = (
+            f"CAST(floor(CAST(`{name}` AS DECIMAL(26,12)) * 1000000) "
+            "AS BIGINT)"
+        )
         code = F.expr(f"(({q} - {qlo}L) * {k}L) div {span}L")
         return F.greatest(F.lit(0), F.least(F.lit(k), code)).cast("long")
 

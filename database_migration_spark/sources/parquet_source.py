@@ -68,15 +68,28 @@ def arrow_type_to_source(atype) -> str:
 
 
 def nanos_timestamp_columns(path: str) -> list[str]:
-    """Column names stored as parquet TIMESTAMP(NANOS) — footer-only check."""
+    """Column names stored as parquet INT64 TIMESTAMP(NANOS) — footer-only.
+
+    Checks the PARQUET schema, not the Arrow view of it: legacy INT96
+    timestamps (Spark's historical default writer output) surface as
+    timestamp[ns] in Arrow but Spark reads them natively as TIMESTAMP, so
+    flagging them would push a TIMESTAMP column through the long-sidecar
+    rebuild and fail analysis. Only true INT64 nanos columns qualify."""
     import pyarrow.parquet as pq
 
-    schema = pq.read_schema(path)
-    return [
-        f.name
-        for f in schema
-        if str(f.type).startswith("timestamp") and f.type.unit == "ns"
-    ]
+    sch = pq.ParquetFile(path).schema
+    out = []
+    for i in range(len(sch)):
+        c = sch.column(i)
+        if c.physical_type != "INT64":
+            continue
+        lt = c.logical_type
+        if (
+            getattr(lt, "type", None) == "TIMESTAMP"
+            and "timeUnit=nanoseconds" in str(lt)
+        ):
+            out.append(c.name)
+    return out
 
 
 def read_parquet_portable(spark: SparkSession, path: str, nanos_sidecar: bool = True) -> DataFrame:

@@ -234,7 +234,12 @@ def stream_interval_join(
     (gap + delay)) regardless of stream length.
 
     ``how='left_outer'`` emits unmatched left rows after the watermark
-    closes their interval (attribution "no conversion" rows)."""
+    closes their interval (attribution "no conversion" rows).
+
+    Non-key columns the two inputs SHARE (both carrying ``amount``, say)
+    come out prefixed ``left_``/``right_`` — emitting both under one name
+    would make every downstream select-by-name raise
+    AMBIGUOUS_REFERENCE."""
     lw = left.withWatermark(left_ts, watermark_delay)
     rw = right.withWatermark(right_ts, watermark_delay)
     cond = (
@@ -246,7 +251,21 @@ def stream_interval_join(
     # one key column out, COALESCED: on an outer join the unmatched side's
     # key is NULL, so dropping either copy outright would lose the key for
     # those rows (right_outer/full_outer no-click purchases)
+    shared = (set(left.columns) & set(right.columns)) - {key}
+    names = [key]
+    names += [f"left_{c}" if c in shared else c
+              for c in left.columns if c != key]
+    names += [f"right_{c}" if c in shared else c
+              for c in right.columns if c != key]
+    if len(set(names)) != len(names):
+        dup = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            f"stream_interval_join output names collide: {dup} — rename "
+            "the inputs' columns before joining"
+        )
     cols = [F.coalesce(lw[key], rw[key]).alias(key)]
-    cols += [lw[c] for c in left.columns if c != key]
-    cols += [rw[c] for c in right.columns if c != key]
+    cols += [lw[c].alias(f"left_{c}" if c in shared else c)
+             for c in left.columns if c != key]
+    cols += [rw[c].alias(f"right_{c}" if c in shared else c)
+             for c in right.columns if c != key]
     return joined.select(*cols)

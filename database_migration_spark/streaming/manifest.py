@@ -251,13 +251,17 @@ class ManifestLoader:
         execute: bool = True,
         force_reload: bool = False,
         reader=None,
+        sink=None,
     ) -> LoadReport | list[str]:
         """Full run: list → reconcile → load pending → update statuses.
 
         ``reader``: optional callable(paths: list[str]) -> DataFrame for
-        custom formats; default uses spark.read.<format>. Returns the loaded
-        DataFrame rows count in the report; the caller writes the data (this
-        keeps the loader sink-agnostic).
+        custom formats; default uses spark.read.<format>. ``sink``:
+        optional callable(df, file_name) invoked per successfully-read
+        file — a sink failure counts as THAT file's error (the manifest
+        row records it, the reference's per-file isolation, s3:294-315)
+        and the file stays eligible for the next run. Without a sink the
+        caller writes the data (loader stays sink-agnostic).
         """
         self.reconcile(self.lister(folder, pattern), force_reload)
         files = self.pending()
@@ -265,14 +269,14 @@ class ManifestLoader:
             return self.plan_statements(files)
 
         loaded, errors, rows = [], [], 0
-        frames = []
         for f in files:
             try:
                 df = (reader or self._default_reader)([f])
                 if self.column_range:
                     df = df.select(df.columns[: self.column_range])
                 n = df.count()
-                frames.append(df)
+                if sink is not None:
+                    sink(df, f)
                 rows += n
                 loaded.append(f)
             except Exception as e:  # noqa: BLE001 — per-file isolation (s3:294-315)
@@ -412,8 +416,13 @@ class ManifestLoader:
         return df, LoadReport(loaded, errors, int(rows))
 
     def _default_reader(self, paths: list[str]) -> DataFrame:
-        r = self.spark.read.options(**self.read_options)
-        return getattr(r, self.file_format)(paths)
+        # format().load() takes a path LIST for every format — the
+        # format-named shortcuts (read.parquet) are varargs and reject one
+        return (
+            self.spark.read.options(**self.read_options)
+            .format(self.file_format)
+            .load(paths)
+        )
 
     def _update_status(
         self, loaded: list[str], errors: list[tuple[str, str]]

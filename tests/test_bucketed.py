@@ -95,3 +95,45 @@ def test_zorder_layout_skips_files_in_both_dimensions(spark, tmp_path):
     z = spark.read.parquet(zpath)
     assert z.count() == n * n
     assert grid.exceptAll(z.select("id", "x", "y")).count() == 0
+
+
+def test_zorder_quantization_exact_above_double_bound(spark):
+    """The e6 quantization runs in DECIMAL fixed-point, so z-codes stay
+    exact where a DOUBLE product provably mis-bins: odd BIGINTs >= ~1e12
+    (v*1e6 exceeds 2^53 and rounds before the floor). Spark codes must
+    equal an integer-exact Python reference for adversarial values."""
+    from decimal import ROUND_FLOOR, Decimal
+
+    from pyspark.sql import functions as F
+
+    from database_migration_spark.sources.bucketed import zorder_expr
+
+    bits = 16
+    k = (1 << bits) - 1
+    lo, hi = 1_000_000_000_001, 1_000_000_131_073  # odd, ~1e12, 2^17 span
+
+    def qe(v):
+        d = Decimal(v) if isinstance(v, int) else Decimal(float(v))
+        return int((d * 1_000_000).to_integral_value(rounding=ROUND_FLOOR))
+
+    def zref(x, y):
+        qlo, qhi = qe(lo), qe(hi)
+        span = max(qhi - qlo, 1)
+        cx = max(0, min(k, ((qe(x) - qlo) * k) // span))
+        cy = max(0, min(k, ((qe(y) - qlo) * k) // span))
+        z = 0
+        for i in range(bits):
+            z += ((cx >> i) & 1) << (2 * i)
+            z += ((cy >> i) & 1) << (2 * i + 1)
+        return z
+
+    vals = [(lo + 65536 * i + 1, hi - 65536 * i - 1) for i in range(3)]
+    df = spark.createDataFrame(vals, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn(
+            "z", zorder_expr("x", "y", (lo, hi), (lo, hi), bits)
+        ).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == zref(x, y), (x, y, z, zref(x, y))

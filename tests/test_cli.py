@@ -274,3 +274,204 @@ def test_cli_ping(spark, sf_smoke, tmp_path, capsys, monkeypatch):
                "--jdbc-prop", f"driver={DERBY_DRIVER}"])
     err = capsys.readouterr().err
     assert rc == 1 and "Connection FAILED" in err
+
+
+def test_cli_validate_tables_case_insensitive(spark, sf_smoke, tmp_path, capsys):
+    """--tables matching is case-insensitive like every other filter in
+    the tool: `--tables REGION` against lower-cased parquet table names
+    must compare the table, not report it MISSING (the Derby/Oracle
+    folded-identifier case in reverse)."""
+    rc = main(["validate", "--left", sf_smoke, "--right", sf_smoke,
+               "--tables", "REGION, Nation"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "MISSING" not in out
+    assert "region: OK" in out and "nation: OK" in out
+
+
+def test_cli_sync_live_derby_incremental(spark, tmp_path, capsys, monkeypatch):
+    """The DELTA_IMPORT workflow end-to-end on a LIVE JDBC source: bootstrap
+    full-load sync, insert + update rows at the source, dry-run previews the
+    delta strategy without touching the target, then the real sync advances
+    the watermark, MERGEs, and the metric engine validates the result."""
+    from database_migration_spark.sources import dialects as D
+    from database_migration_spark.sources.dialects import DialectSpec
+    from tests.conftest import DERBY_DRIVER, make_derby_db
+
+    db = str(tmp_path / "syncdb")
+    url = make_derby_db(spark, db, [
+        "CREATE TABLE APP.ITEMS (ID BIGINT NOT NULL, NAME VARCHAR(20), "
+        "UPDATED TIMESTAMP)",
+        "INSERT INTO APP.ITEMS VALUES "
+        + ", ".join(
+            f"({i}, 'item{i}', TIMESTAMP('2026-01-01 10:{i:02d}:00'))"
+            for i in range(20)
+        ),
+    ])
+    derby = DialectSpec(
+        name="derby",
+        catalog_sql="""
+SELECT s.SCHEMANAME AS schema_name, t.TABLENAME AS table_name,
+       c.COLUMNNAME AS column_name, c.COLUMNNUMBER AS ordinal_position,
+       CAST(c.COLUMNDATATYPE AS VARCHAR(128)) AS data_type,
+       CAST(NULL AS INT) AS numeric_precision, CAST(NULL AS INT) AS numeric_scale,
+       CAST(NULL AS INT) AS character_maximum_length,
+       'YES' AS is_nullable
+FROM SYS.SYSCOLUMNS c
+JOIN SYS.SYSTABLES t ON t.TABLEID = c.REFERENCEID
+JOIN SYS.SYSSCHEMAS s ON s.SCHEMAID = t.SCHEMAID
+WHERE t.TABLETYPE = 'T'
+  AND s.SCHEMANAME LIKE '{schema_filter}' AND t.TABLENAME LIKE '{table_filter}'
+""",
+    )
+    monkeypatch.setitem(D.ALL_DIALECTS, "derby", derby)
+    tgt = str(tmp_path / "sync_target")
+    base = ["sync", "--source", url, "--dialect", "derby",
+            "--jdbc-prop", f"driver={DERBY_DRIVER}",
+            "--target", tgt, "--table", "ITEMS",
+            "--keys", "ID", "--delta-col", "UPDATED"]
+
+    # bootstrap: no target yet → full-load merge
+    rc = main(base)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "strategy: FULL_LOAD_MERGE" in out
+    assert "ITEMS: 20 rows after sync, OK" in out
+
+    # source moves on: 5 inserts + 1 update, all later than the watermark
+    import py4j  # noqa: F401 — jvm is reachable through the session
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.execute(
+        "INSERT INTO APP.ITEMS VALUES " + ", ".join(
+            f"({i}, 'item{i}', TIMESTAMP('2026-01-02 09:{i - 20:02d}:00'))"
+            for i in range(20, 25)
+        )
+    )
+    st.execute("UPDATE APP.ITEMS SET NAME = 'renamed', "
+               "UPDATED = TIMESTAMP('2026-01-02 10:00:00') WHERE ID = 3")
+    st.close()
+    conn.close()
+
+    # preview first: the delta strategy with the advanced-from watermark,
+    # and the target is untouched
+    rc = main(base + ["--dry-run"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "strategy: DELTA_LOAD_MERGE" in out
+    assert "watermark: 2026-01-01 10:19:00" in out
+    assert "UPDATED >=" in out
+    assert spark.read.parquet(f"{tgt}/ITEMS").count() == 20
+
+    # the real sync: watermark-filtered load, MERGE on ID, metric-validated
+    rc = main(base)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "strategy: DELTA_LOAD_MERGE" in out
+    assert "ITEMS: 25 rows after sync, OK" in out
+    got = spark.read.parquet(f"{tgt}/ITEMS")
+    assert got.count() == 25
+    assert got.where("ID = 3").collect()[0].NAME == "renamed"
+
+
+def test_cli_sync_defaults_keys_from_catalog_pk(spark, sf_smoke, tmp_path, capsys):
+    """Without --keys the sync reads the primary key from the source
+    catalog (the same place the reference reads it, delta_import:157-177)
+    and the second run decides DELTA_LOAD_MERGE off the bootstrapped
+    watermark."""
+    tgt = str(tmp_path / "orders_tgt")
+    base = ["sync", "--source", sf_smoke, "--target", tgt,
+            "--table", "orders", "--delta-col", "o_orderdate"]
+    rc = main(base)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "strategy: FULL_LOAD_MERGE" in out
+    assert "rows after sync, OK" in out
+
+    rc = main(base)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "strategy: DELTA_LOAD_MERGE" in out
+    assert "watermark: " in out
+    # idempotent re-sync: boundary rows re-read, deduplicated by the PK merge
+    n = spark.read.parquet(f"{tgt}/orders").count()
+    src = spark.read.parquet(f"{sf_smoke}/orders.parquet").count()
+    assert n == src
+
+
+def test_cli_load_error_and_reupload_statuses(spark, tmp_path, capsys):
+    """The manifest state machine through the CLI (s3_to_exasol.sql:224-315):
+    a file with no ingestible rows records an Error status and fails the rc
+    gate; re-uploading it (newer mtime) flips it to waiting-for-update and
+    the next run loads it to done without re-reading already-done files."""
+    import os
+    import time as _time
+
+    folder = tmp_path / "inbox"
+    folder.mkdir()
+    (folder / "a.csv").write_text("id,name\n1,x\n2,y\n")
+    (folder / "b.csv").write_text("")  # nothing ingestible → Error
+    manifest = str(tmp_path / "manifest")
+    dest = str(tmp_path / "loaded")
+    base = ["load", "--folder", str(folder), "--manifest", manifest,
+            "--format", "csv", "--read-option", "header=true",
+            "--dest", dest]
+
+    # dry run first: the reference's execute_statements=false preview
+    rc = main(base + ["--dry-run"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "LOAD CSV FILE" in out and "a.csv" in out and "b.csv" in out
+
+    rc = main(base)
+    out = capsys.readouterr().out + capsys.readouterr().err
+    assert rc == 1  # the empty file is an error and gates the rc
+    assert "a.csv: done" in out
+    assert "b.csv: Error" in out
+    assert spark.read.parquet(dest).count() == 2
+
+    # re-upload b with real content and a newer mtime
+    (folder / "b.csv").write_text("id,name\n3,z\n")
+    later = _time.time() + 10
+    os.utime(folder / "b.csv", (later, later))
+    rc = main(base)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "b.csv: done" in out
+    assert "a.csv" not in out  # done files are not re-read
+    assert spark.read.parquet(dest).count() == 3
+    # manifest settles to all-done
+    m = spark.read.parquet(manifest)
+    assert {r.status for r in m.collect()} == {"done"}
+
+
+def test_cli_load_per_file_exact_errors(spark, tmp_path, capsys):
+    """--per-file trades single-scan throughput for the reference's exact
+    per-file error text: a corrupt file's status carries the real reader
+    message, good files still load and sink."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    folder = tmp_path / "inbox2"
+    folder.mkdir()
+    pq.write_table(
+        pa.table({"id": [1, 2, 3], "name": ["a", "b", "c"]}),
+        str(folder / "good.parquet"),
+    )
+    (folder / "bad.parquet").write_bytes(b"this is not parquet")
+    manifest = str(tmp_path / "manifest2")
+    dest = str(tmp_path / "loaded2")
+    rc = main(["load", "--folder", str(folder), "--manifest", manifest,
+               "--format", "parquet", "--per-file", "--dest", dest])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "good.parquet: done" in out
+    assert "bad.parquet: Error" in out
+    # exact error text, not the batch path's generic no-rows message
+    assert "no rows ingested" not in out
+    assert spark.read.parquet(dest).count() == 3
+    m = {r.file_name: r.status for r in spark.read.parquet(manifest).collect()}
+    assert m[str(folder / "good.parquet")] == "done"
+    assert m[str(folder / "bad.parquet")].startswith("Error: ")

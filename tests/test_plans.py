@@ -404,3 +404,35 @@ def test_catalog_json_roundtrip_property():
         assert catalog_from_json(catalog_to_json(cat)).tables == cat.tables
 
     check()
+
+
+def test_schema_diff_new_collision_keeps_existing_target():
+    """A collision that first appears in the NEW catalog must NOT rename
+    the pre-existing table's ALTER targets: the target was migrated
+    pre-collision as TGT.T, so its ALTERs keep the unprefixed name and
+    only the newly-created table renders schema-prefixed."""
+    from database_migration_spark.catalog import Catalog, ColumnMeta, TableMeta
+    from database_migration_spark.plans.schema_diff import schema_diff_plan
+
+    def col(schema, table, name, ordinal, st, nullable=True):
+        return ColumnMeta(schema=schema, table=table, name=name,
+                          ordinal=ordinal, source_type=st, nullable=nullable)
+
+    old = Catalog(tables=[
+        TableMeta("S1", "t", (col("S1", "t", "x", 1, "integer"),)),
+    ])
+    new = Catalog(tables=[
+        TableMeta("S1", "t", (col("S1", "t", "x", 1, "integer"),
+                              col("S1", "t", "y", 2, "integer"))),
+        TableMeta("S2", "t", (col("S2", "t", "x", 1, "varchar"),)),
+    ])
+    rows = [s for _, s in schema_diff_plan(old, new, "TGT").rows()]
+    text = "\n".join(rows)
+    # the pre-existing table's ALTER hits the table that actually exists
+    assert 'ALTER TABLE "TGT"."T" ADD COLUMN "Y"' in text
+    assert "S1_T" not in text
+    # only the newly-created table is prefixed
+    assert 'CREATE TABLE "TGT"."S2_T"' in text
+    # and the collision is announced with the asymmetric policy
+    assert any("pre-existing table keeps its unprefixed target" in r
+               for r in rows)

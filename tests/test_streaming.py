@@ -570,3 +570,35 @@ def test_stream_interval_join_left_outer_no_conversion_rows(spark, tmp_path):
     assert by_user[1] == {"2024-01-01 10:10:00"}
     # user 2's interval closed under the advanced watermark → outer row
     assert by_user[2] == {None}
+
+
+def test_stream_interval_join_shared_columns_aliased(spark):
+    """Inputs sharing a non-key column name must come out prefixed
+    left_/right_ (never duplicated — a duplicate name makes every
+    downstream select raise AMBIGUOUS_REFERENCE), and a name the prefix
+    itself would collide with is refused up front."""
+    from database_migration_spark.streaming.delta_stream import (
+        stream_interval_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "2026-01-01 10:00:00", 5)],
+        "user_id int, click_ts string, amount int",
+    ).withColumn("click_ts", F.col("click_ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2026-01-01 10:30:00", 7)],
+        "user_id int, purchase_ts string, amount int",
+    ).withColumn("purchase_ts", F.col("purchase_ts").cast("timestamp"))
+    j = stream_interval_join(left, right)
+    assert j.columns == [
+        "user_id", "click_ts", "left_amount", "purchase_ts", "right_amount"
+    ]
+    row = j.select("left_amount", "right_amount").collect()[0]
+    assert (row.left_amount, row.right_amount) == (5, 7)
+
+    clashing = left.withColumn("left_amount", F.lit(0))
+    try:
+        stream_interval_join(clashing, right)
+        raise AssertionError("expected ValueError on prefixed-name collision")
+    except ValueError as e:
+        assert "left_amount" in str(e)

@@ -6,10 +6,16 @@ a typed metadata struct, and runs decode / feature-extraction / resize /
 frame-sampling as Arrow-batched pandas stages over ``mapInPandas``.
 
 Everything Spark-side here is real and tested: schemas, partitioning, UDF
-signatures, batch shapes, error rows. The codec calls themselves are STUBS
-(``decoder=None`` uses a deterministic fake) because no image/audio
-libraries exist in this environment — a production deployment passes
-``decoder=`` a function that calls PIL/ffmpeg/torchaudio on each payload.
+signatures, batch shapes, error rows. Container-HEADER parsing is real too
+(round-6): PNG/BMP/GIF dimensions and canonical-WAV duration parse
+JVM-side from fixed spec offsets (:func:`attach_media_metadata`, pure
+codegen over the binary column), and :func:`parse_container_header` /
+:func:`extract_media_metadata` do the robust stdlib-``struct`` chunk walk
+(reordered WAV chunks etc.). Only pixel/sample DECODING remains a plug-in
+seam (``decoder=``/``resizer=`` take a PIL/ffmpeg/torchaudio callable in
+production) because no media library exists in this environment; the
+default feature decoder uses real header fields when the container
+parses, digest features otherwise.
 
 Scale notes:
 - media rows are large → ``repartition`` by size budget, not row count;
@@ -43,24 +49,199 @@ FEATURE_SCHEMA = (
 )
 
 
+def _be(p, off: int, n: int):
+    """Big-endian unsigned int from ``n`` bytes at 1-based ``off`` — pure
+    codegen (hex → conv), no Python."""
+    return F.conv(F.hex(F.substring(p, off, n)), 16, 10).cast("long")
+
+
+def _le(p, off: int, n: int):
+    """Little-endian unsigned int: per-byte hex re-concatenated reversed."""
+    parts = [F.hex(F.substring(p, off + i, 1)) for i in range(n - 1, -1, -1)]
+    return F.conv(F.concat(*parts), 16, 10).cast("long")
+
+
 def attach_media_metadata(
     df: DataFrame, payload_col: str = "payload"
 ) -> DataFrame:
-    """Cheap JVM-side metadata that needs no decode: byte length + sha-ready
-    prefix. Container-format sniffing (magic bytes) stays JVM-side too."""
+    """JVM-side metadata that needs no codec: byte length, container magic,
+    and REAL dimensions parsed from fixed-offset container headers — all
+    whole-stage-codegen expressions over the binary column, no Python.
+
+    Fixed offsets are spec-guaranteed for the parsed fields: PNG's IHDR
+    must be the first chunk (width/height big-endian at bytes 17/21), BMP's
+    BITMAPINFOHEADER puts biWidth/biHeight little-endian at 19/23 (negative
+    biHeight = top-down orientation → abs), GIF's logical screen descriptor
+    is at 7/9. WAV duration is computed for CANONICAL files only (fmt chunk
+    at 13, data at 37 — what every minimal PCM writer emits); chunk-
+    reordered WAVs get NULL here and are handled by the chunk-walking
+    Python parser in :func:`extract_media_metadata`."""
     p = F.col(payload_col)
-    magic = F.hex(F.substring(p, 1, 4))
-    return df.withColumn("n_bytes", F.length(p).cast("long")).withColumn(
-        "container_magic", magic
+    hexat = lambda off, n: F.hex(F.substring(p, off, n))  # noqa: E731
+    is_png = hexat(1, 8) == "89504E470D0A1A0A"
+    is_bmp = hexat(1, 2) == "424D"
+    is_gif = hexat(1, 3) == "474946"
+    is_wav = (hexat(1, 4) == "52494646") & (hexat(9, 4) == "57415645")
+    bmp_h_raw = _le(p, 23, 4)
+    bmp_h = F.when(
+        bmp_h_raw > F.lit(2147483647), F.lit(4294967296) - bmp_h_raw
+    ).otherwise(bmp_h_raw)
+    width = (
+        F.when(is_png, _be(p, 17, 4))
+        .when(is_bmp, _le(p, 19, 4))
+        .when(is_gif, _le(p, 7, 2))
+    )
+    height = (
+        F.when(is_png, _be(p, 21, 4))
+        .when(is_bmp, bmp_h)
+        .when(is_gif, _le(p, 9, 2))
+    )
+    # canonical PCM WAV: fmt(16 bytes) at 13, byte-rate at 29, data at 37
+    wav_canonical = (
+        is_wav & (hexat(13, 4) == "666D7420") & (hexat(37, 4) == "64617461")
+    )
+    byte_rate = _le(p, 29, 4)
+    duration_ms = F.when(
+        wav_canonical & (byte_rate > 0),
+        (_le(p, 41, 4) * 1000).cast("long") / byte_rate,
+    ).cast("long")
+    sniffed = (
+        F.when(is_png, F.lit("png"))
+        .when(is_bmp, F.lit("bmp"))
+        .when(is_gif, F.lit("gif"))
+        .when(is_wav, F.lit("wav"))
+    )
+    # sniffed_* names: MEDIA_SCHEMA rows may carry source-claimed
+    # width/height/duration_ms — the parsed values sit beside them (a
+    # mismatch is a data-quality signal, not something to overwrite)
+    return (
+        df.withColumn("n_bytes", F.length(p).cast("long"))
+        .withColumn("container_magic", hexat(1, 4))
+        .withColumn("sniffed_type", sniffed)
+        .withColumn("sniffed_width", width.cast("int"))
+        .withColumn("sniffed_height", height.cast("int"))
+        .withColumn("sniffed_duration_ms", duration_ms.cast("int"))
     )
 
 
+def parse_container_header(payload: bytes) -> dict | None:
+    """Container metadata from magic bytes, stdlib ``struct`` only — the
+    robust (chunk-walking) Python counterpart of the JVM fast path in
+    :func:`attach_media_metadata`. Returns ``{container, width, height,
+    duration_ms, codec}`` (missing fields None) or None when the payload
+    matches no known container. This is a REAL parse of the container
+    header, not a stub; only pixel/sample DECODING remains a plug-in seam
+    (no media library exists in this environment)."""
+    import struct
+
+    b = payload or b""
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        w, h = struct.unpack(">II", b[16:24])
+        return {"container": "png", "width": w, "height": h,
+                "duration_ms": None, "codec": "png"}
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return {"container": "bmp", "width": w, "height": abs(h),
+                "duration_ms": None, "codec": "bmp"}
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return {"container": "gif", "width": w, "height": h,
+                "duration_ms": None, "codec": "gif"}
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        # chunk walk: fmt/data may appear in any order with strangers
+        # (LIST, fact) between them — the reason the JVM fixed-offset path
+        # covers canonical files only
+        pos, rate, byte_rate, bits, channels, data_size, fmt_tag = (
+            12, None, None, None, None, None, None,
+        )
+        while pos + 8 <= len(b):
+            cid, size = b[pos:pos + 4], struct.unpack("<I", b[pos + 4:pos + 8])[0]
+            if cid == b"fmt " and pos + 24 <= len(b):
+                fmt_tag, channels, rate, byte_rate = struct.unpack(
+                    "<HHII", b[pos + 8:pos + 20]
+                )
+                if pos + 24 <= len(b):
+                    bits = struct.unpack("<H", b[pos + 22:pos + 24])[0]
+            elif cid == b"data":
+                data_size = size
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        duration_ms = (
+            data_size * 1000 // byte_rate
+            if data_size is not None and byte_rate
+            else None
+        )
+        codec = {1: "pcm", 3: "ieee_float"}.get(fmt_tag, str(fmt_tag))
+        return {"container": "wav", "width": None, "height": None,
+                "duration_ms": duration_ms, "codec": codec,
+                "channels": channels, "sample_rate": rate,
+                "bits_per_sample": bits}
+    return None
+
+
+METADATA_SCHEMA = (
+    "media_id BIGINT, container STRING, width INT, height INT, "
+    "duration_ms INT, codec STRING, n_bytes BIGINT, error STRING"
+)
+
+
+def extract_media_metadata(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Robust container metadata via mapInPandas — handles chunk-reordered
+    WAVs and anything the JVM fixed-offset path NULLs; per-row error
+    isolation like :func:`extract_features`. Unrecognized containers are
+    rows with ``container`` NULL and an error note, never dropped."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = row[payload_col]
+                pb = bytes(payload) if payload is not None else b""
+                try:
+                    meta = parse_container_header(pb)
+                    rows.append({
+                        "media_id": row[id_col],
+                        "container": meta["container"] if meta else None,
+                        "width": meta.get("width") if meta else None,
+                        "height": meta.get("height") if meta else None,
+                        "duration_ms": meta.get("duration_ms") if meta else None,
+                        "codec": meta.get("codec") if meta else None,
+                        "n_bytes": len(pb),
+                        "error": None if meta else "unrecognized container",
+                    })
+                except Exception as e:  # noqa: BLE001 — per-row isolation
+                    rows.append({
+                        "media_id": row[id_col], "container": None,
+                        "width": None, "height": None, "duration_ms": None,
+                        "codec": None, "n_bytes": len(pb),
+                        "error": f"{type(e).__name__}: {e}"[:200],
+                    })
+            yield pd.DataFrame(rows)
+
+    return fan_out(df).mapInPandas(run, schema=METADATA_SCHEMA)
+
+
 def _fake_decoder(payload: bytes, media_type: str) -> list[float]:
-    """Deterministic stand-in for a real decoder: 8 floats derived from the
-    payload digest. Replace with PIL/ffmpeg in production — the Spark
-    plumbing (batching, schema, error capture) is identical."""
+    """Deterministic stand-in for a real PIXEL decoder: 8 floats derived
+    from the payload digest, with real container-header fields in front
+    when the payload parses (parse_container_header) — so recognized
+    PNG/BMP/GIF/WAV payloads featurize on real metadata. Replace with
+    PIL/ffmpeg in production for content features — the Spark plumbing
+    (batching, schema, error capture) is identical."""
+    meta = parse_container_header(payload or b"")
     h = hashlib.sha256(payload or b"").digest()
-    return [b / 255.0 for b in h[:8]]
+    digest_feats = [b / 255.0 for b in h[:8]]
+    if meta is None:
+        return digest_feats
+    return [
+        float(meta.get("width") or 0),
+        float(meta.get("height") or 0),
+        float(meta.get("duration_ms") or 0),
+        float(len(payload or b"")),
+    ] + digest_feats[:4]
 
 
 def extract_features(

@@ -145,32 +145,69 @@ def edit_distance_pairs(
     the variant with its sequence digit deleted): blocks larger than the
     cap are dropped before the self-join — same semantics and machinery as
     the LSH ``max_bucket`` guard. Default None = exact.
+
+    Shuffle shape (round-5 verdict finding): strings never ride the
+    candidate machinery. Each string gets a 60-bit md5 id; variants hash
+    to 64-bit join keys at the map side, the self-join and the pair-dedup
+    move ``(long, long)`` rows only, and the two strings re-attach by id
+    just for the levenshtein verify — shuffle bytes drop by ~the mean
+    string length on the join AND the distinct. Hash collisions cannot
+    produce wrong output: a variant-key collision is just one more
+    candidate for the verify to kill, and an id collision on re-attach
+    fans out to extra (string, string) combos that the verify also kills;
+    the only theoretical loss is a TRUE ≤1-edit pair whose two members
+    collide in 60 bits (~|pairs|/2⁶⁰ — vanishing, and orders of magnitude
+    below any real corpus's near-dup noise floor).
     """
     if max_dist != 1:
         raise ValueError("edit_distance_pairs supports max_dist=1 only")
-    names = df.select(F.col(text_col).alias("_s")).where(
-        F.col("_s").isNotNull()
-    ).distinct()
-    keyed = names.select(
-        "_s", F.explode(_deletion_keys("_s")).alias("_k")
+    from pyspark import StorageLevel
+
+    from database_migration_spark.functions.hashing import md5_long
+
+    # the dictionary is consumed three times (variant keying + two id
+    # re-attaches) — persist, or each consumer rescans + re-distincts
+    names = (
+        df.select(F.col(text_col).alias("_s"))
+        .where(F.col("_s").isNotNull())
+        .distinct()
+        .select("_s", md5_long(F.col("_s")).alias("_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # explode map-side, hash each variant, DROP the variant string before
+    # anything shuffles: the keyed relation is two longs per variant
+    keyed = names.select(
+        "_id", F.explode(_deletion_keys("_s")).alias("_v")
+    ).select("_id", md5_long(F.col("_v")).alias("_k"))
     if max_block is not None:
         from database_migration_spark.operators.dedup import _cap_buckets
 
         keyed = _cap_buckets(keyed, ["_k"], max_block)
-    a = keyed.select(F.col("_s").alias("_sa"), "_k")
-    b = keyed.select(F.col("_s").alias("_sb"), "_k")
+    else:
+        # both join sides read keyed; projections under different aliases
+        # defeat ReusedExchange, so persist (the capped path persists
+        # inside _cap_buckets already)
+        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+    a = keyed.select(F.col("_id").alias("_ida"), "_k")
+    b = keyed.select(F.col("_id").alias("_idb"), "_k")
     cands = (
         a.join(b, "_k")
-        .where(F.col("_sa") < F.col("_sb"))
-        .select("_sa", "_sb")
+        .where(F.col("_ida") < F.col("_idb"))
+        .select("_ida", "_idb")
         .distinct()
     )
+    pairs = cands.join(
+        names.select(F.col("_id").alias("_ida"), F.col("_s").alias("_x")),
+        "_ida",
+    ).join(
+        names.select(F.col("_id").alias("_idb"), F.col("_s").alias("_y")),
+        "_idb",
+    )
     return (
-        cands.where(F.levenshtein("_sa", "_sb") <= max_dist)
+        pairs.where(F.levenshtein("_x", "_y") <= max_dist)
         .select(
-            F.col("_sa").alias("name_a"),
-            F.col("_sb").alias("name_b"),
-            F.levenshtein("_sa", "_sb").cast("long").alias("dist"),
+            F.least("_x", "_y").alias("name_a"),
+            F.greatest("_x", "_y").alias("name_b"),
+            F.levenshtein("_x", "_y").cast("long").alias("dist"),
         )
     )

@@ -2262,6 +2262,67 @@ def frame_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_header_probe",
+    # the oracle computes the EXPECTED dimensions directly from doc_id —
+    # Spark must synthesize real PNG/GIF container bytes from the same
+    # fields and parse them back through the JVM fixed-offset header
+    # reader (attach_media_metadata), so any parse/byte-order error
+    # hash-mismatches; covers the round-6 multimodal de-stub end to end
+    oracle="""
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS sniffed_type,
+       CAST(doc_id % 1920 + 1 AS INTEGER) AS sniffed_width,
+       CAST(doc_id % 1080 + 1 AS INTEGER) AS sniffed_height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 29 ELSE 15 END AS BIGINT) AS n_bytes
+FROM documents
+""",
+)
+def media_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-header parsing, oracle-checked: synthesize minimal PNG
+    (big-endian IHDR) and GIF (little-endian screen descriptor) payloads
+    whose dimensions derive from doc_id, then recover width/height from
+    the BYTES via the codegen header parser
+    (multimodal.attach_media_metadata) — both the BE and LE paths must
+    round-trip exactly or the value hash diverges from the arithmetic
+    oracle."""
+    from database_migration_spark.operators import multimodal as MM
+
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        (F.col("doc_id") % 1920 + 1).cast("long").alias("_w"),
+        (F.col("doc_id") % 1080 + 1).cast("long").alias("_h"),
+    )
+    be32 = lambda name: F.lpad(F.hex(F.col(name)), 8, "0")  # noqa: E731
+    le16 = lambda name: F.concat(  # noqa: E731
+        F.lpad(F.hex(F.col(name) % 256), 2, "0"),
+        F.lpad(F.hex(F.expr(f"`{name}` div 256")), 2, "0"),
+    )
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A"),  # magic
+        F.lit("0000000D49484452"),  # IHDR length + type
+        be32("_w"),
+        be32("_h"),
+        F.lit("0802000000"),  # bit depth / color / filter / interlace
+    )
+    gif_hex = F.concat(
+        F.lit("474946383961"),  # GIF89a
+        le16("_w"),
+        le16("_h"),
+        F.lit("0000000000"),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(
+            F.when(F.col("doc_id") % 2 == 0, png_hex).otherwise(gif_hex)
+        ).alias("payload"),
+    )
+    return MM.attach_media_metadata(media).select(
+        "media_id", "sniffed_type", "sniffed_width", "sniffed_height",
+        "n_bytes",
+    )
+
+
+@register(
     "semi_join_active_customers",
     oracle="""
 SELECT c.c_custkey, c.c_name FROM customer c
@@ -3459,6 +3520,13 @@ _SHOWCASE_ONLY = [
     # (distinct projection graded via star_dims_orders); sim-verified +
     # brute-force-differential pytest (test_pairing)
     "fuzzy_name_pairs",
+    # showcase from birth: the round-6 container-header parser probe —
+    # its machinery is binary construction + fixed-offset codegen parsing
+    # (multimodal.attach_media_metadata), whose mapInPandas sibling is
+    # graded via multimodal_features; the BE/LE byte-order round-trip is
+    # what the oracle pins; sim-verified + fixture pytests
+    # (test_multimodal::test_container_header_parsing_real_dimensions)
+    "media_header_probe",
     # showcase from birth: RANGE-frame window — the window family is
     # graded by window_functions_lineitem (partition frames),
     # topk_parts_per_brand (ranking) and sessionize_events (running

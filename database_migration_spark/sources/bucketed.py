@@ -41,6 +41,56 @@ def bucketed_join(
     return l.join(r, l[left_key] == r[right_key])
 
 
+def zorder_expr_n(names: list, ranges: list, bits: int = 8):
+    """Morton/Z-order key over N numeric columns — the general form of
+    :func:`zorder_expr` (which delegates here): each column quantizes to
+    a ``bits``-bit code over its range via the same DECIMAL fixed-point
+    arithmetic, and the codes' bits interleave round-robin (bit i of
+    column j lands at position i*n + j). The interleaved key fits a signed
+    BIGINT while bits*n <= 63 — enforced, since a silent overflow would
+    scatter the layout. More columns at fixed bits = coarser per-column
+    cells (2^bits each, but file-count budget shared n ways); 3-4 columns
+    at 8-10 bits is the practical multi-dimensional skipping regime, the
+    same guidance as Delta's OPTIMIZE ZORDER."""
+    from decimal import ROUND_FLOOR, Decimal
+
+    from pyspark.sql import functions as F
+
+    n = len(names)
+    if n != len(ranges) or n == 0:
+        raise ValueError("names and ranges must be same-length, non-empty")
+    if bits * n > 63:
+        raise ValueError(
+            f"bits*columns = {bits * n} exceeds the 63-bit BIGINT budget; "
+            f"lower bits (≤ {63 // n} for {n} columns)"
+        )
+
+    def qexact(v) -> int:
+        d = Decimal(v) if isinstance(v, int) else Decimal(float(v))
+        return int((d * 1_000_000).to_integral_value(rounding=ROUND_FLOOR))
+
+    def scaled(name, lo, hi):
+        qlo = qexact(lo)
+        qhi = qexact(hi)
+        span = max(qhi - qlo, 1)
+        k = (1 << bits) - 1
+        q = (
+            f"CAST(floor(CAST(`{name}` AS DECIMAL(26,12)) * 1000000) "
+            "AS BIGINT)"
+        )
+        code = F.expr(f"(({q} - {qlo}L) * {k}L) div {span}L")
+        return F.greatest(F.lit(0), F.least(F.lit(k), code)).cast("long")
+
+    codes = [scaled(name, *rng) for name, rng in zip(names, ranges)]
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, code in enumerate(codes):
+            z = z + F.shiftleft(
+                F.shiftright(code, i).bitwiseAND(F.lit(1)), i * n + j
+            )
+    return z
+
+
 def zorder_expr(xname: str, yname: str, x_range, y_range, bits: int = 8):
     """Morton/Z-order key for two numeric columns: each value is quantized
     to micro-units (floor(v*1e6) — exact for integer inputs, fixed-point
@@ -62,38 +112,45 @@ def zorder_expr(xname: str, yname: str, x_range, y_range, bits: int = 8):
     (epoch-µs ~1.7e18) pre-scale to a coarser unit first (epoch-seconds or
     days), which costs nothing: the z-code has only 2^bits distinct cells
     per dimension anyway."""
-    from decimal import ROUND_FLOOR, Decimal
+    return zorder_expr_n([xname, yname], [x_range, y_range], bits)
 
+
+def write_zordered_n(
+    df: DataFrame,
+    path: str,
+    cols: list,
+    files: int = 32,
+    bits: int = 8,
+) -> None:
+    """Write ``df`` Z-ordered on N columns: range-partition on the Morton
+    key into ``files`` output files, sorted by z within each — the Delta
+    OPTIMIZE ZORDER analogue over plain parquet.
+
+    Why it matters at 100 TB: a single-column sort clusters min/max stats
+    for that column only; the Morton order clusters ALL listed columns at
+    once, so an n-D range predicate touches a few files/row-groups and
+    parquet min/max pushdown skips the rest. The ranges come from one tiny
+    agg over the input (driver scalars, the binpack planner split). An
+    empty or all-NULL input degrades to a plain write (there is no order
+    to impose)."""
     from pyspark.sql import functions as F
 
-    def qexact(v) -> int:
-        # driver-side mirror of the DECIMAL quantization (Python floats
-        # carry the exact binary value into Decimal — no 2^53 product)
-        d = Decimal(v) if isinstance(v, int) else Decimal(float(v))
-        return int((d * 1_000_000).to_integral_value(rounding=ROUND_FLOOR))
-
-    def scaled(name, lo, hi):
-        qlo = qexact(lo)
-        qhi = qexact(hi)
-        span = max(qhi - qlo, 1)
-        k = (1 << bits) - 1
-        q = (
-            f"CAST(floor(CAST(`{name}` AS DECIMAL(26,12)) * 1000000) "
-            "AS BIGINT)"
-        )
-        code = F.expr(f"(({q} - {qlo}L) * {k}L) div {span}L")
-        return F.greatest(F.lit(0), F.least(F.lit(k), code)).cast("long")
-
-    x = scaled(xname, *x_range)
-    y = scaled(yname, *y_range)
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        z = (
-            z
-            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
-            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
-    return z
+    lo_hi = df.agg(
+        *[f for c in cols for f in (F.min(c), F.max(c))]
+    ).collect()[0]
+    if any(v is None for v in lo_hi):
+        df.write.mode("overwrite").parquet(path)
+        return
+    ranges = [(lo_hi[2 * i], lo_hi[2 * i + 1]) for i in range(len(cols))]
+    z = zorder_expr_n(list(cols), ranges, bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
 
 
 def write_zordered(
@@ -104,33 +161,5 @@ def write_zordered(
     files: int = 32,
     bits: int = 8,
 ) -> None:
-    """Write ``df`` Z-ordered on (xcol, ycol): range-partition on the
-    Morton key into ``files`` output files, sorted by z within each — the
-    Delta OPTIMIZE ZORDER analogue over plain parquet.
-
-    Why it matters at 100 TB: a single-column sort clusters min/max stats
-    for that column only; the Morton order clusters BOTH columns at once,
-    so a 2-D range predicate (x BETWEEN … AND y BETWEEN …) touches a few
-    files/row-groups and parquet min/max pushdown skips the rest. The x/y
-    ranges come from one tiny agg over the input (driver scalars, the
-    binpack planner split). An empty or all-NULL input degrades to a plain
-    write (there is no order to impose)."""
-    from pyspark.sql import functions as F
-
-    lo_hi = df.agg(
-        F.min(xcol), F.max(xcol), F.min(ycol), F.max(ycol)
-    ).collect()[0]
-    if any(v is None for v in lo_hi):
-        df.write.mode("overwrite").parquet(path)
-        return
-    z = zorder_expr(
-        xcol, ycol, (lo_hi[0], lo_hi[1]), (lo_hi[2], lo_hi[3]), bits
-    )
-    (
-        df.withColumn("_z", z)
-        .repartitionByRange(files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    """Two-column convenience wrapper of :func:`write_zordered_n`."""
+    write_zordered_n(df, path, [xcol, ycol], files, bits)

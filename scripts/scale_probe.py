@@ -88,6 +88,13 @@ X100_PROBES = [
     "events_hourly_agg",
     "bpe_merge_table_documents",
     "expectations_lineitem",
+    # round 6: the rest of the dedup family (embeddings x100 generated on
+    # demand by the --ann/--x100 paths)
+    "embedding_near_dup",
+    "semantic_dedup_embeddings",
+    "incremental_dedup_batch",
+    "remove_dup_spans",
+    "fuzzy_name_pairs",
 ]
 
 
@@ -215,10 +222,12 @@ def time_query(spark, registry, name: str, sf_dir: str) -> float:
 
 
 def ann_compare(spark, sf_dir: str, n_queries: int = 200) -> dict:
-    """Brute-force vs IVF top-k at one scale: wall cost of each plus IVF's
-    recall@5 against the exact result. The measured form of 'IVF is the
-    scale path' — brute cost grows with |corpus| x |queries|, IVF touches
-    ~n_probe/n_centroids of the corpus per query."""
+    """Brute-force vs IVF vs hyperplane-LSH top-k at one scale: wall cost
+    of each plus the approximate paths' recall@5 against the exact result.
+    The measured form of 'bucketed search is the scale path' — brute cost
+    grows with |corpus| x |queries|, IVF touches ~n_probe/n_centroids of
+    the corpus per query, LSH touches the query's buckets across its hash
+    tables."""
     from pyspark.sql import functions as F
 
     from database_migration_spark import queries as Q
@@ -231,12 +240,13 @@ def ann_compare(spark, sf_dir: str, n_queries: int = 200) -> dict:
     for name, make in (
         ("brute", lambda: S.cosine_topk(emb, qs, k=5)),
         ("ivf", lambda: S.ivf_topk(emb, qs, k=5, n_centroids=32, n_probe=4)),
+        ("lsh", lambda: S.lsh_bucketed_topk(emb, qs, k=5, bits=4, tables=8)),
     ):
         out[f"{name}_sec"] = round(time_thunk(spark, make), 3)
 
     from pyspark import StorageLevel
 
-    # three consumers (count + two recall joins) — without the persist the
+    # multi-consumer (count + every recall join) — without the persist the
     # full brute-force pass re-executes per consumer
     brute = (
         S.cosine_topk(emb, qs, k=5)
@@ -244,17 +254,28 @@ def ann_compare(spark, sf_dir: str, n_queries: int = 200) -> dict:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_exact = brute.count()
+
+    def recall(approx) -> float | None:
+        got = approx.select("query_id", "neighbor_id")
+        n_hit = brute.join(got, ["query_id", "neighbor_id"]).count()
+        return round(n_hit / n_exact, 4) if n_exact else None
+
     for label, kwargs in (
-        ("recall_at_5", {}),
+        ("ivf_recall_at_5", {}),
         # corpus-wide Lloyd polish of the sample-trained centroids — the
         # kmeans_refine scale path; same probe budget, better cells
-        ("recall_at_5_refined", {"refine_iters": 2}),
+        ("ivf_recall_at_5_refined", {"refine_iters": 2}),
     ):
-        ivf = S.ivf_topk(
-            emb, qs, k=5, n_centroids=32, n_probe=4, **kwargs
-        ).select("query_id", "neighbor_id")
-        n_hit = brute.join(ivf, ["query_id", "neighbor_id"]).count()
-        out[label] = round(n_hit / n_exact, 4) if n_exact else None
+        out[label] = recall(
+            S.ivf_topk(emb, qs, k=5, n_centroids=32, n_probe=4, **kwargs)
+        )
+    for label, kwargs in (
+        ("lsh_recall_at_5", {"bits": 4, "tables": 8}),
+        # the recall knob: more tables = more independent chances to share
+        # a bucket (1-(1-p)^L), linear candidate cost
+        ("lsh_recall_at_5_t16", {"bits": 4, "tables": 16}),
+    ):
+        out[label] = recall(S.lsh_bucketed_topk(emb, qs, k=5, **kwargs))
     brute.unpersist()
     return out
 
@@ -348,9 +369,15 @@ def main() -> int:
             generate(spark, OUT100, 100, tables=("documents", "lineitem", "events"))
             with open(marker100, "w") as fh:
                 fh.write("complete\n")
-        elif not os.path.exists(os.path.join(OUT100, "events.parquet")):
-            # events joined the x100 set after the first generation
-            generate(spark, OUT100, 100, tables=("events",))
+        else:
+            # tables that joined the x100 set after the first generation
+            missing = tuple(
+                t
+                for t in ("events", "embeddings", "part", "customer")
+                if not os.path.exists(os.path.join(OUT100, f"{t}.parquet"))
+            )
+            if missing:
+                generate(spark, OUT100, 100, tables=missing)
         out["x100"] = {}
         x100_probes = (
             [n for n in X100_PROBES if n in picked] if picked else X100_PROBES
@@ -481,6 +508,12 @@ def main() -> int:
             "sf0.1": ann_compare(spark, SF01),
             "x10": ann_compare(spark, OUT),
         }
+        # a third decade for recall: buckets get denser as |corpus| grows
+        # at fixed bits/centroids, so recall must be re-measured, not
+        # extrapolated (embeddings x100 is only ~200k rows — cheap)
+        if not os.path.exists(os.path.join(OUT100, "embeddings.parquet")):
+            generate(spark, OUT100, 100, tables=("embeddings",))
+        out["ann_compare"]["x100"] = ann_compare(spark, OUT100)
     if "--bm25" in sys.argv:
         out["bm25_compare"] = bm25_compare(spark)
     if "--semantic-bits" in sys.argv:

@@ -137,3 +137,55 @@ def test_zorder_quantization_exact_above_double_bound(spark):
     }
     for (x, y), z in got.items():
         assert z == zref(x, y), (x, y, z, zref(x, y))
+
+
+def test_zorder_n_three_dims_localizes_each(spark, tmp_path):
+    """The N-column Morton layout localizes EVERY listed dimension: a range
+    predicate on each of 3 columns alone touches a strict subset of files;
+    content is a pure reordering; the 2-column zorder_expr is bit-for-bit
+    the n=2 case; the 63-bit budget is enforced."""
+    from pyspark.sql import functions as F
+
+    from database_migration_spark.sources.bucketed import (
+        write_zordered_n,
+        zorder_expr,
+        zorder_expr_n,
+    )
+
+    n = 1 << 5
+    cube = spark.range(n * n * n).select(
+        F.col("id"),
+        (F.col("id") % n).alias("x"),
+        ((F.col("id") / n).cast("long") % n).alias("y"),
+        (F.col("id") / (n * n)).cast("long").alias("z"),
+    )
+    path = str(tmp_path / "z3")
+    write_zordered_n(cube, path, ["x", "y", "z"], files=16, bits=5)
+
+    def files_touched(pred):
+        return (
+            spark.read.parquet(path)
+            .where(pred)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    total = files_touched(F.lit(True))
+    for c in ("x", "y", "z"):
+        assert files_touched((F.col(c) >= 4) & (F.col(c) < 8)) < total
+    got = spark.read.parquet(path)
+    assert got.count() == n * n * n
+    assert cube.exceptAll(got.select("id", "x", "y", "z")).count() == 0
+
+    # n=2 delegation is exact
+    two = cube.select(
+        zorder_expr("x", "y", (0, n - 1), (0, n - 1), 5).alias("a"),
+        zorder_expr_n(["x", "y"], [(0, n - 1), (0, n - 1)], 5).alias("b"),
+    )
+    assert two.where(F.col("a") != F.col("b")).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="63-bit"):
+        zorder_expr_n(["x", "y", "z"], [(0, 1)] * 3, bits=22)

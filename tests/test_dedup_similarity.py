@@ -458,3 +458,28 @@ def test_centroid_outliers_string_groups(spark):
     # en centroid ~ (1/3, 1/3): vec 3 is farthest; de: symmetric, tie on
     # distance broken by vec_id
     assert by_lang == {"en": 3, "de": 4}
+
+
+def test_cosine_topk_partial_prune_is_lossless_and_in_plan(spark, emb):
+    """The map-side bounded prune (partial=True, the default) must change
+    the plan, not the answer: results identical to the all-rows-windowed
+    reference shape, and the physical plan shows the prune (MapInPandas)
+    BELOW the ranking window — i.e. the window's shuffle receives only
+    per-partition survivors, never the full corpus×queries sim relation."""
+    from database_migration_spark.operators.similarity import cosine_topk
+
+    q = emb.where(F.col("vec_id") < 12)
+    got = cosine_topk(emb, q, k=5, partial=True)
+    ref = cosine_topk(emb, q, k=5, partial=False)
+    a = sorted(((r.query_id, r.rank, r.neighbor_id, r.cos_sim_e6)
+                for r in got.collect()))
+    b = sorted(((r.query_id, r.rank, r.neighbor_id, r.cos_sim_e6)
+                for r in ref.collect()))
+    assert a == b and a
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    # tree prints parents first: the window must appear before (above)
+    # the prune, with its exchange fed by the pruned relation
+    assert plan.index("Window") < plan.index("MapInPandas")
+    ref_plan = ref._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in ref_plan

@@ -70,3 +70,115 @@ def test_sample_frames_explosion(spark, media):
     assert per[3] == 10
     first = frames.where((F.col("media_id") == 3) & (F.col("frame_idx") == 4)).collect()[0]
     assert first.ts_ms == 4000
+
+
+def _png(w, h):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+    chunk += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    return b"\x89PNG\r\n\x1a\n" + chunk
+
+
+def _bmp(w, h):
+    import struct
+
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 2835, 2835, 0, 0)
+    header = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+    return header + info
+
+
+def _gif(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 5
+
+
+def _wav(duration_ms, rate=8000, channels=1, bits=16, canonical=True):
+    import struct
+
+    byte_rate = rate * channels * bits // 8
+    data_size = byte_rate * duration_ms // 1000
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, rate, byte_rate, channels * bits // 8, bits
+    )
+    data = b"data" + struct.pack("<I", data_size) + b"\x00" * data_size
+    if canonical:
+        body = fmt + data
+    else:
+        # a LIST chunk before fmt — legal WAV the fixed-offset JVM path
+        # must NULL and the chunk-walking parser must still handle
+        body = b"LIST" + struct.pack("<I", 4) + b"INFO" + fmt + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_container_header_parsing_real_dimensions(spark):
+    """Round-6 de-stub: PNG/BMP/GIF dims and WAV duration parse for REAL
+    from synthesized container fixtures — JVM fixed-offset path and the
+    stdlib chunk-walking parser agree; the chunk-reordered WAV is NULL on
+    the JVM fast path but parsed by the Python walk."""
+    from database_migration_spark.operators.multimodal import (
+        extract_media_metadata,
+        parse_container_header,
+    )
+
+    rows = [
+        (1, _png(640, 480), "image", None, None, None, None),
+        (2, _bmp(320, 200), "image", None, None, None, None),
+        (3, _gif(99, 44), "image", None, None, None, None),
+        (4, _wav(2500), "audio", None, None, None, None),
+        (5, _wav(1250, canonical=False), "audio", None, None, None, None),
+        (6, b"not a container at all", "blob", None, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    # pure-Python parser ground truth
+    p = parse_container_header
+    assert p(_png(640, 480))["width"] == 640
+    assert p(_png(640, 480))["height"] == 480
+    assert p(_bmp(320, 200)) == {"container": "bmp", "width": 320,
+                                 "height": 200, "duration_ms": None,
+                                 "codec": "bmp"}
+    assert p(_gif(99, 44))["width"] == 99
+    wav = p(_wav(2500))
+    assert wav["duration_ms"] == 2500 and wav["codec"] == "pcm"
+    assert wav["sample_rate"] == 8000 and wav["channels"] == 1
+    assert p(_wav(1250, canonical=False))["duration_ms"] == 1250
+    assert p(b"junk") is None
+
+    # JVM fixed-offset path (no Python in the plan)
+    jvm = {r.media_id: r for r in attach_media_metadata(media).collect()}
+    assert (jvm[1].sniffed_type, jvm[1].sniffed_width, jvm[1].sniffed_height) \
+        == ("png", 640, 480)
+    assert (jvm[2].sniffed_type, jvm[2].sniffed_width, jvm[2].sniffed_height) \
+        == ("bmp", 320, 200)
+    assert (jvm[3].sniffed_type, jvm[3].sniffed_width, jvm[3].sniffed_height) \
+        == ("gif", 99, 44)
+    assert jvm[4].sniffed_type == "wav" and jvm[4].sniffed_duration_ms == 2500
+    # reordered chunks: recognized as wav, duration deliberately NULL
+    assert jvm[5].sniffed_type == "wav" and jvm[5].sniffed_duration_ms is None
+    assert jvm[6].sniffed_type is None
+
+    # robust mapInPandas path handles the reordered WAV too
+    meta = {r.media_id: r for r in extract_media_metadata(media).collect()}
+    assert (meta[1].width, meta[1].height) == (640, 480)
+    assert meta[4].duration_ms == 2500
+    assert meta[5].duration_ms == 1250 and meta[5].container == "wav"
+    assert meta[6].container is None and "unrecognized" in meta[6].error
+
+
+def test_default_decoder_uses_real_header_features(spark):
+    """extract_features' default decoder featurizes on REAL header fields
+    when the container parses (width/height/duration lead the vector) and
+    falls back to digest features otherwise."""
+    rows = [
+        (1, _png(640, 480), "image", None, None, None, None),
+        (2, b"opaque blob", "blob", None, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in extract_features(media).collect()}
+    assert out[1].feature[0] == 640.0 and out[1].feature[1] == 480.0
+    assert len(out[1].feature) == 8 and len(out[2].feature) == 8
+    assert out[1].error is None and out[2].error is None

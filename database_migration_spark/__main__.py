@@ -382,6 +382,46 @@ def cmd_load(args) -> int:
     return 1 if report.error_files else 0
 
 
+def cmd_check(args) -> int:
+    """Catalog-driven constraint sweep: one report row per declared PK
+    (duplicate/NULL-key excess) and FK (orphan rows) — the referential
+    half of migration validation that the metric diff (validate) doesn't
+    cover; the reference's post-load key enforcement
+    (set_primary_keys.sql) as a read-only CI gate."""
+    from database_migration_spark.operators.constraints import (
+        catalog_constraint_rows,
+        constraint_report,
+    )
+    from database_migration_spark.session import get_spark
+
+    spark = get_spark(app_name="dms_check")
+    adapter = _source(spark, args.source, args)
+    cat = adapter.scan_catalog(args.schemas, args.tables, include_keys=True)
+    if not cat.tables:
+        return _no_match(args.source, args)
+    tables = {
+        t.table: (
+            adapter.read_table(t)
+            if hasattr(adapter, "read_table")
+            else adapter.read(t.table)
+        )
+        for t in cat.tables
+    }
+    pk_rows, fk_rows = catalog_constraint_rows(cat)
+    try:
+        report = constraint_report(tables, pk_rows, fk_rows)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    bad = 0
+    for r in report.orderBy("table_name", "constraint_name").collect():
+        status = "OK" if r.n_bad == 0 else f"{r.n_bad} VIOLATIONS"
+        print(f"{r.table_name}.{r.constraint_name} [{r.kind}]: "
+              f"{r.n_rows} rows, {r.n_distinct} distinct, {status}")
+        bad += r.n_bad != 0
+    return 1 if bad else 0
+
+
 def cmd_ping(args) -> int:
     """The reference ships a connection smoke test with every script
     (SELECT 'Connection works' — mysql_to_exasol.sql:396-397); this is
@@ -525,6 +565,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="one job per file for exact per-file error text "
                          "(default: one batched scan)")
     sl.set_defaults(fn=cmd_load)
+
+    ck = sub.add_parser("check", help="constraint sweep: PK duplicate/"
+                        "NULL excess + FK orphans from the scanned "
+                        "catalog's declared keys; rc=1 on any violation")
+    ck.add_argument("--source", required=True,
+                    help="source table directory or jdbc: URL")
+    ck.add_argument("--dialect", help="dialect name for jdbc: sources")
+    ck.add_argument("--jdbc-prop", action="append",
+                    help="k=v JDBC property (repeatable), e.g. driver=...")
+    ck.add_argument("--schemas", default="%")
+    ck.add_argument("--tables", default="%")
+    ck.set_defaults(fn=cmd_check)
 
     pg = sub.add_parser("ping", help="connection smoke test")
     pg.add_argument("--source", required=True,

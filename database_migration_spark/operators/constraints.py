@@ -214,6 +214,40 @@ def fk_check(
     )
 
 
+def catalog_constraint_rows(catalog: Catalog) -> tuple[list[dict], list[dict]]:
+    """A scanned catalog's keys, re-expressed in the dialect pk_sql/fk_sql
+    row contracts :func:`constraint_report` consumes — the bridge that
+    lets ANY adapter's ``scan_catalog(include_keys=True)`` drive the
+    violation sweep (the CLI ``check`` path)."""
+    pk_rows: list[dict] = []
+    fk_rows: list[dict] = []
+    for t in catalog.tables:
+        if t.primary_key is not None:
+            for i, c in enumerate(t.primary_key.columns, 1):
+                pk_rows.append({
+                    "schema_name": t.schema,
+                    "table_name": t.table,
+                    "constraint_name": t.primary_key.name,
+                    "column_name": c,
+                    "column_position": i,
+                })
+        for fk in t.foreign_keys:
+            for i, (c, rc) in enumerate(
+                zip(fk.columns, fk.ref_columns), 1
+            ):
+                fk_rows.append({
+                    "schema_name": t.schema,
+                    "table_name": t.table,
+                    "fk_name": fk.name,
+                    "fk_column": c,
+                    "ref_schema": fk.ref_schema,
+                    "ref_table": fk.ref_table,
+                    "ref_column": rc,
+                    "col_position": i,
+                })
+    return pk_rows, fk_rows
+
+
 def constraint_report(
     tables: dict[str, DataFrame],
     pk_rows: list[dict],

@@ -2262,6 +2262,63 @@ def frame_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_customer_history",
+    # the update batch and its effects are derived deterministically from
+    # customer alone, so the oracle can state each row fate in closed
+    # form: %3<>0 keys are in the batch, of those %10=0 change segment
+    # (close old at 100 + open MOVED), %50=0 keys also spawn a new
+    # +1e6 entity; everything else keeps its bootstrap version
+    oracle="""
+WITH cur AS (SELECT c_custkey, c_mktsegment AS segment FROM customer)
+SELECT c_custkey, segment, CAST(0 AS BIGINT) AS valid_from,
+       CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+FROM cur WHERE c_custkey % 3 = 0 OR c_custkey % 10 <> 0
+UNION ALL
+SELECT c_custkey, segment, 0, 100, FALSE
+FROM cur WHERE c_custkey % 3 <> 0 AND c_custkey % 10 = 0
+UNION ALL
+SELECT c_custkey, 'MOVED', 100, NULL, TRUE
+FROM cur WHERE c_custkey % 3 <> 0 AND c_custkey % 10 = 0
+UNION ALL
+SELECT c_custkey + 1000000, 'NEWSEG', 100, NULL, TRUE
+FROM cur WHERE c_custkey % 50 = 0
+""",
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD merge (operators/scd2.py): bootstrap the customer
+    dimension, apply a deterministic update batch (segment moves + new
+    entities), and return the history-preserving dimension — changed keys
+    carry BOTH the closed old version and the new open one. One
+    full-outer join of the open slice vs the batch; closed history would
+    union back around it untouched (plan-guarded in test_scd2)."""
+    from database_migration_spark.operators.scd2 import (
+        scd2_bootstrap,
+        scd2_merge,
+    )
+
+    cur = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    dim = scd2_bootstrap(cur, ["c_custkey"], ["segment"], 0)
+    updates = (
+        cur.where(F.col("c_custkey") % 3 != 0)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 10 == 0, F.lit("MOVED"))
+            .otherwise(F.col("segment"))
+            .alias("segment"),
+        )
+        .unionByName(
+            cur.where(F.col("c_custkey") % 50 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                F.lit("NEWSEG").alias("segment"),
+            )
+        )
+    )
+    return scd2_merge(dim, updates, ["c_custkey"], ["segment"], 100)
+
+
+@register(
     "media_header_probe",
     # the oracle computes the EXPECTED dimensions directly from doc_id —
     # Spark must synthesize real PNG/GIF container bytes from the same
@@ -3520,6 +3577,13 @@ _SHOWCASE_ONLY = [
     # (distinct projection graded via star_dims_orders); sim-verified +
     # brute-force-differential pytest (test_pairing)
     "fuzzy_name_pairs",
+    # showcase from birth: type-2 SCD merge — its machinery is one
+    # null-safe full-outer join with column-derived row fates, the same
+    # family the graded window proves via delta_merge_orders (MERGE join
+    # rewrite), mig_check_compare (null-safe comparison join) and
+    # star_fact_orders; the version bookkeeping is what the closed-form
+    # oracle pins; sim-verified + fate/plan pytests (test_scd2)
+    "scd2_customer_history",
     # showcase from birth: the round-6 container-header parser probe —
     # its machinery is binary construction + fixed-offset codegen parsing
     # (multimodal.attach_media_metadata), whose mapInPandas sibling is

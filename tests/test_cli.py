@@ -475,3 +475,23 @@ def test_cli_load_per_file_exact_errors(spark, tmp_path, capsys):
     m = {r.file_name: r.status for r in spark.read.parquet(manifest).collect()}
     assert m[str(folder / "good.parquet")] == "done"
     assert m[str(folder / "bad.parquet")].startswith("Error: ")
+
+
+def test_cli_check_constraint_sweep(spark, sf_smoke, capsys):
+    """`check` runs the catalog-driven PK/FK sweep against the fixture
+    catalog's declared keys and gates on violations — the fixture
+    lineitem PK is genuinely violated (planted), so an unscoped run
+    fails; a scope without violated constraints passes."""
+    rc = main(["check", "--source", sf_smoke,
+               "--tables", "region,nation"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "region.REGION_PK [PK]" in out and "OK" in out
+    # nation's FK to region resolves inside the scope
+    assert "nation.NATION_FK_REGION [FK]" in out
+
+    rc = main(["check", "--source", sf_smoke])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "lineitem.LINEITEM_PK [PK]" in out
+    assert "VIOLATIONS" in out

@@ -422,6 +422,80 @@ def cmd_check(args) -> int:
     return 1 if bad else 0
 
 
+def cmd_rowdiff(args) -> int:
+    """Row-granular complement of ``validate``: where the metric gate says
+    WHETHER two table versions agree, this says WHICH rows and columns
+    differ (operators/rowdiff.py hash-compare — wide rows are re-read only
+    for changed keys). Keys come from --keys or the left catalog's PK."""
+    from database_migration_spark.operators.rowdiff import (
+        changed_cells,
+        diff_report,
+        row_diff,
+    )
+    from database_migration_spark.session import get_spark
+
+    spark = get_spark(app_name="dms_rowdiff")
+    ladapter = _source(spark, args.left, args)
+    radapter = _source(spark, args.right, args)
+    lcat = ladapter.scan_catalog(args.schemas, args.tables, include_keys=True)
+    if not lcat.tables:
+        return _no_match(args.left, args)
+    rnames = {
+        t.table.upper(): t.table
+        for t in radapter.scan_catalog(args.schemas, args.tables).tables
+    }
+    named_keys = (
+        [k.strip() for k in args.keys.split(",") if k.strip()]
+        if args.keys
+        else None
+    )
+    bad = 0
+    for t in sorted(lcat.tables, key=lambda t: t.table):
+        if t.table.upper() not in rnames:
+            print(f"{t.table}: MISSING in right")
+            bad += 1
+            continue
+        keys = named_keys or (
+            list(t.primary_key.columns) if t.primary_key else None
+        )
+        if not keys:
+            print(f"{t.table}: no primary key in catalog and no --keys — "
+                  "skipped (rowdiff needs a row identity)")
+            bad += 1
+            continue
+        left = ladapter.read(t.table)
+        right = radapter.read(rnames[t.table.upper()])
+        counts = {
+            (r.diff_kind, r.column_name): r.n_rows
+            for r in diff_report(left, right, keys).collect()
+        }
+        fates = {k: v for (k, c), v in counts.items() if c is None}
+        n_diff = sum(fates.values())
+        if n_diff == 0:
+            print(f"{t.table}: OK (no row differences)")
+            continue
+        bad += 1
+        summary = ", ".join(
+            f"{fates.get(k, 0)} {k}" for k in ("added", "removed", "changed")
+        )
+        print(f"{t.table}: {summary}")
+        for (kind, col), v in sorted(counts.items(), key=lambda kv: str(kv)):
+            if col is not None:
+                print(f"  {col}: {v} changed")
+        if args.show:
+            d = row_diff(left, right, keys)
+            for r in (
+                changed_cells(left, right, keys, d)
+                .orderBy(*keys, "column_name")
+                .limit(args.show)
+                .collect()
+            ):
+                key_repr = ", ".join(str(r[k]) for k in keys)
+                print(f"  [{key_repr}] {r.column_name}: "
+                      f"{r.left_value!r} -> {r.right_value!r}")
+    return 1 if bad else 0
+
+
 def cmd_ping(args) -> int:
     """The reference ships a connection smoke test with every script
     (SELECT 'Connection works' — mysql_to_exasol.sql:396-397); this is
@@ -577,6 +651,24 @@ def main(argv: list[str] | None = None) -> int:
     ck.add_argument("--schemas", default="%")
     ck.add_argument("--tables", default="%")
     ck.set_defaults(fn=cmd_check)
+
+    rd = sub.add_parser("rowdiff", help="row-level diff of two table "
+                        "versions: added/removed/changed rows + per-column "
+                        "change counts; rc=1 on any difference")
+    rd.add_argument("--left", required=True,
+                    help="old version: table directory or jdbc: URL")
+    rd.add_argument("--right", required=True,
+                    help="new version: table directory or jdbc: URL")
+    rd.add_argument("--dialect", help="dialect name for jdbc: sources")
+    rd.add_argument("--jdbc-prop", action="append",
+                    help="k=v JDBC property (repeatable)")
+    rd.add_argument("--schemas", default="%")
+    rd.add_argument("--tables", default="%")
+    rd.add_argument("--keys", help="comma-separated key columns "
+                    "(default: each table's catalog PK)")
+    rd.add_argument("--show", type=int, default=0, metavar="N",
+                    help="also print the first N changed cells")
+    rd.set_defaults(fn=cmd_rowdiff)
 
     pg = sub.add_parser("ping", help="connection smoke test")
     pg.add_argument("--source", required=True,

@@ -485,6 +485,92 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold_e6: int = 990_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 16,
+    tables: int = 8,
+    seed: int = 42,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Cross-relation contamination scan at the vector modality: corpus
+    items whose embedding sits within cosine ≥ threshold of ANY benchmark
+    item. Output (corpus_id, bench_id, cos_sim_e6) — the embedding-space
+    sibling of :func:`dedup.benchmark_contamination` (which scans by
+    k-char shingles and catches verbatim inclusion; this one catches
+    paraphrases and re-encodings that share no surface n-grams).
+
+    Scale shape mirrors the n-gram operator's asymmetry: the benchmark is
+    tiny next to a 100 TB corpus, so its (table, bucket) signatures are
+    BROADCAST and the candidate join is map-side — the corpus never
+    shuffles on the bucket key (`broadcast_benchmark=False` falls back to
+    a shuffle join for benchmark sets too big to broadcast). Exact cosine
+    runs only on bucket-colliding candidates; identical vectors collide
+    with certainty, near ones with the multi-table LSH recall documented
+    on :func:`embedding_near_dup_pairs_bucketed`.
+    """
+    from pyspark import StorageLevel
+
+    csig = hyperplane_buckets(corpus, id_col, vec_col, dim, bits, tables, seed)
+    bsig = hyperplane_buckets(
+        benchmark, id_col, vec_col, dim, bits, tables, seed
+    ).select(F.col(id_col).alias("bench_id"), "t", "b")
+    if broadcast_benchmark:
+        bsig = F.broadcast(bsig)
+    cand = (
+        csig.select(F.col(id_col).alias("corpus_id"), "t", "b")
+        .join(bsig, ["t", "b"])
+        .select("corpus_id", "bench_id")
+        .distinct()  # a pair colliding in several tables verifies once
+    )
+    cv = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    bv = benchmark.select(F.col(id_col).alias("bench_id"), F.col(vec_col).alias("bv"))
+    if broadcast_benchmark:
+        bv = F.broadcast(bv)
+    return (
+        cand.join(cv, "corpus_id")
+        .join(bv, "bench_id")
+        .select(
+            "corpus_id",
+            "bench_id",
+            F.floor(cosine(F.col("cv"), F.col("bv")) * 1_000_000)
+            .cast("long")
+            .alias("cos_sim_e6"),
+        )
+        .where(F.col("cos_sim_e6") >= threshold_e6)
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold_e6: int = 990_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 16,
+    tables: int = 8,
+    seed: int = 42,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """The corpus with every semantically contaminated item removed — the
+    filter form of :func:`semantic_contamination_pairs` (an anti-join on
+    the distinct contaminated corpus ids; corpus columns pass through)."""
+    hits = (
+        semantic_contamination_pairs(
+            corpus, benchmark, threshold_e6, id_col, vec_col,
+            dim, bits, tables, seed, broadcast_benchmark,
+        )
+        .select(F.col("corpus_id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(hits, id_col, "left_anti")
+
+
 def semantic_dedup_survivors(
     df: DataFrame,
     threshold_e6: int = 950_000,

@@ -1472,6 +1472,42 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_decontaminate_corpus",
+    # the benchmark is the %20 slice of embeddings re-issued under new ids
+    # (the benchmark-items-leaked-into-the-crawl scenario; identical
+    # vectors → certain LSH collision, matching embedding_near_dup's
+    # planting rationale). The oracle is the EXACT cross-relation scan —
+    # this row going green certifies the broadcast-LSH path loses no hit.
+    oracle="""
+WITH bench AS (
+  SELECT vec_id + 5000000 AS vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 20 = 0
+)
+SELECT c.vec_id, c.label FROM embeddings c
+WHERE NOT EXISTS (
+  SELECT 1 FROM bench b
+  WHERE CAST(floor(list_dot_product(c.embedding::DOUBLE[], b.v)
+        / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.v, b.v)))
+        * 1000000) AS BIGINT) >= 990000
+)
+""",
+)
+def semantic_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space test-set decontamination (similarity.py
+    semantic_decontaminate): drop every corpus item within cosine ≥ 0.99
+    of a benchmark item — the vector-modality sibling of
+    benchmark_contamination's shingle containment (catches paraphrases
+    that share no surface n-grams). Benchmark signatures and vectors are
+    broadcast; the corpus never shuffles on the bucket key."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    bench = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"), "embedding"
+    )
+    return SIM.semantic_decontaminate(emb, bench).select("vec_id", "label")
+
+
+@register(
     "embedding_dedup_survivors",
     oracle="""
 WITH corpus AS (
@@ -2082,6 +2118,68 @@ def date_format_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok("dd.MM.yyyy").alias("ok_dmy"),
         ok("MM/dd/yyyy").alias("ok_mdy"),
     )
+
+
+@register(
+    "row_diff_orders",
+    # the "new version" of orders is derived deterministically from orders
+    # itself (%13 keys deleted, %7 statuses → 'X', %11 priorities →
+    # '9-RED', %50 keys re-inserted under +1e8 ids), so every report count
+    # has a closed form the oracle states directly — changed rows must
+    # also genuinely change (a status already 'X' would not count, which
+    # the <> guards mirror)
+    oracle="""
+WITH o AS (SELECT * FROM orders)
+SELECT 'removed' AS diff_kind, CAST(NULL AS VARCHAR) AS column_name,
+       count(*) AS n_rows FROM o WHERE o_orderkey % 13 = 0
+UNION ALL
+SELECT 'added', NULL, count(*) FROM o WHERE o_orderkey % 50 = 0
+UNION ALL
+SELECT 'changed', NULL, count(*) FROM o
+WHERE o_orderkey % 13 <> 0
+  AND ((o_orderkey % 7 = 0 AND o_orderstatus <> 'X')
+       OR (o_orderkey % 11 = 0 AND o_orderpriority <> '9-RED'))
+UNION ALL
+SELECT 'changed', 'o_orderstatus', count(*) FROM o
+WHERE o_orderkey % 13 <> 0 AND o_orderkey % 7 = 0 AND o_orderstatus <> 'X'
+UNION ALL
+SELECT 'changed', 'o_orderpriority', count(*) FROM o
+WHERE o_orderkey % 13 <> 0 AND o_orderkey % 11 = 0
+  AND o_orderpriority <> '9-RED'
+""",
+)
+def row_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level table diff (operators/rowdiff.py): hash-compare orders vs
+    a derived new version and report row fates plus per-column change
+    counts — the row-granular complement of mig_check's metric diff
+    (database_compare/compare_db.sql answers "do they agree?"; this
+    answers "which rows, which columns?"). Phase 1 shuffles only
+    (key, md5); full rows are re-read only for the changed keys."""
+    from database_migration_spark.operators.rowdiff import diff_report
+
+    left = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    right = (
+        left.where(k % 13 != 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(k % 7 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            "o_totalprice",
+            "o_orderdate",
+            F.when(k % 11 == 0, F.lit("9-RED"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+        )
+        .unionByName(
+            left.where(k % 50 == 0).withColumn(
+                "o_orderkey", k + 100_000_000
+            )
+        )
+    )
+    return diff_report(left, right, ["o_orderkey"])
 
 
 @register(
@@ -3577,6 +3675,21 @@ _SHOWCASE_ONLY = [
     # (distinct projection graded via star_dims_orders); sim-verified +
     # brute-force-differential pytest (test_pairing)
     "fuzzy_name_pairs",
+    # showcase from birth: embedding-space decontamination — its machinery
+    # (hyperplane LSH buckets + broadcast small side + candidate-only
+    # exact verify + anti-join filter) is fully proven in the graded
+    # window by embedding_near_dup (same buckets/verify) and
+    # benchmark_contamination (same broadcast-benchmark probe shape);
+    # the cross-relation wiring is what the exact oracle pins;
+    # sim-verified + differential/plan pytests (test_dedup_similarity)
+    "semantic_decontaminate_corpus",
+    # showcase from birth: row-level table diff — its machinery (keyed
+    # full-outer join + column-derived classification + semi-join-scoped
+    # detail) is the family the graded window proves via delta_merge_orders,
+    # mig_check_compare and semi_join_active_customers; the hash-compare
+    # bookkeeping is what the closed-form oracle pins; sim-verified +
+    # fate/attribution/ambiguity pytests (test_rowdiff)
+    "row_diff_orders",
     # showcase from birth: type-2 SCD merge — its machinery is one
     # null-safe full-outer join with column-derived row fates, the same
     # family the graded window proves via delta_merge_orders (MERGE join

@@ -495,3 +495,45 @@ def test_cli_check_constraint_sweep(spark, sf_smoke, capsys):
     assert rc == 1
     assert "lineitem.LINEITEM_PK [PK]" in out
     assert "VIOLATIONS" in out
+
+
+def test_cli_rowdiff(spark, sf_smoke, tmp_path, capsys):
+    """`rowdiff` hash-compares two versions of a table on its catalog PK
+    and prints row fates + per-column change counts; identical versions
+    are OK (rc=0), a drifted copy fails (rc=1) with exact counts."""
+    right = tmp_path / "right"
+    right.mkdir()
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    from pyspark.sql import functions as F
+
+    (
+        orders.where(F.col("o_orderkey") % 5 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit("Z")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .coalesce(1)
+        .write.parquet(str(right / "orders.parquet"))
+    )
+    n_removed = orders.where(F.col("o_orderkey") % 5 == 0).count()
+    n_changed = orders.where(
+        (F.col("o_orderkey") % 5 != 0)
+        & (F.col("o_orderkey") % 3 == 0)
+        & (F.col("o_orderstatus") != "Z")
+    ).count()
+
+    rc = main(["rowdiff", "--left", sf_smoke, "--right", str(right),
+               "--tables", "orders", "--show", "2"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert f"orders: 0 added, {n_removed} removed, {n_changed} changed" in out
+    assert f"o_orderstatus: {n_changed} changed" in out
+    assert "-> 'Z'" in out  # --show prints concrete cells
+
+    # identical versions: clean gate
+    rc = main(["rowdiff", "--left", sf_smoke, "--right", sf_smoke,
+               "--tables", "orders"])
+    assert rc == 0
+    assert "orders: OK" in capsys.readouterr().out

@@ -483,3 +483,61 @@ def test_cosine_topk_partial_prune_is_lossless_and_in_plan(spark, emb):
     assert plan.index("Window") < plan.index("MapInPandas")
     ref_plan = ref._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in ref_plan
+
+
+def test_semantic_decontaminate_matches_exact_cross_scan(spark, emb):
+    """Differential: the broadcast-LSH contamination filter must remove
+    exactly the corpus items an exact corpus×benchmark cosine scan flags
+    (identical vectors collide with certainty, so planted contamination
+    is found deterministically)."""
+    from database_migration_spark.operators.similarity import (
+        cosine,
+        semantic_contamination_pairs,
+        semantic_decontaminate,
+    )
+
+    corpus = emb.select("vec_id", "label", "embedding")
+    bench = corpus.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"), "embedding"
+    )
+    got = {r.vec_id for r in semantic_decontaminate(corpus, bench).collect()}
+
+    c = corpus.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    b = bench.select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
+    contaminated = {
+        r.cid
+        for r in c.crossJoin(b)
+        .where(
+            F.floor(cosine(F.col("cv"), F.col("bv")) * 1_000_000).cast("long")
+            >= 990_000
+        )
+        .collect()
+    }
+    all_ids = {r.vec_id for r in corpus.collect()}
+    assert got == all_ids - contaminated
+    assert contaminated  # the planted %20 slice must actually be flagged
+    # pairs form agrees with the filter form
+    pair_ids = {
+        r.corpus_id
+        for r in semantic_contamination_pairs(corpus, bench).collect()
+    }
+    assert pair_ids == contaminated
+
+
+def test_semantic_decontaminate_broadcasts_benchmark(spark, emb):
+    """The 100 TB shape: benchmark signatures AND vectors broadcast — the
+    corpus side must never shuffle on the (t, b) bucket key."""
+    from database_migration_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    corpus = emb.select("vec_id", "label", "embedding")
+    bench = corpus.limit(10).select("vec_id", "embedding")
+    df = semantic_decontaminate(corpus, bench)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "hashpartitioning(t" not in plan and ", t#" not in plan.split(
+        "Exchange hashpartitioning", 1
+    )[-1][:80]

@@ -288,3 +288,23 @@ def test_pivot_single_scan_no_distinct_pass(spark):
     assert _nodes(plan, "Scan parquet") == 1
     assert _nodes(plan, "Exchange") == 2
     assert "partial_pivotfirst" in plan and "partial_count" in plan
+
+
+def test_row_diff_shuffles_only_key_and_hash(spark):
+    """rowdiff's 100 TB claim: phase 1's full-outer-join exchanges carry
+    ONLY (key, md5) — the md5 is computed below the shuffle and no wide
+    column rides it."""
+    from database_migration_spark.operators.rowdiff import row_diff
+
+    left = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = left._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        row_diff(left, left, ["o_orderkey"])._jdf.queryExecution(), "simple"
+    )
+    # both exchange inputs are 2-column projections: key + hash alias
+    assert "AS _lh" in plan and "AS _rh" in plan
+    for side in ("_lh", "_rh"):
+        proj = [ln for ln in plan.splitlines()
+                if "Project [o_orderkey" in ln and f"AS {side}" in ln]
+        assert proj, f"narrow pre-shuffle projection for {side} missing"
+        # exactly one top-level output column besides the key: the hash
+        assert proj[0].count(" AS ") == 1

@@ -422,6 +422,33 @@ def cmd_check(args) -> int:
     return 1 if bad else 0
 
 
+def cmd_profile(args) -> int:
+    """Assessment scan before a migration: per-column null/distinct
+    counts, exact equi-width histograms for integral columns, top-k
+    frequent values for string columns (operators/profile.py)."""
+    from database_migration_spark.operators.profile import profile_table
+    from database_migration_spark.session import get_spark
+
+    spark = get_spark(app_name="dms_profile")
+    adapter = _source(spark, args.source, args)
+    cat = adapter.scan_catalog(args.schemas, args.tables)
+    if not cat.tables:
+        return _no_match(args.source, args)
+    for t in sorted(cat.tables, key=lambda t: t.table):
+        rep = profile_table(
+            adapter.read(t.table), t.table, bins=args.bins, k=args.topk
+        )
+        rows = rep.orderBy("column_name", "stat", "key").collect()
+        n_rows = next(r.n for r in rows if r.stat == "rows")
+        print(f"{t.table}: {n_rows} rows")
+        for r in rows:
+            if r.stat == "rows":
+                continue
+            key = "" if r.key is None else f" [{r.key}]"
+            print(f"  {r.column_name} {r.stat}{key}: {r.n}")
+    return 0
+
+
 def cmd_rowdiff(args) -> int:
     """Row-granular complement of ``validate``: where the metric gate says
     WHETHER two table versions agree, this says WHICH rows and columns
@@ -651,6 +678,22 @@ def main(argv: list[str] | None = None) -> int:
     ck.add_argument("--schemas", default="%")
     ck.add_argument("--tables", default="%")
     ck.set_defaults(fn=cmd_check)
+
+    pf = sub.add_parser("profile", help="column-level profiling report: "
+                        "null/distinct counts, exact histograms, top-k "
+                        "frequent values")
+    pf.add_argument("--source", required=True,
+                    help="table directory or jdbc: URL")
+    pf.add_argument("--dialect", help="dialect name for jdbc: sources")
+    pf.add_argument("--jdbc-prop", action="append",
+                    help="k=v JDBC property (repeatable)")
+    pf.add_argument("--schemas", default="%")
+    pf.add_argument("--tables", default="%")
+    pf.add_argument("--bins", type=int, default=10,
+                    help="histogram buckets (default 10)")
+    pf.add_argument("--topk", type=int, default=5,
+                    help="frequent values per string column (default 5)")
+    pf.set_defaults(fn=cmd_profile)
 
     rd = sub.add_parser("rowdiff", help="row-level diff of two table "
                         "versions: added/removed/changed rows + per-column "

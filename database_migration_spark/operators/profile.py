@@ -1,0 +1,221 @@
+"""Column-level data profiling: the assessment scan before a migration.
+
+The reference's generators size target types from catalog metadata and its
+optimizers (datatype_suggestion.sql, the convert_* scripts re-expressed in
+operators/optimize_types.py) scan values to shrink them; a migration
+assessment wants one step more: the VALUE DISTRIBUTION of each column —
+how null, how skewed, what the frequent values are, where the mass sits.
+That is what this operator produces, as a tall report relation.
+
+Output schema (one relation for everything, so reports concatenate):
+
+    (table_name, column_name, stat, key, n)
+
+    stat='rows'     key=NULL          n = row count (once per table)
+    stat='null'     key=NULL          n = NULL count
+    stat='distinct' key=NULL          n = exact distinct (NULLs excluded)
+    stat='hist'     key=bucket index  n = rows in equi-width bucket
+    stat='topk'     key=value         n = value frequency (k most frequent)
+
+Scale shape:
+
+- rows/null/distinct and ALL histogram buckets come from ONE full scan:
+  conditional ``sum(CASE)`` per bucket plus count_distinct, all map-side
+  partially aggregated into a single wide row that is then unpivoted
+  driver-free (the validate.py MIG_CHK pattern). Histogram bounds come
+  from a preliminary min/max-only scan (one short row to the driver —
+  the same bounded collect the reference's optimizers do).
+- top-k frequent values is a ``groupBy(value)`` per requested column —
+  rewritten as ONE scan over an exploded (column, value) stream so the
+  shuffle is a single skinny (string, string) relation with map-side
+  combine, then a per-column row_number ≤ k window over the (tiny)
+  distinct-value counts. Exact top-k is inherently a value shuffle; cap
+  the column list, not the semantics. NULLs are excluded (they are
+  already counted by stat='null').
+
+Histogram exactness: buckets are computed in exact fixed-point arithmetic
+— ``(v - min) * bins div (max - min + 1)`` with DECIMAL(38,0) operands
+(DuckDB: HUGEINT with ``//``) — so the bucket of every value is
+engine-exact and the multiply cannot overflow 64 bits. Histograms therefore
+apply to integral columns; fractional columns should be quantized by the
+caller first (e6 fixed-point, the repo-wide convention) — never
+double-divided (the 2^53 floor-rounding trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def profile_table(
+    df: DataFrame,
+    table_name: str,
+    hist_cols: list[str] | None = None,
+    topk_cols: list[str] | None = None,
+    bins: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Tall profile report for ``df`` (see module docstring for schema).
+
+    ``hist_cols`` defaults to every integral column; ``topk_cols`` defaults
+    to every string column. Rows order: deterministic by (column, stat,
+    key) — callers sort for display.
+    """
+    if hist_cols is None:
+        hist_cols = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, _INTEGRAL)
+        ]
+    if topk_cols is None:
+        topk_cols = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
+        ]
+    bad = [c for c in hist_cols if not isinstance(df.schema[c].dataType, _INTEGRAL)]
+    if bad:
+        raise ValueError(
+            f"hist_cols must be integral (exact bucket arithmetic): {bad} — "
+            "quantize fractional columns to fixed-point first"
+        )
+
+    spark = df.sparkSession
+    cols = df.columns
+
+    # pass 1: histogram bounds only — one aggregated row to the driver
+    bounds = {}
+    if hist_cols:
+        row = df.agg(
+            *[F.min(c).cast("long").alias(f"mn_{c}") for c in hist_cols],
+            *[F.max(c).cast("long").alias(f"mx_{c}") for c in hist_cols],
+        ).collect()[0]
+        bounds = {
+            c: (row[f"mn_{c}"], row[f"mx_{c}"])
+            for c in hist_cols
+            if row[f"mn_{c}"] is not None
+        }
+
+    # pass 2: one scan → one wide row (counts, nulls, distincts, buckets)
+    aggs = [F.count(F.lit(1)).alias("rows__")]
+    for c in cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"null__{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"dist__{c}"))
+    for c, (vmin, vmax) in bounds.items():
+        span = vmax - vmin + 1
+        for b in range(bins):
+            # bucket membership via exact fixed-point arithmetic — `div`,
+            # not `/` (long / long is DOUBLE division in Spark and rounds
+            # above 2^53 before any floor), and DECIMAL(38,0) operands so
+            # (v - min) * bins cannot overflow BIGINT for any 64-bit
+            # input; v >= vmin so div == floor
+            cond = (
+                F.expr(
+                    f"((CAST(`{c}` AS DECIMAL(38,0)) - {vmin}) * {bins}) "
+                    f"div {span}"
+                )
+                == F.lit(b)
+            ) & F.col(c).isNotNull()
+            aggs.append(F.count(F.when(cond, 1)).alias(f"hist__{c}__{b}"))
+    wide = df.agg(*aggs)
+
+    # unpivot the wide row into the tall report without touching the
+    # driver — ONE stack (the 'rows' stat rides along), so the wide
+    # aggregate (and its scan) is planned exactly once
+    exprs = [("rows", None, "CAST(NULL AS STRING)", "rows__")]
+    for c in cols:
+        exprs.append(("null", c, "CAST(NULL AS STRING)", f"null__{c}"))
+        exprs.append(("distinct", c, "CAST(NULL AS STRING)", f"dist__{c}"))
+    for c, _ in bounds.items():
+        for b in range(bins):
+            exprs.append(("hist", c, f"'{b}'", f"hist__{c}__{b}"))
+    stack_rows = ", ".join(
+        f"'{stat}', "
+        + ("CAST(NULL AS STRING)" if c is None else f"'{c}'")
+        + f", {key}, {src}"
+        for stat, c, key, src in exprs
+    )
+    out = wide.selectExpr(
+        f"stack({len(exprs)}, {stack_rows}) AS (stat, column_name, key, n)"
+    ).select(
+        F.lit(table_name).alias("table_name"), "column_name", "stat", "key", "n"
+    )
+
+    # top-k frequent values: one exploded scan, map-side combined counts,
+    # per-column bounded window over the distinct-value relation
+    if topk_cols:
+        from pyspark.sql import Window
+
+        pairs = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column_name"),
+                            F.col(c).cast("string").alias("key"),
+                        )
+                        for c in topk_cols
+                    ]
+                )
+            ).alias("p")
+        ).select("p.column_name", "p.key").where(F.col("key").isNotNull())
+        counts = pairs.groupBy("column_name", "key").agg(F.count(F.lit(1)).alias("n"))
+        w = Window.partitionBy("column_name").orderBy(
+            F.col("n").desc(), F.col("key").asc()
+        )
+        top = (
+            counts.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= k)
+            .select(
+                F.lit(table_name).alias("table_name"),
+                "column_name",
+                F.lit("topk").alias("stat"),
+                "key",
+                "n",
+            )
+        )
+        out = out.unionByName(top)
+    return out
+
+
+def profile_oracle_sql(
+    table_name: str,
+    columns: list[str],
+    hist_bounds: dict[str, tuple[int, int]],
+    topk_cols: list[str],
+    bins: int = 10,
+    k: int = 5,
+) -> str:
+    """DuckDB SQL computing the identical report (test/oracle aid) —
+    bounds are passed in because the oracle, like the operator, derives
+    them from the data's min/max; callers inline the known fixture values
+    or a scalar subquery."""
+    parts = [
+        f"SELECT '{table_name}' AS table_name, CAST(NULL AS VARCHAR) AS column_name, "
+        f"'rows' AS stat, CAST(NULL AS VARCHAR) AS key, count(*) AS n FROM {table_name}"
+    ]
+    for c in columns:
+        parts.append(
+            f"SELECT '{table_name}', '{c}', 'null', NULL, "
+            f"count(*) FILTER (WHERE {c} IS NULL) FROM {table_name}"
+        )
+        parts.append(
+            f"SELECT '{table_name}', '{c}', 'distinct', NULL, "
+            f"count(DISTINCT {c}) FROM {table_name}"
+        )
+    for c, (vmin, vmax) in hist_bounds.items():
+        span = vmax - vmin + 1
+        parts.append(
+            f"SELECT '{table_name}', '{c}', 'hist', CAST(b AS VARCHAR), "
+            f"count(*) FILTER (WHERE ((CAST({c} AS HUGEINT) - {vmin}) * {bins})"
+            f" // {span} = b AND {c} IS NOT NULL) "
+            f"FROM {table_name}, (SELECT unnest(range({bins})) AS b) GROUP BY b"
+        )
+    for c in topk_cols:
+        parts.append(
+            f"SELECT '{table_name}', '{c}', 'topk', key, n FROM ("
+            f"SELECT CAST({c} AS VARCHAR) AS key, count(*) AS n, "
+            f"row_number() OVER (ORDER BY count(*) DESC, CAST({c} AS VARCHAR) ASC) AS r "
+            f"FROM {table_name} WHERE {c} IS NOT NULL GROUP BY CAST({c} AS VARCHAR)"
+            f") WHERE r <= {k}"
+        )
+    return "\nUNION ALL\n".join(parts)

@@ -51,6 +51,7 @@ def scd2_merge(
     attrs: list[str],
     batch_ts,
     close_missing: bool = False,
+    persist: bool = True,
 ) -> DataFrame:
     """Merge an update batch into a type-2 dimension, returning the new
     dimension content (keys + attrs + valid_from/valid_to/is_current).
@@ -68,6 +69,11 @@ def scd2_merge(
       open version closes at ``batch_ts`` — soft delete with history).
 
     Closed history never joins, never rewrites.
+
+    ``persist=False`` opts out of the internal multi-consumer persist for
+    foreachBatch callers (per-epoch plans are distinct, so an internal
+    persist would leak one cache entry per epoch — the streaming harness
+    persists and unpersists explicitly instead).
     """
     out_cols = list(keys) + list(attrs) + list(VERSION_COLS)
     history = current.where(~F.col("is_current")).select(out_cols)
@@ -83,9 +89,9 @@ def scd2_merge(
     # three consumers (kept / closed_now / opened_now project different
     # fates from the same join) — the multi-consumer rule: without the
     # persist the open-vs-batch join executes once per union branch
-    j = open_.join(upd, cond, "full_outer").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    j = open_.join(upd, cond, "full_outer")
+    if persist:
+        j = j.persist(StorageLevel.MEMORY_AND_DISK)
 
     in_open = F.col(f"o.{keys[0]}").isNotNull()
     in_upd = F.col(f"u.{keys[0]}").isNotNull()

@@ -2121,6 +2121,76 @@ def date_format_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_orders",
+    # bounds come from the data (min/max subquery), matching the
+    # operator's preliminary bounds scan; hist bucket arithmetic is
+    # HUGEINT-exact (Spark side: DECIMAL(38,0) div)
+    oracle="""
+WITH bnd AS (SELECT min(o_custkey) AS mn, max(o_custkey) AS mx FROM orders)
+SELECT 'orders' AS table_name, CAST(NULL AS VARCHAR) AS column_name,
+       'rows' AS stat, CAST(NULL AS VARCHAR) AS key, count(*) AS n FROM orders
+UNION ALL
+SELECT 'orders', c.col, 'null', NULL,
+       CASE c.col
+         WHEN 'o_orderkey' THEN count(*) FILTER (WHERE o_orderkey IS NULL)
+         WHEN 'o_custkey' THEN count(*) FILTER (WHERE o_custkey IS NULL)
+         WHEN 'o_orderstatus' THEN count(*) FILTER (WHERE o_orderstatus IS NULL)
+         WHEN 'o_totalprice' THEN count(*) FILTER (WHERE o_totalprice IS NULL)
+         WHEN 'o_orderdate' THEN count(*) FILTER (WHERE o_orderdate IS NULL)
+         WHEN 'o_orderpriority' THEN count(*) FILTER (WHERE o_orderpriority IS NULL)
+       END
+FROM orders, (SELECT unnest(['o_orderkey','o_custkey','o_orderstatus',
+                             'o_totalprice','o_orderdate','o_orderpriority']) AS col) c
+GROUP BY c.col
+UNION ALL
+SELECT 'orders', c.col, 'distinct', NULL,
+       CASE c.col
+         WHEN 'o_orderkey' THEN count(DISTINCT o_orderkey)
+         WHEN 'o_custkey' THEN count(DISTINCT o_custkey)
+         WHEN 'o_orderstatus' THEN count(DISTINCT o_orderstatus)
+         WHEN 'o_totalprice' THEN count(DISTINCT o_totalprice)
+         WHEN 'o_orderdate' THEN count(DISTINCT o_orderdate)
+         WHEN 'o_orderpriority' THEN count(DISTINCT o_orderpriority)
+       END
+FROM orders, (SELECT unnest(['o_orderkey','o_custkey','o_orderstatus',
+                             'o_totalprice','o_orderdate','o_orderpriority']) AS col) c
+GROUP BY c.col
+UNION ALL
+SELECT 'orders', 'o_custkey', 'hist', CAST(b AS VARCHAR),
+       count(*) FILTER (WHERE ((CAST(o_custkey AS HUGEINT) - mn) * 10)
+                        // (mx - mn + 1) = b AND o_custkey IS NOT NULL)
+FROM orders, bnd, (SELECT unnest(range(10)) AS b) GROUP BY b
+UNION ALL
+SELECT 'orders', col, 'topk', key, n FROM (
+  SELECT 'o_orderstatus' AS col, o_orderstatus AS key, count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, o_orderstatus ASC) AS r
+  FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY o_orderstatus
+) WHERE r <= 5
+UNION ALL
+SELECT 'orders', col, 'topk', key, n FROM (
+  SELECT 'o_orderpriority' AS col, o_orderpriority AS key, count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, o_orderpriority ASC) AS r
+  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY o_orderpriority
+) WHERE r <= 5
+""",
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profiling (operators/profile.py): the assessment
+    scan before a migration — rows / per-column null + exact-distinct /
+    exact equi-width histogram (HUGEINT-exact buckets) / top-k frequent
+    values, as one tall report. One bounds scan + one wide aggregated
+    scan + one exploded top-k scan, regardless of column count."""
+    from database_migration_spark.operators.profile import profile_table
+
+    return profile_table(
+        table(spark, sf_dir, "orders"),
+        "orders",
+        hist_cols=["o_custkey"],
+        topk_cols=["o_orderstatus", "o_orderpriority"],
+    )
+
+
+@register(
     "row_diff_orders",
     # the "new version" of orders is derived deterministically from orders
     # itself (%13 keys deleted, %7 statuses → 'X', %11 priorities →
@@ -3675,6 +3745,15 @@ _SHOWCASE_ONLY = [
     # (distinct projection graded via star_dims_orders); sim-verified +
     # brute-force-differential pytest (test_pairing)
     "fuzzy_name_pairs",
+    # showcase from birth: column profiler — its machinery (single-scan
+    # wide conditional aggregation + count_distinct Expand + stack
+    # unpivot + bounded count/rank window) is the family the graded
+    # window proves via mig_check_lineitem (same wide-row/unpivot
+    # engine), type_inference_classify (classification agg) and
+    # topk_parts_per_brand (count + bounded rank); the exact-bucket
+    # histogram arithmetic is what the oracle pins; sim-verified +
+    # differential/overflow/plan pytests (test_profile)
+    "profile_orders",
     # showcase from birth: embedding-space decontamination — its machinery
     # (hyperplane LSH buckets + broadcast small side + candidate-only
     # exact verify + anti-join filter) is fully proven in the graded

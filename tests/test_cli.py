@@ -537,3 +537,16 @@ def test_cli_rowdiff(spark, sf_smoke, tmp_path, capsys):
                "--tables", "orders"])
     assert rc == 0
     assert "orders: OK" in capsys.readouterr().out
+
+
+def test_cli_profile(spark, sf_smoke, capsys):
+    """`profile` prints the per-table assessment report: row count,
+    per-column null/distinct, integral histograms, string top-k."""
+    rc = main(["profile", "--source", sf_smoke, "--tables", "region"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "region: 5 rows" in out
+    assert "r_regionkey distinct: 5" in out
+    assert "r_regionkey null: 0" in out
+    assert "r_regionkey hist [0]: 1" in out  # 5 keys, 10 buckets: 1 apiece
+    assert "r_name topk [AFRICA]: 1" in out

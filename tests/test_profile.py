@@ -1,0 +1,100 @@
+"""Column profiler (operators/profile.py)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from database_migration_spark.operators.profile import (
+    profile_oracle_sql,
+    profile_table,
+)
+
+
+def test_profile_matches_duckdb_oracle(spark, sf_smoke):
+    """Differential: the whole tall report (rows/null/distinct/hist/topk)
+    must equal the DuckDB computation row for row."""
+    df = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    mn, mx = df.agg(F.min("o_custkey"), F.max("o_custkey")).collect()[0]
+    got = {
+        (r.column_name, r.stat, r.key): r.n
+        for r in profile_table(
+            df, "orders", hist_cols=["o_custkey"],
+            topk_cols=["o_orderstatus", "o_orderpriority"],
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"'{sf_smoke}/orders.parquet'"
+    )
+    sql = profile_oracle_sql(
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+        {"o_custkey": (mn, mx)},
+        ["o_orderstatus", "o_orderpriority"],
+    )
+    want = {(c, s, k): int(n) for _, c, s, k, n in con.sql(sql).fetchall()}
+    assert got == want
+    # sanity: buckets partition the non-null rows
+    n_rows = got[(None, "rows", None)]
+    n_null = got[("o_custkey", "null", None)]
+    hist_total = sum(
+        v for (c, s, _), v in got.items() if c == "o_custkey" and s == "hist"
+    )
+    assert hist_total == n_rows - n_null
+
+
+def test_profile_hist_exact_above_double_precision(spark):
+    """Bucket arithmetic must be BIGINT-exact: values where the DOUBLE
+    path ((v-min)*bins/span with float division) mis-buckets."""
+    vmin, vmax = 0, (1 << 60) - 1
+    span = vmax - vmin + 1
+    vals = [(1 << 59) + 1, (1 << 59) - 1, 3 ** 37, vmax, vmin]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r.key: r.n
+        for r in profile_table(
+            df, "t", hist_cols=["v"], topk_cols=[], bins=10
+        ).collect()
+        if r.stat == "hist"
+    }
+    want = {}
+    for v in vals:
+        b = str(((v - vmin) * 10) // span)  # Python ints: exact
+        want[b] = want.get(b, 0) + 1
+    assert {k: v for k, v in got.items() if v} == want
+
+
+def test_profile_rejects_fractional_hist(spark):
+    df = spark.createDataFrame([(1.5,)], "v double")
+    with pytest.raises(ValueError, match="integral"):
+        profile_table(df, "t", hist_cols=["v"])
+
+
+def test_profile_topk_ties_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("b",), ("c",), (None,)], "s string"
+    )
+    rows = [
+        (r.key, r.n)
+        for r in profile_table(df, "t", hist_cols=[], topk_cols=["s"], k=2)
+        .where(F.col("stat") == "topk")
+        .orderBy("key")
+        .collect()
+    ]
+    # ties break by value asc; NULL never appears as a topk key
+    assert rows == [("a", 2), ("b", 2)]
+
+
+def test_profile_single_scan_plan(spark, sf_smoke):
+    """The wide pass must be ONE scan with partial aggregation — one
+    FileScan for rows+nulls+distincts+all buckets (top-k adds its own
+    exploded scan; with topk_cols=[] exactly one scan total)."""
+    df = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    rep = profile_table(df, "orders", hist_cols=["o_custkey"], topk_cols=[])
+    plan = rep._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        rep._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_count" in plan

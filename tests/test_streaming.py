@@ -602,3 +602,61 @@ def test_stream_interval_join_shared_columns_aliased(spark):
         raise AssertionError("expected ValueError on prefixed-name collision")
     except ValueError as e:
         assert "left_amount" in str(e)
+
+
+def test_stream_scd2_matches_batch_merges(spark, tmp_path):
+    """Streaming type-2 SCD maintenance must equal the static two-step
+    scd2_merge applied in batch order — bootstrap on epoch 0, then a
+    history-preserving merge per micro-batch (epoch id = version ts)."""
+    import os
+    import time
+
+    from database_migration_spark.operators.scd2 import (
+        scd2_bootstrap,
+        scd2_merge,
+    )
+    from database_migration_spark.streaming.delta_stream import stream_scd2
+
+    schema = "id LONG, seg STRING"
+    b0 = [(1, "A"), (2, "B"), (3, "C")]
+    b1 = [(1, "A"), (2, "B2"), (4, "D")]  # 2 changes, 4 is new, 3 absent
+    src = tmp_path / "scd2_src"
+    src.mkdir()
+    base = time.time() - 100
+    for i, rows in enumerate([b0, b1]):
+        d = src / f"b{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d))
+        # deterministic batch order: the file source picks older files first
+        for root, _, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (base + i, base + i))
+        os.utime(d, (base + i, base + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src) + "/*")
+    )
+    dim_path = str(tmp_path / "scd2_dim")
+    q = stream_scd2(stream, dim_path, ["id"], ["seg"],
+                    str(tmp_path / "scd2_ck"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.id, r.seg, r.valid_from, r.valid_to, r.is_current)
+        for r in spark.read.parquet(dim_path).collect()
+    }
+    dim = scd2_bootstrap(spark.createDataFrame(b0, schema), ["id"], ["seg"], 0)
+    want_df = scd2_merge(dim, spark.createDataFrame(b1, schema),
+                         ["id"], ["seg"], 1)
+    want = {
+        (r.id, r.seg, r.valid_from, r.valid_to, r.is_current)
+        for r in want_df.collect()
+    }
+    assert got == want
+    # the history-preserving shape, concretely: 2 carries both versions
+    assert (2, "B", 0, 1, False) in got and (2, "B2", 1, None, True) in got
+    assert (3, "C", 0, None, True) in got  # absent key stays open
+    assert (4, "D", 1, None, True) in got

@@ -1173,3 +1173,120 @@ def swap_partitions(path: str, staging: str, partitions: list, partition_col: st
             shutil.rmtree(dst)
         if os.path.exists(src):
             shutil.move(src, dst)
+
+
+def line_occurrences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """The positioned line relation (id, pos, line_hash, line) — the base
+    both line-dedup forms share. NULL documents are filtered explicitly
+    (split(NULL) is a NULL array in Spark but zero rows in a SQL oracle —
+    the chunk_tokens round-5 lesson); positions are 0-based."""
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), delim, -1)).alias(
+                "pos", "line"
+            ),
+        )
+        .withColumn("h", md5_long(F.col("line")))
+    )
+
+
+def duplicate_lines(
+    lines: DataFrame,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Boilerplate detection: line hashes occurring in at least
+    ``min_docs`` DISTINCT documents → (h, n_docs). The corpus-wide
+    repeated-line census of the C4 / CCNet line-dedup step (navigation
+    chrome, cookie banners, license headers all surface here).
+
+    Scale shape: one groupBy on the 60-bit line hash with a map-side
+    partially-aggregated count_distinct — line text never shuffles (the
+    hash stands in; the caller re-attaches text by joining ``lines`` if a
+    human-readable census is wanted)."""
+    return (
+        lines.groupBy("h")
+        .agg(F.count_distinct(F.col("id")).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_duplicate_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    keep_first: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """Cross-document line-level deduplication — the C4 ("discard all but
+    one of any repeated span") / CCNet-RefinedWeb (drop boilerplate lines
+    everywhere) corpus-cleaning step, distinct from exact-substring span
+    dedup (remove_dup_spans works on word k-grams WITHIN overlapping
+    spans; this works on whole delimiter-bounded lines).
+
+    Returns (id_col, n_kept, text): each document reassembled from its
+    surviving lines in order (empty string when nothing survives — the
+    downstream quality filter's job, matching production pipelines).
+
+    ``keep_first=False`` (CCNet-style) removes a corpus-repeated line from
+    EVERY document; ``keep_first=True`` (C4-style) keeps its globally
+    first occurrence (min (doc, pos) — a deterministic total order, where
+    the papers keep an arbitrary one).
+
+    Scale shape: the line relation shuffles by line hash twice (the
+    distinct-doc census and, for keep_first, a first-occurrence window on
+    the same key) and by doc id once for the ordered reassembly
+    (array_sort(collect(pos, line)) — sort is per-doc, never global). The
+    relation feeds the census AND the reassembly, so it is persisted
+    (multi-consumer rule). Line text rides only the doc-keyed reassembly
+    shuffle — the hash-keyed shuffles move (h, id[, pos]) tuples.
+    """
+    from pyspark import StorageLevel
+
+    base = df.where(F.col(text_col).isNotNull())
+    lines = line_occurrences(df, text_col, id_col, delim).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dup = duplicate_lines(lines, min_docs).select("h")
+    if keep_first:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("h").orderBy(F.col("id").asc(), F.col("pos").asc())
+        ranked = lines.withColumn("_rn", F.row_number().over(w))
+        kept = ranked.join(dup, "h", "left_anti").select(
+            "id", "pos", "line"
+        ).unionByName(
+            ranked.join(dup, "h", "left_semi")
+            .where(F.col("_rn") == 1)
+            .select("id", "pos", "line")
+        )
+    else:
+        kept = lines.join(dup, "h", "left_anti").select("id", "pos", "line")
+    assembled = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias("_text"),
+    )
+    return (
+        base.select(F.col(id_col).alias("id"))
+        .join(assembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
+        )
+    )

@@ -2121,6 +2121,52 @@ def date_format_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "line_dedup_documents",
+    # the synthetic corpus has no newlines, so the lined corpus is DERIVED
+    # deterministically in both engines: every ' a ' token boundary (or
+    # its scale-probe form ' aN ' — the x10 corpus suffixes words with a
+    # replica digit) becomes a line break; regexp_replace is left-to-right
+    # non-overlapping in both engines (DuckDB needs the 'g' flag). Lines
+    # are short word runs from a small vocabulary, so cross-document
+    # repeats — the boilerplate this operator removes — occur naturally.
+    oracle="""
+WITH d AS (
+  SELECT doc_id, regexp_replace(text, ' a[0-9]? ', chr(10), 'g') AS t
+  FROM documents WHERE text IS NOT NULL
+), l AS (
+  SELECT doc_id, generate_subscripts(string_split(t, chr(10)), 1) AS pos,
+         unnest(string_split(t, chr(10))) AS line
+  FROM d
+), dup AS (
+  SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+), kept AS (
+  SELECT doc_id, pos, line FROM l
+  WHERE line NOT IN (SELECT line FROM dup)
+)
+SELECT d.doc_id, coalesce(k.n, 0) AS n_kept, coalesce(k.txt, '') AS text
+FROM d LEFT JOIN (
+  SELECT doc_id, count(*) AS n,
+         string_agg(line, chr(10) ORDER BY pos) AS txt
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+""",
+)
+def line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line-level dedup (dedup.remove_duplicate_lines) —
+    the C4/CCNet boilerplate-removal step: any line occurring in >= 2
+    distinct documents is removed everywhere, documents are reassembled
+    from their surviving lines in order. Hash-keyed shuffles move (h, id,
+    pos) tuples; line text rides only the doc-keyed reassembly."""
+    from database_migration_spark.operators.dedup import remove_duplicate_lines
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), " a[0-9]? ", "\n").alias("text"),
+    )
+    return remove_duplicate_lines(docs, min_docs=2)
+
+
+@register(
     "profile_orders",
     # bounds come from the data (min/max subquery), matching the
     # operator's preliminary bounds scan; hist bucket arithmetic is
@@ -3745,6 +3791,14 @@ _SHOWCASE_ONLY = [
     # (distinct projection graded via star_dims_orders); sim-verified +
     # brute-force-differential pytest (test_pairing)
     "fuzzy_name_pairs",
+    # showcase from birth: cross-document line dedup — its machinery
+    # (posexplode + hash-keyed census + anti-join + ordered per-doc
+    # reassembly) is the family the graded window proves via
+    # dup_span_coverage/remove_dup_spans (keyed gram census + surgical
+    # removal) and ordered_string_agg (ordered reassembly); the
+    # whole-line semantics are what the oracle pins; sim-verified +
+    # mode/within-doc pytests (test_dedup)
+    "line_dedup_documents",
     # showcase from birth: column profiler — its machinery (single-scan
     # wide conditional aggregation + count_distinct Expand + stack
     # unpivot + bounded count/rank window) is the family the graded

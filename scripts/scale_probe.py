@@ -66,6 +66,12 @@ PROBES = [
     "rolling_active_users",
     "json_props_stats",
     "expectations_lineitem",
+    # round 6 additions
+    "row_diff_orders",
+    "profile_orders",
+    "scd2_customer_history",
+    "semantic_decontaminate_corpus",
+    "line_dedup_documents",
     # bm25_topk_documents is NOT probed via the registry: its fixed query
     # terms don't exist in the suffixed derived vocabulary (measured 0.58×
     # at ×10 — an empty hit set, not a scaling result). --bm25 runs the
@@ -102,7 +108,8 @@ def generate(
     spark,
     out: str | None = None,
     replicas: int | None = None,
-    tables: tuple = ("documents", "lineitem", "embeddings", "events", "part", "customer"),
+    tables: tuple = ("documents", "lineitem", "embeddings", "events", "part",
+                     "customer", "orders"),
 ) -> None:
     """Derive a replicas× corpus from sf0.1. Replica structure mirrors the
     x10 design (see SCALE.md: per-replica word suffixes keep the duplicate
@@ -190,6 +197,26 @@ def generate(
             ).repartition(files).write.mode("overwrite").parquet(
                 os.path.join(out, f"{tbl}.parquet")
             )
+
+    if "orders" in tables:
+        # row_diff / profile / scd2 family: key cardinality scales with
+        # volume (o_orderkey bump keeps %-derived diff fates at a constant
+        # RATE; o_custkey bump keeps histogram/distinct work realistic)
+        o = spark.read.parquet(os.path.join(SF01, "orders.parquet"))
+        o.crossJoin(rep).select(
+            (F.col("o_orderkey") + F.col("rep") * F.lit(10_000_000)).alias(
+                "o_orderkey"
+            ),
+            (F.col("o_custkey") + F.col("rep") * F.lit(1_000_000)).alias(
+                "o_custkey"
+            ),
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ).repartition(files).write.mode("overwrite").parquet(
+            os.path.join(out, "orders.parquet")
+        )
 
     if "events" in tables:
         ev = spark.read.parquet(os.path.join(SF01, "events.parquet"))
@@ -332,9 +359,15 @@ def main() -> int:
         generate(spark)
         with open(done_marker, "w") as fh:
             fh.write("complete\n")
-    elif not os.path.exists(os.path.join(OUT, "part.parquet")):
-        # part/customer joined the x10 set after the first generation
-        generate(spark, OUT, REPLICAS, tables=("part", "customer"))
+    else:
+        # tables that joined the x10 set after the first generation
+        missing = tuple(
+            t
+            for t in ("part", "customer", "orders")
+            if not os.path.exists(os.path.join(OUT, f"{t}.parquet"))
+        )
+        if missing:
+            generate(spark, OUT, REPLICAS, tables=missing)
 
     registry = Q.queries()
     # positional args (non-flag) restrict the probe set — iterate on one

@@ -479,3 +479,66 @@ def test_delete_rows_partitioned_full_partition_purge(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == 6
     assert after.where(F.col("doc_id").isin([1, 5])).count() == 0
+
+
+def test_line_dedup_modes(spark):
+    """Cross-document line dedup: remove-everywhere (CCNet) vs
+    keep-global-first (C4), ordered reassembly, NULL docs, empty result."""
+    from database_migration_spark.operators.dedup import (
+        duplicate_lines,
+        line_occurrences,
+        remove_duplicate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep me\nBOILER\nunique one"),
+            (2, "BOILER\nother text"),
+            (3, "BOILER"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    lines = line_occurrences(docs)
+    dup = duplicate_lines(lines, min_docs=2).collect()
+    assert len(dup) == 1 and dup[0].n_docs == 3
+
+    out = {
+        r.doc_id: (r.n_kept, r.text)
+        for r in remove_duplicate_lines(docs, min_docs=2).collect()
+    }
+    assert out[1] == (2, "keep me\nunique one")
+    assert out[2] == (1, "other text")
+    assert out[3] == (0, "")   # everything removed -> empty, not dropped
+    assert 4 not in out        # NULL docs are excluded explicitly
+
+    first = {
+        r.doc_id: (r.n_kept, r.text)
+        for r in remove_duplicate_lines(docs, min_docs=2,
+                                        keep_first=True).collect()
+    }
+    # global first occurrence is (doc 1, pos 1): doc 1 keeps BOILER
+    assert first[1] == (3, "keep me\nBOILER\nunique one")
+    assert first[2] == (1, "other text")
+    assert first[3] == (0, "")
+
+
+def test_line_dedup_within_doc_repeats_keep_one(spark):
+    """A line repeated in the SAME first doc keeps exactly one occurrence
+    under keep_first (C4: discard all but one), all under remove-all."""
+    from database_migration_spark.operators.dedup import remove_duplicate_lines
+
+    docs = spark.createDataFrame(
+        [(1, "X\nmid\nX"), (2, "X\ntail")], "doc_id long, text string"
+    )
+    first = {
+        r.doc_id: r.text
+        for r in remove_duplicate_lines(docs, min_docs=2,
+                                        keep_first=True).collect()
+    }
+    assert first[1] == "X\nmid" and first[2] == "tail"
+    none = {
+        r.doc_id: r.text
+        for r in remove_duplicate_lines(docs, min_docs=2).collect()
+    }
+    assert none[1] == "mid" and none[2] == "tail"

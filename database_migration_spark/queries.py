@@ -1277,6 +1277,85 @@ GROUP BY c.id
 """
 
 
+def _attrition_oracle() -> str:
+    ntoks = TE.token_count_sql("text")
+    alpha = TE.char_class_count_sql("text", "[a-zA-Z]")
+    shingle = (
+        f"unnest(list_transform(range(1, greatest(length(t)-{_SHINGLE_K - 1},1)+1), "
+        f"i -> substr(t, i::INT, {_SHINGLE_K})))"
+    )
+    h60 = "CAST(('0x'||substr(md5(s),1,15)) AS BIGINT)"
+    bucket = (
+        "CAST(('0x'||substr(md5('split_'||CAST(doc_id AS VARCHAR)),1,15)) "
+        "AS BIGINT) % 1000"
+    )
+    return f"""
+WITH q AS (
+  SELECT doc_id, text,
+         (text IS NOT NULL AND coalesce({ntoks}, 0) >= 25
+          AND coalesce(CASE WHEN length(text) > 0
+                THEN CAST(floor(({alpha}) * 1000000 / length(text)) AS BIGINT) END,
+              -1) >= 200000) AS ok
+  FROM documents WHERE source <> 'src0'
+), w AS (
+  SELECT md5({_NORM}) AS fp, min(doc_id) AS keep_id
+  FROM q WHERE ok GROUP BY 1
+), surv AS (
+  SELECT q.doc_id, {_NORM} AS t FROM q
+  JOIN w ON md5({_NORM}) = w.fp AND q.doc_id = w.keep_id
+  WHERE q.ok
+), bd AS (SELECT {_NORM} AS t FROM documents WHERE source = 'src0'),
+csh AS (
+  SELECT DISTINCT doc_id, {h60} AS h
+  FROM (SELECT doc_id, {shingle} AS s FROM surv)
+), bsh AS (
+  SELECT DISTINCT {h60} AS h FROM (SELECT {shingle} AS s FROM bd)
+), hot AS (
+  SELECT doc_id FROM (
+    SELECT c.doc_id,
+           floor(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+                 / count(*)) AS p
+    FROM csh c LEFT JOIN bsh b USING (h) GROUP BY c.doc_id)
+  WHERE p >= 800000
+)
+SELECT stage, CAST(count(*) AS BIGINT) AS n_docs FROM (
+  SELECT CASE
+    WHEN q.text IS NULL THEN 'null_text'
+    WHEN NOT q.ok THEN 'quality'
+    WHEN w.keep_id IS NULL THEN 'exact_duplicate'
+    WHEN hot.doc_id IS NOT NULL THEN 'contaminated'
+    WHEN {bucket} < 10 THEN 'kept_test'
+    WHEN {bucket} < 20 THEN 'kept_val'
+    ELSE 'kept_train' END AS stage
+  FROM q
+  LEFT JOIN w ON q.ok AND md5({_NORM}) = w.fp AND q.doc_id = w.keep_id
+  LEFT JOIN hot USING (doc_id)
+) GROUP BY stage
+"""
+
+
+@register("corpus_attrition_report", oracle=_attrition_oracle())
+def corpus_attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning (operators/pipeline.py): quality filter
+    → exact dedup among passers → benchmark decontamination among
+    survivors → salted split, every document annotated with the FIRST
+    stage that drops it; the attrition report ("where did my data go?")
+    is ONE groupBy over the annotated corpus — the corpus is never
+    materialized once per stage. Benchmark = the src0 slice, as in
+    benchmark_contamination."""
+    from database_migration_spark.operators.pipeline import (
+        annotate_corpus,
+        attrition_report,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    ann = annotate_corpus(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+    )
+    return attrition_report(ann)
+
+
 @register("benchmark_contamination", oracle=_contamination_oracle())
 def benchmark_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination: per training doc, the fraction of its
@@ -3791,6 +3870,14 @@ _SHOWCASE_ONLY = [
     # (distinct projection graded via star_dims_orders); sim-verified +
     # brute-force-differential pytest (test_pairing)
     "fuzzy_name_pairs",
+    # showcase from birth: corpus pipeline attrition — every stage it
+    # composes is individually GRADED (quality_documents, dedup_exact
+    # via dedup_exact_documents, benchmark_contamination, train_val_test
+    # split via stratified/hash sampling queries); what the closed-form
+    # oracle pins is the composition bookkeeping (first-drop attribution,
+    # stage ordering); sim-verified + fate/ordering pytests
+    # (test_pipeline)
+    "corpus_attrition_report",
     # showcase from birth: cross-document line dedup — its machinery
     # (posexplode + hash-keyed census + anti-join + ordered per-doc
     # reassembly) is the family the graded window proves via

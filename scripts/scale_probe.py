@@ -72,6 +72,7 @@ PROBES = [
     "scd2_customer_history",
     "semantic_decontaminate_corpus",
     "line_dedup_documents",
+    "corpus_attrition_report",
     # bm25_topk_documents is NOT probed via the registry: its fixed query
     # terms don't exist in the suffixed derived vocabulary (measured 0.58×
     # at ×10 — an empty hit set, not a scaling result). --bm25 runs the

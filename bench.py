@@ -71,6 +71,13 @@ BENCH_QUERIES = [
     "embedding_outliers",
     "rolling_active_users",
     "json_props_stats",
+    # round 6
+    "row_diff_orders",
+    "profile_orders",
+    "scd2_customer_history",
+    "semantic_decontaminate_corpus",
+    "line_dedup_documents",
+    "corpus_attrition_report",
 ]
 
 

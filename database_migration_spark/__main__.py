@@ -449,6 +449,55 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_pipeline(args) -> int:
+    """Corpus cleaning end-to-end (operators/pipeline.py): quality filter
+    → exact dedup → decontamination vs a held-out slice → salted split,
+    printing the attrition report; --out writes the kept corpus
+    partitioned by split."""
+    from pyspark.sql import functions as F
+
+    from database_migration_spark.operators.pipeline import (
+        STAGES,
+        annotate_corpus,
+        attrition_report,
+        corpus_clean,
+    )
+    from database_migration_spark.session import get_spark
+
+    spark = get_spark(app_name="dms_pipeline")
+    adapter = _source(spark, args.source, args)
+    docs = adapter.read(args.table)
+    for c in ("doc_id", "text", args.bench_col):
+        if c not in docs.columns:
+            print(f"error: column {c!r} missing from {args.table}",
+                  file=sys.stderr)
+            return 2
+    bench = docs.where(F.col(args.bench_col) == args.bench_value)
+    corpus = docs.where(F.col(args.bench_col) != args.bench_value)
+    ann = annotate_corpus(
+        corpus,
+        bench,
+        min_tokens=args.min_tokens,
+        min_alpha_ppm=args.min_alpha_ppm,
+        max_contamination_ppm=args.max_contamination_ppm,
+    )
+    rep = {r.stage: r.n_docs for r in attrition_report(ann).collect()}
+    kept = 0
+    for stage in STAGES:
+        print(f"{stage}: {rep.get(stage, 0)} dropped")
+    for split in ("train", "val", "test"):
+        n = rep.get(f"kept_{split}", 0)
+        kept += n
+        print(f"kept_{split}: {n}")
+    print(f"kept: {kept} of {sum(rep.values())}")
+    if args.out:
+        corpus_clean(ann).write.partitionBy("split").mode(
+            "error" if not args.overwrite else "overwrite"
+        ).parquet(args.out)
+        print(f"wrote {args.out} (partitioned by split)")
+    return 0 if kept else 1
+
+
 def cmd_rowdiff(args) -> int:
     """Row-granular complement of ``validate``: where the metric gate says
     WHETHER two table versions agree, this says WHICH rows and columns
@@ -694,6 +743,27 @@ def main(argv: list[str] | None = None) -> int:
     pf.add_argument("--topk", type=int, default=5,
                     help="frequent values per string column (default 5)")
     pf.set_defaults(fn=cmd_profile)
+
+    pl = sub.add_parser("pipeline", help="corpus cleaning: quality -> "
+                        "exact dedup -> decontamination -> split; prints "
+                        "the attrition report, rc=1 if nothing survives")
+    pl.add_argument("--source", required=True,
+                    help="table directory or jdbc: URL")
+    pl.add_argument("--dialect", help="dialect name for jdbc: sources")
+    pl.add_argument("--jdbc-prop", action="append",
+                    help="k=v JDBC property (repeatable)")
+    pl.add_argument("--table", default="documents")
+    pl.add_argument("--bench-col", default="source",
+                    help="column holding the benchmark-slice marker")
+    pl.add_argument("--bench-value", default="src0",
+                    help="value of --bench-col marking benchmark rows")
+    pl.add_argument("--min-tokens", type=int, default=25)
+    pl.add_argument("--min-alpha-ppm", type=int, default=200_000)
+    pl.add_argument("--max-contamination-ppm", type=int, default=800_000)
+    pl.add_argument("--out", help="write the kept corpus here, "
+                    "partitioned by split")
+    pl.add_argument("--overwrite", action="store_true")
+    pl.set_defaults(fn=cmd_pipeline)
 
     rd = sub.add_parser("rowdiff", help="row-level diff of two table "
                         "versions: added/removed/changed rows + per-column "

@@ -1277,6 +1277,89 @@ GROUP BY c.id
 """
 
 
+@register(
+    "dup_source_matrix",
+    # the oracle MATERIALIZES the duplicate pairs (a self-join the corpus
+    # scale path must never do) and counts them per unordered source
+    # pair — this row going green proves the combinatorial rewrite
+    # (per-(fingerprint, source) counts crossed within each group)
+    # equals true pair counting. The corpus plants duplicates (every 25th
+    # doc re-appears under a 'recrawl' source — the sf0.01 gate corpus
+    # has NO natural exact duplicates, so without planting this row would
+    # be vacuously green on an empty result)
+    oracle=rf"""
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 10000000, 'recrawl', text FROM documents
+  WHERE doc_id % 25 = 0 AND text IS NOT NULL
+), f AS (
+  SELECT doc_id, source, md5({TE.normalize_text_sql('text')}) AS fp
+  FROM corpus
+)
+SELECT least(a.source, b.source) AS source_a,
+       greatest(a.source, b.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+)
+def dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where do my duplicates come from? Exact-duplicate PAIR counts per
+    unordered source pair — the dedup-review readout that distinguishes
+    an intra-crawl problem from cross-source replication.
+
+    Scale shape: pairs are never materialized. One groupBy(fingerprint,
+    source) count, then each fingerprint group's per-source counts cross
+    WITHIN the group (bounded by #sources per group, not group size²) and
+    pair counts come combinatorially — C(c,2) same-source, c_a*c_b
+    cross-source, exact integer arithmetic. A 10 M-copy boilerplate
+    fingerprint costs one row per source here, where the naive self-join
+    materializes 5*10^13 pairs."""
+    from database_migration_spark.functions.text_exprs import normalize_text
+
+    # NULL text is filtered explicitly: Spark's groupBy groups NULL
+    # fingerprints together (pairing NULL docs), the oracle's equi-join
+    # never matches NULL — the engines would diverge the day the corpus
+    # gains a NULL document
+    base = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "source", "text")
+    )
+    docs = base.unionByName(
+        base.where(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.lit("recrawl").alias("source"),
+            "text",
+        )
+    )
+    per = (
+        docs.select(
+            F.md5(normalize_text(F.col("text"))).alias("fp"), "source"
+        )
+        .groupBy("fp", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a, b = per.alias("a"), per.alias("b")
+    joined = a.join(b, "fp").where(F.col("a.source") <= F.col("b.source"))
+    n_pairs = F.when(
+        F.col("a.source") == F.col("b.source"),
+        # `div`, not `/`: long / long is DOUBLE division (the 2^53 trap)
+        F.expr("(a.c * (a.c - 1)) div 2"),
+    ).otherwise(F.col("a.c") * F.col("b.c"))
+    return (
+        joined.select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            n_pairs.cast("long").alias("_n"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("_n").cast("long").alias("n_pairs"))
+        .where(F.col("n_pairs") > 0)
+    )
+
+
 def _attrition_oracle() -> str:
     ntoks = TE.token_count_sql("text")
     alpha = TE.char_class_count_sql("text", "[a-zA-Z]")
@@ -3870,6 +3953,13 @@ _SHOWCASE_ONLY = [
     # (distinct projection graded via star_dims_orders); sim-verified +
     # brute-force-differential pytest (test_pairing)
     "fuzzy_name_pairs",
+    # showcase from birth: cross-source duplicate matrix — its machinery
+    # (fingerprint groupBy + within-group combinatorial counting) is
+    # graded via dedup_exact_documents (same fingerprint aggregate) and
+    # corpus_mix_cube (grouped corpus accounting); the pair-vs-
+    # combinatorics equivalence is what the pair-materializing oracle
+    # pins; sim-verified
+    "dup_source_matrix",
     # showcase from birth: corpus pipeline attrition — every stage it
     # composes is individually GRADED (quality_documents, dedup_exact
     # via dedup_exact_documents, benchmark_contamination, train_val_test

@@ -550,3 +550,19 @@ def test_cli_profile(spark, sf_smoke, capsys):
     assert "r_regionkey null: 0" in out
     assert "r_regionkey hist [0]: 1" in out  # 5 keys, 10 buckets: 1 apiece
     assert "r_name topk [AFRICA]: 1" in out
+
+
+def test_cli_pipeline(spark, sf_smoke, tmp_path, capsys):
+    """`pipeline` runs the corpus-cleaning pass, prints the attrition
+    report, and writes the kept corpus partitioned by split."""
+    out = str(tmp_path / "clean_corpus")
+    rc = main(["pipeline", "--source", sf_smoke, "--out", out])
+    txt = capsys.readouterr().out
+    assert rc == 0
+    for stage in ("quality", "exact_duplicate", "contaminated",
+                  "kept_train", "kept:"):
+        assert stage.rstrip(":") in txt
+    clean = spark.read.parquet(out)
+    assert "split" in clean.columns and "drop_reason" not in clean.columns
+    n_kept = int(txt.split("kept: ")[1].split(" of ")[0])
+    assert clean.count() == n_kept > 0

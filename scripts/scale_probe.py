@@ -102,6 +102,12 @@ X100_PROBES = [
     "incremental_dedup_batch",
     "remove_dup_spans",
     "fuzzy_name_pairs",
+    # round 6 family
+    "row_diff_orders",
+    "profile_orders",
+    "scd2_customer_history",
+    "line_dedup_documents",
+    "corpus_attrition_report",
 ]
 
 
@@ -407,7 +413,7 @@ def main() -> int:
             # tables that joined the x100 set after the first generation
             missing = tuple(
                 t
-                for t in ("events", "embeddings", "part", "customer")
+                for t in ("events", "embeddings", "part", "customer", "orders")
                 if not os.path.exists(os.path.join(OUT100, f"{t}.parquet"))
             )
             if missing:

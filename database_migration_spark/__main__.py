@@ -52,6 +52,15 @@ def _source(spark, root: str, args=None):
     return ParquetSource(spark, root)
 
 
+def _read(adapter, meta):
+    """Read a table through whichever surface the adapter has: JDBC
+    adapters expose read_table(TableMeta) (typed per-column transfer
+    SELECT), lake adapters expose read(name)."""
+    if hasattr(adapter, "read_table"):
+        return adapter.read_table(meta)
+    return adapter.read(meta.table)
+
+
 def _no_match(kind: str, args) -> int:
     print(
         f"error: no tables matched --schemas {args.schemas!r} "
@@ -362,12 +371,19 @@ def cmd_load(args) -> int:
             force_reload=args.force_reload, sink=sink,
         )
     else:
+        # --dest goes through load_batch's sink hook so the destination
+        # write happens BEFORE the manifest marks files done: a failed
+        # write leaves them waiting (retryable), not silently "loaded"
+        sink = None
+        if args.dest:
+            sink = lambda df: (  # noqa: E731
+                df.write.mode("append").parquet(args.dest)
+            )
         data, report = loader.load_batch(
             args.folder, args.pattern,
             force_reload=args.force_reload, max_files=args.max_files,
+            sink=sink,
         )
-        if args.dest and report.rows_loaded:
-            data.write.mode("append").parquet(args.dest)
     for f in report.loaded_files:
         print(f"{f}: done")
     for f, msg in report.error_files:
@@ -399,14 +415,7 @@ def cmd_check(args) -> int:
     cat = adapter.scan_catalog(args.schemas, args.tables, include_keys=True)
     if not cat.tables:
         return _no_match(args.source, args)
-    tables = {
-        t.table: (
-            adapter.read_table(t)
-            if hasattr(adapter, "read_table")
-            else adapter.read(t.table)
-        )
-        for t in cat.tables
-    }
+    tables = {t.table: _read(adapter, t) for t in cat.tables}
     pk_rows, fk_rows = catalog_constraint_rows(cat)
     try:
         report = constraint_report(tables, pk_rows, fk_rows)
@@ -436,7 +445,7 @@ def cmd_profile(args) -> int:
         return _no_match(args.source, args)
     for t in sorted(cat.tables, key=lambda t: t.table):
         rep = profile_table(
-            adapter.read(t.table), t.table, bins=args.bins, k=args.topk
+            _read(adapter, t), t.table, bins=args.bins, k=args.topk
         )
         rows = rep.orderBy("column_name", "stat", "key").collect()
         n_rows = next(r.n for r in rows if r.stat == "rows")
@@ -466,7 +475,12 @@ def cmd_pipeline(args) -> int:
 
     spark = get_spark(app_name="dms_pipeline")
     adapter = _source(spark, args.source, args)
-    docs = adapter.read(args.table)
+    cat = adapter.scan_catalog("%", args.table)
+    if not cat.tables:
+        print(f"error: table {args.table!r} not found in {args.source}",
+              file=sys.stderr)
+        return 2
+    docs = _read(adapter, cat.tables[0])
     for c in ("doc_id", "text", args.bench_col):
         if c not in docs.columns:
             print(f"error: column {c!r} missing from {args.table}",
@@ -517,7 +531,7 @@ def cmd_rowdiff(args) -> int:
     if not lcat.tables:
         return _no_match(args.left, args)
     rnames = {
-        t.table.upper(): t.table
+        t.table.upper(): t
         for t in radapter.scan_catalog(args.schemas, args.tables).tables
     }
     named_keys = (
@@ -539,36 +553,47 @@ def cmd_rowdiff(args) -> int:
                   "skipped (rowdiff needs a row identity)")
             bad += 1
             continue
-        left = ladapter.read(t.table)
-        right = radapter.read(rnames[t.table.upper()])
-        counts = {
-            (r.diff_kind, r.column_name): r.n_rows
-            for r in diff_report(left, right, keys).collect()
-        }
-        fates = {k: v for (k, c), v in counts.items() if c is None}
-        n_diff = sum(fates.values())
-        if n_diff == 0:
-            print(f"{t.table}: OK (no row differences)")
-            continue
-        bad += 1
-        summary = ", ".join(
-            f"{fates.get(k, 0)} {k}" for k in ("added", "removed", "changed")
-        )
-        print(f"{t.table}: {summary}")
-        for (kind, col), v in sorted(counts.items(), key=lambda kv: str(kv)):
-            if col is not None:
-                print(f"  {col}: {v} changed")
-        if args.show:
-            d = row_diff(left, right, keys)
-            for r in (
-                changed_cells(left, right, keys, d)
-                .orderBy(*keys, "column_name")
-                .limit(args.show)
-                .collect()
+        from pyspark import StorageLevel
+
+        left = _read(ladapter, t)
+        right = _read(radapter, rnames[t.table.upper()])
+        # one persisted phase-1 diff feeds the report AND the --show
+        # cells — never re-scan/re-hash both sides for the same answer
+        d = row_diff(left, right, keys).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            counts = {
+                (r.diff_kind, r.column_name): r.n_rows
+                for r in diff_report(left, right, keys, diff=d).collect()
+            }
+            fates = {k: v for (k, c), v in counts.items() if c is None}
+            n_diff = sum(fates.values())
+            if n_diff == 0:
+                print(f"{t.table}: OK (no row differences)")
+                continue
+            bad += 1
+            summary = ", ".join(
+                f"{fates.get(k, 0)} {k}"
+                for k in ("added", "removed", "changed")
+            )
+            print(f"{t.table}: {summary}")
+            for (kind, col), v in sorted(
+                counts.items(), key=lambda kv: str(kv)
             ):
-                key_repr = ", ".join(str(r[k]) for k in keys)
-                print(f"  [{key_repr}] {r.column_name}: "
-                      f"{r.left_value!r} -> {r.right_value!r}")
+                if col is not None:
+                    print(f"  {col}: {v} changed")
+            if args.show:
+                for r in (
+                    changed_cells(left, right, keys, d)
+                    .orderBy(*keys, "column_name")
+                    .limit(args.show)
+                    .collect()
+                ):
+                    key_repr = ", ".join(str(r[k]) for k in keys)
+                    print(f"  [{key_repr}] {r.column_name}: "
+                          f"{r.left_value!r} -> {r.right_value!r}")
+        finally:
+            # a many-table sweep must not accumulate one cache per table
+            d.unpersist(blocking=False)
     return 1 if bad else 0
 
 

@@ -1258,13 +1258,15 @@ def remove_duplicate_lines(
     if keep_first:
         from pyspark.sql import Window
 
+        # ONE branch, not an anti/semi union: a union would consume the
+        # windowed relation twice and re-run the corpus-wide shuffle+sort
+        # per branch (the multi-consumer rule) — a single left join with
+        # a dup marker keeps the window single-execution
         w = Window.partitionBy("h").orderBy(F.col("id").asc(), F.col("pos").asc())
-        ranked = lines.withColumn("_rn", F.row_number().over(w))
-        kept = ranked.join(dup, "h", "left_anti").select(
-            "id", "pos", "line"
-        ).unionByName(
-            ranked.join(dup, "h", "left_semi")
-            .where(F.col("_rn") == 1)
+        kept = (
+            lines.withColumn("_rn", F.row_number().over(w))
+            .join(dup.withColumn("_dup", F.lit(True)), "h", "left")
+            .where(F.col("_dup").isNull() | (F.col("_rn") == 1))
             .select("id", "pos", "line")
         )
     else:

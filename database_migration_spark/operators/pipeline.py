@@ -88,15 +88,22 @@ def annotate_corpus(
         (F.col("contamination_ppm") >= max_contamination_ppm).alias("_hot"),
     )
 
-    is_winner = ann.join(
-        winners, ann[id_col] == winners["keep_id"], "left"
-    ).withColumn("_is_winner", F.col("keep_id").isNotNull())
-    joined = is_winner.join(conta, F.col(id_col) == F.col("_cid"), "left")
+    # ONE narrow flags relation (winner ⟕ contamination — contamination
+    # only covers dedup survivors, a subset of winners), so the WIDE
+    # annotated corpus shuffles through exactly one join: at 100 TB the
+    # flags are corpus-cardinality but a few bytes per row, while every
+    # extra join of `ann` re-shuffles the text
+    flags = (
+        winners.select(F.col("keep_id").alias("_fid"))
+        .join(conta, F.col("_fid") == F.col("_cid"), "left")
+        .select("_fid", F.coalesce(F.col("_hot"), F.lit(False)).alias("_hot"))
+    )
+    joined = ann.join(flags, ann[id_col] == flags["_fid"], "left")
     reason = (
         F.when(F.col(text_col).isNull(), F.lit("null_text"))
         .when(~F.col("_quality_ok"), F.lit("quality"))
-        .when(~F.col("_is_winner"), F.lit("exact_duplicate"))
-        .when(F.coalesce(F.col("_hot"), F.lit(False)), F.lit("contaminated"))
+        .when(F.col("_fid").isNull(), F.lit("exact_duplicate"))
+        .when(F.col("_hot"), F.lit("contaminated"))
     )
     out = joined.select(
         *docs.columns, reason.alias("drop_reason")

@@ -138,16 +138,20 @@ def diff_report(
     right: DataFrame,
     keys: list[str],
     compare_cols: list[str] | None = None,
+    diff: DataFrame | None = None,
 ) -> DataFrame:
     """One-stop report: ``(diff_kind, column_name, n_rows)`` — the three
     row-fate counts plus one ``changed:<col>`` count per attributed
     column. The summary a CLI or CI gate prints; both phases' shuffles
-    stay narrow (phase-1 hashes, phase-2 changed rows only)."""
+    stay narrow (phase-1 hashes, phase-2 changed rows only).
+
+    ``diff`` accepts a precomputed (ideally persisted) :func:`row_diff`
+    so a caller that also wants the cells doesn't pay phase 1 twice."""
     from pyspark import StorageLevel
 
-    d = row_diff(left, right, keys, compare_cols).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    d = diff if diff is not None else row_diff(
+        left, right, keys, compare_cols
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     fates = d.groupBy("diff_kind").agg(F.count("*").alias("n_rows")).select(
         "diff_kind", F.lit(None).cast("string").alias("column_name"), "n_rows"
     )

@@ -77,8 +77,21 @@ def scd2_merge(
     """
     out_cols = list(keys) + list(attrs) + list(VERSION_COLS)
     history = current.where(~F.col("is_current")).select(out_cols)
-    open_ = current.where(F.col("is_current")).select(out_cols).alias("o")
-    upd = updates.select(list(keys) + list(attrs)).alias("u")
+    # side presence is detected via these literal markers, NOT key
+    # nullness: the join is eqNullSafe precisely so NULL key values are
+    # legal, and a row with a NULL first key column would otherwise match
+    # no fate branch and silently vanish from the dimension
+    open_ = (
+        current.where(F.col("is_current"))
+        .select(out_cols)
+        .withColumn("_p", F.lit(True))
+        .alias("o")
+    )
+    upd = (
+        updates.select(list(keys) + list(attrs))
+        .withColumn("_p", F.lit(True))
+        .alias("u")
+    )
 
     on = [open_[k].eqNullSafe(upd[k]) for k in keys]
     cond = on[0]
@@ -93,8 +106,8 @@ def scd2_merge(
     if persist:
         j = j.persist(StorageLevel.MEMORY_AND_DISK)
 
-    in_open = F.col(f"o.{keys[0]}").isNotNull()
-    in_upd = F.col(f"u.{keys[0]}").isNotNull()
+    in_open = F.col("o._p").isNotNull()
+    in_upd = F.col("u._p").isNotNull()
     changed = in_open & in_upd & ~_attrs_equal("o", "u", list(attrs))
     unchanged = in_open & in_upd & _attrs_equal("o", "u", list(attrs))
     ts = F.lit(batch_ts).cast(current.schema["valid_from"].dataType)

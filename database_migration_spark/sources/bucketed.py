@@ -74,12 +74,29 @@ def zorder_expr_n(names: list, ranges: list, bits: int = 8):
         qhi = qexact(hi)
         span = max(qhi - qlo, 1)
         k = (1 << bits) - 1
+        # try_cast: beyond DECIMAL(26,12) the quantization must yield NULL
+        # (handled by the sign clamp below) — a plain CAST under ANSI mode
+        # (the session default) would CRASH the whole layout write on the
+        # first out-of-range value
         q = (
-            f"CAST(floor(CAST(`{name}` AS DECIMAL(26,12)) * 1000000) "
+            f"CAST(floor(try_cast(`{name}` AS DECIMAL(26,12)) * 1000000) "
             "AS BIGINT)"
         )
         code = F.expr(f"(({q} - {qlo}L) * {k}L) div {span}L")
-        return F.greatest(F.lit(0), F.least(F.lit(k), code)).cast("long")
+        clamped = F.greatest(F.lit(0), F.least(F.lit(k), code))
+        # beyond DECIMAL(26,12) (|v| > ~9e12) the cast is NULL and
+        # least/greatest SKIP nulls — without the sign test a hugely
+        # NEGATIVE value would land in the TOP cell instead of cell 0,
+        # violating the documented both-sides clamp (NULL data itself
+        # keeps the top cell, as before: deterministic, layout-only)
+        return (
+            F.when(
+                F.expr(f"{q} IS NULL AND `{name}` IS NOT NULL AND `{name}` < 0"),
+                F.lit(0),
+            )
+            .otherwise(clamped)
+            .cast("long")
+        )
 
     codes = [scaled(name, *rng) for name, rng in zip(names, ranges)]
     z = F.lit(0).cast("long")

@@ -273,6 +273,11 @@ def stream_scd2(
         tmp = dim_path + f".epoch{epoch_id}"
         merged.write.mode("overwrite").parquet(tmp)
         s.read.parquet(tmp).write.mode("overwrite").parquet(dim_path)
+        # the staging copy is dead once swapped — a long-running stream
+        # would otherwise accumulate one full dimension copy per epoch
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
 
     return (
         stream.writeStream.foreachBatch(apply)

@@ -291,6 +291,7 @@ class ManifestLoader:
         force_reload: bool = False,
         reader=None,
         max_files: int | None = None,
+        sink=None,
     ) -> tuple[DataFrame, LoadReport]:
         """Single-job variant of :meth:`load` for large pending sets.
 
@@ -399,6 +400,13 @@ class ManifestLoader:
                 .alias("last_tried"),
             )
         )
+        # the sink runs BEFORE the manifest flips statuses to done: a
+        # failed destination write must leave the files 'waiting' (still
+        # eligible for retry), never recorded as loaded — the same
+        # durability ordering the per-file path gets by recording sink
+        # failures as that file's error
+        if sink is not None and readable:
+            sink(df)
         rows = counts.agg(F.sum("cnt")).collect()[0][0] or 0
         if len(files) < self.distributed_threshold:
             # exact report lists are cheap below the threshold

@@ -406,7 +406,9 @@ def main() -> int:
     if "--x100" in sys.argv:
         marker100 = os.path.join(OUT100, "_GENERATED")
         if "--regen" in sys.argv or not os.path.exists(marker100):
-            generate(spark, OUT100, 100, tables=("documents", "lineitem", "events"))
+            # every table the X100_PROBES read — a fresh run that generated
+            # only a subset would crash the probe loop on a missing path
+            generate(spark, OUT100, 100)
             with open(marker100, "w") as fh:
                 fh.write("complete\n")
         else:

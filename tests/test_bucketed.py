@@ -189,3 +189,24 @@ def test_zorder_n_three_dims_localizes_each(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="63-bit"):
         zorder_expr_n(["x", "y", "z"], [(0, 1)] * 3, bits=22)
+
+
+def test_zorder_negative_overflow_clamps_low(spark):
+    """A value beyond DECIMAL(26,12) casts to NULL; least/greatest skip
+    NULLs, so without the sign test a hugely NEGATIVE value landed in the
+    TOP cell. It must clamp to cell 0; hugely positive to the top."""
+    from database_migration_spark.sources.bucketed import zorder_expr_n
+
+    df = spark.createDataFrame(
+        [(-1e15,), (1e15,), (0.0,), (None,)], "v double"
+    )
+    z = zorder_expr_n(["v"], [(-100.0, 100.0)], bits=4)
+    got = dict(
+        zip(
+            [r.v for r in df.collect()],
+            [r.z for r in df.select(z.alias("z")).collect()],
+        )
+    )
+    assert got[-1e15] == 0          # negative overflow -> bottom cell
+    assert got[1e15] == 15          # positive overflow -> top cell
+    assert got[0.0] == 7            # mid-range sanity

@@ -391,3 +391,33 @@ def test_s3_empty_filter_lists_everything_without_prefix():
     rows = S3Lister(client, "bkt")("in/", "")
     assert "Prefix" not in client.calls[0]
     assert len(rows) == 4  # every non-marker key, folder ignored
+
+
+def test_load_batch_failed_sink_leaves_files_waiting(spark, workdir, tmp_path):
+    """The destination write (sink) runs BEFORE the manifest flips files
+    to done: a failed write must leave them waiting/retryable, never
+    recorded as loaded (the per-file path's durability guarantee)."""
+    import pytest
+
+    ld = ManifestLoader(
+        spark, str(tmp_path / "ms.parquet"), file_format="csv",
+        read_options={"header": "true"},
+    )
+
+    def bad_sink(df):
+        raise RuntimeError("destination full")
+
+    with pytest.raises(RuntimeError, match="destination full"):
+        ld.load_batch(str(workdir / "incoming"), sink=bad_sink)
+    st = {os.path.basename(r.file_name): r.status
+          for r in ld.read_manifest().collect()}
+    assert all(s.startswith("waiting") for s in st.values()), st
+
+    # a working sink then loads them and marks done
+    out = []
+    df, rep = ld.load_batch(str(workdir / "incoming"),
+                            sink=lambda d: out.append(d.count()))
+    assert rep.rows_loaded == 6 and out
+    st = {os.path.basename(r.file_name): r.status
+          for r in ld.read_manifest().collect()}
+    assert st["f0.csv"] == ST_DONE

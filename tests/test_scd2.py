@@ -99,3 +99,30 @@ def test_scd2_join_computed_once_and_history_skips_it(spark):
     # and the join input is the FILTERED open slice, not the whole dim
     cached = plan.split("InMemoryRelation")[1]
     assert "is_current#" in cached
+
+
+def test_scd2_null_key_rows_survive(spark):
+    """The join is eqNullSafe so NULL keys are legal — presence detection
+    must not route through key nullness (a NULL-keyed row once vanished
+    from every fate branch: silent data loss)."""
+    from database_migration_spark.operators.scd2 import (
+        scd2_bootstrap,
+        scd2_merge,
+    )
+
+    cur = spark.createDataFrame(
+        [(None, "A"), (1, "B")], "k long, seg string"
+    )
+    dim = scd2_bootstrap(cur, ["k"], ["seg"], 0)
+    upd = spark.createDataFrame([(None, "A2")], "k long, seg string")
+    out = {
+        (r.k, r.seg, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_merge(dim, upd, ["k"], ["seg"], 1).collect()
+    }
+    # the NULL-keyed entity changed: closed old + new open version;
+    # key 1 untouched
+    assert out == {
+        (None, "A", 0, 1, False),
+        (None, "A2", 1, None, True),
+        (1, "B", 0, None, True),
+    }

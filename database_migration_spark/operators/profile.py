@@ -177,6 +177,59 @@ def profile_table(
     return out
 
 
+def fd_candidates(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+) -> DataFrame:
+    """Functional-dependency check: for each (determinant, dependent)
+    pair, does A → B hold — i.e. does every A value map to exactly one B
+    value? The normalization half of a migration assessment: a column
+    functionally determined by another is a dimension-table candidate
+    (the flat→star path `star_schema.build_dimension` then materializes),
+    and a violated "should-hold" FD is a data-quality finding.
+
+    A → B holds iff ``count_distinct(A) == count_distinct(A, B)`` —
+    checked for EVERY requested pair in ONE scan of the two-column
+    projections (each count_distinct partially aggregates map-side; cap
+    the pair list, each adds an Expand branch). NULL is treated as a
+    value on both sides (a NULL dependent under one determinant still
+    violates uniqueness if another value exists), via the same
+    length-prefixed canonical rendering rowdiff uses — Spark's
+    multi-argument count_distinct would instead silently DROP rows
+    containing any NULL.
+
+    Output: (determinant, dependent, n_determinant, n_pairs, holds).
+    """
+    from database_migration_spark.operators.rowdiff import _canonical
+
+    for a, b in pairs:
+        for c in (a, b):
+            if c not in df.columns:
+                raise ValueError(f"unknown column {c!r}")
+    aggs = []
+    for i, (a, b) in enumerate(pairs):
+        aggs.append(F.count_distinct(_canonical(a)).alias(f"da__{i}"))
+        aggs.append(
+            F.count_distinct(F.concat(_canonical(a), _canonical(b))).alias(
+                f"dab__{i}"
+            )
+        )
+    wide = df.agg(*aggs)
+    stack_rows = ", ".join(
+        f"'{a}', '{b}', da__{i}, dab__{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack_rows}) "
+        "AS (determinant, dependent, n_determinant, n_pairs)"
+    ).select(
+        "determinant",
+        "dependent",
+        "n_determinant",
+        "n_pairs",
+        (F.col("n_determinant") == F.col("n_pairs")).alias("holds"),
+    )
+
+
 def profile_oracle_sql(
     table_name: str,
     columns: list[str],

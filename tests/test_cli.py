@@ -566,3 +566,68 @@ def test_cli_pipeline(spark, sf_smoke, tmp_path, capsys):
     assert "split" in clean.columns and "drop_reason" not in clean.columns
     n_kept = int(txt.split("kept: ")[1].split(" of ")[0])
     assert clean.count() == n_kept > 0
+
+
+def _derby_spec():
+    from database_migration_spark.sources.dialects import DialectSpec
+
+    return DialectSpec(
+        name="derby",
+        catalog_sql="""
+SELECT s.SCHEMANAME AS schema_name, t.TABLENAME AS table_name,
+       c.COLUMNNAME AS column_name, c.COLUMNNUMBER AS ordinal_position,
+       CAST(c.COLUMNDATATYPE AS VARCHAR(128)) AS data_type,
+       CAST(NULL AS INT) AS numeric_precision, CAST(NULL AS INT) AS numeric_scale,
+       CAST(NULL AS INT) AS character_maximum_length,
+       'YES' AS is_nullable
+FROM SYS.SYSCOLUMNS c
+JOIN SYS.SYSTABLES t ON t.TABLEID = c.REFERENCEID
+JOIN SYS.SYSSCHEMAS s ON s.SCHEMAID = t.SCHEMAID
+WHERE t.TABLETYPE = 'T'
+  AND s.SCHEMANAME LIKE '{schema_filter}' AND t.TABLENAME LIKE '{table_filter}'
+""",
+    )
+
+
+def test_cli_profile_and_rowdiff_live_derby(spark, tmp_path, capsys,
+                                            monkeypatch):
+    """profile and rowdiff against a LIVE JDBC source: the adapter has no
+    read(name), so both must go through read_table (regression for the
+    round-6 AttributeError on jdbc: sources)."""
+    from database_migration_spark.sources import dialects as D
+    from tests.conftest import DERBY_DRIVER, make_derby_db
+
+    db = str(tmp_path / "profdb")
+    url = make_derby_db(spark, db, [
+        "CREATE TABLE APP.ITEMS (ID BIGINT NOT NULL, NAME VARCHAR(20))",
+        "INSERT INTO APP.ITEMS VALUES "
+        + ", ".join(f"({i}, 'n{i % 3}')" for i in range(10)),
+    ])
+    monkeypatch.setitem(D.ALL_DIALECTS, "derby", _derby_spec())
+    jdbc = ["--dialect", "derby", "--jdbc-prop", f"driver={DERBY_DRIVER}"]
+
+    rc = main(["profile", "--source", url, "--tables", "ITEMS"] + jdbc)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "ITEMS: 10 rows" in out
+    assert "ID distinct: 10" in out
+    assert "NAME topk [n0]: 4" in out  # ids 0,3,6,9
+
+    # rowdiff live-vs-parquet: drop a row in the parquet copy
+    right = tmp_path / "right"
+    right.mkdir()
+    from database_migration_spark.sources.jdbc import JdbcSourceAdapter
+
+    adapter = JdbcSourceAdapter(
+        spark, D.ALL_DIALECTS["derby"], url=url,
+        properties={"driver": DERBY_DRIVER},
+    )
+    meta = adapter.scan_catalog("%", "ITEMS").tables[0]
+    adapter.read_table(meta).where("ID <> 7").coalesce(1).write.parquet(
+        str(right / "ITEMS.parquet")
+    )
+    rc = main(["rowdiff", "--left", url, "--right", str(right),
+               "--tables", "ITEMS", "--keys", "ID"] + jdbc)
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "ITEMS: 0 added, 1 removed, 0 changed" in out

@@ -98,3 +98,47 @@ def test_profile_single_scan_plan(spark, sf_smoke):
     )
     assert plan.count("FileScan parquet") == 1
     assert "partial_count" in plan
+
+
+def test_fd_candidates_semantics(spark):
+    """FD criterion with NULL-as-value semantics: a NULL dependent beside
+    a non-NULL one under the same determinant VIOLATES the FD (Spark's
+    bare multi-arg count_distinct would drop the NULL row and call it
+    held)."""
+    from database_migration_spark.operators.profile import fd_candidates
+
+    df = spark.createDataFrame(
+        [
+            (1, "x", 10),
+            (1, "x", 11),   # a -> b holds so far
+            (2, "y", 20),
+            (2, None, 20),  # NULL beside 'y': a -> b violated
+        ],
+        "a long, b string, c long",
+    )
+    rows = {
+        (r.determinant, r.dependent): (r.n_determinant, r.n_pairs, r.holds)
+        for r in fd_candidates(df, [("a", "b"), ("a", "c"), ("c", "a")]).collect()
+    }
+    assert rows[("a", "b")] == (2, 3, False)   # NULL counts as a value
+    assert rows[("a", "c")] == (2, 3, False)   # 1 -> {10, 11}
+    assert rows[("c", "a")] == (3, 3, True)    # each c has one a
+    try:
+        fd_candidates(df, [("a", "nope")])
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "nope" in str(e)
+
+
+def test_fd_candidates_single_scan(spark, sf_smoke):
+    from database_migration_spark.operators.profile import fd_candidates
+
+    df = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    rep = fd_candidates(df, [("o_custkey", "o_orderstatus"),
+                             ("o_orderkey", "o_custkey")])
+    plan = rep._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        rep._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("FileScan parquet") == 1
+    rows = {(r.determinant, r.dependent): r.holds for r in rep.collect()}
+    assert rows[("o_orderkey", "o_custkey")] is True  # PK determines all

@@ -177,6 +177,57 @@ def profile_table(
     return out
 
 
+def equi_depth_bounds(
+    df: DataFrame,
+    column: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Equi-DEPTH histogram boundaries: the smallest value v such that at
+    least ``ceil(n * b / buckets)`` rows have ``column <= v``, for b in
+    1..buckets — i.e. exact discrete quantiles. The profiler's equi-width
+    histogram collapses under skew (one hot bucket); equi-depth bounds
+    are what range-partitioners, binpack range splits and skew diagnoses
+    actually want. NULLs are excluded (counted by the profiler).
+
+    Scale shape: NO global sort of the data. One groupBy(value) count
+    (map-side combined), then a running-total window over the DISTINCT-
+    value relation — |distinct| rows, not |table| — and one aggregation
+    picking each boundary. Rank-based boundaries are deterministic even
+    under ties (the sorted multiset is unique as values), so an external
+    oracle reproduces them exactly; no interpolation, no floats.
+
+    Output: (bucket, boundary, cum_rows) — boundary is the raw column
+    value (MAX of the column for b = buckets by construction).
+    """
+    from pyspark.sql import Window
+
+    vals = (
+        df.where(F.col(column).isNotNull())
+        .groupBy(F.col(column).alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.withColumn("cum", F.sum("c").over(w))
+    n = F.max("cum").over(Window.partitionBy())
+    # target rank for bucket b: ceil(n*b/B) in exact integer arithmetic
+    b = F.explode(F.sequence(F.lit(1), F.lit(buckets))).alias("bucket")
+    targets = cum.select("v", "cum", n.alias("n")).select("v", "cum", "n", b)
+    # ceil(n*b/B) as (n*b + B-1) div B — all operands POSITIVE, where
+    # truncating (Spark div) and flooring (DuckDB //) division agree;
+    # the -((-x) div B) ceil trick does NOT port (div truncates toward
+    # zero, // floors)
+    target = F.expr(f"(n * bucket + {buckets - 1}) div {buckets}")
+    return (
+        targets.where(F.col("cum") >= target)
+        .groupBy("bucket")
+        .agg(
+            F.min("v").alias("boundary"),
+            F.min("cum").alias("cum_rows"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def fd_candidates(
     df: DataFrame,
     pairs: list[tuple[str, str]],

@@ -2398,6 +2398,48 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "equi_depth_custkey",
+    # rank-based boundaries are deterministic even under ties (the sorted
+    # multiset is unique as values); ceil computed as (a + B-1) div B on
+    # positive operands, where Spark's truncating div and DuckDB's
+    # flooring // agree
+    oracle="""
+WITH vals AS (
+  SELECT o_custkey AS v, count(*) AS c FROM orders
+  WHERE o_custkey IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM vals
+), n AS (SELECT max(cum) AS n FROM cum),
+t AS (
+  SELECT b.bucket, (n.n * b.bucket + 7) // 8 AS target
+  FROM n, (SELECT unnest(range(1, 9)) AS bucket) b
+)
+SELECT t.bucket, CAST(min(c2.v) AS BIGINT) AS boundary,
+       CAST(min(c2.cum) AS BIGINT) AS cum_rows
+FROM t JOIN cum c2 ON c2.cum >= t.target
+GROUP BY t.bucket
+""",
+)
+def equi_depth_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram bounds (profile.equi_depth_bounds): exact
+    discrete octiles of o_custkey — the skew-proof profile the equi-width
+    histogram can't give, and exactly the split points plans/binpack's
+    range partitioner wants. No global data sort: count-per-value, then
+    a running total over the |distinct|-row relation."""
+    from database_migration_spark.operators.profile import equi_depth_bounds
+
+    return equi_depth_bounds(
+        table(spark, sf_dir, "orders"), "o_custkey", buckets=8
+    ).select(
+        "bucket",
+        F.col("boundary").cast("long").alias("boundary"),
+        F.col("cum_rows").cast("long").alias("cum_rows"),
+    )
+
+
 def _fd_oracle() -> str:
     def canon(x: str) -> str:
         return (
@@ -4034,6 +4076,13 @@ _SHOWCASE_ONLY = [
     # whole-line semantics are what the oracle pins; sim-verified +
     # mode/within-doc pytests (test_dedup)
     "line_dedup_documents",
+    # showcase from birth: equi-depth bounds — its machinery (grouped
+    # count + bounded running-total window + min-aggregation) is the
+    # family the graded window proves via sessionize_events (running
+    # windows) and partition_counts_orders; the rank/ceil boundary
+    # arithmetic is what the oracle pins; sim-verified + pytests
+    # (test_profile)
+    "equi_depth_custkey",
     # showcase from birth: functional-dependency discovery — its
     # machinery (wide multi-count_distinct single scan + stack unpivot)
     # is the profiler/mig_check family the graded window already proves;

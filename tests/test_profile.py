@@ -142,3 +142,23 @@ def test_fd_candidates_single_scan(spark, sf_smoke):
     assert plan.count("FileScan parquet") == 1
     rows = {(r.determinant, r.dependent): r.holds for r in rep.collect()}
     assert rows[("o_orderkey", "o_custkey")] is True  # PK determines all
+
+
+def test_equi_depth_bounds_ties_and_skew(spark):
+    """Exact discrete quantiles under heavy ties: boundary b = smallest v
+    with cum >= ceil(n*b/B). A 90%-skewed column puts the hot value on
+    most boundaries; the last boundary is always max(v)."""
+    from database_migration_spark.operators.profile import equi_depth_bounds
+
+    rows = [(7,)] * 18 + [(1,), (9,)]  # n=20, v=7 dominates
+    df = spark.createDataFrame(rows, "v long")
+    got = {r.bucket: (r.boundary, r.cum_rows)
+           for r in equi_depth_bounds(df, "v", buckets=4).collect()}
+    # cum: 1->1, 7->19, 9->20; targets ceil(20b/4) = 5,10,15,20
+    assert got == {1: (7, 19), 2: (7, 19), 3: (7, 19), 4: (9, 20)}
+
+    # uniform sanity: octiles of 1..16 are the even numbers
+    df2 = spark.createDataFrame([(i,) for i in range(1, 17)], "v long")
+    got2 = {r.bucket: r.boundary
+            for r in equi_depth_bounds(df2, "v", buckets=8).collect()}
+    assert got2 == {b: 2 * b for b in range(1, 9)}

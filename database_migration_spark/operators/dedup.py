@@ -427,7 +427,9 @@ def connected_components(
     )
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
     labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    prev_sum = labels.agg(
+        F.sum(F.col("lbl").cast("decimal(38,0)"))
+    ).collect()[0][0]
     for _ in range(max_iter):
         cand = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), F.col("lbl")
@@ -435,7 +437,9 @@ def connected_components(
         labels = (
             labels.union(cand).groupBy("id").agg(F.min("lbl").alias("lbl"))
         ).localCheckpoint(eager=True)
-        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        cur_sum = labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)"))
+        ).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

@@ -3725,6 +3725,72 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "entity_resolution_names",
+    # end-to-end record linkage: blocking + verify (the fuzzy_name_pairs
+    # machinery) feeding transitive closure (the near_dup_clusters
+    # machinery). The oracle recomputes it with brute-force levenshtein
+    # and a recursive CTE; names become 60-bit md5 ids (portable hash) so
+    # min-label propagation runs on integers in both engines.
+    oracle="""
+WITH RECURSIVE n AS (
+  SELECT DISTINCT p_name AS s FROM part
+  UNION
+  SELECT DISTINCT c_name FROM customer
+), ids AS (
+  SELECT s, CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) AS nid FROM n
+), pairs AS (
+  SELECT a.nid AS id_a, b.nid AS id_b
+  FROM ids a JOIN ids b ON a.s < b.s AND levenshtein(a.s, b.s) <= 1
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT nid AS id, nid AS lbl FROM ids
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+), lab AS (SELECT id, min(lbl) AS entity_id FROM reach GROUP BY id)
+SELECT i.s AS name, l.entity_id, CAST(c.n AS BIGINT) AS entity_size
+FROM ids i JOIN lab l ON l.id = i.nid
+JOIN (SELECT entity_id, count(*) AS n FROM lab GROUP BY entity_id) c
+  USING (entity_id)
+""",
+)
+def entity_resolution_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: deletion-neighborhood blocking +
+    candidate-only levenshtein (pairing.edit_distance_pairs) produces the
+    match pairs, min-label propagation (dedup.connected_components) links
+    them transitively, and every name gets its entity id (the component's
+    min 60-bit name hash) + entity size — the canonical-entity table a
+    master-data migration publishes. No cross join and no global sort
+    anywhere; each propagation round is one keyed join + groupBy."""
+    from database_migration_spark.functions.hashing import md5_long
+
+    p = table(spark, sf_dir, "part").select(F.col("p_name").alias("s"))
+    c = table(spark, sf_dir, "customer").select(F.col("c_name").alias("s"))
+    names = p.unionByName(c).distinct().select(
+        "s", md5_long(F.col("s")).alias("nid")
+    )
+    pairs = PR.edit_distance_pairs(p.unionByName(c), "s").select(
+        md5_long(F.col("name_a")).alias("id_a"),
+        md5_long(F.col("name_b")).alias("id_b"),
+    )
+    labels = DD.connected_components(pairs, names, id_col="nid")
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("entity_size")
+    )
+    return (
+        names.join(labels, names["nid"] == labels["id"])
+        .join(sizes, "cluster_id")
+        .select(
+            F.col("s").alias("name"),
+            F.col("cluster_id").alias("entity_id"),
+            "entity_size",
+        )
+    )
+
+
+@register(
     "rolling_event_rate",
     # RANGE frames have identical peer semantics in both engines (all rows
     # with equal order value are in-frame together), so the count is
@@ -4076,6 +4142,12 @@ _SHOWCASE_ONLY = [
     # whole-line semantics are what the oracle pins; sim-verified +
     # mode/within-doc pytests (test_dedup)
     "line_dedup_documents",
+    # showcase from birth: entity resolution — a pure composition of two
+    # GRADED machineries (fuzzy_name_pairs' blocking+verify and
+    # near_dup_clusters' label propagation, both in the window or
+    # sim-proven with their own oracles); the linkage bookkeeping is what
+    # the recursive-CTE oracle pins; sim-verified
+    "entity_resolution_names",
     # showcase from birth: equi-depth bounds — its machinery (grouped
     # count + bounded running-total window + min-aggregation) is the
     # family the graded window proves via sessionize_events (running

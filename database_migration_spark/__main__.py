@@ -53,12 +53,9 @@ def _source(spark, root: str, args=None):
 
 
 def _read(adapter, meta):
-    """Read a table through whichever surface the adapter has: JDBC
-    adapters expose read_table(TableMeta) (typed per-column transfer
-    SELECT), lake adapters expose read(name)."""
-    if hasattr(adapter, "read_table"):
-        return adapter.read_table(meta)
-    return adapter.read(meta.table)
+    from database_migration_spark.sources.base import read_any
+
+    return read_any(adapter, meta)
 
 
 def _no_match(kind: str, args) -> int:
@@ -486,8 +483,12 @@ def cmd_pipeline(args) -> int:
             print(f"error: column {c!r} missing from {args.table}",
                   file=sys.stderr)
             return 2
-    bench = docs.where(F.col(args.bench_col) == args.bench_value)
-    corpus = docs.where(F.col(args.bench_col) != args.bench_value)
+    # eqNullSafe: a NULL bench-col row must land in the CORPUS (plain
+    # != filters NULL out of BOTH sides, and the attrition report's
+    # whole point is that stage counts sum to the table size)
+    is_bench = F.col(args.bench_col).eqNullSafe(F.lit(args.bench_value))
+    bench = docs.where(is_bench)
+    corpus = docs.where(~is_bench)
     ann = annotate_corpus(
         corpus,
         bench,
@@ -517,6 +518,8 @@ def cmd_rowdiff(args) -> int:
     WHETHER two table versions agree, this says WHICH rows and columns
     differ (operators/rowdiff.py hash-compare — wide rows are re-read only
     for changed keys). Keys come from --keys or the left catalog's PK."""
+    from pyspark.sql import functions as F
+
     from database_migration_spark.operators.rowdiff import (
         changed_cells,
         diff_report,
@@ -557,6 +560,26 @@ def cmd_rowdiff(args) -> int:
 
         left = _read(ladapter, t)
         right = _read(radapter, rnames[t.table.upper()])
+        # case-fold identifiers onto the LEFT side's spelling (the
+        # sync_table Derby lesson): catalog PKs surface as O_ORDERKEY
+        # while a parquet side is lowercase, and row_diff's column check
+        # is exact-case. Keys fold to left's columns; right's columns
+        # rename to left's spelling where the upper-cased names match.
+        lfold = {c.upper(): c for c in left.columns}
+        keys = [lfold.get(k.upper(), k) for k in keys]
+        rfold = {c.upper(): c for c in right.columns}
+        right = right.select(
+            *[
+                F.col(rfold[c.upper()]).alias(c)
+                for c in left.columns
+                if c.upper() in rfold
+            ],
+            *[
+                F.col(c)
+                for c in right.columns
+                if c.upper() not in {x.upper() for x in left.columns}
+            ],
+        )
         # one persisted phase-1 diff feeds the report AND the --show
         # cells — never re-scan/re-hash both sides for the same answer
         d = row_diff(left, right, keys).persist(StorageLevel.MEMORY_AND_DISK)

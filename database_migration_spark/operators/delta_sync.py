@@ -241,11 +241,9 @@ def sync_table(
             f"table {table!r} not found at the source "
             f"(saw {[t.table for t in cat.tables]})"
         )
-    source = (
-        adapter.read_table(meta)
-        if hasattr(adapter, "read_table")
-        else adapter.read(meta.table)
-    )
+    from database_migration_spark.sources.base import read_any
+
+    source = read_any(adapter, meta)
     if keys is None and meta.primary_key is not None:
         keys = meta.primary_key.columns
     # case-fold catalog key names (Derby: O_ORDERKEY) onto the actual

@@ -77,6 +77,7 @@ def attach_media_metadata(
     reordered WAVs get NULL here and are handled by the chunk-walking
     Python parser in :func:`extract_media_metadata`."""
     p = F.col(payload_col)
+    plen = F.length(p)
     hexat = lambda off, n: F.hex(F.substring(p, off, n))  # noqa: E731
     is_png = hexat(1, 8) == "89504E470D0A1A0A"
     is_bmp = hexat(1, 2) == "424D"
@@ -86,19 +87,27 @@ def attach_media_metadata(
     bmp_h = F.when(
         bmp_h_raw > F.lit(2147483647), F.lit(4294967296) - bmp_h_raw
     ).otherwise(bmp_h_raw)
+    # dimension reads are length-guarded: substring past the end just
+    # returns the surviving bytes, so a TRUNCATED container would parse a
+    # partial field into a plausible-but-wrong value — the type still
+    # sniffs (magic intact) but dims must be NULL, matching the Python
+    # chunk-walker's refusal
     width = (
-        F.when(is_png, _be(p, 17, 4))
-        .when(is_bmp, _le(p, 19, 4))
-        .when(is_gif, _le(p, 7, 2))
+        F.when(is_png & (plen >= 24), _be(p, 17, 4))
+        .when(is_bmp & (plen >= 26), _le(p, 19, 4))
+        .when(is_gif & (plen >= 10), _le(p, 7, 2))
     )
     height = (
-        F.when(is_png, _be(p, 21, 4))
-        .when(is_bmp, bmp_h)
-        .when(is_gif, _le(p, 9, 2))
+        F.when(is_png & (plen >= 24), _be(p, 21, 4))
+        .when(is_bmp & (plen >= 26), bmp_h)
+        .when(is_gif & (plen >= 10), _le(p, 9, 2))
     )
     # canonical PCM WAV: fmt(16 bytes) at 13, byte-rate at 29, data at 37
     wav_canonical = (
-        is_wav & (hexat(13, 4) == "666D7420") & (hexat(37, 4) == "64617461")
+        is_wav
+        & (plen >= 44)
+        & (hexat(13, 4) == "666D7420")
+        & (hexat(37, 4) == "64617461")
     )
     byte_rate = _le(p, 29, 4)
     duration_ms = F.when(

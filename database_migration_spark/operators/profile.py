@@ -79,7 +79,6 @@ def profile_table(
             "quantize fractional columns to fixed-point first"
         )
 
-    spark = df.sparkSession
     cols = df.columns
 
     # pass 1: histogram bounds only — one aggregated row to the driver

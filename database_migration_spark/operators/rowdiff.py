@@ -103,8 +103,11 @@ def changed_cells(
     if compare_cols is None:
         compare_cols = [c for c in left.columns if c not in keys]
     changed = diff.where(F.col("diff_kind") == "changed").select(*keys)
-    l = left.join(changed, keys, "left_semi").alias("l")
-    r = right.join(changed, keys, "left_semi").alias("r")
+    # the semi-joins must be NULL-SAFE like phase 1's key match: a plain
+    # name join never matches NULL keys, so a NULL-keyed changed row
+    # would be counted in the fates but silently vanish from the cells
+    l = left.join(changed, _key_eq(left, changed, keys), "left_semi").alias("l")
+    r = right.join(changed, _key_eq(right, changed, keys), "left_semi").alias("r")
     j = l.join(r, _key_eq(l, r, keys))
     cells = j.select(
         *[F.col(f"l.{k}").alias(k) for k in keys],

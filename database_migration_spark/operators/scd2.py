@@ -52,6 +52,7 @@ def scd2_merge(
     batch_ts,
     close_missing: bool = False,
     persist: bool = True,
+    validate_unique: bool = True,
 ) -> DataFrame:
     """Merge an update batch into a type-2 dimension, returning the new
     dimension content (keys + attrs + valid_from/valid_to/is_current).
@@ -74,6 +75,15 @@ def scd2_merge(
     foreachBatch callers (per-epoch plans are distinct, so an internal
     persist would leak one cache entry per epoch — the streaming harness
     persists and unpersists explicitly instead).
+
+    PRECONDITION: at most ONE update row per key. A batch with two rows
+    for a key would fan the full-outer join out and write duplicate open
+    versions into the dimension — silent corruption that compounds every
+    later merge. ``validate_unique=True`` (default) spends one aggregate
+    on the batch to fail loudly instead; callers that already reduced
+    their batch (e.g. a CDC compaction keeping the last event per key —
+    which needs an ordering column this operator deliberately does not
+    invent) may pass False to skip the check.
     """
     out_cols = list(keys) + list(attrs) + list(VERSION_COLS)
     history = current.where(~F.col("is_current")).select(out_cols)
@@ -92,6 +102,22 @@ def scd2_merge(
         .withColumn("_p", F.lit(True))
         .alias("u")
     )
+    if validate_unique:
+        dup = (
+            updates.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") > 1)
+            .limit(3)
+            .collect()
+        )
+        if dup:
+            sample = [tuple(r[k] for k in keys) for r in dup]
+            raise ValueError(
+                f"scd2_merge: update batch has multiple rows per key, e.g. "
+                f"{sample} — reduce to one row per key first (pick the last "
+                "event per key by your ordering column), or pass "
+                "validate_unique=False if already reduced"
+            )
 
     on = [open_[k].eqNullSafe(upd[k]) for k in keys]
     cond = on[0]

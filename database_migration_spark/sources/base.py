@@ -132,3 +132,13 @@ class SourceAdapter(ABC):
         """Source-side SELECT expression for one column."""
         mt = self.type_map(col.source_type)
         return mt.transfer_expr.format(c=self.quote(col.name))
+
+
+def read_any(adapter, meta):
+    """Read a table through whichever surface the adapter has: JDBC
+    adapters expose read_table(TableMeta) (the typed per-column transfer
+    SELECT), lake adapters expose read(name). The single dispatch point —
+    CLI commands and operators alike route here."""
+    if hasattr(adapter, "read_table"):
+        return adapter.read_table(meta)
+    return adapter.read(meta.table)

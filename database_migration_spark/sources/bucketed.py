@@ -82,7 +82,13 @@ def zorder_expr_n(names: list, ranges: list, bits: int = 8):
             f"CAST(floor(try_cast(`{name}` AS DECIMAL(26,12)) * 1000000) "
             "AS BIGINT)"
         )
-        code = F.expr(f"(({q} - {qlo}L) * {k}L) div {span}L")
+        # the scale multiply runs in DECIMAL(38,0): (q - qlo) can be
+        # ~1.8e19 for a stale range, and * k would overflow BIGINT (ANSI
+        # crash) long before the 9e12 quantization bound — decimal width
+        # 38 holds the full 9e18 * 255 product exactly
+        code = F.expr(
+            f"((CAST({q} AS DECIMAL(38,0)) - {qlo}) * {k}) div {span}"
+        )
         clamped = F.greatest(F.lit(0), F.least(F.lit(k), code))
         # beyond DECIMAL(26,12) (|v| > ~9e12) the cast is NULL and
         # least/greatest SKIP nulls — without the sign test a hugely
@@ -125,7 +131,11 @@ def zorder_expr(xname: str, yname: str, x_range, y_range, bits: int = 8):
     above 2^53 ≈ |v|·1e6 at ~9e9 would shift boundary rows one cell), so
     the e6 floor is exact for |v| ≤ ~9e12 — 14 integer digits — for both
     integer and fractional columns; the scaled product (q-qlo)·(2^bits-1)
-    fits BIGINT there too. For columns already in large integer units
+    runs in DECIMAL(38,0) — wide enough for the full quantized range, so
+    no value (however stale the supplied range) can overflow it — and
+    out-of-range values clamp to the edge codes on both sides, including
+    beyond the DECIMAL(26,12) quantization bound (NULL-by-overflow is
+    clamped by sign). For columns already in large integer units
     (epoch-µs ~1.7e18) pre-scale to a coarser unit first (epoch-seconds or
     days), which costs nothing: the z-code has only 2^bits distinct cells
     per dimension anyway."""

@@ -236,6 +236,13 @@ def stream_scd2(
     checkpoint). Mixing the two conventions corrupts interval queries, so
     pick one per dimension.
 
+    A micro-batch carrying MULTIPLE update rows for one key fails the
+    epoch loudly (scd2_merge's uniqueness guard) rather than writing
+    duplicate open versions — reduce upstream (e.g.
+    ``stream.dropDuplicatesWithinWatermark([*keys])`` for at-least-once
+    sources, or a last-event-per-key compaction keyed on your CDC
+    ordering column) before handing the stream here.
+
     Cache lifecycle: the merge runs with ``persist=False`` — per-epoch
     plans are distinct, so scd2_merge's internal multi-consumer persist
     would leak one cache entry per epoch for the stream's life (the

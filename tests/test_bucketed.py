@@ -210,3 +210,18 @@ def test_zorder_negative_overflow_clamps_low(spark):
     assert got[-1e15] == 0          # negative overflow -> bottom cell
     assert got[1e15] == 15          # positive overflow -> top cell
     assert got[0.0] == 7            # mid-range sanity
+
+
+def test_zorder_stale_range_wide_value_no_overflow(spark):
+    """(q - qlo) * k must not overflow BIGINT under ANSI mode: a value
+    tens of billions past the stale range (epoch-millis scale) used to
+    crash the whole layout write; it must clamp to the top cell."""
+    from database_migration_spark.sources.bucketed import zorder_expr_n
+
+    df = spark.createDataFrame(
+        [(5.0e10,), (50.0,), (-5.0e10,)], "v double"
+    )
+    z = zorder_expr_n(["v"], [(0.0, 100.0)], bits=8)
+    got = [r.z for r in df.select(z.alias("z")).collect()]
+    assert got[0] == 255 and got[2] == 0  # clamp both sides, no crash
+    assert 0 <= got[1] <= 255

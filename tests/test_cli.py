@@ -623,11 +623,13 @@ def test_cli_profile_and_rowdiff_live_derby(spark, tmp_path, capsys,
         properties={"driver": DERBY_DRIVER},
     )
     meta = adapter.scan_catalog("%", "ITEMS").tables[0]
-    adapter.read_table(meta).where("ID <> 7").coalesce(1).write.parquet(
-        str(right / "ITEMS.parquet")
-    )
+    # the parquet side is LOWERCASE (the usual lake spelling) while Derby
+    # surfaces ID/NAME — rowdiff must case-fold columns and --keys
+    adapter.read_table(meta).where("ID <> 7").toDF("id", "name").coalesce(
+        1
+    ).write.parquet(str(right / "ITEMS.parquet"))
     rc = main(["rowdiff", "--left", url, "--right", str(right),
-               "--tables", "ITEMS", "--keys", "ID"] + jdbc)
+               "--tables", "ITEMS", "--keys", "id"] + jdbc)
     out = capsys.readouterr().out
     assert rc == 1
     assert "ITEMS: 0 added, 1 removed, 0 changed" in out

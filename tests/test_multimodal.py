@@ -182,3 +182,25 @@ def test_default_decoder_uses_real_header_features(spark):
     assert out[1].feature[0] == 640.0 and out[1].feature[1] == 480.0
     assert len(out[1].feature) == 8 and len(out[2].feature) == 8
     assert out[1].error is None and out[2].error is None
+
+
+def test_truncated_container_dims_null(spark):
+    """A payload truncated after the magic must sniff its type but yield
+    NULL dimensions — a partial field would otherwise parse into a
+    plausible-but-wrong value (the low bytes of the true width)."""
+    from database_migration_spark.operators.multimodal import (
+        attach_media_metadata,
+    )
+
+    png_magic = bytes.fromhex("89504E470D0A1A0A")
+    rows = [
+        (1, png_magic + b"\x00" * 12),   # 20 bytes: magic ok, IHDR cut
+        (2, b"BM" + b"\x00" * 10),       # 12-byte BMP stub
+        (3, b"GIF89a"),                  # 6-byte GIF stub
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: (r.sniffed_type, r.sniffed_width, r.sniffed_height)
+           for r in attach_media_metadata(df).collect()}
+    assert out[1] == ("png", None, None)
+    assert out[2] == ("bmp", None, None)
+    assert out[3] == ("gif", None, None)

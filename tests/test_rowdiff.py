@@ -111,3 +111,21 @@ def test_phase2_touches_only_changed_rows(spark):
     d = row_diff(left, right, ["k"])
     ks = {r.k for r in changed_cells(left, right, ["k"], d).collect()}
     assert ks == {2, 3}
+
+
+def test_null_keyed_changed_row_reaches_cells(spark):
+    """Phase 1 matches NULL keys null-safely; phase 2's semi-joins must
+    too, or a NULL-keyed changed row is counted in the fates but vanishes
+    from the per-column cells."""
+    left = spark.createDataFrame([(None, "a"), (1, "b")], "k long, s string")
+    right = spark.createDataFrame([(None, "A"), (1, "b")], "k long, s string")
+    d = row_diff(left, right, ["k"])
+    fates = {r.k: r.diff_kind for r in d.collect()}
+    assert fates == {None: "changed"}
+    cells = changed_cells(left, right, ["k"], d).collect()
+    assert len(cells) == 1
+    assert (cells[0].k, cells[0].column_name) == (None, "s")
+    assert (cells[0].left_value, cells[0].right_value) == ("a", "A")
+    rep = {(r.diff_kind, r.column_name): r.n_rows
+           for r in diff_report(left, right, ["k"]).collect()}
+    assert rep[("changed", None)] == 1 and rep[("changed", "s")] == 1

@@ -126,3 +126,22 @@ def test_scd2_null_key_rows_survive(spark):
         (None, "A2", 1, None, True),
         (1, "B", 0, None, True),
     }
+
+
+def test_scd2_duplicate_key_batch_fails_loud(spark):
+    """A batch with two rows per key would write duplicate open versions
+    (silent corruption) — the uniqueness guard must raise instead."""
+    import pytest
+
+    from database_migration_spark.operators.scd2 import (
+        scd2_bootstrap,
+        scd2_merge,
+    )
+
+    cur = spark.createDataFrame([(1, "A")], "k long, seg string")
+    dim = scd2_bootstrap(cur, ["k"], ["seg"], 0)
+    upd = spark.createDataFrame(
+        [(1, "B"), (1, "C")], "k long, seg string"
+    )
+    with pytest.raises(ValueError, match="multiple rows per key"):
+        scd2_merge(dim, upd, ["k"], ["seg"], 1)

@@ -442,7 +442,8 @@ def cmd_profile(args) -> int:
         return _no_match(args.source, args)
     for t in sorted(cat.tables, key=lambda t: t.table):
         rep = profile_table(
-            _read(adapter, t), t.table, bins=args.bins, k=args.topk
+            _read(adapter, t), t.table, bins=args.bins, k=args.topk,
+            distinct_mode=args.distinct_mode,
         )
         rows = rep.orderBy("column_name", "stat", "key").collect()
         n_rows = next(r.n for r in rows if r.stat == "rows")
@@ -790,6 +791,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="histogram buckets (default 10)")
     pf.add_argument("--topk", type=int, default=5,
                     help="frequent values per string column (default 5)")
+    pf.add_argument("--distinct-mode", choices=["exact", "approx"],
+                    default="exact",
+                    help="approx = HLL distincts (no Expand) for recurring "
+                         "monitoring at scale")
     pf.set_defaults(fn=cmd_profile)
 
     pl = sub.add_parser("pipeline", help="corpus cleaning: quality -> "

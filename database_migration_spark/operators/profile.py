@@ -57,12 +57,20 @@ def profile_table(
     topk_cols: list[str] | None = None,
     bins: int = 10,
     k: int = 5,
+    distinct_mode: str = "exact",
 ) -> DataFrame:
     """Tall profile report for ``df`` (see module docstring for schema).
 
     ``hist_cols`` defaults to every integral column; ``topk_cols`` defaults
     to every string column. Rows order: deterministic by (column, stat,
     key) — callers sort for display.
+
+    ``distinct_mode="approx"`` swaps the exact per-column count_distinct
+    (an Expand branch per column — the term that grows at 100 TB, the
+    mig_check x100 lesson) for an HLL sketch: still one scan, no Expand.
+    Exact stays the default so the report is oracle-reproducible; approx
+    is the recurring-monitoring mode, same convention as
+    ``validate.compute_metrics``.
     """
     if hist_cols is None:
         hist_cols = [
@@ -95,10 +103,15 @@ def profile_table(
         }
 
     # pass 2: one scan → one wide row (counts, nulls, distincts, buckets)
+    if distinct_mode not in ("exact", "approx"):
+        raise ValueError(f"distinct_mode must be exact|approx, got {distinct_mode!r}")
+    dcount = (
+        F.approx_count_distinct if distinct_mode == "approx" else F.count_distinct
+    )
     aggs = [F.count(F.lit(1)).alias("rows__")]
     for c in cols:
         aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"null__{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"dist__{c}"))
+        aggs.append(dcount(F.col(c)).alias(f"dist__{c}"))
     for c, (vmin, vmax) in bounds.items():
         span = vmax - vmin + 1
         for b in range(bins):

@@ -162,3 +162,26 @@ def test_equi_depth_bounds_ties_and_skew(spark):
     got2 = {r.bucket: r.boundary
             for r in equi_depth_bounds(df2, "v", buckets=8).collect()}
     assert got2 == {b: 2 * b for b in range(1, 9)}
+
+
+def test_profile_approx_distinct_no_expand(spark, sf_smoke):
+    """distinct_mode='approx': HLL distincts, no Expand in the plan — the
+    recurring-monitoring shape; values within HLL tolerance of exact."""
+    df = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    rep = profile_table(df, "orders", hist_cols=[], topk_cols=[],
+                        distinct_mode="approx")
+    plan = rep._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        rep._jdf.queryExecution(), "simple"
+    )
+    assert "Expand" not in plan
+    exact = {
+        r.column_name: r.n
+        for r in profile_table(df, "orders", hist_cols=[],
+                               topk_cols=[]).collect()
+        if r.stat == "distinct"
+    }
+    approx = {
+        r.column_name: r.n for r in rep.collect() if r.stat == "distinct"
+    }
+    for c, n in exact.items():
+        assert abs(approx[c] - n) <= max(5, int(n * 0.1)), (c, n, approx[c])

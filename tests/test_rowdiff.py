@@ -129,3 +129,40 @@ def test_null_keyed_changed_row_reaches_cells(spark):
     rep = {(r.diff_kind, r.column_name): r.n_rows
            for r in diff_report(left, right, ["k"]).collect()}
     assert rep[("changed", None)] == 1 and rep[("changed", "s")] == 1
+
+
+def test_rowdiff_random_tables_match_python_reference(spark):
+    """Property: for ANY pair of keyed tables (NULL values included), the
+    hash-compare diff equals a literal Python dict comparison."""
+    from hypothesis import given, settings, strategies as st
+
+    vals = st.one_of(st.none(), st.sampled_from(["x", "y", ""]))
+    side = st.dictionaries(
+        st.integers(min_value=0, max_value=6),
+        st.tuples(vals, vals),
+        min_size=0,
+        max_size=6,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(l=side, r=side)
+    def run(l, r):
+        mk = lambda d: spark.createDataFrame(  # noqa: E731
+            [(k, a, b) for k, (a, b) in d.items()] or [],
+            "k long, a string, b string",
+        )
+        got = {
+            row.k: row.diff_kind
+            for row in row_diff(mk(l), mk(r), ["k"]).collect()
+        }
+        want = {}
+        for k in set(l) | set(r):
+            if k not in l:
+                want[k] = "added"
+            elif k not in r:
+                want[k] = "removed"
+            elif l[k] != r[k]:
+                want[k] = "changed"
+        assert got == want
+
+    run()

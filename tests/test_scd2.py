@@ -145,3 +145,68 @@ def test_scd2_duplicate_key_batch_fails_loud(spark):
     )
     with pytest.raises(ValueError, match="multiple rows per key"):
         scd2_merge(dim, upd, ["k"], ["seg"], 1)
+
+
+def test_scd2_random_sequences_match_python_reference(spark):
+    """Property: ANY sequence of unique-keyed update batches merged via
+    scd2_merge yields exactly the dimension a pure-Python SCD2 simulator
+    produces — every version interval, every fate, every close."""
+    from hypothesis import given, settings, strategies as st
+
+    from database_migration_spark.operators.scd2 import (
+        scd2_bootstrap,
+        scd2_merge,
+    )
+
+    keys = st.integers(min_value=0, max_value=4)
+    segs = st.sampled_from(["A", "B", "C"])
+    batch = st.dictionaries(keys, segs, min_size=0, max_size=5)
+
+    @settings(max_examples=25, deadline=None)
+    @given(first=st.dictionaries(keys, segs, min_size=1, max_size=5),
+           rest=st.lists(batch, min_size=1, max_size=3),
+           close_missing=st.booleans())
+    def run(first, rest, close_missing):
+        # python reference: dict key -> list of [seg, from, to, current]
+        hist: dict = {}
+        for k, s in first.items():
+            hist[k] = [[s, 0, None, True]]
+        dim = scd2_bootstrap(
+            spark.createDataFrame(list(first.items()), "k long, seg string"),
+            ["k"], ["seg"], 0,
+        )
+        for ts, b in enumerate(rest, start=1):
+            for k, s in b.items():
+                if k not in hist:
+                    hist[k] = [[s, ts, None, True]]
+                    continue
+                cur = next((v for v in hist[k] if v[3]), None)
+                if cur is None:
+                    # key re-appears after a close_missing soft delete:
+                    # a fresh open version (resurrection with history)
+                    hist[k].append([s, ts, None, True])
+                elif cur[0] != s:
+                    cur[2], cur[3] = ts, False
+                    hist[k].append([s, ts, None, True])
+            if close_missing:
+                for k, versions in hist.items():
+                    cur = next((v for v in versions if v[3]), None)
+                    if cur is not None and k not in b:
+                        cur[2], cur[3] = ts, False
+            bdf = spark.createDataFrame(
+                list(b.items()) or [], "k long, seg string"
+            )
+            dim = scd2_merge(dim, bdf, ["k"], ["seg"], ts,
+                             close_missing=close_missing)
+        got = {
+            (r.k, r.seg, r.valid_from, r.valid_to, r.is_current)
+            for r in dim.collect()
+        }
+        want = {
+            (k, s, f, t, c)
+            for k, versions in hist.items()
+            for s, f, t, c in versions
+        }
+        assert got == want
+
+    run()

@@ -252,6 +252,12 @@ def time_thunk(spark, make) -> float:
 
 
 def time_query(spark, registry, name: str, sf_dir: str) -> float:
+    # operator-internal persists from EARLIER probes otherwise accumulate
+    # across a long sweep (nothing unpersists them), and the growing cache
+    # pressure inflates later probes' timings — a 30-probe sweep measured
+    # mig_check at 4.8x where a fresh session measures 1.7x. Every probe
+    # starts cache-clean.
+    spark.catalog.clearCache()
     return time_thunk(spark, lambda: registry[name](spark, sf_dir))
 
 

@@ -456,6 +456,82 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_scd2(args) -> int:
+    """History-preserving counterpart of ``sync``: merge the source table
+    into a type-2 SCD dimension at --target (operators/scd2.py).
+    Bootstraps on first run; each later run closes changed entities' open
+    versions and opens new ones. The version timestamp is --ts or the
+    previous maximum valid_from + 1 (a BIGINT version counter)."""
+    import os
+
+    from database_migration_spark.operators.scd2 import (
+        scd2_bootstrap,
+        scd2_merge,
+    )
+    from database_migration_spark.session import get_spark
+
+    spark = get_spark(app_name="dms_scd2")
+    adapter = _source(spark, args.source, args)
+    cat = adapter.scan_catalog("%", args.table, include_keys=True)
+    if not cat.tables:
+        print(f"error: table {args.table!r} not found in {args.source}",
+              file=sys.stderr)
+        return 2
+    meta = cat.tables[0]
+    source = _read(adapter, meta)
+    keys = (
+        [k.strip() for k in args.keys.split(",") if k.strip()]
+        if args.keys
+        else (list(meta.primary_key.columns) if meta.primary_key else None)
+    )
+    if not keys:
+        print("error: no primary key in catalog and no --keys",
+              file=sys.stderr)
+        return 2
+    by_upper = {c.upper(): c for c in source.columns}
+    keys = [by_upper.get(k.upper(), k) for k in keys]
+    attrs = (
+        [a.strip() for a in args.attrs.split(",") if a.strip()]
+        if args.attrs
+        else [c for c in source.columns if c not in keys]
+    )
+    attrs = [by_upper.get(a.upper(), a) for a in attrs]
+    exists = os.path.exists(args.target)
+    if not exists:
+        ts = args.ts if args.ts is not None else 0
+        dim = scd2_bootstrap(source.select(*keys, *attrs), keys, attrs, ts)
+        action = "bootstrap"
+    else:
+        from pyspark.sql import functions as F
+
+        cur = spark.read.parquet(args.target)
+        ts = (
+            args.ts
+            if args.ts is not None
+            else (cur.agg(F.max("valid_from")).collect()[0][0] or 0) + 1
+        )
+        try:
+            dim = scd2_merge(cur, source, keys, attrs, ts,
+                             close_missing=args.close_missing)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        action = "merge"
+    tmp = args.target + ".scd2-tmp"
+    dim.write.mode("overwrite").parquet(tmp)
+    out = spark.read.parquet(tmp)
+    out.write.mode("overwrite").parquet(args.target)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    final = spark.read.parquet(args.target)
+    n_open = final.where("is_current").count()
+    n_all = final.count()
+    print(f"{args.table}: {action} at ts={ts} — {n_open} open entities, "
+          f"{n_all} versions total")
+    return 0
+
+
 def cmd_pipeline(args) -> int:
     """Corpus cleaning end-to-end (operators/pipeline.py): quality filter
     → exact dedup → decontamination vs a held-out slice → salted split,
@@ -796,6 +872,28 @@ def main(argv: list[str] | None = None) -> int:
                     help="approx = HLL distincts (no Expand) for recurring "
                          "monitoring at scale")
     pf.set_defaults(fn=cmd_profile)
+
+    sc = sub.add_parser("scd2", help="history-preserving dimension "
+                        "maintenance: merge the source table into a "
+                        "type-2 SCD dimension (bootstraps on first run)")
+    sc.add_argument("--source", required=True,
+                    help="table directory or jdbc: URL")
+    sc.add_argument("--dialect", help="dialect name for jdbc: sources")
+    sc.add_argument("--jdbc-prop", action="append",
+                    help="k=v JDBC property (repeatable)")
+    sc.add_argument("--table", required=True)
+    sc.add_argument("--target", required=True,
+                    help="dimension parquet directory")
+    sc.add_argument("--keys", help="comma-separated natural key "
+                    "(default: catalog PK)")
+    sc.add_argument("--attrs", help="comma-separated tracked attributes "
+                    "(default: all non-key columns)")
+    sc.add_argument("--ts", type=int,
+                    help="version timestamp (default: previous max + 1)")
+    sc.add_argument("--close-missing", action="store_true",
+                    help="treat the source as a FULL snapshot: absent "
+                    "entities soft-delete (open version closes)")
+    sc.set_defaults(fn=cmd_scd2)
 
     pl = sub.add_parser("pipeline", help="corpus cleaning: quality -> "
                         "exact dedup -> decontamination -> split; prints "

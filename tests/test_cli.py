@@ -633,3 +633,39 @@ def test_cli_profile_and_rowdiff_live_derby(spark, tmp_path, capsys,
     out = capsys.readouterr().out
     assert rc == 1
     assert "ITEMS: 0 added, 1 removed, 0 changed" in out
+
+
+def test_cli_scd2_bootstrap_then_merge(spark, tmp_path, capsys):
+    """`scd2` bootstraps a dimension from a source table, then a second
+    run against a drifted source closes changed entities' versions and
+    opens new ones — history preserved, version counter auto-advances."""
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "id long, seg string"
+    spark.createDataFrame([(1, "A"), (2, "B")], schema).coalesce(
+        1
+    ).write.parquet(str(src / "items.parquet"))
+    dim = str(tmp_path / "dim")
+    rc = main(["scd2", "--source", str(src), "--table", "items",
+               "--target", dim, "--keys", "id"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "bootstrap at ts=0 — 2 open entities" in out
+
+    # drift: 2 changes segment, 3 appears, 1 vanishes (kept: no snapshot)
+    spark.createDataFrame([(2, "B2"), (3, "C")], schema).coalesce(
+        1
+    ).write.parquet(str(src / "items.parquet"), mode="overwrite")
+    rc = main(["scd2", "--source", str(src), "--table", "items",
+               "--target", dim, "--keys", "id"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "merge at ts=1 — 3 open entities, 4 versions" in out
+    rows = {
+        (r.id, r.seg, r.valid_from, r.valid_to, r.is_current)
+        for r in spark.read.parquet(dim).collect()
+    }
+    assert rows == {
+        (1, "A", 0, None, True),
+        (2, "B", 0, 1, False),
+        (2, "B2", 1, None, True),
+        (3, "C", 1, None, True),
+    }

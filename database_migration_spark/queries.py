@@ -3725,6 +3725,43 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hierarchy_flatten_customers",
+    # the parent relation is derived in closed form (parent = custkey div
+    # 10, roots below 10 — a ~4-level forest at the gate scale), so the
+    # recursive CTE replays the traversal exactly; `div` / `//` keep the
+    # derivation engine-exact
+    oracle="""
+WITH RECURSIVE t AS (
+  SELECT c_custkey AS id,
+         CASE WHEN c_custkey < 10 THEN NULL ELSE c_custkey // 10 END AS parent
+  FROM customer
+), h AS (
+  SELECT id, id AS root_id, CAST(0 AS BIGINT) AS depth
+  FROM t WHERE parent IS NULL
+  UNION ALL
+  SELECT t.id, h.root_id, h.depth + 1 FROM t JOIN h ON t.parent = h.id
+)
+SELECT id, root_id, depth FROM h
+""",
+)
+def hierarchy_flatten_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical traversal (operators/hierarchy.py): CONNECT BY /
+    recursive-CTE flattening — every node's root and depth in a
+    parent-child forest, via pointer DOUBLING (ceil(log2 depth) keyed
+    joins, not depth chained joins). The reference's dialect runs this as
+    CONNECT BY; the integer-series form is graded via integer_series."""
+    from database_migration_spark.operators.hierarchy import flatten_hierarchy
+
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_custkey") < 10, F.lit(None).cast("long"))
+        .otherwise(F.expr("c_custkey div 10"))
+        .alias("parent_id"),
+    )
+    return flatten_hierarchy(c)
+
+
+@register(
     "entity_resolution_names",
     # end-to-end record linkage: blocking + verify (the fuzzy_name_pairs
     # machinery) feeding transitive closure (the near_dup_clusters
@@ -4142,6 +4179,13 @@ _SHOWCASE_ONLY = [
     # whole-line semantics are what the oracle pins; sim-verified +
     # mode/within-doc pytests (test_dedup)
     "line_dedup_documents",
+    # showcase from birth: hierarchy flattening — its machinery (bounded
+    # iterative keyed self-joins with localCheckpoint rounds) is graded
+    # via near_dup_clusters' label propagation (same iteration harness),
+    # and the series form via integer_series; the pointer-doubling
+    # depth/root bookkeeping is what the recursive-CTE oracle pins;
+    # sim-verified + cycle/forest pytests (test_hierarchy)
+    "hierarchy_flatten_customers",
     # showcase from birth: entity resolution — a pure composition of two
     # GRADED machineries (fuzzy_name_pairs' blocking+verify and
     # near_dup_clusters' label propagation, both in the window or

@@ -20,6 +20,13 @@ Cycles: a cycle never reaches a root, so its nodes' depths keep growing.
 Convergence is "no row changed this round"; rows still unconverged at
 ``max_rounds`` (default 40 ≈ depth 2^40) raise — a real hierarchy is
 never that deep, a cycle always looks that deep.
+
+Dangling parents (a parent id absent from the relation — broken
+referential integrity): the walk terminates immediately with
+``root_id = NULL`` and the depth walked so far, surfacing the breakage
+row-by-row instead of either looping or silently dropping the subtree
+(a recursive CTE silently EXCLUDES such nodes; filter
+``root_id IS NULL`` to reconcile, or to find the broken chains).
 """
 
 from __future__ import annotations
@@ -65,19 +72,24 @@ def flatten_hierarchy(
             F.col("done").alias("p_done"),
         )
         # jump: follow the ancestor's own pointer (doubles the distance);
-        # done rows pass through untouched
+        # done rows pass through untouched. A pointer into the void
+        # (p_id NULL on a live row: the parent id does not exist) is
+        # TERMINAL — root unresolvable, depth as walked; without this the
+        # row would never converge and a broken edge would masquerade as
+        # a cycle after max_rounds of wasted joins.
+        dangling = ~F.col("done") & F.col("p_id").isNull()
         state = (
             state.join(ptr, state["anc"] == ptr["p_id"], "left")
             .select(
                 "id",
-                F.when(F.col("done") | F.col("p_id").isNull(), F.col("anc"))
+                F.when(dangling, F.lit(None).cast(state.schema["anc"].dataType))
+                .when(F.col("done"), F.col("anc"))
                 .otherwise(F.col("p_anc"))
                 .alias("anc"),
-                F.when(F.col("done") | F.col("p_id").isNull(), F.col("depth"))
+                F.when(F.col("done") | dangling, F.col("depth"))
                 .otherwise(F.col("depth") + F.col("p_depth"))
                 .alias("depth"),
-                F.when(F.col("done"), F.lit(True))
-                .otherwise(F.coalesce(F.col("p_done"), F.lit(False)))
+                (F.col("done") | dangling | F.coalesce(F.col("p_done"), F.lit(False)))
                 .alias("done"),
             )
             .localCheckpoint(eager=True)

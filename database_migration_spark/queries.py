@@ -3800,7 +3800,17 @@ def entity_resolution_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     them transitively, and every name gets its entity id (the component's
     min 60-bit name hash) + entity size — the canonical-entity table a
     master-data migration publishes. No cross join and no global sort
-    anywhere; each propagation round is one keyed join + groupBy."""
+    anywhere; each propagation round is one keyed join + groupBy.
+
+    Scale caveat (measured on the x10 derived corpus): SERIAL-style
+    identifiers (Customer#000123...) are lev-1 neighbors of every
+    one-digit variant, so pure edit-distance linkage chains them into one
+    mega-component (2.6 M candidate edges at x10) — correct but
+    expensive, and semantically wrong for serials (they are distinct
+    entities). Production linkage adds a stronger blocking key (domain
+    prefix, phonetic code, embedding bucket) ANDed with the edit-distance
+    block; the composition here stays the same, only the pair source
+    narrows."""
     from database_migration_spark.functions.hashing import md5_long
 
     p = table(spark, sf_dir, "part").select(F.col("p_name").alias("s"))

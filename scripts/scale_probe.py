@@ -73,6 +73,16 @@ PROBES = [
     "semantic_decontaminate_corpus",
     "line_dedup_documents",
     "corpus_attrition_report",
+    # hierarchy_flatten_customers is NOT probed at x10: the derived
+    # corpus's replica key offsets break the div-10 parent derivation
+    # (rep>=1 parents dangle), so the probe would measure the trivial
+    # dangling fast path; the log-rounds bound is pinned by
+    # test_hierarchy instead.
+    # entity_resolution_names is NOT probed at x10: the derived corpus's
+    # serial-style names (Customer#...) chain into one giant lev-1
+    # component (2.6 M edges), so the probe measures the documented
+    # mega-component regime, not routine scaling — see the query
+    # docstring's blocking-key guidance.
     # bm25_topk_documents is NOT probed via the registry: its fixed query
     # terms don't exist in the suffixed derived vocabulary (measured 0.58×
     # at ×10 — an empty hit set, not a scaling result). --bm25 runs the

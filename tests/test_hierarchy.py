@@ -42,3 +42,16 @@ def test_cycle_raises(spark):
     df = spark.createDataFrame(rows, "id long, parent_id long")
     with pytest.raises(ValueError, match="CYCLE"):
         flatten_hierarchy(df, max_rounds=6)
+
+
+def test_dangling_parent_terminates_with_null_root(spark):
+    """Broken referential integrity (parent id absent) must terminate the
+    walk with root_id NULL and the depth walked — not loop to the cycle
+    bound, and not silently drop the subtree (CTE behavior)."""
+    rows = [(1, None), (2, 1), (5, 99), (6, 5)]  # 99 does not exist
+    df = spark.createDataFrame(rows, "id long, parent_id long")
+    got = {r.id: (r.root_id, r.depth)
+           for r in flatten_hierarchy(df, max_rounds=6).collect()}
+    assert got[1] == (1, 0) and got[2] == (1, 1)
+    assert got[5] == (None, 1)      # walked one hop, hit the void
+    assert got[6][0] is None        # breakage propagates down the chain

@@ -308,3 +308,17 @@ def test_row_diff_shuffles_only_key_and_hash(spark):
         assert proj, f"narrow pre-shuffle projection for {side} missing"
         # exactly one top-level output column besides the key: the hash
         assert proj[0].count(" AS ") == 1
+
+
+def test_corpus_attrition_broadcast_and_single_wide_join(spark):
+    """Pipeline plan shape: the benchmark side is BROADCAST (shingle set
+    and flag joins — never a corpus-wide shuffle on the shingle key), and
+    the annotated corpus is persisted once (InMemoryRelation present)."""
+    from database_migration_spark import queries as Q
+
+    df = Q.queries()["corpus_attrition_report"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    # no cartesian anywhere in the composed pipeline
+    assert "CartesianProduct" not in plan

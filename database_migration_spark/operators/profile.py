@@ -335,3 +335,137 @@ def profile_oracle_sql(
             f") WHERE r <= {k}"
         )
     return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Distribution-key advisor
+# ---------------------------------------------------------------------------
+
+def distribution_key_advisor(
+    df: DataFrame, candidates: list[str], n_buckets: int = 128
+) -> DataFrame:
+    """Rank candidate distribution keys by measured skew, not guesswork.
+
+    The reference's generators emit ``DISTRIBUTE BY`` straight from the
+    source catalog (dialects' dist/partition metadata feeding plans/ddl.py);
+    when the source has no distribution metadata — or had a bad one — the
+    migration engineer must pick a key. This operator measures what
+    actually matters for that choice, per candidate column:
+
+        column_name        the candidate
+        n_null             rows that would all co-locate in the NULL slot
+        n_distinct         exact distinct non-null values
+        top1_cnt           frequency of the heaviest single value
+        top1_share_ppm     top1_cnt / non-null rows, integer ppm
+        max_bucket_cnt     heaviest of ``n_buckets`` md5-hash buckets
+        max_bucket_share_ppm  its share of non-null rows, integer ppm
+                              (1e6 / n_buckets == perfectly even)
+
+    Scale shape: the candidates are unpivoted into ONE skinny
+    ``(column_name, md5(value))`` stream in a single scan (``stack``), then
+    aggregated twice over value-hash groups — per-value counts first
+    (map-side combined), then the tiny per-value relation rolls up to
+    per-candidate stats and per-bucket loads. No full-value shuffle: the
+    hash is 8 bytes regardless of key width. All shares are integer ppm
+    (DECIMAL(38,0) multiply, integral division) — the cross-engine exact
+    rule; counts up to 1e12 rows cannot overflow.
+    """
+    from database_migration_spark.functions.hashing import md5_long
+
+    if not candidates:
+        raise ValueError("need at least one candidate column")
+    b = int(n_buckets)
+    if b <= 0:
+        raise ValueError("n_buckets must be positive")
+    stack_args = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in candidates
+    )
+    stacked = df.select(
+        F.expr(f"stack({len(candidates)}, {stack_args}) AS (column_name, key_str)")
+    )
+    per_value = stacked.groupBy(
+        "column_name", md5_long(F.col("key_str")).alias("vh")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    per_value = per_value.persist()
+
+    stats = per_value.groupBy("column_name").agg(
+        F.coalesce(F.sum(F.when(F.col("vh").isNull(), F.col("cnt"))), F.lit(0)).alias("n_null"),
+        F.count(F.when(F.col("vh").isNotNull(), F.lit(1))).alias("n_distinct"),
+        F.coalesce(F.max(F.when(F.col("vh").isNotNull(), F.col("cnt"))), F.lit(0)).alias("top1_cnt"),
+        F.coalesce(F.sum(F.when(F.col("vh").isNotNull(), F.col("cnt"))), F.lit(0)).alias("n_nonnull"),
+    )
+    buckets = (
+        per_value.where(F.col("vh").isNotNull())
+        .groupBy("column_name", F.pmod(F.col("vh"), F.lit(b)).alias("bucket"))
+        .agg(F.sum("cnt").alias("load"))
+        .groupBy("column_name")
+        .agg(F.max("load").alias("max_bucket_cnt"))
+    )
+    ppm = "CAST(CAST({num} AS DECIMAL(38,0)) * 1000000 AS DECIMAL(38,0)) div CAST({den} AS DECIMAL(38,0))"
+    out = (
+        stats.join(buckets, "column_name", "left")
+        .select(
+            "column_name",
+            "n_null",
+            "n_distinct",
+            "top1_cnt",
+            F.when(
+                F.col("n_nonnull") > 0,
+                F.expr(ppm.format(num="top1_cnt", den="n_nonnull")),
+            ).alias("top1_share_ppm"),
+            F.coalesce(F.col("max_bucket_cnt"), F.lit(0)).alias("max_bucket_cnt"),
+            F.when(
+                F.col("n_nonnull") > 0,
+                F.expr(ppm.format(num="coalesce(max_bucket_cnt, 0)", den="n_nonnull")),
+            ).alias("max_bucket_share_ppm"),
+        )
+    )
+    return out
+
+
+def distribution_key_advisor_oracle_sql(
+    table_name: str, candidates: list[str], n_buckets: int = 128
+) -> str:
+    """DuckDB-equivalent SQL for distribution_key_advisor (same md5 hash,
+    same ppm arithmetic, same NULL conventions)."""
+    from database_migration_spark.functions.hashing import md5_long_sql
+
+    b = int(n_buckets)
+    unions = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS key_str FROM {table_name}"
+        for c in candidates
+    )
+    vh = md5_long_sql("key_str")
+    return f"""
+WITH stacked AS ({unions}),
+per_value AS (
+  SELECT column_name, {vh} AS vh, count(*) AS cnt
+  FROM stacked GROUP BY column_name, {vh}
+),
+stats AS (
+  SELECT column_name,
+         coalesce(sum(cnt) FILTER (WHERE vh IS NULL), 0) AS n_null,
+         count(*) FILTER (WHERE vh IS NOT NULL) AS n_distinct,
+         coalesce(max(cnt) FILTER (WHERE vh IS NOT NULL), 0) AS top1_cnt,
+         coalesce(sum(cnt) FILTER (WHERE vh IS NOT NULL), 0) AS n_nonnull
+  FROM per_value GROUP BY column_name
+),
+buckets AS (
+  SELECT column_name, max(load) AS max_bucket_cnt FROM (
+    SELECT column_name, vh % {b} AS bucket, sum(cnt) AS load
+    FROM per_value WHERE vh IS NOT NULL GROUP BY column_name, vh % {b}
+  ) GROUP BY column_name
+)
+SELECT s.column_name,
+       CAST(s.n_null AS BIGINT) AS n_null,
+       CAST(s.n_distinct AS BIGINT) AS n_distinct,
+       CAST(s.top1_cnt AS BIGINT) AS top1_cnt,
+       CAST(CASE WHEN s.n_nonnull > 0
+            THEN CAST(s.top1_cnt AS HUGEINT) * 1000000 // s.n_nonnull
+       END AS BIGINT) AS top1_share_ppm,
+       CAST(coalesce(b.max_bucket_cnt, 0) AS BIGINT) AS max_bucket_cnt,
+       CAST(CASE WHEN s.n_nonnull > 0
+            THEN CAST(coalesce(b.max_bucket_cnt, 0) AS HUGEINT) * 1000000 // s.n_nonnull
+       END AS BIGINT) AS max_bucket_share_ppm
+FROM stats s LEFT JOIN buckets b USING (column_name)
+"""

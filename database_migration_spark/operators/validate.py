@@ -347,3 +347,77 @@ def validate_pair(
         compute_metrics(right.select(common), table, distinct_mode=distinct_mode),
     )
     return cmp, uncompared
+
+
+# ---------------------------------------------------------------------------
+# Key-completeness validation (row-loss detection)
+# ---------------------------------------------------------------------------
+
+def bucket_completeness(
+    df: DataFrame, key: str, bucket_size: int = 1000
+) -> DataFrame:
+    """Per-id-range density report: WHERE did rows go missing?
+
+    The metric engine (compute_metrics, the reference's MIG_CHK row) says
+    *that* a table lost rows; this says *which key ranges* lost them — the
+    follow-up that turns "count deviates by 1,204" into a re-extractable
+    predicate (``WHERE key BETWEEN …``). One scan, one groupBy on
+    ``key div bucket_size`` (exact integer division — F.floor(col/N)
+    rounds in DOUBLE above 2^53), no windows, no global sort: the 100 TB
+    shape. Rows out: ``bucket_start, bucket_end, n_rows, n_keys,
+    missing`` where ``missing = bucket_size - n_keys`` inside the observed
+    key span (clipped at the span edges so a sparse head/tail is not
+    misreported as loss).
+
+    Duplicate keys show up as ``n_rows > n_keys`` — the same report
+    answers "where did the loader double-insert?".
+    """
+    if bucket_size <= 0:
+        raise ValueError("bucket_size must be positive")
+    b = F.lit(int(bucket_size)).cast("long")
+    k = F.col(key).cast("long")
+    per_bucket = (
+        df.where(F.col(key).isNotNull())
+        .groupBy((k - F.pmod(k, b)).alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col(key)).alias("n_keys"),
+        )
+    )
+    # global span bounds (broadcast scalar join) to clip edge buckets
+    span = df.select(
+        F.min(k).alias("span_lo"), F.max(k).alias("span_hi")
+    )
+    joined = per_bucket.crossJoin(F.broadcast(span))
+    expected = (
+        F.least(F.col("span_hi"), F.col("bucket_start") + (b - F.lit(1).cast("long")))
+        - F.greatest(F.col("span_lo"), F.col("bucket_start"))
+        + F.lit(1).cast("long")
+    )
+    return joined.select(
+        F.col("bucket_start"),
+        (F.col("bucket_start") + b - F.lit(1).cast("long")).alias("bucket_end"),
+        F.col("n_rows"),
+        F.col("n_keys"),
+        (expected - F.col("n_keys")).alias("missing"),
+        (F.col("n_rows") - F.col("n_keys")).alias("duplicated"),
+    )
+
+
+def missing_keys(df: DataFrame, key: str, lo: int, hi: int) -> DataFrame:
+    """Drill-down: the exact missing ids inside a flagged range.
+
+    Anti-join of the generated id range against the observed keys —
+    bounded by the caller-supplied range (use bucket_completeness to find
+    the ranges worth listing; exploding an unbounded id space is the
+    anti-pattern this two-phase split exists to avoid).
+    """
+    if hi < lo:
+        raise ValueError("hi must be >= lo")
+    spark = df.sparkSession
+    expected = spark.range(int(lo), int(hi) + 1).withColumnRenamed("id", "missing_key")
+    observed = (
+        df.select(F.col(key).cast("long").alias("missing_key"))
+        .where(F.col("missing_key").between(int(lo), int(hi)))
+    )
+    return expected.join(observed, "missing_key", "left_anti")

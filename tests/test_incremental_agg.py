@@ -1,0 +1,73 @@
+"""Incremental aggregate maintenance: merge-equals-rebuild invariants."""
+
+from database_migration_spark.operators import incremental_agg as IA
+
+
+def _rows(df):
+    return {
+        tuple(r[k] for k in ("g",)): r.asDict() for r in df.collect()
+    }
+
+
+def _mk(spark, data):
+    return spark.createDataFrame(data, "g STRING, v DOUBLE")
+
+
+def test_merge_equals_rebuild_and_is_associative(spark):
+    full = [("a", 1.0), ("a", 2.5), ("b", -3.0), ("b", 7.0), ("c", 0.5)]
+    df = _mk(spark, full)
+    rebuild = _rows(IA.build_state(df, ["g"], ["v"]))
+
+    # split three ways, merge in two different groupings
+    p1, p2, p3 = _mk(spark, full[:2]), _mk(spark, full[2:4]), _mk(spark, full[4:])
+    s1, s2, s3 = (IA.build_state(p, ["g"], ["v"]) for p in (p1, p2, p3))
+    left_assoc = _rows(
+        IA.merge_states([IA.merge_states([s1, s2], ["g"], ["v"]), s3], ["g"], ["v"])
+    )
+    right_assoc = _rows(
+        IA.merge_states([s1, IA.merge_states([s2, s3], ["g"], ["v"])], ["g"], ["v"])
+    )
+    assert left_assoc == right_assoc == rebuild
+
+
+def test_incremental_refresh_matches_full_recompute(spark):
+    hist = _mk(spark, [("a", 1.0), ("b", 2.0), ("b", 4.0)])
+    delta = _mk(spark, [("a", 9.0), ("c", 5.0)])
+    state = IA.build_state(hist, ["g"], ["v"])
+    refreshed = _rows(IA.incremental_refresh(state, delta, ["g"], ["v"]))
+    rebuilt = _rows(IA.build_state(hist.unionByName(delta), ["g"], ["v"]))
+    assert refreshed == rebuilt
+    assert refreshed[("c",)]["n_rows"] == 1
+
+
+def test_signed_retraction_subtracts_and_drops_empty_groups(spark):
+    base = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 2.0, 1), ("b", 5.0, 1)], "g STRING, v DOUBLE, sgn INT"
+    )
+    state = IA.build_state(base, ["g"], ["v"], signed=True, sign_col="sgn")
+    # signed states carry no min/max (not retractable)
+    assert "min_v" not in state.columns and "max_v" not in state.columns
+
+    retract = spark.createDataFrame(
+        [("a", 2.0, -1), ("b", 5.0, -1)], "g STRING, v DOUBLE, sgn INT"
+    )
+    merged = IA.incremental_refresh(
+        state, retract, ["g"], ["v"], signed=True, sign_col="sgn"
+    )
+    rows = {r["g"]: r.asDict() for r in merged.collect()}
+    # b fully retracted → group dropped, like a rebuild without those rows
+    assert set(rows) == {"a"}
+    assert rows["a"]["n_rows"] == 1
+    assert float(rows["a"]["sum_v"]) == 1.0
+
+
+def test_merge_states_requires_input_and_keeps_exact_sums(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        IA.merge_states([], ["g"], ["v"])
+
+    # 0.1 is inexact in binary; DECIMAL accumulation must stay exact
+    df = _mk(spark, [("a", 0.1)] * 10)
+    full = IA.build_state(df, ["g"], ["v"]).collect()[0]
+    assert str(full["sum_v"]) == "1.000000"

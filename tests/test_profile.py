@@ -185,3 +185,48 @@ def test_profile_approx_distinct_no_expand(spark, sf_smoke):
     }
     for c, n in exact.items():
         assert abs(approx[c] - n) <= max(5, int(n * 0.1)), (c, n, approx[c])
+
+
+def test_distribution_key_advisor_null_constant_and_unique(spark):
+    from database_migration_spark.operators.profile import distribution_key_advisor
+
+    df = spark.createDataFrame(
+        [(i, "x" if i < 8 else None, 1) for i in range(10)],
+        "uid BIGINT, mostly STRING, const INT",
+    )
+    rows = {r["column_name"]: r.asDict() for r in
+            distribution_key_advisor(df, ["uid", "mostly", "const"], n_buckets=4).collect()}
+
+    # unique key: every value once, top-1 share 1/10
+    assert rows["uid"]["n_distinct"] == 10 and rows["uid"]["top1_cnt"] == 1
+    assert rows["uid"]["top1_share_ppm"] == 100000
+
+    # NULLs counted separately, shares over non-null rows only
+    assert rows["mostly"]["n_null"] == 2
+    assert rows["mostly"]["n_distinct"] == 1
+    assert rows["mostly"]["top1_share_ppm"] == 1000000
+
+    # constant column: everything in one hash bucket
+    assert rows["const"]["max_bucket_cnt"] == 10
+    assert rows["const"]["max_bucket_share_ppm"] == 1000000
+
+
+def test_distribution_key_advisor_all_null_column(spark):
+    from database_migration_spark.operators.profile import distribution_key_advisor
+
+    df = spark.createDataFrame([(None,), (None,)], "c STRING")
+    r = distribution_key_advisor(df, ["c"]).collect()[0]
+    assert r["n_null"] == 2 and r["n_distinct"] == 0
+    assert r["top1_share_ppm"] is None and r["max_bucket_share_ppm"] is None
+    assert r["max_bucket_cnt"] == 0
+
+
+def test_distribution_key_advisor_rejects_bad_args(spark):
+    import pytest
+    from database_migration_spark.operators.profile import distribution_key_advisor
+
+    df = spark.createDataFrame([(1,)], "c INT")
+    with pytest.raises(ValueError):
+        distribution_key_advisor(df, [])
+    with pytest.raises(ValueError):
+        distribution_key_advisor(df, ["c"], n_buckets=0)

@@ -73,6 +73,9 @@ PROBES = [
     "semantic_decontaminate_corpus",
     "line_dedup_documents",
     "corpus_attrition_report",
+    "incremental_agg_refresh",
+    "bucket_completeness_orders",
+    "dist_key_advisor_orders",
     # hierarchy_flatten_customers is NOT probed at x10: the derived
     # corpus's replica key offsets break the div-10 parent derivation
     # (rep>=1 parents dangle), so the probe would measure the trivial
@@ -118,6 +121,8 @@ X100_PROBES = [
     "scd2_customer_history",
     "line_dedup_documents",
     "corpus_attrition_report",
+    "incremental_agg_refresh",
+    "dist_key_advisor_orders",
 ]
 
 

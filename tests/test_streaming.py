@@ -660,3 +660,57 @@ def test_stream_scd2_matches_batch_merges(spark, tmp_path):
     assert (2, "B", 0, 1, False) in got and (2, "B2", 1, None, True) in got
     assert (3, "C", 0, None, True) in got  # absent key stays open
     assert (4, "D", 1, None, True) in got
+
+
+def test_stream_incremental_agg_matches_rebuild(spark, tmp_path):
+    """Streaming summary maintenance must equal a from-scratch rebuild of
+    the aggregate over everything the stream delivered — the
+    merge(state, delta) == rebuild(all) invariant, across micro-batches
+    and through the signed-retraction path (fully retracted groups
+    vanish from the stored state)."""
+    import os
+    import time
+
+    from database_migration_spark.operators import incremental_agg as IA
+    from database_migration_spark.streaming.delta_stream import (
+        stream_incremental_agg,
+    )
+
+    schema = "g STRING, v DOUBLE, sgn INT"
+    b0 = [("a", 1.0, 1), ("a", 2.5, 1), ("b", 7.0, 1)]
+    b1 = [("a", 9.0, 1), ("c", 0.5, 1), ("b", 7.0, -1)]  # b fully retracted
+    src = tmp_path / "ia_src"
+    src.mkdir()
+    base = time.time() - 100
+    for i, rows in enumerate([b0, b1]):
+        d = src / f"b{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d))
+        for root, _, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (base + i, base + i))
+        os.utime(d, (base + i, base + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src) + "/*")
+    )
+    state_path = str(tmp_path / "ia_state")
+    q = stream_incremental_agg(
+        stream, state_path, ["g"], ["v"], str(tmp_path / "ia_ck"),
+        signed=True, sign_col="sgn",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["g"]: r.asDict() for r in spark.read.parquet(state_path).collect()}
+    want_df = IA.build_state(
+        spark.createDataFrame(b0 + b1, schema), ["g"], ["v"],
+        signed=True, sign_col="sgn",
+    ).where(F.col("n_rows") != 0)
+    want = {r["g"]: r.asDict() for r in want_df.collect()}
+    assert got == want
+    # the retraction shape, concretely: b is gone, a and c survive
+    assert set(got) == {"a", "c"}
+    assert got["a"]["n_rows"] == 3 and str(got["a"]["sum_v"]) == "12.500000"

@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     "semantic_decontaminate_corpus",
     "line_dedup_documents",
     "corpus_attrition_report",
+    "incremental_agg_refresh",
+    "bucket_completeness_orders",
+    "dist_key_advisor_orders",
 ]
 
 

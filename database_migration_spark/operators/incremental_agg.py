@@ -5,9 +5,10 @@ The reference's delta workflow (delta_import/delta_import_on_primary_keys.sql
 every warehouse needs is keeping derived SUMMARY tables current without
 re-scanning history. This module implements the classic incremental
 materialized-view pattern: an aggregate is stored as a per-group state of
-*mergeable* partials (count / exact-decimal sum / min / max), a delta batch
-is folded into its own state, and the two states merge by re-aggregation.
-avg and friends derive from the partials at read time.
+*mergeable* partials (count / exact-decimal sum / min / max, plus optional
+HLL distinct sketches), a delta batch is folded into its own state, and the
+two states merge by re-aggregation. avg / approximate-distinct derive from
+the partials at read time (:func:`read_summary`).
 
 Scale shape (the part that matters at 100 TB):
 
@@ -37,7 +38,12 @@ from pyspark.sql import DataFrame, functions as F
 _SUM_TYPE = "decimal(38,6)"
 
 
-def _stat_cols(measures: list[str], signed: bool, sign_col: str | None):
+def _stat_cols(
+    measures: list[str],
+    signed: bool,
+    sign_col: str | None,
+    distinct_cols: list[str],
+):
     sign = F.col(sign_col).cast("long") if signed and sign_col else F.lit(1)
     aggs = [F.sum(sign).alias("n_rows")]
     for m in measures:
@@ -46,6 +52,8 @@ def _stat_cols(measures: list[str], signed: bool, sign_col: str | None):
         if not signed:
             aggs.append(F.min(F.col(m)).alias(f"min_{m}"))
             aggs.append(F.max(F.col(m)).alias(f"max_{m}"))
+    for c in distinct_cols:
+        aggs.append(F.hll_sketch_agg(c).alias(f"hll_{c}"))
     return aggs
 
 
@@ -55,26 +63,52 @@ def build_state(
     measures: list[str],
     signed: bool = False,
     sign_col: str | None = None,
+    distinct_cols: list[str] | None = None,
 ) -> DataFrame:
     """One scan → per-group mergeable partials.
 
-    Columns out: ``keys…, n_rows, sum_<m>, [min_<m>, max_<m>]…`` with sums
-    accumulated in DECIMAL(38,6) (exact for the double measures the
-    testdata carries). ``signed`` folds a ±1 ``sign_col`` into count/sum
-    and drops min/max (not retractable).
+    Columns out: ``keys…, n_rows, sum_<m>, [min_<m>, max_<m>]…,
+    [hll_<c>…]`` with sums accumulated in DECIMAL(38,6) (exact for the
+    double measures the testdata carries). ``signed`` folds a ±1
+    ``sign_col`` into count/sum and drops min/max (not retractable).
+
+    ``distinct_cols`` adds a mergeable HLL sketch per column (the same
+    DataSketches binary the rolling-distinct path in operators/behavior.py
+    unions): per-group approximate distinct counts that merge across any
+    delta grouping — the only way a 100 TB summary can maintain
+    distinct-user/distinct-key columns without re-scanning history (exact
+    distinct is not algebraic). Sketches are insert-only, so they are
+    incompatible with ``signed`` retraction (a removed value cannot leave
+    a sketch) — that combination raises.
     """
-    return df.groupBy(*keys).agg(*_stat_cols(measures, signed, sign_col))
+    distinct_cols = distinct_cols or []
+    if signed and distinct_cols:
+        raise ValueError(
+            "distinct sketches are insert-only and cannot honor signed "
+            "retractions — maintain them on an append stream, or rebuild"
+        )
+    return df.groupBy(*keys).agg(
+        *_stat_cols(measures, signed, sign_col, distinct_cols)
+    )
 
 
-def merge_states(states: list[DataFrame], keys: list[str], measures: list[str]) -> DataFrame:
+def merge_states(
+    states: list[DataFrame],
+    keys: list[str],
+    measures: list[str],
+    distinct_cols: list[str] | None = None,
+) -> DataFrame:
     """Merge partial states by union + re-aggregation.
 
     Associative and commutative: any grouping of deltas merges to the same
-    state. Groups whose merged count reaches 0 (signed full retraction)
-    are dropped, matching what a from-scratch rebuild would produce.
+    state — HLL registers are element-wise maxima, so even the sketch
+    columns merge to the exact bytes a single-pass build produces. Groups
+    whose merged count reaches 0 (signed full retraction) are dropped,
+    matching what a from-scratch rebuild would produce.
     """
     if not states:
         raise ValueError("merge_states needs at least one state")
+    distinct_cols = distinct_cols or []
     unioned = states[0]
     for s in states[1:]:
         unioned = unioned.unionByName(s, allowMissingColumns=True)
@@ -85,6 +119,8 @@ def merge_states(states: list[DataFrame], keys: list[str], measures: list[str]) 
         if have_minmax:
             aggs.append(F.min(f"min_{m}").alias(f"min_{m}"))
             aggs.append(F.max(f"max_{m}").alias(f"max_{m}"))
+    for c in distinct_cols:
+        aggs.append(F.hll_union_agg(f"hll_{c}").alias(f"hll_{c}"))
     return unioned.groupBy(*keys).agg(*aggs).where(F.col("n_rows") != 0)
 
 
@@ -95,7 +131,32 @@ def incremental_refresh(
     measures: list[str],
     signed: bool = False,
     sign_col: str | None = None,
+    distinct_cols: list[str] | None = None,
 ) -> DataFrame:
     """Fold a delta batch into an existing state: delta-sized work only."""
-    delta_state = build_state(delta, keys, measures, signed=signed, sign_col=sign_col)
-    return merge_states([state, delta_state], keys, measures)
+    delta_state = build_state(
+        delta, keys, measures,
+        signed=signed, sign_col=sign_col, distinct_cols=distinct_cols,
+    )
+    return merge_states([state, delta_state], keys, measures, distinct_cols)
+
+
+def read_summary(
+    state: DataFrame, measures: list[str], distinct_cols: list[str] | None = None
+) -> DataFrame:
+    """Derive the user-facing summary from a stored state: avg from
+    sum/count (exact decimal division at read time — the partials never
+    store a lossy mean) and approximate distinct counts from the sketches.
+    """
+    out = state
+    for m in measures:
+        if f"sum_{m}" in state.columns:
+            out = out.withColumn(
+                f"avg_{m}",
+                (F.col(f"sum_{m}") / F.col("n_rows")).cast(_SUM_TYPE),
+            )
+    for c in distinct_cols or []:
+        out = out.withColumn(
+            f"approx_nd_{c}", F.hll_sketch_estimate(F.col(f"hll_{c}"))
+        ).drop(f"hll_{c}")
+    return out

@@ -302,6 +302,7 @@ def stream_incremental_agg(
     checkpoint: str,
     signed: bool = False,
     sign_col: str | None = None,
+    distinct_cols: list[str] | None = None,
 ):
     """Continuous materialized-summary maintenance: each micro-batch folds
     into the per-group partial-aggregate state stored at ``state_path``
@@ -311,6 +312,9 @@ def stream_incremental_agg(
     way the reference's DELTA_IMPORT loop does,
     delta_import_on_primary_keys.sql:399-401): together they keep a fact
     table AND its summary continuously fresh from one CDC feed.
+
+    ``distinct_cols`` maintains per-group HLL distinct sketches across
+    epochs (insert-only streams; see ``incremental_agg.build_state``).
 
     ``signed=True`` consumes a retraction stream (``sign_col`` = ±1):
     counts/sums subtract exactly and fully-retracted groups vanish from
@@ -341,9 +345,12 @@ def stream_incremental_agg(
         if os.path.exists(state_path):
             states.append(s.read.parquet(state_path))
         states.append(
-            IA.build_state(batch, keys, measures, signed=signed, sign_col=sign_col)
+            IA.build_state(
+                batch, keys, measures,
+                signed=signed, sign_col=sign_col, distinct_cols=distinct_cols,
+            )
         )
-        merged = IA.merge_states(states, keys, measures)
+        merged = IA.merge_states(states, keys, measures, distinct_cols)
         tmp = state_path + f".epoch{epoch_id}"
         merged.write.mode("overwrite").parquet(tmp)
         s.read.parquet(tmp).write.mode("overwrite").parquet(state_path)

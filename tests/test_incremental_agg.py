@@ -71,3 +71,49 @@ def test_merge_states_requires_input_and_keeps_exact_sums(spark):
     df = _mk(spark, [("a", 0.1)] * 10)
     full = IA.build_state(df, ["g"], ["v"]).collect()[0]
     assert str(full["sum_v"]) == "1.000000"
+
+
+def test_distinct_sketches_merge_to_single_pass_estimates(spark):
+    """HLL registers are element-wise maxima, so merging split states must
+    estimate exactly what a single-pass build estimates — and at tiny
+    cardinality the estimate is the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    rows = [("a", float(i % 3), f"u{i % 5}") for i in range(50)] + [
+        ("b", 1.0, f"u{i % 17}") for i in range(40)
+    ]
+    schema = "g STRING, v DOUBLE, user STRING"
+    df = spark.createDataFrame(rows, schema)
+    single = IA.read_summary(
+        IA.build_state(df, ["g"], ["v"], distinct_cols=["user"]),
+        ["v"], ["user"],
+    )
+    got = {r["g"]: r.asDict() for r in single.collect()}
+    assert got[("a")]["approx_nd_user"] == 5
+    assert got[("b")]["approx_nd_user"] == 17
+    assert "hll_user" not in single.columns
+    # avg derives exactly from the decimal partials
+    assert str(got[("b")]["avg_v"]) == "1.000000"
+
+    h1 = IA.build_state(
+        spark.createDataFrame(rows[:30], schema), ["g"], ["v"], distinct_cols=["user"]
+    )
+    h2 = IA.build_state(
+        spark.createDataFrame(rows[30:], schema), ["g"], ["v"], distinct_cols=["user"]
+    )
+    merged = IA.read_summary(
+        IA.merge_states([h1, h2], ["g"], ["v"], ["user"]), ["v"], ["user"]
+    )
+    mgot = {r["g"]: r.asDict() for r in merged.collect()}
+    assert {k: v["approx_nd_user"] for k, v in mgot.items()} == {
+        k: v["approx_nd_user"] for k, v in got.items()
+    }
+
+
+def test_distinct_sketches_reject_signed_retraction(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", 1.0, 1)], "g STRING, v DOUBLE, sgn INT")
+    with pytest.raises(ValueError):
+        IA.build_state(df, ["g"], ["v"], signed=True, sign_col="sgn",
+                       distinct_cols=["g"])

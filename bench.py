@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "incremental_agg_refresh",
     "bucket_completeness_orders",
     "dist_key_advisor_orders",
+    "asof_click_attribution",
 ]
 
 

@@ -4069,6 +4069,61 @@ def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_click_attribution",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events
+),
+clicks AS (
+  SELECT user_id, tsu, max(event_id) AS click_event_id
+  FROM ev WHERE event_type = 'click' GROUP BY user_id, tsu
+),
+purch AS (
+  SELECT user_id, event_id, tsu FROM ev WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id, p.tsu,
+       c.tsu AS click_tsu, c.click_event_id,
+       p.tsu - c.tsu AS gap_us
+FROM purch p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.tsu >= c.tsu
+""",
+)
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): every purchase matched to the same
+    user's latest click at-or-before it — trades←quotes, purchases←click
+    attribution, the time-series join SQL lacks. DuckDB's NATIVE ASOF
+    JOIN is the oracle; the Spark side is the union + one-key-shuffle +
+    carry-forward-window plan (no non-equi candidate blowup — plan-
+    guarded in test_asof). Clicks are deduped to one row per (user,
+    instant) first: an as-of right side is a state timeline, and the
+    max-event_id pick is deterministic on both engines. Epoch-micro
+    BIGINTs cross the boundary (NTZ rule)."""
+    from database_migration_spark.operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", epoch_us_wall("ts").alias("tsu")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "tsu")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "tsu"
+    )
+    j = asof_join(purch, clicks, ["user_id"], "tsu",
+                  right_cols=["click_event_id"])
+    return j.select(
+        "user_id",
+        "event_id",
+        "tsu",
+        F.col("tsu_asof").alias("click_tsu"),
+        "click_event_id",
+        (F.col("tsu") - F.col("tsu_asof")).alias("gap_us"),
+    )
+
+
+@register(
     "incremental_agg_refresh",
     oracle="""
 SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS order_month,
@@ -4423,6 +4478,14 @@ _SHOWCASE_ONLY = [
     # fold family graded via ann_cosine_topk; sim-verified +
     # numpy-differential pytest
     "embedding_outliers",
+    # showcase from birth: as-of join — the union + key-shuffle +
+    # carry-forward-window machinery is the graded sessionize_events /
+    # window_functions_lineitem plan family; the NEW claim (latest-state
+    # match semantics incl. ties/no-match, vs DuckDB's NATIVE ASOF JOIN)
+    # is what the oracle pins; sim-verified + brute-force-differential,
+    # direction/tolerance, and single-exchange plan-guard pytests
+    # (test_asof)
+    "asof_click_attribution",
     # showcase from birth: incremental aggregate refresh — its machinery
     # (groupBy partials, union + re-aggregation merge) is the graded
     # partial-agg family (q1_pricing_summary exact-decimal sums,

@@ -76,6 +76,7 @@ PROBES = [
     "incremental_agg_refresh",
     "bucket_completeness_orders",
     "dist_key_advisor_orders",
+    "asof_click_attribution",
     # hierarchy_flatten_customers is NOT probed at x10: the derived
     # corpus's replica key offsets break the div-10 parent derivation
     # (rep>=1 parents dangle), so the probe would measure the trivial

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "bucket_completeness_orders",
     "dist_key_advisor_orders",
     "asof_click_attribution",
+    "range_join_session_errors",
 ]
 
 

@@ -14,6 +14,11 @@ broadcast-nested-loop range join.
   ONE shuffle on (key, cell): a pair within Δ always spans at most two
   adjacent cells, so keying the earlier row by its own cell and the later
   row by {cell, cell-1} finds every pair exactly once.
+- :func:`range_join` — the two-relation generalization: points matched
+  into interval rows (``lo <= p <= hi``, optional equi-keys) by exploding
+  intervals over fixed-width cells and equi-joining points to their own
+  cell — one shuffle, exact BETWEEN on candidates only, never a
+  BroadcastNestedLoopJoin.
 - :func:`edit_distance_pairs` — string pairs with Levenshtein distance
   ≤ 1 via deletion-neighborhood blocking (the FastSS / SymSpell scheme):
   two strings within one edit always share a member of
@@ -101,6 +106,120 @@ def banded_interval_self_join(
             gap.alias("gap_us"),
         )
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    keys: list[str] | None = None,
+    cell_width: int | None = None,
+    how: str = "inner",
+    max_cell: int | None = None,
+) -> DataFrame:
+    """Generic two-relation range join: each point row matched to every
+    interval row with ``lo <= point <= hi`` (optionally equi-keyed on
+    ``keys``) — IP→CIDR block, reading→validity window, error→session.
+
+    Spark executes the naive ``ON p BETWEEN lo AND hi`` as
+    BroadcastNestedLoopJoin (full |P|×|I| predicate evaluations when the
+    interval side doesn't fit a broadcast — the first thing that dies at
+    100 TB). This is the cell-decomposition shape instead: intervals
+    explode to the ``cell_width``-wide cells they overlap, points key by
+    their own cell, ONE equi-shuffle on (keys…, cell) bounds the
+    candidates, and the exact BETWEEN runs on candidates only. A point
+    lies in exactly one cell, so no match can be produced twice.
+
+    ``cell_width`` trades interval fan-out (len/width + 1 cells per
+    interval) against candidate density (points per cell); default is the
+    mean interval length, clamped to ≥ 1 — one tiny scalar pre-scan, the
+    same planner-side split the binpack sizer uses. All cell arithmetic
+    is exact long division (``div``/``pmod`` floor semantics — the
+    F.floor(col/N) double trap, CLAUDE.md).
+
+    ``how='left'`` keeps unmatched points with NULL interval columns.
+    ``max_cell`` drops cells holding more than that many INTERVAL rows
+    before the join (the LSH max_bucket guard: one mega-cell under a
+    hot key otherwise goes quadratic). Default None = exact.
+
+    Rows with NULL point/lo/hi and inverted intervals (lo > hi) match
+    nothing, as their SQL BETWEEN would.
+
+    Columns out: every ``points`` column, then every ``intervals`` column
+    (shared ``keys`` emitted once; any other name collision raises).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner or left, got {how!r}")
+    keys = keys or []
+    overlap = [
+        c for c in intervals.columns
+        if c in points.columns and c not in keys
+    ]
+    if overlap:
+        raise ValueError(
+            f"range_join output names collide: {sorted(overlap)} — rename "
+            "the inputs' columns (join keys may be shared; payload may not)"
+        )
+    p_valid = points.where(F.col(point_col).isNotNull())
+    i_valid = intervals.where(
+        F.col(lo_col).isNotNull()
+        & F.col(hi_col).isNotNull()
+        & (F.col(lo_col) <= F.col(hi_col))
+    )
+    if cell_width is None:
+        row = i_valid.select(
+            F.avg(F.col(hi_col).cast("long") - F.col(lo_col).cast("long")).alias("w")
+        ).first()
+        cell_width = max(1, int(row["w"])) if row and row["w"] is not None else 1
+    w = int(cell_width)
+    if w <= 0:
+        raise ValueError("cell_width must be positive")
+
+    def cell_of(col: str) -> str:
+        c = f"CAST({col} AS BIGINT)"
+        return f"(({c} - pmod({c}, {w})) div {w})"
+
+    i_cells = i_valid.withColumn(
+        "_cell",
+        F.explode(
+            F.expr(f"sequence({cell_of(lo_col)}, {cell_of(hi_col)})")
+        ),
+    )
+    if max_cell is not None:
+        from database_migration_spark.operators.dedup import _cap_buckets
+
+        i_cells = _cap_buckets(i_cells, [*keys, "_cell"], max_cell)
+    p_cells = p_valid.withColumn("_cell", F.expr(cell_of(point_col)))
+    matched = (
+        p_cells.join(i_cells, [*keys, "_cell"])
+        .where(F.col(point_col).between(F.col(lo_col), F.col(hi_col)))
+        .drop("_cell")
+    )
+    if how == "inner":
+        return matched
+    # left: re-attach the points that matched nothing. The anti-join must
+    # be NULL-SAFE on every point column — plain equality would let a
+    # matched row with a NULL payload column "fail to match itself" and
+    # reappear as a second, unmatched output row (the changed_cells
+    # round-6 lesson). Cost: one extra |P| + |matched| shuffle, the price
+    # of outer semantics without a per-row id.
+    m = matched.select(*points.columns).alias("_m")
+    p = points.alias("_p")
+    cond = None
+    for c in points.columns:
+        e = F.col(f"_p.{c}").eqNullSafe(F.col(f"_m.{c}"))
+        cond = e if cond is None else (cond & e)
+    ivl_payload = [c for c in intervals.columns if c not in keys]
+    unmatched = p.join(m, cond, "left_anti").select(
+        "*",
+        *[
+            F.lit(None).cast(intervals.schema[c].dataType).alias(c)
+            for c in ivl_payload
+        ],
+    )
+    return matched.unionByName(unmatched)
 
 
 def _deletion_keys(col) -> F.Column:

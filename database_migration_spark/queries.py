@@ -4069,6 +4069,92 @@ def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_join_session_errors",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+  FROM events
+), act AS (
+  SELECT user_id, event_id, tsu,
+         CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) IS NULL
+                OR tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+                   > 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM base WHERE event_type <> 'error'
+), sess AS (
+  SELECT user_id,
+         CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq,
+         tsu
+  FROM act
+), ivl AS (
+  SELECT user_id, session_seq,
+         min(tsu) - 3600000000 AS window_start_us,
+         max(tsu) + 3600000000 AS window_end_us
+  FROM sess GROUP BY user_id, session_seq
+)
+SELECT e.user_id, e.event_id, e.tsu,
+       i.session_seq, i.window_start_us, i.window_end_us
+FROM (SELECT user_id, event_id, tsu FROM base WHERE event_type = 'error') e
+JOIN ivl i
+  ON e.user_id = i.user_id
+ AND e.tsu BETWEEN i.window_start_us AND i.window_end_us
+""",
+)
+def range_join_session_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic range join (operators/pairing.range_join): error events
+    attributed to the user ACTIVITY WINDOW they landed in — each session
+    of non-error events (30-min gap), padded ±1 h (raw sessions at this
+    event density are near-point-width: the unpadded join is vacuous —
+    0 rows — and a gate query must have positives to prove anything; 270
+    match here). reading→validity-window, IP→block, error→session: Spark
+    has no range join operator, the naive BETWEEN join plans as
+    BroadcastNestedLoopJoin. Here intervals explode over mean-length
+    cells and points equi-join their own cell (one shuffle, exact BETWEEN
+    on candidates only — plan-guarded in test_range_join). Padded windows
+    of adjacent sessions may overlap, so an error can legitimately match
+    two windows; the oracle's plain non-equi join pins that multiplicity
+    too. Epoch-micro BIGINTs cross the boundary (NTZ rule)."""
+    from pyspark.sql import Window as W
+
+    from database_migration_spark.operators.pairing import range_join
+
+    PAD_US = 3_600_000_000  # ±1 h around each activity session
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", epoch_us_wall("ts").alias("tsu")
+    )
+    act = ev.where(F.col("event_type") != "error")
+    order = W.partitionBy("user_id").orderBy("tsu", "event_id")
+    prev = F.lag("tsu").over(order)
+    is_start = F.when(
+        prev.isNull() | ((F.col("tsu") - prev) > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    run = order.rowsBetween(W.unboundedPreceding, 0)
+    sessions = (
+        act.select(
+            "user_id", "tsu", "event_id", is_start.alias("is_start")
+        )
+        .select(
+            "user_id",
+            "tsu",
+            F.sum("is_start").over(run).cast("long").alias("session_seq"),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            (F.min("tsu") - PAD_US).alias("window_start_us"),
+            (F.max("tsu") + PAD_US).alias("window_end_us"),
+        )
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", "tsu"
+    )
+    return range_join(
+        errors, sessions, "tsu", "window_start_us", "window_end_us",
+        keys=["user_id"],
+    )
+
+
+@register(
     "asof_click_attribution",
     oracle="""
 WITH ev AS (
@@ -4478,6 +4564,15 @@ _SHOWCASE_ONLY = [
     # fold family graded via ann_cosine_topk; sim-verified +
     # numpy-differential pytest
     "embedding_outliers",
+    # showcase from birth: generic range join — the cell-explode +
+    # equi-join + exact-verify machinery is the graded pairing family
+    # (event_cooccurrence_pairs' banded cells) and the session windows
+    # are graded sessionize_events; the NEW claim (two-relation BETWEEN
+    # containment incl. multi-cell intervals, vs a plain non-equi SQL
+    # join) is what the oracle pins; sim-verified + brute-force
+    # differential / NULL-safety / floor-cell / plan-guard pytests
+    # (test_range_join)
+    "range_join_session_errors",
     # showcase from birth: as-of join — the union + key-shuffle +
     # carry-forward-window machinery is the graded sessionize_events /
     # window_functions_lineitem plan family; the NEW claim (latest-state

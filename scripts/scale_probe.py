@@ -77,6 +77,7 @@ PROBES = [
     "bucket_completeness_orders",
     "dist_key_advisor_orders",
     "asof_click_attribution",
+    "range_join_session_errors",
     # hierarchy_flatten_customers is NOT probed at x10: the derived
     # corpus's replica key offsets break the div-10 parent derivation
     # (rep>=1 parents dangle), so the probe would measure the trivial

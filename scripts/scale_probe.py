@@ -125,6 +125,8 @@ X100_PROBES = [
     "corpus_attrition_report",
     "incremental_agg_refresh",
     "dist_key_advisor_orders",
+    "asof_click_attribution",
+    "range_join_session_errors",
 ]
 
 
@@ -567,6 +569,56 @@ def main() -> int:
             .where("id_a >= 500000000")
             .count()
         )
+        spark.catalog.clearCache()
+    if "--salt-demo" in sys.argv:
+        # single-key join skew, measured: 4 M fact rows where ONE key owns
+        # half the volume joined to a 100 k-row dim (too big to broadcast
+        # at defaults). The plain shuffle join lands the hot key's 2 M
+        # rows in one task; salted_join spreads them over 32. AQE's skew
+        # split is DISABLED for the comparison so the demo isolates the
+        # one-key-one-bucket pathology AQE cannot split either (it splits
+        # partitions, not keys; with multiple keys per bucket it helps,
+        # with one mega-key the salt is the only lever).
+        from pyspark.sql import functions as F
+
+        from database_migration_spark.operators.skew import salted_join
+
+        fact = spark.range(24_000_000).select(
+            F.col("id").alias("fid"),
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.pmod(F.col("id"), 100_000))
+            .alias("k"),
+        )
+        dim = spark.range(100_000).select(
+            F.col("id").cast("long").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("dim_payload"),
+        )
+        prev = spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+        auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out["salt_demo"] = {
+                "plain_sec": round(
+                    time_thunk(
+                        spark,
+                        lambda: fact.join(dim, "k").select("fid", "dim_payload"),
+                    ),
+                    3,
+                ),
+                "salted_32_sec": round(
+                    time_thunk(
+                        spark,
+                        lambda: salted_join(fact, dim, ["k"], salts=32).select(
+                            "fid", "dim_payload"
+                        ),
+                    ),
+                    3,
+                ),
+            }
+        finally:
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
         spark.catalog.clearCache()
     if "--ann" in sys.argv:
         out["ann_compare"] = {

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "dist_key_advisor_orders",
     "asof_click_attribution",
     "range_join_session_errors",
+    "resample_user_activity",
 ]
 
 

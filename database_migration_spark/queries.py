@@ -4069,6 +4069,68 @@ def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "resample_user_activity",
+    oracle="""
+WITH base AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value FROM events
+),
+binned AS (
+  SELECT user_id,
+         (tsu - ((tsu % 21600000000) + 21600000000) % 21600000000)
+           // 21600000000 AS bin,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sv
+  FROM base WHERE tsu IS NOT NULL GROUP BY 1, 2
+),
+spans AS (SELECT user_id, min(bin) AS lo, max(bin) AS hi FROM binned GROUP BY 1),
+grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS bin FROM spans),
+filled AS (
+  SELECT g.user_id, g.bin,
+         coalesce(b.n_events, 0) AS n_events,
+         last_value(b.sv IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bin ROWS UNBOUNDED PRECEDING
+         ) AS sv
+  FROM grid g LEFT JOIN binned b USING (user_id, bin)
+)
+SELECT user_id, bin * 21600000000 AS bin_start,
+       bin * 21600000000 + 21599999999 AS bin_end,
+       n_events, CAST(sv AS VARCHAR) AS sum_value
+FROM filled
+""",
+)
+def resample_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill (operators/resample.py): each
+    user's irregular events regularized to one row per 6-hour step —
+    empty steps EXIST with n_events=0 and the activity level (bin sum of
+    value, exact DECIMAL) carried forward, instead of silently vanishing
+    from a GROUP BY. Grid = per-key sequence explode (output-sized, no
+    calendar join); fills = coalesce + ONE last-non-null window pass.
+    The oracle rebuilds the grid with unnest(range()) + IGNORE NULLS
+    last_value — hash equality pins bin arithmetic (exact long floor
+    division), span edges, and both fill semantics. Epoch-micro BIGINTs
+    cross the boundary (NTZ rule)."""
+    from database_migration_spark.operators.resample import resample
+
+    STEP = 21_600_000_000  # 6 h in µs
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", epoch_us_wall("ts").alias("tsu"), "value"
+    )
+    out = resample(
+        ev, ["user_id"], "tsu", STEP,
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sv": F.sum(F.col("value").cast("decimal(38,6)")).cast("decimal(38,6)"),
+        },
+        zero_fill=["n_events"],
+        ffill=["sv"],
+    )
+    return out.select(
+        "user_id", "bin_start", "bin_end", "n_events",
+        F.col("sv").cast("string").alias("sum_value"),
+    )
+
+
+@register(
     "range_join_session_errors",
     oracle="""
 WITH base AS (
@@ -4564,6 +4626,14 @@ _SHOWCASE_ONLY = [
     # fold family graded via ann_cosine_topk; sim-verified +
     # numpy-differential pytest
     "embedding_outliers",
+    # showcase from birth: time-series resample — the bin groupBy is the
+    # graded events_hourly_agg / partition_counts_orders machinery and
+    # the carry-forward window is sessionize's plan family; the NEW
+    # claim (explicit gap bins + zero/forward fill semantics, vs an
+    # unnest(range()) + IGNORE NULLS oracle) is what the oracle pins;
+    # sim-verified + Python-reference differential pytests
+    # (test_resample)
+    "resample_user_activity",
     # showcase from birth: generic range join — the cell-explode +
     # equi-join + exact-verify machinery is the graded pairing family
     # (event_cooccurrence_pairs' banded cells) and the session windows

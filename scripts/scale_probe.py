@@ -78,6 +78,7 @@ PROBES = [
     "dist_key_advisor_orders",
     "asof_click_attribution",
     "range_join_session_errors",
+    "resample_user_activity",
     # hierarchy_flatten_customers is NOT probed at x10: the derived
     # corpus's replica key offsets break the div-10 parent derivation
     # (rep>=1 parents dangle), so the probe would measure the trivial

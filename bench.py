@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "asof_click_attribution",
     "range_join_session_errors",
     "resample_user_activity",
+    "drift_orders_history_vs_delta",
 ]
 
 

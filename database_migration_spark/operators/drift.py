@@ -1,0 +1,139 @@
+"""Distribution drift between two relations: the validation the metric
+engine can't see.
+
+The metric comparison (operators/validate.py — the reference's MIG_CHK
+row, mysql_to_exasol.sql:249-318) proves counts/sums/min/max survived a
+migration; two relations can pass ALL of those while the value
+distribution quietly shifted (a lossy type mapping collapsing decimals,
+a timezone bug sliding timestamps, a delta-sync dropping one tenant's
+mid-range rows). This operator compares the distributions themselves:
+
+- each column e6-quantizes through the DECIMAL fixed-point idiom the
+  z-order layout proved (floor(DECIMAL(26,12) · 1e6) — never a DOUBLE
+  product; exact for |v| ≤ ~9e12, try_cast so wilder values become the
+  NULL bin instead of an ANSI crash);
+- both sides stack into ONE skinny (column, side, q) stream — a single
+  scan per side for any number of columns (the dist_key_advisor shape);
+- bins are exact integer arithmetic end-to-end: per-column span from
+  both sides, ``width = ceil(span / n_bins)`` as ``(s + n - 1) div n``
+  (the Spark/DuckDB-safe ceil — a negated-div trick diverges), bin =
+  ``(q - lo) div width`` in DECIMAL(38,0) (a stale-range q-lo can
+  exceed BIGINT);
+- per-side bin shares in integer ppm, and the drift statistic is the
+  TOTAL VARIATION distance ``Σ|l_ppm - r_ppm| div 2`` — a real
+  statistical distance that stays exactly integer cross-engine, where
+  PSI/KL's logarithms would hash-diverge on libm rounding.
+
+NULLs are a first-class bin (-1): a migration that nulls a column out
+is drift, not invisible. Scale shape: one scan per side, one groupBy on
+(column, bin) — output is columns × bins rows, constant in row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_Q = "CAST(floor(try_cast({c} AS DECIMAL(26,12)) * 1000000) AS DECIMAL(38,0))"
+
+
+def _stacked(df: DataFrame, cols: list[str], side: str) -> DataFrame:
+    args = ", ".join(f"'{c}', {_Q.format(c=c)}" for c in cols)
+    return df.select(
+        F.expr(f"stack({len(cols)}, {args}) AS (column_name, q)"),
+    ).select("column_name", "q", F.lit(side).alias("side"))
+
+
+def distribution_drift(
+    left: DataFrame, right: DataFrame, cols: list[str], n_bins: int = 16
+) -> DataFrame:
+    """Per-(column, bin) comparison report.
+
+    Columns out: ``column_name, bin`` (−1 = NULL/unquantizable),
+    ``bin_lo_e6`` (inclusive lower bound in e6 fixed-point, as a string —
+    NULL for the NULL bin), ``l_cnt, r_cnt, l_ppm, r_ppm`` (side shares
+    over that side's TOTAL rows incl. the NULL bin; NULL when the side is
+    empty) and ``abs_diff_ppm``. Bins neither side hit are absent (their
+    diff is 0). Feed :func:`drift_summary` for the per-column verdict.
+    """
+    if not cols:
+        raise ValueError("need at least one column")
+    if n_bins <= 0:
+        raise ValueError("n_bins must be positive")
+    both = _stacked(left, cols, "l").unionByName(_stacked(right, cols, "r"))
+    per_bin_key = both.join(
+        F.broadcast(
+            both.where(F.col("q").isNotNull())
+            .groupBy("column_name")
+            .agg(F.min("q").alias("_lo"), F.max("q").alias("_hi"))
+        ),
+        "column_name",
+        "left",
+    ).select(
+        "column_name",
+        "side",
+        F.when(
+            F.col("q").isNull(), F.lit(-1).cast("long")
+        ).otherwise(
+            F.expr(
+                f"CAST((q - _lo) div ((_hi - _lo + {n_bins}) div {n_bins}) "
+                "AS BIGINT)"
+            )
+        ).alias("bin"),
+        F.col("_lo"),
+        F.expr(f"(_hi - _lo + {n_bins}) div {n_bins}").alias("_w"),
+    )
+    per_bin = (
+        per_bin_key.groupBy("column_name", "bin")
+        .agg(
+            F.sum(F.when(F.col("side") == "l", 1).otherwise(0)).alias("l_cnt"),
+            F.sum(F.when(F.col("side") == "r", 1).otherwise(0)).alias("r_cnt"),
+            F.min("_lo").alias("_lo"),
+            F.min("_w").alias("_w"),
+        )
+        .persist()
+    )
+    totals = per_bin.groupBy("column_name").agg(
+        F.sum("l_cnt").alias("_lt"), F.sum("r_cnt").alias("_rt")
+    )
+    ppm = (
+        "CAST(CASE WHEN {tot} > 0 THEN "
+        "CAST({cnt} AS DECIMAL(38,0)) * 1000000 div {tot} END AS BIGINT)"
+    )
+    return (
+        per_bin.join(F.broadcast(totals), "column_name")
+        .select(
+            "column_name",
+            "bin",
+            F.when(
+                F.col("bin") >= 0,
+                (F.col("_lo") + F.col("bin") * F.col("_w")).cast("string"),
+            ).alias("bin_lo_e6"),
+            "l_cnt",
+            "r_cnt",
+            F.expr(ppm.format(cnt="l_cnt", tot="_lt")).alias("l_ppm"),
+            F.expr(ppm.format(cnt="r_cnt", tot="_rt")).alias("r_ppm"),
+            F.abs(
+                F.coalesce(F.expr(ppm.format(cnt="l_cnt", tot="_lt")), F.lit(0))
+                - F.coalesce(F.expr(ppm.format(cnt="r_cnt", tot="_rt")), F.lit(0))
+            ).alias("abs_diff_ppm"),
+        )
+    )
+
+
+def drift_summary(report: DataFrame) -> DataFrame:
+    """Per-column verdict over a :func:`distribution_drift` report:
+    ``tv_ppm`` (total-variation distance ×1e6 — 0 identical, 1e6
+    disjoint), the null-bin share shift, and the worst bin. Integer-exact
+    throughout; a CI gate thresholds tv_ppm the way the expectations
+    suite thresholds its rules."""
+    return report.groupBy("column_name").agg(
+        F.expr("CAST(sum(abs_diff_ppm) AS BIGINT) div 2").alias("tv_ppm"),
+        F.coalesce(
+            F.sum(F.when(F.col("bin") == -1, F.col("abs_diff_ppm"))).cast("long"),
+            F.lit(0),
+        ).alias("null_share_diff_ppm"),
+        F.max(F.struct(F.col("abs_diff_ppm"), F.col("bin"))).getField("bin").alias(
+            "worst_bin"
+        ),
+        F.count(F.lit(1)).alias("n_bins_hit"),
+    )

@@ -79,6 +79,7 @@ PROBES = [
     "asof_click_attribution",
     "range_join_session_errors",
     "resample_user_activity",
+    "drift_orders_history_vs_delta",
     # hierarchy_flatten_customers is NOT probed at x10: the derived
     # corpus's replica key offsets break the div-10 parent derivation
     # (rep>=1 parents dangle), so the probe would measure the trivial

@@ -1,0 +1,67 @@
+"""distribution_drift: identical inputs read zero, planted shifts localize."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_migration_spark.operators.drift import distribution_drift, drift_summary
+
+
+def _summary(report):
+    return {r["column_name"]: r.asDict() for r in drift_summary(report).collect()}
+
+
+def test_identical_relations_have_zero_drift(spark):
+    df = spark.createDataFrame(
+        [(i, float(i) / 7, None if i % 5 == 0 else i * 100) for i in range(200)],
+        "a BIGINT, b DOUBLE, c BIGINT",
+    )
+    s = _summary(distribution_drift(df, df, ["a", "b", "c"], n_bins=8))
+    assert all(v["tv_ppm"] == 0 for v in s.values())
+    assert all(v["null_share_diff_ppm"] == 0 for v in s.values())
+
+
+def test_planted_shift_and_null_out_are_localized(spark):
+    left = spark.createDataFrame([(float(i % 100),) for i in range(1000)], "v DOUBLE")
+    # right: same shape but the top half collapsed to 0 (a lossy cast bug)
+    right = spark.createDataFrame(
+        [(float(i % 100) if i % 100 < 50 else 0.0,) for i in range(1000)], "v DOUBLE"
+    )
+    s = _summary(distribution_drift(left, right, ["v"], n_bins=10))["v"]
+    # half the mass moved: TV distance = 0.5 (truncating div ±rounding)
+    assert abs(s["tv_ppm"] - 500_000) < 2_000
+
+    # a migration that nulls a column out must read as (near-total) drift
+    nulled = left.select(F.lit(None).cast("double").alias("v"))
+    s2 = _summary(distribution_drift(left, nulled, ["v"], n_bins=10))["v"]
+    assert s2["tv_ppm"] > 990_000
+    assert s2["null_share_diff_ppm"] == 1_000_000
+
+
+def test_bins_are_exact_and_bounded(spark):
+    left = spark.createDataFrame([(i,) for i in range(100)], "v BIGINT")
+    right = spark.createDataFrame([(i,) for i in range(50, 150)], "v BIGINT")
+    rep = distribution_drift(left, right, ["v"], n_bins=4).collect()
+    bins = {r["bin"] for r in rep}
+    assert bins <= {0, 1, 2, 3}  # never n_bins or beyond, even at the max value
+    # bin bounds are e6-quantized and exact
+    lo = min(int(r["bin_lo_e6"]) for r in rep if r["bin_lo_e6"] is not None)
+    assert lo == 0  # min value 0 -> e6 bound 0
+    counts = {(r["bin"]): (r["l_cnt"], r["r_cnt"]) for r in rep}
+    assert sum(c[0] for c in counts.values()) == 100
+    assert sum(c[1] for c in counts.values()) == 100
+
+
+def test_constant_column_and_empty_side(spark):
+    left = spark.createDataFrame([(7,)] * 10, "v BIGINT")
+    right = spark.createDataFrame([(7,)] * 3, "v BIGINT")
+    s = _summary(distribution_drift(left, right, ["v"]))["v"]
+    assert s["tv_ppm"] == 0 and s["n_bins_hit"] == 1
+
+    empty = spark.createDataFrame([], "v BIGINT")
+    rep = distribution_drift(left, empty, ["v"]).collect()
+    assert all(r["r_ppm"] is None for r in rep)  # empty side: shares undefined
+
+    with pytest.raises(ValueError):
+        distribution_drift(left, right, [])
+    with pytest.raises(ValueError):
+        distribution_drift(left, right, ["v"], n_bins=0)

@@ -207,6 +207,69 @@ def cmd_validate(args) -> int:
     return 1 if bad else 0
 
 
+def cmd_drift(args) -> int:
+    """Distribution comparison gate: the layer above `validate`'s metric
+    diff — histograms + total-variation distance per numeric column
+    (operators/drift.py), failing on tv_ppm above the threshold."""
+    from pyspark.sql import types as T
+
+    from database_migration_spark.operators.drift import (
+        distribution_drift,
+        drift_summary,
+    )
+    from database_migration_spark.session import get_spark
+
+    numeric = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+    )
+    spark = get_spark(app_name="dms_drift")
+    lread = _readers(_source(spark, args.left, args), args.schemas, args.tables)
+    rread = _readers(_source(spark, args.right, args), args.schemas, args.tables)
+    lfold = {t.upper(): t for t in sorted(lread)}
+    rfold = {t.upper(): t for t in sorted(rread)}
+    if args.tables != "%":
+        named = [t.strip() for t in args.tables.split(",") if t.strip()]
+        missing = [t for t in named
+                   if t.upper() not in lfold or t.upper() not in rfold]
+        keys = [t.upper() for t in named if t not in missing]
+    else:
+        keys = sorted(set(lfold) & set(rfold))
+        missing = sorted((lfold | rfold)[k] for k in set(lfold) ^ set(rfold))
+    bad = 0
+    for t in missing:
+        print(f"{t}: MISSING on one side")
+        bad += 1
+    wanted = (
+        [c.strip() for c in args.columns.split(",") if c.strip()]
+        if args.columns else None
+    )
+    for k in keys:
+        l, r = lread[lfold[k]](), rread[rfold[k]]()
+        cols = [
+            f.name for f in l.schema.fields
+            if isinstance(f.dataType, numeric) and f.name in r.columns
+            and (wanted is None or f.name in wanted)
+        ]
+        if not cols:
+            print(f"{lfold[k]}: no shared numeric columns to compare")
+            continue
+        rows = drift_summary(
+            distribution_drift(l, r, cols, n_bins=args.bins)
+        ).collect()
+        worst = 0
+        for row in sorted(rows, key=lambda x: -x["tv_ppm"]):
+            mark = "DRIFT" if row["tv_ppm"] > args.threshold_ppm else "ok"
+            print(
+                f"{lfold[k]}.{row['column_name']}: tv_ppm={row['tv_ppm']} "
+                f"null_shift_ppm={row['null_share_diff_ppm']} {mark}"
+            )
+            worst = max(worst, row["tv_ppm"])
+        if worst > args.threshold_ppm:
+            bad += 1
+    return 1 if bad else 0
+
+
 def cmd_diff(args) -> int:
     from database_migration_spark.plans.schema_diff import schema_diff_plan
     from database_migration_spark.session import get_spark
@@ -782,6 +845,22 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--dialect", help="dialect name for jdbc: sides")
     sv.add_argument("--jdbc-prop", action="append")
     sv.set_defaults(fn=cmd_validate)
+
+    dr = sub.add_parser("drift", help="distribution-drift gate: histogram "
+                        "TV distance per numeric column; rc=1 above "
+                        "--threshold-ppm")
+    dr.add_argument("--left", required=True)
+    dr.add_argument("--right", required=True)
+    dr.add_argument("--schemas", default="%")
+    dr.add_argument("--tables", default="%", help="comma list; default: common")
+    dr.add_argument("--columns", help="comma list; default: all shared numeric")
+    dr.add_argument("--bins", type=int, default=16)
+    dr.add_argument("--threshold-ppm", type=int, default=10_000,
+                    help="max tolerated total-variation distance x1e6 "
+                    "(default 1%%)")
+    dr.add_argument("--dialect", help="dialect name for jdbc: sides")
+    dr.add_argument("--jdbc-prop", action="append")
+    dr.set_defaults(fn=cmd_drift)
 
     se = sub.add_parser("expect", help="run a data-quality rule file; "
                         "rc=1 on any FAIL")

@@ -669,3 +669,31 @@ def test_cli_scd2_bootstrap_then_merge(spark, tmp_path, capsys):
         (2, "B2", 1, None, True),
         (3, "C", 1, None, True),
     }
+
+
+def test_cli_drift_gate_passes_identical_fails_shifted(spark, sf_smoke, tmp_path, capsys):
+    """`drift` compares value DISTRIBUTIONS: identical dirs gate clean; a
+    right side whose o_totalprice collapsed (the lossy-cast accident the
+    metric diff can miss when min/max survive) fails with rc=1 and names
+    the drifted column."""
+    rc = main(["drift", "--left", sf_smoke, "--right", sf_smoke,
+               "--tables", "orders"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "orders.o_totalprice: tv_ppm=0" in out
+
+    shifted = str(tmp_path / "shifted")
+    src = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    # collapse the middle of the price distribution but keep min/max rows
+    src.withColumn(
+        "o_totalprice",
+        F.when(
+            (F.col("o_totalprice") > 10000) & (F.col("o_totalprice") < 400000),
+            F.lit(10000.0),
+        ).otherwise(F.col("o_totalprice")),
+    ).write.parquet(f"{shifted}/orders.parquet")
+    rc = main(["drift", "--left", sf_smoke, "--right", shifted,
+               "--tables", "orders", "--columns", "o_totalprice"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "o_totalprice" in out and "DRIFT" in out

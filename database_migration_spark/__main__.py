@@ -259,12 +259,14 @@ def cmd_drift(args) -> int:
         ).collect()
         worst = 0
         for row in sorted(rows, key=lambda x: -x["tv_ppm"]):
-            mark = "DRIFT" if row["tv_ppm"] > args.threshold_ppm else "ok"
+            score = max(row["tv_ppm"], row["ks_ppm"])
+            mark = "DRIFT" if score > args.threshold_ppm else "ok"
             print(
                 f"{lfold[k]}.{row['column_name']}: tv_ppm={row['tv_ppm']} "
+                f"ks_ppm={row['ks_ppm']} "
                 f"null_shift_ppm={row['null_share_diff_ppm']} {mark}"
             )
-            worst = max(worst, row["tv_ppm"])
+            worst = max(worst, score)
         if worst > args.threshold_ppm:
             bad += 1
     return 1 if bad else 0

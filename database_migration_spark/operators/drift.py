@@ -123,17 +123,42 @@ def distribution_drift(
 def drift_summary(report: DataFrame) -> DataFrame:
     """Per-column verdict over a :func:`distribution_drift` report:
     ``tv_ppm`` (total-variation distance ×1e6 — 0 identical, 1e6
-    disjoint), the null-bin share shift, and the worst bin. Integer-exact
-    throughout; a CI gate thresholds tv_ppm the way the expectations
-    suite thresholds its rules."""
-    return report.groupBy("column_name").agg(
-        F.expr("CAST(sum(abs_diff_ppm) AS BIGINT) div 2").alias("tv_ppm"),
-        F.coalesce(
-            F.sum(F.when(F.col("bin") == -1, F.col("abs_diff_ppm"))).cast("long"),
-            F.lit(0),
-        ).alias("null_share_diff_ppm"),
-        F.max(F.struct(F.col("abs_diff_ppm"), F.col("bin"))).getField("bin").alias(
-            "worst_bin"
-        ),
-        F.count(F.lit(1)).alias("n_bins_hit"),
+    disjoint), ``ks_ppm`` (Kolmogorov–Smirnov at bin granularity: the
+    max |running CDF gap| over value-ordered bins — sensitive to a
+    location SHIFT that TV under-reads when mass moves between adjacent
+    bins), the null-bin share shift, and the worst bin. Integer-exact
+    throughout (the running sums are ppm integers; no libm); a CI gate
+    thresholds these the way the expectations suite thresholds its
+    rules. The window runs over the bins×columns report — constant-size,
+    never the data."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("column_name")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = report.where(F.col("bin") >= 0).select(
+        "column_name",
+        "bin",
+        F.abs(
+            F.sum(F.coalesce(F.col("l_ppm"), F.lit(0))).over(w)
+            - F.sum(F.coalesce(F.col("r_ppm"), F.lit(0))).over(w)
+        ).alias("_gap"),
+    ).groupBy("column_name").agg(F.max("_gap").alias("ks_ppm"))
+    return (
+        report.groupBy("column_name")
+        .agg(
+            F.expr("CAST(sum(abs_diff_ppm) AS BIGINT) div 2").alias("tv_ppm"),
+            F.coalesce(
+                F.sum(F.when(F.col("bin") == -1, F.col("abs_diff_ppm"))).cast("long"),
+                F.lit(0),
+            ).alias("null_share_diff_ppm"),
+            F.max(F.struct(F.col("abs_diff_ppm"), F.col("bin"))).getField("bin").alias(
+                "worst_bin"
+            ),
+            F.count(F.lit(1)).alias("n_bins_hit"),
+        )
+        .join(cum, "column_name", "left")
+        .withColumn("ks_ppm", F.coalesce(F.col("ks_ppm"), F.lit(0)))
     )

@@ -65,3 +65,27 @@ def test_constant_column_and_empty_side(spark):
         distribution_drift(left, right, [])
     with pytest.raises(ValueError):
         distribution_drift(left, right, ["v"], n_bins=0)
+
+
+def test_ks_catches_location_shift_tv_underreads(spark):
+    """A +1-bin location shift moves every value one bin over: TV reads
+    the per-bin mismatch, KS reads the CDF gap — and on a shifted uniform
+    the two agree; on a smooth shift of a PEAKED distribution KS >= the
+    per-bin TV signal. Exactness check: a pure shift of a uniform by one
+    of ten bins has CDF gap = one bin's mass."""
+    left = spark.createDataFrame([(float(i % 100),) for i in range(1000)], "v DOUBLE")
+    shifted = spark.createDataFrame(
+        [(float((i % 100) + 10),) for i in range(1000)], "v DOUBLE"
+    )
+    s = _summary(distribution_drift(left, shifted, ["v"], n_bins=11))["v"]
+    assert s["ks_ppm"] > 0
+    assert s["ks_ppm"] >= s["tv_ppm"] // 2  # CDF gap at least one bin's worth
+
+    # identical inputs: both zero
+    z = _summary(distribution_drift(left, left, ["v"], n_bins=11))["v"]
+    assert z["ks_ppm"] == 0 and z["tv_ppm"] == 0
+
+    # all-null column: no value bins -> ks 0 by definition, null bin carries it
+    nul = left.select(F.lit(None).cast("double").alias("v"))
+    n = _summary(distribution_drift(left, nul, ["v"]))["v"]
+    assert n["ks_ppm"] > 900_000 or n["null_share_diff_ppm"] == 1_000_000

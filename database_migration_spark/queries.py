@@ -4069,6 +4069,40 @@ def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_join_orders_customer",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment,
+       CAST(CAST(o.o_totalprice AS DECIMAL(38,6)) AS VARCHAR) AS totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def salted_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defeating salted join (operators/skew.py): orders enriched
+    with customer attributes through the salt-and-replicate plan — the
+    fact side salted by content hash (retry-safe, never rand()), the
+    dimension replicated once per salt, the join on (key, salt). The
+    oracle is the PLAIN SQL join: hash equality proves the physical
+    redistribution is semantically invisible, which is the operator's
+    entire contract (use it when one key owns a stage-stalling share and
+    AQE's partition-level skew split can't divide that key's bucket)."""
+    from database_migration_spark.operators.skew import salted_join
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(38,6)").cast("string").alias(
+            "totalprice"
+        ),
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment"
+    )
+    return salted_join(orders, cust, ["o_custkey"], salts=8).select(
+        "o_orderkey", "o_custkey", "c_name", "c_mktsegment", "totalprice"
+    )
+
+
+@register(
     "drift_orders_history_vs_delta",
     oracle="""
 WITH l AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
@@ -4706,6 +4740,13 @@ _SHOWCASE_ONLY = [
     # fold family graded via ann_cosine_topk; sim-verified +
     # numpy-differential pytest
     "embedding_outliers",
+    # showcase from birth: salted join — equi-join enrichment per se is
+    # the graded star_fact_orders / q3 family; the NEW claim (the
+    # salt-and-replicate redistribution is semantically invisible) is
+    # exactly what the plain-SQL-join oracle pins; sim-verified +
+    # plain-join differential / NULL-key / hot-key-spread pytests
+    # (test_skew) and the measured --salt-demo in SCALE.md
+    "salted_join_orders_customer",
     # showcase from birth: distribution drift — the stacked unpivot +
     # integer-ppm share machinery is the graded dist_key_advisor /
     # quality_documents family and the e6 quantization is the tested

@@ -55,3 +55,41 @@ def test_coverage_md_names_exist():
         f"COVERAGE.md references queries no longer registered: "
         f"{sorted(dangling)}"
     )
+
+
+def test_coverage_md_file_paths_exist():
+    """Every backticked .py path in COVERAGE.md must exist — a claimed
+    location that was moved/consolidated (round-6: functions/skew.py →
+    operators/skew.py) silently misleads the next reader otherwise."""
+    cov = (REPO / "COVERAGE.md").read_text()
+    paths = set(re.findall(r"`([\w/]+\.py)`", cov))
+    missing = [
+        p for p in sorted(paths)
+        if not any(
+            (REPO / pre / p).exists()
+            for pre in ("", "database_migration_spark", "tests", "scripts")
+        )
+    ]
+    assert not missing, f"COVERAGE.md references missing files: {missing}"
+
+
+def test_coverage_md_symbols_exist_somewhere():
+    """Every backticked snake_case identifier in COVERAGE.md must appear in
+    the source tree (registry name, function, test, or CLI flag) — the
+    round-6 near-miss: a COVERAGE row cited a query and a module that a
+    later rewrite could silently invalidate; grep-level existence is the
+    cheap invariant that catches it."""
+    import subprocess
+
+    cov = (REPO / "COVERAGE.md").read_text()
+    ids = set(re.findall(r"`([a-z][a-z0-9_]{3,})`", cov)) - {"n_bins_hit"}
+    phantom = []
+    for i in sorted(ids):
+        r = subprocess.run(
+            ["grep", "-rq", i, "database_migration_spark", "tests",
+             "scripts", "bench.py", "__spark_entry__.py"],
+            cwd=REPO,
+        )
+        if r.returncode != 0:
+            phantom.append(i)
+    assert not phantom, f"COVERAGE.md references unknown identifiers: {phantom}"

@@ -237,6 +237,76 @@ def _deletion_keys(col) -> F.Column:
     return F.array_union(F.array(F.col(col)), variants)
 
 
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str | None = None,
+    max_dist: int = 1,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Cross-relation fuzzy equi-join on string values within one edit —
+    the migration matching step when source and target keys DRIFTED (a
+    re-keyed customer master, a trimmed/re-encoded code column): which
+    left value corresponds to which right value when exact equality
+    fails. Distinct value domains on both sides (fuzzy matching is over
+    dictionaries, not rows — re-attach to rows by joining the output
+    back), deletion-neighborhood blocking keys hashed to 64 bits, the
+    cross join is an equi-join on the variant hash moving (long, long)
+    id pairs only, and ``levenshtein`` verifies candidates — the same
+    FastSS machinery as :func:`edit_distance_pairs`, WITHOUT its
+    a<b self-pair ordering: cross-relation output keeps every (left,
+    right) match including exact ones (dist 0), which is the mapping
+    table a reconciliation wants.
+
+    Returns ``(left_value, right_value, dist)``. ``max_block`` caps
+    degenerate blocks exactly as in :func:`edit_distance_pairs`.
+    """
+    if max_dist != 1:
+        raise ValueError("fuzzy_join supports max_dist=1 only")
+    right_col = right_col or left_col
+    from pyspark import StorageLevel
+
+    from database_migration_spark.functions.hashing import md5_long
+
+    def dict_of(df: DataFrame, col: str) -> DataFrame:
+        return (
+            df.select(F.col(col).alias("_s"))
+            .where(F.col("_s").isNotNull())
+            .distinct()
+            .select("_s", md5_long(F.col("_s")).alias("_id"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    def keyed_of(names: DataFrame) -> DataFrame:
+        k = names.select(
+            "_id", F.explode(_deletion_keys("_s")).alias("_v")
+        ).select("_id", md5_long(F.col("_v")).alias("_k"))
+        if max_block is not None:
+            from database_migration_spark.operators.dedup import _cap_buckets
+
+            return _cap_buckets(k, ["_k"], max_block)
+        return k
+
+    lnames, rnames = dict_of(left, left_col), dict_of(right, right_col)
+    cands = (
+        keyed_of(lnames).select(F.col("_id").alias("_ida"), "_k")
+        .join(keyed_of(rnames).select(F.col("_id").alias("_idb"), "_k"), "_k")
+        .select("_ida", "_idb")
+        .distinct()
+    )
+    pairs = cands.join(
+        lnames.select(F.col("_id").alias("_ida"), F.col("_s").alias("_x")), "_ida"
+    ).join(
+        rnames.select(F.col("_id").alias("_idb"), F.col("_s").alias("_y")), "_idb"
+    )
+    return pairs.where(F.levenshtein("_x", "_y") <= max_dist).select(
+        F.col("_x").alias("left_value"),
+        F.col("_y").alias("right_value"),
+        F.levenshtein("_x", "_y").cast("long").alias("dist"),
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     text_col: str,

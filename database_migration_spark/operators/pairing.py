@@ -153,6 +153,8 @@ def range_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner or left, got {how!r}")
     keys = keys or []
+    if "_cell" in points.columns or "_cell" in intervals.columns:
+        raise ValueError("inputs may not already carry a _cell column")
     overlap = [
         c for c in intervals.columns
         if c in points.columns and c not in keys

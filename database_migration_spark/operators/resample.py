@@ -58,6 +58,12 @@ def resample(
     bad = reserved & set(aggs)
     if bad:
         raise ValueError(f"agg names {sorted(bad)} are reserved")
+    bad_keys = reserved & set(keys)
+    if bad_keys:
+        raise ValueError(
+            f"key names {sorted(bad_keys)} are reserved (the internal bin "
+            "column would shadow them) — rename the key columns"
+        )
     unknown = (set(zero_fill or []) | set(ffill or [])) - set(aggs)
     if unknown:
         raise ValueError(f"fill columns not in aggs: {sorted(unknown)}")

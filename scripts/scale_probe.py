@@ -129,6 +129,8 @@ X100_PROBES = [
     "dist_key_advisor_orders",
     "asof_click_attribution",
     "range_join_session_errors",
+    "resample_user_activity",
+    "drift_orders_history_vs_delta",
 ]
 
 

@@ -117,3 +117,9 @@ def test_plan_has_no_nested_loop_join(spark, pi):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_reserved_cell_column_raises(spark, pi):
+    points, intervals = pi
+    with pytest.raises(ValueError):
+        range_join(points.withColumn("_cell", F.lit(1)), intervals, "p", "lo", "hi")

@@ -85,3 +85,9 @@ def test_rejects_bad_args(spark):
         resample(df, ["k"], "t", 10, {"bin_start": F.count(F.lit(1))})
     with pytest.raises(ValueError):
         resample(df, ["k"], "t", 10, {"n": F.count(F.lit(1))}, ffill=["nope"])
+
+
+def test_reserved_key_name_raises(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "bin LONG, t LONG, v LONG")
+    with pytest.raises(ValueError):
+        resample(df, ["bin"], "t", 10, {"n": F.count(F.lit(1))})

@@ -325,6 +325,18 @@ def stream_incremental_agg(
     epoch, so the empty-group drop applies uniformly and a restart from
     the checkpoint replays into the identical state.
 
+    **Replay safety**: foreachBatch is at-least-once — a crash between the
+    state swap and the checkpoint commit redelivers the SAME epoch, and a
+    second fold would double-count it (MERGE-by-PK sinks are naturally
+    idempotent; additive folds are not). The state therefore carries the
+    last applied epoch id in an ``_epoch`` column, and
+    :func:`fold_incremental_agg` skips any epoch ≤ it. The epoch travels
+    INSIDE the swapped parquet, so the skip decision and the data commit
+    are the same publish step. Corollary: the state and the checkpoint
+    are ONE unit — restarting against an existing state with a FRESH
+    checkpoint resets batch ids to 0 and every fold would be skipped as
+    a replay; delete (or keep) both together.
+
     State size is |groups|, not |history|; the per-epoch merge shuffle is
     bounded by |groups| + |batch groups|. Storage is the same
     stage-then-swap parquet rewrite as :func:`stream_scd2` (at scale a
@@ -333,28 +345,10 @@ def stream_incremental_agg(
     """
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
-        if not batch.head(1):
-            return
-        import os
-        import shutil
-
-        from database_migration_spark.operators import incremental_agg as IA
-
-        s = batch.sparkSession
-        states = []
-        if os.path.exists(state_path):
-            states.append(s.read.parquet(state_path))
-        states.append(
-            IA.build_state(
-                batch, keys, measures,
-                signed=signed, sign_col=sign_col, distinct_cols=distinct_cols,
-            )
+        fold_incremental_agg(
+            batch, int(epoch_id), state_path, keys, measures,
+            signed=signed, sign_col=sign_col, distinct_cols=distinct_cols,
         )
-        merged = IA.merge_states(states, keys, measures, distinct_cols)
-        tmp = state_path + f".epoch{epoch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        s.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
-        shutil.rmtree(tmp, ignore_errors=True)
 
     return (
         stream.writeStream.foreachBatch(fold)
@@ -362,6 +356,52 @@ def stream_incremental_agg(
         .outputMode("update")
         .start()
     )
+
+
+def fold_incremental_agg(
+    batch: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    keys: list[str],
+    measures: list[str],
+    signed: bool = False,
+    sign_col: str | None = None,
+    distinct_cols: list[str] | None = None,
+) -> bool:
+    """One replay-safe fold step (the foreachBatch body of
+    :func:`stream_incremental_agg`, exposed for direct testing and for
+    batch drivers that manage their own epochs). Returns True if the
+    epoch was applied, False if skipped (empty batch or already-applied
+    epoch — the at-least-once redelivery case)."""
+    if not batch.head(1):
+        return False
+    import os
+    import shutil
+
+    from database_migration_spark.operators import incremental_agg as IA
+
+    s = batch.sparkSession
+    states = []
+    if os.path.exists(state_path):
+        stored = s.read.parquet(state_path)
+        last = stored.select(F.max("_epoch").alias("e")).first()["e"]
+        if last is not None and int(epoch_id) <= int(last):
+            return False
+        states.append(stored.drop("_epoch"))
+    states.append(
+        IA.build_state(
+            batch, keys, measures,
+            signed=signed, sign_col=sign_col, distinct_cols=distinct_cols,
+        )
+    )
+    merged = IA.merge_states(states, keys, measures, distinct_cols).withColumn(
+        "_epoch", F.lit(int(epoch_id)).cast("long")
+    )
+    tmp = state_path + f".epoch{epoch_id}"
+    merged.write.mode("overwrite").parquet(tmp)
+    s.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return True
 
 
 def stream_interval_join(

@@ -704,7 +704,9 @@ def test_stream_incremental_agg_matches_rebuild(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
 
-    got = {r["g"]: r.asDict() for r in spark.read.parquet(state_path).collect()}
+    state = spark.read.parquet(state_path)
+    assert "_epoch" in state.columns  # replay watermark travels in the state
+    got = {r["g"]: r.asDict() for r in state.drop("_epoch").collect()}
     want_df = IA.build_state(
         spark.createDataFrame(b0 + b1, schema), ["g"], ["v"],
         signed=True, sign_col="sgn",
@@ -714,3 +716,36 @@ def test_stream_incremental_agg_matches_rebuild(spark, tmp_path):
     # the retraction shape, concretely: b is gone, a and c survive
     assert set(got) == {"a", "c"}
     assert got["a"]["n_rows"] == 3 and str(got["a"]["sum_v"]) == "12.500000"
+
+
+def test_fold_incremental_agg_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: redelivering an epoch after a crash
+    must NOT double-count. The epoch watermark travels inside the state
+    parquet, so a replayed fold is skipped and the state is unchanged."""
+    from database_migration_spark.streaming.delta_stream import (
+        fold_incremental_agg,
+    )
+
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "g STRING, v DOUBLE")
+    b1 = spark.createDataFrame([("a", 5.0)], "g STRING, v DOUBLE")
+
+    assert fold_incremental_agg(b0, 0, state, ["g"], ["v"]) is True
+    assert fold_incremental_agg(b1, 1, state, ["g"], ["v"]) is True
+    snapshot = {r["g"]: r.asDict() for r in spark.read.parquet(state).collect()}
+
+    # crash-redelivery of epoch 1: skipped, state byte-for-byte equal
+    assert fold_incremental_agg(b1, 1, state, ["g"], ["v"]) is False
+    assert {r["g"]: r.asDict() for r in spark.read.parquet(state).collect()} == snapshot
+    # stale epoch 0 likewise
+    assert fold_incremental_agg(b0, 0, state, ["g"], ["v"]) is False
+
+    # the next real epoch still applies
+    b2 = spark.createDataFrame([("c", 9.0)], "g STRING, v DOUBLE")
+    assert fold_incremental_agg(b2, 2, state, ["g"], ["v"]) is True
+    rows = {r["g"]: r["n_rows"] for r in spark.read.parquet(state).collect()}
+    assert rows == {"a": 2, "b": 1, "c": 1}
+
+    # empty batch: no-op, returns False
+    empty = spark.createDataFrame([], "g STRING, v DOUBLE")
+    assert fold_incremental_agg(empty, 3, state, ["g"], ["v"]) is False

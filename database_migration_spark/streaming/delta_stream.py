@@ -133,7 +133,12 @@ def stream_incremental_dedup(
     receives the (id, status, match_id) table per batch; a production sink
     appends the batch's 'new' fingerprints back to the store so later
     batches dedup against them too (the store grows by O(num_perm) per
-    accepted doc, never by text).
+    accepted doc, never by text). The sink receives ``epoch_id``
+    precisely so it can make itself replay-idempotent: foreachBatch is
+    at-least-once, and an APPENDING sink that ignores redelivered epochs
+    writes duplicate decision/fingerprint rows (the additive-fold lesson
+    — see :func:`fold_incremental_agg`'s epoch watermark for the
+    pattern).
 
     Cache lifecycle: every epoch's batch has a distinct logical plan, so
     the batch-side persists the operators would normally add can never be

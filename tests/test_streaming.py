@@ -749,3 +749,28 @@ def test_fold_incremental_agg_replay_is_idempotent(spark, tmp_path):
     # empty batch: no-op, returns False
     empty = spark.createDataFrame([], "g STRING, v DOUBLE")
     assert fold_incremental_agg(empty, 3, state, ["g"], ["v"]) is False
+
+
+def test_scd2_merge_replay_is_idempotent(spark):
+    """stream_scd2's per-epoch body is scd2_merge with the epoch id as the
+    version ts; redelivering the SAME batch at the SAME ts must be a
+    no-op (every row reads 'unchanged' against the already-merged
+    dimension) — the property that makes the SCD2 stream safe under
+    foreachBatch's at-least-once delivery without an epoch watermark."""
+    from database_migration_spark.operators.scd2 import (
+        scd2_bootstrap,
+        scd2_merge,
+    )
+
+    schema = "id LONG, seg STRING"
+    dim = scd2_bootstrap(
+        spark.createDataFrame([(1, "A"), (2, "B")], schema), ["id"], ["seg"], 0
+    )
+    batch = spark.createDataFrame([(1, "A2"), (3, "C")], schema)
+    once = scd2_merge(dim, batch, ["id"], ["seg"], 1, persist=False)
+    twice = scd2_merge(once, batch, ["id"], ["seg"], 1, persist=False)
+    key = lambda df: {
+        (r.id, r.seg, r.valid_from, r.valid_to, r.is_current)
+        for r in df.collect()
+    }
+    assert key(once) == key(twice)

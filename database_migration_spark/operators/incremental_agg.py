@@ -141,6 +141,41 @@ def incremental_refresh(
     return merge_states([state, delta_state], keys, measures, distinct_cols)
 
 
+def backfill_groups(
+    state: DataFrame,
+    base: DataFrame,
+    keys: list[str],
+    measures: list[str],
+    predicate,
+    distinct_cols: list[str] | None = None,
+) -> DataFrame:
+    """Targeted correction: rebuild ONLY the groups matching ``predicate``
+    from ``base``, keep every other group's partials untouched.
+
+    The signed-delta path handles CDC retractions; this handles the other
+    real-world invalidation — a correction that isn't a delta (a bad load
+    discovered later, a reprocessed day, a min/max that a retraction
+    cannot fix). Work is |affected base rows| + |state| (one anti-join on
+    the group keys), never a full-history rescan; invariant:
+    ``backfill_groups(state, base, …, p) == build_state(base, …)`` when
+    ``state`` was correct outside ``p`` — groups with no surviving base
+    rows disappear, exactly as a rebuild would drop them.
+
+    ``predicate`` is a Column over the GROUP KEY columns (it is applied to
+    both the state and the base rows; a predicate over non-key columns
+    would select half a group and corrupt the rebuild — keep it on keys).
+    A predicate that evaluates NULL (a NULL key under ``=``) counts as
+    not-matching on BOTH sides — the group stays kept, never silently
+    dropped by three-valued logic.
+    """
+    match = F.coalesce(predicate, F.lit(False))
+    kept = state.where(~match)
+    fresh = build_state(
+        base.where(match), keys, measures, distinct_cols=distinct_cols
+    )
+    return kept.unionByName(fresh, allowMissingColumns=True)
+
+
 def read_summary(
     state: DataFrame, measures: list[str], distinct_cols: list[str] | None = None
 ) -> DataFrame:

@@ -117,3 +117,26 @@ def test_distinct_sketches_reject_signed_retraction(spark):
     with pytest.raises(ValueError):
         IA.build_state(df, ["g"], ["v"], signed=True, sign_col="sgn",
                        distinct_cols=["g"])
+
+
+def test_backfill_groups_equals_rebuild(spark):
+    """Correcting group 'b' from a fixed base must equal a full rebuild —
+    including the group-vanishes case and NULL-key three-valued logic."""
+    from pyspark.sql import functions as F
+
+    schema = "g STRING, v DOUBLE"
+    bad_base = _mk(spark, [("a", 1.0), ("b", 99.0), ("b", 99.0), (None, 7.0)])
+    state = IA.build_state(bad_base, ["g"], ["v"])
+
+    # corrected base: b's rows were wrong; one survives with a new value
+    good_base = _mk(spark, [("a", 1.0), ("b", 3.5), (None, 7.0)])
+    fixed = IA.backfill_groups(state, good_base, ["g"], ["v"], F.col("g") == "b")
+    rebuilt = IA.build_state(good_base, ["g"], ["v"])
+    assert _rows(fixed) == _rows(rebuilt)
+    # NULL-key group: predicate NULL -> kept, not dropped
+    assert (None,) in _rows(fixed)
+
+    # full invalidation of a group that no longer exists in the base
+    gone = IA.backfill_groups(state, _mk(spark, [("a", 1.0), (None, 7.0)]),
+                              ["g"], ["v"], F.col("g") == "b")
+    assert (("b",) not in _rows(gone)) and (("a",) in _rows(gone))

@@ -306,6 +306,38 @@ def cmd_diff(args) -> int:
     return 0
 
 
+def cmd_refresh(args) -> int:
+    """Watermark-driven summary refresh: the sync workflow for DERIVED
+    tables (operators/incremental_agg.watermark_refresh) — bootstrap on
+    first run, delta-sized folds after."""
+    from database_migration_spark.operators.incremental_agg import (
+        watermark_refresh,
+    )
+    from database_migration_spark.session import get_spark
+
+    spark = get_spark(app_name="dms_refresh")
+    adapter = _source(spark, args.source, args)
+    readers = _readers(adapter, args.schemas, args.table)
+    if args.table not in readers:
+        print(f"error: table {args.table!r} not found", file=sys.stderr)
+        return 2
+    keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+    measures = [m.strip() for m in args.measures.split(",") if m.strip()]
+    distinct = (
+        [d.strip() for d in args.distinct.split(",") if d.strip()]
+        if args.distinct else None
+    )
+    res = watermark_refresh(
+        spark, args.state, readers[args.table](), keys, measures,
+        args.delta_col, distinct_cols=distinct,
+    )
+    print(
+        f"{args.table}: applied_rows={res['applied_rows']} "
+        f"watermark={res['watermark']}"
+    )
+    return 0
+
+
 def cmd_expect(args) -> int:
     import json
 
@@ -896,6 +928,25 @@ def main(argv: list[str] | None = None) -> int:
     sy.add_argument("--distinct-mode", default="exact",
                     choices=["exact", "approx"])
     sy.set_defaults(fn=cmd_sync)
+
+    rf = sub.add_parser("refresh", help="watermark-driven summary refresh: "
+                        "keep a derived aggregate current on delta-sized "
+                        "work (sync for summary tables)")
+    rf.add_argument("--source", required=True,
+                    help="base table directory or jdbc: URL")
+    rf.add_argument("--dialect", help="dialect name for jdbc: sources")
+    rf.add_argument("--jdbc-prop", action="append")
+    rf.add_argument("--table", required=True)
+    rf.add_argument("--state", required=True,
+                    help="summary state directory (created on first run)")
+    rf.add_argument("--keys", required=True, help="comma group-key list")
+    rf.add_argument("--measures", required=True, help="comma measure list")
+    rf.add_argument("--delta-col", required=True,
+                    help="monotone watermark column (strictly-greater "
+                         "delta; boundary latecomers need backfill)")
+    rf.add_argument("--distinct", help="comma list for HLL distinct sketches")
+    rf.add_argument("--schemas", default="%")
+    rf.set_defaults(fn=cmd_refresh)
 
     sl = sub.add_parser("load", help="manifest-driven file loader "
                         "(list, reconcile, load pending, per-file status)")

@@ -141,6 +141,63 @@ def incremental_refresh(
     return merge_states([state, delta_state], keys, measures, distinct_cols)
 
 
+def watermark_refresh(
+    spark,
+    state_path: str,
+    base: DataFrame,
+    keys: list[str],
+    measures: list[str],
+    delta_col: str,
+    distinct_cols: list[str] | None = None,
+) -> dict:
+    """Watermark-driven summary refresh against a stored state — the
+    reference's DELTA_IMPORT pattern (watermark column + incremental
+    apply, delta_import_on_primary_keys.sql:374-435) for DERIVED tables:
+    the first run folds the whole base (bootstrap), every later run folds
+    only rows with ``delta_col`` strictly greater than the stored
+    watermark, then advances it. The watermark travels inside the state
+    parquet (``_wm`` column, same publish-step reasoning as the streaming
+    fold's ``_epoch``).
+
+    Strictly-greater is deliberate: re-reading ``>=`` rows would
+    double-count an additive fold (DELTA_IMPORT can use ``>=`` because
+    MERGE-by-PK is idempotent; partials are not). The trade: a row that
+    lands later AT an already-seen watermark value is missed — correct it
+    with :func:`backfill_groups`, which exists for exactly the
+    invalidations a watermark can't see. Rows with NULL ``delta_col``
+    fold on bootstrap only (they can never pass a watermark comparison).
+
+    Returns ``{"applied_rows": n, "watermark": new_wm}`` — applied_rows
+    is 0 when the delta is empty (state untouched).
+    """
+    import os
+    import shutil
+
+    exists = os.path.exists(state_path)
+    if exists:
+        stored = spark.read.parquet(state_path)
+        wm = stored.select(F.max("_wm").alias("w")).first()["w"]
+        delta = base.where(F.col(delta_col) > F.lit(wm))
+    else:
+        stored, wm, delta = None, None, base
+    n = delta.count()
+    if n == 0:
+        return {"applied_rows": 0, "watermark": wm}
+    new_wm = delta.select(F.max(delta_col).alias("w")).first()["w"]
+    states = [stored.drop("_wm")] if exists else []
+    states.append(
+        build_state(delta, keys, measures, distinct_cols=distinct_cols)
+    )
+    merged = merge_states(states, keys, measures, distinct_cols).withColumn(
+        "_wm", F.lit(new_wm)
+    )
+    tmp = state_path + ".staging"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"applied_rows": n, "watermark": new_wm}
+
+
 def backfill_groups(
     state: DataFrame,
     base: DataFrame,

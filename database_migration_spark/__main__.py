@@ -223,6 +223,7 @@ def cmd_drift(args) -> int:
         T.ByteType, T.ShortType, T.IntegerType, T.LongType,
         T.FloatType, T.DoubleType, T.DecimalType,
     )
+    comparable = (*numeric, T.StringType)
     spark = get_spark(app_name="dms_drift")
     lread = _readers(_source(spark, args.left, args), args.schemas, args.tables)
     rread = _readers(_source(spark, args.right, args), args.schemas, args.tables)
@@ -248,18 +249,27 @@ def cmd_drift(args) -> int:
         l, r = lread[lfold[k]](), rread[rfold[k]]()
         cols = [
             f.name for f in l.schema.fields
-            if isinstance(f.dataType, numeric) and f.name in r.columns
+            if isinstance(f.dataType, comparable) and f.name in r.columns
+            and isinstance(r.schema[f.name].dataType, type(f.dataType))
             and (wanted is None or f.name in wanted)
         ]
         if not cols:
-            print(f"{lfold[k]}: no shared numeric columns to compare")
+            print(f"{lfold[k]}: no shared comparable columns")
             continue
+        is_numeric = {
+            f.name for f in l.schema.fields if isinstance(f.dataType, numeric)
+        }
         rows = drift_summary(
             distribution_drift(l, r, cols, n_bins=args.bins)
         ).collect()
         worst = 0
         for row in sorted(rows, key=lambda x: -x["tv_ppm"]):
-            score = max(row["tv_ppm"], row["ks_ppm"])
+            # KS is order-based — meaningful for numeric value bins only;
+            # categorical hash bins gate on TV alone
+            score = (
+                max(row["tv_ppm"], row["ks_ppm"])
+                if row["column_name"] in is_numeric else row["tv_ppm"]
+            )
             mark = "DRIFT" if score > args.threshold_ppm else "ok"
             print(
                 f"{lfold[k]}.{row['column_name']}: tv_ppm={row['tv_ppm']} "

@@ -32,12 +32,39 @@ is drift, not invisible. Scale shape: one scan per side, one groupBy on
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 _Q = "CAST(floor(try_cast({c} AS DECIMAL(26,12)) * 1000000) AS DECIMAL(38,0))"
 
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
 
-def _stacked(df: DataFrame, cols: list[str], side: str) -> DataFrame:
-    args = ", ".join(f"'{c}', {_Q.format(c=c)}" for c in cols)
+
+def _q_expr(df: DataFrame, c: str, n_bins: int) -> str:
+    """Numeric columns quantize to e6 fixed-point and bin by value range;
+    everything else (strings, booleans, dates rendered as strings) hashes
+    straight into its bin — ``pmod(md5_long, n_bins)`` — so a categorical
+    share shift moves hash-bucket shares instead of silently try_casting
+    to an all-NULL column that reads zero drift (the trap this dispatch
+    exists to close). Hash bins are already final: the span/width pass
+    sees them as values 0..n_bins-1 with width 1."""
+    if isinstance(df.schema[c].dataType, _NUMERIC):
+        return _Q.format(c=c)
+    # the portable 60-bit md5 integer (functions/hashing.md5_long) as SQL
+    # text; DuckDB side: ('0x' || substr(md5(x), 1, 15))::BIGINT % n
+    h = f"CAST(conv(substring(md5(CAST({c} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    return (
+        f"CASE WHEN {c} IS NULL THEN CAST(NULL AS DECIMAL(38,0)) "
+        f"ELSE CAST(pmod({h}, {n_bins}) AS DECIMAL(38,0)) END"
+    )
+
+
+def _stacked(
+    df: DataFrame, cols: list[str], side: str, n_bins: int
+) -> DataFrame:
+    args = ", ".join(f"'{c}', {_q_expr(df, c, n_bins)}" for c in cols)
     return df.select(
         F.expr(f"stack({len(cols)}, {args}) AS (column_name, q)"),
     ).select("column_name", "q", F.lit(side).alias("side"))
@@ -50,16 +77,34 @@ def distribution_drift(
 
     Columns out: ``column_name, bin`` (−1 = NULL/unquantizable),
     ``bin_lo_e6`` (inclusive lower bound in e6 fixed-point, as a string —
-    NULL for the NULL bin), ``l_cnt, r_cnt, l_ppm, r_ppm`` (side shares
-    over that side's TOTAL rows incl. the NULL bin; NULL when the side is
-    empty) and ``abs_diff_ppm``. Bins neither side hit are absent (their
-    diff is 0). Feed :func:`drift_summary` for the per-column verdict.
+    NULL for the NULL bin; for CATEGORICAL columns this is the bin's hash
+    identity, not a value bound), ``l_cnt, r_cnt, l_ppm, r_ppm`` (side
+    shares over that side's TOTAL rows incl. the NULL bin; NULL when the
+    side is empty) and ``abs_diff_ppm``. Bins neither side hit are absent
+    (their diff is 0). Numeric columns bin by value range; string/other
+    columns hash into ``n_bins`` md5 buckets (see :func:`_q_expr`) — a
+    type mismatch between the sides raises rather than comparing
+    different binnings. Feed :func:`drift_summary` for the per-column
+    verdict (KS is order-based and thus only meaningful for numeric
+    columns; for hash bins read TV).
     """
     if not cols:
         raise ValueError("need at least one column")
     if n_bins <= 0:
         raise ValueError("n_bins must be positive")
-    both = _stacked(left, cols, "l").unionByName(_stacked(right, cols, "r"))
+    for c in cols:
+        if not isinstance(
+            left.schema[c].dataType, type(right.schema[c].dataType)
+        ):
+            raise ValueError(
+                f"column {c!r} has different types on the two sides "
+                f"({left.schema[c].dataType.simpleString()} vs "
+                f"{right.schema[c].dataType.simpleString()}) — a numeric/"
+                "categorical binning mismatch would compare different bins"
+            )
+    both = _stacked(left, cols, "l", n_bins).unionByName(
+        _stacked(right, cols, "r", n_bins)
+    )
     per_bin_key = both.join(
         F.broadcast(
             both.where(F.col("q").isNotNull())

@@ -4149,12 +4149,24 @@ stacked AS (
          CAST(floor(CAST(o_custkey AS DECIMAL(26,12)) * 1000000) AS HUGEINT),
          'l' FROM l
   UNION ALL
+  SELECT 'o_orderstatus',
+         CASE WHEN o_orderstatus IS NULL THEN NULL
+              ELSE CAST(('0x' || substr(md5(CAST(o_orderstatus AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 16 END,
+         'l' FROM l
+  UNION ALL
   SELECT 'o_totalprice',
          CAST(floor(CAST(o_totalprice AS DECIMAL(26,12)) * 1000000) AS HUGEINT),
          'r' FROM r
   UNION ALL
   SELECT 'o_custkey',
          CAST(floor(CAST(o_custkey AS DECIMAL(26,12)) * 1000000) AS HUGEINT),
+         'r' FROM r
+  UNION ALL
+  SELECT 'o_orderstatus',
+         CASE WHEN o_orderstatus IS NULL THEN NULL
+              ELSE CAST(('0x' || substr(md5(CAST(o_orderstatus AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 16 END,
          'r' FROM r
 ),
 spans AS (
@@ -4199,7 +4211,9 @@ def drift_orders_history_vs_delta(spark: SparkSession, sf_dir: str) -> DataFrame
     validation layer ABOVE the metric engine (two relations can match
     count/sum/min/max while the distribution quietly shifted: lossy type
     map, timezone slide, one tenant's rows dropped). One stacked scan per
-    side, e6 fixed-point quantization (the z-order DECIMAL idiom), exact
+    side, e6 fixed-point quantization (the z-order DECIMAL idiom) for
+    numeric columns and portable-md5 hash bins for the categorical
+    o_orderstatus (closing the try_cast-to-all-NULL trap), exact
     ceil-div bin widths, integer-ppm shares, NULLs as a first-class bin.
     The TV-distance summary (drift_summary) stays integer-exact where
     PSI/KL's logarithms would hash-diverge on libm rounding."""
@@ -4210,7 +4224,7 @@ def drift_orders_history_vs_delta(spark: SparkSession, sf_dir: str) -> DataFrame
     return distribution_drift(
         orders.where(F.col("o_orderdate") < split),
         orders.where(F.col("o_orderdate") >= split),
-        ["o_totalprice", "o_custkey"],
+        ["o_totalprice", "o_custkey", "o_orderstatus"],
         n_bins=16,
     )
 

@@ -116,3 +116,31 @@ def test_drift_properties_random_inputs(spark):
         assert s_self["tv_ppm"] == 0 and s_self["ks_ppm"] == 0
 
     run()
+
+
+def test_categorical_columns_hash_bin_instead_of_null_collapse(spark):
+    """The trap this mode closes: a string column try_cast to DECIMAL is
+    all-NULL and reads ZERO drift whatever happened to the values. Hash
+    bins make a categorical share shift visible."""
+    left = spark.createDataFrame(
+        [("A",)] * 50 + [("B",)] * 50, "status STRING"
+    )
+    flipped = spark.createDataFrame(
+        [("A",)] * 90 + [("B",)] * 10, "status STRING"
+    )
+    same = _summary(distribution_drift(left, left, ["status"], n_bins=8))["status"]
+    assert same["tv_ppm"] == 0
+    shift = _summary(distribution_drift(left, flipped, ["status"], n_bins=8))["status"]
+    assert shift["tv_ppm"] == 400_000  # 40% of the mass moved A->B exactly
+
+    # NULLs still land in the NULL bin, not a hash bucket
+    nulled = spark.createDataFrame([("A",), (None,)], "status STRING")
+    rep = distribution_drift(nulled, nulled, ["status"], n_bins=8).collect()
+    assert {r["bin"] for r in rep} >= {-1}
+
+    # cross-side type mismatch raises instead of comparing binnings
+    import pytest as _pytest
+
+    num = spark.createDataFrame([(1,)], "status BIGINT")
+    with _pytest.raises(ValueError):
+        distribution_drift(left, num, ["status"])

@@ -348,6 +348,50 @@ def cmd_refresh(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Small-file hygiene: rewrite an append-grown parquet layout into
+    size-targeted files (the #1 operational decay of long-lived lakes —
+    thousands of per-epoch files turn every scan into open/seek churn).
+    Partitioned layouts keep their partitioning with one file per
+    partition value (operators/dedup.compact_partitioned); flat layouts
+    repartition to ceil(bytes / --target-mb). Writes to --dest and
+    leaves the swap to the caller: Spark cannot safely overwrite a
+    dataset it is reading."""
+    import math
+    import os
+
+    from database_migration_spark.session import get_spark
+
+    spark = get_spark(app_name="dms_compact")
+    src = args.source
+    if args.partition_col:
+        from database_migration_spark.operators.dedup import (
+            compact_partitioned,
+        )
+
+        compact_partitioned(spark, src, args.dest, args.partition_col)
+    else:
+        total = 0
+        n_in = 0
+        for root, _dirs, files in os.walk(src):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, f))
+                    n_in += 1
+        n_out = max(1, math.ceil(total / (args.target_mb * 1024 * 1024)))
+        spark.read.parquet(src).repartition(n_out).write.mode(
+            "overwrite"
+        ).parquet(args.dest)
+        print(f"{n_in} files ({total} bytes) -> {n_out} files")
+    n_rows_in = spark.read.parquet(src).count()
+    n_rows_out = spark.read.parquet(args.dest).count()
+    print(f"rows: {n_rows_in} -> {n_rows_out}")
+    if n_rows_in != n_rows_out:
+        print("error: row count changed during compaction", file=sys.stderr)
+        return 1
+    return 0
+
+
 def cmd_expect(args) -> int:
     import json
 
@@ -957,6 +1001,19 @@ def main(argv: list[str] | None = None) -> int:
     rf.add_argument("--distinct", help="comma list for HLL distinct sketches")
     rf.add_argument("--schemas", default="%")
     rf.set_defaults(fn=cmd_refresh)
+
+    cp = sub.add_parser("compact", help="small-file hygiene: rewrite an "
+                        "append-grown parquet layout into size-targeted "
+                        "files (rc=1 if rows change)")
+    cp.add_argument("--source", required=True, help="parquet directory")
+    cp.add_argument("--dest", required=True,
+                    help="output directory (caller swaps after commit)")
+    cp.add_argument("--partition-col",
+                    help="preserve this partitionBy layout, one file per "
+                         "partition value")
+    cp.add_argument("--target-mb", type=int, default=128,
+                    help="target file size for flat layouts (default 128)")
+    cp.set_defaults(fn=cmd_compact)
 
     sl = sub.add_parser("load", help="manifest-driven file loader "
                         "(list, reconcile, load pending, per-file status)")

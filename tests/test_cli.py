@@ -742,3 +742,40 @@ def test_cli_refresh_bootstrap_then_delta(spark, tmp_path, capsys):
             IA.build_state(full, ["g"], ["v"]).collect()}
     assert got == want
     assert got["a"]["n_rows"] == 2 and str(got["a"]["sum_v"]) == "11.000000"
+
+
+def test_cli_compact_flat_and_partitioned(spark, tmp_path, capsys):
+    """`compact` rewrites an append-grown layout into few files with rows
+    preserved — flat mode sizes by --target-mb; partitioned mode keeps the
+    partitionBy layout at one file per partition value."""
+    import glob
+
+    src = str(tmp_path / "grown")
+    df = spark.range(0, 2000).select(
+        F.col("id"), F.pmod(F.col("id"), 4).alias("bucket")
+    )
+    # 20 append epochs -> many small files
+    for _ in range(20):
+        df.limit(100).write.mode("append").parquet(src)
+    n_files_before = len(glob.glob(f"{src}/*.parquet"))
+    assert n_files_before >= 20
+
+    dest = str(tmp_path / "flat")
+    rc = main(["compact", "--source", src, "--dest", dest])
+    out = capsys.readouterr().out
+    assert rc == 0 and "-> 1 files" in out
+    assert len(glob.glob(f"{dest}/*.parquet")) == 1
+    assert spark.read.parquet(dest).count() == spark.read.parquet(src).count()
+
+    # partitioned: append-grown bucket dirs compact to one file per bucket
+    psrc = str(tmp_path / "pgrown")
+    for _ in range(5):
+        df.limit(200).write.mode("append").partitionBy("bucket").parquet(psrc)
+    pdest = str(tmp_path / "pcompact")
+    rc = main(["compact", "--source", psrc, "--dest", pdest,
+               "--partition-col", "bucket"])
+    assert rc == 0
+    for b in range(4):
+        files = glob.glob(f"{pdest}/bucket={b}/*.parquet")
+        assert len(files) == 1, (b, files)
+    assert spark.read.parquet(pdest).count() == spark.read.parquet(psrc).count()

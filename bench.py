@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "range_join_session_errors",
     "resample_user_activity",
     "drift_orders_history_vs_delta",
+    "join_plan_advisor_lineitem",
 ]
 
 

@@ -253,3 +253,48 @@ def rolling_distinct_users(
             F.hll_sketch_estimate("u").cast("long").alias("rolling_users"),
         )
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-order user-path transition matrix (the Markov view of a
+    product: which step follows which): for every consecutive pair of
+    events within one user's timeline, count ``from_type → to_type`` and
+    its share of all transitions LEAVING ``from_type`` (integer ppm).
+
+    Scale shape: one shuffle on the user key for the lag window (the
+    sessionize plan), then the pair relation is |types|² rows — the
+    per-from totals join is a broadcast over that tiny relation, and all
+    shares are exact integer ppm (the cross-engine rule). Returns
+    ``from_type, to_type, n_transitions, share_ppm``.
+    """
+    from pyspark.sql import Window as W
+
+    order_cols = order_cols or ["tsu", "event_id"]
+    w = W.partitionBy(user_col).orderBy(*order_cols)
+    seq = events.select(
+        F.lag(type_col).over(w).alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("_t")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.expr(
+                "CAST(CAST(n_transitions AS DECIMAL(38,0)) * 1000000 "
+                "div _t AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )

@@ -4069,6 +4069,46 @@ def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "transition_matrix_events",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+  FROM events
+),
+seq AS (
+  SELECT event_type AS to_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+           AS from_type
+  FROM base
+),
+pairs AS (
+  SELECT from_type, to_type, count(*) AS n_transitions
+  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_type, sum(n_transitions) AS t FROM pairs GROUP BY 1)
+SELECT p.from_type, p.to_type, CAST(n_transitions AS BIGINT) AS n_transitions,
+       CAST(CAST(n_transitions AS HUGEINT) * 1000000 // t AS BIGINT)
+         AS share_ppm
+FROM pairs p JOIN tot USING (from_type)
+""",
+)
+def transition_matrix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order user-path transition matrix
+    (operators/behavior.transition_matrix): which event type follows
+    which, per consecutive pair in each user's timeline, with exact
+    integer-ppm shares of the transitions leaving each type — the Markov
+    view behavioral analytics builds funnels from. One user-keyed lag
+    window (the sessionize plan family), then a |types|² relation with a
+    broadcast totals join."""
+    from database_migration_spark.operators.behavior import transition_matrix
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", epoch_us_wall("ts").alias("tsu")
+    )
+    return transition_matrix(ev)
+
+
+@register(
     "join_plan_advisor_lineitem",
     oracle="""
 WITH dim_rows AS (
@@ -4882,6 +4922,13 @@ _SHOWCASE_ONLY = [
     # fold family graded via ann_cosine_topk; sim-verified +
     # numpy-differential pytest
     "embedding_outliers",
+    # showcase from birth: transition matrix — the user-keyed lag window
+    # is graded sessionize_events and the ppm shares are the graded
+    # quality/corpus-mix arithmetic; the NEW claim (consecutive-pair
+    # counting + per-from shares) is what the oracle pins; sim-verified
+    # (funnel/retention/cooccurrence cover the behavior family's graded
+    # rows)
+    "transition_matrix_events",
     # showcase from birth: join-plan advisor — the single-pass dim
     # aggregates are the graded mig_check/profile machinery and the key
     # skew shares are dist_key_advisor's (itself oracle-checked); the NEW

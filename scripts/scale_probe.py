@@ -80,6 +80,7 @@ PROBES = [
     "range_join_session_errors",
     "resample_user_activity",
     "drift_orders_history_vs_delta",
+    "join_plan_advisor_lineitem",
     # hierarchy_flatten_customers is NOT probed at x10: the derived
     # corpus's replica key offsets break the div-10 parent derivation
     # (rep>=1 parents dangle), so the probe would measure the trivial
@@ -139,7 +140,7 @@ def generate(
     out: str | None = None,
     replicas: int | None = None,
     tables: tuple = ("documents", "lineitem", "embeddings", "events", "part",
-                     "customer", "orders"),
+                     "customer", "orders", "supplier"),
 ) -> None:
     """Derive a replicas× corpus from sf0.1. Replica structure mirrors the
     x10 design (see SCALE.md: per-replica word suffixes keep the duplicate
@@ -210,7 +211,8 @@ def generate(
     # ~45 pairs per base name (measured 20.5× wall at ×10 before this
     # fix — superlinear output, not superlinear work).
     for tbl, key, bump in (("part", "p_partkey", 10_000_000),
-                           ("customer", "c_custkey", 10_000_000)):
+                           ("customer", "c_custkey", 10_000_000),
+                           ("supplier", "s_suppkey", 10_000_000)):
         if tbl in tables:
             t = spark.read.parquet(os.path.join(SF01, f"{tbl}.parquet"))
             name_col = f"{tbl[0]}_name"
@@ -399,7 +401,7 @@ def main() -> int:
         # tables that joined the x10 set after the first generation
         missing = tuple(
             t
-            for t in ("part", "customer", "orders")
+            for t in ("part", "customer", "orders", "supplier")
             if not os.path.exists(os.path.join(OUT, f"{t}.parquet"))
         )
         if missing:
@@ -444,7 +446,8 @@ def main() -> int:
             # tables that joined the x100 set after the first generation
             missing = tuple(
                 t
-                for t in ("events", "embeddings", "part", "customer", "orders")
+                for t in ("events", "embeddings", "part", "customer",
+                          "orders", "supplier")
                 if not os.path.exists(os.path.join(OUT100, f"{t}.parquet"))
             )
             if missing:

@@ -156,3 +156,26 @@ def test_rolling_distinct_users_within_hll_error(spark, sf_smoke):
     sk.unpersist()
     days_events.unpersist()
     spark.catalog.clearCache()
+
+
+def test_transition_matrix_counts_and_shares(spark):
+    from pyspark.sql import functions as F
+
+    from database_migration_spark.operators.behavior import transition_matrix
+
+    ev = spark.createDataFrame(
+        [  # user 1: a->b->a ; user 2: a->b ; singleton user 3 contributes none
+            (1, 1, "a"), (1, 2, "b"), (1, 3, "a"),
+            (2, 1, "a"), (2, 2, "b"),
+            (3, 1, "z"),
+        ],
+        "user_id LONG, event_id LONG, event_type STRING",
+    ).withColumn("tsu", F.col("event_id") * 1000)
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["share_ppm"])
+        for r in transition_matrix(ev).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 1_000_000),  # every transition leaving a goes to b
+        ("b", "a"): (1, 1_000_000),
+    }

@@ -78,6 +78,18 @@ def asof_join(
             "rename the inputs' columns or pass a different suffix"
         )
 
+    # NULL equi-keys match nothing (SQL join semantics; the DuckDB ASOF
+    # oracle agrees) — but Window.partitionBy groups NULL keys into one
+    # partition, so a NULL-key right row would otherwise become carry-
+    # forward state for NULL-key left rows. Dropping the right side's
+    # NULL-key rows suffices: NULL-key left rows then find an empty
+    # timeline and come out unmatched, exactly like a LEFT JOIN.
+    null_key = None
+    for k in on:
+        e = F.col(k).isNull()
+        null_key = e if null_key is None else (null_key | e)
+    right = right.where(~null_key)
+
     # tag and union: right rows carry their payload in the output slots,
     # left rows carry NULLs there (filled by the carry-forward window)
     r = right.select(

@@ -280,9 +280,13 @@ def transition_matrix(
         F.lag(type_col).over(w).alias("from_type"),
         F.col(type_col).alias("to_type"),
     ).where(F.col("from_type").isNotNull())
+    from pyspark import StorageLevel
+
+    # pairs feeds the totals aggregate AND the final join — persist, or
+    # the events scan + window shuffle recompute for each branch
     pairs = seq.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("n_transitions")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     totals = pairs.groupBy("from_type").agg(
         F.sum("n_transitions").alias("_t")
     )

@@ -34,7 +34,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-_Q = "CAST(floor(try_cast({c} AS DECIMAL(26,12)) * 1000000) AS DECIMAL(38,0))"
+# two-regime quantization: the fine path keeps e6 fractional resolution
+# (exact to |v| ~9e12 — the z-order bound); values past it (epoch-µs
+# BIGINTs ~1.7e15, big surrogate keys) fall back to unit resolution
+# (floor at 6dp then scale — exact to |v| ~1e30, where e6 cells are
+# irrelevant anyway). Without the fallback every wide value try_casts to
+# NULL and a drifted column reads ZERO — the same all-NULL false-negative
+# the categorical hash-bin dispatch closes for strings.
+_Q = (
+    "coalesce("
+    "CAST(floor(try_cast({c} AS DECIMAL(26,12)) * 1000000) AS DECIMAL(38,0)), "
+    "CAST(CAST(floor(try_cast({c} AS DECIMAL(36,6))) AS DECIMAL(32,0)) "
+    "* 1000000 AS DECIMAL(38,0)))"
+)
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,

@@ -173,6 +173,8 @@ def watermark_refresh(
     import os
     import shutil
 
+    from pyspark import StorageLevel
+
     exists = os.path.exists(state_path)
     if exists:
         stored = spark.read.parquet(state_path)
@@ -180,21 +182,30 @@ def watermark_refresh(
         delta = base.where(F.col(delta_col) > F.lit(wm))
     else:
         stored, wm, delta = None, None, base
-    n = delta.count()
-    if n == 0:
-        return {"applied_rows": 0, "watermark": wm}
-    new_wm = delta.select(F.max(delta_col).alias("w")).first()["w"]
-    states = [stored.drop("_wm")] if exists else []
-    states.append(
-        build_state(delta, keys, measures, distinct_cols=distinct_cols)
-    )
-    merged = merge_states(states, keys, measures, distinct_cols).withColumn(
-        "_wm", F.lit(new_wm)
-    )
-    tmp = state_path + ".staging"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
-    shutil.rmtree(tmp, ignore_errors=True)
+    # the delta feeds three actions (count, max, fold) — persist so ONE
+    # materialization serves all three: both the 3× I/O and the
+    # live-source race (a row landing between the watermark scan and the
+    # fold scan would fold now AND re-read as delta next run — the exact
+    # double count the strictly-greater design exists to prevent)
+    delta = delta.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = delta.count()
+        if n == 0:
+            return {"applied_rows": 0, "watermark": wm}
+        new_wm = delta.select(F.max(delta_col).alias("w")).first()["w"]
+        states = [stored.drop("_wm")] if exists else []
+        states.append(
+            build_state(delta, keys, measures, distinct_cols=distinct_cols)
+        )
+        merged = merge_states(states, keys, measures, distinct_cols).withColumn(
+            "_wm", F.lit(new_wm)
+        )
+        tmp = state_path + ".staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+    finally:
+        delta.unpersist(blocking=False)
     return {"applied_rows": n, "watermark": new_wm}
 
 
@@ -205,6 +216,8 @@ def backfill_groups(
     measures: list[str],
     predicate,
     distinct_cols: list[str] | None = None,
+    signed: bool = False,
+    sign_col: str | None = None,
 ) -> DataFrame:
     """Targeted correction: rebuild ONLY the groups matching ``predicate``
     from ``base``, keep every other group's partials untouched.
@@ -224,12 +237,27 @@ def backfill_groups(
     A predicate that evaluates NULL (a NULL key under ``=``) counts as
     not-matching on BOTH sides — the group stays kept, never silently
     dropped by three-valued logic.
+
+    Pass the SAME ``signed``/``sign_col``/``distinct_cols`` the state was
+    built with: rebuilding a signed-CDC base without its sign column
+    counts retractions as inserts. The rebuilt partials' shape is checked
+    against the state's columns and a mismatch raises rather than
+    unioning NULL-padded half-schemas.
     """
     match = F.coalesce(predicate, F.lit(False))
     kept = state.where(~match)
     fresh = build_state(
-        base.where(match), keys, measures, distinct_cols=distinct_cols
+        base.where(match), keys, measures,
+        signed=signed, sign_col=sign_col, distinct_cols=distinct_cols,
     )
+    extra = {"_epoch", "_wm"}  # stream/refresh bookkeeping columns
+    if set(state.columns) - extra != set(fresh.columns):
+        raise ValueError(
+            "state and rebuilt partials have different shapes "
+            f"({sorted(set(state.columns) - extra)} vs "
+            f"{sorted(fresh.columns)}) — pass the same signed/sign_col/"
+            "distinct_cols the state was built with"
+        )
     return kept.unionByName(fresh, allowMissingColumns=True)
 
 

@@ -201,6 +201,11 @@ def range_join(
     )
     if how == "inner":
         return matched
+    from pyspark import StorageLevel
+
+    # matched feeds the anti-join AND the final union — persist, or the
+    # cell-explode join (the operator's dominant cost) executes twice
+    matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
     # left: re-attach the points that matched nothing. The anti-join must
     # be NULL-SAFE on every point column — plain equality would let a
     # matched row with a NULL payload column "fail to match itself" and

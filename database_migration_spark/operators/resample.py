@@ -68,7 +68,12 @@ def resample(
     if unknown:
         raise ValueError(f"fill columns not in aggs: {sorted(unknown)}")
 
+    from pyspark import StorageLevel
+
     t = F.col(ts_col).cast("long")
+    # binned feeds two branches (span bounds + the grid left-join) —
+    # persist, or the scan + per-bin aggregation executes twice
+    # (CLAUDE.md multi-branch rule)
     binned = (
         df.where(t.isNotNull())
         .withColumn("bin", F.expr(
@@ -77,6 +82,7 @@ def resample(
         ))
         .groupBy(*keys, "bin")
         .agg(*[expr.alias(name) for name, expr in aggs.items()])
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     spans = binned.groupBy(*keys).agg(
         F.min("bin").alias("_lo"), F.max("bin").alias("_hi")

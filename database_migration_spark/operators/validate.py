@@ -376,19 +376,26 @@ def bucket_completeness(
         raise ValueError("bucket_size must be positive")
     b = F.lit(int(bucket_size)).cast("long")
     k = F.col(key).cast("long")
+    from pyspark import StorageLevel
+
+    # ONE scan: per-bucket counts carry their own min/max key, and the
+    # global span folds from the tiny per-bucket relation (a second
+    # df-wide aggregate branch would re-scan the table — review finding)
     per_bucket = (
         df.where(F.col(key).isNotNull())
         .groupBy((k - F.pmod(k, b)).alias("bucket_start"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count_distinct(F.col(key)).alias("n_keys"),
+            F.min(k).alias("_min_k"),
+            F.max(k).alias("_max_k"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # global span bounds (broadcast scalar join) to clip edge buckets
-    span = df.select(
-        F.min(k).alias("span_lo"), F.max(k).alias("span_hi")
+    span = per_bucket.agg(
+        F.min("_min_k").alias("span_lo"), F.max("_max_k").alias("span_hi")
     )
-    joined = per_bucket.crossJoin(F.broadcast(span))
+    joined = per_bucket.drop("_min_k", "_max_k").crossJoin(F.broadcast(span))
     expected = (
         F.least(F.col("span_hi"), F.col("bucket_start") + (b - F.lit(1).cast("long")))
         - F.greatest(F.col("span_lo"), F.col("bucket_start"))

@@ -377,7 +377,16 @@ def fold_incremental_agg(
     :func:`stream_incremental_agg`, exposed for direct testing and for
     batch drivers that manage their own epochs). Returns True if the
     epoch was applied, False if skipped (empty batch or already-applied
-    epoch — the at-least-once redelivery case)."""
+    epoch — the at-least-once redelivery case).
+
+    The stored state carries one WATERMARK MARKER row — all group keys
+    NULL and ``n_rows = 0`` (impossible for a real group: merge_states
+    drops zero-count groups) — so the ``_epoch`` watermark survives even
+    when a signed epoch retracts EVERY group and the state has no data
+    rows left; without it, the redelivery of exactly that epoch would
+    re-apply the retractions against an empty state and mint phantom
+    negative groups. Read the state through the convention
+    ``where n_rows != 0``."""
     if not batch.head(1):
         return False
     import os
@@ -392,7 +401,7 @@ def fold_incremental_agg(
         last = stored.select(F.max("_epoch").alias("e")).first()["e"]
         if last is not None and int(epoch_id) <= int(last):
             return False
-        states.append(stored.drop("_epoch"))
+        states.append(stored.where(F.col("n_rows") != 0).drop("_epoch"))
     states.append(
         IA.build_state(
             batch, keys, measures,
@@ -402,8 +411,17 @@ def fold_incremental_agg(
     merged = IA.merge_states(states, keys, measures, distinct_cols).withColumn(
         "_epoch", F.lit(int(epoch_id)).cast("long")
     )
+    marker = s.range(1).select(
+        *[
+            F.lit(0).cast("long").alias(f.name) if f.name == "n_rows"
+            else F.lit(int(epoch_id)).cast("long").alias(f.name)
+            if f.name == "_epoch"
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in merged.schema.fields
+        ]
+    )
     tmp = state_path + f".epoch{epoch_id}"
-    merged.write.mode("overwrite").parquet(tmp)
+    merged.unionByName(marker).write.mode("overwrite").parquet(tmp)
     s.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
     shutil.rmtree(tmp, ignore_errors=True)
     return True

@@ -578,9 +578,9 @@ def main() -> int:
         )
         spark.catalog.clearCache()
     if "--salt-demo" in sys.argv:
-        # single-key join skew, measured: 4 M fact rows where ONE key owns
+        # single-key join skew, measured: 24 M fact rows where ONE key owns
         # half the volume joined to a 100 k-row dim (too big to broadcast
-        # at defaults). The plain shuffle join lands the hot key's 2 M
+        # at defaults). The plain shuffle join lands the hot key's 12 M
         # rows in one task; salted_join spreads them over 32. AQE's skew
         # split is DISABLED for the comparison so the demo isolates the
         # one-key-one-bucket pathology AQE cannot split either (it splits

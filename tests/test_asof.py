@@ -137,3 +137,17 @@ def test_asof_multiple_value_cols(spark):
     )
     row = as_of_join(left, right, key="k", ts="ts").collect()[0]
     assert row.name == "x" and row.score == 9.5
+
+
+def test_null_keys_match_nothing(spark):
+    """NULL equi-keys never match (SQL join semantics, and the DuckDB
+    ASOF oracle's) — without the right-side filter, Window.partitionBy
+    would hand NULL-key left rows the NULL-key right timeline."""
+    left = spark.createDataFrame(
+        [(1, None, 10), (2, "a", 10)], "id LONG, k STRING, t LONG"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, "leak"), ("a", 5, "ok")], "k STRING, t LONG, v STRING"
+    )
+    got = {r["id"]: r["v"] for r in asof_join(left, right, ["k"], "t").collect()}
+    assert got == {1: None, 2: "ok"}

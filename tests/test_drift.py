@@ -144,3 +144,24 @@ def test_categorical_columns_hash_bin_instead_of_null_collapse(spark):
     num = spark.createDataFrame([(1,)], "status BIGINT")
     with _pytest.raises(ValueError):
         distribution_drift(left, num, ["status"])
+
+
+def test_wide_numerics_bin_instead_of_null_collapse(spark):
+    """Review finding: epoch-microsecond BIGINTs (~1.7e15) exceeded the
+    fine DECIMAL(26,12) quantization and every value try_cast to the NULL
+    bin — a timezone slide on a tsu column read ZERO drift. The coarse
+    unit-resolution fallback must make it visible."""
+    base = 1_700_000_000_000_000  # epoch-µs scale
+    left = spark.createDataFrame(
+        [(base + i * 60_000_000,) for i in range(200)], "tsu BIGINT"
+    )
+    slid = spark.createDataFrame(  # the 2h timezone slide
+        [(base + i * 60_000_000 + 7_200_000_000,) for i in range(200)],
+        "tsu BIGINT",
+    )
+    same = _summary(distribution_drift(left, left, ["tsu"], n_bins=10))["tsu"]
+    assert same["tv_ppm"] == 0
+    rep = distribution_drift(left, left, ["tsu"], n_bins=10).collect()
+    assert all(r["bin"] >= 0 for r in rep)  # values BIN, not NULL-collapse
+    shift = _summary(distribution_drift(left, slid, ["tsu"], n_bins=10))["tsu"]
+    assert shift["tv_ppm"] > 200_000 and shift["ks_ppm"] > 200_000

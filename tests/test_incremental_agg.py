@@ -168,3 +168,28 @@ def test_random_splits_merge_to_rebuild(spark):
         assert merged == full
 
     run()
+
+
+def test_backfill_signed_state_and_shape_guard(spark):
+    """Review finding: backfilling a SIGNED state from the signed CDC base
+    must honor the sign column (a +1/-1 pair cancels, not double-counts),
+    and mixing shapes (signed state, unsigned rebuild) raises instead of
+    unioning NULL-padded half-schemas."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    schema = "g STRING, v DOUBLE, sgn INT"
+    base = spark.createDataFrame(
+        [("a", 1.0, 1), ("b", 5.0, 1), ("b", 5.0, -1), ("b", 2.0, 1)], schema
+    )
+    state = IA.build_state(base, ["g"], ["v"], signed=True, sign_col="sgn")
+    fixed = IA.backfill_groups(
+        state, base, ["g"], ["v"], F.col("g") == "b",
+        signed=True, sign_col="sgn",
+    )
+    rows = {r["g"]: r.asDict() for r in fixed.collect()}
+    assert rows["b"]["n_rows"] == 1 and str(rows["b"]["sum_v"]) == "2.000000"
+
+    with pytest.raises(ValueError, match="different shapes"):
+        IA.backfill_groups(state, base.drop("sgn"), ["g"], ["v"],
+                           F.col("g") == "b")

@@ -706,7 +706,10 @@ def test_stream_incremental_agg_matches_rebuild(spark, tmp_path):
 
     state = spark.read.parquet(state_path)
     assert "_epoch" in state.columns  # replay watermark travels in the state
-    got = {r["g"]: r.asDict() for r in state.drop("_epoch").collect()}
+    got = {
+        r["g"]: r.asDict()
+        for r in state.where("n_rows != 0").drop("_epoch").collect()
+    }
     want_df = IA.build_state(
         spark.createDataFrame(b0 + b1, schema), ["g"], ["v"],
         signed=True, sign_col="sgn",
@@ -726,29 +729,66 @@ def test_fold_incremental_agg_replay_is_idempotent(spark, tmp_path):
         fold_incremental_agg,
     )
 
+    def groups(path):
+        return {
+            r["g"]: r.asDict()
+            for r in spark.read.parquet(path).where("n_rows != 0").collect()
+        }
+
     state = str(tmp_path / "state")
     b0 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "g STRING, v DOUBLE")
     b1 = spark.createDataFrame([("a", 5.0)], "g STRING, v DOUBLE")
 
     assert fold_incremental_agg(b0, 0, state, ["g"], ["v"]) is True
     assert fold_incremental_agg(b1, 1, state, ["g"], ["v"]) is True
-    snapshot = {r["g"]: r.asDict() for r in spark.read.parquet(state).collect()}
+    snapshot = groups(state)
 
     # crash-redelivery of epoch 1: skipped, state byte-for-byte equal
     assert fold_incremental_agg(b1, 1, state, ["g"], ["v"]) is False
-    assert {r["g"]: r.asDict() for r in spark.read.parquet(state).collect()} == snapshot
+    assert groups(state) == snapshot
     # stale epoch 0 likewise
     assert fold_incremental_agg(b0, 0, state, ["g"], ["v"]) is False
 
     # the next real epoch still applies
     b2 = spark.createDataFrame([("c", 9.0)], "g STRING, v DOUBLE")
     assert fold_incremental_agg(b2, 2, state, ["g"], ["v"]) is True
-    rows = {r["g"]: r["n_rows"] for r in spark.read.parquet(state).collect()}
+    rows = {k: v["n_rows"] for k, v in groups(state).items()}
     assert rows == {"a": 2, "b": 1, "c": 1}
 
     # empty batch: no-op, returns False
     empty = spark.createDataFrame([], "g STRING, v DOUBLE")
     assert fold_incremental_agg(empty, 3, state, ["g"], ["v"]) is False
+
+
+def test_fold_replay_guard_survives_total_retraction(spark, tmp_path):
+    """The review finding this pins: a signed epoch that retracts EVERY
+    group leaves a state with no data rows — the watermark marker row
+    must still carry _epoch, so redelivering that epoch is skipped
+    instead of minting phantom negative groups."""
+    from database_migration_spark.streaming.delta_stream import (
+        fold_incremental_agg,
+    )
+
+    state = str(tmp_path / "state")
+    schema = "g STRING, v DOUBLE, sgn INT"
+    b0 = spark.createDataFrame([("a", 1.0, 1)], schema)
+    kill = spark.createDataFrame([("a", 1.0, -1)], schema)
+    assert fold_incremental_agg(b0, 0, state, ["g"], ["v"],
+                                signed=True, sign_col="sgn") is True
+    assert fold_incremental_agg(kill, 1, state, ["g"], ["v"],
+                                signed=True, sign_col="sgn") is True
+    stored = spark.read.parquet(state)
+    assert stored.where("n_rows != 0").count() == 0  # truly empty of groups
+    # redelivery of the killing epoch: SKIPPED, no phantom n_rows=-1 group
+    assert fold_incremental_agg(kill, 1, state, ["g"], ["v"],
+                                signed=True, sign_col="sgn") is False
+    assert spark.read.parquet(state).where("n_rows != 0").count() == 0
+    # life goes on: the next epoch applies onto the empty-but-marked state
+    b2 = spark.createDataFrame([("z", 2.0, 1)], schema)
+    assert fold_incremental_agg(b2, 2, state, ["g"], ["v"],
+                                signed=True, sign_col="sgn") is True
+    assert {r["g"] for r in
+            spark.read.parquet(state).where("n_rows != 0").collect()} == {"z"}
 
 
 def test_scd2_merge_replay_is_idempotent(spark):

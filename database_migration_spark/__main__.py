@@ -253,8 +253,23 @@ def cmd_drift(args) -> int:
             and isinstance(r.schema[f.name].dataType, type(f.dataType))
             and (wanted is None or f.name in wanted)
         ]
+        if wanted is not None:
+            # an explicitly named column that doesn't resolve (typo,
+            # missing on a side, uncomparable type) must FAIL the gate —
+            # silently comparing a subset turns the CI gate green while
+            # checking nothing (review finding)
+            unresolved = [c for c in wanted if c not in cols]
+            if unresolved:
+                print(
+                    f"error: --columns not comparable on {lfold[k]}: "
+                    f"{unresolved} (missing, type-mismatched, or not a "
+                    "numeric/string column)",
+                    file=sys.stderr,
+                )
+                return 2
         if not cols:
             print(f"{lfold[k]}: no shared comparable columns")
+            bad += 1
             continue
         is_numeric = {
             f.name for f in l.schema.fields if isinstance(f.dataType, numeric)

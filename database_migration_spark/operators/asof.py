@@ -57,6 +57,12 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward or forward, got {direction!r}")
+    reserved = {"_ats", "_src"}
+    bad = reserved & (set(left.columns) | set(right.columns))
+    if bad:
+        raise ValueError(
+            f"inputs may not already carry {sorted(bad)} (internal columns)"
+        )
     right_ts = right_ts or left_ts
     right_cols = (
         right_cols
@@ -84,11 +90,14 @@ def asof_join(
     # forward state for NULL-key left rows. Dropping the right side's
     # NULL-key rows suffices: NULL-key left rows then find an empty
     # timeline and come out unmatched, exactly like a LEFT JOIN.
-    null_key = None
-    for k in on:
-        e = F.col(k).isNull()
-        null_key = e if null_key is None else (null_key | e)
-    right = right.where(~null_key)
+    # ``on=[]`` is the keyless global-timeline as-of (pandas merge_asof
+    # with no `by`): nothing to null-filter, one window partition.
+    if on:
+        null_key = None
+        for k in on:
+            e = F.col(k).isNull()
+            null_key = e if null_key is None else (null_key | e)
+        right = right.where(~null_key)
 
     # tag and union: right rows carry their payload in the output slots,
     # left rows carry NULLs there (filled by the carry-forward window)

@@ -228,7 +228,6 @@ def sync_table(
     only matched files.
     """
     import os
-    import shutil
 
     from database_migration_spark.sources.parquet_source import ParquetSource
 
@@ -279,10 +278,9 @@ def sync_table(
         return plan
 
     merged = apply_sync_plan(source, target, plan)
-    tmp = path.rstrip("/") + ".sync-tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-    shutil.rmtree(tmp, ignore_errors=True)
+    from database_migration_spark.functions.io import publish_parquet
+
+    publish_parquet(merged, path, path.rstrip("/") + ".sync-tmp")
 
     fresh = spark.read.parquet(path)
     rows_after = fresh.count()

@@ -117,9 +117,16 @@ def distribution_drift(
     both = _stacked(left, cols, "l", n_bins).unionByName(
         _stacked(right, cols, "r", n_bins)
     )
-    per_bin_key = both.join(
+    # collapse to per-(column, value, side) counts FIRST — one scan per
+    # side total, and the span/binning branches below then read this
+    # distinct-value-sized relation instead of re-scanning the inputs
+    # (the dist_key_advisor per_value shape; CLAUDE.md multi-branch rule)
+    per_value = both.groupBy("column_name", "q", "side").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).persist()
+    per_bin_key = per_value.join(
         F.broadcast(
-            both.where(F.col("q").isNotNull())
+            per_value.where(F.col("q").isNotNull())
             .groupBy("column_name")
             .agg(F.min("q").alias("_lo"), F.max("q").alias("_hi"))
         ),
@@ -128,6 +135,7 @@ def distribution_drift(
     ).select(
         "column_name",
         "side",
+        "cnt",
         F.when(
             F.col("q").isNull(), F.lit(-1).cast("long")
         ).otherwise(
@@ -142,8 +150,8 @@ def distribution_drift(
     per_bin = (
         per_bin_key.groupBy("column_name", "bin")
         .agg(
-            F.sum(F.when(F.col("side") == "l", 1).otherwise(0)).alias("l_cnt"),
-            F.sum(F.when(F.col("side") == "r", 1).otherwise(0)).alias("r_cnt"),
+            F.sum(F.when(F.col("side") == "l", F.col("cnt")).otherwise(0)).alias("l_cnt"),
+            F.sum(F.when(F.col("side") == "r", F.col("cnt")).otherwise(0)).alias("r_cnt"),
             F.min("_lo").alias("_lo"),
             F.min("_w").alias("_w"),
         )

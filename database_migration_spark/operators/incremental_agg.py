@@ -82,6 +82,11 @@ def build_state(
     a sketch) — that combination raises.
     """
     distinct_cols = distinct_cols or []
+    if signed and not sign_col:
+        raise ValueError(
+            "signed=True requires sign_col — without it every retraction "
+            "row would silently count as an insert"
+        )
     if signed and distinct_cols:
         raise ValueError(
             "distinct sketches are insert-only and cannot honor signed "
@@ -171,7 +176,6 @@ def watermark_refresh(
     is 0 when the delta is empty (state untouched).
     """
     import os
-    import shutil
 
     from pyspark import StorageLevel
 
@@ -179,7 +183,15 @@ def watermark_refresh(
     if exists:
         stored = spark.read.parquet(state_path)
         wm = stored.select(F.max("_wm").alias("w")).first()["w"]
-        delta = base.where(F.col(delta_col) > F.lit(wm))
+        # a NULL stored watermark means the bootstrap saw only NULL
+        # delta_col rows (folded once, unreachable by any comparison) —
+        # the delta is then every row that HAS a watermark value, not the
+        # empty set a NULL > comparison would silently produce
+        delta = (
+            base.where(F.col(delta_col) > F.lit(wm))
+            if wm is not None
+            else base.where(F.col(delta_col).isNotNull())
+        )
     else:
         stored, wm, delta = None, None, base
     # the delta feeds three actions (count, max, fold) — persist so ONE
@@ -197,13 +209,14 @@ def watermark_refresh(
         states.append(
             build_state(delta, keys, measures, distinct_cols=distinct_cols)
         )
+        # typed even when new_wm is None (all-NULL bootstrap): a bare
+        # F.lit(None) is VOID and the parquet writer rejects it
         merged = merge_states(states, keys, measures, distinct_cols).withColumn(
-            "_wm", F.lit(new_wm)
+            "_wm", F.lit(new_wm).cast(base.schema[delta_col].dataType)
         )
-        tmp = state_path + ".staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
-        shutil.rmtree(tmp, ignore_errors=True)
+        from database_migration_spark.functions.io import publish_parquet
+
+        publish_parquet(merged, state_path, state_path + ".staging")
     finally:
         delta.unpersist(blocking=False)
     return {"applied_rows": n, "watermark": new_wm}

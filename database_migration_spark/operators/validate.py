@@ -354,7 +354,8 @@ def validate_pair(
 # ---------------------------------------------------------------------------
 
 def bucket_completeness(
-    df: DataFrame, key: str, bucket_size: int = 1000
+    df: DataFrame, key: str, bucket_size: int = 1000,
+    max_report_buckets: int = 10_000_000,
 ) -> DataFrame:
     """Per-id-range density report: WHERE did rows go missing?
 
@@ -368,6 +369,16 @@ def bucket_completeness(
     missing`` where ``missing = bucket_size - n_keys`` inside the observed
     key span (clipped at the span edges so a sparse head/tail is not
     misreported as loss).
+
+    EVERY bucket between the first and last observed key emits a row —
+    including buckets with no rows at all (n_rows = 0, missing = full):
+    a dropped extract chunk is the most common loss shape, and a report
+    that only listed observed buckets would show missing = 0 everywhere
+    while a thousand-key hole hid as an absent row (round-6 review
+    finding). The grid is a sequence explode over the span's bucket
+    range, so the report size is span/bucket_size; ``max_report_buckets``
+    raises on key domains too sparse to grid (hash-valued keys — size
+    buckets to the domain instead) rather than exploding.
 
     Duplicate keys show up as ``n_rows > n_keys`` — the same report
     answers "where did the loader double-insert?".
@@ -392,10 +403,39 @@ def bucket_completeness(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    span = per_bucket.agg(
+    span_row = per_bucket.agg(
         F.min("_min_k").alias("span_lo"), F.max("_max_k").alias("span_hi")
+    ).first()
+    if span_row is None or span_row["span_lo"] is None:
+        return per_bucket.sparkSession.createDataFrame(
+            [], "bucket_start LONG, bucket_end LONG, n_rows LONG, "
+                "n_keys LONG, missing LONG, duplicated LONG"
+        )
+    lo, hi = int(span_row["span_lo"]), int(span_row["span_hi"])
+    first_bucket = lo - (((lo % bucket_size) + bucket_size) % bucket_size)
+    last_bucket = hi - (((hi % bucket_size) + bucket_size) % bucket_size)
+    n_buckets = (last_bucket - first_bucket) // bucket_size + 1
+    if n_buckets > max_report_buckets:
+        raise ValueError(
+            f"key span {lo}..{hi} grids to {n_buckets} buckets of "
+            f"{bucket_size} (> max_report_buckets={max_report_buckets}) — "
+            "the key domain is too sparse for range completeness; widen "
+            "bucket_size to the domain"
+        )
+    spark = per_bucket.sparkSession
+    grid = spark.range(first_bucket, last_bucket + 1, bucket_size).select(
+        F.col("id").alias("bucket_start")
     )
-    joined = per_bucket.drop("_min_k", "_max_k").crossJoin(F.broadcast(span))
+    joined = (
+        grid.join(per_bucket.drop("_min_k", "_max_k"), "bucket_start", "left")
+        .select(
+            "bucket_start",
+            F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+            F.coalesce(F.col("n_keys"), F.lit(0)).alias("n_keys"),
+        )
+        .withColumn("span_lo", F.lit(lo))
+        .withColumn("span_hi", F.lit(hi))
+    )
     expected = (
         F.least(F.col("span_hi"), F.col("bucket_start") + (b - F.lit(1).cast("long")))
         - F.greatest(F.col("span_lo"), F.col("bucket_start"))

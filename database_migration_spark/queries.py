@@ -4620,14 +4620,23 @@ pb AS (
   SELECT k - ((k % 1000) + 1000) % 1000 AS bucket_start,
          count(*) AS n_rows, count(DISTINCT k) AS n_keys
   FROM k GROUP BY 1
+),
+grid AS (
+  SELECT unnest(range(span_lo - ((span_lo % 1000) + 1000) % 1000,
+                      span_hi - ((span_hi % 1000) + 1000) % 1000 + 1,
+                      1000)) AS bucket_start,
+         span_lo, span_hi
+  FROM span
 )
-SELECT CAST(bucket_start AS BIGINT) AS bucket_start,
-       CAST(bucket_start + 999 AS BIGINT) AS bucket_end,
-       n_rows, n_keys,
-       CAST((least(span_hi, bucket_start + 999) - greatest(span_lo, bucket_start) + 1)
-            - n_keys AS BIGINT) AS missing,
-       CAST(n_rows - n_keys AS BIGINT) AS duplicated
-FROM pb, span
+SELECT CAST(g.bucket_start AS BIGINT) AS bucket_start,
+       CAST(g.bucket_start + 999 AS BIGINT) AS bucket_end,
+       CAST(coalesce(n_rows, 0) AS BIGINT) AS n_rows,
+       CAST(coalesce(n_keys, 0) AS BIGINT) AS n_keys,
+       CAST((least(span_hi, g.bucket_start + 999)
+             - greatest(span_lo, g.bucket_start) + 1)
+            - coalesce(n_keys, 0) AS BIGINT) AS missing,
+       CAST(coalesce(n_rows, 0) - coalesce(n_keys, 0) AS BIGINT) AS duplicated
+FROM grid g LEFT JOIN pb USING (bucket_start)
 """,
 )
 def bucket_completeness_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

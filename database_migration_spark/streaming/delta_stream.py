@@ -71,9 +71,9 @@ def stream_merge_upsert(
         else:
             merged = batch
         # stage then swap: a transactional format replaces this dance
-        tmp = target_path + f".epoch{epoch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        s.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+        from database_migration_spark.functions.io import publish_parquet
+
+        publish_parquet(merged, target_path, target_path + f".epoch{epoch_id}")
 
     return (
         stream.writeStream.foreachBatch(upsert)
@@ -282,14 +282,11 @@ def stream_scd2(
             )
         else:
             merged = scd2_bootstrap(batch, keys, attrs, ts)
-        tmp = dim_path + f".epoch{epoch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        s.read.parquet(tmp).write.mode("overwrite").parquet(dim_path)
-        # the staging copy is dead once swapped — a long-running stream
-        # would otherwise accumulate one full dimension copy per epoch
-        import shutil
+        # staging copy dropped once swapped — a long-running stream would
+        # otherwise accumulate one full dimension copy per epoch
+        from database_migration_spark.functions.io import publish_parquet
 
-        shutil.rmtree(tmp, ignore_errors=True)
+        publish_parquet(merged, dim_path, dim_path + f".epoch{epoch_id}")
 
     return (
         stream.writeStream.foreachBatch(apply)
@@ -390,7 +387,6 @@ def fold_incremental_agg(
     if not batch.head(1):
         return False
     import os
-    import shutil
 
     from database_migration_spark.operators import incremental_agg as IA
 
@@ -420,10 +416,12 @@ def fold_incremental_agg(
             for f in merged.schema.fields
         ]
     )
-    tmp = state_path + f".epoch{epoch_id}"
-    merged.unionByName(marker).write.mode("overwrite").parquet(tmp)
-    s.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
-    shutil.rmtree(tmp, ignore_errors=True)
+    from database_migration_spark.functions.io import publish_parquet
+
+    publish_parquet(
+        merged.unionByName(marker), state_path,
+        state_path + f".epoch{epoch_id}",
+    )
     return True
 
 

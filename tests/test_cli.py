@@ -779,3 +779,15 @@ def test_cli_compact_flat_and_partitioned(spark, tmp_path, capsys):
         files = glob.glob(f"{pdest}/bucket={b}/*.parquet")
         assert len(files) == 1, (b, files)
     assert spark.read.parquet(pdest).count() == spark.read.parquet(psrc).count()
+
+
+def test_cli_drift_unresolved_columns_fail_loudly(spark, sf_smoke, capsys):
+    """Review finding: a typoed/uncomparable --columns entry must exit 2,
+    not gate green having compared a silent subset (or nothing)."""
+    rc = main(["drift", "--left", sf_smoke, "--right", sf_smoke,
+               "--tables", "orders", "--columns", "o_totalprce"])
+    err = capsys.readouterr().err
+    assert rc == 2 and "o_totalprce" in err
+    rc = main(["drift", "--left", sf_smoke, "--right", sf_smoke,
+               "--tables", "orders", "--columns", "o_totalprice,o_nope"])
+    assert rc == 2 and "o_nope" in capsys.readouterr().err

@@ -51,3 +51,28 @@ def test_missing_keys_drilldown_lists_exact_ids(spark):
 
     with pytest.raises(ValueError):
         missing_keys(df, "k", 10, 5)
+
+
+def test_bucket_completeness_emits_entirely_missing_buckets(spark):
+    """Review finding: a whole dropped extract chunk (one bucket with ZERO
+    rows) must emit n_rows=0, missing=bucket_size — not vanish as an
+    absent row a missing>0 consumer never sees."""
+    from database_migration_spark.operators.validate import bucket_completeness
+
+    keys = list(range(0, 1000)) + list(range(2000, 3000))  # bucket 1 gone
+    df = spark.createDataFrame([(k,) for k in keys], "k BIGINT")
+    rows = {r["bucket_start"]: r.asDict()
+            for r in bucket_completeness(df, "k", 1000).collect()}
+    assert set(rows) == {0, 1000, 2000}
+    assert rows[1000]["n_rows"] == 0 and rows[1000]["missing"] == 1000
+    assert rows[0]["missing"] == 0 and rows[2000]["missing"] == 0
+
+
+def test_bucket_completeness_sparse_domain_raises(spark):
+    from database_migration_spark.operators.validate import bucket_completeness
+
+    df = spark.createDataFrame([(0,), (10**15,)], "k BIGINT")
+    with pytest.raises(ValueError, match="too sparse"):
+        bucket_completeness(df, "k", 1000)
+    # sized to the domain it reports fine
+    assert bucket_completeness(df, "k", 10**15, max_report_buckets=10).count() == 2

@@ -114,3 +114,51 @@ def resample(
         (F.col("bin") * step + step - 1).alias("bin_end"),
         *agg_names,
     )
+
+
+def flag_anomalies(
+    series: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    trailing: int = 8,
+    factor_permille: int = 3000,
+) -> DataFrame:
+    """Spike detection over a REGULAR series (a :func:`resample` output —
+    gap bins must exist, or silence before a spike hides the baseline):
+    flag rows where ``value > factor × trailing mean`` of the previous
+    ``trailing`` bins, division-free —
+
+        value · 1000 · baseline_n  >  factor_permille · baseline_sum
+
+    stays in exact integer arithmetic (the cross-engine rule; a float
+    mean would hash-diverge), and rows without a FULL trailing window
+    never flag (a series' first bins have no baseline to betray).
+
+    One window pass per key, partition-local after the resample's own
+    shuffle. Columns out: the input's, plus ``baseline_sum, baseline_n,
+    is_anomaly``.
+    """
+    if trailing <= 0:
+        raise ValueError("trailing must be positive")
+    if factor_permille <= 0:
+        raise ValueError("factor_permille must be positive")
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-trailing, -1)
+    )
+    v = F.col(value_col).cast("long")
+    out = series.select(
+        "*",
+        F.coalesce(F.sum(v).over(w), F.lit(0)).cast("long").alias("baseline_sum"),
+        F.count(v).over(w).cast("long").alias("baseline_n"),
+    )
+    return out.withColumn(
+        "is_anomaly",
+        (F.col("baseline_n") == trailing)
+        & (
+            v * F.lit(1000) * F.col("baseline_n")
+            > F.lit(int(factor_permille)) * F.col("baseline_sum")
+        ),
+    )

@@ -4069,6 +4069,73 @@ def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "anomaly_flags_user_activity",
+    oracle="""
+WITH base AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events
+),
+binned AS (
+  SELECT user_id,
+         (tsu - ((tsu % 21600000000) + 21600000000) % 21600000000)
+           // 21600000000 AS bin,
+         count(*) AS n_events
+  FROM base WHERE tsu IS NOT NULL GROUP BY 1, 2
+),
+spans AS (SELECT user_id, min(bin) AS lo, max(bin) AS hi FROM binned GROUP BY 1),
+grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS bin FROM spans),
+series AS (
+  SELECT g.user_id, g.bin, coalesce(b.n_events, 0) AS n
+  FROM grid g LEFT JOIN binned b USING (user_id, bin)
+),
+flagged AS (
+  SELECT user_id, bin, n,
+         coalesce(sum(n) OVER (PARTITION BY user_id ORDER BY bin
+                               ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING),
+                  0) AS baseline_sum,
+         count(n) OVER (PARTITION BY user_id ORDER BY bin
+                        ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS baseline_n
+  FROM series
+)
+SELECT user_id, CAST(bin * 21600000000 AS BIGINT) AS bin_start,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(baseline_sum AS BIGINT) AS baseline_sum,
+       CAST(baseline_n AS BIGINT) AS baseline_n
+FROM flagged
+WHERE baseline_n = 8 AND n * 1000 * baseline_n > 3000 * baseline_sum
+""",
+)
+def anomaly_flags_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring composition (resample → flag_anomalies): per-user 6-hour
+    activity series with explicit zero bins, spikes flagged where the
+    count exceeds 3× the trailing-8-bin mean — DIVISION-FREE
+    (value·1000·n > factor·sum stays integer-exact cross-engine; a float
+    mean would hash-diverge), and rows without a full trailing window
+    never flag. The zero-fill is load-bearing: without explicit gap bins
+    the baseline before a spike after silence would be missing instead of
+    zero. 2,313 spikes at sf0.01."""
+    from database_migration_spark.operators.resample import (
+        flag_anomalies,
+        resample,
+    )
+
+    STEP = 21_600_000_000
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", epoch_us_wall("ts").alias("tsu")
+    )
+    series = resample(
+        ev, ["user_id"], "tsu", STEP,
+        aggs={"n_events": F.count(F.lit(1))}, zero_fill=["n_events"],
+    )
+    flagged = flag_anomalies(
+        series, ["user_id"], "bin_start", "n_events",
+        trailing=8, factor_permille=3000,
+    )
+    return flagged.where(F.col("is_anomaly")).select(
+        "user_id", "bin_start", "n_events", "baseline_sum", "baseline_n"
+    )
+
+
+@register(
     "transition_matrix_events",
     oracle="""
 WITH base AS (
@@ -4931,6 +4998,13 @@ _SHOWCASE_ONLY = [
     # fold family graded via ann_cosine_topk; sim-verified +
     # numpy-differential pytest
     "embedding_outliers",
+    # showcase from birth: anomaly flags — the resample machinery is its
+    # own oracle-checked query and trailing-window sums are the graded
+    # rolling/RANGE family; the NEW claim (division-free integer spike
+    # threshold + full-window gating over explicit zero bins) is what
+    # the oracle pins; sim-verified + boundary/edge pytests
+    # (test_resample)
+    "anomaly_flags_user_activity",
     # showcase from birth: transition matrix — the user-keyed lag window
     # is graded sessionize_events and the ppm shares are the graded
     # quality/corpus-mix arithmetic; the NEW claim (consecutive-pair

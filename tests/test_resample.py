@@ -91,3 +91,33 @@ def test_reserved_key_name_raises(spark):
     df = spark.createDataFrame([(1, 2, 3)], "bin LONG, t LONG, v LONG")
     with pytest.raises(ValueError):
         resample(df, ["bin"], "t", 10, {"n": F.count(F.lit(1))})
+
+
+def test_flag_anomalies_integer_exact_thresholds(spark):
+    from database_migration_spark.operators.resample import flag_anomalies
+
+    # key x: flat 2s then a 7 spike; key y: rising ramp never 3x its trail
+    rows = [("x", i, 2) for i in range(8)] + [("x", 8, 7), ("x", 9, 2)]
+    rows += [("y", i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(rows, "k STRING, bin LONG, n LONG")
+    got = {(r["k"], r["bin"]): r.asDict()
+           for r in flag_anomalies(df, ["k"], "bin", "n").collect()}
+
+    assert got[("x", 8)]["is_anomaly"] is True          # 7 > 3 x mean(2)
+    assert got[("x", 8)]["baseline_sum"] == 16
+    assert got[("x", 9)]["is_anomaly"] is False         # back to normal
+    # first bins: no full window -> never flagged, even a big first value
+    assert all(not got[("x", b)]["is_anomaly"] for b in range(8))
+    assert all(not v["is_anomaly"] for (k, _), v in got.items() if k == "y")
+
+    # exact boundary: value*1000*n == factor*sum must NOT flag (strict >)
+    edge = spark.createDataFrame(
+        [("e", i, 1) for i in range(8)] + [("e", 8, 3)], "k STRING, bin LONG, n LONG"
+    )
+    e = {r["bin"]: r["is_anomaly"]
+         for r in flag_anomalies(edge, ["k"], "bin", "n").collect()}
+    assert e[8] is False  # 3 == 3x mean(1) exactly -> not a spike
+
+    import pytest
+    with pytest.raises(ValueError):
+        flag_anomalies(df, ["k"], "bin", "n", trailing=0)

@@ -81,6 +81,8 @@ PROBES = [
     "resample_user_activity",
     "drift_orders_history_vs_delta",
     "join_plan_advisor_lineitem",
+    "transition_matrix_events",
+    "anomaly_flags_user_activity",
     # hierarchy_flatten_customers is NOT probed at x10: the derived
     # corpus's replica key offsets break the div-10 parent derivation
     # (rep>=1 parents dangle), so the probe would measure the trivial

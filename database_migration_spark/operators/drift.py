@@ -185,6 +185,124 @@ def distribution_drift(
     )
 
 
+def reference_histogram(
+    df: DataFrame, cols: list[str], n_bins: int = 16
+) -> DataFrame:
+    """Freeze a relation's per-column histogram as the monitoring
+    reference: ``column_name, bin, ref_ppm, _lo, _w`` — the bin GEOMETRY
+    (span lower bound + width, or hash identity for categoricals) travels
+    with the shares, so later batches bin against the SAME cells instead
+    of their own span (a batch's own min/max would make every score
+    incomparable). One stacked scan (the :func:`distribution_drift`
+    machinery with a single side)."""
+    if not cols:
+        raise ValueError("need at least one column")
+    if n_bins <= 0:
+        raise ValueError("n_bins must be positive")
+    pv = _stacked(df, cols, "l", n_bins).groupBy("column_name", "q").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).persist()
+    spans = (
+        pv.where(F.col("q").isNotNull())
+        .groupBy("column_name")
+        .agg(F.min("q").alias("_lo"), F.max("q").alias("_hi"))
+        .select(
+            "column_name", "_lo",
+            F.expr(f"(_hi - _lo + {n_bins}) div {n_bins}").alias("_w"),
+        )
+    )
+    binned = (
+        pv.join(F.broadcast(spans), "column_name", "left")
+        .select(
+            "column_name",
+            F.when(F.col("q").isNull(), F.lit(-1).cast("long"))
+            .otherwise(F.expr("CAST((q - _lo) div _w AS BIGINT)"))
+            .alias("bin"),
+            "cnt", "_lo", "_w",
+        )
+        .groupBy("column_name", "bin")
+        .agg(F.sum("cnt").alias("cnt"), F.min("_lo").alias("_lo"),
+             F.min("_w").alias("_w"))
+    )
+    totals = binned.groupBy("column_name").agg(F.sum("cnt").alias("_t"))
+    return binned.join(F.broadcast(totals), "column_name").select(
+        "column_name",
+        "bin",
+        F.expr(
+            "CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000 div _t AS BIGINT)"
+        ).alias("ref_ppm"),
+        "_lo",
+        "_w",
+    )
+
+
+def drift_against_reference(
+    batch: DataFrame, reference: DataFrame, cols: list[str], n_bins: int = 16
+) -> DataFrame:
+    """Score a batch against a :func:`reference_histogram`: per column,
+    the TV distance (ppm) between the batch's shares and the frozen
+    reference shares, over the REFERENCE's bin geometry. Batch values
+    outside the reference span clamp to the edge bins (new extreme values
+    read as extreme-bin mass — visible drift, not silent loss); batch
+    NULLs land in the reference's NULL bin. Returns ``column_name,
+    n_rows, tv_ppm`` — the relation a monitoring sink thresholds.
+
+    ``n_bins`` must match the reference's (it is baked into the stored
+    widths; passing a different value mis-bins silently, so keep them
+    together the way the state/checkpoint pair travels)."""
+    geo = (
+        reference.where(F.col("bin") >= 0)
+        .groupBy("column_name")
+        .agg(F.min("_lo").alias("_lo"), F.min("_w").alias("_w"))
+    )
+    pv = _stacked(batch, cols, "b", n_bins).groupBy("column_name", "q").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    raw_bin = F.expr("CAST((q - _lo) div _w AS BIGINT)")
+    binned = (
+        pv.join(F.broadcast(geo), "column_name", "left")
+        .select(
+            "column_name",
+            F.when(F.col("q").isNull(), F.lit(-1).cast("long"))
+            .otherwise(
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.least(F.lit(int(n_bins) - 1).cast("long"), raw_bin),
+                )
+            )
+            .alias("bin"),
+            "cnt",
+        )
+        .groupBy("column_name", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    totals = binned.groupBy("column_name").agg(F.sum("cnt").alias("_t"))
+    batch_ppm = binned.join(F.broadcast(totals), "column_name").select(
+        "column_name",
+        "bin",
+        F.expr(
+            "CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000 div _t AS BIGINT)"
+        ).alias("b_ppm"),
+        F.col("_t"),
+    )
+    joined = batch_ppm.join(
+        reference.select("column_name", "bin", "ref_ppm"),
+        ["column_name", "bin"],
+        "full",
+    ).select(
+        "column_name",
+        F.coalesce(F.col("_t"), F.lit(0)).alias("_t"),
+        F.abs(
+            F.coalesce(F.col("b_ppm"), F.lit(0))
+            - F.coalesce(F.col("ref_ppm"), F.lit(0))
+        ).alias("d"),
+    )
+    return joined.groupBy("column_name").agg(
+        F.max("_t").cast("long").alias("n_rows"),
+        F.expr("CAST(sum(d) AS BIGINT) div 2").alias("tv_ppm"),
+    )
+
+
 def drift_summary(report: DataFrame) -> DataFrame:
     """Per-column verdict over a :func:`distribution_drift` report:
     ``tv_ppm`` (total-variation distance ×1e6 — 0 identical, 1e6

@@ -425,6 +425,58 @@ def fold_incremental_agg(
     return True
 
 
+def stream_drift_monitor(
+    stream: DataFrame,
+    reference_path: str,
+    cols: list[str],
+    sink,
+    checkpoint: str,
+    n_bins: int = 16,
+):
+    """Continuous ingest-quality monitoring: each micro-batch's value
+    distributions are scored against a FROZEN reference histogram
+    (operators/drift.reference_histogram, written once from a known-good
+    corpus snapshot) and the per-column TV distances stream to
+    ``sink(scores_df, epoch_id)`` — the schema-on-arrival complement of
+    the batch `drift` CLI gate: a feed that silently starts sending a
+    new code domain, a nulled-out column, or a shifted numeric range
+    shows up as a rising tv_ppm within one micro-batch of landing.
+
+    The reference (bin geometry + shares) is read and persisted ONCE —
+    the stream never rescans it; per-epoch work is one stacked scan of
+    the batch. Scores are integer-exact ppm, so alerting thresholds mean
+    the same thing on every engine and every day. The sink owns replay
+    idempotence (it receives epoch_id; see
+    :func:`stream_incremental_dedup`'s contract), though duplicate SCORE
+    rows are merely noisy, not corrupting — scoring has no state.
+    """
+    from pyspark import StorageLevel
+
+    from database_migration_spark.operators.drift import (
+        drift_against_reference,
+    )
+
+    ref = None
+
+    def score(batch: DataFrame, epoch_id: int) -> None:
+        nonlocal ref
+        if not batch.head(1):
+            return
+        if ref is None:
+            ref = (
+                batch.sparkSession.read.parquet(reference_path)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+        sink(drift_against_reference(batch, ref, cols, n_bins), epoch_id)
+
+    return (
+        stream.writeStream.foreachBatch(score)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -165,3 +165,37 @@ def test_wide_numerics_bin_instead_of_null_collapse(spark):
     assert all(r["bin"] >= 0 for r in rep)  # values BIN, not NULL-collapse
     shift = _summary(distribution_drift(left, slid, ["tsu"], n_bins=10))["tsu"]
     assert shift["tv_ppm"] > 200_000 and shift["ks_ppm"] > 200_000
+
+
+def test_reference_histogram_scoring(spark):
+    """drift_against_reference: the reference scores itself at zero; a
+    shifted batch scores high; out-of-span values clamp to edge bins
+    (visible drift, not silent loss); NULLs hit the NULL bin."""
+    from database_migration_spark.operators.drift import (
+        drift_against_reference,
+        reference_histogram,
+    )
+
+    ref_data = spark.createDataFrame(
+        [(float(i % 100),) for i in range(1000)], "v DOUBLE"
+    )
+    ref = reference_histogram(ref_data, ["v"], n_bins=10)
+    self_score = {
+        r["column_name"]: r["tv_ppm"]
+        for r in drift_against_reference(ref_data, ref, ["v"], 10).collect()
+    }
+    assert self_score["v"] == 0
+
+    shifted = spark.createDataFrame(
+        [(float(i % 100) + 500,) for i in range(1000)], "v DOUBLE"
+    )
+    s = {r["column_name"]: r.asDict()
+         for r in drift_against_reference(shifted, ref, ["v"], 10).collect()}
+    # everything clamps into the top edge bin: ~90% of mass moved
+    assert s["v"]["tv_ppm"] > 800_000
+    assert s["v"]["n_rows"] == 1000
+
+    nulled = ref_data.select(F.lit(None).cast("double").alias("v"))
+    n = {r["column_name"]: r["tv_ppm"]
+         for r in drift_against_reference(nulled, ref, ["v"], 10).collect()}
+    assert n["v"] == 1_000_000  # all mass in a bin the reference never had

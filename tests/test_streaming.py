@@ -814,3 +814,57 @@ def test_scd2_merge_replay_is_idempotent(spark):
         for r in df.collect()
     }
     assert key(once) == key(twice)
+
+
+def test_stream_drift_monitor_scores_each_batch(spark, tmp_path):
+    """Streaming drift monitor: a clean micro-batch scores ~0 against the
+    frozen reference; a shifted one scores high — per-column TV rows
+    delivered to the sink with the epoch id."""
+    from database_migration_spark.operators.drift import reference_histogram
+    from database_migration_spark.streaming.delta_stream import (
+        stream_drift_monitor,
+    )
+
+    ref_data = spark.createDataFrame(
+        [(float(i % 50),) for i in range(500)], "v DOUBLE"
+    )
+    ref_path = str(tmp_path / "ref_hist")
+    reference_histogram(ref_data, ["v"], n_bins=8).write.parquet(ref_path)
+
+    import os
+    import time
+
+    src = tmp_path / "drift_src"
+    src.mkdir()
+    clean = [(float(i % 50),) for i in range(200)]
+    shifted = [(float(i % 50) + 200,) for i in range(200)]
+    base = time.time() - 100
+    for i, rows in enumerate([clean, shifted]):
+        d = src / f"b{i}"
+        spark.createDataFrame(rows, "v DOUBLE").coalesce(1).write.parquet(str(d))
+        for root, _, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (base + i, base + i))
+        os.utime(d, (base + i, base + i))
+
+    scores = []
+
+    def sink(df, epoch_id):
+        scores.append((epoch_id, {r["column_name"]: r["tv_ppm"]
+                                  for r in df.collect()}))
+
+    stream = (
+        spark.readStream.schema("v DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src) + "/*")
+    )
+    q = stream_drift_monitor(stream, ref_path, ["v"], sink,
+                             str(tmp_path / "drift_ck"), n_bins=8)
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(scores) == 2
+    by_score = sorted(s["v"] for _, s in scores)
+    assert by_score[0] == 0          # the clean batch
+    assert by_score[1] > 800_000     # the shifted batch

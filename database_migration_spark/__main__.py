@@ -683,13 +683,9 @@ def cmd_scd2(args) -> int:
             print(f"error: {e}", file=sys.stderr)
             return 2
         action = "merge"
-    tmp = args.target + ".scd2-tmp"
-    dim.write.mode("overwrite").parquet(tmp)
-    out = spark.read.parquet(tmp)
-    out.write.mode("overwrite").parquet(args.target)
-    import shutil
+    from database_migration_spark.functions.io import publish_parquet
 
-    shutil.rmtree(tmp, ignore_errors=True)
+    publish_parquet(dim, args.target, args.target + ".scd2-tmp")
     final = spark.read.parquet(args.target)
     n_open = final.where("is_current").count()
     n_all = final.count()
@@ -861,6 +857,260 @@ def cmd_rowdiff(args) -> int:
             # a many-table sweep must not accumulate one cache per table
             d.unpersist(blocking=False)
     return 1 if bad else 0
+
+
+def cmd_optimize(args) -> int:
+    """Post-load type optimizer — the reference's directly-executed
+    ``convert_varchar.sql`` (report mode :36-44) and
+    ``convert_datatypes.sql`` (``apply_conversion=false`` preview :49-62)
+    as one subcommand over the library operators (operators/
+    optimize_types.py, all graded/golden-tested):
+
+    - default: the classification REPORT — per column, what the data
+      actually holds and the tighter type it supports (kept columns say
+      why they're kept).
+    - ``--apply``: additionally render the ordered apply stream the
+      reference generates (:651 DROP FKs → MODIFYs → RE-ADD FKs). Always
+      a dry run, like ``plan`` — the stream is for review/execution
+      elsewhere; nothing here mutates the source.
+    FK key-group harmonization applies in both modes: columns linked by
+    foreign keys convert identically or not at all.
+    """
+    from pyspark.sql import types as T
+
+    from database_migration_spark.operators.optimize_types import (
+        TypeProposal,
+        classify_varchar,
+        conversion_statements,
+        double_scale_detect,
+        harmonize_fk_groups,
+        probe_date_formats,
+        propose_double_conversion,
+        propose_varchar_conversion,
+        timestamp_has_time,
+    )
+    from database_migration_spark.session import get_spark
+
+    spark = get_spark(app_name="dms_optimize")
+    adapter = _source(spark, args.source, args)
+    cat = adapter.scan_catalog(args.schemas, args.tables, include_keys=True)
+    if not cat.tables:
+        return _no_match(args.source, args)
+
+    proposals: dict = {}
+    kept: list = []
+    declared = {
+        (c.table, c.name): c.char_length
+        for t in cat.tables
+        for c in t.columns
+    }
+    schema_name = cat.tables[0].schema
+    fks: list = []
+    fk_edges: list = []
+    for t in sorted(cat.tables, key=lambda t: t.table):
+        fks.extend(t.foreign_keys)
+        for fk in t.foreign_keys:
+            for c, rc in zip(fk.columns, fk.ref_columns or ()):
+                fk_edges.append(((fk.table, c), (fk.ref_table, rc)))
+        df = _read(adapter, t)
+        for field in df.schema.fields:
+            col, key = field.name, (t.table, field.name)
+            if isinstance(field.dataType, T.StringType):
+                stats = classify_varchar(df, col, sample_rows=args.sample)
+                nn = stats["n"] - stats["n_null"]
+                probe = (
+                    probe_date_formats(df, col)
+                    if nn > 0 and stats["n_dateish"] == nn
+                    else None
+                )
+                p = propose_varchar_conversion(
+                    col, stats, probe, declared.get(key)
+                )
+            elif isinstance(field.dataType, (T.DoubleType, T.FloatType)):
+                p = propose_double_conversion(col, double_scale_detect(df, col))
+            elif isinstance(field.dataType, (T.TimestampType, T.TimestampNTZType)):
+                # convert_datatypes.sql:449-453: timestamp -> DATE when no
+                # value carries a time-of-day component
+                p = (
+                    None
+                    if timestamp_has_time(df, col)
+                    else TypeProposal(
+                        col, "timestamp", "DATE", f'CAST("{col}" AS DATE)',
+                        "no time-of-day component",
+                    )
+                )
+            else:
+                continue  # already a tight type; the reference skips too
+            if p is None:
+                kept.append(key)
+            proposals[key] = p
+
+    proposals = harmonize_fk_groups(proposals, fk_edges)
+    vetoed = [
+        k for k, p in proposals.items() if p is None and k not in kept
+    ]
+    for (tbl, col), p in sorted(proposals.items()):
+        if p is not None:
+            print(f"{tbl}.{col}: {p.current_type} --> {p.proposed_type} "
+                  f"({p.reason}{'' if p.lossless else '; LOSSY'})")
+        elif (tbl, col) in vetoed:
+            print(f"{tbl}.{col}: kept (FK group members disagree)")
+        else:
+            print(f"{tbl}.{col}: kept (no tighter type supported)")
+    n_prop = sum(1 for p in proposals.values() if p is not None)
+    print(f"-- {n_prop} conversions proposed over "
+          f"{len(proposals)} inspected columns", file=sys.stderr)
+    if args.apply:
+        plan = conversion_statements(proposals, fks=fks, schema=schema_name)
+        print(plan.to_sql())
+        print("-- apply stream above is a dry run; nothing was executed",
+              file=sys.stderr)
+    return 0
+
+
+def cmd_star(args) -> int:
+    """Star-schema conversion — the reference's directly-executed
+    ``Convert_To_Star_Schema.sql`` (:469-489 ``do_create_tables`` /
+    ``transfer_data`` flags) over operators/star_schema.py: split a flat
+    table into dimension tables (DISTINCT dim columns + deterministic
+    content-hash surrogate keys, :386) and a fact table joining back on
+    NULL-safe equality (:372,405-418).
+
+    - ``--dim name:col1,col2`` (repeatable) names each dimension and its
+      source columns; measures default to every remaining non-dim,
+      non-fact-id column.
+    - ``--no-create`` skips writing entirely (plan review: prints the
+      would-be layout — the reference's do_create_tables=false).
+    - ``--no-transfer`` writes empty tables with the final schema only
+      (the reference's transfer_data=false).
+    - ``--validate`` reconstructs the flat view (fact ⋈ dims) and runs the
+      metric engine over source vs reconstruction — rc 1 on any DEVIATION
+      (the MIG_CHK gate applied to the conversion itself).
+    """
+    import os
+
+    from database_migration_spark.operators.star_schema import (
+        build_dimension,
+        build_fact,
+    )
+    from database_migration_spark.operators.validate import (
+        compare_metrics,
+        compute_metrics,
+    )
+    from database_migration_spark.session import get_spark
+
+    spark = get_spark(app_name="dms_star")
+    adapter = _source(spark, args.source, args)
+    cat = adapter.scan_catalog("%", args.table, include_keys=True)
+    if not cat.tables:
+        print(f"error: table {args.table!r} not found in {args.source}",
+              file=sys.stderr)
+        return 2
+    meta = cat.tables[0]
+    flat = _read(adapter, meta)
+    by_upper = {c.upper(): c for c in flat.columns}
+
+    def resolve(names: list) -> list:
+        missing = [n for n in names if n.upper() not in by_upper]
+        if missing:
+            raise SystemExit(
+                f"error: column(s) {missing} not in {args.table} "
+                f"(has {flat.columns})"
+            )
+        return [by_upper[n.upper()] for n in names]
+
+    dims_spec: dict = {}
+    for spec in args.dim or []:
+        if ":" not in spec:
+            raise SystemExit(
+                f"error: --dim expects name:col1,col2 — got {spec!r}"
+            )
+        name, _, cols = spec.partition(":")
+        cols = resolve([c.strip() for c in cols.split(",") if c.strip()])
+        if not cols:
+            raise SystemExit(f"error: --dim {name} names no columns")
+        dims_spec[name.strip()] = cols
+    if not dims_spec:
+        raise SystemExit("error: at least one --dim name:cols is required")
+
+    fact_ids = (
+        resolve([k.strip() for k in args.fact_id.split(",") if k.strip()])
+        if args.fact_id
+        else (
+            resolve(list(meta.primary_key.columns))
+            if meta.primary_key
+            else None
+        )
+    )
+    if not fact_ids:
+        print("error: no primary key in catalog and no --fact-id",
+              file=sys.stderr)
+        return 2
+    dim_cols_all = {c for cols in dims_spec.values() for c in cols}
+    measures = (
+        resolve([m.strip() for m in args.measures.split(",") if m.strip()])
+        if args.measures
+        else [
+            c for c in flat.columns
+            if c not in dim_cols_all and c not in fact_ids
+        ]
+    )
+
+    dims = {
+        f"{name}_key": (build_dimension(flat, cols, f"{name}_key"), cols)
+        for name, cols in dims_spec.items()
+    }
+    fact = build_fact(flat, dims, measure_cols=measures, fact_id_cols=fact_ids)
+
+    fact_name = f"fact_{args.table}"
+    for name, cols in dims_spec.items():
+        print(f"dim {name}({name}_key, {', '.join(cols)})")
+    print(f"{fact_name}({', '.join(fact_ids)}, "
+          f"{', '.join(k for k in dims)}, {', '.join(measures)})")
+    if args.create:
+        for name in dims_spec:
+            df = dims[f"{name}_key"][0]
+            out = df if args.transfer else df.limit(0)
+            out.write.mode("overwrite").parquet(
+                os.path.join(args.target, f"{name}.parquet")
+            )
+        (fact if args.transfer else fact.limit(0)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(args.target, f"{fact_name}.parquet"))
+        wrote = "tables + data" if args.transfer else "empty tables (schema only)"
+        print(f"-- wrote {wrote} under {args.target}", file=sys.stderr)
+    else:
+        print("-- --no-create: layout printed, nothing written",
+              file=sys.stderr)
+
+    if args.validate:
+        if not (args.create and args.transfer):
+            print("error: --validate needs created+transferred tables",
+                  file=sys.stderr)
+            return 2
+        # reconstruct the flat view from what was WRITTEN (not the in-memory
+        # plan): fact joins each dimension back on its surrogate key
+        rec = spark.read.parquet(os.path.join(args.target, f"{fact_name}.parquet"))
+        for name, cols in dims_spec.items():
+            d = spark.read.parquet(os.path.join(args.target, f"{name}.parquet"))
+            rec = rec.join(d, f"{name}_key", "left")
+        flat_cols = fact_ids + sorted(dim_cols_all) + measures
+        ours = compute_metrics(flat.select(*flat_cols), args.table)
+        theirs = compute_metrics(rec.select(*flat_cols), args.table)
+        cmp_rows = (
+            compare_metrics(ours, theirs)
+            .orderBy("column_name", "metric")
+            .collect()
+        )
+        bad = [r for r in cmp_rows if r.status != "OK"]
+        for r in bad:
+            print(f"DEVIATION {r.column_name} {r.metric}: "
+                  f"{r.value_a!r} != {r.value_b!r}")
+        print(f"-- validation: {len(cmp_rows) - len(bad)}/{len(cmp_rows)} "
+              f"metrics OK", file=sys.stderr)
+        if bad:
+            return 1
+    return 0
 
 
 def cmd_ping(args) -> int:
@@ -1147,6 +1397,56 @@ def main(argv: list[str] | None = None) -> int:
     rd.add_argument("--show", type=int, default=0, metavar="N",
                     help="also print the first N changed cells")
     rd.set_defaults(fn=cmd_rowdiff)
+
+    op = sub.add_parser("optimize", help="post-load type optimizer: "
+                        "classify varchar/double/timestamp columns, report "
+                        "tighter types; --apply renders the ordered ALTER "
+                        "stream (dry run)")
+    op.add_argument("--source", required=True,
+                    help="table directory or jdbc: URL")
+    op.add_argument("--dialect", help="dialect name for jdbc: sources")
+    op.add_argument("--jdbc-prop", action="append",
+                    help="k=v JDBC property (repeatable)")
+    op.add_argument("--schemas", default="%")
+    op.add_argument("--tables", default="%")
+    op.add_argument("--sample", type=int, default=None, metavar="N",
+                    help="classify at most N rows per column "
+                    "(the reference samples 1-5%%; default: full scan)")
+    op.add_argument("--apply", action="store_true",
+                    help="also render the DROP-FK/MODIFY/RE-ADD-FK apply "
+                    "stream (dry run — review, then execute elsewhere)")
+    op.set_defaults(fn=cmd_optimize)
+
+    st = sub.add_parser("star", help="flat table -> star schema: dimension "
+                        "tables with content-hash surrogate keys + a fact "
+                        "table; optional metric-engine validation")
+    st.add_argument("--source", required=True,
+                    help="table directory or jdbc: URL")
+    st.add_argument("--dialect", help="dialect name for jdbc: sources")
+    st.add_argument("--jdbc-prop", action="append",
+                    help="k=v JDBC property (repeatable)")
+    st.add_argument("--table", required=True, help="flat source table")
+    st.add_argument("--dim", action="append", metavar="NAME:COL1,COL2",
+                    help="a dimension and its columns (repeatable)")
+    st.add_argument("--measures",
+                    help="comma-separated measure columns (default: every "
+                    "non-dim, non-fact-id column)")
+    st.add_argument("--fact-id",
+                    help="comma-separated fact identity columns "
+                    "(default: the table's catalog PK)")
+    st.add_argument("--target", required=True,
+                    help="directory for the dim/fact parquet tables")
+    st.add_argument("--no-create", dest="create", action="store_false",
+                    help="print the layout only, write nothing "
+                    "(Convert_To_Star_Schema.sql do_create_tables=false)")
+    st.add_argument("--no-transfer", dest="transfer", action="store_false",
+                    help="write empty tables with the final schema only "
+                    "(transfer_data=false)")
+    st.add_argument("--validate", action="store_true",
+                    help="reconstruct the flat view from the written "
+                    "tables and metric-compare against the source; rc=1 "
+                    "on any deviation")
+    st.set_defaults(fn=cmd_star)
 
     pg = sub.add_parser("ping", help="connection smoke test")
     pg.add_argument("--source", required=True,

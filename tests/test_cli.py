@@ -791,3 +791,118 @@ def test_cli_drift_unresolved_columns_fail_loudly(spark, sf_smoke, capsys):
     rc = main(["drift", "--left", sf_smoke, "--right", sf_smoke,
                "--tables", "orders", "--columns", "o_totalprice,o_nope"])
     assert rc == 2 and "o_nope" in capsys.readouterr().err
+
+
+# ---------------------------------------------------------------------------
+# round 7: optimize + star subcommands (reference parity:
+# convert_varchar.sql:36-44 report mode, convert_datatypes.sql:49-62 apply
+# preview, Convert_To_Star_Schema.sql:469-489 create/transfer flags)
+
+
+def test_cli_optimize_report_classifies_columns(spark, sf_smoke, capsys):
+    rc = main(["optimize", "--source", sf_smoke, "--tables", "orders,region"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    # double that round-trips at scale 2 -> DECIMAL proposal
+    assert "orders.o_totalprice: double --> DECIMAL(8,2)" in cap.out
+    # timestamp with no time-of-day -> DATE
+    assert "orders.o_orderdate: timestamp --> DATE" in cap.out
+    # free-text columns are inspected and kept, with the reason printed
+    assert "region.r_name: kept" in cap.out
+    assert "conversions proposed" in cap.err
+    # report mode renders NO apply stream
+    assert "ALTER TABLE" not in cap.out
+
+
+def test_cli_optimize_apply_renders_ordered_stream(spark, sf_smoke, capsys):
+    rc = main(["optimize", "--source", sf_smoke, "--tables", "orders",
+               "--apply"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    # the reference's apply stream: section header, per-column comment
+    # line (current --> target (reason)), schema-qualified MODIFYs
+    assert "-- ============ TYPE CONVERSIONS ============" in cap.out
+    assert ('ALTER TABLE "MAIN"."ORDERS" MODIFY ("O_TOTALPRICE" '
+            "DECIMAL(8,2));") in cap.out
+    assert ('ALTER TABLE "MAIN"."ORDERS" MODIFY ("O_ORDERDATE" DATE);'
+            ) in cap.out
+    assert "dry run; nothing was executed" in cap.err
+    # comment line precedes its MODIFY (reviewable stream, reference :33)
+    lines = cap.out.splitlines()
+    i_comment = next(i for i, l in enumerate(lines)
+                     if l.startswith("-- orders.o_totalprice"))
+    assert lines[i_comment + 1].startswith('ALTER TABLE "MAIN"."ORDERS"')
+
+
+def test_cli_optimize_no_match_is_an_error(spark, sf_smoke, capsys):
+    rc = main(["optimize", "--source", sf_smoke, "--tables", "nope"])
+    assert rc == 2
+
+
+def test_cli_star_conversion_validates_zero_deviation(
+    spark, sf_smoke, tmp_path, capsys
+):
+    target = str(tmp_path / "star")
+    rc = main(["star", "--source", sf_smoke, "--table", "orders",
+               "--dim", "status:o_orderstatus,o_orderpriority",
+               "--measures", "o_totalprice", "--target", target,
+               "--validate"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "DEVIATION" not in cap.out
+    assert "metrics OK" in cap.err
+    # the written tables ARE a star: dim distinct + fact joins back 1:1
+    dim = spark.read.parquet(f"{target}/status.parquet")
+    fact = spark.read.parquet(f"{target}/fact_orders.parquet")
+    src = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    assert dim.count() == src.select(
+        "o_orderstatus", "o_orderpriority"
+    ).distinct().count()
+    assert fact.count() == src.count()
+    assert set(fact.columns) == {"o_orderkey", "status_key", "o_totalprice"}
+    # every fact row resolved a dimension key (no dangling NULL keys)
+    assert fact.where(F.col("status_key").isNull()).count() == 0
+
+
+def test_cli_star_no_transfer_writes_schema_only(
+    spark, sf_smoke, tmp_path, capsys
+):
+    target = str(tmp_path / "star_empty")
+    rc = main(["star", "--source", sf_smoke, "--table", "orders",
+               "--dim", "status:o_orderstatus",
+               "--measures", "o_totalprice", "--target", target,
+               "--no-transfer"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "schema only" in cap.err
+    fact = spark.read.parquet(f"{target}/fact_orders.parquet")
+    assert fact.count() == 0
+    assert set(fact.columns) == {"o_orderkey", "status_key", "o_totalprice"}
+
+
+def test_cli_star_no_create_prints_layout_only(spark, sf_smoke, tmp_path, capsys):
+    target = str(tmp_path / "star_none")
+    rc = main(["star", "--source", sf_smoke, "--table", "orders",
+               "--dim", "status:o_orderstatus", "--target", target,
+               "--no-create"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "dim status(status_key, o_orderstatus)" in cap.out
+    assert "nothing written" in cap.err
+    import os
+
+    assert not os.path.exists(target)
+    # --validate without created tables is a loud config error
+    rc = main(["star", "--source", sf_smoke, "--table", "orders",
+               "--dim", "status:o_orderstatus", "--target", target,
+               "--no-create", "--validate"])
+    assert rc == 2
+
+
+def test_cli_star_bad_column_is_clean_error(spark, sf_smoke, capsys):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit) as e:
+        main(["star", "--source", sf_smoke, "--table", "orders",
+              "--dim", "status:o_nope", "--target", "/tmp/x"])
+    assert "o_nope" in str(e.value)

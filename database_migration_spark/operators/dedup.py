@@ -611,12 +611,18 @@ def dup_span_coverage(
     document; filter ``dup_coverage_ppm`` >= threshold to drop mostly-
     duplicated documents, or use covered spans for surgical span removal.
 
-    Scale shape: positions are exploded per k-gram (x k volume, linear);
-    "shared" grams come from one groupBy(gram) keeping min(id) <> max(id) —
-    a 2-value aggregate that map-side combines, NOT count_distinct; covered
-    positions dedup per (doc, position) before counting. Every join is
-    keyed on the 60-bit gram hash — no windows, no driver state. Exact
-    integer ppm output so external oracles replay it bit-for-bit.
+    Scale shape (round-7 bytes audit — the ×100 probe's heaviest linear
+    row): "shared" grams come from one groupBy(gram) keeping min(id) <>
+    max(id) — a 2-value aggregate that map-side combines, NOT
+    count_distinct; shared occurrences then shuffle as bare (id, pos INT)
+    pairs into a per-doc collect, and the k-wide span expansion + the
+    position-union dedup happen INSIDE the row (flatten/array_distinct
+    over a per-doc array bounded by document length) — the old plan
+    exploded every shared gram into k position rows and deduped them with
+    a corpus-wide distinct shuffle; that k× volume and its shuffle are
+    gone. Every join is keyed on the 60-bit gram hash or the doc id — no
+    windows, no driver state. Exact integer ppm output so external oracles
+    replay it bit-for-bit.
 
     ``grams`` feeds two plan branches (the shared-gram aggregate and the
     covered-position join); it is persisted MEMORY_AND_DISK, matching
@@ -661,12 +667,25 @@ def dup_span_coverage(
         .where(F.col("_mn") != F.col("_mx"))
         .select("g")
     )
+    # count the union of [pos, pos+k-1] spans per doc without exploding:
+    # shared occurrences shuffle once as (id, pos) INT pairs, the span
+    # expansion + union-dedup run row-local over the collected array
     covered = (
         grams.join(shared, "g")
-        .select("id", F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("p"))
-        .distinct()
         .groupBy("id")
-        .agg(F.count(F.lit(1)).cast("long").alias("covered_tokens"))
+        .agg(F.collect_list("pos").alias("_cps"))
+        .select(
+            "id",
+            F.size(
+                F.array_distinct(
+                    F.flatten(
+                        F.expr(f"transform(_cps, p -> sequence(p, p + {k - 1}))")
+                    )
+                )
+            )
+            .cast("long")
+            .alias("covered_tokens"),
+        )
     )
     return (
         toks.select("id", "n_tokens")
@@ -696,15 +715,22 @@ def remove_duplicated_spans(
     entirely of shared spans come back with empty clean_text (callers
     typically drop ``kept_tokens = 0`` rows).
 
-    Scale shape: same keyed join pipeline as dup_span_coverage; the
-    rebuild is an array_sort(collect_list(struct(pos, word))) per doc —
-    one keyed aggregation, grouping key is the doc id so state is bounded
-    by document length, never corpus size.
+    Scale shape (round-7 bytes audit — this was the heaviest ×100 linear
+    row at 51 s): the TEXT never rides a token-keyed shuffle. Shared gram
+    occurrences shuffle as bare (id, pos INT) pairs into one per-doc
+    collect; the k-wide span expansion, the kept-position complement
+    (``array_except`` — hash-set build, not per-token scans) and the
+    rebuild all run INSIDE the row against the persisted word array. The
+    old plan posexploded every token WITH its word, anti-joined that
+    (shuffling the whole corpus text), and re-shuffled the kept words into
+    a collect_list rebuild — two corpus-text shuffles plus a k× exploded
+    position distinct, all gone. Per-doc state is bounded by document
+    length, never corpus size.
 
-    ``base`` (split + gram transform) feeds THREE plan branches (grams,
-    the posexplode token relation, and the final n_tokens projection); it
-    is persisted MEMORY_AND_DISK, matching shingle_sets — without it every
-    branch re-splits and re-hashes every document from scan.
+    ``base`` (split + gram transform) feeds the gram census, the covered
+    join and the final rebuild; it is persisted MEMORY_AND_DISK, matching
+    shingle_sets — without it every branch re-splits and re-hashes every
+    document from scan.
     """
     from pyspark import StorageLevel
 
@@ -737,36 +763,36 @@ def remove_duplicated_spans(
         .where(F.col("_mn") != F.col("_mx"))
         .select("g")
     )
-    covered = (
-        grams.join(shared, "g")
-        .select(
-            "id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
-            ).alias("p"),
-        )
-        .distinct()
+    # covered START positions per doc, collected once — (id, pos INT) is
+    # the only token-derived payload that ever shuffles
+    covered = grams.join(shared, "g").groupBy("id").agg(
+        F.collect_list("pos").alias("_cps")
     )
-    toks = base.select(
-        "id",
-        F.posexplode("_w").alias("p0", "word"),
-    ).select("id", (F.col("p0") + 1).alias("p"), "word")
-    kept = toks.join(covered, ["id", "p"], "left_anti")
-    rebuilt = kept.groupBy("id").agg(
-        F.array_join(
-            F.expr("transform(array_sort(collect_list(struct(p, word))), s -> s.word)"),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+    # row-local rebuild: expand spans, complement against 1..n (hash-set
+    # array_except keeps the sorted order of the left sequence), index back
+    # into the persisted word array. NULL/short-doc guard preserves the
+    # legacy contract (n_tokens = size(_w) incl. -1 for NULL; empty
+    # clean_text, kept_tokens 0).
+    kept = F.expr(
+        f"""
+        CASE WHEN _w IS NULL OR size(_w) < 1 THEN array()
+             ELSE array_except(
+               sequence(1, size(_w)),
+               flatten(transform(coalesce(_cps, array()),
+                                 p -> sequence(p, p + {k - 1}))))
+        END
+        """
     )
     return (
-        base.select("id", F.size("_w").cast("long").alias("n_tokens"))
-        .join(rebuilt, "id", "left")
+        base.join(covered, "id", "left")
+        .withColumn("_keep", kept)
         .select(
             F.col("id").alias(id_col),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            "n_tokens",
-            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
+            F.array_join(
+                F.expr("transform(_keep, i -> element_at(_w, i))"), " "
+            ).alias("clean_text"),
+            F.size("_w").cast("long").alias("n_tokens"),
+            F.size("_keep").cast("long").alias("kept_tokens"),
         )
     )
 

@@ -73,6 +73,13 @@ def _q_expr(df: DataFrame, c: str, n_bins: int) -> str:
     )
 
 
+def _col_kind(df: DataFrame, c: str) -> str:
+    """The binning family :func:`_q_expr` dispatches ``c`` into — stored in
+    reference histograms so a later batch with a changed column type fails
+    loudly instead of comparing hash bins against value bins."""
+    return "numeric" if isinstance(df.schema[c].dataType, _NUMERIC) else "categorical"
+
+
 def _stacked(
     df: DataFrame, cols: list[str], side: str, n_bins: int
 ) -> DataFrame:
@@ -189,16 +196,21 @@ def reference_histogram(
     df: DataFrame, cols: list[str], n_bins: int = 16
 ) -> DataFrame:
     """Freeze a relation's per-column histogram as the monitoring
-    reference: ``column_name, bin, ref_ppm, _lo, _w`` — the bin GEOMETRY
-    (span lower bound + width, or hash identity for categoricals) travels
-    with the shares, so later batches bin against the SAME cells instead
-    of their own span (a batch's own min/max would make every score
-    incomparable). One stacked scan (the :func:`distribution_drift`
-    machinery with a single side)."""
+    reference: ``column_name, bin, ref_ppm, _lo, _w, _kind, _n_bins`` —
+    the bin GEOMETRY (span lower bound + width, or hash identity for
+    categoricals, plus each column's numeric/categorical KIND and the bin
+    count) travels with the shares, so later batches bin against the SAME
+    cells instead of their own span (a batch's own min/max would make
+    every score incomparable), and :func:`drift_against_reference` can
+    REFUSE a batch whose column type or n_bins no longer matches the
+    frozen geometry instead of silently comparing hash bins against value
+    bins. One stacked scan (the :func:`distribution_drift` machinery with
+    a single side)."""
     if not cols:
         raise ValueError("need at least one column")
     if n_bins <= 0:
         raise ValueError("n_bins must be positive")
+    kinds = {c: _col_kind(df, c) for c in cols}
     pv = _stacked(df, cols, "l", n_bins).groupBy("column_name", "q").agg(
         F.count(F.lit(1)).alias("cnt")
     ).persist()
@@ -225,6 +237,9 @@ def reference_histogram(
              F.min("_w").alias("_w"))
     )
     totals = binned.groupBy("column_name").agg(F.sum("cnt").alias("_t"))
+    kind_expr = F.create_map(
+        *[F.lit(x) for kv in kinds.items() for x in kv]
+    )
     return binned.join(F.broadcast(totals), "column_name").select(
         "column_name",
         "bin",
@@ -233,6 +248,8 @@ def reference_histogram(
         ).alias("ref_ppm"),
         "_lo",
         "_w",
+        kind_expr[F.col("column_name")].alias("_kind"),
+        F.lit(int(n_bins)).cast("long").alias("_n_bins"),
     )
 
 
@@ -247,9 +264,42 @@ def drift_against_reference(
     NULLs land in the reference's NULL bin. Returns ``column_name,
     n_rows, tv_ppm`` — the relation a monitoring sink thresholds.
 
-    ``n_bins`` must match the reference's (it is baked into the stored
-    widths; passing a different value mis-bins silently, so keep them
-    together the way the state/checkpoint pair travels)."""
+    The reference's stored geometry is VALIDATED before any scoring: a
+    batch column whose numeric/categorical kind differs from the frozen
+    reference's, or an ``n_bins`` that differs from the stored one,
+    raises — hash bins compared against value-bin geometry would read as
+    plausible-but-meaningless tv_ppm (references written before the
+    ``_kind``/``_n_bins`` columns existed skip the check they can't
+    make)."""
+    ref_cols = set(reference.columns)
+    if "_kind" in ref_cols or "_n_bins" in ref_cols:
+        # |cols|-bounded collect: one row per column, driver-side by design
+        stored = {
+            r["column_name"]: r
+            for r in reference.groupBy("column_name")
+            .agg(F.min("_kind").alias("_kind"), F.min("_n_bins").alias("_n_bins"))
+            .collect()
+        }
+        for c in cols:
+            s = stored.get(c)
+            if s is None:
+                raise ValueError(
+                    f"column {c!r} is not in the reference histogram "
+                    f"(has {sorted(stored)})"
+                )
+            if s["_n_bins"] is not None and int(s["_n_bins"]) != int(n_bins):
+                raise ValueError(
+                    f"n_bins={n_bins} does not match the reference's "
+                    f"frozen {int(s['_n_bins'])} for column {c!r} — the "
+                    "geometry is baked into the stored widths"
+                )
+            if s["_kind"] is not None and _col_kind(batch, c) != s["_kind"]:
+                raise ValueError(
+                    f"column {c!r} is {_col_kind(batch, c)} in the batch "
+                    f"but the reference froze it as {s['_kind']} — a "
+                    "numeric/categorical change mis-bins silently; "
+                    "re-freeze the reference"
+                )
     geo = (
         reference.where(F.col("bin") >= 0)
         .groupBy("column_name")

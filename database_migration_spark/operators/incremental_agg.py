@@ -110,6 +110,12 @@ def merge_states(
     columns merge to the exact bytes a single-pass build produces. Groups
     whose merged count reaches 0 (signed full retraction) are dropped,
     matching what a from-scratch rebuild would produce.
+
+    min/max presence must be UNIFORM: either every state carries
+    ``min_/max_`` for every measure (plain builds) or none does (signed
+    builds, where min/max is not retractable). A mixed set raises — the
+    union's allowMissingColumns would otherwise NULL-pad the missing side
+    and pollute merged min/max with silent NULLs.
     """
     if not states:
         raise ValueError("merge_states needs at least one state")
@@ -117,7 +123,22 @@ def merge_states(
     unioned = states[0]
     for s in states[1:]:
         unioned = unioned.unionByName(s, allowMissingColumns=True)
-    have_minmax = all(f"min_{measures[0]}" in s.columns for s in states) if measures else False
+    presence = {
+        (f"min_{m}" in s.columns, f"max_{m}" in s.columns)
+        for s in states
+        for m in measures
+    }
+    if len(presence) > 1 or presence == {(True, False)} or presence == {(False, True)}:
+        shapes = [
+            [c for c in s.columns if c.startswith(("min_", "max_"))]
+            for s in states
+        ]
+        raise ValueError(
+            "states disagree on min_/max_ presence across measures "
+            f"({shapes}) — merging would NULL-pad the missing side; "
+            "rebuild the odd state with a matching build_state config"
+        )
+    have_minmax = presence == {(True, True)} if measures else False
     aggs = [F.sum("n_rows").alias("n_rows")]
     for m in measures:
         aggs.append(F.sum(f"sum_{m}").cast(_SUM_TYPE).alias(f"sum_{m}"))

@@ -199,3 +199,44 @@ def test_reference_histogram_scoring(spark):
     n = {r["column_name"]: r["tv_ppm"]
          for r in drift_against_reference(nulled, ref, ["v"], 10).collect()}
     assert n["v"] == 1_000_000  # all mass in a bin the reference never had
+
+
+def test_reference_geometry_validated(spark):
+    """Round-7 ADVICE fix: a batch whose column TYPE changed
+    (numeric -> string) or whose n_bins differs from the frozen reference
+    must raise, not score misleading tv_ppm against the wrong binning."""
+    import pytest as _pytest
+
+    from database_migration_spark.operators.drift import (
+        drift_against_reference,
+        reference_histogram,
+    )
+
+    ref_data = spark.createDataFrame(
+        [(float(i % 50),) for i in range(500)], "v DOUBLE"
+    )
+    ref = reference_histogram(ref_data, ["v"], n_bins=8)
+    # the stored geometry rows carry kind + bin count
+    row = ref.limit(1).collect()[0]
+    assert row["_kind"] == "numeric" and row["_n_bins"] == 8
+
+    # numeric -> categorical batch: loud error
+    str_batch = ref_data.select(F.col("v").cast("string").alias("v"))
+    with _pytest.raises(ValueError, match="categorical"):
+        drift_against_reference(str_batch, ref, ["v"], 8)
+    # n_bins mismatch: loud error
+    with _pytest.raises(ValueError, match="n_bins"):
+        drift_against_reference(ref_data, ref, ["v"], 16)
+    # unknown column: loud error
+    with _pytest.raises(ValueError, match="not in the reference"):
+        drift_against_reference(ref_data.withColumnRenamed("v", "x"),
+                                ref, ["x"], 8)
+    # matching geometry still scores (and scores itself at zero)
+    got = {r["column_name"]: r["tv_ppm"]
+           for r in drift_against_reference(ref_data, ref, ["v"], 8).collect()}
+    assert got["v"] == 0
+    # a legacy reference without the geometry columns skips the check
+    legacy = ref.drop("_kind", "_n_bins")
+    got = {r["column_name"]: r["tv_ppm"]
+           for r in drift_against_reference(ref_data, legacy, ["v"], 8).collect()}
+    assert got["v"] == 0

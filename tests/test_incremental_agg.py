@@ -193,3 +193,28 @@ def test_backfill_signed_state_and_shape_guard(spark):
     with pytest.raises(ValueError, match="different shapes"):
         IA.backfill_groups(state, base.drop("sgn"), ["g"], ["v"],
                            F.col("g") == "b")
+
+
+def test_merge_states_rejects_mixed_minmax_shapes(spark):
+    """Round-7 ADVICE fix: merging a plain state (min/max present) with a
+    signed state (min/max absent) must raise, not NULL-pollute the merged
+    min/max columns via allowMissingColumns padding."""
+    import pytest
+
+    from database_migration_spark.operators import incremental_agg as IA
+
+    schema = "g STRING, v DOUBLE"
+    plain = IA.build_state(
+        spark.createDataFrame([("a", 1.0), ("a", 3.0)], schema), ["g"], ["v"]
+    )
+    signed_src = spark.createDataFrame([("a", 2.0, 1)], schema + ", sgn INT")
+    no_minmax = IA.build_state(signed_src, ["g"], ["v"],
+                               signed=True, sign_col="sgn")
+    assert "min_v" in plain.columns and "min_v" not in no_minmax.columns
+    with pytest.raises(ValueError, match="min_/max_"):
+        IA.merge_states([plain, no_minmax], ["g"], ["v"])
+    # uniform shapes still merge fine, both ways
+    merged = IA.merge_states([plain, plain], ["g"], ["v"]).collect()[0]
+    assert merged["n_rows"] == 4 and merged["min_v"] is not None
+    merged = IA.merge_states([no_minmax, no_minmax], ["g"], ["v"]).collect()[0]
+    assert merged["n_rows"] == 2

@@ -253,6 +253,153 @@ def _fake_decoder(payload: bytes, media_type: str) -> list[float]:
     ] + digest_feats[:4]
 
 
+def decode_bmp_pixels(payload: bytes):
+    """REAL pixel decoding for uncompressed 24-bit BMP — stdlib ``struct``
+    only (no codec library needed for this container; round-7 de-stub).
+    Returns ``(width, height, rows)`` where rows is a top-to-bottom list of
+    per-row ``(r, g, b)`` tuples. Handles bottom-up (positive height) and
+    top-down (negative height) layouts and the 4-byte row stride padding.
+    Anything but BI_RGB 24-bit raises NotImplementedError — compressed
+    BMPs stay behind the documented plug-in seam with PNG/GIF."""
+    import struct
+
+    b = payload or b""
+    if b[:2] != b"BM" or len(b) < 54:
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack("<I", b[10:14])[0]
+    hdr_size = struct.unpack("<I", b[14:18])[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    w, h = struct.unpack("<ii", b[18:26])
+    bpp = struct.unpack("<H", b[28:30])[0]
+    compression = struct.unpack("<I", b[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"stdlib decode covers uncompressed 24-bit BMP only "
+            f"(bpp={bpp}, compression={compression}) — plug a codec in"
+        )
+    bottom_up, h = h > 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for ri in range(h):
+        src = (h - 1 - ri) if bottom_up else ri
+        base = data_off + src * stride
+        raw = b[base : base + w * 3]
+        if len(raw) < w * 3:
+            raise ValueError("truncated BMP pixel data")
+        # BMP stores BGR
+        rows.append(
+            [(raw[i * 3 + 2], raw[i * 3 + 1], raw[i * 3]) for i in range(w)]
+        )
+    return w, h, rows
+
+
+def decode_wav_samples(payload: bytes):
+    """REAL sample decoding for PCM WAV (8-bit unsigned / 16-bit signed) —
+    stdlib ``struct`` only (round-7 de-stub). Returns ``(sample_rate,
+    channels, samples)`` with samples interleaved and centered (8-bit
+    values shifted by -128 so silence is 0 in both widths). IEEE-float and
+    compressed codecs raise NotImplementedError — the plug-in seam."""
+    import struct
+
+    b = payload or b""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt_tag, channels, rate, bits = 12, None, None, None, None
+    data = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        if cid == b"fmt " and pos + 24 <= len(b):
+            fmt_tag, channels, rate = struct.unpack("<HHI", b[pos + 8 : pos + 16])
+            bits = struct.unpack("<H", b[pos + 22 : pos + 24])[0]
+        elif cid == b"data":
+            data = b[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if fmt_tag is None or data is None:
+        raise ValueError("WAV missing fmt/data chunks")
+    if fmt_tag != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"stdlib decode covers PCM 8/16-bit only (fmt={fmt_tag}, "
+            f"bits={bits}) — plug a codec in"
+        )
+    if bits == 16:
+        n = len(data) // 2
+        samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+    else:
+        samples = [x - 128 for x in data]
+    return rate, channels, samples
+
+
+def _bmp_features(payload: bytes) -> list[float]:
+    """True pixel statistics: [width, height, n_pixels, mean_r, mean_g,
+    mean_b, min_luma, max_luma] (luma = BT.601 integer milli-weights,
+    exact before the final /1000)."""
+    w, h, rows = decode_bmp_pixels(payload)
+    n = w * h
+    if n == 0:
+        return [float(w), float(h), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    sr = sg = sb = 0
+    lmin, lmax = None, None
+    for row in rows:
+        for r, g, b in row:
+            sr += r
+            sg += g
+            sb += b
+            luma = 299 * r + 587 * g + 114 * b
+            lmin = luma if lmin is None or luma < lmin else lmin
+            lmax = luma if lmax is None or luma > lmax else lmax
+    return [
+        float(w), float(h), float(n),
+        sr / n, sg / n, sb / n, lmin / 1000.0, lmax / 1000.0,
+    ]
+
+
+def _wav_features(payload: bytes) -> list[float]:
+    """True sample statistics: [sample_rate, channels, n_samples, mean,
+    min, max, rms, zero_crossings]."""
+    import math
+
+    rate, channels, samples = decode_wav_samples(payload)
+    n = len(samples)
+    if n == 0:
+        return [float(rate), float(channels), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    zc = sum(
+        1 for a, b in zip(samples, samples[1:]) if (a < 0) != (b < 0)
+    )
+    return [
+        float(rate), float(channels), float(n),
+        sum(samples) / n, float(min(samples)), float(max(samples)),
+        math.sqrt(sum(s * s for s in samples) / n), float(zc),
+    ]
+
+
+# containers whose CONTENT decodes with the standard library alone; PNG/GIF
+# (zlib/LZW image payloads) remain the documented plug-in seam
+CONTENT_DECODERS: dict[str, Callable[[bytes], list[float]]] = {
+    "bmp": _bmp_features,
+    "wav": _wav_features,
+}
+
+
+def stdlib_content_decoder(payload: bytes, media_type: str) -> list[float]:
+    """The first REAL entries in the decoder registry: true pixel/sample
+    statistics for stdlib-decodable containers (uncompressed 24-bit BMP,
+    PCM WAV), loud NotImplementedError for compressed ones (PNG/GIF —
+    captured as per-row error rows by :func:`extract_features`, never
+    silent fakes). Drop-in for the ``decoder`` parameter."""
+    meta = parse_container_header(payload or b"")
+    if meta is None:
+        raise ValueError("unrecognized container")
+    dec = CONTENT_DECODERS.get(meta["container"])
+    if dec is None:
+        raise NotImplementedError(
+            f"{meta['container']} content is compressed — no codec library "
+            "in this environment; plug one into CONTENT_DECODERS"
+        )
+    return dec(payload)
+
+
 def extract_features(
     df: DataFrame,
     decoder: Callable[[bytes, str], list[float]] | None = None,

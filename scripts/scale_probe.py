@@ -23,7 +23,10 @@ transformation):
   i*10_000_000; ts untouched (sessionization windows key on user_id, so
   per-user work is replica-local).
 
-Usage: python scripts/scale_probe.py [--regen]
+Usage: python scripts/scale_probe.py [--regen] [query names…]
+Flags: --x100 (third decade), --ann, --bm25, --semantic-bits, --skew-demo,
+--salt-demo, --salt-demo-x100, --hierarchy-x100, --index-demo,
+--no-queries (skip the main sweep for flag-only runs).
 Writes the corpus under .scale/x10/ (gitignored) and prints one JSON line
 with sf0.1 and 10x timings per operator; SCALE.md records the results.
 """
@@ -136,6 +139,16 @@ X100_PROBES = [
     "drift_orders_history_vs_delta",
     "transition_matrix_events",
     "anomaly_flags_user_activity",
+    # round 7: the last round-6 operators without a third-decade row. Both
+    # read the derived part/customer tables, whose 3-digit replica suffix
+    # keeps cross-replica names at lev >= 3 — dictionary grows 100x, the
+    # within-replica match structure is constant (see the part/customer
+    # generate() comment). hierarchy_flatten_customers cannot reuse its
+    # registered query here (its div-10 parent rule dangles across replica
+    # key offsets — the recorded caveat), so it gets the dedicated
+    # --hierarchy-x100 study below instead.
+    "fuzzy_join_drifted_names",
+    "entity_resolution_names",
 ]
 
 
@@ -544,6 +557,110 @@ def main() -> int:
                 3,
             ),
         }
+        spark.catalog.clearCache()
+    if "--hierarchy-x100" in sys.argv:
+        # pointer doubling at the third decade. The registered query's
+        # div-10 parent rule breaks on replica-offset keys (parents dangle
+        # across the rep*10M bump), so the probe derives a WITHIN-replica
+        # forest: parent = rep*10M + (local id) div 10 — each replica is a
+        # forest isomorphic to the base corpus's, i.e. 100x nodes at the
+        # SAME depth. The claim under test is the log-rounds shape: the
+        # number of doubling joins is ceil(log2 depth), so 100x volume at
+        # constant depth must scale ~linearly, and a DEEP chain (depth
+        # 10^4) must cost ~log2(10^4)=14 rounds, not 10^4 joins.
+        from pyspark.sql import functions as F
+
+        from database_migration_spark.operators.hierarchy import flatten_hierarchy
+
+        if not os.path.exists(os.path.join(OUT100, "customer.parquet")):
+            generate(spark, OUT100, 100, tables=("customer",))
+
+        def forest(sf_dir):
+            c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+            local = F.pmod(F.col("c_custkey"), F.lit(10_000_000))
+            repb = F.col("c_custkey") - local
+            return c.select(
+                F.col("c_custkey").alias("id"),
+                F.when(local < 10, F.lit(None).cast("long"))
+                .otherwise(repb + F.expr(
+                    "(c_custkey % 10000000) div 10"
+                ))
+                .alias("parent_id"),
+            )
+
+        out["hierarchy_x100"] = {
+            "sf0.1_sec": round(
+                time_thunk(spark, lambda: flatten_hierarchy(forest(SF01))), 3
+            ),
+            "x100_sec": round(
+                time_thunk(spark, lambda: flatten_hierarchy(forest(OUT100))), 3
+            ),
+        }
+        out["hierarchy_x100"]["scaling_factor"] = round(
+            out["hierarchy_x100"]["x100_sec"]
+            / out["hierarchy_x100"]["sf0.1_sec"], 2
+        )
+        # the log-rounds leg: one chain of depth 10^4 (worst-case depth at
+        # a constant node count) — linear-chained joins would need 10^4
+        # rounds; doubling needs 14
+        chain = spark.range(10_000).select(
+            F.col("id").alias("id"),
+            F.when(F.col("id") == 0, F.lit(None).cast("long"))
+            .otherwise(F.col("id") - 1)
+            .alias("parent_id"),
+        )
+        t0 = time.time()
+        deep = flatten_hierarchy(chain)
+        max_depth = deep.agg({"depth": "max"}).collect()[0][0]
+        out["hierarchy_x100"]["deep_chain_sec"] = round(time.time() - t0, 3)
+        out["hierarchy_x100"]["deep_chain_max_depth"] = int(max_depth)
+        spark.catalog.clearCache()
+    if "--salt-demo-x100" in sys.argv:
+        # the salt demo one decade up: 100 M fact rows, ONE key owning half
+        # the volume, AQE skew split off (it splits partitions, not keys).
+        # The plain join lands 50 M rows in one task; the salt spreads them
+        # over 32 — at this scale the single hot task also SPILLS, so the
+        # gap widens vs the 24 M-row demo.
+        from pyspark.sql import functions as F
+
+        from database_migration_spark.operators.skew import salted_join
+
+        fact = spark.range(100_000_000).select(
+            F.col("id").alias("fid"),
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.pmod(F.col("id"), 100_000))
+            .alias("k"),
+        )
+        dim = spark.range(100_000).select(
+            F.col("id").cast("long").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("dim_payload"),
+        )
+        prev = spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+        auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out["salt_demo_x100"] = {
+                "plain_sec": round(
+                    time_thunk(
+                        spark,
+                        lambda: fact.join(dim, "k").select("fid", "dim_payload"),
+                    ),
+                    3,
+                ),
+                "salted_32_sec": round(
+                    time_thunk(
+                        spark,
+                        lambda: salted_join(fact, dim, ["k"], salts=32).select(
+                            "fid", "dim_payload"
+                        ),
+                    ),
+                    3,
+                ),
+            }
+        finally:
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
         spark.catalog.clearCache()
     if "--skew-demo" in sys.argv:
         # pathological-skew guard, measured: the x10 corpus plus 2 000

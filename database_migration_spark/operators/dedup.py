@@ -413,9 +413,8 @@ def connected_components(
     one shuffle join + one groupBy, both keyed by node id. Every round
     localCheckpoints the labels — without it the iterative plan nests
     joins ``max_iter`` deep and Catalyst analysis goes exponential.
-    At web scale with long chains, switch to large-star/small-star
-    (Kiveris et al., "Connected Components in MapReduce", SOCC'14) —
-    same building blocks, logarithmic rounds.
+    At web scale with long chains, use :func:`connected_components_star`
+    (large-star/small-star, logarithmic rounds) — same output contract.
     """
     from pyspark import StorageLevel
 
@@ -445,6 +444,116 @@ def connected_components(
         prev_sum = cur_sum
     edges.unpersist()
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """:func:`connected_components` with LOGARITHMIC rounds — the
+    alternating large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14). Same output
+    contract: every node labeled with its component's minimum id,
+    singletons keep their own.
+
+    Why it exists: min-label propagation converges in O(diameter) rounds —
+    fine for near-clique dup clusters, pathological for CHAIN-shaped
+    components (serial ids linked by lev-1 edges: a length-10⁴ chain is
+    10⁴ rounds). The star operations contract every component to a star
+    (all nodes pointing at the min) in O(log² n) rounds regardless of
+    diameter; each round is two groupBy-min aggregates + a map-side emit —
+    the same keyed-shuffle building blocks, no new primitives.
+
+    Per round, over the SYMMETRIC closure (Γ(u) = undirected neighbors):
+    - large-star(u): emit (v, m(u)) for every v ∈ Γ(u) with v > u, where
+      m(u) = min(Γ(u) ∪ {u});
+    - small-star(u): emit (v, m⁻(u)) for every v ∈ Γ(u) with v < u, plus
+      (u, m⁻(u)), where m⁻(u) = min({v ∈ Γ(u): v < u} ∪ {u}).
+    Both preserve connectivity (paper, Lemmas 1-2); each phase rebuilds
+    the edge set from its emissions. Convergence = fixed point of the
+    canonical edge set, checked by an exact order-independent md5-sum
+    checksum (no driver data). At the fixed point every component is a
+    star rooted at its min, so the label is least(u, min Γ(u)).
+    """
+    src, dst = F.col("id_a"), F.col("id_b")
+    edges = (
+        pairs.select(src.alias("u"), dst.alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def sym(e: DataFrame) -> DataFrame:
+        return (
+            e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+        )
+
+    def checksum(e: DataFrame):
+        # exact, order-independent fingerprint of the undirected edge set
+        canon = e.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        ).distinct()
+        row = canon.agg(
+            F.sum(
+                F.expr(
+                    "CAST(conv(substring(md5(concat_ws(':', a, b)), 1, 15),"
+                    " 16, 10) AS DECIMAL(38,0))"
+                )
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return (row["s"], row["n"])
+
+    def large_star(e: DataFrame) -> DataFrame:
+        s = sym(e)
+        m = s.groupBy("u").agg(F.min("v").alias("_mn")).select(
+            "u", F.least(F.col("_mn"), F.col("u")).alias("m")
+        )
+        return (
+            s.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        s = sym(e)
+        lower = s.where(F.col("v") < F.col("u"))
+        m = lower.groupBy("u").agg(F.min("v").alias("m"))
+        kids = lower.join(m, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        selfs = m.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            kids.union(selfs)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    edges = edges.localCheckpoint(eager=True)
+    prev = checksum(edges)
+    for _ in range(max_iter):
+        edges = small_star(large_star(edges))
+        edges = edges.localCheckpoint(eager=True)
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # star forest: label(u) = least(u, min undirected neighbor)
+    roots = sym(edges).groupBy("u").agg(F.min("v").alias("_mn")).select(
+        "u", F.least(F.col("_mn"), F.col("u")).alias("lbl")
+    )
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(roots, F.col("id") == F.col("u"), "left")
+        .select(
+            "id",
+            F.coalesce(F.col("lbl"), F.col("id")).alias("cluster_id"),
+        )
+    )
 
 
 def simhash_signatures(

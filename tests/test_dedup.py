@@ -542,3 +542,42 @@ def test_line_dedup_within_doc_repeats_keep_one(spark):
         for r in remove_duplicate_lines(docs, min_docs=2).collect()
     }
     assert none[1] == "mid" and none[2] == "tail"
+
+
+def test_connected_components_star_matches_label_propagation(spark):
+    """Round-7: the log-rounds large-star/small-star variant produces the
+    IDENTICAL labeling as min-label propagation on every component shape —
+    long chain (the case star exists for), clique, star, singleton, and a
+    two-edge vee — plus determinism across repartitioning."""
+    from database_migration_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = (
+        [(i, i + 1) for i in range(60)]                       # chain, diam 60
+        + [(100, 101), (101, 102), (100, 102)]                # clique
+        + [(300, x) for x in range(301, 306)]                 # star
+        + [(400, 402), (401, 402)]                            # vee
+    )
+    pdf = spark.createDataFrame(pairs, "id_a LONG, id_b LONG")
+    node_ids = sorted({x for p in pairs for x in p} | {500})  # +singleton
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id LONG")
+
+    prop = {r.id: r.cluster_id
+            for r in connected_components(pdf, nodes, max_iter=80).collect()}
+    star = {r.id: r.cluster_id
+            for r in connected_components_star(pdf, nodes).collect()}
+    assert star == prop
+    assert star[60] == 0 and star[305] == 300 and star[500] == 500
+    assert star[400] == star[401] == star[402] == 400
+
+    # invariance under physical layout (the checksum/fixed-point must not
+    # depend on partitioning)
+    star2 = {
+        r.id: r.cluster_id
+        for r in connected_components_star(
+            pdf.repartition(7), nodes.repartition(3)
+        ).collect()
+    }
+    assert star2 == star

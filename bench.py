@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "resample_user_activity",
     "drift_orders_history_vs_delta",
     "join_plan_advisor_lineitem",
+    # round 7
+    "cdc_apply_orders",
 ]
 
 

@@ -4342,6 +4342,100 @@ def salted_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_apply_orders",
+    # op-coded change stream applied to a base table: updates (incl. a
+    # second, later update to the same keys — last-writer-wins), deletes
+    # (incl. keys that were updated FIRST and deleted later — cross-op
+    # ordering), and inserts under fresh keys. The oracle replays the
+    # identical synthesized stream and the net/merge semantics in SQL.
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS VARCHAR) AS totalprice
+  FROM orders
+), stream AS (
+  SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
+         CAST(CAST(o_totalprice + 1 AS DECIMAL(18,6)) AS VARCHAR) AS totalprice,
+         10 AS seq, 'U' AS op
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, 'U2',
+         CAST(CAST(o_totalprice + 2 AS DECIMAL(18,6)) AS VARCHAR), 20, 'U'
+  FROM orders WHERE o_orderkey % 21 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS VARCHAR), 30, 'D'
+  FROM orders WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 'I',
+         CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS VARCHAR), 10, 'I'
+  FROM orders WHERE o_orderkey % 17 = 0
+), net AS (
+  SELECT * FROM (
+    SELECT s.*, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY seq DESC) AS rn
+    FROM stream s
+  ) t WHERE rn = 1
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, totalprice
+FROM net WHERE op <> 'D'
+UNION ALL
+SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.totalprice
+FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM net n WHERE n.o_orderkey = b.o_orderkey)
+""",
+)
+def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply (operators/cdc.py): an op-coded (I/U/D) ordered change
+    stream folded into a base table — the delete-capable executor the
+    watermark+MERGE sync path cannot express (a vanished source row never
+    arrives through `>= watermark`). The stream reduces per-key first
+    (window over the DELTA only), then one MERGE-style key join; the base
+    never windows. Planted ops exercise last-writer-wins (%21 keys get a
+    later second update), the delete leg (%13), update-then-delete
+    cross-op ordering (%91 keys), and fresh-key inserts (%17)."""
+    from database_migration_spark.operators.cdc import apply_cdc
+
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").cast(DEC).cast("string").alias("totalprice"),
+    )
+
+    def ev(cond, status, price_expr, seq, op):
+        return o.where(cond).select(
+            F.col("o_orderkey"),
+            "o_custkey",
+            status.alias("o_orderstatus"),
+            price_expr.cast(DEC).cast("string").alias("totalprice"),
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+        )
+
+    stream = (
+        ev(F.col("o_orderkey") % 7 == 0, F.lit("U1"),
+           F.col("o_totalprice") + 1, 10, "U")
+        .unionByName(ev(F.col("o_orderkey") % 21 == 0, F.lit("U2"),
+                        F.col("o_totalprice") + 2, 20, "U"))
+        .unionByName(ev(F.col("o_orderkey") % 13 == 0, F.col("o_orderstatus"),
+                        F.col("o_totalprice"), 30, "D"))
+        .unionByName(
+            o.where(F.col("o_orderkey") % 17 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_custkey",
+                F.lit("I").alias("o_orderstatus"),
+                F.col("o_totalprice").cast(DEC).cast("string").alias(
+                    "totalprice"
+                ),
+                F.lit(10).alias("seq"),
+                F.lit("I").alias("op"),
+            )
+        )
+    )
+    return apply_cdc(base, stream, keys=["o_orderkey"])
+
+
+@register(
     "drift_orders_history_vs_delta",
     oracle="""
 WITH l AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
@@ -5093,6 +5187,14 @@ _SHOWCASE_ONLY = [
     # train_val_test samplers; the ppm skew shares are what the oracle
     # pins; sim-verified + NULL/skew pytests (test_profile)
     "dist_key_advisor_orders",
+    # showcase from birth (round 7): CDC apply — its machinery is the
+    # graded MERGE join rewrite (delta_merge_orders: upsert-on-key union +
+    # anti-join) plus a per-key row_number window
+    # (window_functions_lineitem, GRADED); the NEW claim (op semantics:
+    # the delete leg, last-writer-wins by seq, update-then-delete
+    # ordering) is what the oracle pins; sim-verified + op/guard pytests
+    # (test_cdc)
+    "cdc_apply_orders",
 ]
 
 

@@ -536,3 +536,92 @@ def stream_interval_join(
     cols += [rw[c].alias(f"right_{c}" if c in shared else c)
              for c in right.columns if c != key]
     return joined.select(*cols)
+
+
+def read_cdc_target(spark: SparkSession, target_path: str) -> DataFrame:
+    """The LIVE view of a :func:`stream_cdc_apply` target: tombstones
+    filtered, bookkeeping columns (``_seq``, ``_deleted``) dropped."""
+    t = spark.read.parquet(target_path)
+    return t.where(~F.col("_deleted")).drop("_seq", "_deleted")
+
+
+def stream_cdc_apply(
+    stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+):
+    """Continuous CDC apply: each micro-batch of op-coded (I/U/D) events
+    folds into the parquet target at ``target_path`` — the streaming form
+    of ``operators.cdc.apply_cdc``, hardened for the two orderings a real
+    change feed violates:
+
+    - WITHIN a batch: ``net_changes`` reduces to one event per key by
+      ``seq_col`` (last writer wins), exactly like the batch operator.
+    - ACROSS batches: the target stores each key's last applied sequence
+      (``_seq``) and deletes persist as TOMBSTONES (``_deleted`` rows)
+      rather than physical removals, so a late event older than what is
+      already applied is FENCED (seq ≤ stored _seq → ignored), including
+      the classic late-update-after-delete: without the tombstone the
+      deleted key's fence would vanish with it and a stale update would
+      resurrect the row. Result: the target converges to the same state
+      for ANY partition of the event stream into batches — pinned by the
+      batch-split equivalence pytest.
+
+    Replays are idempotent (re-fencing the same epoch's events against
+    the post-apply _seq leaves the target unchanged), so foreachBatch's
+    at-least-once delivery is safe. Read the live view through
+    :func:`read_cdc_target`; tombstone retention/compaction is the
+    caller's policy (drop tombstones older than the feed's max lateness,
+    the same horizon a watermark would bound).
+
+    The stream must carry the full row image (base attributes) plus
+    ``seq_col`` and ``op_col``; the target's business columns are the
+    stream's minus the bookkeeping. Storage is the stage-then-swap
+    parquet rewrite of the sibling streams; a transactional format
+    replaces it with MERGE INTO.
+    """
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.head(1):
+            return
+        import os
+
+        from database_migration_spark.operators.cdc import net_changes
+
+        s = batch.sparkSession
+        net = net_changes(batch, keys, seq_col, op_col)
+        base_cols = [c for c in batch.columns if c not in (seq_col, op_col)]
+        rows = net.select(
+            *base_cols,
+            F.col(seq_col).cast("long").alias("_seq"),
+            (F.col(op_col) == "D").alias("_deleted"),
+        )
+        if os.path.exists(target_path):
+            tgt = s.read.parquet(target_path)
+            fence = tgt.select(
+                *keys, F.col("_seq").alias("_applied_seq")
+            )
+            fresh = (
+                rows.join(fence, keys, "left")
+                .where(
+                    F.col("_applied_seq").isNull()
+                    | (F.col("_seq") > F.col("_applied_seq"))
+                )
+                .drop("_applied_seq")
+            )
+            merged = fresh.unionByName(tgt.join(fresh.select(*keys), keys, "left_anti"))
+        else:
+            merged = rows
+        from database_migration_spark.functions.io import publish_parquet
+
+        publish_parquet(merged, target_path, target_path + f".epoch{epoch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

@@ -868,3 +868,67 @@ def test_stream_drift_monitor_scores_each_batch(spark, tmp_path):
     by_score = sorted(s["v"] for _, s in scores)
     assert by_score[0] == 0          # the clean batch
     assert by_score[1] > 800_000     # the shifted batch
+
+
+def test_stream_cdc_apply_converges_under_any_batch_split(spark, tmp_path):
+    """Round-7 streaming CDC: the tombstone + seq-fence design must make
+    the target converge to the same live view no matter how the event
+    stream splits into micro-batches — including the late-update-after-
+    delete resurrection case and a replayed (duplicate) event file."""
+    from database_migration_spark.streaming.delta_stream import (
+        read_cdc_target,
+        stream_cdc_apply,
+    )
+
+    schema = "k LONG, v STRING, seq LONG, op STRING"
+    events = [
+        (1, "a", 10, "I"),
+        (1, "a2", 30, "U"),
+        (2, "b", 10, "I"),
+        (2, "b", 20, "D"),     # deleted at seq 20...
+        (2, "b-old", 15, "U"),  # ...late stale update must NOT resurrect
+        (3, "c", 10, "I"),
+    ]
+
+    def run(splits, name):
+        src = tmp_path / f"cdc_src_{name}"
+        src.mkdir()
+        for i, batch in enumerate(splits):
+            spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+                str(src / f"b{i}")
+            )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        target = str(tmp_path / f"cdc_target_{name}")
+        q = stream_cdc_apply(stream, target, ["k"],
+                             str(tmp_path / f"cdc_ck_{name}"))
+        q.processAllAvailable()
+        q.stop()
+        return {r.k: r.v for r in read_cdc_target(spark, target).collect()}
+
+    # one batch, in-order batches, adversarial split (delete before the
+    # stale update arrives), and a replayed duplicate file
+    one = run([events], "one")
+    ordered = run([events[:2], events[2:4], events[4:]], "ordered")
+    adversarial = run(
+        [[events[0], events[3]],          # I(1), D(2) first
+         [events[2], events[4]],          # late I(2)@10 and U(2)@15 after the delete
+         [events[1], events[5]]],
+        "adversarial",
+    )
+    replayed = run([events, events[2:5]], "replayed")
+
+    want = {1: "a2", 3: "c"}  # key 2 stays deleted
+    assert one == want
+    assert ordered == want
+    assert adversarial == want
+    assert replayed == want
+
+    # the tombstone is still present in the raw target (retention is the
+    # caller's policy), only the live view filters it
+    raw = spark.read.parquet(str(tmp_path / "cdc_target_one"))
+    tomb = [r for r in raw.collect() if r.k == 2]
+    assert len(tomb) == 1 and tomb[0]._deleted and tomb[0]._seq == 20

@@ -1026,3 +1026,186 @@ def centroid_outliers(
         .where(F.col("rank") <= k)
         .select(group_col, id_col, "rank", "sq_dist_e12")
     )
+
+
+# --- Product quantization (Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011) -----------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+):
+    """Driver-side PQ training: split the dimension into ``m`` contiguous
+    subspaces and k-means each on a SAMPLE (the train_ivf_centroids
+    contract — the sample is the only data that reaches the driver; the
+    corpus encode stays distributed). Returns an (m, k, dim//m) numpy
+    array. Deterministic: seeded init, fixed iterations.
+
+    Why PQ at 100 TB: a 64-dim float32 vector is 256 bytes; its 8-byte PQ
+    code is a 32x compression, so the scan side of an ANN search reads
+    1/32 of the bytes and the codes of a 10^9-vector corpus fit in ~8 GB —
+    memory-resident on a modest cluster. Search cost per query is m table
+    lookups per corpus vector instead of a dim-length float fold.
+    """
+    import numpy as np
+
+    X = np.array(
+        [r[0] for r in corpus.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d = dim // m
+    k = min(k, len(X))
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, d), dtype=np.float64)
+    for j in range(m):
+        sub = X[:, j * d : (j + 1) * d]
+        cents = sub[rng.choice(len(sub), k, replace=False)].copy()
+        for _ in range(iters):
+            dist = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = dist.argmin(axis=1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed PQ encode: each vector → its m nearest-centroid codes
+    (vectorized numpy over Arrow batches; codebooks ship in the closure,
+    a few hundred KB). Output (id, codes ARRAY<INT>) — at 100 TB this is
+    the write-once compressed index relation."""
+    import numpy as np
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _, d = books.shape
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.array(list(pdf[vec_col]), dtype=np.float64)
+            codes = np.empty((len(vecs), m), dtype=np.int64)
+            for j in range(m):
+                sub = vecs[:, j * d : (j + 1) * d]
+                dist = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = dist.argmin(axis=1)
+            yield pd.DataFrame(
+                {"_id": pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return (
+        fan_out(corpus)
+        .select(id_col, vec_col)
+        .mapInPandas(run, schema="_id LONG, codes ARRAY<INT>")
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def pq_decode(codes, codebooks):
+    """Reconstruct the quantized vector for a code row (test/audit helper;
+    numpy in, numpy out)."""
+    import numpy as np
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    return np.concatenate([books[j][c] for j, c in enumerate(codes)])
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC): per
+    query, an (m × k) lookup table of squared distances from its
+    subvectors to every codebook centroid; a corpus vector's approximate
+    squared L2 distance is then m table lookups summed — no float fold,
+    no decode. Output (query_id, neighbor_id, rank, adc_dist_e6),
+    ascending distance, ties broken by neighbor id.
+
+    Shuffle shape: each Arrow batch emits only its per-query top-k
+    (bounded queries×k per batch — lossless for the global top-k merge,
+    the cosine_topk ``partial=True`` argument), so the ranking window
+    sees partitions×queries×k rows, never |corpus|×|queries|. The query
+    side is driver-collected (the same bounded-queries contract the
+    brute/IVF/LSH paths broadcast under). Distance is L2: normalize both
+    sides first when cosine ranking is wanted (monotone on the unit
+    sphere).
+    """
+    import numpy as np
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, kk, d = books.shape
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qv = np.array([r[1] for r in qrows], dtype=np.float64)
+    # LUT[q, j, c] = ||q_sub_j - books[j][c]||^2
+    lut = np.empty((len(qids), m, kk), dtype=np.float64)
+    for j in range(m):
+        sub = qv[:, j * d : (j + 1) * d]
+        lut[:, j, :] = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+    top = k
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            ids = pdf["_id"].to_numpy()
+            # dists[q, n] = Σ_j lut[q, j, codes[n, j]]
+            dists = np.zeros((len(qids), len(ids)), dtype=np.float64)
+            for j in range(m):
+                dists += lut[:, j, codes[:, j]]
+            n_keep = min(top, len(ids))
+            # per-query batch-local top-k, ties later re-broken globally
+            part = np.argpartition(dists, n_keep - 1, axis=1)[:, :n_keep]
+            out_q, out_n, out_d = [], [], []
+            for qi in range(len(qids)):
+                for ci in part[qi]:
+                    out_q.append(qids[qi])
+                    out_n.append(ids[ci])
+                    out_d.append(dists[qi, ci])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc": out_d}
+            )
+
+    cand = (
+        corpus_codes.select(F.col(id_col).alias("_id"), "codes")
+        .mapInPandas(run, schema="query_id LONG, neighbor_id LONG, adc DOUBLE")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("adc") * 1_000_000).cast("long").alias("adc_dist_e6"),
+        )
+    )

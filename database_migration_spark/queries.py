@@ -4341,6 +4341,25 @@ def salted_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("pq_topk_embeddings")
+def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity.py train_pq_codebooks/
+    pq_encode/pq_topk; Jégou et al. TPAMI 2011): 64-dim float vectors
+    compress to 8 subspace codes (32× fewer bytes on the scan side) and
+    queries rank by ADC table lookups instead of float folds. Rows-only
+    by nature: the codebooks come from float k-means no SQL engine
+    replays bit-for-bit — correctness is pinned by the ADC==decoded-L2
+    property test and the duplicate-vector rank-1 test (test_dedup_
+    similarity), recall honestly measured in SCALE.md's ANN study."""
+    from database_migration_spark.operators import similarity as S
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = S.train_pq_codebooks(emb, m=8, k=64, sample_rows=1024)
+    codes = S.pq_encode(emb, books)
+    queries_df = emb.where(F.col("vec_id") < 20)
+    return S.pq_topk(codes, queries_df, books, k=5)
+
+
 @register(
     "cdc_apply_orders",
     # op-coded change stream applied to a base table: updates (incl. a
@@ -5195,6 +5214,14 @@ _SHOWCASE_ONLY = [
     # ordering) is what the oracle pins; sim-verified + op/guard pytests
     # (test_cdc)
     "cdc_apply_orders",
+    # showcase from birth (round 7, rows-only by nature): PQ/ADC ANN —
+    # float k-means codebooks have no cross-engine oracle (the BPE/HLL
+    # precedent); the Spark machinery it composes is graded elsewhere
+    # (mapInPandas Arrow batching via multimodal_features, bounded
+    # map-side top-k + window merge via ann_cosine_topk's family);
+    # differential pytests pin ADC==decoded-L2 and exact-duplicate
+    # rank-1 (test_dedup_similarity)
+    "pq_topk_embeddings",
 ]
 
 

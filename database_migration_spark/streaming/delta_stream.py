@@ -625,3 +625,25 @@ def stream_cdc_apply(
         .outputMode("update")
         .start()
     )
+
+
+def compact_cdc_target(
+    spark: SparkSession, target_path: str, min_live_seq: int
+) -> dict:
+    """Tombstone retention for a :func:`stream_cdc_apply` target: drop
+    tombstones whose ``_seq`` is below ``min_live_seq`` — the caller's
+    lateness horizon (any event older than this is promised never to
+    arrive, the same contract a watermark makes). Live rows are never
+    dropped at any seq: the fence they carry still guards against stale
+    updates. Rewrites the target (stage-then-swap) and returns the
+    before/after tombstone counts."""
+    from database_migration_spark.functions.io import publish_parquet
+
+    t = spark.read.parquet(target_path)
+    before = t.where(F.col("_deleted")).count()
+    kept = t.where(
+        ~F.col("_deleted") | (F.col("_seq") >= F.lit(int(min_live_seq)))
+    )
+    publish_parquet(kept, target_path, target_path + ".compact-tmp")
+    after = spark.read.parquet(target_path).where(F.col("_deleted")).count()
+    return {"tombstones_before": before, "tombstones_after": after}

@@ -660,3 +660,110 @@ def test_suggest_ann_params_reproduces_measured_recall_configs():
     # unreachable target within the table budget -> explicit brute fallback
     p = suggest_ann_params(10_000, dim=64, target_recall=0.999, neighbor_cos=-0.5)
     assert p["method"] == "brute" and p["expected_recall"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# round 7: product quantization (PQ/ADC)
+
+
+def test_pq_adc_equals_decoded_l2(spark, emb):
+    """The rigorous PQ correctness property: the ADC distance pq_topk
+    ranks by must equal the exact L2 between the query and the DECODED
+    (reconstructed) corpus vector — that is the algorithm's definition,
+    and it is deterministic, so it pins the LUT + code machinery
+    end-to-end without depending on recall."""
+    import numpy as np
+
+    from database_migration_spark.operators.similarity import (
+        pq_decode,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    corpus = emb.select("vec_id", "embedding").limit(64)
+    books = train_pq_codebooks(corpus, m=8, k=16, sample_rows=64, iters=5)
+    codes = {r.vec_id: list(r.codes) for r in pq_encode(corpus, books).collect()}
+    qdf = corpus.where(F.col("vec_id") == sorted(codes)[0])
+    qvec = np.array(qdf.collect()[0].embedding, dtype=np.float64)
+
+    got = pq_topk(codes_df(spark, codes), qdf, books, k=10)
+    for r in got.collect():
+        rec = pq_decode(codes[r.neighbor_id], books)
+        want = float(((qvec - rec) ** 2).sum())
+        assert r.adc_dist_e6 == int(np.floor(want * 1_000_000)), r
+
+
+def codes_df(spark, codes):
+    return spark.createDataFrame(
+        [(k, v) for k, v in codes.items()], "vec_id LONG, codes ARRAY<INT>"
+    )
+
+
+def test_pq_duplicate_vector_ranks_first(spark, emb):
+    """A corpus vector IDENTICAL to the query shares its codes, so its
+    ADC distance is the query's own quantization error — strictly the
+    minimum possible; the planted duplicate must rank 1."""
+    from database_migration_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    base = emb.select("vec_id", "embedding")
+    dup = base.where(F.col("vec_id") == 7).select(
+        F.lit(9_000_007).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(dup)
+    books = train_pq_codebooks(corpus, m=8, k=32, sample_rows=512, iters=5)
+    codes = pq_encode(corpus, books)
+    q = base.where(F.col("vec_id") == 7)
+    top = pq_topk(codes, q, books, k=3).orderBy("rank").collect()
+    assert top[0].neighbor_id == 9_000_007 and top[0].rank == 1
+
+
+def test_pq_encode_rejects_indivisible_dim(spark, emb):
+    import pytest as _pytest
+
+    from database_migration_spark.operators.similarity import train_pq_codebooks
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(emb, m=7)
+
+
+def test_pq_batch_local_topk_is_lossless(spark, emb):
+    """pq_topk emits only per-batch top-k before the global merge; the
+    result must equal the same ranking computed over ALL pairs (the
+    partial-prune losslessness argument, PQ edition) — exercised across
+    a many-partition layout so batches are genuinely partial."""
+    import numpy as np
+
+    from database_migration_spark.operators.similarity import (
+        pq_decode,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    corpus = emb.select("vec_id", "embedding")
+    books = train_pq_codebooks(corpus, m=8, k=16, sample_rows=256, iters=4)
+    codes = pq_encode(corpus, books)
+    q = corpus.where(F.col("vec_id").isin(1, 2, 3))
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist_e6)
+        for r in pq_topk(codes.repartition(13), q, books, k=4).collect()
+    }
+    # reference ranking from decoded exact distances, same tie-break
+    all_codes = {r.vec_id: list(r.codes) for r in codes.collect()}
+    qvecs = {r.vec_id: np.array(r.embedding, float) for r in q.collect()}
+    for qid, qv in qvecs.items():
+        dists = sorted(
+            (
+                int(np.floor(float(((qv - pq_decode(c, books)) ** 2).sum()) * 1e6)),
+                nid,
+            )
+            for nid, c in all_codes.items()
+            if nid != qid
+        )
+        for rank, (d, nid) in enumerate(dists[:4], start=1):
+            assert got[(qid, rank)] == (nid, d), (qid, rank)

@@ -27,7 +27,8 @@ def test_proving_queries_inside_graded_window():
 # rows-only by nature (iterative algorithms): allowed to lack an oracle,
 # but each MUST carry a differential pytest instead — named here so adding
 # one is an explicit decision, not an accident
-ROWS_ONLY = {"bpe_merge_table_documents", "rolling_active_users"}
+ROWS_ONLY = {"bpe_merge_table_documents", "rolling_active_users",
+             "pq_topk_embeddings"}
 
 
 def test_showcase_list_names_real_queries():

@@ -932,3 +932,33 @@ def test_stream_cdc_apply_converges_under_any_batch_split(spark, tmp_path):
     raw = spark.read.parquet(str(tmp_path / "cdc_target_one"))
     tomb = [r for r in raw.collect() if r.k == 2]
     assert len(tomb) == 1 and tomb[0]._deleted and tomb[0]._seq == 20
+
+
+def test_compact_cdc_target_drops_expired_tombstones(spark, tmp_path):
+    from database_migration_spark.streaming.delta_stream import (
+        compact_cdc_target,
+        read_cdc_target,
+        stream_cdc_apply,
+    )
+
+    schema = "k LONG, v STRING, seq LONG, op STRING"
+    events = [(1, "a", 10, "I"), (2, "b", 10, "I"), (2, "b", 20, "D"),
+              (3, "c", 5, "I"), (3, "c", 8, "D")]
+    src = tmp_path / "cmp_src"
+    src.mkdir()
+    spark.createDataFrame(events, schema).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    target = str(tmp_path / "cmp_target")
+    q = stream_cdc_apply(stream, target, ["k"], str(tmp_path / "cmp_ck"))
+    q.processAllAvailable()
+    q.stop()
+
+    # horizon 15: the seq-8 tombstone (key 3) expires, the seq-20 one stays
+    out = compact_cdc_target(spark, target, min_live_seq=15)
+    assert out == {"tombstones_before": 2, "tombstones_after": 1}
+    raw = {r.k: r for r in spark.read.parquet(target).collect()}
+    assert 3 not in raw and raw[2]._deleted and not raw[1]._deleted
+    # the live view is unchanged by compaction
+    assert {r.k: r.v for r in read_cdc_target(spark, target).collect()} == {1: "a"}

@@ -1113,6 +1113,53 @@ def cmd_star(args) -> int:
     return 0
 
 
+def cmd_cdc(args) -> int:
+    """Apply an op-coded (I/U/D) change feed to a parquet target
+    (operators/cdc.py) — the delete-capable sibling of ``sync``
+    (watermark+MERGE cannot express a source-side delete). The feed is a
+    table with the target's columns plus --seq-col and --op-col;
+    ``--dry-run`` prints the per-op event/net counts without writing."""
+    from database_migration_spark.operators.cdc import apply_cdc, cdc_counts
+    from database_migration_spark.session import get_spark
+
+    spark = get_spark(app_name="dms_cdc")
+    eadapter = _source(spark, args.events, args)
+    ecat = eadapter.scan_catalog("%", args.events_table or "%")
+    if not ecat.tables:
+        print(f"error: no events table in {args.events}", file=sys.stderr)
+        return 2
+    events = _read(eadapter, ecat.tables[0])
+    keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+    counts = {
+        r.op: (r.events, r.net_keys)
+        for r in cdc_counts(events, keys, args.seq_col, args.op_col).collect()
+    }
+    for op in sorted(counts):
+        ev, net = counts[op]
+        print(f"{op}: {ev} events, {net} net keys")
+    if args.dry_run:
+        print("-- dry run; target untouched", file=sys.stderr)
+        return 0
+    import os
+
+    if os.path.exists(args.target):
+        base = spark.read.parquet(args.target)
+    else:
+        # bootstrap: an empty base with the feed's business columns
+        base = events.drop(args.seq_col, args.op_col).limit(0)
+    try:
+        merged = apply_cdc(base, events, keys, args.seq_col, args.op_col)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    from database_migration_spark.functions.io import publish_parquet
+
+    publish_parquet(merged, args.target, args.target + ".cdc-tmp")
+    n = spark.read.parquet(args.target).count()
+    print(f"target now has {n} rows")
+    return 0
+
+
 def cmd_ping(args) -> int:
     """The reference ships a connection smoke test with every script
     (SELECT 'Connection works' — mysql_to_exasol.sql:396-397); this is
@@ -1447,6 +1494,24 @@ def main(argv: list[str] | None = None) -> int:
                     "tables and metric-compare against the source; rc=1 "
                     "on any deviation")
     st.set_defaults(fn=cmd_star)
+
+    cd = sub.add_parser("cdc", help="apply an op-coded (I/U/D) change feed "
+                        "to a parquet target; deletes included (the "
+                        "delete-capable sibling of sync)")
+    cd.add_argument("--events", required=True,
+                    help="change-feed table directory or jdbc: URL")
+    cd.add_argument("--events-table",
+                    help="table name when --events holds several")
+    cd.add_argument("--dialect", help="dialect name for jdbc: sources")
+    cd.add_argument("--jdbc-prop", action="append")
+    cd.add_argument("--target", required=True, help="parquet target dir "
+                    "(bootstrapped from the feed's columns if absent)")
+    cd.add_argument("--keys", required=True, help="comma-separated key columns")
+    cd.add_argument("--seq-col", default="seq")
+    cd.add_argument("--op-col", default="op")
+    cd.add_argument("--dry-run", action="store_true",
+                    help="print per-op event/net counts only")
+    cd.set_defaults(fn=cmd_cdc)
 
     pg = sub.add_parser("ping", help="connection smoke test")
     pg.add_argument("--source", required=True,

@@ -906,3 +906,53 @@ def test_cli_star_bad_column_is_clean_error(spark, sf_smoke, capsys):
         main(["star", "--source", sf_smoke, "--table", "orders",
               "--dim", "status:o_nope", "--target", "/tmp/x"])
     assert "o_nope" in str(e.value)
+
+
+def test_cli_cdc_apply_and_dry_run(spark, tmp_path, capsys):
+    """Round-7 cdc subcommand: dry run prints per-op event/net counts and
+    writes nothing; the real run bootstraps, then a second feed updates,
+    deletes and fences by seq."""
+    events0 = str(tmp_path / "ev0")
+    spark.createDataFrame(
+        [(1, "a", 10, "I"), (2, "b", 10, "I"), (3, "c", 10, "I")],
+        "k LONG, v STRING, seq LONG, op STRING",
+    ).write.parquet(f"{events0}/events.parquet")
+    target = str(tmp_path / "cdc_target")
+
+    rc = main(["cdc", "--events", events0, "--target", target,
+               "--keys", "k", "--dry-run"])
+    cap = capsys.readouterr()
+    assert rc == 0 and "I: 3 events, 3 net keys" in cap.out
+    import os
+
+    assert not os.path.exists(target)
+
+    rc = main(["cdc", "--events", events0, "--target", target, "--keys", "k"])
+    assert rc == 0
+    assert {r.k: r.v for r in spark.read.parquet(target).collect()} == {
+        1: "a", 2: "b", 3: "c"
+    }
+
+    events1 = str(tmp_path / "ev1")
+    spark.createDataFrame(
+        [(1, "a2", 20, "U"), (2, "b", 20, "D"), (4, "d", 20, "I")],
+        "k LONG, v STRING, seq LONG, op STRING",
+    ).write.parquet(f"{events1}/events.parquet")
+    rc = main(["cdc", "--events", events1, "--target", target, "--keys", "k"])
+    cap = capsys.readouterr()
+    assert rc == 0 and "target now has 3 rows" in cap.out
+    assert {r.k: r.v for r in spark.read.parquet(target).collect()} == {
+        1: "a2", 3: "c", 4: "d"
+    }
+
+    # duplicate (key, seq) in a feed: clean rc=2 error, target untouched
+    bad = str(tmp_path / "evbad")
+    spark.createDataFrame(
+        [(1, "x", 30, "U"), (1, "y", 30, "U")],
+        "k LONG, v STRING, seq LONG, op STRING",
+    ).write.parquet(f"{bad}/events.parquet")
+    rc = main(["cdc", "--events", bad, "--target", target, "--keys", "k"])
+    assert rc == 2 and "multiple events" in capsys.readouterr().err
+    assert {r.k: r.v for r in spark.read.parquet(target).collect()} == {
+        1: "a2", 3: "c", 4: "d"
+    }

@@ -1128,6 +1128,11 @@ def cmd_cdc(args) -> int:
     if not ecat.tables:
         print(f"error: no events table in {args.events}", file=sys.stderr)
         return 2
+    if len(ecat.tables) > 1:
+        names = sorted(t.table for t in ecat.tables)
+        print(f"error: {args.events} holds several tables {names} — "
+              "pick one with --events-table", file=sys.stderr)
+        return 2
     events = _read(eadapter, ecat.tables[0])
     keys = [k.strip() for k in args.keys.split(",") if k.strip()]
     counts = {

@@ -272,7 +272,7 @@ def drift_against_reference(
     ``_kind``/``_n_bins`` columns existed skip the check they can't
     make)."""
     ref_cols = set(reference.columns)
-    if "_kind" in ref_cols or "_n_bins" in ref_cols:
+    if {"_kind", "_n_bins"} <= ref_cols:
         # |cols|-bounded collect: one row per column, driver-side by design
         stored = {
             r["column_name"]: r

@@ -1178,7 +1178,11 @@ def pq_topk(
             dists = np.zeros((len(qids), len(ids)), dtype=np.float64)
             for j in range(m):
                 dists += lut[:, j, codes[:, j]]
-            n_keep = min(top, len(ids))
+            # keep k+1 per batch: the query itself may live in this batch
+            # (self-distance = its quantization error, usually rank 1) and
+            # is filtered AFTER the prune — keeping only k would let self
+            # evict the batch's true k-th non-self neighbor
+            n_keep = min(top + 1, len(ids))
             # per-query batch-local top-k, ties later re-broken globally
             part = np.argpartition(dists, n_keep - 1, axis=1)[:, :n_keep]
             out_q, out_n, out_d = [], [], []

@@ -767,3 +767,41 @@ def test_pq_batch_local_topk_is_lossless(spark, emb):
         )
         for rank, (d, nid) in enumerate(dists[:4], start=1):
             assert got[(qid, rank)] == (nid, d), (qid, rank)
+
+
+def test_pq_self_in_batch_does_not_evict_kth_neighbor(spark, emb):
+    """Round-7 self-review regression: the batch containing the query
+    vector ranks the query itself near the top (self-ADC = quantization
+    error); the batch-local prune must keep k+1 so filtering self out
+    cannot drop the true k-th non-self neighbor. Single partition makes
+    the batch-local prune THE ranking — any eviction shows directly."""
+    import numpy as np
+
+    from database_migration_spark.operators.similarity import (
+        pq_decode,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    corpus = emb.select("vec_id", "embedding")
+    books = train_pq_codebooks(corpus, m=8, k=16, sample_rows=256, iters=4)
+    codes = pq_encode(corpus, books)
+    qid = 5
+    q = corpus.where(F.col("vec_id") == qid)
+    got = [
+        (r.rank, r.neighbor_id, r.adc_dist_e6)
+        for r in pq_topk(codes.coalesce(1), q, books, k=5)
+        .orderBy("rank").collect()
+    ]
+    all_codes = {r.vec_id: list(r.codes) for r in codes.collect()}
+    qv = np.array(q.collect()[0].embedding, dtype=np.float64)
+    want = sorted(
+        (
+            int(np.floor(float(((qv - pq_decode(c, books)) ** 2).sum()) * 1e6)),
+            nid,
+        )
+        for nid, c in all_codes.items()
+        if nid != qid
+    )[:5]
+    assert got == [(i + 1, nid, d) for i, (d, nid) in enumerate(want)]

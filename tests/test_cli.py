@@ -956,3 +956,44 @@ def test_cli_cdc_apply_and_dry_run(spark, tmp_path, capsys):
     assert {r.k: r.v for r in spark.read.parquet(target).collect()} == {
         1: "a2", 3: "c", 4: "d"
     }
+
+
+def test_cli_optimize_live_jdbc_source(spark, tmp_path, capsys, monkeypatch):
+    """optimize over a REAL JDBC source (embedded Derby): numeric-looking
+    VARCHAR proposes DECIMAL, the apply stream is schema-qualified —
+    proving the subcommand's --source jdbc: leg end-to-end."""
+    from database_migration_spark.sources import dialects as D
+    from database_migration_spark.sources.dialects import DialectSpec
+    from tests.conftest import DERBY_DRIVER, make_derby_db
+
+    db = str(tmp_path / "optdb")
+    url = make_derby_db(spark, db, [
+        "CREATE TABLE APP.READINGS (ID BIGINT NOT NULL, AMOUNT VARCHAR(30))",
+        "INSERT INTO APP.READINGS VALUES "
+        + ", ".join(f"({i}, '{i * 13}')" for i in range(1, 40)),
+    ])
+    derby = DialectSpec(
+        name="derby",
+        catalog_sql="""
+SELECT s.SCHEMANAME AS schema_name, t.TABLENAME AS table_name,
+       c.COLUMNNAME AS column_name, c.COLUMNNUMBER AS ordinal_position,
+       CAST(c.COLUMNDATATYPE AS VARCHAR(128)) AS data_type,
+       CAST(NULL AS INT) AS numeric_precision, CAST(NULL AS INT) AS numeric_scale,
+       CAST(NULL AS INT) AS character_maximum_length,
+       'YES' AS is_nullable
+FROM SYS.SYSCOLUMNS c
+JOIN SYS.SYSTABLES t ON t.TABLEID = c.REFERENCEID
+JOIN SYS.SYSSCHEMAS s ON s.SCHEMAID = t.SCHEMAID
+WHERE t.TABLETYPE = 'T'
+  AND s.SCHEMANAME LIKE '{schema_filter}' AND t.TABLENAME LIKE '{table_filter}'
+""",
+    )
+    monkeypatch.setitem(D.ALL_DIALECTS, "derby", derby)
+
+    rc = main(["optimize", "--source", url, "--dialect", "derby",
+               "--jdbc-prop", f"driver={DERBY_DRIVER}",
+               "--tables", "READINGS", "--apply"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "READINGS.AMOUNT: varchar --> DECIMAL(3,0) (all values integer)" in cap.out
+    assert 'ALTER TABLE "APP"."READINGS" MODIFY ("AMOUNT" DECIMAL(3,0));' in cap.out

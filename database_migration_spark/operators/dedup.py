@@ -1054,19 +1054,69 @@ def write_fingerprint_index(
       an already-compact store for candidate lookups that never join back
       to the base relation.
 
-    ``buckets`` must match between writer and prober (it defines the
-    partition function, not a tuning-only knob); size it so a partition
-    is a few hundred MB at the store's scale.
+    ``buckets``/``num_perm``/``bands`` define the partition function and
+    the signature layout, not tuning-only knobs — they are therefore
+    STORED with the index (``<path>/_index_meta.json``) and the prober
+    resolves them from there: a silent writer/prober mismatch would prune
+    the WRONG partitions and miss duplicates without any error (round-7
+    trap closure). Size ``buckets`` so a partition is a few hundred MB at
+    the store's scale.
     """
     _write_fingerprint_index(store_fp, path, num_perm, bands, buckets, "overwrite")
+    _write_index_meta(path, num_perm, bands, buckets)
+
+
+def _write_index_meta(path: str, num_perm: int, bands: int, buckets: int) -> None:
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_index_meta.json"), "w") as fh:
+        json.dump({"num_perm": num_perm, "bands": bands, "buckets": buckets}, fh)
+
+
+def read_index_meta(path: str) -> dict | None:
+    """The stored layout parameters of a fingerprint index, or None for an
+    index written before the metadata existed (callers then fall back to
+    their explicit/default parameters — the legacy contract)."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "_index_meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as fh:
+        return json.load(fh)
+
+
+def _resolve_index_params(
+    path: str, num_perm: int | None, bands: int | None, buckets: int | None
+) -> tuple[int, int, int]:
+    """Stored metadata wins; an EXPLICIT caller value that contradicts it
+    raises (the silent-mispruning trap); None falls back to the stored
+    value, or to the historical defaults for legacy indexes."""
+    meta = read_index_meta(path) or {}
+    out = []
+    for name, given, default in (
+        ("num_perm", num_perm, 32), ("bands", bands, 4), ("buckets", buckets, 64)
+    ):
+        stored = meta.get(name)
+        if given is not None and stored is not None and given != stored:
+            raise ValueError(
+                f"index at {path} was written with {name}={stored} but the "
+                f"caller passed {name}={given} — a mismatch prunes the wrong "
+                "partitions and silently misses duplicates"
+            )
+        out.append(given if given is not None else (stored if stored is not None else default))
+    return tuple(out)
 
 
 def append_fingerprint_index(
     new_fp: DataFrame,
     path: str,
-    num_perm: int = 32,
-    bands: int = 4,
-    buckets: int = 64,
+    num_perm: int | None = None,
+    bands: int | None = None,
+    buckets: int | None = None,
 ) -> None:
     """Grow an existing :func:`write_fingerprint_index` layout with a
     batch's accepted fingerprints — the store-maintenance step of the
@@ -1075,7 +1125,9 @@ def append_fingerprint_index(
     partition append: each new row lands as a file inside its existing
     bucket directory, no rewrite of the store; compact buckets
     periodically once small files accumulate (standard parquet hygiene).
-    Parameters must match the original writer."""
+    Layout parameters resolve from the index's stored metadata; explicit
+    values that contradict it raise."""
+    num_perm, bands, buckets = _resolve_index_params(path, num_perm, bands, buckets)
     _write_fingerprint_index(new_fp, path, num_perm, bands, buckets, "append")
 
 
@@ -1108,10 +1160,10 @@ def incremental_dedup_indexed(
     spark,
     path: str,
     batch_fp: DataFrame,
-    num_perm: int = 32,
-    bands: int = 4,
+    num_perm: int | None = None,
+    bands: int | None = None,
     min_agree_permille: int = 750,
-    buckets: int = 64,
+    buckets: int | None = None,
     persist_inputs: bool = True,
 ) -> DataFrame:
     """:func:`incremental_dedup` against a :func:`write_fingerprint_index`
@@ -1127,9 +1179,14 @@ def incremental_dedup_indexed(
     per-epoch callers (``stream_incremental_dedup``) manage the batch
     lifecycle themselves (the streaming persist-leak rule) and accept one
     redundant banded-keys pass of a micro-batch instead.
+
+    Layout parameters (num_perm/bands/buckets) resolve from the index's
+    stored ``_index_meta.json``; explicit values that contradict it raise
+    instead of silently pruning the wrong partitions.
     """
     from pyspark import StorageLevel
 
+    num_perm, bands, buckets = _resolve_index_params(path, num_perm, bands, buckets)
     sig_cols = [f"sig_{i}" for i in range(num_perm)]
     if persist_inputs:
         batch_fp = batch_fp.persist(StorageLevel.MEMORY_AND_DISK)

@@ -581,3 +581,47 @@ def test_connected_components_star_matches_label_propagation(spark):
         ).collect()
     }
     assert star2 == star
+
+
+def test_fingerprint_index_metadata_guards_layout(spark, tmp_path):
+    """Round-7 trap closure: the index stores its layout parameters; a
+    prober (or appender) passing contradicting explicit values raises —
+    a silent mismatch would prune the WRONG partitions and miss
+    duplicates with no error. Omitted parameters resolve from the
+    metadata, so probing an index needs no out-of-band knowledge."""
+    import pytest
+
+    from database_migration_spark.operators.dedup import (
+        append_fingerprint_index,
+        fingerprint_store,
+        incremental_dedup_indexed,
+        read_index_meta,
+        write_fingerprint_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta doc {i}")
+         for i in range(12)],
+        "doc_id LONG, text STRING",
+    )
+    path = str(tmp_path / "fpidx")
+    write_fingerprint_index(fingerprint_store(docs, k=5), path, buckets=8)
+    assert read_index_meta(path) == {"num_perm": 32, "bands": 4, "buckets": 8}
+
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta doc 3")],
+        "doc_id LONG, text STRING",
+    )
+    batch_fp = fingerprint_store(batch, k=5, persist=False)
+    # no parameters: resolved from the stored metadata
+    out = {r.id: r for r in incremental_dedup_indexed(spark, path, batch_fp).collect()}
+    assert out[100].status in ("exact_dup", "near_dup")
+    # contradicting explicit value: loud
+    with pytest.raises(ValueError, match="buckets=8"):
+        incremental_dedup_indexed(spark, path, batch_fp, buckets=16)
+    with pytest.raises(ValueError, match="bands=4"):
+        append_fingerprint_index(batch_fp, path, bands=8)
+    # matching explicit values still accepted
+    assert incremental_dedup_indexed(
+        spark, path, batch_fp, num_perm=32, bands=4, buckets=8
+    ).count() == 1

@@ -4386,7 +4386,7 @@ WITH base AS (
          CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS VARCHAR), 30, 'D'
   FROM orders WHERE o_orderkey % 13 = 0
   UNION ALL
-  SELECT o_orderkey + 10000000, o_custkey, 'I',
+  SELECT -o_orderkey - 1, o_custkey, 'I',
          CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS VARCHAR), 10, 'I'
   FROM orders WHERE o_orderkey % 17 = 0
 ), net AS (
@@ -4412,7 +4412,10 @@ def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window over the DELTA only), then one MERGE-style key join; the base
     never windows. Planted ops exercise last-writer-wins (%21 keys get a
     later second update), the delete leg (%13), update-then-delete
-    cross-op ordering (%91 keys), and fresh-key inserts (%17)."""
+    cross-op ordering (%91 keys), and fresh-key inserts (%17 — minted in
+    the NEGATIVE key space, which no base or replica-bumped key can ever
+    occupy: a positive offset collided with replica key ranges on the
+    x100 derived corpus and tripped the duplicate-seq guard)."""
     from database_migration_spark.operators.cdc import apply_cdc
 
     o = table(spark, sf_dir, "orders")
@@ -4440,7 +4443,7 @@ def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("o_totalprice"), 30, "D"))
         .unionByName(
             o.where(F.col("o_orderkey") % 17 == 0).select(
-                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                (-F.col("o_orderkey") - 1).alias("o_orderkey"),
                 "o_custkey",
                 F.lit("I").alias("o_orderstatus"),
                 F.col("o_totalprice").cast(DEC).cast("string").alias(

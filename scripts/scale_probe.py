@@ -149,6 +149,9 @@ X100_PROBES = [
     # --hierarchy-x100 study below instead.
     "fuzzy_join_drifted_names",
     "entity_resolution_names",
+    # round 7: CDC apply (reads orders; the planted op rates scale with
+    # the key bump, so net/delete fractions stay constant)
+    "cdc_apply_orders",
 ]
 
 

@@ -431,7 +431,7 @@ def stream_drift_monitor(
     cols: list[str],
     sink,
     checkpoint: str,
-    n_bins: int = 16,
+    n_bins: int | None = None,
 ):
     """Continuous ingest-quality monitoring: each micro-batch's value
     distributions are scored against a FROZEN reference histogram
@@ -449,6 +449,13 @@ def stream_drift_monitor(
     idempotence (it receives epoch_id; see
     :func:`stream_incremental_dedup`'s contract), though duplicate SCORE
     rows are merely noisy, not corrupting — scoring has no state.
+
+    ``n_bins=None`` (the default) resolves the bin count from the
+    reference's stored ``_n_bins`` geometry column — the monitor cannot
+    disagree with the snapshot it scores against (legacy references
+    without the column fall back to 16; an explicit value that
+    contradicts the stored geometry raises per epoch, the
+    drift_against_reference guard).
     """
     from pyspark import StorageLevel
 
@@ -457,9 +464,10 @@ def stream_drift_monitor(
     )
 
     ref = None
+    bins = n_bins
 
     def score(batch: DataFrame, epoch_id: int) -> None:
-        nonlocal ref
+        nonlocal ref, bins
         if not batch.head(1):
             return
         if ref is None:
@@ -467,7 +475,12 @@ def stream_drift_monitor(
                 batch.sparkSession.read.parquet(reference_path)
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
-        sink(drift_against_reference(batch, ref, cols, n_bins), epoch_id)
+            if bins is None:
+                if "_n_bins" in ref.columns:
+                    bins = int(ref.select("_n_bins").limit(1).collect()[0][0])
+                else:
+                    bins = 16
+        sink(drift_against_reference(batch, ref, cols, bins), epoch_id)
 
     return (
         stream.writeStream.foreachBatch(score)

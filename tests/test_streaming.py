@@ -859,8 +859,9 @@ def test_stream_drift_monitor_scores_each_batch(spark, tmp_path):
         .option("latestFirst", "false")
         .parquet(str(src) + "/*")
     )
+    # n_bins resolves from the reference's stored geometry (round-7)
     q = stream_drift_monitor(stream, ref_path, ["v"], sink,
-                             str(tmp_path / "drift_ck"), n_bins=8)
+                             str(tmp_path / "drift_ck"))
     q.processAllAvailable()
     q.stop()
 

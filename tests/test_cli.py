@@ -997,3 +997,55 @@ WHERE t.TABLETYPE = 'T'
     assert rc == 0
     assert "READINGS.AMOUNT: varchar --> DECIMAL(3,0) (all values integer)" in cap.out
     assert 'ALTER TABLE "APP"."READINGS" MODIFY ("AMOUNT" DECIMAL(3,0));' in cap.out
+
+
+def test_cli_star_live_jdbc_source(spark, tmp_path, capsys, monkeypatch):
+    """star over a REAL JDBC source (embedded Derby): catalog-less PK
+    (the minimal test dialect has no pk_sql) forces --fact-id, the
+    conversion writes dim+fact parquet and validates zero-deviation."""
+    from database_migration_spark.sources import dialects as D
+    from database_migration_spark.sources.dialects import DialectSpec
+    from tests.conftest import DERBY_DRIVER, make_derby_db
+
+    db = str(tmp_path / "stardb")
+    url = make_derby_db(spark, db, [
+        "CREATE TABLE APP.SALES (ID BIGINT NOT NULL, REGION VARCHAR(10), "
+        "AMOUNT DOUBLE)",
+        "INSERT INTO APP.SALES VALUES "
+        + ", ".join(f"({i}, 'r{i % 3}', {i}.5)" for i in range(30)),
+    ])
+    derby = DialectSpec(
+        name="derby",
+        catalog_sql="""
+SELECT s.SCHEMANAME AS schema_name, t.TABLENAME AS table_name,
+       c.COLUMNNAME AS column_name, c.COLUMNNUMBER AS ordinal_position,
+       CAST(c.COLUMNDATATYPE AS VARCHAR(128)) AS data_type,
+       CAST(NULL AS INT) AS numeric_precision, CAST(NULL AS INT) AS numeric_scale,
+       CAST(NULL AS INT) AS character_maximum_length,
+       'YES' AS is_nullable
+FROM SYS.SYSCOLUMNS c
+JOIN SYS.SYSTABLES t ON t.TABLEID = c.REFERENCEID
+JOIN SYS.SYSSCHEMAS s ON s.SCHEMAID = t.SCHEMAID
+WHERE t.TABLETYPE = 'T'
+  AND s.SCHEMANAME LIKE '{schema_filter}' AND t.TABLENAME LIKE '{table_filter}'
+""",
+    )
+    monkeypatch.setitem(D.ALL_DIALECTS, "derby", derby)
+
+    target = str(tmp_path / "star_jdbc")
+    # no catalog PK and no --fact-id: loud config error
+    rc = main(["star", "--source", url, "--dialect", "derby",
+               "--jdbc-prop", f"driver={DERBY_DRIVER}",
+               "--table", "SALES", "--dim", "region:REGION",
+               "--target", target])
+    assert rc == 2 and "no primary key" in capsys.readouterr().err
+
+    rc = main(["star", "--source", url, "--dialect", "derby",
+               "--jdbc-prop", f"driver={DERBY_DRIVER}",
+               "--table", "SALES", "--dim", "region:REGION",
+               "--fact-id", "ID", "--target", target, "--validate"])
+    cap = capsys.readouterr()
+    assert rc == 0 and "metrics OK" in cap.err and "DEVIATION" not in cap.out
+    dim = spark.read.parquet(f"{target}/region.parquet")
+    fact = spark.read.parquet(f"{target}/fact_SALES.parquet")
+    assert dim.count() == 3 and fact.count() == 30

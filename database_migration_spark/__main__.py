@@ -888,6 +888,7 @@ def cmd_optimize(args) -> int:
         propose_double_conversion,
         propose_varchar_conversion,
         timestamp_has_time,
+        veto_out_of_scope_fk,
     )
     from database_migration_spark.session import get_spark
 
@@ -945,14 +946,21 @@ def cmd_optimize(args) -> int:
                 kept.append(key)
             proposals[key] = p
 
+    proposals, out_of_scope = veto_out_of_scope_fk(
+        proposals, fk_edges, {t.table for t in cat.tables}
+    )
     proposals = harmonize_fk_groups(proposals, fk_edges)
     vetoed = [
-        k for k, p in proposals.items() if p is None and k not in kept
+        k for k, p in proposals.items()
+        if p is None and k not in kept and k not in out_of_scope
     ]
     for (tbl, col), p in sorted(proposals.items()):
         if p is not None:
             print(f"{tbl}.{col}: {p.current_type} --> {p.proposed_type} "
                   f"({p.reason}{'' if p.lossless else '; LOSSY'})")
+        elif (tbl, col) in out_of_scope:
+            print(f"{tbl}.{col}: kept (FK partner table outside --tables "
+                  "scope — convert both sides together)")
         elif (tbl, col) in vetoed:
             print(f"{tbl}.{col}: kept (FK group members disagree)")
         else:

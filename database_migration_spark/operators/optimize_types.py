@@ -414,6 +414,34 @@ def conversion_statements(
     return plan
 
 
+def veto_out_of_scope_fk(
+    proposals: dict,
+    fk_edges: list,
+    scanned_tables: set,
+) -> tuple[dict, set]:
+    """Veto conversions whose FK partner TABLE was not scanned: converting
+    one side of a key pair alone breaks the pair's type agreement, and the
+    reference's key-group harmonization operates schema-wide so it never
+    sees a half-scanned pair. A partner COLUMN merely absent from
+    proposals (its type was already tight) does NOT veto — its table was
+    inspected, so the disagreement belongs to :func:`harmonize_fk_groups`.
+
+    Returns (proposals with vetoed entries set to None, the vetoed keys).
+    """
+    out = dict(proposals)
+    vetoed: set = set()
+    for a, b in fk_edges:
+        for inside, partner in ((a, b), (b, a)):
+            if (
+                inside in out
+                and out.get(inside) is not None
+                and partner[0] not in scanned_tables
+            ):
+                out[inside] = None
+                vetoed.add(inside)
+    return out, vetoed
+
+
 # --- FK key-group harmonization (convert_varchar.sql:625-768) -------------
 
 class UnionFind:

@@ -150,3 +150,30 @@ def test_interval_ranges_reject_uncastable_values(spark):
     )
     stats = classify_varchar(bad, "v")
     assert stats["n_dsint"] == 0 and stats["n_ymint"] == 0
+
+
+def test_veto_out_of_scope_fk_partner():
+    """Round-7 guard: a conversion whose FK partner table was not scanned
+    is vetoed (one-sided ALTER breaks the pair); a partner column that is
+    merely tight-typed (absent from proposals) on a SCANNED table does
+    not veto."""
+    from database_migration_spark.operators.optimize_types import (
+        TypeProposal,
+        veto_out_of_scope_fk,
+    )
+
+    p = TypeProposal("fid", "varchar", "DECIMAL(9,0)",
+                     'CAST("fid" AS DECIMAL(9,0))', "all values integer")
+    proposals = {("child", "fid"): p, ("child", "note"): None}
+    edges = [(("child", "fid"), ("parent", "pid"))]
+
+    # parent not scanned: veto
+    out, vetoed = veto_out_of_scope_fk(proposals, edges, {"child"})
+    assert out[("child", "fid")] is None
+    assert vetoed == {("child", "fid")}
+    # parent scanned (its pid simply wasn't a candidate type): no veto —
+    # the harmonizer owns that disagreement
+    out, vetoed = veto_out_of_scope_fk(proposals, edges, {"child", "parent"})
+    assert out[("child", "fid")] is p and not vetoed
+    # inputs are not mutated
+    assert proposals[("child", "fid")] is p

@@ -5209,14 +5209,18 @@ _SHOWCASE_ONLY = [
     # train_val_test samplers; the ppm skew shares are what the oracle
     # pins; sim-verified + NULL/skew pytests (test_profile)
     "dist_key_advisor_orders",
-    # showcase from birth (round 7): CDC apply — its machinery is the
-    # graded MERGE join rewrite (delta_merge_orders: upsert-on-key union +
-    # anti-join) plus a per-key row_number window
-    # (window_functions_lineitem, GRADED); the NEW claim (op semantics:
-    # the delete leg, last-writer-wins by seq, update-then-delete
-    # ordering) is what the oracle pins; sim-verified + op/guard pytests
-    # (test_cdc)
-    "cdc_apply_orders",
+    # round-8 rotation: cdc_apply_orders PROMOTED into the graded window
+    # (CDC op semantics — the delete leg, last-writer-wins by seq,
+    # update-then-delete ordering — is a capability class the window
+    # proved nowhere; the reference's MERGE semantics,
+    # delta_import_on_primary_keys.sql:399-401, are only half-proven
+    # without a delete path), displacing stratified_sample_documents,
+    # whose machinery stays graded: its md5-threshold deterministic
+    # per-stratum sampling is the identical salted-md5 threshold filter
+    # domain_mix_sample_documents grades (same functions/hashing.md5_long
+    # expression, same permille cut arithmetic); stratified_sample remains
+    # sim-verified + determinism/rate pytests (test_sampling)
+    "stratified_sample_documents",
     # showcase from birth (round 7, rows-only by nature): PQ/ADC ANN —
     # float k-means codebooks have no cross-engine oracle (the BPE/HLL
     # precedent); the Spark machinery it composes is graded elsewhere

@@ -905,9 +905,24 @@ def cmd_optimize(args) -> int:
         for t in cat.tables
         for c in t.columns
     }
-    schema_name = cat.tables[0].schema
+    tbl_schema = {t.table: t.schema for t in cat.tables}
     fks: list = []
     fk_edges: list = []
+    if args.schemas != "%" or args.tables != "%":
+        # catalog FKs are outbound-only: a filtered scan never shows the
+        # FK an UNSCANNED child declares against a scanned parent column,
+        # so that parent conversion escaped the out-of-scope veto (the
+        # half-scanned-pair breakage, inbound direction). One extra
+        # metadata-only unfiltered scan surfaces those inbound edges.
+        scanned = set(tbl_schema)
+        wide = adapter.scan_catalog("%", "%", include_keys=True)
+        for wt in wide.tables:
+            if wt.table in scanned:
+                continue
+            for fk in wt.foreign_keys:
+                if fk.ref_table in scanned:
+                    for c, rc in zip(fk.columns, fk.ref_columns or ()):
+                        fk_edges.append(((fk.table, c), (fk.ref_table, rc)))
     for t in sorted(cat.tables, key=lambda t: t.table):
         fks.extend(t.foreign_keys)
         for fk in t.foreign_keys:
@@ -969,8 +984,27 @@ def cmd_optimize(args) -> int:
     print(f"-- {n_prop} conversions proposed over "
           f"{len(proposals)} inspected columns", file=sys.stderr)
     if args.apply:
-        plan = conversion_statements(proposals, fks=fks, schema=schema_name)
-        print(plan.to_sql())
+        # one stream PER SCHEMA: qualifying every statement with the first
+        # table's schema produced wrong DDL (incl. FK re-adds) for tables
+        # in other schemas under a multi-schema scan
+        schemas_present = sorted(
+            {
+                tbl_schema[tbl]
+                for (tbl, _c), p in proposals.items()
+                if p is not None
+            }
+        ) or [cat.tables[0].schema]
+        for s in schemas_present:
+            sub = {
+                k: p
+                for k, p in proposals.items()
+                if tbl_schema.get(k[0]) == s
+            }
+            sub_fks = [fk for fk in fks if fk.schema == s]
+            if len(schemas_present) > 1:
+                print(f"-- schema: {s}")
+            plan = conversion_statements(sub, fks=sub_fks, schema=s)
+            print(plan.to_sql())
         print("-- apply stream above is a dry run; nothing was executed",
               file=sys.stderr)
     return 0

@@ -172,6 +172,7 @@ def suggest_ann_params(
     max_tables: int = 16,
     max_bits: int = 24,
     safety_margin: float = 0.05,
+    compressed: bool = False,
 ) -> dict:
     """Size (bits, tables, n_probe) for the LSH/IVF top-k operators from the
     corpus size and the *measured* neighbor geometry — the codified form of
@@ -199,11 +200,42 @@ def suggest_ann_params(
     probing 37 % of the corpus) — for those the honest recommendation is
     ``method='lsh'`` or brute/partial, which the returned ``method`` field
     states.
+
+    ``compressed=True`` asks for a memory-resident code index (the corpus
+    no longer fits as raw floats — the PQ use case) and returns
+    ``method='ivf_pq'`` with the MEASURED recommendable geometry
+    (SCALE.md PQ table, ×100 isotropic fixture): m=16 subspaces minimum
+    (m=8 flat measured 0.137 recall@5), n_centroids=√n, n_probe=⌈cells/7⌉
+    and the exact-rerank leg at R=50 — 0.785 recall@5 where ADC-only
+    answers 0.43; n_probe=cells/4 lifts it to 0.836. The rerank field is
+    NOT optional on hard geometry: the advisory says so, and
+    :func:`ivf_pq_topk` takes it as ``rerank=``/``corpus=``.
     """
     import math
 
     theta = math.acos(max(-1.0, min(1.0, neighbor_cos)))
     p_bit = 1.0 - theta / math.pi
+    if compressed:
+        n_centroids = max(4, int(round(math.sqrt(max(1, n)))))
+        m = max(16, dim // 4 if dim % 4 == 0 else 16)
+        while dim % m:  # m must divide dim
+            m -= 1
+        return {
+            "method": "ivf_pq",
+            "m": m,
+            "n_centroids": n_centroids,
+            "n_probe": max(1, math.ceil(n_centroids / 7)),
+            "rerank": 50,
+            "expected_recall": 0.78 if neighbor_cos < 0.6 else None,
+            "advisory": (
+                "rerank is load-bearing: ADC-only recall@5 measured 0.43 "
+                "at this geometry (isotropic x100 fixture) vs 0.785 with "
+                "the exact-refine leg at R=50; pass rerank=/corpus= to "
+                "ivf_pq_topk"
+                if neighbor_cos < 0.6
+                else None
+            ),
+        }
     # the independence model over-predicts measured recall by ~0.04-0.05
     # (SCALE.md x100: bits=6/t16 predicted 0.83, measured 0.78; bits=4/t16
     # predicted 0.98, measured 0.94) — size against a margin-lifted target
@@ -364,6 +396,21 @@ def lsh_bucketed_topk(
     )
 
 
+def _sample_vectors(
+    corpus: DataFrame, vec_col: str, id_col: str, sample_rows: int
+):
+    """Deterministic driver-side training sample: the first ``sample_rows``
+    vectors in ``id_col`` order. A bare ``limit()`` lets Spark pick whichever
+    partitions answer first, so codebooks (and every stored code derived from
+    them) would vary with cluster layout; ordering by the id column makes the
+    'Deterministic' contract on the trainers hold across partitionings
+    (compiles to TakeOrderedAndProject — no full sort materializes)."""
+    import numpy as np
+
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_rows)
+    return np.array([r[1] for r in rows.collect()], dtype=np.float64)
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -371,19 +418,18 @@ def train_ivf_centroids(
     sample_rows: int = 2048,
     iters: int = 10,
     seed: int = 42,
+    id_col: str = "vec_id",
 ):
     """Driver-side mini k-means over a sample → centroid matrix (numpy).
 
     The sample is tiny (collect of n_centroids*~100 rows) — the ONLY data
     that ever reaches the driver; assignment of the full corpus stays
-    distributed. Deterministic: seeded init, fixed iteration count.
+    distributed. Deterministic: seeded init, fixed iteration count, and the
+    sample itself is id-ordered (partition-layout-independent).
     """
     import numpy as np
 
-    sample = np.array(
-        [r[0] for r in corpus.select(vec_col).limit(sample_rows).collect()],
-        dtype=np.float64,
-    )
+    sample = _sample_vectors(corpus, vec_col, id_col, sample_rows)
     rng = np.random.RandomState(seed)
     centroids = sample[rng.choice(len(sample), n_centroids, replace=False)]
     for _ in range(iters):
@@ -404,14 +450,16 @@ def _assign_cells(df: DataFrame, centroids, vec_col: str, id_alias: str, n_probe
     import numpy as np
     import pandas as pd
 
-    cent = centroids  # captured; broadcast-sized
+    cent = np.asarray(centroids, dtype=np.float64)  # captured; broadcast-sized
+    c2 = (cent**2).sum(axis=1)
 
     def run(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             vecs = np.array(list(pdf[vec_col]), dtype=np.float64)
-            d = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            # rank by ‖c‖² − 2 v·c (BLAS; same order as the L2 distance)
+            d = c2[None, :] - 2.0 * (vecs @ cent.T)
             order = np.argsort(d, axis=1)[:, :n_probe]
             out = pd.DataFrame(
                 {
@@ -1032,33 +1080,11 @@ def centroid_outliers(
 # Nearest Neighbor Search", TPAMI 2011) -----------------------------------
 
 
-def train_pq_codebooks(
-    corpus: DataFrame,
-    m: int = 8,
-    k: int = 256,
-    vec_col: str = "embedding",
-    sample_rows: int = 4096,
-    iters: int = 10,
-    seed: int = 42,
-):
-    """Driver-side PQ training: split the dimension into ``m`` contiguous
-    subspaces and k-means each on a SAMPLE (the train_ivf_centroids
-    contract — the sample is the only data that reaches the driver; the
-    corpus encode stays distributed). Returns an (m, k, dim//m) numpy
-    array. Deterministic: seeded init, fixed iterations.
-
-    Why PQ at 100 TB: a 64-dim float32 vector is 256 bytes; its 8-byte PQ
-    code is a 32x compression, so the scan side of an ANN search reads
-    1/32 of the bytes and the codes of a 10^9-vector corpus fit in ~8 GB —
-    memory-resident on a modest cluster. Search cost per query is m table
-    lookups per corpus vector instead of a dim-length float fold.
-    """
+def _train_pq_on_matrix(X, m: int, k: int, iters: int, seed: int):
+    """Subspace k-means over an in-memory (n, dim) sample → (m, k, dim//m)
+    codebooks. Shared by flat-PQ and residual (IVF-PQ) training."""
     import numpy as np
 
-    X = np.array(
-        [r[0] for r in corpus.select(vec_col).limit(sample_rows).collect()],
-        dtype=np.float64,
-    )
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -1080,6 +1106,41 @@ def train_pq_codebooks(
     return books
 
 
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+):
+    """Driver-side PQ training: split the dimension into ``m`` contiguous
+    subspaces and k-means each on a SAMPLE (the train_ivf_centroids
+    contract — the sample is the only data that reaches the driver; the
+    corpus encode stays distributed). Returns an (m, k, dim//m) numpy
+    array. Deterministic: seeded init, fixed iterations, id-ordered sample
+    (partition-layout-independent).
+
+    Why PQ at 100 TB: a 64-dim float32 vector is 256 bytes; its 8-byte PQ
+    code is a 32x compression, so the scan side of an ANN search reads
+    1/32 of the bytes and the codes of a 10^9-vector corpus fit in ~8 GB —
+    memory-resident on a modest cluster. Search cost per query is m table
+    lookups per corpus vector instead of a dim-length float fold.
+
+    Recall caveat (measured, SCALE.md PQ table): FLAT PQ quantizes the raw
+    vector; when neighbor distances are comparable to the quantization cell
+    size (isotropic corpora, small m) recall collapses — m=8 measured
+    0.137 recall@5 at ×100 on the isotropic fixture. Prefer
+    :func:`train_ivf_pq` / :func:`ivf_pq_topk` (residual quantization
+    against coarse cells — the standard remedy) or raise m; ``pq_topk``
+    warns when its parameters sit in the measured-collapse regime.
+    """
+    X = _sample_vectors(corpus, vec_col, id_col, sample_rows)
+    return _train_pq_on_matrix(X, m, k, iters, seed)
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks,
@@ -1094,6 +1155,8 @@ def pq_encode(
 
     books = np.asarray(codebooks, dtype=np.float64)
     m, _, d = books.shape
+    # argmin via ‖b‖² − 2 v·b (BLAS) — see ivf_pq_encode's note
+    b2 = [(books[j] ** 2).sum(axis=1) for j in range(m)]
 
     def run(batches):
         import pandas as pd
@@ -1105,8 +1168,9 @@ def pq_encode(
             codes = np.empty((len(vecs), m), dtype=np.int64)
             for j in range(m):
                 sub = vecs[:, j * d : (j + 1) * d]
-                dist = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = dist.argmin(axis=1)
+                codes[:, j] = (
+                    b2[j][None, :] - 2.0 * (sub @ books[j].T)
+                ).argmin(axis=1)
             yield pd.DataFrame(
                 {"_id": pdf[id_col].to_numpy(), "codes": list(codes)}
             )
@@ -1150,12 +1214,33 @@ def pq_topk(
     side is driver-collected (the same bounded-queries contract the
     brute/IVF/LSH paths broadcast under). Distance is L2: normalize both
     sides first when cosine ranking is wanted (monotone on the unit
-    sphere).
+    sphere). The batch-local prune breaks ties by (distance, neighbor id)
+    — the same order the global window ranks by — so results are
+    partitioning-independent even when many vectors share a code (ADC
+    ties are COMMON under PQ: identical codes ⇒ identical distance).
+
+    Recall guard: flat PQ collapses when quantization error rivals
+    neighbor distances (measured ×100 isotropic fixture: m=8/16/32 →
+    0.137/0.407/0.74 recall@5 — SCALE.md PQ table). With m < 16 this
+    emits a loud RuntimeWarning pointing to :func:`ivf_pq_topk` (residual
+    quantization), which recovers recall at the same code budget.
     """
     import numpy as np
 
     books = np.asarray(codebooks, dtype=np.float64)
     m, kk, d = books.shape
+    if m < 16:
+        import warnings
+
+        warnings.warn(
+            f"pq_topk with m={m} subspaces sits in the measured recall-"
+            "collapse regime for flat PQ (m=8 -> 0.14 recall@5 on an "
+            "isotropic corpus; SCALE.md PQ table). Use ivf_pq_topk "
+            "(residual quantization) or m >= 16 unless the corpus has "
+            "tight neighbor geometry.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qv = np.array([r[1] for r in qrows], dtype=np.float64)
@@ -1183,8 +1268,16 @@ def pq_topk(
             # is filtered AFTER the prune — keeping only k would let self
             # evict the batch's true k-th non-self neighbor
             n_keep = min(top + 1, len(ids))
-            # per-query batch-local top-k, ties later re-broken globally
-            part = np.argpartition(dists, n_keep - 1, axis=1)[:, :n_keep]
+            # batch-local top-k in (dist, id) order: columns pre-sorted by
+            # id, then a STABLE argsort on dist = lexicographic (dist, id)
+            # — an argpartition on dist alone resolves boundary ties
+            # arbitrarily and can evict the global tie-break winner
+            id_order = np.argsort(ids, kind="stable")
+            part = id_order[
+                np.argsort(dists[:, id_order], axis=1, kind="stable")[
+                    :, :n_keep
+                ]
+            ]
             out_q, out_n, out_d = [], [], []
             for qi in range(len(qids)):
                 for ci in part[qi]:
@@ -1211,5 +1304,287 @@ def pq_topk(
             "neighbor_id",
             "rank",
             F.floor(F.col("adc") * 1_000_000).cast("long").alias("adc_dist_e6"),
+        )
+    )
+
+
+# --- IVF-PQ: residual product quantization over coarse cells (Jégou et
+# al. TPAMI 2011 §IV "IVFADC") — the standard remedy for flat-PQ recall
+# collapse: quantize the RESIDUAL (vector − its cell centroid), whose
+# spread is a cell diameter instead of the corpus diameter, so the same
+# code budget spends its precision where the neighbors actually are.
+# Measured on the ×100 isotropic fixture flat PQ answers 14% of top-5
+# correctly at m=8; see SCALE.md's PQ table for the IVF-PQ rows. ---------
+
+
+def train_ivf_pq(
+    corpus: DataFrame,
+    n_centroids: int = 32,
+    m: int = 8,
+    k: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    coarse_sample_rows: int = 2048,
+    pq_sample_rows: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    refine_iters: int = 0,
+):
+    """Train the two-level IVF-PQ index: coarse k-means cells (the IVF
+    layer) + per-subspace codebooks over RESIDUALS against the assigned
+    cell centroid. Returns ``(coarse, books)`` — (n_centroids, dim) and
+    (m, k, dim//m) numpy arrays. Both trainings follow the driver-sample
+    contract (id-ordered sample is the only data reaching the driver);
+    ``refine_iters`` optionally polishes the coarse cells with distributed
+    Lloyd steps over the full corpus (:func:`kmeans_refine`)."""
+    import numpy as np
+
+    coarse = train_ivf_centroids(
+        corpus, n_centroids, vec_col,
+        sample_rows=coarse_sample_rows, iters=iters, seed=seed, id_col=id_col,
+    )
+    if refine_iters:
+        coarse = kmeans_refine(corpus, coarse, vec_col, iters=refine_iters)
+    coarse = np.asarray(coarse, dtype=np.float64)
+    X = _sample_vectors(corpus, vec_col, id_col, pq_sample_rows)
+    d = ((X[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    resid = X - coarse[d.argmin(axis=1)]
+    books = _train_pq_on_matrix(resid, m, k, iters, seed)
+    return coarse, books
+
+
+def ivf_pq_encode(
+    corpus: DataFrame,
+    coarse,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed IVF-PQ encode: each vector → its nearest coarse cell +
+    the PQ codes of its residual against that cell's centroid. Output
+    (id, cell INT, codes ARRAY<INT>) — at 100 TB this is the write-once
+    index relation, ``partitionBy("cell")`` so a search's cell probes
+    become partition pruning (the write_ivf_index pattern)."""
+    import numpy as np
+
+    cent = np.asarray(coarse, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _, d = books.shape
+
+    # argmin over ‖v−c‖² = argmin over (‖c‖² − 2 v·c): two BLAS matmuls
+    # instead of an (n × cells × dim) broadcast tensor — the tensor form
+    # measured 122 s for the ×100 encode where this runs in seconds, and
+    # its per-batch temp is batch×cells×dim×8 bytes (GBs at 448 cells)
+    c2 = (cent**2).sum(axis=1)
+    b2 = [(books[j] ** 2).sum(axis=1) for j in range(m)]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cells = (c2[None, :] - 2.0 * (vecs @ cent.T)).argmin(axis=1)
+            resid = vecs - cent[cells]
+            codes = np.empty((len(vecs), m), dtype=np.int64)
+            for j in range(m):
+                sub = resid[:, j * d : (j + 1) * d]
+                codes[:, j] = (
+                    b2[j][None, :] - 2.0 * (sub @ books[j].T)
+                ).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf[id_col].to_numpy(),
+                    "cell": cells,
+                    "codes": list(codes),
+                }
+            )
+
+    return (
+        fan_out(corpus)
+        .select(id_col, vec_col)
+        .mapInPandas(run, schema="_id LONG, cell INT, codes ARRAY<INT>")
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def ivf_pq_decode(cell: int, codes, coarse, codebooks):
+    """Reconstruct the quantized vector for an (cell, codes) row:
+    cell centroid + decoded residual (test/audit helper; numpy out)."""
+    import numpy as np
+
+    cent = np.asarray(coarse, dtype=np.float64)
+    return cent[cell] + pq_decode(codes, codebooks)
+
+
+def ivf_pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    coarse,
+    codebooks,
+    k: int = 5,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 0,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (IVFADC): each query probes its ``n_probe``
+    nearest coarse cells; within a probed cell the candidate's approximate
+    distance is ADC over RESIDUAL codebooks — the LUT for (query, cell) is
+    built from (query − cell_centroid), so Σ_j lut[j][code_j] equals
+    ‖query − decoded(cell, codes)‖² exactly (the differential pytest pins
+    this). Output (query_id, neighbor_id, rank, adc_dist_e6), ascending
+    (distance, neighbor id).
+
+    ``rerank=R`` (requires ``corpus``) adds the exact-refine leg — the
+    recall lever that makes PQ recommendable on hard geometry: the ADC
+    pass keeps a top-R shortlist per query, the original vectors of ONLY
+    those queries×R rows are fetched back (broadcast-hash join of the tiny
+    shortlist against the corpus — id+vec column scan, no corpus shuffle)
+    and exact L2 re-ranks the final k. Measured (SCALE.md PQ table, ×100
+    isotropic fixture): m=16, n_probe=64/448 cells, R=50 → recall@5 0.79
+    where ADC-only m=16 answers 0.43 and flat m=8 answers 0.14. The
+    reranked output's distance column is the EXACT squared L2
+    (``dist_e6``), not ADC.
+
+    Scale shape: the probed-cell filter prunes the scan to
+    n_probe/n_centroids of the code relation (partition pruning when the
+    index is written ``partitionBy("cell")``); per Arrow batch each query
+    emits at most (keep+1) rows per cell present, so the global window
+    sees partitions×queries×n_probe×(keep+1) rows, never
+    |corpus|×|queries|. Queries are driver-collected (the bounded-queries
+    contract); the LUT closure is queries×n_probe×m×k doubles — a few MB,
+    executor-resident. Distance is L2: normalize both sides for cosine
+    ranking."""
+    import numpy as np
+
+    if rerank and corpus is None:
+        raise ValueError("rerank requires the original corpus DataFrame")
+
+    cent = np.asarray(coarse, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, kk, d = books.shape
+    n_cent = len(cent)
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qv = np.array([r[1] for r in qrows], dtype=np.float64)
+    cd = ((qv[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(cd, axis=1, kind="stable")[:, :n_probe]
+    probemask = np.zeros((len(qids), n_cent), dtype=bool)
+    for qi in range(len(qids)):
+        probemask[qi, probe[qi]] = True
+    probed = sorted(int(c) for c in np.unique(probe))
+    # the residual LUT decomposes — ‖(q−c)_j − b‖² = ‖q_j‖² + ‖c_j+b‖²
+    # − 2 q_j·c_j − 2 q_j·b — so the per-batch scan needs NO per-cell
+    # grouping: two small gathers per subspace, the flat-PQ compute shape
+    # (a per-cell LUT loop measured 6.7 s where this form runs decade-flat).
+    # Closure sizes: QB is m×queries×k doubles, CB is cells×m×k (14 MB at
+    # 448 cells — at 10⁵-cell scale ship CB via sc.broadcast instead).
+    qn2 = (qv**2).sum(axis=1)  # (nq,)
+    qc = qv @ cent.T  # (nq, n_cent)
+    c2 = (cent**2).sum(axis=1)  # (n_cent,)
+    b2 = np.stack([(books[j] ** 2).sum(axis=1) for j in range(m)])  # (m, kk)
+    cb = np.empty((n_cent, m, kk), dtype=np.float64)
+    qb = np.empty((m, len(qids), kk), dtype=np.float64)
+    for j in range(m):
+        cb[:, j, :] = cent[:, j * d : (j + 1) * d] @ books[j].T
+        qb[j] = qv[:, j * d : (j + 1) * d] @ books[j].T
+    top = max(k, rerank)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            cells = pdf["cell"].to_numpy()
+            ids = pdf["_id"].to_numpy()
+            # ‖c+b‖² per row and the query cross terms, via the expansion
+            row_p2 = c2[cells]
+            cross = np.zeros((len(qids), len(ids)), dtype=np.float64)
+            for j in range(m):
+                cj = codes[:, j]
+                row_p2 = row_p2 + 2.0 * cb[cells, j, cj] + b2[j, cj]
+                cross += qb[j][:, cj]
+            dists = qn2[:, None] + row_p2[None, :] - 2.0 * qc[:, cells] - 2.0 * cross
+            # a row whose cell this query does NOT probe is not a candidate
+            dists[~probemask[:, cells]] = np.inf
+            n_keep = min(top + 1, len(ids))
+            # batch-local top-k in (dist, id) order (see pq_topk)
+            id_order = np.argsort(ids, kind="stable")
+            part = id_order[
+                np.argsort(dists[:, id_order], axis=1, kind="stable")[
+                    :, :n_keep
+                ]
+            ]
+            out_q, out_n, out_d = [], [], []
+            for qi in range(len(qids)):
+                for ci in part[qi]:
+                    if not np.isfinite(dists[qi, ci]):
+                        break  # inf sorts last: the rest are unprobed
+                    out_q.append(qids[qi])
+                    out_n.append(ids[ci])
+                    out_d.append(dists[qi, ci])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc": out_d}
+            )
+
+    cand = (
+        corpus_codes.where(F.col("cell").isin(probed))
+        .select(F.col(id_col).alias("_id"), "cell", "codes")
+        .mapInPandas(run, schema="query_id LONG, neighbor_id LONG, adc DOUBLE")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    ranked = cand.withColumn("rank", F.row_number().over(w).cast("long"))
+    if not rerank:
+        return ranked.where(F.col("rank") <= k).select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("adc") * 1_000_000).cast("long").alias("adc_dist_e6"),
+        )
+    # exact-refine leg: the shortlist is queries×R rows — broadcast it
+    # against the corpus (id + vec columns only) and re-rank by exact L2
+    short = ranked.where(F.col("rank") <= rerank).select(
+        "query_id", "neighbor_id"
+    )
+    nbr = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    )
+    qside = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    sq = F.aggregate(
+        F.zip_with(
+            F.col("_qv"),
+            F.col("_nv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    exact = (
+        nbr.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qside), "query_id")
+        .select("query_id", "neighbor_id", sq.alias("dist"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("dist") * 1_000_000).cast("long").alias("dist_e6"),
         )
     )

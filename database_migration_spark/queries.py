@@ -4360,6 +4360,29 @@ def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(codes, queries_df, books, k=5)
 
 
+@register("ivf_pq_topk_embeddings")
+def ivf_pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN with the exact-rerank leg (similarity.py train_ivf_pq/
+    ivf_pq_encode/ivf_pq_topk; Jégou et al. TPAMI 2011 §IV IVFADC) — the
+    RECOMMENDABLE compressed-index search: residual codebooks against
+    coarse cells, probed-cell pruning, ADC shortlist, exact L2 re-rank of
+    the original vectors. Measured at ×100 (SCALE.md PQ table): recall@5
+    0.785 at ~2-5 s search where flat m=8 PQ answers 0.137 — the round-7
+    'weak' verdict's remedy. Rows-only by nature (float k-means, the
+    pq_topk_embeddings precedent); correctness pinned by the residual
+    ADC==decoded-L2, full-probe-full-rerank==brute, and partitioning-
+    invariance pytests (test_dedup_similarity)."""
+    from database_migration_spark.operators import similarity as S
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    coarse, books = S.train_ivf_pq(emb, n_centroids=16, m=8, k=32,
+                                   pq_sample_rows=1024)
+    codes = S.ivf_pq_encode(emb, coarse, books)
+    queries_df = emb.where(F.col("vec_id") < 20)
+    return S.ivf_pq_topk(codes, queries_df, coarse, books, k=5, n_probe=4,
+                         rerank=50, corpus=emb)
+
+
 @register(
     "cdc_apply_orders",
     # op-coded change stream applied to a base table: updates (incl. a
@@ -5229,6 +5252,12 @@ _SHOWCASE_ONLY = [
     # differential pytests pin ADC==decoded-L2 and exact-duplicate
     # rank-1 (test_dedup_similarity)
     "pq_topk_embeddings",
+    # showcase from birth (round 8, rows-only by nature): IVF-PQ with the
+    # exact-rerank leg — same float-k-means no-oracle argument as
+    # pq_topk_embeddings; pinned by the residual ADC==decoded-L2,
+    # full-probe-full-rerank==brute-L2, and partitioning-invariance
+    # pytests (test_dedup_similarity)
+    "ivf_pq_topk_embeddings",
 ]
 
 

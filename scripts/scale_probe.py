@@ -401,6 +401,45 @@ def ann_compare(spark, sf_dir: str, n_queries: int = 200) -> dict:
     out["pq_sec"] = round(min(pq_lap(), pq_lap()), 3)
     out["pq_recall_at_5"] = recall(S.pq_topk(codes, qs_n, books, k=5))
     codes.unpersist()
+
+    # IVF-PQ with the exact-rerank leg — the round-8 recommendable
+    # geometry (suggest_ann_params compressed=True): residual codebooks
+    # against sqrt(n) coarse cells, probe cells/7, ADC shortlist R=50,
+    # exact L2 re-rank of the original vectors. Same warm-index timing
+    # discipline as flat PQ.
+    import math
+
+    n_corpus = normed.count()
+    n_cent = max(4, int(round(math.sqrt(n_corpus))))
+    n_probe = max(1, math.ceil(n_cent / 7))
+    t0 = time.time()
+    coarse, rbooks = S.train_ivf_pq(normed, n_centroids=n_cent, m=16, k=256)
+    out["ivf_pq_train_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    rcodes = S.ivf_pq_encode(normed, coarse, rbooks).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    rcodes.count()
+    out["ivf_pq_encode_sec"] = round(time.time() - t0, 3)
+
+    def ivf_pq_lap() -> float:
+        t = time.time()
+        S.ivf_pq_topk(
+            rcodes, qs_n, coarse, rbooks, k=5, n_probe=n_probe,
+            rerank=50, corpus=normed,
+        ).write.format("noop").mode("overwrite").save()
+        return time.time() - t
+
+    ivf_pq_lap()  # warm-up
+    out["ivf_pq_sec"] = round(min(ivf_pq_lap(), ivf_pq_lap()), 3)
+    out["ivf_pq_recall_at_5"] = recall(
+        S.ivf_pq_topk(rcodes, qs_n, coarse, rbooks, k=5, n_probe=n_probe,
+                      rerank=50, corpus=normed)
+    )
+    out["ivf_pq_adc_only_recall_at_5"] = recall(
+        S.ivf_pq_topk(rcodes, qs_n, coarse, rbooks, k=5, n_probe=n_probe)
+    )
+    rcodes.unpersist()
     brute.unpersist()
     return out
 

@@ -1049,3 +1049,107 @@ WHERE t.TABLETYPE = 'T'
     dim = spark.read.parquet(f"{target}/region.parquet")
     fact = spark.read.parquet(f"{target}/fact_SALES.parquet")
     assert dim.count() == 3 and fact.count() == 30
+
+
+# round 8: optimize ADVICE closures — inbound-FK veto under partial scans,
+# per-schema apply streams under multi-schema scans
+
+
+def _stub_optimize_adapter(spark, tables_spec):
+    """Minimal adapter for cmd_optimize: tables_spec is
+    {(schema, table): (columns dict name->values list, [KeyMeta fks])}.
+    scan_catalog honors the LIKE-or-IN filters via Catalog.filter."""
+    from database_migration_spark.catalog import (
+        Catalog,
+        ColumnMeta,
+        TableMeta,
+    )
+
+    metas = []
+    frames = {}
+    for (sch, tbl), (cols, fks) in tables_spec.items():
+        cmeta = tuple(
+            ColumnMeta(schema=sch, table=tbl, name=n, ordinal=i + 1,
+                       source_type="varchar", char_length=30)
+            for i, n in enumerate(cols)
+        )
+        metas.append(TableMeta(schema=sch, table=tbl, columns=cmeta,
+                               foreign_keys=tuple(fks)))
+        frames[tbl] = spark.createDataFrame(
+            list(zip(*cols.values())) or [tuple()],
+            ", ".join(f"{n} STRING" for n in cols),
+        )
+
+    class Stub:
+        def scan_catalog(self, schemas="%", tables="%", include_keys=False):
+            return Catalog(tables=metas).filter(schemas, tables)
+
+        def read(self, name):
+            return frames[name]
+
+    return Stub()
+
+
+def test_cli_optimize_inbound_fk_vetoes_partial_scan(
+    spark, capsys, monkeypatch
+):
+    """A conversion on a scanned PARENT column referenced by an UNSCANNED
+    child's FK must be vetoed: catalog FKs are outbound-only, so without
+    the unfiltered metadata re-scan the inbound edge is invisible and the
+    parent converts alone — the half-scanned-pair breakage, inbound
+    direction (round-7 ADVICE)."""
+    import database_migration_spark.__main__ as M
+    from database_migration_spark.catalog import KeyMeta
+
+    fk = KeyMeta(schema="S1", table="CHILD", name="CHILD_FK", 
+                 kind="FOREIGN KEY", columns=("C_CODE",),
+                 ref_schema="S1", ref_table="PARENT", ref_columns=("P_CODE",))
+    spec = {
+        ("S1", "PARENT"): ({"P_CODE": [str(i) for i in range(40)]}, []),
+        ("S1", "CHILD"): ({"C_CODE": [str(i) for i in range(40)]}, [fk]),
+    }
+    monkeypatch.setattr(
+        M, "_source", lambda sp, root, args=None: _stub_optimize_adapter(
+            spark, spec
+        )
+    )
+    # scan ONLY the parent: its numeric-string column would convert, but
+    # the unscanned child's FK references it -> veto with the scope reason
+    rc = main(["optimize", "--source", "stub", "--tables", "PARENT"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "PARENT.P_CODE: kept (FK partner table outside --tables scope" \
+        in cap.out
+    assert "-->" not in cap.out
+    # control: scanning both tables converts the pair together
+    rc = main(["optimize", "--source", "stub", "--tables", "PARENT,CHILD"])
+    cap = capsys.readouterr()
+    assert "PARENT.P_CODE: varchar --> DECIMAL" in cap.out
+    assert "CHILD.C_CODE: varchar --> DECIMAL" in cap.out
+
+
+def test_cli_optimize_apply_emits_one_stream_per_schema(
+    spark, capsys, monkeypatch
+):
+    """A multi-schema scan must NOT qualify every ALTER with the first
+    table's schema (round-7 ADVICE): each schema gets its own stream,
+    statements qualified with their OWN schema."""
+    import database_migration_spark.__main__ as M
+
+    spec = {
+        ("S1", "ALPHA"): ({"A_NUM": [str(i) for i in range(40)]}, []),
+        ("S2", "BETA"): ({"B_NUM": [str(i * 7) for i in range(40)]}, []),
+    }
+    monkeypatch.setattr(
+        M, "_source", lambda sp, root, args=None: _stub_optimize_adapter(
+            spark, spec
+        )
+    )
+    rc = main(["optimize", "--source", "stub", "--schemas", "S1,S2",
+               "--apply"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert '"S1"."ALPHA"' in cap.out and '"S2"."BETA"' in cap.out
+    # the breakage the fix closes: BETA qualified with ALPHA's schema
+    assert '"S1"."BETA"' not in cap.out and '"S2"."ALPHA"' not in cap.out
+    assert "-- schema: S1" in cap.out and "-- schema: S2" in cap.out

@@ -805,3 +805,185 @@ def test_pq_self_in_batch_does_not_evict_kth_neighbor(spark, emb):
         if nid != qid
     )[:5]
     assert got == [(i + 1, nid, d) for i, (d, nid) in enumerate(want)]
+
+# ---------------------------------------------------------------------------
+# round 8: IVF-PQ (residual quantization over coarse cells, IVFADC)
+
+
+def test_ivf_pq_adc_equals_decoded_l2(spark, emb):
+    """The IVFADC correctness property: the ADC distance ivf_pq_topk ranks
+    by must equal the exact L2 between the query and the DECODED vector
+    (cell centroid + reconstructed residual). The operator computes it via
+    the ``‖q‖²+‖c+b‖²−2q·c−2q·b`` expansion, so allow the last-ulp of
+    float re-association at the e6 floor (±1)."""
+    import numpy as np
+
+    from database_migration_spark.operators.similarity import (
+        ivf_pq_decode,
+        ivf_pq_encode,
+        ivf_pq_topk,
+        train_ivf_pq,
+    )
+
+    corpus = emb.select("vec_id", "embedding")
+    coarse, books = train_ivf_pq(corpus, n_centroids=8, m=8, k=16,
+                                 pq_sample_rows=256, iters=5)
+    codes = ivf_pq_encode(corpus, coarse, books)
+    enc = {r.vec_id: (r.cell, list(r.codes)) for r in codes.collect()}
+    qid = sorted(enc)[0]
+    qdf = corpus.where(F.col("vec_id") == qid)
+    qvec = np.array(qdf.collect()[0].embedding, dtype=np.float64)
+
+    got = ivf_pq_topk(codes, qdf, coarse, books, k=10, n_probe=8)
+    assert got.count() == 10
+    for r in got.collect():
+        cell, c = enc[r.neighbor_id]
+        rec = ivf_pq_decode(cell, c, coarse, books)
+        want = int(np.floor(float(((qvec - rec) ** 2).sum()) * 1_000_000))
+        assert abs(r.adc_dist_e6 - want) <= 1, r
+
+
+def test_ivf_pq_duplicate_vector_ranks_first(spark, emb):
+    """A corpus vector identical to the query lands in the same cell with
+    the same residual codes — minimum possible ADC distance; the planted
+    duplicate must rank 1 (and survive the batch-local prune)."""
+    from database_migration_spark.operators.similarity import (
+        ivf_pq_encode,
+        ivf_pq_topk,
+        train_ivf_pq,
+    )
+
+    base = emb.select("vec_id", "embedding")
+    dup = base.where(F.col("vec_id") == 7).select(
+        F.lit(9_000_007).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(dup)
+    coarse, books = train_ivf_pq(corpus, n_centroids=8, m=8, k=32, iters=5)
+    codes = ivf_pq_encode(corpus, coarse, books)
+    q = base.where(F.col("vec_id") == 7)
+    top = ivf_pq_topk(codes, q, coarse, books, k=3, n_probe=2).orderBy(
+        "rank"
+    ).collect()
+    assert top[0].neighbor_id == 9_000_007 and top[0].rank == 1
+
+
+def test_ivf_pq_partitioning_invariance(spark, emb):
+    """The batch-local prune breaks ties by (dist, id) — the ADVICE item:
+    argpartition-on-distance-only made output depend on partitioning when
+    many vectors share a code. One partition vs thirteen must agree row
+    for row."""
+    from database_migration_spark.operators.similarity import (
+        ivf_pq_encode,
+        ivf_pq_topk,
+        train_ivf_pq,
+    )
+
+    corpus = emb.select("vec_id", "embedding")
+    # tiny codebooks (k=4) force MANY identical codes -> real ADC ties
+    coarse, books = train_ivf_pq(corpus, n_centroids=4, m=8, k=4, iters=4)
+    codes = ivf_pq_encode(corpus, coarse, books)
+    q = corpus.where(F.col("vec_id").isin(1, 2, 3))
+
+    def rows(c):
+        return sorted(
+            map(
+                tuple,
+                ivf_pq_topk(c, q, coarse, books, k=5, n_probe=4).collect(),
+            )
+        )
+
+    assert rows(codes.coalesce(1)) == rows(codes.repartition(13))
+
+
+def test_ivf_pq_full_probe_full_rerank_equals_exact(spark, emb):
+    """With every cell probed and the rerank shortlist covering the whole
+    corpus, the exact-refine leg degrades to brute-force L2 top-k — the
+    rerank machinery's correctness pin (quantization can no longer hide
+    anything: the final ranking is computed from ORIGINAL vectors)."""
+    import numpy as np
+
+    from database_migration_spark.operators.similarity import (
+        ivf_pq_encode,
+        ivf_pq_topk,
+        train_ivf_pq,
+    )
+
+    corpus = emb.select("vec_id", "embedding").limit(80)
+    n = corpus.count()
+    coarse, books = train_ivf_pq(corpus, n_centroids=4, m=8, k=8, iters=4)
+    codes = ivf_pq_encode(corpus, coarse, books)
+    q = corpus.where(F.col("vec_id").isin(2, 9))
+    got = ivf_pq_topk(
+        codes, q, coarse, books, k=4, n_probe=4, rerank=n, corpus=corpus
+    ).collect()
+    vecs = {r.vec_id: np.array(r.embedding, np.float64) for r in corpus.collect()}
+    for qid in (2, 9):
+        want = sorted(
+            (float(((vecs[qid] - v) ** 2).sum()), nid)
+            for nid, v in vecs.items()
+            if nid != qid
+        )[:4]
+        mine = sorted(
+            (r.rank, r.neighbor_id, r.dist_e6) for r in got if r.query_id == qid
+        )
+        assert [m[1] for m in mine] == [w[1] for w in want], qid
+        for (rank, nid, de6), (d, _) in zip(mine, want):
+            assert abs(de6 - int(np.floor(d * 1e6))) <= 1, (qid, rank)
+
+
+def test_ivf_pq_rerank_requires_corpus(spark, emb):
+    import pytest as _pytest
+
+    from database_migration_spark.operators.similarity import (
+        ivf_pq_encode,
+        ivf_pq_topk,
+        train_ivf_pq,
+    )
+
+    corpus = emb.select("vec_id", "embedding")
+    coarse, books = train_ivf_pq(corpus, n_centroids=4, m=8, k=8, iters=3)
+    codes = ivf_pq_encode(corpus, coarse, books)
+    with _pytest.raises(ValueError, match="rerank requires"):
+        ivf_pq_topk(codes, corpus.limit(1), coarse, books, rerank=10)
+
+
+def test_pq_training_sample_is_partition_layout_independent(spark, emb):
+    """The ADVICE item on train_pq_codebooks: a bare limit() lets Spark
+    pick whichever partitions answer first, so codebooks were
+    run-dependent. The id-ordered sample must produce bit-identical
+    codebooks (and coarse centroids) across partition layouts."""
+    import numpy as np
+
+    from database_migration_spark.operators.similarity import (
+        train_ivf_pq,
+        train_pq_codebooks,
+    )
+
+    corpus = emb.select("vec_id", "embedding")
+    a = train_pq_codebooks(corpus, m=8, k=16, sample_rows=128, iters=4)
+    b = train_pq_codebooks(
+        corpus.repartition(17), m=8, k=16, sample_rows=128, iters=4
+    )
+    assert np.array_equal(a, b)
+    ca, ba = train_ivf_pq(corpus, n_centroids=4, m=8, k=8, iters=3)
+    cb, bb = train_ivf_pq(
+        corpus.repartition(29), n_centroids=4, m=8, k=8, iters=3
+    )
+    assert np.array_equal(ca, cb) and np.array_equal(ba, bb)
+
+
+def test_suggest_ann_params_compressed_recommends_ivf_pq():
+    """compressed=True = the PQ use case; the helper must return the
+    measured recommendable geometry (m >= 16 and divides dim, rerank
+    load-bearing advisory on isotropic geometry)."""
+    from database_migration_spark.operators.similarity import suggest_ann_params
+
+    p = suggest_ann_params(200_000, dim=64, neighbor_cos=0.55, compressed=True)
+    assert p["method"] == "ivf_pq"
+    assert p["m"] >= 16 and 64 % p["m"] == 0
+    assert p["rerank"] == 50
+    assert p["n_probe"] >= 1 and p["n_centroids"] >= 400
+    assert p["advisory"] is not None and "rerank" in p["advisory"]
+    # tight neighbor geometry: no collapse warning needed
+    p2 = suggest_ann_params(200_000, dim=48, neighbor_cos=0.9, compressed=True)
+    assert p2["method"] == "ivf_pq" and 48 % p2["m"] == 0

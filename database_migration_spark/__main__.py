@@ -1207,6 +1207,185 @@ def cmd_cdc(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Fingerprint-index lifecycle (operators/dedup.py:909-1240) — the
+    repo's recurring-crawl dedup store, now CLI-reachable like every
+    reference workflow:
+
+    - ``build``: fingerprint the corpus (content hash + minhash) and write
+      the two partition-pruned indexes (content/ + bands/) with the layout
+      recorded in ``_index_meta.json`` (incl. shingle k and minhash seed —
+      later appends must sign with the same ones or band keys never
+      collide).
+    - ``append``: grow the index with a batch's fingerprints; layout
+      resolves from the stored metadata, explicit contradictions are an
+      ERROR naming the stored layout (the silent-misprune trap).
+    - ``probe``: dedup a batch against the index (partition-pruned reads);
+      prints per-status counts; ``--out`` writes the (id, status,
+      match_id) decisions, ``--apply-new`` appends the batch's 'new'
+      fingerprints back (the crawl-loop store maintenance); ``--dry-run``
+      suppresses both writes.
+    - ``compact``: rewrite each sub-index to one file per bucket (append
+      epochs accumulate small files) and swap it into place.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from database_migration_spark.operators.dedup import (
+        append_fingerprint_index,
+        compact_partitioned,
+        fingerprint_store,
+        incremental_dedup_indexed,
+        read_index_meta,
+        write_fingerprint_index,
+    )
+    from database_migration_spark.session import get_spark
+
+    spark = get_spark(app_name="dms_dedup")
+
+    def corpus_df():
+        if not args.corpus:
+            print(f"error: dedup {args.action} needs --corpus",
+                  file=sys.stderr)
+            return None
+        adapter = _source(spark, args.corpus, args)
+        cat = adapter.scan_catalog("%", args.table or "%")
+        if not cat.tables:
+            print(f"error: no table in {args.corpus}", file=sys.stderr)
+            return None
+        if len(cat.tables) > 1:
+            names = sorted(t.table for t in cat.tables)
+            print(f"error: {args.corpus} holds several tables {names} — "
+                  "pick one with --table", file=sys.stderr)
+            return None
+        return _read(adapter, cat.tables[0])
+
+    def signing_params():
+        """k/seed/num_perm the fingerprints must be computed with: stored
+        metadata wins; an explicit contradiction is the misprune error."""
+        meta = read_index_meta(args.index) or {}
+        for name, given in (("shingle_k", args.k), ("seed", args.seed),
+                            ("num_perm", args.num_perm)):
+            stored = meta.get(name)
+            if given is not None and stored is not None and given != stored:
+                print(f"error: index at {args.index} was written with "
+                      f"{name}={stored} but the caller passed {name}="
+                      f"{given} — fingerprints would never match the "
+                      f"stored layout {meta}", file=sys.stderr)
+                return None
+        return (
+            args.k if args.k is not None else meta.get("shingle_k", 5),
+            args.seed if args.seed is not None else meta.get("seed", 42),
+            args.num_perm if args.num_perm is not None
+            else meta.get("num_perm", 32),
+        )
+
+    if args.action == "build":
+        df = corpus_df()
+        if df is None:
+            return 2
+        k = args.k if args.k is not None else 5
+        seed = args.seed if args.seed is not None else 42
+        num_perm = args.num_perm if args.num_perm is not None else 32
+        fp = fingerprint_store(df, args.text_col, args.id_col, k=k,
+                               num_perm=num_perm, seed=seed)
+        write_fingerprint_index(
+            fp, args.index, num_perm=num_perm,
+            bands=args.bands if args.bands is not None else 4,
+            buckets=args.buckets if args.buckets is not None else 64,
+            extra={"shingle_k": k, "seed": seed},
+        )
+        n = spark.read.parquet(f"{args.index}/content").count()
+        print(f"index built: {n} documents, layout {read_index_meta(args.index)}")
+        return 0
+
+    if args.action == "append":
+        df = corpus_df()
+        if df is None:
+            return 2
+        sp = signing_params()
+        if sp is None:
+            return 2
+        k, seed, num_perm = sp
+        fp = fingerprint_store(df, args.text_col, args.id_col, k=k,
+                               num_perm=num_perm, seed=seed)
+        try:
+            append_fingerprint_index(fp, args.index, num_perm=args.num_perm,
+                                     bands=args.bands, buckets=args.buckets)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        n = fp.count()
+        print(f"appended {n} fingerprints to {args.index}")
+        return 0
+
+    if args.action == "probe":
+        df = corpus_df()
+        if df is None:
+            return 2
+        sp = signing_params()
+        if sp is None:
+            return 2
+        k, seed, num_perm = sp
+        fp = fingerprint_store(df, args.text_col, args.id_col, k=k,
+                               num_perm=num_perm, seed=seed)
+        try:
+            decisions = incremental_dedup_indexed(
+                spark, args.index, fp, num_perm=args.num_perm,
+                bands=args.bands, buckets=args.buckets,
+                min_agree_permille=args.min_agree,
+            )
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        from pyspark import StorageLevel
+
+        decisions = decisions.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            counts = {
+                r.status: r.n
+                for r in decisions.groupBy("status")
+                .agg(F.count("*").alias("n")).collect()
+            }
+            for s in ("exact_dup", "near_dup", "new"):
+                print(f"{s}: {counts.get(s, 0)}")
+            if args.dry_run:
+                print("-- dry run; nothing written", file=sys.stderr)
+                return 0
+            if args.out:
+                decisions.write.mode("overwrite").parquet(args.out)
+                print(f"decisions written to {args.out}")
+            if args.apply_new:
+                new_fp = fp.join(
+                    decisions.where(F.col("status") == "new").select("id"),
+                    "id",
+                )
+                append_fingerprint_index(new_fp, args.index)
+                print(f"appended {counts.get('new', 0)} new fingerprints")
+        finally:
+            decisions.unpersist(blocking=False)
+        return 0
+
+    # compact: one file per bucket per sub-index, then rename-swap
+    for sub_ix in ("content", "bands"):
+        src = f"{args.index}/{sub_ix}"
+        staging = src + ".compact"
+        compact_partitioned(spark, src, staging)
+        old = src + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(src, old)
+        os.rename(staging, src)
+        shutil.rmtree(old, ignore_errors=True)
+        n_files = sum(
+            len([f for f in files if f.endswith(".parquet")])
+            for _, _, files in os.walk(src)
+        )
+        print(f"{sub_ix}: compacted to {n_files} files")
+    return 0
+
+
 def cmd_ping(args) -> int:
     """The reference ships a connection smoke test with every script
     (SELECT 'Connection works' — mysql_to_exasol.sql:396-397); this is
@@ -1559,6 +1738,36 @@ def main(argv: list[str] | None = None) -> int:
     cd.add_argument("--dry-run", action="store_true",
                     help="print per-op event/net counts only")
     cd.set_defaults(fn=cmd_cdc)
+
+    dd = sub.add_parser("dedup", help="fingerprint-index lifecycle: build/"
+                        "append/probe/compact a partition-pruned dedup "
+                        "store over a text corpus")
+    dd.add_argument("action", choices=["build", "append", "probe", "compact"])
+    dd.add_argument("--index", required=True,
+                    help="fingerprint index directory")
+    dd.add_argument("--corpus", help="corpus/batch table directory or "
+                    "jdbc: URL (build/append/probe)")
+    dd.add_argument("--table", help="table name when --corpus holds several")
+    dd.add_argument("--dialect", help="dialect name for jdbc: sources")
+    dd.add_argument("--jdbc-prop", action="append")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--k", type=int, default=None,
+                    help="shingle size (stored in the index meta at build)")
+    dd.add_argument("--seed", type=int, default=None,
+                    help="minhash seed (stored in the index meta at build)")
+    dd.add_argument("--num-perm", type=int, default=None)
+    dd.add_argument("--bands", type=int, default=None)
+    dd.add_argument("--buckets", type=int, default=None)
+    dd.add_argument("--min-agree", type=int, default=750,
+                    help="near-dup signature agreement threshold, permille")
+    dd.add_argument("--out", help="probe: write (id,status,match_id) here")
+    dd.add_argument("--apply-new", action="store_true",
+                    help="probe: append the batch's 'new' fingerprints "
+                    "back to the index (the crawl-loop maintenance step)")
+    dd.add_argument("--dry-run", action="store_true",
+                    help="probe: counts only, suppress --out/--apply-new")
+    dd.set_defaults(fn=cmd_dedup)
 
     pg = sub.add_parser("ping", help="connection smoke test")
     pg.add_argument("--source", required=True,

@@ -1037,6 +1037,7 @@ def write_fingerprint_index(
     num_perm: int = 32,
     bands: int = 4,
     buckets: int = 64,
+    extra: dict | None = None,
 ) -> None:
     """Write a :func:`fingerprint_store` relation as two partition-pruned
     parquet indexes — the layout that makes small-batch
@@ -1060,19 +1061,26 @@ def write_fingerprint_index(
     resolves them from there: a silent writer/prober mismatch would prune
     the WRONG partitions and miss duplicates without any error (round-7
     trap closure). Size ``buckets`` so a partition is a few hundred MB at
-    the store's scale.
+    the store's scale. ``extra`` records additional layout-defining
+    parameters in the metadata (the CLI stores the shingle ``k`` and
+    minhash ``seed`` there — fingerprints appended later must be computed
+    with the same ones or band keys never collide).
     """
     _write_fingerprint_index(store_fp, path, num_perm, bands, buckets, "overwrite")
-    _write_index_meta(path, num_perm, bands, buckets)
+    _write_index_meta(path, num_perm, bands, buckets, extra)
 
 
-def _write_index_meta(path: str, num_perm: int, bands: int, buckets: int) -> None:
+def _write_index_meta(
+    path: str, num_perm: int, bands: int, buckets: int, extra: dict | None = None
+) -> None:
     import json
     import os
 
     os.makedirs(path, exist_ok=True)
+    meta = {"num_perm": num_perm, "bands": bands, "buckets": buckets}
+    meta.update(extra or {})
     with open(os.path.join(path, "_index_meta.json"), "w") as fh:
-        json.dump({"num_perm": num_perm, "bands": bands, "buckets": buckets}, fh)
+        json.dump(meta, fh)
 
 
 def read_index_meta(path: str) -> dict | None:

@@ -1153,3 +1153,97 @@ def test_cli_optimize_apply_emits_one_stream_per_schema(
     # the breakage the fix closes: BETA qualified with ALPHA's schema
     assert '"S1"."BETA"' not in cap.out and '"S2"."ALPHA"' not in cap.out
     assert "-- schema: S1" in cap.out and "-- schema: S2" in cap.out
+
+
+# round 8: dedup subcommand — the fingerprint-index lifecycle CLI
+# (verdict: the repo's most operational LLM-pipeline capability was
+# library-only while every reference workflow got a subcommand)
+
+
+def test_cli_dedup_lifecycle_end_to_end(spark, sf_smoke, tmp_path, capsys):
+    """build -> probe (re-probe of indexed docs = exact dups) -> append ->
+    probe fresh batch with --apply-new -> re-probe (now exact) ->
+    compact. Every stage through the CLI against the real documents
+    table."""
+    import os
+
+    docs = str(tmp_path / "docs")
+    batch1 = str(tmp_path / "batch1")
+    batch2 = str(tmp_path / "batch2")
+    d = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    d.where("doc_id < 40").write.parquet(f"{docs}/documents.parquet")
+    # batch1: 5 docs already indexed (ids shifted -> exact dups by content)
+    d.where("doc_id < 5").selectExpr("doc_id + 90000 AS doc_id", "text") \
+        .write.parquet(f"{batch1}/documents.parquet")
+    # batch2: unseen docs
+    d.where("doc_id >= 40 AND doc_id < 50").write.parquet(
+        f"{batch2}/documents.parquet")
+    index = str(tmp_path / "fpindex")
+
+    rc = main(["dedup", "build", "--index", index, "--corpus", docs,
+               "--buckets", "8"])
+    cap = capsys.readouterr()
+    assert rc == 0 and "index built: 40 documents" in cap.out
+    assert os.path.exists(f"{index}/_index_meta.json")
+
+    rc = main(["dedup", "probe", "--index", index, "--corpus", batch1,
+               "--dry-run"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "exact_dup: 5" in cap.out and "new: 0" in cap.out
+    assert "dry run" in cap.err
+
+    out = str(tmp_path / "decisions")
+    rc = main(["dedup", "probe", "--index", index, "--corpus", batch2,
+               "--out", out, "--apply-new"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "new: 10" in cap.out and "appended 10 new fingerprints" in cap.out
+    got = {r.status for r in spark.read.parquet(out).collect()}
+    assert got == {"new"}
+
+    # the appended docs are now exact dups on re-probe
+    rc = main(["dedup", "probe", "--index", index, "--corpus", batch2,
+               "--dry-run"])
+    cap = capsys.readouterr()
+    assert rc == 0 and "exact_dup: 10" in cap.out
+
+    rc = main(["dedup", "compact", "--index", index])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "content: compacted to" in cap.out
+    assert "bands: compacted to" in cap.out
+    # compaction preserves probe results
+    rc = main(["dedup", "probe", "--index", index, "--corpus", batch2,
+               "--dry-run"])
+    assert rc == 0 and "exact_dup: 10" in capsys.readouterr().out
+
+
+def test_cli_dedup_meta_mismatch_is_an_error(spark, sf_smoke, tmp_path,
+                                             capsys):
+    """An explicit layout value contradicting the stored _index_meta must
+    rc!=0 with a message naming the stored layout — never silently prune
+    the wrong partitions (the round-7 trap, CLI edition)."""
+    docs = str(tmp_path / "docs")
+    spark.read.parquet(f"{sf_smoke}/documents.parquet").where(
+        "doc_id < 20"
+    ).write.parquet(f"{docs}/documents.parquet")
+    index = str(tmp_path / "fpindex")
+    rc = main(["dedup", "build", "--index", index, "--corpus", docs,
+               "--num-perm", "16", "--buckets", "8"])
+    assert rc == 0
+    capsys.readouterr()
+
+    # partition-layout contradiction (buckets) -> the library raise
+    rc = main(["dedup", "probe", "--index", index, "--corpus", docs,
+               "--buckets", "64", "--dry-run"])
+    cap = capsys.readouterr()
+    assert rc == 2
+    assert "buckets=8" in cap.err and "prunes the wrong partitions" in cap.err
+
+    # signing contradiction (shingle k) -> the CLI-level raise naming meta
+    rc = main(["dedup", "append", "--index", index, "--corpus", docs,
+               "--k", "9"])
+    cap = capsys.readouterr()
+    assert rc == 2
+    assert "shingle_k=5" in cap.err and "stored layout" in cap.err

@@ -294,6 +294,84 @@ def decode_bmp_pixels(payload: bytes):
     return w, h, rows
 
 
+def decode_png_pixels(payload: bytes):
+    """REAL pixel decoding for non-interlaced 8-bit PNG (grayscale, RGB,
+    gray+alpha, RGBA) — stdlib only (round-8 de-stub): the IDAT payload is
+    DEFLATE, which Python ships as ``zlib``; the rest is the five scanline
+    filters (None/Sub/Up/Average/Paeth) applied per row. Returns
+    ``(width, height, channels, rows)`` with rows top-to-bottom, each a
+    list of per-pixel channel tuples. Palette (color type 3), sub-byte and
+    16-bit depths, and Adam7 interlace raise NotImplementedError — they
+    remain the plug-in seam with GIF's LZW."""
+    import struct
+    import zlib
+
+    b = payload or b""
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(b):
+        ln = struct.unpack(">I", b[pos : pos + 4])[0]
+        typ = b[pos + 4 : pos + 8]
+        if typ == b"IHDR":
+            ihdr = b[pos + 8 : pos + 8 + ln]
+        elif typ == b"IDAT":
+            idat += b[pos + 8 : pos + 8 + ln]
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunks")
+    w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if depth != 8 or ctype not in (0, 2, 4, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"stdlib decode covers non-interlaced 8-bit gray/RGB/RGBA only "
+            f"(depth={depth}, color_type={ctype}, interlace={interlace}) — "
+            "plug a codec in"
+        )
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    prev = bytearray(stride)
+    rows = []
+    off = 0
+    for _ in range(h):
+        ftype = raw[off]
+        off += 1
+        cur = bytearray(raw[off : off + stride])
+        off += stride
+        if ftype == 1:  # Sub: left neighbor (one pixel back)
+            for i in range(nch, stride):
+                cur[i] = (cur[i] + cur[i - nch]) & 0xFF
+        elif ftype == 2:  # Up: same byte, previous row
+            for i in range(stride):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average: floor((left + up) / 2)
+            for i in range(stride):
+                a = cur[i - nch] if i >= nch else 0
+                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth predictor
+            for i in range(stride):
+                a = cur[i - nch] if i >= nch else 0
+                up = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        rows.append(
+            [tuple(cur[i * nch : (i + 1) * nch]) for i in range(w)]
+        )
+        prev = cur
+    return w, h, nch, rows
+
+
 def decode_wav_samples(payload: bytes):
     """REAL sample decoding for PCM WAV (8-bit unsigned / 16-bit signed) —
     stdlib ``struct`` only (round-7 de-stub). Returns ``(sample_rate,
@@ -355,6 +433,35 @@ def _bmp_features(payload: bytes) -> list[float]:
     ]
 
 
+def _png_features(payload: bytes) -> list[float]:
+    """True pixel statistics for PNG, same shape as the BMP row: [width,
+    height, n_pixels, mean_r, mean_g, mean_b, min_luma, max_luma].
+    Grayscale maps v→(v,v,v); alpha is ignored for the statistics (the
+    features describe the color signal, not compositing)."""
+    w, h, nch, rows = decode_png_pixels(payload)
+    n = w * h
+    if n == 0:
+        return [float(w), float(h), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    sr = sg = sb = 0
+    lmin, lmax = None, None
+    for row in rows:
+        for px in row:
+            if nch >= 3:
+                r, g, b = px[0], px[1], px[2]
+            else:  # grayscale / gray+alpha
+                r = g = b = px[0]
+            sr += r
+            sg += g
+            sb += b
+            luma = 299 * r + 587 * g + 114 * b
+            lmin = luma if lmin is None or luma < lmin else lmin
+            lmax = luma if lmax is None or luma > lmax else lmax
+    return [
+        float(w), float(h), float(n),
+        sr / n, sg / n, sb / n, lmin / 1000.0, lmax / 1000.0,
+    ]
+
+
 def _wav_features(payload: bytes) -> list[float]:
     """True sample statistics: [sample_rate, channels, n_samples, mean,
     min, max, rms, zero_crossings]."""
@@ -374,20 +481,23 @@ def _wav_features(payload: bytes) -> list[float]:
     ]
 
 
-# containers whose CONTENT decodes with the standard library alone; PNG/GIF
-# (zlib/LZW image payloads) remain the documented plug-in seam
+# containers whose CONTENT decodes with the standard library alone — BMP
+# (raw pixels), WAV (raw PCM), PNG (DEFLATE, which Python ships as zlib +
+# the five scanline filters); GIF's LZW remains the documented plug-in seam
 CONTENT_DECODERS: dict[str, Callable[[bytes], list[float]]] = {
     "bmp": _bmp_features,
     "wav": _wav_features,
+    "png": _png_features,
 }
 
 
 def stdlib_content_decoder(payload: bytes, media_type: str) -> list[float]:
-    """The first REAL entries in the decoder registry: true pixel/sample
+    """The REAL entries in the decoder registry: true pixel/sample
     statistics for stdlib-decodable containers (uncompressed 24-bit BMP,
-    PCM WAV), loud NotImplementedError for compressed ones (PNG/GIF —
-    captured as per-row error rows by :func:`extract_features`, never
-    silent fakes). Drop-in for the ``decoder`` parameter."""
+    PCM WAV, non-interlaced 8-bit PNG), loud NotImplementedError for the
+    rest (GIF/LZW, palette/16-bit/interlaced PNG — captured as per-row
+    error rows by :func:`extract_features`, never silent fakes). Drop-in
+    for the ``decoder`` parameter."""
     meta = parse_container_header(payload or b"")
     if meta is None:
         raise ValueError("unrecognized container")

@@ -302,10 +302,13 @@ def fuzzy_join(
         .select("_ida", "_idb")
         .distinct()
     )
+    lside, rside = _dict_side(lnames), _dict_side(rnames)
     pairs = cands.join(
-        lnames.select(F.col("_id").alias("_ida"), F.col("_s").alias("_x")), "_ida"
+        lside(lnames.select(F.col("_id").alias("_ida"), F.col("_s").alias("_x"))),
+        "_ida",
     ).join(
-        rnames.select(F.col("_id").alias("_idb"), F.col("_s").alias("_y")), "_idb"
+        rside(rnames.select(F.col("_id").alias("_idb"), F.col("_s").alias("_y"))),
+        "_idb",
     )
     return pairs.where(F.levenshtein("_x", "_y") <= max_dist).select(
         F.col("_x").alias("left_value"),
@@ -392,11 +395,12 @@ def edit_distance_pairs(
         .select("_ida", "_idb")
         .distinct()
     )
+    side = _dict_side(names)
     pairs = cands.join(
-        names.select(F.col("_id").alias("_ida"), F.col("_s").alias("_x")),
+        side(names.select(F.col("_id").alias("_ida"), F.col("_s").alias("_x"))),
         "_ida",
     ).join(
-        names.select(F.col("_id").alias("_idb"), F.col("_s").alias("_y")),
+        side(names.select(F.col("_id").alias("_idb"), F.col("_s").alias("_y"))),
         "_idb",
     )
     return (
@@ -407,3 +411,17 @@ def edit_distance_pairs(
             F.levenshtein("_x", "_y").cast("long").alias("dist"),
         )
     )
+
+
+def _dict_side(names: DataFrame, cap: int = 4_000_000):
+    """Broadcast the (id, string) dictionary at the verify re-attach when
+    it fits (round-8 measured: the two candidate×dict shuffle joins were
+    43 % of ER edge-gen at ×100 — 131.5 s → 74.7 s with the dict
+    broadcast, identical 26.25 M pairs). The candidate relation is many
+    times the dictionary (every string × its deletion-variant collisions),
+    so shuffling it to meet a ≤100 MB dict is backwards; above ``cap``
+    entries (~hundreds of MB) fall back to the shuffle join. The dict is
+    already persisted, so the sizing count is metadata-cheap."""
+    if names.count() <= cap:
+        return F.broadcast
+    return lambda d: d

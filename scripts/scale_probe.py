@@ -484,6 +484,131 @@ def bm25_compare(spark) -> dict:
     return out
 
 
+def cdc_stream_probe(spark, n_epochs: int = 4) -> dict:
+    """Per-epoch cost + tombstone growth of the STREAMING CDC path
+    (streaming.delta_stream.stream_cdc_apply) at the x10 feed scale — the
+    batch apply has its x100 row; this measures the epoch loop the batch
+    row can't see:
+
+    - epoch wall as the target accumulates (each epoch is a full
+      read-modify-write of the plain-parquet target: expected ~flat once
+      the target size stabilizes — the plain-parquet shape; MERGE INTO
+      replaces the rewrite at 100 TB),
+    - tombstone growth WITHOUT compaction across the delete epochs, then
+      the compact_cdc_target drop + its wall (the retention cadence
+      guidance: compact when tombstones are a measurable fraction of the
+      target, at the feed's lateness horizon),
+    - the late-path at volume: the final epoch replays an ENTIRE earlier
+      epoch (every event stale) plus late-update-after-delete events —
+      the fences must no-op them, verified against the batch operator
+      (apply_cdc over the same total feed) by live-view row parity.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from database_migration_spark import queries as Q
+    from database_migration_spark.operators.cdc import apply_cdc
+    from database_migration_spark.streaming.delta_stream import (
+        compact_cdc_target,
+        read_cdc_target,
+        stream_cdc_apply,
+    )
+
+    work = tempfile.mkdtemp(prefix="cdc_stream_probe")
+    src = os.path.join(work, "feed")
+    os.makedirs(src)
+    target = os.path.join(work, "target")
+    ckpt = os.path.join(work, "ckpt")
+
+    base = Q.table(spark, OUT, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+
+    def epoch_df(e: int):
+        if e == 0:  # bootstrap: insert every row
+            return base.select(
+                "*", F.lit(1).alias("seq"), F.lit("I").alias("op")
+            )
+        if e < n_epochs - 1:  # update 10 %, delete ~1 % (disjoint slices)
+            upd = base.where(F.pmod("k", F.lit(10)) == e).select(
+                "k", "cust", F.lit(f"U{e}").alias("status"),
+                (F.col("price") + e).alias("price"),
+                F.lit(10 * e).alias("seq"), F.lit("U").alias("op"),
+            )
+            dele = base.where(F.pmod("k", F.lit(97)) == e).select(
+                "k", "cust", "status", "price",
+                F.lit(10 * e + 1).alias("seq"), F.lit("D").alias("op"),
+            )
+            return upd.unionByName(dele)
+        # final epoch: a FULL stale replay of epoch 1 (every event fenced)
+        # + late updates to epoch-2's deleted keys with seq BELOW the
+        # delete (the resurrection case, at volume)
+        replay = epoch_df(1)
+        # seq 19: below epoch-2's delete fence (seq 21) and colliding with
+        # no other (key, seq) — a duplicate (key, seq) with a different
+        # image would rightly trip apply_cdc's dup-seq guard in the
+        # convergence check below
+        late = base.where(F.pmod("k", F.lit(97)) == 2).select(
+            "k", "cust", F.lit("LATE").alias("status"), "price",
+            F.lit(19).alias("seq"), F.lit("U").alias("op"),
+        )
+        return replay.unionByName(late)
+
+    schema = epoch_df(0).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = stream_cdc_apply(stream, target, ["k"], ckpt)
+    out: dict = {"epochs": []}
+    try:
+        for e in range(n_epochs):
+            epoch_df(e).coalesce(4).write.parquet(os.path.join(src, f"e{e:02d}"))
+            t0 = time.time()
+            q.processAllAvailable()
+            wall = time.time() - t0
+            raw = spark.read.parquet(target)
+            out["epochs"].append({
+                "epoch": e,
+                "sec": round(wall, 2),
+                "target_rows": raw.count(),
+                "tombstones": raw.where(F.col("_deleted")).count(),
+            })
+    finally:
+        q.stop()
+
+    # convergence at volume: live view == batch apply_cdc of the same feed
+    # (distinct: the stale-replay epoch duplicates epoch-1 rows EXACTLY —
+    # the streaming fences no-op them; the batch guard would otherwise
+    # rightly flag the duplicated (key, seq) pairs)
+    all_events = spark.read.parquet(src + "/*").distinct()
+    empty = base.limit(0)
+    expected = apply_cdc(empty, all_events, ["k"], "seq", "op")
+    live = read_cdc_target(spark, target)
+    n_live = live.count()
+    mismatch = (
+        live.unionByName(expected).groupBy(*live.columns)
+        .count().where(F.col("count") != 2).count()
+    )
+    out["live_rows"] = n_live
+    out["late_epoch_converged"] = mismatch == 0
+
+    # retention: drop every tombstone below the horizon (all of them here)
+    t0 = time.time()
+    counts = compact_cdc_target(spark, target, min_live_seq=10 ** 9)
+    out["compact_sec"] = round(time.time() - t0, 2)
+    out.update(counts)
+    out["live_rows_after_compact"] = read_cdc_target(spark, target).count()
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def main() -> int:
     from database_migration_spark import get_spark
     from database_migration_spark import queries as Q
@@ -843,6 +968,8 @@ def main() -> int:
         out["ann_compare"]["x100"] = ann_compare(spark, OUT100)
     if "--bm25" in sys.argv:
         out["bm25_compare"] = bm25_compare(spark)
+    if "--cdc-stream" in sys.argv:
+        out["cdc_stream"] = cdc_stream_probe(spark)
     if "--semantic-bits" in sys.argv:
         # semantic dedup's own scale rule: cells (2^bits) must grow with N
         # to hold E|cell| — and with it the within-cell quadratic term —

@@ -348,7 +348,8 @@ def test_extract_features_true_content_statistics(spark):
         (1, _bmp_px(grid), "image", None, None, None, None),
         (2, _wav_px(samples, rate=8000, bits=16), "audio",
          None, None, None, None),
-        (3, _png(8, 8), "image", None, None, None, None),
+        # GIF is the remaining LZW seam (PNG decodes for real since round 8)
+        (3, _gif(8, 8), "image", None, None, None, None),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {
@@ -376,6 +377,157 @@ def test_extract_features_true_content_statistics(spark):
     assert (g[4], g[5]) == (-100.0, 200.0)
     assert g[7] == 2.0  # 100->-100 and -100->200
 
-    png = out[3]
-    assert png.feature is None
-    assert "NotImplementedError" in png.error and "compressed" in png.error
+    gif = out[3]
+    assert gif.feature is None
+    assert "NotImplementedError" in gif.error and "compressed" in gif.error
+
+
+# round 8: stdlib PNG pixel decode (verdict #5 — IDAT is zlib + five
+# scanline filters; no codec library needed for non-interlaced 8-bit)
+
+
+def _png_px(grid, ctype=2, filters=None, interlace=0, depth=8):
+    """Reference PNG ENCODER (pure Python, independent of the decoder):
+    applies the chosen scanline filter per row (forward direction — the
+    decoder must invert it exactly), zlib-compresses, wraps in real
+    chunks with CRCs."""
+    import struct
+    import zlib
+
+    h = len(grid)
+    w = len(grid[0]) if h else 0
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    raw = bytearray()
+    prev = bytes(w * nch)
+    for ri, row in enumerate(grid):
+        flat = bytes(
+            v for px in row
+            for v in (px if isinstance(px, (tuple, list)) else (px,))
+        )
+        ft = filters[ri % len(filters)] if filters else 0
+        raw.append(ft)
+        for i in range(len(flat)):
+            a = flat[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if ft == 0:
+                v = flat[i]
+            elif ft == 1:
+                v = (flat[i] - a) & 0xFF
+            elif ft == 2:
+                v = (flat[i] - b) & 0xFF
+            elif ft == 3:
+                v = (flat[i] - ((a + b) >> 1)) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = (flat[i] - pred) & 0xFF
+            raw.append(v)
+        prev = flat
+
+    def chunk(typ, data):
+        import struct as _s
+        return (_s.pack(">I", len(data)) + typ + data
+                + _s.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def _test_grid(w, h, nch):
+    # deterministic, gradient-ish so every filter produces distinct bytes
+    return [
+        [tuple((13 * x + 41 * y + 7 * ch) % 256 for ch in range(nch))
+         for x in range(w)]
+        for y in range(h)
+    ]
+
+
+def test_png_decode_inverts_every_filter_type():
+    """One image, five encodings (rows cycling through filters 0-4 in one,
+    then each filter exclusively): the decoder must reconstruct the SAME
+    pixels from all of them — the filters are lossless re-encodings."""
+    from database_migration_spark.operators.multimodal import decode_png_pixels
+
+    grid = _test_grid(6, 5, 3)
+    want = [[tuple(px) for px in row] for row in grid]
+    for filters in ([0, 1, 2, 3, 4], [0], [1], [2], [3], [4]):
+        w, h, nch, rows = decode_png_pixels(_png_px(grid, filters=filters))
+        assert (w, h, nch) == (6, 5, 3), filters
+        assert rows == want, f"filters={filters}"
+
+
+def test_png_decode_grayscale_and_rgba():
+    from database_migration_spark.operators.multimodal import decode_png_pixels
+
+    gray = _test_grid(4, 3, 1)
+    w, h, nch, rows = decode_png_pixels(
+        _png_px(gray, ctype=0, filters=[2, 4])
+    )
+    assert (w, h, nch) == (4, 3, 1)
+    assert rows == [[tuple(px) for px in row] for row in gray]
+
+    rgba = _test_grid(5, 4, 4)
+    w, h, nch, rows = decode_png_pixels(
+        _png_px(rgba, ctype=6, filters=[1, 3, 4])
+    )
+    assert (w, h, nch) == (5, 4, 4)
+    assert rows == [[tuple(px) for px in row] for row in rgba]
+
+
+def test_png_decode_rejects_unsupported_variants():
+    import pytest as _pytest
+
+    from database_migration_spark.operators.multimodal import decode_png_pixels
+
+    grid = _test_grid(3, 3, 3)
+    with _pytest.raises(NotImplementedError, match="interlace"):
+        decode_png_pixels(_png_px(grid, interlace=1))
+    with _pytest.raises(NotImplementedError, match="depth=16"):
+        decode_png_pixels(_png_px(grid, depth=16))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png_pixels(b"BM" + b"\x00" * 60)
+    # corrupt filter byte -> loud ValueError, never garbage pixels
+    import struct
+    import zlib
+    raw = bytes([7]) + bytes(9)  # filter type 7 does not exist
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 8, 2, 0, 0, 0)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="filter"):
+        decode_png_pixels(bad)
+
+
+def test_png_features_match_bmp_features_for_same_pixels(spark):
+    """Cross-container differential: the SAME pixel grid through the PNG
+    path (zlib + filters) and the BMP path (raw bytes) must yield
+    identical feature vectors — two independent decode pipelines, one
+    truth."""
+    from database_migration_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        stdlib_content_decoder,
+    )
+
+    grid = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    rows = [
+        (1, _bmp_px(grid), "image", None, None, None, None),
+        (2, _png_px(grid, filters=[4]), "image", None, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {
+        r.media_id: r
+        for r in extract_features(
+            media, decoder=stdlib_content_decoder
+        ).collect()
+    }
+    assert out[1].error is None and out[2].error is None
+    assert out[1].feature == out[2].feature

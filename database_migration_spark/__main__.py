@@ -1386,6 +1386,157 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_ann(args) -> int:
+    """ANN index lifecycle over an embedding table (operators/similarity.py)
+    — the vector sibling of ``dedup``:
+
+    - ``suggest``: measure the corpus's ACTUAL neighbor geometry (one brute
+      top-k pass over a query sample — recall must be sized from measured
+      neighbor_cos, never guessed) and print the recommended method +
+      parameters from ``suggest_ann_params``, both the raw-index (LSH/IVF)
+      and the compressed (IVF-PQ) recommendation.
+    - ``build``: train IVF-PQ (residual codebooks over √n coarse cells by
+      default) and write the partition-pruned index (codes + vectors
+      partitioned by cell, geometry stored in ``_ann_meta.json``).
+      Vectors are L2-normalized by default (cosine ranking — the embedding
+      norm carries no similarity signal); ``--no-normalize`` keeps raw L2.
+    - ``search``: top-k against the index; geometry AND the normalization
+      choice resolve from the stored metadata (a prober must never guess
+      the writer's layout); the exact-rerank leg defaults ON (measured:
+      ADC-only answers 0.43 where rerank answers 0.79 on hard geometry).
+      ``--out`` writes (query_id, neighbor_id, rank, dist) parquet.
+    """
+    import json
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from database_migration_spark.operators import similarity as S
+    from database_migration_spark.session import get_spark
+
+    need = {"suggest": ("corpus",), "build": ("index", "corpus"),
+            "search": ("index", "queries")}[args.action]
+    missing = [f"--{a}" for a in need if not getattr(args, a)]
+    if missing:
+        print(f"error: ann {args.action} needs {' '.join(missing)}",
+              file=sys.stderr)
+        return 2
+    spark = get_spark(app_name="dms_ann")
+
+    def table_df(root):
+        adapter = _source(spark, root, args)
+        cat = adapter.scan_catalog("%", args.table or "%")
+        if not cat.tables:
+            print(f"error: no table in {root}", file=sys.stderr)
+            return None
+        if len(cat.tables) > 1:
+            names = sorted(t.table for t in cat.tables)
+            print(f"error: {root} holds several tables {names} — pick one "
+                  "with --table", file=sys.stderr)
+            return None
+        return _read(adapter, cat.tables[0])
+
+    def normalized(df):
+        return df.select(
+            args.id_col,
+            F.expr(
+                f"sqrt(aggregate({args.vec_col}, 0.0D, (a, v) -> "
+                "a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+            ).alias("_n"),
+            args.vec_col,
+        ).select(
+            args.id_col,
+            F.expr(
+                f"transform({args.vec_col}, x -> CAST(x / _n AS FLOAT))"
+            ).alias(args.vec_col),
+        )
+
+    if args.action == "suggest":
+        df = table_df(args.corpus)
+        if df is None:
+            return 2
+        from pyspark import StorageLevel
+
+        corpus = normalized(df).persist(StorageLevel.MEMORY_AND_DISK)
+        n = corpus.count()
+        dim = len(corpus.select(args.vec_col).head(1)[0][0])
+        sample_q = corpus.limit(args.sample_queries)
+        brute = S.cosine_topk(corpus, sample_q, k=5)
+        med = brute.agg(
+            F.expr("percentile(cos_sim_e6, 0.5)").alias("m")
+        ).collect()[0][0]
+        neighbor_cos = (med or 0.0) / 1_000_000
+        print(f"corpus: {n} vectors, dim {dim}; measured neighbor_cos "
+              f"(median top-5 over {args.sample_queries} sample queries): "
+              f"{neighbor_cos:.3f}")
+        for label, cfg in (
+            ("raw-index", S.suggest_ann_params(n, dim,
+                                               neighbor_cos=neighbor_cos)),
+            ("compressed", S.suggest_ann_params(n, dim,
+                                                neighbor_cos=neighbor_cos,
+                                                compressed=True)),
+        ):
+            print(f"{label}: {json.dumps(cfg)}")
+        return 0
+
+    if args.action == "build":
+        df = table_df(args.corpus)
+        if df is None:
+            return 2
+        do_norm = True if args.normalize is None else bool(args.normalize)
+        corpus = normalized(df) if do_norm else df.select(
+            args.id_col, args.vec_col
+        )
+        n = corpus.count()
+        n_cent = args.n_centroids or max(4, int(round(math.sqrt(n))))
+        coarse, books = S.train_ivf_pq(
+            corpus, n_centroids=n_cent, m=args.m, k=args.pq_k,
+            vec_col=args.vec_col, id_col=args.id_col,
+        )
+        S.write_ivf_pq_index(
+            corpus, args.index, coarse, books,
+            id_col=args.id_col, vec_col=args.vec_col,
+            extra={"normalized": do_norm},
+        )
+        print(f"index built: {n} vectors, {n_cent} cells, m={args.m}, "
+              f"normalized={do_norm}")
+        return 0
+
+    # search
+    with open(os.path.join(args.index, "_ann_meta.json")) as fh:
+        meta = json.load(fh)
+    df = table_df(args.queries)
+    if df is None:
+        return 2
+    stored_norm = bool(meta.get("normalized", False))
+    if args.normalize is not None and bool(args.normalize) != stored_norm:
+        print(f"error: index at {args.index} was built with "
+              f"normalized={stored_norm} but the caller passed "
+              f"normalized={bool(args.normalize)} — distances would not be "
+              "comparable", file=sys.stderr)
+        return 2
+    q = normalized(df) if stored_norm else df.select(args.id_col, args.vec_col)
+    n_probe = args.n_probe or max(1, math.ceil(meta["n_centroids"] / 7))
+    out = S.ivf_pq_topk_from_index(
+        spark, args.index, q, k=args.k, n_probe=n_probe,
+        rerank=args.rerank, id_col=args.id_col, vec_col=args.vec_col,
+    )
+    from pyspark import StorageLevel
+
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_q = out.select("query_id").distinct().count()
+        print(f"{out.count()} result rows for {n_q} queries "
+              f"(k={args.k}, n_probe={n_probe}, rerank={args.rerank})")
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"results written to {args.out}")
+    finally:
+        out.unpersist(blocking=False)
+    return 0
+
+
 def cmd_ping(args) -> int:
     """The reference ships a connection smoke test with every script
     (SELECT 'Connection works' — mysql_to_exasol.sql:396-397); this is
@@ -1768,6 +1919,44 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--dry-run", action="store_true",
                     help="probe: counts only, suppress --out/--apply-new")
     dd.set_defaults(fn=cmd_dedup)
+
+    an = sub.add_parser("ann", help="ANN index lifecycle over an embedding "
+                        "table: suggest (measured-geometry parameter "
+                        "sizing), build (IVF-PQ partition-pruned index), "
+                        "search (top-k with exact rerank)")
+    an.add_argument("action", choices=["suggest", "build", "search"])
+    an.add_argument("--index", help="index directory (build/search)")
+    an.add_argument("--corpus", help="embedding table dir (suggest/build)")
+    an.add_argument("--queries", help="query table dir (search)")
+    an.add_argument("--table", help="table name when the dir holds several")
+    an.add_argument("--dialect", help="dialect name for jdbc: sources")
+    an.add_argument("--jdbc-prop", action="append")
+    an.add_argument("--id-col", default="vec_id")
+    an.add_argument("--vec-col", default="embedding")
+    an.add_argument("--m", type=int, default=16,
+                    help="PQ subspaces (16 = the measured recommendable "
+                    "floor; must divide dim)")
+    an.add_argument("--pq-k", type=int, default=256)
+    an.add_argument("--n-centroids", type=int, default=None,
+                    help="coarse cells (default sqrt(n))")
+    an.add_argument("--k", type=int, default=5)
+    an.add_argument("--n-probe", type=int, default=None,
+                    help="probed cells per query (default cells/7)")
+    an.add_argument("--rerank", type=int, default=50,
+                    help="exact-rerank shortlist depth (0 = ADC only; "
+                    "measured 0.79 vs 0.43 recall@5 at x100)")
+    an.add_argument("--sample-queries", type=int, default=50,
+                    help="suggest: brute-probe sample size")
+    norm = an.add_mutually_exclusive_group()
+    norm.add_argument("--normalize", dest="normalize",
+                      action="store_true", default=None,
+                      help="L2-normalize vectors (cosine ranking; the "
+                      "build default)")
+    norm.add_argument("--no-normalize", dest="normalize",
+                      action="store_false",
+                      help="keep raw L2 distances")
+    an.add_argument("--out", help="search: write results parquet here")
+    an.set_defaults(fn=cmd_ann)
 
     pg = sub.add_parser("ping", help="connection smoke test")
     pg.add_argument("--source", required=True,

@@ -1588,3 +1588,114 @@ def ivf_pq_topk(
             F.floor(F.col("dist") * 1_000_000).cast("long").alias("dist_e6"),
         )
     )
+
+
+def write_ivf_pq_index(
+    corpus: DataFrame,
+    path: str,
+    coarse,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra: dict | None = None,
+) -> None:
+    """Materialize the IVF-PQ layout for 100 TB service: the code relation
+    written ``partitionBy("cell")`` under ``<path>/codes`` (a probe's cell
+    filter becomes partition pruning at file listing — plan-guarded), the
+    ORIGINAL vectors under ``<path>/vectors`` with the same partitioning
+    (the exact-rerank leg reads only probed cells), and the trained
+    geometry (coarse centroids + residual codebooks + shape) stored WITH
+    the index in ``<path>/_ann_meta.json`` — the fingerprint-index
+    metadata rule: a prober must never guess the writer's layout
+    (cells × dim + m×k×d floats ≈ a few MB at hundreds of cells; store
+    the geometry as parquet instead if you train 10⁵+ cells)."""
+    import json
+    import os
+
+    import numpy as np
+
+    cent = np.asarray(coarse, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    codes = ivf_pq_encode(corpus, cent, books, id_col, vec_col)
+    codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    assigned = _assign_cells(
+        fan_out(corpus).select(F.col(id_col).alias("_id"), vec_col),
+        cent, vec_col, "vec", n_probe=1,
+    ).select(
+        F.col("vec").alias(id_col), F.col("vec_v").alias(vec_col), "cell"
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/vectors"
+    )
+    meta = {
+        "n_centroids": int(cent.shape[0]),
+        "dim": int(cent.shape[1]),
+        "m": int(books.shape[0]),
+        "k": int(books.shape[1]),
+        "coarse": cent.tolist(),
+        "codebooks": books.tolist(),
+    }
+    meta.update(extra or {})
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_ann_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def read_ann_meta(path: str):
+    """The stored IVF-PQ geometry of a :func:`write_ivf_pq_index` layout:
+    ``(coarse, codebooks)`` numpy arrays."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "_ann_meta.json")) as fh:
+        meta = json.load(fh)
+    return (
+        np.asarray(meta["coarse"], dtype=np.float64),
+        np.asarray(meta["codebooks"], dtype=np.float64),
+    )
+
+
+def ivf_pq_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 8,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ top-k against a :func:`write_ivf_pq_index` layout. Geometry
+    resolves from the index's stored metadata (never from caller guesses);
+    the query batch's probed cells become a static ``cell IN (...)``
+    predicate on BOTH partitioned relations, so the ADC scan AND the
+    rerank's vector fetch prune to n_probe/n_centroids of the files at
+    listing time. Search semantics are exactly :func:`ivf_pq_topk`."""
+    import numpy as np
+
+    cent, books = read_ann_meta(path)
+    qv = np.array(
+        [r[1] for r in queries.select(id_col, vec_col).collect()],
+        dtype=np.float64,
+    )
+    cd = ((qv[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probed = sorted(
+        int(c)
+        for c in np.unique(np.argsort(cd, axis=1, kind="stable")[:, :n_probe])
+    )
+    codes = spark.read.parquet(f"{path}/codes").where(
+        F.col("cell").isin(probed)
+    )
+    corpus = None
+    if rerank:
+        corpus = (
+            spark.read.parquet(f"{path}/vectors")
+            .where(F.col("cell").isin(probed))
+            .select(id_col, vec_col)
+        )
+    return ivf_pq_topk(
+        codes, queries, cent, books, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col, rerank=rerank, corpus=corpus,
+    )

@@ -1247,3 +1247,59 @@ def test_cli_dedup_meta_mismatch_is_an_error(spark, sf_smoke, tmp_path,
     cap = capsys.readouterr()
     assert rc == 2
     assert "shingle_k=5" in cap.err and "stored layout" in cap.err
+
+
+# round 8: ann subcommand — the vector sibling of dedup (IVF-PQ lifecycle)
+
+
+def test_cli_ann_lifecycle_end_to_end(spark, sf_smoke, tmp_path, capsys):
+    """suggest (measured neighbor geometry -> params) -> build (IVF-PQ,
+    normalized) -> search (rerank default, planted duplicate must rank 1;
+    --out writes parquet) -> normalization-contradiction error."""
+    import json
+
+    emb_dir = str(tmp_path / "emb")
+    q_dir = str(tmp_path / "q")
+    d = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    d.select("vec_id", "embedding").write.parquet(
+        f"{emb_dir}/embeddings.parquet")
+    # queries: 3 corpus vectors under shifted ids -> each one's nearest
+    # corpus neighbor is its own source vector (scale-invariant under the
+    # cosine normalization the build applies)
+    d.where("vec_id < 3").selectExpr(
+        "vec_id + 500000 AS vec_id",
+        "transform(embedding, x -> CAST(x * 2.0 AS FLOAT)) AS embedding",
+    ).write.parquet(f"{q_dir}/embeddings.parquet")
+    index = str(tmp_path / "annindex")
+
+    rc = main(["ann", "suggest", "--corpus", emb_dir, "--sample-queries",
+               "10"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "measured neighbor_cos" in cap.out
+    assert '"method": "ivf_pq"' in cap.out
+
+    rc = main(["ann", "build", "--index", index, "--corpus", emb_dir,
+               "--n-centroids", "8", "--m", "8", "--pq-k", "32"])
+    cap = capsys.readouterr()
+    assert rc == 0 and "normalized=True" in cap.out
+    meta = json.loads(open(f"{index}/_ann_meta.json").read())
+    assert meta["normalized"] is True and meta["n_centroids"] == 8
+
+    out_dir = str(tmp_path / "hits")
+    rc = main(["ann", "search", "--index", index, "--queries", q_dir,
+               "--k", "3", "--out", out_dir])
+    cap = capsys.readouterr()
+    assert rc == 0 and "3 queries" in cap.out
+    hits = spark.read.parquet(out_dir)
+    top1 = {r.query_id: r.neighbor_id for r in hits.where("rank = 1").collect()}
+    # each scaled query's rank-1 neighbor is its source vector
+    assert top1 == {500000: 0, 500001: 1, 500002: 2}
+
+    rc = main(["ann", "search", "--index", index, "--queries", q_dir,
+               "--no-normalize"])
+    cap = capsys.readouterr()
+    assert rc == 2 and "normalized=True" in cap.err
+
+    rc = main(["ann", "build", "--index", index])
+    assert rc == 2 and "--corpus" in capsys.readouterr().err

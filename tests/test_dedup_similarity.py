@@ -987,3 +987,52 @@ def test_suggest_ann_params_compressed_recommends_ivf_pq():
     # tight neighbor geometry: no collapse warning needed
     p2 = suggest_ann_params(200_000, dim=48, neighbor_cos=0.9, compressed=True)
     assert p2["method"] == "ivf_pq" and 48 % p2["m"] == 0
+
+
+def test_ivf_pq_index_partition_pruning_and_parity(spark, emb, tmp_path):
+    """write_ivf_pq_index / ivf_pq_topk_from_index: geometry resolves from
+    the stored _ann_meta.json, results match the in-memory operator row
+    for row (incl. the rerank leg), and BOTH partitioned scans (codes for
+    ADC, vectors for rerank) carry the probed cells in PartitionFilters —
+    pruning at file listing, not a post-read filter."""
+    import contextlib
+    import io
+
+    from database_migration_spark.operators.similarity import (
+        ivf_pq_encode,
+        ivf_pq_topk,
+        ivf_pq_topk_from_index,
+        train_ivf_pq,
+        write_ivf_pq_index,
+    )
+
+    corpus = emb.select("vec_id", "embedding")
+    coarse, books = train_ivf_pq(corpus, n_centroids=8, m=8, k=16, iters=4)
+    path = str(tmp_path / "ivfpq_index")
+    write_ivf_pq_index(corpus, path, coarse, books)
+    queries = corpus.where(F.col("vec_id") < 4)
+
+    out = ivf_pq_topk_from_index(
+        spark, path, queries, k=3, n_probe=3, rerank=10
+    )
+    mem = ivf_pq_topk(
+        ivf_pq_encode(corpus, coarse, books), queries, coarse, books,
+        k=3, n_probe=3, rerank=10, corpus=corpus,
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, mem.collect()))
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(True)
+    plan = buf.getvalue()
+    pruned = [s for s in plan.split("PartitionFilters")[1:] if "cell" in s.split("]")[0]]
+    # the codes scan AND the rerank vector scan both prune on cell
+    assert len(pruned) >= 2, plan
+
+    # ADC-only path (no rerank) still prunes and matches
+    out2 = ivf_pq_topk_from_index(spark, path, queries, k=3, n_probe=3)
+    mem2 = ivf_pq_topk(
+        ivf_pq_encode(corpus, coarse, books), queries, coarse, books,
+        k=3, n_probe=3,
+    )
+    assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, mem2.collect()))

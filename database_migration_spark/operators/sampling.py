@@ -242,3 +242,68 @@ def budget_sample(
         df.withColumn("tokens_before", before.cast("long"))
         .where(F.col("tokens_before") < budget)
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    partition_cols: list[str] | None = None,
+    offset: int = 0,
+) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling, deterministic
+    and integer-exact: within each group, lay documents out on a weight
+    axis in md5-hash order and select every document whose weight interval
+    [C, C+w) contains a grid point ``offset + i·step`` with
+    ``step = W div n`` — inclusion probability ≈ n·w/W without any float
+    random draw, the weighted complement of :func:`hash_sample` (uniform)
+    and :func:`budget_sample` (prefix). The classic use: sample documents
+    proportional to token/byte count so the SAMPLE's token mass mirrors
+    the corpus (a uniform doc sample over-represents short docs per
+    token).
+
+    Selection rule (replayable in any SQL engine — all integer): with
+    exclusive running weight sum C and floor-division
+    ``fdiv(x, s) = (x - pmod(x, s)) div s`` (the pairing.py negative-safe
+    form; C−1−offset is negative for the first document), the interval
+    [C, C+w) contains a grid point iff
+    ``fdiv(C + w - 1 - offset, step) > fdiv(C - 1 - offset, step)``.
+    Zero-weight documents have empty intervals and are never selected;
+    weights must be non-negative. Groups with total weight W < n select
+    every positive-weight document (step clamps to 1). Actual sample size
+    is ceil((W − offset)/step) ≈ n — systematic sampling's usual ±1.
+
+    One per-group window pair is the only shuffle (the sequence_pack
+    shape); the grid arithmetic is column-local.
+    """
+    part = partition_cols or []
+    h = _order_hash(F.col(id_col))
+    order = Window.partitionBy(*part).orderBy(h, F.col(id_col))
+    wv = F.col(weight_col).cast("long")
+    c_before = F.coalesce(
+        F.sum(wv).over(order.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    total = F.sum(wv).over(
+        Window.partitionBy(*part).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    # all divisions via `div` on materialized columns — `/` divides in
+    # DOUBLE and rounds the quotient above 2^53 (the pairing.py rule)
+    staged = (
+        df.withColumn("cum_before", c_before.cast("long"))
+        .withColumn("_w", wv)
+        .withColumn("_total", total.cast("long"))
+        .withColumn(
+            "_step", F.expr(f"greatest(_total div {int(n)}, 1L)")
+        )
+        .withColumn("_lo", F.col("cum_before") - F.lit(1) - F.lit(offset))
+        .withColumn("_hi", F.col("_lo") + F.col("_w"))
+    )
+    sel = F.expr(
+        "((_hi - pmod(_hi, _step)) div _step) > "
+        "((_lo - pmod(_lo, _step)) div _step)"
+    )
+    return staged.where(sel).drop("_w", "_total", "_step", "_lo", "_hi")

@@ -722,3 +722,72 @@ def bpe_tokenize(
         .agg(F.sum("tf").cast("long").alias("n"))
         .select(F.col("id").alias(id_col), "subword", "n")
     )
+
+
+def classifier_weights(dim: int, seed: int = 7, span: int = 8) -> list[int]:
+    """Deterministic pseudo-random integer weight vector in [-span, span)
+    for :func:`hashed_classifier_score` — the hyperplane_planes LCG so an
+    external SQL oracle can embed the identical weights as literals
+    (in production the weights come from a trained model; the generator
+    exists for tests/demos and for pinning cross-engine parity)."""
+    out = []
+    state = seed
+    for _ in range(dim):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        out.append(int((state >> 33) % (2 * span)) - span)
+    return out
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    weights: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bias: int = 0,
+    threshold: int = 0,
+) -> DataFrame:
+    """Linear text classifier APPLY over hashed bag-of-words features —
+    the fastText-style quality/toxicity/language filter a training
+    pipeline runs over every document: ``score = Σ_t tf_t ·
+    w[md5(t) mod dim] + bias``, ``keep = score ≥ threshold``. The hashing
+    trick (Weinberger et al. 2009) makes the feature space a fixed
+    ``dim``-slot array, so applying the model is one broadcast join —
+    no vocabulary relation, no OOV handling.
+
+    Integer-exact across engines: integer weights, tf counts, 60-bit md5
+    slot hashing (``functions.hashing.md5_long`` ↔ the documented DuckDB
+    form) — never a float dot product. Tokenization is THE shared
+    tokenizer (:func:`term_frequencies` / ``normalize_text_sql``).
+    Documents with NULL/empty text get ``score = bias`` (the shared
+    tokenizer drops them from the tf relation; the left join brings them
+    back — the split(NULL) divergence rule).
+
+    Scale shape: the weight table is ``dim`` rows (broadcast); the only
+    corpus-keyed shuffle is the per-doc score aggregation, map-side
+    combined. Output (id, score, keep).
+    """
+    from database_migration_spark.functions.hashing import md5_long
+
+    dim = len(weights)
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(i, int(w)) for i, w in enumerate(weights)], "slot LONG, w LONG"
+    )
+    tf = term_frequencies(df, text_col, id_col, persist=False)
+    scored = (
+        tf.withColumn("slot", F.pmod(md5_long(F.col("term")), F.lit(dim)))
+        .join(F.broadcast(wdf), "slot")
+        .groupBy("id")
+        .agg(F.sum(F.col("tf") * F.col("w")).cast("long").alias("_s"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            (F.coalesce(F.col("_s"), F.lit(0)) + F.lit(bias))
+            .cast("long")
+            .alias("score"),
+        )
+        .withColumn("keep", F.col("score") >= F.lit(threshold))
+    )

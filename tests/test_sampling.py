@@ -183,3 +183,75 @@ def test_budget_sample_includes_crossing_doc(spark):
     # hash order of ids 1..3 is deterministic; whoever starts below 100
     # is kept even though it crosses — exactly two docs (0 and 70)
     assert sorted(r.tokens_before for r in out) == [0, 70]
+
+
+# round 8: systematic PPS sampling
+
+
+def _pps_fixture(spark):
+    rows = [(i, "s" if i % 2 else "t", (i * 37) % 200 + 1) for i in range(400)]
+    rows += [(1000, "s", 0), (1001, "t", 0)]  # zero-weight: never selected
+    return spark.createDataFrame(rows, "doc_id LONG, src STRING, w LONG")
+
+
+def test_pps_sample_size_and_zero_weights(spark):
+    from database_migration_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    df = _pps_fixture(spark)
+    out = pps_systematic_sample(df, "doc_id", "w", n=20,
+                                partition_cols=["src"]).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.src, []).append(r)
+    for src, rows in by_src.items():
+        # systematic sampling's +-1 guarantee: ceil((W - offset)/step)
+        assert 20 <= len(rows) <= 21, (src, len(rows))
+    assert not [r for r in out if r.w == 0]
+
+
+def test_pps_large_weight_certainty_and_determinism(spark):
+    """The PPS property floats can't give you exactly: any doc whose
+    weight >= step is selected with certainty (its interval must contain
+    a grid point), and the whole sample is partition-layout-independent."""
+    from database_migration_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    df = _pps_fixture(spark)
+    big = spark.createDataFrame([(2000, "s", 100_000)],
+                                "doc_id LONG, src STRING, w LONG")
+    both = df.unionByName(big)
+    out = pps_systematic_sample(both, "doc_id", "w", n=20,
+                                partition_cols=["src"])
+    assert out.where("doc_id = 2000").count() == 1
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in pps_systematic_sample(
+            both.repartition(13), "doc_id", "w", n=20, partition_cols=["src"]
+        ).collect()
+    )
+    assert a == b
+
+
+def test_pps_token_mass_tracks_corpus(spark):
+    """The reason PPS exists: the SAMPLE's weight mass per group is ~n
+    grid steps, so selected docs represent the corpus's token mass, not
+    its doc count — heavy docs are proportionally more likely."""
+    from database_migration_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    df = _pps_fixture(spark).where("src = 's'")
+    n = 25
+    out = pps_systematic_sample(df, "doc_id", "w", n=n)
+    got = out.count()
+    assert n <= got <= n + 1
+    # per selected doc, expected weight ~ W/n on average: total selected
+    # weight must be within a factor-2 band of W (each grid point lands
+    # in exactly one doc's interval)
+    W = df.agg({"w": "sum"}).collect()[0][0]
+    sel_w = out.agg({"w": "sum"}).collect()[0][0]
+    assert sel_w <= W

@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     "join_plan_advisor_lineitem",
     # round 7
     "cdc_apply_orders",
+    # round 8
+    "pps_sample_documents",
+    "quality_classifier_documents",
 ]
 
 

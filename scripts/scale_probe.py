@@ -86,6 +86,9 @@ PROBES = [
     "join_plan_advisor_lineitem",
     "transition_matrix_events",
     "anomaly_flags_user_activity",
+    # round 8 additions
+    "pps_sample_documents",
+    "quality_classifier_documents",
     # hierarchy_flatten_customers is NOT probed at x10: the derived
     # corpus's replica key offsets break the div-10 parent derivation
     # (rep>=1 parents dangle), so the probe would measure the trivial
@@ -149,6 +152,8 @@ X100_PROBES = [
     # --hierarchy-x100 study below instead.
     "fuzzy_join_drifted_names",
     "entity_resolution_names",
+    "pps_sample_documents",
+    "quality_classifier_documents",
     # round 7: CDC apply (reads orders; the planted op rates scale with
     # the key bump, so net/delete fractions stay constant)
     "cdc_apply_orders",

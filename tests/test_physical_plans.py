@@ -322,3 +322,32 @@ def test_corpus_attrition_broadcast_and_single_wide_join(spark):
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
     # no cartesian anywhere in the composed pipeline
     assert "CartesianProduct" not in plan
+
+
+def test_pps_sample_single_exchange_window_pair(spark):
+    """PPS sampling plan shape: the per-group running sum and the group
+    total are two Window nodes sharing ONE exchange (same partitioning) —
+    the operator's only shuffle; no join, no second scan."""
+    from database_migration_spark import queries as Q
+
+    plan = plan_of(Q.queries()["pps_sample_documents"](spark, SF))
+    # formatted mode prints each node once in the tree ("+- Exchange (3)")
+    # and once in the detail list ("(3) Exchange") — count tree references
+    assert plan.count("Exchange (") - plan.count("ReusedExchange (") == 1, plan
+    assert "Join" not in plan
+
+
+def test_classifier_weight_join_is_broadcast(spark):
+    """Hashing-trick classifier plan shape: the dim-row weight table joins
+    BROADCAST (the corpus-side tf relation never shuffles on the slot
+    key), and the per-doc score aggregate is map-side combined (partial
+    HashAggregate below its exchange)."""
+    from database_migration_spark import queries as Q
+
+    plan = plan_of(Q.queries()["quality_classifier_documents"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # no SortMergeJoin on the slot key: the only SMJ allowed is the final
+    # id-keyed left join restoring NULL-text docs
+    slot_smj = [ln for ln in plan.splitlines()
+                if "SortMergeJoin" in ln and "slot" in ln]
+    assert not slot_smj, slot_smj

@@ -5362,15 +5362,18 @@ _SHOWCASE_ONLY = [
     # first-row lo) is what the oracle pins; sim-verified + weighted-mass
     # / determinism pytests (test_sampling)
     "pps_sample_documents",
-    # showcase from birth (round 8): hashed-linear-classifier apply — its
-    # machinery is GRADED three ways (term_frequencies tokenization via
-    # tfidf_top_terms' family/quality_documents, md5-keyed hashing via
-    # dedup_exact_documents, broadcast small-side join + integer-exact agg
-    # via the dedup verifies and tfidf arithmetic); the NEW claim (the
-    # hashing-trick slot join + signed integer dot product incl.
-    # empty-doc bias rows) is what the oracle pins; sim-verified +
-    # reference-dot-product pytest (test_text_classifier)
-    "quality_classifier_documents",
+    # round-8 rotation: quality_classifier_documents PROMOTED into the
+    # graded window (model-apply filtering — a hashed-feature classifier
+    # scoring every document — is a capability class the window proved
+    # nowhere; the scd2/cdc promotion argument), displacing
+    # tfidf_top_terms, whose machinery stays graded three ways: its
+    # term_frequencies tokenization is the IDENTICAL relation the promoted
+    # classifier aggregates (same normalize/split/tf pipeline, same oracle
+    # tokenizer SQL), its integer-division scoring is graded via
+    # bigram_lm_stats and the quality ppm family, and its per-doc top-k
+    # window via topk_parts_per_brand; tfidf_top_terms remains
+    # sim-verified
+    "tfidf_top_terms",
 ]
 
 

@@ -307,3 +307,50 @@ def pps_systematic_sample(
         "((_lo - pmod(_lo, _step)) div _step)"
     )
     return staged.where(sel).drop("_w", "_total", "_step", "_lo", "_hi")
+
+
+def percentile_calibrate(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    group_cols: list[str] | None = None,
+    out_col: str = "pct_ppm",
+) -> DataFrame:
+    """Per-group score calibration: each row gets its percentile rank
+    WITHIN its group as exact integer ppm — the step that makes a raw
+    quality/classifier score comparable across domains before a single
+    keep-threshold is applied (the same raw score means different things
+    in code vs prose; "keep the top 40 % of each domain" needs the
+    domain-relative rank, not the raw value).
+
+    ``pct_ppm = (row_number − 1) · 1e6 div (n − 1)`` over (score, id)
+    ascending — 0 for the group's worst row, 1 000 000 for its best, ties
+    broken deterministically by id (cross-engine reproducible; rank-based
+    tie pooling would leave the output dependent on how a SQL engine
+    buckets ties at the e6 floor). Single-row groups calibrate to
+    1 000 000 (the divisor clamps to 1). All integer arithmetic.
+
+    One per-group window pair (rank + count) sharing one shuffle — the
+    pps/sequence_pack plan family.
+    """
+    part = group_cols or []
+    order = Window.partitionBy(*part).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    whole = Window.partitionBy(*part).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = (
+        df.withColumn("_rn", F.row_number().over(order).cast("long"))
+        .withColumn("_n", F.count(F.lit(1)).over(whole).cast("long"))
+    )
+    return staged.withColumn(
+        out_col,
+        F.expr(
+            # a single-row group is its own best row: 1e6, so a
+            # keep-top-X% gate keeps a domain's only document instead of
+            # dropping it as the group's "worst"
+            "CASE WHEN _n = 1 THEN 1000000 "
+            "ELSE ((_rn - 1) * 1000000) div (_n - 1) END"
+        ).cast("long"),
+    ).drop("_rn", "_n")

@@ -4985,6 +4985,69 @@ def quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "score", F.col("keep").cast("long").alias("keep"))
 
 
+@register(
+    "calibrated_quality_filter_documents",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split({{norm}}, ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY id, term),
+w AS (SELECT * FROM (VALUES {_CLF_VALUES}) t(slot, wt)),
+sc AS (
+  SELECT tf.id, sum(tf.tf * w.wt) AS s
+  FROM tf JOIN w
+    ON CAST(('0x' || substr(md5(tf.term), 1, 15)) AS BIGINT) % 32 = w.slot
+  GROUP BY tf.id
+),
+scored AS (
+  SELECT d.doc_id AS id, d.source, CAST(coalesce(sc.s, 0) AS BIGINT) AS score
+  FROM documents d LEFT JOIN sc ON sc.id = d.doc_id
+),
+cal AS (
+  SELECT id, source, score,
+         CAST(CASE WHEN count(*) OVER (PARTITION BY source) = 1
+                   THEN 1000000
+                   ELSE ((row_number() OVER (PARTITION BY source
+                                             ORDER BY score ASC, id ASC)) - 1)
+                        * 1000000
+                        // (count(*) OVER (PARTITION BY source) - 1)
+              END AS BIGINT) AS pct_ppm
+  FROM scored
+)
+SELECT id, source, score, pct_ppm FROM cal WHERE pct_ppm >= 600000
+""".replace("{norm}", TE.normalize_text_sql("text")),
+)
+def calibrated_quality_filter_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calibrated quality gate: classifier scores are NOT comparable
+    across domains (the same raw score means different things in code vs
+    prose), so the filter ranks each doc WITHIN its source
+    (sampling.percentile_calibrate — exact integer ppm, ties broken by
+    id) and keeps the top 40 % of every domain — the composition a real
+    corpus filter ships: hashed_classifier_score (GRADED) → per-domain
+    percentile → one threshold that means the same thing everywhere."""
+    from database_migration_spark.operators.sampling import (
+        percentile_calibrate,
+    )
+    from database_migration_spark.operators.text import (
+        hashed_classifier_score,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    scored = (
+        hashed_classifier_score(docs, _CLF_W, threshold=0)
+        .join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
+        .select("id", "source", "score")
+    )
+    cal = percentile_calibrate(scored, "score", "id", ["source"])
+    return cal.where(F.col("pct_ppm") >= 600_000).select(
+        "id", "source", "score", "pct_ppm"
+    )
+
+
 # The grading driver compares only the FIRST `GRADED_WINDOW` entries of
 # queries() against their oracles (round-3 lesson: registration order
 # silently controls what gets graded — 13 §2-proving queries fell out of the
@@ -5374,6 +5437,14 @@ _SHOWCASE_ONLY = [
     # window via topk_parts_per_brand; tfidf_top_terms remains
     # sim-verified
     "tfidf_top_terms",
+    # showcase from birth (round 8): calibrated quality gate — a pure
+    # composition of quality_classifier_documents (GRADED — identical
+    # score pipeline) with the per-group rank/count window family
+    # (sequence_pack_documents, sessionize_events, topk — all GRADED);
+    # the NEW claim (exact integer percentile ppm + the cross-domain
+    # threshold semantics) is what the oracle pins; sim-verified +
+    # bounds/monotonicity/single-row pytests (test_sampling)
+    "calibrated_quality_filter_documents",
 ]
 
 

@@ -255,3 +255,51 @@ def test_pps_token_mass_tracks_corpus(spark):
     W = df.agg({"w": "sum"}).collect()[0][0]
     sel_w = out.agg({"w": "sum"}).collect()[0][0]
     assert sel_w <= W
+
+
+# round 8: per-group percentile calibration
+
+
+def test_percentile_calibrate_bounds_and_monotonicity(spark):
+    from database_migration_spark.operators.sampling import (
+        percentile_calibrate,
+    )
+
+    rows = [(i, "a", (i * 17) % 100) for i in range(50)]
+    rows += [(100 + i, "b", (i * 3) % 7) for i in range(20)]
+    rows += [(999, "solo", 42)]  # single-row group -> 1_000_000
+    df = spark.createDataFrame(rows, "id LONG, grp STRING, score LONG")
+    out = percentile_calibrate(df, "score", "id", ["grp"]).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r)
+    for grp, rs in by_grp.items():
+        ppms = sorted(r.pct_ppm for r in rs)
+        assert ppms[0] == 0 or grp == "solo"
+        assert ppms[-1] == 1_000_000
+        # monotone: higher score never gets a lower ppm (ties by id)
+        for x, y in zip(sorted(rs, key=lambda r: (r.score, r.id)),
+                        sorted(rs, key=lambda r: r.pct_ppm)):
+            assert x.id == y.id
+    assert by_grp["solo"][0].pct_ppm == 1_000_000
+
+
+def test_percentile_calibrate_makes_thresholds_cross_domain(spark):
+    """The reason the op exists: one raw threshold keeps wildly different
+    fractions of two domains with different score scales; one CALIBRATED
+    threshold keeps the same fraction of each."""
+    from database_migration_spark.operators.sampling import (
+        percentile_calibrate,
+    )
+
+    rows = [(i, "code", 1000 + i) for i in range(100)]   # scores ~1000
+    rows += [(200 + i, "prose", i) for i in range(100)]  # scores ~0-99
+    df = spark.createDataFrame(rows, "id LONG, grp STRING, score LONG")
+    raw_keep = df.where("score >= 500").groupBy("grp").count().collect()
+    assert {r.grp: r["count"] for r in raw_keep} == {"code": 100}  # all/none
+    cal = percentile_calibrate(df, "score", "id", ["grp"])
+    kept = {
+        r.grp: r["count"]
+        for r in cal.where("pct_ppm >= 600000").groupBy("grp").count().collect()
+    }
+    assert kept["code"] == kept["prose"] == 40  # same 40% of each

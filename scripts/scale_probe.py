@@ -89,6 +89,7 @@ PROBES = [
     # round 8 additions
     "pps_sample_documents",
     "quality_classifier_documents",
+    "calibrated_quality_filter_documents",
     # hierarchy_flatten_customers is NOT probed at x10: the derived
     # corpus's replica key offsets break the div-10 parent derivation
     # (rep>=1 parents dangle), so the probe would measure the trivial
@@ -154,6 +155,7 @@ X100_PROBES = [
     "entity_resolution_names",
     "pps_sample_documents",
     "quality_classifier_documents",
+    "calibrated_quality_filter_documents",
     # round 7: CDC apply (reads orders; the planted op rates scale with
     # the key bump, so net/delete fractions stay constant)
     "cdc_apply_orders",

@@ -1265,6 +1265,10 @@ def cmd_dedup(args) -> int:
     def signing_params():
         """k/seed/num_perm the fingerprints must be computed with: stored
         metadata wins; an explicit contradiction is the misprune error."""
+        if not os.path.isdir(os.path.join(args.index, "content")):
+            print(f"error: no fingerprint index at {args.index} "
+                  "(run `dedup build` first)", file=sys.stderr)
+            return None
         meta = read_index_meta(args.index) or {}
         for name, given in (("shingle_k", args.k), ("seed", args.seed),
                             ("num_perm", args.num_perm)):
@@ -1302,11 +1306,11 @@ def cmd_dedup(args) -> int:
         return 0
 
     if args.action == "append":
-        df = corpus_df()
-        if df is None:
-            return 2
         sp = signing_params()
         if sp is None:
+            return 2
+        df = corpus_df()
+        if df is None:
             return 2
         k, seed, num_perm = sp
         fp = fingerprint_store(df, args.text_col, args.id_col, k=k,
@@ -1322,11 +1326,11 @@ def cmd_dedup(args) -> int:
         return 0
 
     if args.action == "probe":
-        df = corpus_df()
-        if df is None:
-            return 2
         sp = signing_params()
         if sp is None:
+            return 2
+        df = corpus_df()
+        if df is None:
             return 2
         k, seed, num_perm = sp
         fp = fingerprint_store(df, args.text_col, args.id_col, k=k,
@@ -1369,6 +1373,10 @@ def cmd_dedup(args) -> int:
         return 0
 
     # compact: one file per bucket per sub-index, then rename-swap
+    if not os.path.isdir(os.path.join(args.index, "content")):
+        print(f"error: no fingerprint index at {args.index} "
+              "(run `dedup build` first)", file=sys.stderr)
+        return 2
     for sub_ix in ("content", "bands"):
         src = f"{args.index}/{sub_ix}"
         staging = src + ".compact"
@@ -1504,7 +1512,12 @@ def cmd_ann(args) -> int:
         return 0
 
     # search
-    with open(os.path.join(args.index, "_ann_meta.json")) as fh:
+    meta_path = os.path.join(args.index, "_ann_meta.json")
+    if not os.path.exists(meta_path):
+        print(f"error: no ANN index at {args.index} "
+              "(run `ann build` first)", file=sys.stderr)
+        return 2
+    with open(meta_path) as fh:
         meta = json.load(fh)
     df = table_df(args.queries)
     if df is None:

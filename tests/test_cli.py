@@ -1303,3 +1303,16 @@ def test_cli_ann_lifecycle_end_to_end(spark, sf_smoke, tmp_path, capsys):
 
     rc = main(["ann", "build", "--index", index])
     assert rc == 2 and "--corpus" in capsys.readouterr().err
+
+
+def test_cli_dedup_and_ann_missing_index_is_a_clean_error(spark, tmp_path,
+                                                          capsys):
+    """Probing/compacting/searching a nonexistent index exits 2 with a
+    message naming the fix, never a Spark traceback."""
+    nowhere = str(tmp_path / "missing")
+    rc = main(["dedup", "compact", "--index", nowhere])
+    assert rc == 2 and "dedup build" in capsys.readouterr().err
+    rc = main(["dedup", "probe", "--index", nowhere, "--corpus", nowhere])
+    assert rc == 2 and "dedup build" in capsys.readouterr().err
+    rc = main(["ann", "search", "--index", nowhere, "--queries", nowhere])
+    assert rc == 2 and "ann build" in capsys.readouterr().err

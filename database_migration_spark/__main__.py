@@ -1468,6 +1468,9 @@ def cmd_ann(args) -> int:
 
         corpus = normalized(df).persist(StorageLevel.MEMORY_AND_DISK)
         n = corpus.count()
+        if n == 0:
+            print(f"error: {args.corpus} holds no vectors", file=sys.stderr)
+            return 2
         dim = len(corpus.select(args.vec_col).head(1)[0][0])
         sample_q = corpus.limit(args.sample_queries)
         brute = S.cosine_topk(corpus, sample_q, k=5)

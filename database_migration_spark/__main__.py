@@ -1424,6 +1424,7 @@ def cmd_ann(args) -> int:
     from database_migration_spark.session import get_spark
 
     need = {"suggest": ("corpus",), "build": ("index", "corpus"),
+            "append": ("index", "corpus"),
             "search": ("index", "queries")}[args.action]
     missing = [f"--{a}" for a in need if not getattr(args, a)]
     if missing:
@@ -1512,6 +1513,38 @@ def cmd_ann(args) -> int:
         )
         print(f"index built: {n} vectors, {n_cent} cells, m={args.m}, "
               f"normalized={do_norm}")
+        return 0
+
+    if args.action == "append":
+        from database_migration_spark.operators.similarity import (
+            append_ivf_pq_index,
+        )
+
+        meta_path = os.path.join(args.index, "_ann_meta.json")
+        if not os.path.exists(meta_path):
+            print(f"error: no ANN index at {args.index} "
+                  "(run `ann build` first)", file=sys.stderr)
+            return 2
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        df = table_df(args.corpus)
+        if df is None:
+            return 2
+        stored_norm = bool(meta.get("normalized", False))
+        if args.normalize is not None and bool(args.normalize) != stored_norm:
+            print(f"error: index at {args.index} was built with "
+                  f"normalized={stored_norm} but the caller passed "
+                  f"normalized={bool(args.normalize)} — appended vectors "
+                  "would not be comparable", file=sys.stderr)
+            return 2
+        corpus = normalized(df) if stored_norm else df.select(
+            args.id_col, args.vec_col
+        )
+        n = corpus.count()
+        append_ivf_pq_index(corpus, args.index,
+                            id_col=args.id_col, vec_col=args.vec_col)
+        print(f"appended {n} vectors to {args.index} "
+              "(stored geometry; rebuild when the distribution drifts)")
         return 0
 
     # search
@@ -1940,7 +1973,8 @@ def main(argv: list[str] | None = None) -> int:
                         "table: suggest (measured-geometry parameter "
                         "sizing), build (IVF-PQ partition-pruned index), "
                         "search (top-k with exact rerank)")
-    an.add_argument("action", choices=["suggest", "build", "search"])
+    an.add_argument("action",
+                    choices=["suggest", "build", "append", "search"])
     an.add_argument("--index", help="index directory (build/search)")
     an.add_argument("--corpus", help="embedding table dir (suggest/build)")
     an.add_argument("--queries", help="query table dir (search)")

@@ -1699,3 +1699,33 @@ def ivf_pq_topk_from_index(
         codes, queries, cent, books, k=k, n_probe=n_probe,
         id_col=id_col, vec_col=vec_col, rerank=rerank, corpus=corpus,
     )
+
+
+def append_ivf_pq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Grow a :func:`write_ivf_pq_index` layout with new vectors — the
+    recurring-ingest step (the fingerprint-index append's vector sibling).
+    Geometry resolves from the index's stored ``_ann_meta.json``, NEVER
+    from caller guesses: appended vectors are encoded with the ORIGINAL
+    coarse centroids and residual codebooks, so probes stay consistent
+    (the standard IVF practice — retrain and rebuild when the embedding
+    distribution drifts materially; the drift operators are the monitor).
+    Dynamic partition append: each new row lands as a file inside its
+    existing cell directory; compact per standard parquet hygiene."""
+    cent, books = read_ann_meta(path)
+    ivf_pq_encode(corpus, cent, books, id_col, vec_col).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{path}/codes")
+    assigned = _assign_cells(
+        fan_out(corpus).select(F.col(id_col).alias("_id"), vec_col),
+        cent, vec_col, "vec", n_probe=1,
+    ).select(
+        F.col("vec").alias(id_col), F.col("vec_v").alias(vec_col), "cell"
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        f"{path}/vectors"
+    )

@@ -1316,3 +1316,48 @@ def test_cli_dedup_and_ann_missing_index_is_a_clean_error(spark, tmp_path,
     assert rc == 2 and "dedup build" in capsys.readouterr().err
     rc = main(["ann", "search", "--index", nowhere, "--queries", nowhere])
     assert rc == 2 and "ann build" in capsys.readouterr().err
+
+
+def test_cli_ann_append_grows_index_with_stored_geometry(
+    spark, sf_smoke, tmp_path, capsys
+):
+    """ann append: new vectors encode with the STORED coarse/codebooks
+    (never re-trained silently); an appended exact-duplicate of a query
+    becomes its rank-1 hit; normalization contradictions exit 2."""
+    emb_dir = str(tmp_path / "emb")
+    extra_dir = str(tmp_path / "extra")
+    q_dir = str(tmp_path / "q")
+    d = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    d.where("vec_id >= 3").select("vec_id", "embedding").write.parquet(
+        f"{emb_dir}/embeddings.parquet")
+    # the appended batch: copies of vectors 0-2 under fresh ids
+    d.where("vec_id < 3").selectExpr(
+        "vec_id + 700000 AS vec_id", "embedding"
+    ).write.parquet(f"{extra_dir}/embeddings.parquet")
+    d.where("vec_id < 3").select("vec_id", "embedding").write.parquet(
+        f"{q_dir}/embeddings.parquet")
+    index = str(tmp_path / "annindex")
+
+    rc = main(["ann", "build", "--index", index, "--corpus", emb_dir,
+               "--n-centroids", "8", "--m", "8", "--pq-k", "32"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["ann", "append", "--index", index, "--corpus", extra_dir])
+    cap = capsys.readouterr()
+    assert rc == 0 and "appended 3 vectors" in cap.out
+
+    out_dir = str(tmp_path / "hits")
+    rc = main(["ann", "search", "--index", index, "--queries", q_dir,
+               "--k", "2", "--out", out_dir])
+    assert rc == 0
+    capsys.readouterr()
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in spark.read.parquet(out_dir).where("rank = 1").collect()
+    }
+    # each query's rank-1 hit is its appended duplicate
+    assert top1 == {0: 700000, 1: 700001, 2: 700002}
+
+    rc = main(["ann", "append", "--index", index, "--corpus", extra_dir,
+               "--no-normalize"])
+    assert rc == 2 and "normalized=True" in capsys.readouterr().err

@@ -5397,11 +5397,13 @@ _SHOWCASE_ONLY = [
     # proved nowhere; the reference's MERGE semantics,
     # delta_import_on_primary_keys.sql:399-401, are only half-proven
     # without a delete path), displacing stratified_sample_documents,
-    # whose machinery stays graded: its md5-threshold deterministic
-    # per-stratum sampling is the identical salted-md5 threshold filter
-    # domain_mix_sample_documents grades (same functions/hashing.md5_long
-    # expression, same permille cut arithmetic); stratified_sample remains
-    # sim-verified + determinism/rate pytests (test_sampling)
+    # whose machinery stays graded piecewise: a per-key row_number window
+    # over the md5-hash order, capped at n — the bounded per-key rank
+    # window is graded via topk_parts_per_brand, the md5-hash-of-id
+    # ordering via sequence_pack_documents (same _order_hash expression,
+    # same (hash, id) tie-break), and deterministic-md5 sample membership
+    # via domain_mix_sample_documents; stratified_sample remains
+    # sim-verified + determinism pytests (test_sampling)
     "stratified_sample_documents",
     # showcase from birth (round 7, rows-only by nature): PQ/ADC ANN —
     # float k-means codebooks have no cross-engine oracle (the BPE/HLL

@@ -1424,7 +1424,7 @@ def cmd_ann(args) -> int:
     from database_migration_spark.session import get_spark
 
     need = {"suggest": ("corpus",), "build": ("index", "corpus"),
-            "append": ("index", "corpus"),
+            "append": ("index", "corpus"), "drift": ("index", "corpus"),
             "search": ("index", "queries")}[args.action]
     missing = [f"--{a}" for a in need if not getattr(args, a)]
     if missing:
@@ -1514,6 +1514,30 @@ def cmd_ann(args) -> int:
         print(f"index built: {n} vectors, {n_cent} cells, m={args.m}, "
               f"normalized={do_norm}")
         return 0
+
+    if args.action == "drift":
+        from database_migration_spark.operators.similarity import (
+            ivf_pq_index_drift,
+        )
+
+        if not os.path.exists(os.path.join(args.index, "_ann_meta.json")):
+            print(f"error: no ANN index at {args.index} "
+                  "(run `ann build` first)", file=sys.stderr)
+            return 2
+        df = table_df(args.corpus)
+        if df is None:
+            return 2
+        with open(os.path.join(args.index, "_ann_meta.json")) as fh:
+            meta = json.load(fh)
+        corpus = normalized(df) if meta.get("normalized") else df.select(
+            args.id_col, args.vec_col
+        )
+        rep = ivf_pq_index_drift(spark, args.index, corpus,
+                                 id_col=args.id_col, vec_col=args.vec_col)
+        print(json.dumps(rep))
+        # the drift operators' alert convention: ~5% of mass in moved
+        # cells warrants attention; exit 1 so CI can gate on it
+        return 1 if rep["tv_ppm"] >= args.drift_threshold_ppm else 0
 
     if args.action == "append":
         from database_migration_spark.operators.similarity import (
@@ -1974,7 +1998,11 @@ def main(argv: list[str] | None = None) -> int:
                         "sizing), build (IVF-PQ partition-pruned index), "
                         "search (top-k with exact rerank)")
     an.add_argument("action",
-                    choices=["suggest", "build", "append", "search"])
+                    choices=["suggest", "build", "append", "search",
+                             "drift"])
+    an.add_argument("--drift-threshold-ppm", type=int, default=50_000,
+                    help="drift: exit 1 at or above this cell-population "
+                    "TV distance (the rebuild gate)")
     an.add_argument("--index", help="index directory (build/search)")
     an.add_argument("--corpus", help="embedding table dir (suggest/build)")
     an.add_argument("--queries", help="query table dir (search)")

@@ -1729,3 +1729,67 @@ def append_ivf_pq_index(
     assigned.write.mode("append").partitionBy("cell").parquet(
         f"{path}/vectors"
     )
+
+
+def ivf_pq_index_drift(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """The rebuild trigger for an append-grown IVF-PQ index: total-
+    variation distance (exact integer ppm) between the INDEX's cell-
+    population histogram and the histogram a CURRENT corpus produces
+    under the same stored coarse centroids. Appends encode with the
+    original geometry (:func:`append_ivf_pq_index`), which is only sound
+    while the embedding distribution matches the one the cells were
+    trained on — when it drifts, cells go unbalanced (hot cells hurt
+    probe cost, empty cells waste recall budget) and this number says so
+    BEFORE recall quietly degrades.
+
+    Returns {"tv_ppm", "n_index", "n_corpus", "worst_cell",
+    "worst_cell_delta_ppm"}. Cost: one column-pruned scan of the code
+    relation (cell only) + one corpus assignment pass — no vectors move.
+    Guidance from the drift operators' convention: alert around
+    tv_ppm ≥ ~50_000 (5 % of mass in moved cells), rebuild when it keeps
+    climbing.
+    """
+    cent, _books = read_ann_meta(path)
+    idx = (
+        spark.read.parquet(f"{path}/codes")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_idx"))
+    )
+    cur = (
+        _assign_cells(
+            fan_out(corpus).select(F.col(id_col).alias("_id"), vec_col),
+            cent, vec_col, "v", n_probe=1,
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cur"))
+    )
+    both = idx.join(cur, "cell", "full_outer").select(
+        "cell",
+        F.coalesce("n_idx", F.lit(0)).alias("n_idx"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    rows = both.collect()  # |cells| rows — driver-bounded by construction
+    n_i = sum(r.n_idx for r in rows)
+    n_c = sum(r.n_cur for r in rows)
+    if n_i == 0 or n_c == 0:
+        raise ValueError("empty index or corpus — nothing to compare")
+    deltas = {
+        int(r.cell): abs(
+            r.n_idx * 1_000_000 // n_i - r.n_cur * 1_000_000 // n_c
+        )
+        for r in rows
+    }
+    worst = max(deltas, key=deltas.get)
+    return {
+        "tv_ppm": sum(deltas.values()) // 2,
+        "n_index": n_i,
+        "n_corpus": n_c,
+        "worst_cell": worst,
+        "worst_cell_delta_ppm": deltas[worst],
+    }

@@ -1361,3 +1361,30 @@ def test_cli_ann_append_grows_index_with_stored_geometry(
     rc = main(["ann", "append", "--index", index, "--corpus", extra_dir,
                "--no-normalize"])
     assert rc == 2 and "normalized=True" in capsys.readouterr().err
+
+
+def test_cli_ann_drift_gates_rebuild(spark, sf_smoke, tmp_path, capsys):
+    """ann drift: self-comparison exits 0 with ~zero tv_ppm; a collapsed
+    corpus exits 1 (the CI rebuild gate)."""
+    import json as _json
+
+    emb_dir = str(tmp_path / "emb")
+    flat_dir = str(tmp_path / "flat")
+    d = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    d.select("vec_id", "embedding").write.parquet(
+        f"{emb_dir}/embeddings.parquet")
+    d.selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(1.0 AS FLOAT)) AS embedding"
+    ).write.parquet(f"{flat_dir}/embeddings.parquet")
+    index = str(tmp_path / "annindex")
+    assert main(["ann", "build", "--index", index, "--corpus", emb_dir,
+                 "--n-centroids", "8", "--m", "8", "--pq-k", "32"]) == 0
+    capsys.readouterr()
+
+    rc = main(["ann", "drift", "--index", index, "--corpus", emb_dir])
+    cap = capsys.readouterr()
+    assert rc == 0 and _json.loads(cap.out)["tv_ppm"] <= 1_000
+
+    rc = main(["ann", "drift", "--index", index, "--corpus", flat_dir])
+    cap = capsys.readouterr()
+    assert rc == 1 and _json.loads(cap.out)["tv_ppm"] > 500_000

@@ -1036,3 +1036,39 @@ def test_ivf_pq_index_partition_pruning_and_parity(spark, emb, tmp_path):
         k=3, n_probe=3,
     )
     assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, mem2.collect()))
+
+
+def test_ivf_pq_index_drift_detects_distribution_shift(spark, emb, tmp_path):
+    """Self-comparison reads ~zero; a corpus collapsed onto one region
+    reads large — the append-grown index's rebuild trigger."""
+    import pytest as _pytest
+
+    from database_migration_spark.operators.similarity import (
+        ivf_pq_index_drift,
+        train_ivf_pq,
+        write_ivf_pq_index,
+    )
+
+    corpus = emb.select("vec_id", "embedding")
+    coarse, books = train_ivf_pq(corpus, n_centroids=8, m=8, k=16, iters=4)
+    path = str(tmp_path / "drift_index")
+    write_ivf_pq_index(corpus, path, coarse, books)
+
+    same = ivf_pq_index_drift(spark, path, corpus)
+    assert same["tv_ppm"] <= 1_000  # integer-div rounding only
+    assert same["n_index"] == same["n_corpus"]
+
+    # a "drifted" corpus: every vector collapsed to the zero vector ->
+    # all mass lands in one (deterministic nearest) cell
+    shifted = corpus.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(0 AS FLOAT))").alias(
+            "embedding"
+        ),
+    )
+    drifted = ivf_pq_index_drift(spark, path, shifted)
+    assert drifted["tv_ppm"] > 500_000
+    assert drifted["worst_cell_delta_ppm"] > 500_000
+
+    with _pytest.raises(ValueError, match="empty"):
+        ivf_pq_index_drift(spark, path, corpus.where("vec_id < -1"))

@@ -277,6 +277,8 @@ def pps_systematic_sample(
     One per-group window pair is the only shuffle (the sequence_pack
     shape); the grid arithmetic is column-local.
     """
+    if n < 1:
+        raise ValueError(f"target sample size must be >= 1, got {n}")
     part = partition_cols or []
     h = _order_hash(F.col(id_col))
     order = Window.partitionBy(*part).orderBy(h, F.col(id_col))

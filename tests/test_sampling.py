@@ -303,3 +303,15 @@ def test_percentile_calibrate_makes_thresholds_cross_domain(spark):
         for r in cal.where("pct_ppm >= 600000").groupBy("grp").count().collect()
     }
     assert kept["code"] == kept["prose"] == 40  # same 40% of each
+
+
+def test_pps_rejects_nonpositive_n(spark):
+    import pytest as _pytest
+
+    from database_migration_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    df = spark.createDataFrame([(1, 5)], "id LONG, w LONG")
+    with _pytest.raises(ValueError, match=">= 1"):
+        pps_systematic_sample(df, "id", "w", n=0)

@@ -898,39 +898,50 @@ def cmd_optimize(args) -> int:
     if not cat.tables:
         return _no_match(args.source, args)
 
+    # everything downstream keys columns by (schema, table, column) —
+    # bare (table, column) keys aliased same-named tables across schemas
+    # (round-8 ADVICE), silently merging their FK groups and proposals
     proposals: dict = {}
     kept: list = []
     declared = {
-        (c.table, c.name): c.char_length
+        (t.schema, c.table, c.name): c.char_length
         for t in cat.tables
         for c in t.columns
     }
-    tbl_schema = {t.table: t.schema for t in cat.tables}
+    scanned = {(t.schema, t.table) for t in cat.tables}
     fks: list = []
     fk_edges: list = []
+
+    def _fk_ends(fk):
+        """((child_schema, child_table, col), (parent_schema, parent_table,
+        ref_col)) pairs of one FK — parent schema from the FK's own
+        ref_schema, falling back to the child's (same-schema FK)."""
+        ps = fk.ref_schema or fk.schema
+        return [
+            ((fk.schema, fk.table, c), (ps, fk.ref_table, rc))
+            for c, rc in zip(fk.columns, fk.ref_columns or ())
+        ]
+
     if args.schemas != "%" or args.tables != "%":
         # catalog FKs are outbound-only: a filtered scan never shows the
         # FK an UNSCANNED child declares against a scanned parent column,
         # so that parent conversion escaped the out-of-scope veto (the
         # half-scanned-pair breakage, inbound direction). One extra
         # metadata-only unfiltered scan surfaces those inbound edges.
-        scanned = set(tbl_schema)
         wide = adapter.scan_catalog("%", "%", include_keys=True)
         for wt in wide.tables:
-            if wt.table in scanned:
+            if (wt.schema, wt.table) in scanned:
                 continue
             for fk in wt.foreign_keys:
-                if fk.ref_table in scanned:
-                    for c, rc in zip(fk.columns, fk.ref_columns or ()):
-                        fk_edges.append(((fk.table, c), (fk.ref_table, rc)))
-    for t in sorted(cat.tables, key=lambda t: t.table):
+                if ((fk.ref_schema or fk.schema), fk.ref_table) in scanned:
+                    fk_edges.extend(_fk_ends(fk))
+    for t in sorted(cat.tables, key=lambda t: (t.schema, t.table)):
         fks.extend(t.foreign_keys)
         for fk in t.foreign_keys:
-            for c, rc in zip(fk.columns, fk.ref_columns or ()):
-                fk_edges.append(((fk.table, c), (fk.ref_table, rc)))
+            fk_edges.extend(_fk_ends(fk))
         df = _read(adapter, t)
         for field in df.schema.fields:
-            col, key = field.name, (t.table, field.name)
+            col, key = field.name, (t.schema, t.table, field.name)
             if isinstance(field.dataType, T.StringType):
                 stats = classify_varchar(df, col, sample_rows=args.sample)
                 nn = stats["n"] - stats["n_null"]
@@ -962,21 +973,22 @@ def cmd_optimize(args) -> int:
             proposals[key] = p
 
     proposals, out_of_scope = veto_out_of_scope_fk(
-        proposals, fk_edges, {t.table for t in cat.tables}
+        proposals, fk_edges, scanned
     )
     proposals = harmonize_fk_groups(proposals, fk_edges)
     vetoed = [
         k for k, p in proposals.items()
         if p is None and k not in kept and k not in out_of_scope
     ]
-    for (tbl, col), p in sorted(proposals.items()):
+    for key, p in sorted(proposals.items()):
+        _sch, tbl, col = key
         if p is not None:
             print(f"{tbl}.{col}: {p.current_type} --> {p.proposed_type} "
                   f"({p.reason}{'' if p.lossless else '; LOSSY'})")
-        elif (tbl, col) in out_of_scope:
+        elif key in out_of_scope:
             print(f"{tbl}.{col}: kept (FK partner table outside --tables "
                   "scope — convert both sides together)")
-        elif (tbl, col) in vetoed:
+        elif key in vetoed:
             print(f"{tbl}.{col}: kept (FK group members disagree)")
         else:
             print(f"{tbl}.{col}: kept (no tighter type supported)")
@@ -987,20 +999,33 @@ def cmd_optimize(args) -> int:
         # one stream PER SCHEMA: qualifying every statement with the first
         # table's schema produced wrong DDL (incl. FK re-adds) for tables
         # in other schemas under a multi-schema scan
+        accepted3 = {k for k, p in proposals.items() if p is not None}
         schemas_present = sorted(
-            {
-                tbl_schema[tbl]
-                for (tbl, _c), p in proposals.items()
-                if p is not None
-            }
+            {sch for (sch, _t, _c) in accepted3}
         ) or [cat.tables[0].schema]
+
+        def _touches_in(fk, s):
+            # the DROP/RE-ADD bracket belongs in every stream that
+            # MODIFIES a column of this FK — including the PARENT
+            # schema's stream of a cross-schema FK, which the old
+            # child-schema-only filter missed (round-8 ADVICE); a
+            # bracket in both streams is safe (each DROPs before ADD)
+            ps = fk.ref_schema or fk.schema
+            return any(
+                fk.schema == s and (s, fk.table, c) in accepted3
+                for c in fk.columns
+            ) or any(
+                ps == s and (s, fk.ref_table, rc) in accepted3
+                for rc in fk.ref_columns or ()
+            )
+
         for s in schemas_present:
             sub = {
-                k: p
-                for k, p in proposals.items()
-                if tbl_schema.get(k[0]) == s
+                (t, c): p
+                for (sch, t, c), p in proposals.items()
+                if sch == s
             }
-            sub_fks = [fk for fk in fks if fk.schema == s]
+            sub_fks = [fk for fk in fks if _touches_in(fk, s)]
             if len(schemas_present) > 1:
                 print(f"-- schema: {s}")
             plan = conversion_statements(sub, fks=sub_fks, schema=s)
@@ -1447,14 +1472,25 @@ def cmd_ann(args) -> int:
         return _read(adapter, cat.tables[0])
 
     def normalized(df):
-        return df.select(
-            args.id_col,
-            F.expr(
-                f"sqrt(aggregate({args.vec_col}, 0.0D, (a, v) -> "
-                "a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
-            ).alias("_n"),
-            args.vec_col,
-        ).select(
+        # zero-norm guard (round-8 ADVICE): an all-zero or NULL embedding
+        # would divide to NULL/NaN elements and flow unguarded into
+        # training/encode/search — drop those rows with a counted warning
+        # (one column-pruned scan; the CLI reads the corpus anyway).
+        norm = F.expr(
+            f"sqrt(aggregate({args.vec_col}, 0.0D, (a, v) -> "
+            "a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        )
+        with_n = df.select(args.id_col, norm.alias("_n"), args.vec_col)
+        n_bad = with_n.where(
+            F.col("_n").isNull() | (F.col("_n") <= 0.0)
+        ).count()
+        if n_bad:
+            print(
+                f"warning: dropped {n_bad} row(s) with zero/NULL-norm "
+                f"{args.vec_col} (cannot be L2-normalized)",
+                file=sys.stderr,
+            )
+        return with_n.where(F.col("_n") > 0.0).select(
             args.id_col,
             F.expr(
                 f"transform({args.vec_col}, x -> CAST(x / _n AS FLOAT))"

@@ -426,8 +426,17 @@ def veto_out_of_scope_fk(
     proposals (its type was already tight) does NOT veto — its table was
     inspected, so the disagreement belongs to :func:`harmonize_fk_groups`.
 
+    Keys may be ``(table, column)`` with ``scanned_tables`` holding bare
+    table names, or ``(schema, table, column)`` with ``scanned_tables``
+    holding ``(schema, table)`` pairs — the qualified form is what a
+    multi-schema scan must use (same-named tables in different schemas
+    are distinct objects).
+
     Returns (proposals with vetoed entries set to None, the vetoed keys).
     """
+    def table_of(key):
+        return key[0] if len(key) == 2 else key[:-1]
+
     out = dict(proposals)
     vetoed: set = set()
     for a, b in fk_edges:
@@ -435,7 +444,7 @@ def veto_out_of_scope_fk(
             if (
                 inside in out
                 and out.get(inside) is not None
-                and partner[0] not in scanned_tables
+                and table_of(partner) not in scanned_tables
             ):
                 out[inside] = None
                 vetoed.add(inside)

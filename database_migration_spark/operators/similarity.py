@@ -217,23 +217,43 @@ def suggest_ann_params(
     p_bit = 1.0 - theta / math.pi
     if compressed:
         n_centroids = max(4, int(round(math.sqrt(max(1, n)))))
-        m = max(16, dim // 4 if dim % 4 == 0 else 16)
-        while dim % m:  # m must divide dim
-            m -= 1
+        # m must divide dim AND stay >= 16 (m=8 flat measured recall@5
+        # 0.137 — the collapse regime). Prefer the smallest divisor >= 16
+        # (finest subspaces above the floor); when dim has none (prime or
+        # awkward dims), fall back to the largest divisor < 16 and say so
+        # in the advisory instead of silently returning the measured-bad
+        # geometry (round-8 ADVICE: `while dim % m: m -= 1` reached m=1).
+        divisors = [d for d in range(1, dim + 1) if dim % d == 0]
+        geq16 = [d for d in divisors if 16 <= d <= dim]
+        m = geq16[0] if geq16 else divisors[-1]
+        m_advisory = None
+        if m < 16:
+            m_advisory = (
+                f"dim={dim} has no divisor >= 16 subspaces; m={m} is the "
+                "largest available and is BELOW the measured recall floor "
+                "(m=8 flat: recall@5 0.137) — pad/project the embedding "
+                "to a friendlier dim or keep the uncompressed path"
+            )
+        rerank_advisory = (
+            "rerank is load-bearing: ADC-only recall@5 measured 0.43 "
+            "at this geometry (isotropic x100 fixture) vs 0.785 with "
+            "the exact-refine leg at R=50; pass rerank=/corpus= to "
+            "ivf_pq_topk"
+            if neighbor_cos < 0.6
+            else None
+        )
         return {
             "method": "ivf_pq",
             "m": m,
             "n_centroids": n_centroids,
             "n_probe": max(1, math.ceil(n_centroids / 7)),
             "rerank": 50,
-            "expected_recall": 0.78 if neighbor_cos < 0.6 else None,
+            "expected_recall": (
+                0.78 if neighbor_cos < 0.6 and m >= 16 else None
+            ),
             "advisory": (
-                "rerank is load-bearing: ADC-only recall@5 measured 0.43 "
-                "at this geometry (isotropic x100 fixture) vs 0.785 with "
-                "the exact-refine leg at R=50; pass rerank=/corpus= to "
-                "ivf_pq_topk"
-                if neighbor_cos < 0.6
-                else None
+                "; ".join(a for a in (m_advisory, rerank_advisory) if a)
+                or None
             ),
         }
     # the independence model over-predicts measured recall by ~0.04-0.05
@@ -460,7 +480,14 @@ def _assign_cells(df: DataFrame, centroids, vec_col: str, id_alias: str, n_probe
             vecs = np.array(list(pdf[vec_col]), dtype=np.float64)
             # rank by ‖c‖² − 2 v·c (BLAS; same order as the L2 distance)
             d = c2[None, :] - 2.0 * (vecs @ cent.T)
-            order = np.argsort(d, axis=1)[:, :n_probe]
+            # kind="stable": on exact centroid-distance ties the first
+            # element of the order must be the FIRST minimizing index —
+            # the same tie-break ivf_pq_encode's argmin uses — or the
+            # codes and vectors relations of an IVF-PQ index could place
+            # a duplicate vector in different cells, and the rerank leg's
+            # cell-pruned vector fetch would silently drop a shortlisted
+            # neighbor (round-8 ADVICE)
+            order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
             out = pd.DataFrame(
                 {
                     id_alias: pdf["_id"].to_numpy().repeat(n_probe),

@@ -1075,7 +1075,7 @@ def _stub_optimize_adapter(spark, tables_spec):
         )
         metas.append(TableMeta(schema=sch, table=tbl, columns=cmeta,
                                foreign_keys=tuple(fks)))
-        frames[tbl] = spark.createDataFrame(
+        frames[(sch, tbl)] = spark.createDataFrame(
             list(zip(*cols.values())) or [tuple()],
             ", ".join(f"{n} STRING" for n in cols),
         )
@@ -1084,8 +1084,10 @@ def _stub_optimize_adapter(spark, tables_spec):
         def scan_catalog(self, schemas="%", tables="%", include_keys=False):
             return Catalog(tables=metas).filter(schemas, tables)
 
-        def read(self, name):
-            return frames[name]
+        def read_table(self, meta):
+            # keyed by (schema, table) so same-named tables in different
+            # schemas stay distinct objects (the round-8 aliasing ADVICE)
+            return frames[(meta.schema, meta.table)]
 
     return Stub()
 
@@ -1153,6 +1155,84 @@ def test_cli_optimize_apply_emits_one_stream_per_schema(
     # the breakage the fix closes: BETA qualified with ALPHA's schema
     assert '"S1"."BETA"' not in cap.out and '"S2"."ALPHA"' not in cap.out
     assert "-- schema: S1" in cap.out and "-- schema: S2" in cap.out
+
+
+def test_cli_optimize_cross_schema_fk_brackets_parent_stream(
+    spark, capsys, monkeypatch
+):
+    """A cross-schema FK (child in S1 references parent in S2): the parent
+    column's MODIFY renders in S2's stream, so S2's stream must carry the
+    FK DROP/RE-ADD bracket too — the old child-schema-only filter left the
+    MODIFY to execute against the still-live constraint (round-8 ADVICE).
+    """
+    import database_migration_spark.__main__ as M
+    from database_migration_spark.catalog import KeyMeta
+
+    fk = KeyMeta(schema="S1", table="CHILD", name="X_FK",
+                 kind="FOREIGN KEY", columns=("C_CODE",),
+                 ref_schema="S2", ref_table="PARENT",
+                 ref_columns=("P_CODE",))
+    vals = [str(i) for i in range(40)]
+    spec = {
+        ("S2", "PARENT"): ({"P_CODE": vals}, []),
+        ("S1", "CHILD"): ({"C_CODE": vals}, [fk]),
+    }
+    monkeypatch.setattr(
+        M, "_source", lambda sp, root, args=None: _stub_optimize_adapter(
+            spark, spec
+        )
+    )
+    rc = main(["optimize", "--source", "stub", "--schemas", "S1,S2",
+               "--apply"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    # both sides convert (harmonized group agrees)
+    assert "PARENT.P_CODE: varchar --> DECIMAL" in cap.out
+    assert "CHILD.C_CODE: varchar --> DECIMAL" in cap.out
+    # the S2 stream (parent MODIFY) carries the bracket: its section
+    # between "-- schema: S2" and the end must DROP and RE-ADD X_FK
+    s2 = cap.out.split("-- schema: S2", 1)[1]
+    assert 'DROP CONSTRAINT "X_FK"' in s2
+    assert 'ADD CONSTRAINT "X_FK"' in s2
+    assert 'REFERENCES "S2"."PARENT"' in s2
+    # and the MODIFY itself is there, schema-qualified
+    assert 'ALTER TABLE "S2"."PARENT" MODIFY' in s2
+
+
+def test_cli_optimize_same_named_tables_do_not_alias(
+    spark, capsys, monkeypatch
+):
+    """Two schemas each holding a table named T: keys must be
+    (schema, table, column) — bare names merged their FK groups and
+    proposals (round-8 ADVICE). S1.T has an FK pair that disagrees (veto);
+    S2.T stands alone and must still convert."""
+    import database_migration_spark.__main__ as M
+    from database_migration_spark.catalog import KeyMeta
+
+    # S1.T.K references S1.P.K; K is numeric-string but P.K is free text
+    # -> the group disagrees -> both vetoed. S2.T.K (SAME table name) is
+    # numeric-string with NO fk; if keys aliased on bare "T", S2.T.K
+    # would inherit the veto and never convert.
+    fk = KeyMeta(schema="S1", table="T", name="T_FK", kind="FOREIGN KEY",
+                 columns=("K",), ref_schema="S1", ref_table="P",
+                 ref_columns=("K",))
+    nums = [str(i) for i in range(40)]
+    texts = [f"name-{i}" for i in range(40)]
+    spec = {
+        ("S1", "T"): ({"K": nums}, [fk]),
+        ("S1", "P"): ({"K": texts}, []),
+        ("S2", "T"): ({"K": nums}, []),
+    }
+    monkeypatch.setattr(
+        M, "_source", lambda sp, root, args=None: _stub_optimize_adapter(
+            spark, spec
+        )
+    )
+    rc = main(["optimize", "--source", "stub", "--schemas", "S1,S2"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "T.K: kept (FK group members disagree)" in cap.out
+    assert "T.K: varchar --> DECIMAL" in cap.out
 
 
 # round 8: dedup subcommand — the fingerprint-index lifecycle CLI
@@ -1303,6 +1383,32 @@ def test_cli_ann_lifecycle_end_to_end(spark, sf_smoke, tmp_path, capsys):
 
     rc = main(["ann", "build", "--index", index])
     assert rc == 2 and "--corpus" in capsys.readouterr().err
+
+
+def test_cli_ann_zero_norm_embeddings_dropped_with_warning(
+    spark, sf_smoke, tmp_path, capsys
+):
+    """An all-zero embedding cannot be L2-normalized — it must be DROPPED
+    with a counted warning, not divided into NULL/NaN elements that flow
+    into training/encode/search (round-8 ADVICE)."""
+    emb_dir = str(tmp_path / "embz")
+    d = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    zero = d.limit(1).selectExpr(
+        "900000 AS vec_id",
+        "transform(embedding, x -> CAST(0.0 AS FLOAT)) AS embedding",
+    )
+    d.select("vec_id", "embedding").unionByName(zero).write.parquet(
+        f"{emb_dir}/embeddings.parquet")
+    index = str(tmp_path / "annz")
+    rc = main(["ann", "build", "--index", index, "--corpus", emb_dir,
+               "--n-centroids", "4", "--m", "8", "--pq-k", "16"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "dropped 1 row(s) with zero/NULL-norm" in cap.err
+    # the zero vector is not in the index
+    codes = spark.read.parquet(f"{index}/codes")
+    assert codes.where("vec_id = 900000").count() == 0
+    assert codes.count() == d.count()
 
 
 def test_cli_dedup_and_ann_missing_index_is_a_clean_error(spark, tmp_path,

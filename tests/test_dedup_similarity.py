@@ -1072,3 +1072,80 @@ def test_ivf_pq_index_drift_detects_distribution_shift(spark, emb, tmp_path):
 
     with _pytest.raises(ValueError, match="empty"):
         ivf_pq_index_drift(spark, path, corpus.where("vec_id < -1"))
+
+
+# round 9: ADVICE closures — tie-consistent cell assignment, m-divisor
+# floor advisory
+
+
+def test_assign_cells_agrees_with_encode_on_duplicate_centroids(spark):
+    """Duplicate coarse centroids = exact distance ties: the vectors
+    relation of an IVF-PQ index (_assign_cells, stable argsort) and the
+    codes relation (ivf_pq_encode, argmin) must place every vector in the
+    SAME cell, or the rerank leg's cell-pruned vector fetch silently drops
+    shortlisted neighbors (round-8 ADVICE)."""
+    import numpy as np
+
+    from database_migration_spark.operators.similarity import (
+        _assign_cells,
+        ivf_pq_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    # four centroids, the last two EXACT duplicates of the first two —
+    # every vector nearest c0/c1 ties with c2/c3 respectively
+    base = rng.normal(size=(2, 8))
+    cent = np.vstack([base, base])
+    books = rng.normal(size=(2, 4, 4))  # m=2 subspaces of d=4, k=4 codes
+    enc = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_pq_encode(corpus, cent, books).select(
+            "vec_id", "cell"
+        ).collect()
+    }
+    import pyspark.sql.functions as F
+
+    assigned = {
+        r["v"]: r["cell"]
+        for r in _assign_cells(
+            corpus.select(F.col("vec_id").alias("_id"), "embedding"),
+            cent, "embedding", "v", n_probe=1,
+        ).collect()
+    }
+    assert enc == assigned
+    # and the ties genuinely exercised the first-index rule: every cell
+    # must be 0 or 1 (never the duplicate 2/3)
+    assert set(enc.values()) <= {0, 1}
+
+
+def test_suggest_ann_params_compressed_m_floor_advisory():
+    """The divisor fit must never silently return the measured collapse
+    regime (round-8 ADVICE: `while dim % m: m -= 1` reached m=10 at
+    dim=20, m=1 at prime dims): prefer the smallest divisor >= 16, and
+    when none exists say so in the advisory."""
+    from database_migration_spark.operators.similarity import (
+        suggest_ann_params,
+    )
+
+    # dim=20: old code returned m=10 (collapse, no warning); divisor >= 16
+    # exists (20 itself) and must be chosen
+    p = suggest_ann_params(100_000, dim=20, neighbor_cos=0.55,
+                           compressed=True)
+    assert p["m"] == 20 and 20 % p["m"] == 0
+    # dim=128 keeps a sane geometry
+    p = suggest_ann_params(100_000, dim=128, neighbor_cos=0.55,
+                           compressed=True)
+    assert p["m"] == 16
+    # prime dim: no divisor >= 16 below dim... 13 has none at all -> the
+    # advisory must flag the collapse regime and expected_recall must not
+    # claim the measured 0.78
+    p = suggest_ann_params(100_000, dim=13, neighbor_cos=0.55,
+                           compressed=True)
+    assert p["m"] == 13 or p["m"] < 16
+    assert "divisor" in p["advisory"] and "0.137" in p["advisory"]
+    assert p["expected_recall"] is None

@@ -22,6 +22,16 @@ constant by construction, so spread in its timings measures the HOST, not the
 plan. The JSON line carries {"noise_probe": {min,median,max,noisy}} where
 noisy = median > 3x min or max > 10x min; a consumer seeing noisy=true knows
 the timings are host-degraded and a rerun is warranted.
+
+Sustained-stall guard (round-8 lesson: a stall covering EVERY lap of one
+query keeps the laps consistent — profile_orders recorded 7.66 s where the
+true value was 4.06 s — and neither the lap-disagreement check nor the
+bracketing probes can see it): when a query's min-of-laps exceeds 2x its
+value in the latest same-sf BENCH_r*.json artifact, the harness re-laps up
+to twice more; queries still above 2x prior land in "suspect_vs_prior" so
+the artifact itself says "regressed or re-measure" instead of smearing a
+one-off stall into a regression. The policy is stated in the JSON
+("lap_policy") so a consumer knows every number is min-of-laps.
 """
 
 from __future__ import annotations
@@ -94,6 +104,63 @@ BENCH_QUERIES = [
 ]
 
 
+LAP_POLICY = (
+    "min-of-laps: 1 warm-up + 2 measured laps, a 3rd when the two disagree "
+    ">2x, and up to 2 extra laps when the min still exceeds 2x the same-sf "
+    "prior-round artifact — a SUSTAINED host stall poisons consistent laps "
+    "(round-8: profile_orders recorded 7.66s across all laps, true 4.06s); "
+    "queries still >2x prior after re-laps land in suspect_vs_prior"
+)
+
+
+def prior_artifact(repo_dir: str, sf) -> tuple[dict, str | None]:
+    """Per-query timings of the LATEST BENCH_r*.json in repo_dir recorded
+    at the SAME scale factor (a cross-sf comparison is meaningless), as
+    ({name: sec}, artifact_basename) — ({}, None) when absent."""
+    import glob
+
+    for p in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")),
+                    reverse=True):
+        try:
+            with open(p) as fh:
+                d = json.load(fh)
+            if d.get("sf") == sf and isinstance(d.get("queries"), dict):
+                return d["queries"], os.path.basename(p)
+        except (OSError, ValueError):
+            continue
+    return {}, None
+
+
+def relap_needed(min_lap: float, prior: "float | None") -> bool:
+    """True when this query's min-of-laps exceeds 2x its prior-round
+    artifact — the sustained-stall signature the bracketing noise probes
+    cannot see (they flag a stall BETWEEN queries, not one that covers
+    every lap OF a query)."""
+    return prior is not None and prior > 0 and min_lap > 2 * prior
+
+
+def summarize_probes(probes: list, names: list, timings: dict) -> dict:
+    """The noise-sentinel summary from the bracketing probe timings:
+    probes[i]/probes[i+1] bracket names[i]. Pure function so the flagging
+    logic is unit-testable with synthetic stalls (no Spark)."""
+    srt = sorted(probes)
+    mid2 = len(srt) // 2
+    run_med = srt[mid2] if len(srt) % 2 else (srt[mid2 - 1] + srt[mid2]) / 2
+    flagged = [
+        n
+        for i, n in enumerate(names)
+        if n in timings and max(probes[i], probes[i + 1]) > 3 * run_med
+    ]
+    p_min, p_max = srt[0], srt[-1]
+    return {
+        "min": round(p_min, 4),
+        "median": round(run_med, 4),
+        "max": round(p_max, 4),
+        "noisy": bool(run_med > 3 * p_min or p_max > 10 * p_min),
+        "flagged_queries": flagged,
+    }
+
+
 def main() -> int:
     from database_migration_spark import get_spark
     from database_migration_spark import queries as Q
@@ -125,9 +192,17 @@ def main() -> int:
         probe_df.count()
         return time.time() - t0
 
+    sf_s = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf = float(sf_s) if sf_s.replace(".", "").isdigit() else sf_s
+    prior_q, prior_name = prior_artifact(
+        os.path.dirname(os.path.abspath(__file__)), sf
+    )
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     probes: list[float] = []
+    relapped: list[str] = []
+    suspect: list[str] = []
     noise_probe()  # discard the JIT-cold first lap — it measures warm-up,
     # not the host, and false-flags the first query
     total = 0.0
@@ -146,6 +221,23 @@ def main() -> int:
             # being measured, so take one more sample
             if max(laps) > 2 * min(laps):
                 laps.append(run(name))
+            # a SUSTAINED stall keeps the laps consistent and sails past
+            # the check above (round-8: profile_orders recorded 7.66 s
+            # where a clean rerun measures 4.06 s, every lap inside the
+            # stall window). The prior-round artifact at the same sf is
+            # the reference: re-lap up to twice while the min still reads
+            # >2x prior, and if it STILL does, record the query as
+            # suspect so a consumer reads "regressed or re-measure",
+            # never a silently smeared artifact.
+            if relap_needed(min(laps), prior_q.get(name)):
+                relapped.append(name)
+                for _ in range(2):
+                    spark.sparkContext._jvm.System.gc()
+                    laps.append(run(name))
+                    if not relap_needed(min(laps), prior_q.get(name)):
+                        break
+                if relap_needed(min(laps), prior_q.get(name)):
+                    suspect.append(name)
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"
             traceback.print_exc(file=sys.stderr)
@@ -156,41 +248,25 @@ def main() -> int:
     # closing probe so the LAST query also has a bracketing pair
     probes.append(noise_probe())
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # per-query stall attribution: a query bracketed by a degraded probe
     # (before or after) ran in a bad host window — its min-of-laps may
     # still be inflated even when the run-level noisy flag stays false
     # (round-5 lesson: an 11 s minhash artifact in an otherwise clean run).
     # Threshold is 3x the run MEDIAN: the min-to-median spread is natural
     # scheduler jitter and 3x min false-flags clean queries.
-    srt = sorted(probes)
-    mid2 = len(srt) // 2
-    run_med = srt[mid2] if len(srt) % 2 else (srt[mid2 - 1] + srt[mid2]) / 2
-    flagged = [
-        n
-        for i, n in enumerate(BENCH_QUERIES)
-        if n in timings and max(probes[i], probes[i + 1]) > 3 * run_med
-    ]
-    probes.sort()
-    mid = len(probes) // 2
-    # true median: average the middle pair on even-length lists (the
-    # upper-middle index alone biases the noisy flag high)
-    p_med = probes[mid] if len(probes) % 2 else (probes[mid - 1] + probes[mid]) / 2
-    p_min, p_max = probes[0], probes[-1]
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "noise_probe": {
-            "min": round(p_min, 4),
-            "median": round(p_med, 4),
-            "max": round(p_max, 4),
-            "noisy": bool(p_med > 3 * p_min or p_max > 10 * p_min),
-            "flagged_queries": flagged,
-        },
+        "sf": sf,
+        "lap_policy": LAP_POLICY,
+        "noise_probe": summarize_probes(probes, BENCH_QUERIES, timings),
     }
+    if prior_name:
+        out["prior_artifact"] = prior_name
+        out["relapped_vs_prior"] = relapped
+        out["suspect_vs_prior"] = suspect
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -1,0 +1,71 @@
+"""bench.py's stall-detection logic, driven with SYNTHETIC stalls — the
+round-8 verdict asked for the flagging logic itself to be testable without
+waiting for a real host stall to reproduce (no Spark session needed; the
+functions under test are pure)."""
+
+import json
+
+from bench import prior_artifact, relap_needed, summarize_probes
+
+
+def test_relap_needed_fires_only_above_2x_prior():
+    assert relap_needed(7.66, 3.5)          # the round-8 profile_orders shape
+    assert not relap_needed(4.06, 3.5)      # uniform host factor: no re-lap
+    assert not relap_needed(1.0, None)      # no prior artifact -> never
+    assert not relap_needed(1.0, 0.0)       # degenerate prior -> never
+    assert not relap_needed(6.9, 3.5)       # exactly-2x boundary stays quiet
+
+
+def test_summarize_probes_flags_the_stall_bracketed_query():
+    """A single degraded probe flags ONLY the queries it brackets."""
+    names = ["a", "b", "c", "d"]
+    timings = {n: 1.0 for n in names}
+    # probes[2] stalls: brackets query b (probes[1], probes[2]) and
+    # query c (probes[2], probes[3])
+    probes = [0.05, 0.05, 0.40, 0.05, 0.05]
+    s = summarize_probes(probes, names, timings)
+    assert s["flagged_queries"] == ["b", "c"]
+    # median of the five probes is 0.05 -> run not noisy (max > 10x min
+    # IS true here: 0.40 > 0.5? no — 10 * 0.05 = 0.5, 0.40 < 0.5)
+    assert s["noisy"] is False
+
+
+def test_summarize_probes_clean_run_flags_nothing():
+    names = ["a", "b"]
+    probes = [0.05, 0.06, 0.055]
+    s = summarize_probes(probes, names, {n: 1.0 for n in names})
+    assert s["flagged_queries"] == [] and s["noisy"] is False
+
+
+def test_summarize_probes_sustained_stall_sets_noisy():
+    """When MOST probes degrade, the run-level noisy flag fires (median
+    > 3x min) — the round-4 sustained-host-stall signature."""
+    names = ["a", "b", "c"]
+    probes = [0.05, 0.30, 0.30, 0.30]
+    s = summarize_probes(probes, names, {n: 1.0 for n in names})
+    assert s["noisy"] is True
+
+
+def test_summarize_probes_skips_errored_queries():
+    """A query with no timing (errored) is never flagged — its probe
+    bracket may legitimately include the error fallout."""
+    names = ["ok", "boom"]
+    probes = [0.05, 0.05, 0.90]
+    s = summarize_probes(probes, names, {"ok": 1.0})
+    assert s["flagged_queries"] == []
+
+
+def test_prior_artifact_resolves_latest_same_sf(tmp_path):
+    (tmp_path / "BENCH_r07.json").write_text(json.dumps(
+        {"sf": 0.1, "queries": {"q": 1.0}}))
+    (tmp_path / "BENCH_r08.json").write_text(json.dumps(
+        {"sf": 0.1, "queries": {"q": 2.0}}))
+    q, name = prior_artifact(str(tmp_path), 0.1)
+    assert name == "BENCH_r08.json" and q == {"q": 2.0}
+    # a cross-sf artifact must NOT be used as the reference
+    q, name = prior_artifact(str(tmp_path), 0.01)
+    assert name is None and q == {}
+    # corrupt latest falls back to the next one
+    (tmp_path / "BENCH_r09.json").write_text("{not json")
+    q, name = prior_artifact(str(tmp_path), 0.1)
+    assert name == "BENCH_r08.json"

@@ -52,3 +52,145 @@ def publish_parquet(df: DataFrame, path: str, staging: str) -> None:
         # Weaker: a crash mid-overwrite loses the previous generation.
         spark.read.parquet(staging).write.mode("overwrite").parquet(path)
         shutil.rmtree(staging, ignore_errors=True)
+
+
+# --- key-hash-partitioned incremental stores (round 9) ---------------------
+#
+# The round-8 verdict's one wrong asymptote: every incremental store that
+# maintained itself through publish_parquet (streaming CDC, SCD2) paid a
+# FULL target rewrite per epoch — measured flat 6-7 s at 1.5 M keys, but
+# proportional to |target|, which at 100 TB is the wrong shape. The cure
+# the repo already proved on the dedup side (delete_rows_partitioned /
+# swap_partitions): lay the target out partitionBy(key-hash bucket), derive
+# the TOUCHED buckets from the delta alone, rewrite + swap only those.
+# Untouched partition directories keep their file identity; per-epoch cost
+# tracks |delta| + |touched partitions|, not |target|.
+
+PT_COL = "_pt"
+TARGET_META = "_target_meta.json"
+
+
+def pt_expr(keys: list, n_partitions: int):
+    """The layout's key→partition function: ``pmod(md5_long(concat_ws(US,
+    keys-as-strings)), n)`` — md5-based (portable across engines and
+    sessions, the exact-arithmetic rule) and integer-exact (pmod, never
+    float division). NULL key parts hash as empty (concat_ws skips them):
+    deterministic per key, which is all a layout needs."""
+    from pyspark.sql import functions as F
+
+    from database_migration_spark.functions.hashing import md5_long
+
+    parts = [F.col(k).cast("string") for k in keys]
+    return F.pmod(
+        md5_long(F.concat_ws("\x1f", *parts)), F.lit(int(n_partitions))
+    ).cast("int")
+
+
+def write_target_meta(path: str, keys: list, n_partitions: int) -> None:
+    """Persist the layout WITH the store — the fingerprint/ANN index-
+    metadata rule: a maintainer must never guess the writer's layout.
+    Written AFTER the data so a crash mid-bootstrap leaves no meta
+    pointing at a half-written store."""
+    import json
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, TARGET_META), "w") as fh:
+        json.dump(
+            {
+                "partition_col": PT_COL,
+                "partitions": int(n_partitions),
+                "keys": list(keys),
+                "hash": "pmod(md5_long(concat_ws(0x1f, keys)), partitions)",
+            },
+            fh,
+        )
+
+
+def read_target_meta(path: str) -> "dict | None":
+    import json
+
+    p = os.path.join(path, TARGET_META)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def resolve_partitions(
+    path: str, keys: list, partitions: "int | None"
+) -> "int | None":
+    """The store's partition count: stored layout wins; an explicit
+    caller value that CONTRADICTS the stored layout raises loudly (the
+    mis-pruned-probe lesson — a reader handed a different bucket count
+    silently misses rows). A caller value on an existing UNPARTITIONED
+    store also raises: layouts don't migrate implicitly."""
+    meta = read_target_meta(path)
+    if meta is None:
+        if partitions is not None and os.path.isdir(path):
+            raise ValueError(
+                f"target {path} exists without a stored partition layout "
+                f"({TARGET_META}) — it was written unpartitioned; rebuild "
+                f"it with partitions={partitions} instead of mixing layouts"
+            )
+        return partitions
+    stored_n = int(meta["partitions"])
+    stored_keys = list(meta.get("keys", []))
+    if partitions is not None and partitions != stored_n:
+        raise ValueError(
+            f"target {path} stores layout partitions={stored_n} but the "
+            f"caller passed partitions={partitions} — resolve from the "
+            "stored layout (pass None) or rebuild the store"
+        )
+    if stored_keys and list(keys) != stored_keys:
+        raise ValueError(
+            f"target {path} stores layout keys={stored_keys} but the "
+            f"caller passed keys={list(keys)} — a different key set "
+            "hashes to different partitions and would mis-prune"
+        )
+    return stored_n
+
+
+def swap_partition_dirs(
+    path: str, staging: str, partitions: list, partition_col: str = PT_COL
+) -> None:
+    """Commit a staged partition rewrite: replace each affected
+    ``<partition_col>=<value>`` directory of ``path`` with the staging one
+    (local-FS rename; the object-store analogue is the table format's
+    replace-partitions commit). Partitions not listed are untouched —
+    their files keep their identity, which is the whole point. A missing
+    staging subdirectory is a full-partition delete (the rewrite kept
+    zero rows). Crash mid-swap leaves a PREFIX of the partitions swapped,
+    each internally consistent — safe for stores whose epoch replay is
+    idempotent per partition (CDC fences, SCD2 merge)."""
+    os.makedirs(path, exist_ok=True)  # bootstrap: target root may not exist
+    for p in partitions:
+        sub = f"{partition_col}={p}"
+        dst = os.path.join(path, sub)
+        src = os.path.join(staging, sub)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        if os.path.exists(src):
+            shutil.move(src, dst)
+
+
+def publish_partitions(
+    merged_slice: DataFrame,
+    path: str,
+    staging: str,
+    affected: list,
+    partition_col: str = PT_COL,
+) -> None:
+    """Stage ``merged_slice`` (the new content of ONLY the affected
+    partitions, carrying ``partition_col``) and swap those directories
+    into ``path``. The repartition-by-partition-column write keeps one
+    task per affected partition (no 32-tasks-each-touch-every-partition
+    small-file explosion — the delete_rows_partitioned convention)."""
+    n = max(1, len(affected))
+    (
+        merged_slice.repartition(n, partition_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(staging)
+    )
+    swap_partition_dirs(path, staging, affected, partition_col)
+    shutil.rmtree(staging, ignore_errors=True)

@@ -1365,18 +1365,12 @@ def swap_partitions(path: str, staging: str, partitions: list, partition_col: st
     staging one (local-FS rename; the object-store analogue is the
     partition-replace commit of the table format in use). Partitions not
     listed are untouched — their files keep their identity, which is the
-    whole point of the targeted pass."""
-    import os
-    import shutil
+    whole point of the targeted pass. (Delegates to the shared
+    ``functions.io.swap_partition_dirs`` — one swap protocol repo-wide,
+    the publish_parquet single-implementation rule.)"""
+    from database_migration_spark.functions.io import swap_partition_dirs
 
-    for p in partitions:
-        sub = f"{partition_col}={p}"
-        dst = os.path.join(path, sub)
-        src = os.path.join(staging, sub)
-        if os.path.exists(dst):
-            shutil.rmtree(dst)
-        if os.path.exists(src):
-            shutil.move(src, dst)
+    swap_partition_dirs(path, staging, partitions, partition_col)
 
 
 def line_occurrences(

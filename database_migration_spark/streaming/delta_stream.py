@@ -223,6 +223,7 @@ def stream_scd2(
     checkpoint: str,
     batch_ts_of=None,
     close_missing: bool = False,
+    partitions: int | None = None,
 ):
     """Continuous type-2 SCD dimension maintenance: each micro-batch of
     entity updates is merged history-preservingly into the parquet
@@ -257,10 +258,28 @@ def stream_scd2(
     |open| + |batch| per epoch, and leak-free.
 
     Storage: stage-then-swap parquet rewrite of the whole dimension, like
-    :func:`stream_merge_upsert` — a transactional format (Delta/Iceberg)
-    replaces the dance with MERGE INTO and, partitioned by ``is_current``,
-    rewrites only the open partition.
+    :func:`stream_merge_upsert` — or, with ``partitions=N``, a key-hash
+    ``partitionBy(_pt)`` layout where each epoch rewrites ONLY the
+    partitions the batch's keys touch (sound because ``scd2_merge``
+    passes every non-batch key through untouched — including its closed
+    history, which lives in the same key partition). ``close_missing``
+    is incompatible with the surgical layout (a full snapshot touches
+    EVERY key, so there is nothing to prune) and raises at construction.
+    A transactional format (Delta/Iceberg) replaces both with MERGE INTO.
     """
+    if partitions is not None and close_missing:
+        raise ValueError(
+            "close_missing touches every dimension key per epoch — "
+            "partition-surgical maintenance cannot help; use the "
+            "unpartitioned layout (partitions=None) for snapshot feeds"
+        )
+    from database_migration_spark.functions.io import (
+        PT_COL,
+        pt_expr,
+        publish_partitions,
+        resolve_partitions,
+        write_target_meta,
+    )
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
         if not batch.head(1):
@@ -274,7 +293,35 @@ def stream_scd2(
 
         s = batch.sparkSession
         ts = int(epoch_id) if batch_ts_of is None else batch_ts_of(epoch_id, batch)
-        if os.path.exists(dim_path):
+        n_pt = resolve_partitions(dim_path, keys, partitions)
+        exists = os.path.exists(dim_path)
+        if n_pt is not None:
+            # touched partitions from the batch's keys alone — the
+            # dimension is never scanned to find them
+            affected = sorted(
+                r[0]
+                for r in batch.select(
+                    pt_expr(keys, n_pt).alias(PT_COL)
+                ).distinct().collect()
+            )
+            if exists:
+                dim = s.read.parquet(dim_path).where(
+                    F.col(PT_COL).isin(affected)
+                )
+                merged = scd2_merge(
+                    dim.drop(PT_COL), batch, keys, attrs, ts,
+                    close_missing=False, persist=False,
+                )
+            else:
+                merged = scd2_bootstrap(batch, keys, attrs, ts)
+            publish_partitions(
+                merged.withColumn(PT_COL, pt_expr(keys, n_pt)),
+                dim_path, dim_path + f".epoch{epoch_id}", affected,
+            )
+            if not exists:
+                write_target_meta(dim_path, keys, n_pt)
+            return
+        if exists:
             dim = s.read.parquet(dim_path)
             merged = scd2_merge(
                 dim, batch, keys, attrs, ts,
@@ -553,9 +600,13 @@ def stream_interval_join(
 
 def read_cdc_target(spark: SparkSession, target_path: str) -> DataFrame:
     """The LIVE view of a :func:`stream_cdc_apply` target: tombstones
-    filtered, bookkeeping columns (``_seq``, ``_deleted``) dropped."""
+    filtered, bookkeeping columns (``_seq``, ``_deleted``, and the
+    partition-layout column when present) dropped."""
+    from database_migration_spark.functions.io import PT_COL
+
     t = spark.read.parquet(target_path)
-    return t.where(~F.col("_deleted")).drop("_seq", "_deleted")
+    drop = ["_seq", "_deleted"] + ([PT_COL] if PT_COL in t.columns else [])
+    return t.where(~F.col("_deleted")).drop(*drop)
 
 
 def stream_cdc_apply(
@@ -565,6 +616,7 @@ def stream_cdc_apply(
     checkpoint: str,
     seq_col: str = "seq",
     op_col: str = "op",
+    partitions: int | None = None,
 ):
     """Continuous CDC apply: each micro-batch of op-coded (I/U/D) events
     folds into the parquet target at ``target_path`` — the streaming form
@@ -592,10 +644,39 @@ def stream_cdc_apply(
 
     The stream must carry the full row image (base attributes) plus
     ``seq_col`` and ``op_col``; the target's business columns are the
-    stream's minus the bookkeeping. Storage is the stage-then-swap
-    parquet rewrite of the sibling streams; a transactional format
-    replaces it with MERGE INTO.
+    stream's minus the bookkeeping.
+
+    Storage — two shapes, resolved from the target's stored layout:
+
+    - ``partitions=None`` on a fresh target: plain parquet, stage-then-
+      swap FULL rewrite per epoch (the original shape — per-epoch cost
+      ∝ |target|, acceptable for small dimensions).
+    - ``partitions=N``: the target lays out ``partitionBy(_pt)`` with
+      ``_pt = pmod(md5_long(keys), N)`` and each epoch rewrites ONLY the
+      partitions the delta touches — derived from the delta's keys alone,
+      never by scanning the target. The fence read prunes to those
+      partitions at file listing (PartitionFilters), the merged slice
+      swaps in per directory, untouched partitions keep their file
+      identity: per-epoch cost ∝ |delta| + |touched partitions|, the
+      right asymptote for a 100 TB target (round-8 verdict's structural
+      item). The layout persists in ``_target_meta.json`` (the index-
+      metadata rule); later epochs/restarts resolve it from the store and
+      RAISE on explicit contradictions. Crash mid-swap leaves a prefix of
+      partitions swapped — each internally consistent, and the epoch's
+      replay (checkpoint not yet committed) re-fences both generations to
+      the same converged state.
+
+    A transactional format (Delta/Iceberg MERGE INTO) replaces both
+    dances at 100 TB; the partitioned shape is the plain-parquet
+    equivalent of its partition-level commit.
     """
+    from database_migration_spark.functions.io import (
+        PT_COL,
+        pt_expr,
+        publish_partitions,
+        resolve_partitions,
+        write_target_meta,
+    )
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
         if not batch.head(1):
@@ -605,6 +686,7 @@ def stream_cdc_apply(
         from database_migration_spark.operators.cdc import net_changes
 
         s = batch.sparkSession
+        n_pt = resolve_partitions(target_path, keys, partitions)
         net = net_changes(batch, keys, seq_col, op_col)
         base_cols = [c for c in batch.columns if c not in (seq_col, op_col)]
         rows = net.select(
@@ -612,31 +694,83 @@ def stream_cdc_apply(
             F.col(seq_col).cast("long").alias("_seq"),
             (F.col(op_col) == "D").alias("_deleted"),
         )
-        if os.path.exists(target_path):
-            tgt = s.read.parquet(target_path)
-            fence = tgt.select(
-                *keys, F.col("_seq").alias("_applied_seq")
-            )
-            fresh = (
-                rows.join(fence, keys, "left")
-                .where(
-                    F.col("_applied_seq").isNull()
-                    | (F.col("_seq") > F.col("_applied_seq"))
-                )
-                .drop("_applied_seq")
-            )
-            merged = fresh.unionByName(tgt.join(fresh.select(*keys), keys, "left_anti"))
-        else:
-            merged = rows
-        from database_migration_spark.functions.io import publish_parquet
+        if n_pt is not None:
+            rows = rows.withColumn(PT_COL, pt_expr(keys, n_pt))
+        exists = os.path.exists(target_path)
+        if n_pt is not None:
+            # delta feeds two consumers (affected-partition collect + the
+            # merge) — persist for the epoch, unpersist in the finally
+            # (operator-internal persists leak one entry per epoch)
+            from pyspark import StorageLevel
 
-        publish_parquet(merged, target_path, target_path + f".epoch{epoch_id}")
+            rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            if exists and n_pt is not None:
+                affected = sorted(
+                    r[0] for r in rows.select(PT_COL).distinct().collect()
+                )
+                tgt = s.read.parquet(target_path).where(
+                    F.col(PT_COL).isin(affected)
+                )
+                merged = _fence_merge(tgt, rows, keys)
+                publish_partitions(
+                    merged, target_path,
+                    target_path + f".epoch{epoch_id}", affected,
+                )
+            elif exists:
+                tgt = s.read.parquet(target_path)
+                merged = _fence_merge(tgt, rows, keys)
+                from database_migration_spark.functions.io import (
+                    publish_parquet,
+                )
+
+                publish_parquet(
+                    merged, target_path, target_path + f".epoch{epoch_id}"
+                )
+            elif n_pt is not None:
+                publish_partitions(
+                    rows, target_path, target_path + f".epoch{epoch_id}",
+                    sorted(
+                        r[0]
+                        for r in rows.select(PT_COL).distinct().collect()
+                    ),
+                )
+                write_target_meta(target_path, keys, n_pt)
+            else:
+                from database_migration_spark.functions.io import (
+                    publish_parquet,
+                )
+
+                publish_parquet(
+                    rows, target_path, target_path + f".epoch{epoch_id}"
+                )
+        finally:
+            if n_pt is not None:
+                rows.unpersist()
 
     return (
         stream.writeStream.foreachBatch(apply)
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
         .start()
+    )
+
+
+def _fence_merge(tgt: DataFrame, rows: DataFrame, keys: list[str]) -> DataFrame:
+    """The CDC fence + merge against a target (slice): events at or below
+    the key's applied ``_seq`` are dropped (stale), survivors replace
+    their key's row, unmentioned target rows pass through."""
+    fence = tgt.select(*keys, F.col("_seq").alias("_applied_seq"))
+    fresh = (
+        rows.join(fence, keys, "left")
+        .where(
+            F.col("_applied_seq").isNull()
+            | (F.col("_seq") > F.col("_applied_seq"))
+        )
+        .drop("_applied_seq")
+    )
+    return fresh.unionByName(
+        tgt.select(*fresh.columns).join(fresh.select(*keys), keys, "left_anti")
     )
 
 
@@ -648,15 +782,35 @@ def compact_cdc_target(
     lateness horizon (any event older than this is promised never to
     arrive, the same contract a watermark makes). Live rows are never
     dropped at any seq: the fence they carry still guards against stale
-    updates. Rewrites the target (stage-then-swap) and returns the
-    before/after tombstone counts."""
-    from database_migration_spark.functions.io import publish_parquet
+    updates. Returns the before/after tombstone counts.
+
+    On a key-hash-partitioned target (``partitions=`` at
+    :func:`stream_cdc_apply`) the pass is partition-surgical: one
+    column-pruned scan locates the partitions holding EXPIRED tombstones,
+    only those rewrite + swap — untouched partitions keep their file
+    identity. A plain target keeps the full stage-then-swap rewrite."""
+    from database_migration_spark.functions.io import (
+        PT_COL,
+        publish_parquet,
+        publish_partitions,
+        read_target_meta,
+    )
 
     t = spark.read.parquet(target_path)
+    expired = F.col("_deleted") & (F.col("_seq") < F.lit(int(min_live_seq)))
     before = t.where(F.col("_deleted")).count()
-    kept = t.where(
-        ~F.col("_deleted") | (F.col("_seq") >= F.lit(int(min_live_seq)))
-    )
-    publish_parquet(kept, target_path, target_path + ".compact-tmp")
+    if read_target_meta(target_path) is not None:
+        affected = sorted(
+            r[0]
+            for r in t.where(expired).select(PT_COL).distinct().collect()
+        )
+        if affected:
+            kept = t.where(F.col(PT_COL).isin(affected)).where(~expired)
+            publish_partitions(
+                kept, target_path, target_path + ".compact-tmp", affected
+            )
+    else:
+        kept = t.where(~expired)
+        publish_parquet(kept, target_path, target_path + ".compact-tmp")
     after = spark.read.parquet(target_path).where(F.col("_deleted")).count()
     return {"tombstones_before": before, "tombstones_after": after}

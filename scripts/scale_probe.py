@@ -616,6 +616,158 @@ def cdc_stream_probe(spark, n_epochs: int = 4) -> dict:
     return out
 
 
+def cdc_surgical_probe(spark, partitions: int = 256) -> dict:
+    """The round-9 asymptote fix, measured: a 15 M-key (×100) CDC target
+    maintained in the key-hash-partitioned layout
+    (stream_cdc_apply(partitions=N)) vs the plain full-rewrite layout.
+    The claim under test: plain epochs cost ∝ |target| no matter how
+    small the delta (r8 measured flat 6-7 s at ×10; at ×100 the rewrite
+    is ~10× that), surgical epochs cost ∝ |delta| + |touched partitions|.
+    The epoch schedule sweeps TOUCHED PARTITIONS (the cost driver —
+    uniform random keys touch min(|delta|, N) partitions, so at
+    production N the tiny-delta epoch touches a sliver): all partitions
+    (uniform 10 %), 4 partitions, 1 partition; the plain contrast applies
+    the SAME single-partition delta after its own bootstrap. Also
+    re-verifies convergence (live view == batch apply_cdc over the
+    distinct feed) and surgical compaction at volume.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from database_migration_spark import queries as Q
+    from database_migration_spark.functions.io import pt_expr
+    from database_migration_spark.operators.cdc import apply_cdc
+    from database_migration_spark.streaming.delta_stream import (
+        compact_cdc_target,
+        read_cdc_target,
+        stream_cdc_apply,
+    )
+
+    src_dir = OUT100 if os.path.exists(
+        os.path.join(OUT100, "orders.parquet")
+    ) else OUT
+    base = Q.table(spark, src_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    pt = pt_expr(["k"], partitions)
+
+    # epoch schedule: bootstrap; uniform 10% (touches every partition);
+    # a 4-partition delta; a 1-partition delta; a 1% delete wave (for the
+    # compaction leg). seqs strictly grow so every update lands.
+    def epoch_df(e: int):
+        if e == 0:
+            return base.select(
+                "*", F.lit(1).alias("seq"), F.lit("I").alias("op")
+            )
+        if e == 1:
+            sel = F.pmod("k", F.lit(10)) == 1
+        elif e == 2:
+            sel = pt.isin([3, 64, 129, 200])
+        elif e == 3:
+            sel = pt == 7
+        else:
+            return base.where(F.pmod("k", F.lit(97)) == 3).select(
+                "k", "cust", "status", "price",
+                F.lit(10 * e).alias("seq"), F.lit("D").alias("op"),
+            )
+        return base.where(sel).select(
+            "k", "cust", F.lit(f"U{e}").alias("status"),
+            (F.col("price") + e).alias("price"),
+            F.lit(10 * e).alias("seq"), F.lit("U").alias("op"),
+        )
+
+    n_epochs = 5
+    schema = epoch_df(0).schema
+
+    def run(tag: str, n_pt):
+        work = tempfile.mkdtemp(prefix=f"cdc_surgical_{tag}")
+        src = os.path.join(work, "feed")
+        os.makedirs(src)
+        target = os.path.join(work, "target")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = stream_cdc_apply(
+            stream, target, ["k"], os.path.join(work, "ckpt"),
+            partitions=n_pt,
+        )
+        epochs = []
+        try:
+            for e in range(n_epochs):
+                delta = epoch_df(e)
+                n_delta = delta.count()
+                touched = delta.select(pt.alias("p")).distinct().count()
+                delta.coalesce(1).write.parquet(os.path.join(src, f"e{e:02d}"))
+                t0 = time.time()
+                q.processAllAvailable()
+                epochs.append(
+                    {"epoch": e, "delta_rows": n_delta,
+                     "touched_partitions": touched,
+                     "sec": round(time.time() - t0, 2)}
+                )
+        finally:
+            q.stop()
+        return work, src, target, epochs
+
+    out: dict = {"partitions": partitions, "corpus": src_dir}
+    work_p, src_p, target_p, out["surgical_epochs"] = run("part", partitions)
+
+    # convergence at volume: live view == batch apply of the distinct feed
+    all_events = spark.read.parquet(src_p + "/*").distinct()
+    expected = apply_cdc(base.limit(0), all_events, ["k"], "seq", "op")
+    live = read_cdc_target(spark, target_p)
+    out["live_rows"] = live.count()
+    out["converged"] = (
+        live.unionByName(expected).groupBy(*live.columns)
+        .count().where(F.col("count") != 2).count() == 0
+    )
+
+    # surgical compaction: the delete wave just applied is 1% of keys →
+    # ~spread partitions; expire all of them and time the pass
+    t0 = time.time()
+    counts = compact_cdc_target(spark, target_p, min_live_seq=10 ** 9)
+    out["compact_sec"] = round(time.time() - t0, 2)
+    out.update(counts)
+    shutil.rmtree(work_p, ignore_errors=True)
+
+    # plain-layout contrast: bootstrap + the SAME single-partition delta —
+    # the full rewrite makes the tiny epoch cost what the bootstrap costs
+    work_q = tempfile.mkdtemp(prefix="cdc_surgical_plain")
+    src_q = os.path.join(work_q, "feed")
+    os.makedirs(src_q)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_q + "/*")
+    )
+    q = stream_cdc_apply(
+        stream, os.path.join(work_q, "target"), ["k"],
+        os.path.join(work_q, "ckpt"),
+    )
+    plain = []
+    try:
+        for e in (0, 3):
+            delta = epoch_df(e)
+            n_delta = delta.count()
+            delta.coalesce(1).write.parquet(os.path.join(src_q, f"e{e:02d}"))
+            t0 = time.time()
+            q.processAllAvailable()
+            plain.append({"epoch": e, "delta_rows": n_delta,
+                          "sec": round(time.time() - t0, 2)})
+    finally:
+        q.stop()
+    out["plain_epochs"] = plain
+    shutil.rmtree(work_q, ignore_errors=True)
+    return out
+
+
 def main() -> int:
     from database_migration_spark import get_spark
     from database_migration_spark import queries as Q
@@ -977,6 +1129,8 @@ def main() -> int:
         out["bm25_compare"] = bm25_compare(spark)
     if "--cdc-stream" in sys.argv:
         out["cdc_stream"] = cdc_stream_probe(spark)
+    if "--cdc-surgical" in sys.argv:
+        out["cdc_surgical"] = cdc_surgical_probe(spark)
     if "--semantic-bits" in sys.argv:
         # semantic dedup's own scale rule: cells (2^bits) must grow with N
         # to hold E|cell| — and with it the within-cell quadratic term —

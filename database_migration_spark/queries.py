@@ -5419,14 +5419,23 @@ _SHOWCASE_ONLY = [
     # full-probe-full-rerank==brute-L2, and partitioning-invariance
     # pytests (test_dedup_similarity)
     "ivf_pq_topk_embeddings",
-    # showcase from birth (round 8): systematic PPS sampling — its
-    # machinery (md5-hash-ordered exclusive running-sum window + exact
-    # integer div/pmod grid arithmetic) is the GRADED sequence_pack /
-    # budget-sample family and the pairing cell template; the NEW claim
-    # (the weight-interval grid-point selection rule incl. the negative
-    # first-row lo) is what the oracle pins; sim-verified + weighted-mass
-    # / determinism pytests (test_sampling)
-    "pps_sample_documents",
+    # round-9 rotation: pps_sample_documents PROMOTED into the graded
+    # window (weighted probability-proportional-to-size sampling is a
+    # capability class the window proved nowhere — domain_mix grades a
+    # RATE filter, budget/sequence_pack grade prefix/packing; the
+    # weight-interval grid-point selection rule is new machinery and its
+    # grid-arithmetic oracle is strong), displacing repetition_documents,
+    # whose machinery stays graded four ways: the integer-ppm single-scan
+    # text-scoring family via quality_documents AND the promoted
+    # quality_classifier_documents (which aggregates the IDENTICAL
+    # term_frequencies tokenization), per-doc n-gram relations + grouped
+    # char-mass aggregates via bigram_lm_stats (token bigrams, same
+    # tokenizer) and the span-dedup pair dup_span_coverage /
+    # remove_dup_spans (positioned gram relations over documents), and
+    # the single-projection text-scorer class itself stays graded via
+    # lang_id_documents; repetition_documents remains sim-verified with
+    # its full-pipeline SQL oracle + pytests (test_delta_star_text)
+    "repetition_documents",
     # round-8 rotation: quality_classifier_documents PROMOTED into the
     # graded window (model-apply filtering — a hashed-feature classifier
     # scoring every document — is a capability class the window proved

@@ -244,6 +244,33 @@ def _deletion_keys(col) -> F.Column:
     return F.array_union(F.array(F.col(col)), variants)
 
 
+def _positioned_keys(col) -> F.Column:
+    """The position-carrying form of :func:`_deletion_keys` (FastSS's
+    position filter, measured round 9): index 0 is the string itself,
+    index i ≥ 1 the variant with character i deleted — ``posexplode``
+    turns it into (pos, variant) rows. Two strings at lev≤1 ALWAYS share
+    a key under the filter ``pos_a = pos_b OR pos_a = 0 OR pos_b = 0``:
+    a substitution at position i shares the pos-i variant on both sides,
+    an insert/delete pair shares (shorter string, pos 0) vs (deletion at
+    the insert point, pos i), an equal pair shares pos 0. And NOTHING
+    else passes: s\\\\i == t\\\\i with s != t forces the difference to sit
+    exactly at i (lev 1), and a pos-0 match literally IS the other
+    string's deletion variant (lev 1) — so the filter admits true pairs
+    ONLY, killing the distance-2 false-positive class ("ab"/"ba" sharing
+    "a" at different positions) that measured 74 % of candidate volume
+    at ×100 (99.9 M candidates for 26.25 M true pairs). Duplicates are
+    NOT deduped (unlike _deletion_keys): a repeated-char run yields the
+    same variant at several positions, and dropping all but one breaks
+    the same-position guarantee ("ba"/"bb" share variant "b" only at
+    pos 2, but "bb" dedupes it to pos 1)."""
+    return F.expr(
+        f"concat(array({col}), "
+        f"transform(sequence(1, length({col})), i -> "
+        f"concat(substring({col}, 1, i - 1), "
+        f"substring({col}, i + 1, length({col})))))"
+    )
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
@@ -286,9 +313,14 @@ def fuzzy_join(
         )
 
     def keyed_of(names: DataFrame) -> DataFrame:
+        # (id, key hash, FastSS deletion position) — the same positioned
+        # blocking as edit_distance_pairs; pos 0 = the string itself
         k = names.select(
-            "_id", F.explode(_deletion_keys("_s")).alias("_v")
-        ).select("_id", md5_long(F.col("_v")).alias("_k"))
+            "_id", F.posexplode(_positioned_keys("_s")).alias("_pos", "_v")
+        ).select(
+            "_id", md5_long(F.col("_v")).alias("_k"),
+            F.col("_pos").cast("int").alias("_pos"),
+        )
         if max_block is not None:
             from database_migration_spark.operators.dedup import _cap_buckets
 
@@ -297,8 +329,18 @@ def fuzzy_join(
 
     lnames, rnames = dict_of(left, left_col), dict_of(right, right_col)
     cands = (
-        keyed_of(lnames).select(F.col("_id").alias("_ida"), "_k")
-        .join(keyed_of(rnames).select(F.col("_id").alias("_idb"), "_k"), "_k")
+        keyed_of(lnames).select(F.col("_id").alias("_ida"), "_k",
+                                F.col("_pos").alias("_pa"))
+        .join(
+            keyed_of(rnames).select(F.col("_id").alias("_idb"), "_k",
+                                    F.col("_pos").alias("_pb")),
+            "_k",
+        )
+        .where(
+            (F.col("_pa") == F.col("_pb"))
+            | (F.col("_pa") == 0)
+            | (F.col("_pb") == 0)
+        )
         .select("_ida", "_idb")
         .distinct()
     )
@@ -374,10 +416,18 @@ def edit_distance_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # explode map-side, hash each variant, DROP the variant string before
-    # anything shuffles: the keyed relation is two longs per variant
+    # anything shuffles: the keyed relation is (long, long, int) per
+    # variant — id, key hash, and the FastSS deletion position (0 = the
+    # string itself). The position filter below admits TRUE pairs only
+    # (see _positioned_keys): at ×100 it cut candidate volume 99.9 M →
+    # 26.5 M (the 74 % false-positive class) before the pair-distinct and
+    # the verify, the two stages that dominated edge generation.
     keyed = names.select(
-        "_id", F.explode(_deletion_keys("_s")).alias("_v")
-    ).select("_id", md5_long(F.col("_v")).alias("_k"))
+        "_id", F.posexplode(_positioned_keys("_s")).alias("_pos", "_v")
+    ).select(
+        "_id", md5_long(F.col("_v")).alias("_k"),
+        F.col("_pos").cast("int").alias("_pos"),
+    )
     if max_block is not None:
         from database_migration_spark.operators.dedup import _cap_buckets
 
@@ -387,11 +437,18 @@ def edit_distance_pairs(
         # defeat ReusedExchange, so persist (the capped path persists
         # inside _cap_buckets already)
         keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
-    a = keyed.select(F.col("_id").alias("_ida"), "_k")
-    b = keyed.select(F.col("_id").alias("_idb"), "_k")
+    a = keyed.select(F.col("_id").alias("_ida"), "_k",
+                     F.col("_pos").alias("_pa"))
+    b = keyed.select(F.col("_id").alias("_idb"), "_k",
+                     F.col("_pos").alias("_pb"))
     cands = (
         a.join(b, "_k")
         .where(F.col("_ida") < F.col("_idb"))
+        .where(
+            (F.col("_pa") == F.col("_pb"))
+            | (F.col("_pa") == 0)
+            | (F.col("_pb") == 0)
+        )
         .select("_ida", "_idb")
         .distinct()
     )

@@ -158,3 +158,55 @@ def test_pairing_plans_have_no_nested_loop_join(spark):
     for plan in (plan1, plan2):
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+# round 9: the FastSS position filter — candidates must remain EXACT for
+# lev<=1 (the filter kills distance-2 false positives only)
+
+
+def test_edit_distance_pairs_position_filter_exactness(spark):
+    """The repeated-char trap that rules out position-deduped variants:
+    'ba'/'bb' share deletion variant 'b' ONLY at position 2 ('bb' also
+    yields it at position 1) — a min-position dedup would miss the pair.
+    And the filter must still kill the classic distance-2 class
+    ('ab'/'ba' share 'a'/'b' at DIFFERENT positions)."""
+    from database_migration_spark.operators.pairing import (
+        edit_distance_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [("ba",), ("bb",), ("ab",), ("a",), ("b",), ("aab",)], "s STRING"
+    )
+    got = {
+        (r.name_a, r.name_b)
+        for r in edit_distance_pairs(df, "s").collect()
+    }
+    want = {
+        ("ba", "bb"),   # substitution inside a repeated-char run
+        ("ab", "bb"),   # substitution at position 1
+        ("ab", "b"),    # deletion
+        ("a", "ab"),    # insertion
+        ("a", "b"),     # single-char substitution (empty variant, pos 1)
+        ("a", "ba"),    # insertion at front
+        ("b", "bb"),    # insertion
+        ("b", "ba"),    # insertion
+        ("aab", "ab"),  # insertion inside the run
+    }
+    assert got == want
+    # the distance-2 class is gone at the CANDIDATE level, not just the
+    # verify: ('ab','ba') shares variants only at different positions
+    assert ("ab", "ba") not in got and ("aab", "ba") not in got
+
+
+def test_fuzzy_join_position_filter_keeps_exact_and_lev1(spark):
+    """Cross-relation form: exact matches (dist 0, pos-0 keys) and the
+    repeated-char substitution both survive the position filter."""
+    from database_migration_spark.operators.pairing import fuzzy_join
+
+    left = spark.createDataFrame([("bb",), ("same",)], "v STRING")
+    right = spark.createDataFrame([("ba",), ("same",), ("xx",)], "w STRING")
+    got = {
+        (r.left_value, r.right_value, r.dist)
+        for r in fuzzy_join(left, right, "v", "w").collect()
+    }
+    assert got == {("bb", "ba", 1), ("same", "same", 0)}

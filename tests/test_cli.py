@@ -1494,3 +1494,129 @@ def test_cli_ann_drift_gates_rebuild(spark, sf_smoke, tmp_path, capsys):
     rc = main(["ann", "drift", "--index", index, "--corpus", flat_dir])
     cap = capsys.readouterr()
     assert rc == 1 and _json.loads(cap.out)["tv_ppm"] > 500_000
+
+
+# round 9: sample subcommand — the training-data draw behind one CLI
+# (the dedup/ann treatment applied to the sampling family)
+
+
+def test_cli_sample_draws_end_to_end(spark, sf_smoke, tmp_path, capsys):
+    """Each action through the real CLI against the documents table, with
+    EXACT expected counts (deterministic md5 draws: the CLI must agree
+    with the library operator row for row)."""
+    from database_migration_spark.operators.sampling import (
+        hash_split,
+        pps_systematic_sample,
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+
+    # pps: n=50 over n_chars — expected ids from the library operator
+    want_pps = {
+        r.doc_id
+        for r in pps_systematic_sample(docs, "doc_id", "n_chars", 50).collect()
+    }
+    out = str(tmp_path / "pps")
+    rc = main(["sample", "pps", "--source", sf_smoke, "--table", "documents",
+               "--weight-col", "n_chars", "--n", "50", "--out", out])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert f"sample pps: {len(want_pps)}/500 rows kept" in cap.out
+    assert "weight mass kept:" in cap.out
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == want_pps
+
+    # stratified: 3 per source over 20 sources = exactly 60, same ids
+    want_strat = {
+        r.doc_id
+        for r in stratified_sample(docs, ["source"], "doc_id", 3).collect()
+    }
+    rc = main(["sample", "stratified", "--source", sf_smoke, "--table",
+               "documents", "--strata-cols", "source",
+               "--n-per-stratum", "3", "--dry-run"])
+    cap = capsys.readouterr()
+    assert rc == 0 and len(want_strat) == 60
+    assert "sample stratified: 60/500 rows kept" in cap.out
+    assert "strata: 20" in cap.out
+    assert "dry run" in cap.err
+
+    # mix: keep ALL of src0, none of src1 (exact per-domain counts)
+    rc = main(["sample", "mix", "--source", sf_smoke, "--table",
+               "documents", "--domain-col", "source",
+               "--weights", "src0=1000000,src1=0", "--dry-run"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "sample mix: 25/500 rows kept" in cap.out
+    assert "kept per domain: src0=25, src1=0" in cap.out
+
+    # split: per-split counts match the library call exactly
+    lib = {
+        r.split: r["count"]
+        for r in hash_split(docs, "doc_id").groupBy("split").count().collect()
+    }
+    rc = main(["sample", "split", "--source", sf_smoke, "--table",
+               "documents", "--dry-run"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert (
+        f"split counts: train={lib.get('train', 0)}, "
+        f"val={lib.get('val', 0)}, test={lib.get('test', 0)}" in cap.out
+    )
+
+    # calibrate with a top-40% gate per source: 500 docs, 20 groups of 25
+    # -> pct_ppm >= 600000 keeps ranks 16..25 of each group = 200 rows
+    out2 = str(tmp_path / "cal")
+    rc = main(["sample", "calibrate", "--source", sf_smoke, "--table",
+               "documents", "--score-col", "n_chars", "--group-cols",
+               "source", "--threshold-ppm", "600000", "--out", out2])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "sample calibrate: 200/500 rows kept" in cap.out
+    cal = spark.read.parquet(out2)
+    assert cal.count() == 200 and "pct_ppm" in cal.columns
+    assert cal.agg({"pct_ppm": "min"}).collect()[0][0] >= 600_000
+
+
+def test_cli_sample_bad_params_exit_2(spark, sf_smoke, tmp_path, capsys):
+    """rc=2 with a naming message on every bad-parameter class."""
+    # missing per-action args
+    rc = main(["sample", "pps", "--source", sf_smoke, "--table",
+               "documents", "--dry-run"])
+    assert rc == 2
+    assert "--weight-col" in capsys.readouterr().err
+    # draw with no destination and no --dry-run
+    rc = main(["sample", "split", "--source", sf_smoke, "--table",
+               "documents"])
+    assert rc == 2
+    assert "--out" in capsys.readouterr().err
+    # unknown column
+    rc = main(["sample", "pps", "--source", sf_smoke, "--table",
+               "documents", "--weight-col", "nope", "--n", "5",
+               "--dry-run"])
+    assert rc == 2
+    assert "nope" in capsys.readouterr().err
+    # bad mixture rate (ppm out of range)
+    rc = main(["sample", "mix", "--source", sf_smoke, "--table",
+               "documents", "--domain-col", "source",
+               "--weights", "src0=2000000", "--dry-run"])
+    assert rc == 2
+    assert "parts-per-million" in capsys.readouterr().err
+    # malformed weights entry
+    rc = main(["sample", "mix", "--source", sf_smoke, "--table",
+               "documents", "--domain-col", "source",
+               "--weights", "src0", "--dry-run"])
+    assert rc == 2
+    assert "domain=ppm" in capsys.readouterr().err
+    # n < 1
+    rc = main(["sample", "pps", "--source", sf_smoke, "--table",
+               "documents", "--weight-col", "n_chars", "--n", "0",
+               "--dry-run"])
+    assert rc == 2
+    assert ">= 1" in capsys.readouterr().err
+    # degenerate split
+    rc = main(["sample", "split", "--source", sf_smoke, "--table",
+               "documents", "--val-permille", "600",
+               "--test-permille", "500", "--dry-run"])
+    assert rc == 2
+    assert "below" in capsys.readouterr().err

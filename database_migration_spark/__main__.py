@@ -662,20 +662,50 @@ def cmd_scd2(args) -> int:
         else [c for c in source.columns if c not in keys]
     )
     attrs = [by_upper.get(a.upper(), a) for a in attrs]
+    from pyspark.sql import functions as F
+
+    from database_migration_spark.functions.io import (
+        PT_COL,
+        publish_parquet,
+        publish_partitions,
+        pt_expr,
+        resolve_partitions,
+        write_target_meta,
+    )
+
+    try:
+        n_pt = resolve_partitions(args.target, keys, args.partitions)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    if n_pt is not None and args.close_missing:
+        print("error: --close-missing touches every dimension key (a "
+              "snapshot feed) — partition-surgical maintenance cannot "
+              "help; use the unpartitioned layout", file=sys.stderr)
+        return 2
+    affected = (
+        sorted(
+            r[0]
+            for r in source.select(pt_expr(keys, n_pt).alias(PT_COL))
+            .distinct().collect()
+        )
+        if n_pt is not None
+        else None
+    )
     exists = os.path.exists(args.target)
     if not exists:
         ts = args.ts if args.ts is not None else 0
         dim = scd2_bootstrap(source.select(*keys, *attrs), keys, attrs, ts)
         action = "bootstrap"
     else:
-        from pyspark.sql import functions as F
-
         cur = spark.read.parquet(args.target)
         ts = (
             args.ts
             if args.ts is not None
             else (cur.agg(F.max("valid_from")).collect()[0][0] or 0) + 1
         )
+        if n_pt is not None:
+            cur = cur.where(F.col(PT_COL).isin(affected)).drop(PT_COL)
         try:
             dim = scd2_merge(cur, source, keys, attrs, ts,
                              close_missing=args.close_missing)
@@ -683,9 +713,19 @@ def cmd_scd2(args) -> int:
             print(f"error: {e}", file=sys.stderr)
             return 2
         action = "merge"
-    from database_migration_spark.functions.io import publish_parquet
-
-    publish_parquet(dim, args.target, args.target + ".scd2-tmp")
+    if n_pt is not None:
+        # key-hash layout: rewrite + swap ONLY the partitions the source
+        # batch touches — derived from the batch's keys alone (the
+        # stream_scd2(partitions=) machinery); the layout persists in
+        # _target_meta.json
+        publish_partitions(
+            dim.withColumn(PT_COL, pt_expr(keys, n_pt)),
+            args.target, args.target + ".scd2-tmp", affected,
+        )
+        if not exists:
+            write_target_meta(args.target, keys, n_pt)
+    else:
+        publish_parquet(dim, args.target, args.target + ".scd2-tmp")
     final = spark.read.parquet(args.target)
     n_open = final.where("is_current").count()
     n_all = final.count()
@@ -1214,8 +1254,38 @@ def cmd_cdc(args) -> int:
         return 0
     import os
 
-    if os.path.exists(args.target):
+    from pyspark.sql import functions as F
+
+    from database_migration_spark.functions.io import (
+        PT_COL,
+        publish_parquet,
+        publish_partitions,
+        pt_expr,
+        resolve_partitions,
+        write_target_meta,
+    )
+
+    try:
+        n_pt = resolve_partitions(args.target, keys, args.partitions)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    exists = os.path.exists(args.target)
+    affected = (
+        sorted(
+            r[0]
+            for r in events.select(pt_expr(keys, n_pt).alias(PT_COL))
+            .distinct().collect()
+        )
+        if n_pt is not None
+        else None
+    )
+    if exists:
         base = spark.read.parquet(args.target)
+        if n_pt is not None:
+            # key-hash layout: only the partitions the feed's keys touch
+            # join the apply and rewrite (the stream_cdc_apply machinery)
+            base = base.where(F.col(PT_COL).isin(affected)).drop(PT_COL)
     else:
         # bootstrap: an empty base with the feed's business columns
         base = events.drop(args.seq_col, args.op_col).limit(0)
@@ -1224,9 +1294,15 @@ def cmd_cdc(args) -> int:
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
-    from database_migration_spark.functions.io import publish_parquet
-
-    publish_parquet(merged, args.target, args.target + ".cdc-tmp")
+    if n_pt is not None:
+        publish_partitions(
+            merged.withColumn(PT_COL, pt_expr(keys, n_pt)),
+            args.target, args.target + ".cdc-tmp", affected,
+        )
+        if not exists:
+            write_target_meta(args.target, keys, n_pt)
+    else:
+        publish_parquet(merged, args.target, args.target + ".cdc-tmp")
     n = spark.read.parquet(args.target).count()
     print(f"target now has {n} rows")
     return 0
@@ -2077,6 +2153,11 @@ def main(argv: list[str] | None = None) -> int:
     sc.add_argument("--close-missing", action="store_true",
                     help="treat the source as a FULL snapshot: absent "
                     "entities soft-delete (open version closes)")
+    sc.add_argument("--partitions", type=int, default=None,
+                    help="key-hash partition the dimension into N buckets "
+                    "so each run rewrites only the partitions the batch "
+                    "touches (stored in _target_meta.json; resolved from "
+                    "the store on later runs)")
     sc.set_defaults(fn=cmd_scd2)
 
     pl = sub.add_parser("pipeline", help="corpus cleaning: quality -> "
@@ -2184,6 +2265,11 @@ def main(argv: list[str] | None = None) -> int:
     cd.add_argument("--op-col", default="op")
     cd.add_argument("--dry-run", action="store_true",
                     help="print per-op event/net counts only")
+    cd.add_argument("--partitions", type=int, default=None,
+                    help="key-hash partition the target into N buckets so "
+                    "each apply rewrites only the partitions the feed "
+                    "touches (stored in _target_meta.json; resolved from "
+                    "the store on later runs)")
     cd.set_defaults(fn=cmd_cdc)
 
     dd = sub.add_parser("dedup", help="fingerprint-index lifecycle: build/"

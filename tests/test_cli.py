@@ -1620,3 +1620,113 @@ def test_cli_sample_bad_params_exit_2(spark, sf_smoke, tmp_path, capsys):
                "--test-permille", "500", "--dry-run"])
     assert rc == 2
     assert "below" in capsys.readouterr().err
+
+
+# round 9: --partitions on the batch scd2/cdc subcommands — the CLI reach
+# of the partition-surgical target maintenance
+
+
+def test_cli_cdc_partitioned_is_surgical_and_matches_plain(
+    spark, tmp_path, capsys
+):
+    """cdc --partitions: the second apply rewrites ONLY the partitions the
+    feed touches (untouched dirs byte-identical), results equal the plain
+    layout's, and a layout contradiction is a clean rc=2."""
+    import os
+
+    from database_migration_spark.functions.io import PT_COL
+
+    schema = "k LONG, v STRING, seq LONG, op STRING"
+    ev0, ev1 = str(tmp_path / "pe0"), str(tmp_path / "pe1")
+    spark.createDataFrame(
+        [(k, f"v{k}", 10, "I") for k in range(32)], schema
+    ).write.parquet(f"{ev0}/events.parquet")
+    spark.createDataFrame(
+        [(7, "v7b", 20, "U"), (9, "x", 20, "D")], schema
+    ).write.parquet(f"{ev1}/events.parquet")
+
+    def snap(path):
+        out = {}
+        for root, _, files in os.walk(path):
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, path)] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    tgt = str(tmp_path / "ptgt")
+    rc = main(["cdc", "--events", ev0, "--target", tgt, "--keys", "k",
+               "--partitions", "8"])
+    assert rc == 0
+    assert os.path.exists(f"{tgt}/_target_meta.json")
+    s0 = snap(tgt)
+    # second apply resolves the layout from the store (no flag passed)
+    rc = main(["cdc", "--events", ev1, "--target", tgt, "--keys", "k"])
+    cap = capsys.readouterr()
+    assert rc == 0 and "target now has 31 rows" in cap.out
+    s1 = snap(tgt)
+    got = {r.k: r.v for r in spark.read.parquet(tgt).drop(PT_COL).collect()}
+    want = {k: f"v{k}" for k in range(32) if k != 9}
+    want[7] = "v7b"
+    assert got == want
+    # untouched partitions kept their file identity
+    from database_migration_spark.functions.io import pt_expr
+
+    pts = {
+        r["k"]: r["p"]
+        for r in spark.createDataFrame([(7,), (9,)], "k LONG")
+        .select("k", pt_expr(["k"], 8).alias("p")).collect()
+    }
+    touched = {f"{PT_COL}={pts[7]}", f"{PT_COL}={pts[9]}"}
+    untouched = lambda s: {  # noqa: E731
+        p: v for p, v in s.items()
+        if p.split(os.sep)[0] not in touched and not p.endswith(".json")
+    }
+    assert untouched(s0) == untouched(s1)
+    # contradicting the stored layout is a clean error
+    rc = main(["cdc", "--events", ev1, "--target", tgt, "--keys", "k",
+               "--partitions", "16"])
+    assert rc == 2 and "partitions=16" in capsys.readouterr().err
+
+
+def test_cli_scd2_partitioned_matches_plain(spark, tmp_path, capsys):
+    """scd2 --partitions: bootstrap + drifted merge produce the same
+    dimension content as the plain layout; close_missing + partitions is
+    a clean rc=2."""
+    from database_migration_spark.functions.io import PT_COL
+
+    schema = "id long, seg string"
+
+    def run(tag, extra):
+        src = tmp_path / f"s9_{tag}"
+        src.mkdir()
+        spark.createDataFrame([(1, "A"), (2, "B")], schema).coalesce(1) \
+            .write.parquet(str(src / "items.parquet"))
+        dim = str(tmp_path / f"d9_{tag}")
+        rc = main(["scd2", "--source", str(src), "--table", "items",
+                   "--target", dim, "--keys", "id"] + extra)
+        assert rc == 0
+        spark.createDataFrame([(2, "B2"), (3, "C")], schema).coalesce(1) \
+            .write.parquet(str(src / "items.parquet"), mode="overwrite")
+        # the second run resolves the layout from the store
+        rc = main(["scd2", "--source", str(src), "--table", "items",
+                   "--target", dim, "--keys", "id"])
+        assert rc == 0
+        df = spark.read.parquet(dim)
+        if PT_COL in df.columns:
+            df = df.drop(PT_COL)
+        return {tuple(r) for r in df.select(
+            "id", "seg", "valid_from", "valid_to", "is_current").collect()}
+
+    assert run("plain", []) == run("part", ["--partitions", "4"]) == {
+        (1, "A", 0, None, True),
+        (2, "B", 0, 1, False),
+        (2, "B2", 1, None, True),
+        (3, "C", 1, None, True),
+    }
+
+    rc = main(["scd2", "--source", str(tmp_path / "s9_plain"), "--table",
+               "items", "--target", str(tmp_path / "d9_x"), "--keys", "id",
+               "--partitions", "4", "--close-missing"])
+    assert rc == 2
+    assert "close-missing" in capsys.readouterr().err

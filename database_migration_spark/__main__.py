@@ -1509,6 +1509,9 @@ def cmd_sample(args) -> int:
     - ``split``: salted deterministic train/val/test assignment.
     - ``calibrate``: per-group percentile rank (integer ppm) of a score
       column, optionally gated at ``--threshold-ppm``.
+    - ``topmass``: keep the highest-scoring rows per group until they
+      cover ``--mass-ppm`` of the group's weight (division-free exact
+      arithmetic).
 
     ``--dry-run`` prints the exact draw counts and writes nothing;
     otherwise ``--out`` is required (a draw must land somewhere). Bad
@@ -1524,6 +1527,7 @@ def cmd_sample(args) -> int:
         percentile_calibrate,
         pps_systematic_sample,
         stratified_sample,
+        top_mass_sample,
     )
     from database_migration_spark.session import get_spark
 
@@ -1534,6 +1538,7 @@ def cmd_sample(args) -> int:
         "mix": ("weights", "domain_col"),
         "split": (),
         "calibrate": ("score_col",),
+        "topmass": ("score_col", "weight_col", "mass_ppm"),
     }[args.action]
     missing = [
         "--" + a.replace("_", "-") for a in need if getattr(args, a) is None
@@ -1653,6 +1658,19 @@ def cmd_sample(args) -> int:
             got = {r[0]: r[1] for r in out.groupBy("split").count().collect()}
             per_group_report = "split counts: " + ", ".join(
                 f"{s}={got.get(s, 0)}" for s in ("train", "val", "test")
+            )
+        elif args.action == "topmass":
+            out = top_mass_sample(
+                df, args.id_col, args.score_col, args.weight_col,
+                args.mass_ppm, group_cols=group_cols or None,
+            )
+            wv = F.col(args.weight_col).cast("long")
+            kept_mass, total_mass = (
+                out.agg(F.sum(wv)).collect()[0][0] or 0,
+                df.agg(F.sum(wv)).collect()[0][0] or 0,
+            )
+            per_group_report = (
+                f"weight mass kept: {kept_mass}/{total_mass}"
             )
         else:  # calibrate
             if not 0 <= args.threshold_ppm <= 1_000_000:
@@ -2350,7 +2368,7 @@ def main(argv: list[str] | None = None) -> int:
                         "corpus table, deterministic and integer-exact")
     sa.add_argument("action",
                     choices=["pps", "stratified", "budget", "mix",
-                             "split", "calibrate"])
+                             "split", "calibrate", "topmass"])
     sa.add_argument("--source", required=True,
                     help="corpus table directory or jdbc: URL")
     sa.add_argument("--table", help="table name when the dir holds several")
@@ -2361,7 +2379,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated per-group columns "
                     "(pps/budget/calibrate)")
     sa.add_argument("--weight-col", default=None,
-                    help="pps: weight column (e.g. token/byte count)")
+                    help="pps/topmass: weight column (e.g. token/byte "
+                    "count)")
+    sa.add_argument("--mass-ppm", type=int, default=None,
+                    help="topmass: weight-mass coverage target, ppm")
     sa.add_argument("--n", type=int, default=None,
                     help="pps: target sample size per group")
     sa.add_argument("--offset", type=int, default=0,
@@ -2383,7 +2404,7 @@ def main(argv: list[str] | None = None) -> int:
                     help="split: hash salt (keeps the split independent "
                     "of every other hash decision)")
     sa.add_argument("--score-col", default=None,
-                    help="calibrate: raw score column")
+                    help="calibrate/topmass: raw score column")
     sa.add_argument("--threshold-ppm", type=int, default=0,
                     help="calibrate: keep rows at/above this per-group "
                     "percentile (ppm); 0 = no gate, emit pct_ppm only")

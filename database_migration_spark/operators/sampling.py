@@ -356,3 +356,63 @@ def percentile_calibrate(
             "ELSE ((_rn - 1) * 1000000) div (_n - 1) END"
         ).cast("long"),
     ).drop("_rn", "_n")
+
+
+def top_mass_sample(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    weight_col: str,
+    mass_ppm: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quality-mass selection: within each group, keep the HIGHEST-scoring
+    rows until they cover ``mass_ppm`` (parts-per-million) of the group's
+    total weight — "the best documents covering 60 % of each source's
+    token mass", the curation draw that is score-ORDERED and
+    mass-RELATIVE where :func:`budget_sample` is hash-ordered and
+    absolute and :func:`percentile_calibrate` gates on rank regardless
+    of how much mass the kept rows carry.
+
+    Keep rule (exact, division-free, replayable in any SQL engine): with
+    ``cum_before`` = running weight sum over (score DESC, id ASC) order
+    EXCLUDING the current row, keep rows with
+    ``cum_before · 1e6 < total_weight · mass_ppm`` — both sides in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), so a 100 TB group's
+    token-mass product cannot overflow a BIGINT (1e13 tokens × 1e6 ppm
+    > 2⁶³). The crossing row is INCLUDED (the budget_sample convention:
+    a strict variant would make the draw depend on the crossing row's
+    own size). Ties break by id — total order, deterministic across
+    engines. A zero-total group keeps nothing (0 < 0 is false);
+    zero-weight rows ride along free wherever their score places them
+    inside the kept region. Weights must be non-negative.
+
+    Adds ``cum_before``. One per-group window pair sharing one shuffle —
+    the pps/sequence_pack plan family.
+    """
+    if not 0 <= mass_ppm <= 1_000_000:
+        raise ValueError(
+            f"mass_ppm must be in [0, 1000000], got {mass_ppm}"
+        )
+    part = group_cols or []
+    order = Window.partitionBy(*part).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    wv = F.col(weight_col).cast("long")
+    before = F.coalesce(
+        F.sum(wv).over(order.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    total = F.sum(wv).over(
+        Window.partitionBy(*part).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    staged = df.withColumn("cum_before", before.cast("long")).withColumn(
+        "_total", total.cast("long")
+    )
+    keep = (
+        F.col("cum_before").cast("decimal(38,0)") * F.lit(1_000_000)
+        < F.col("_total").cast("decimal(38,0)") * F.lit(int(mass_ppm))
+    )
+    return staged.where(keep).drop("_total")

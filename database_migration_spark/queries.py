@@ -4940,6 +4940,61 @@ def pps_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "weight", "cum_before")
 
 
+@register(
+    "top_mass_sample_documents",
+    # quality-mass selection, division-free exact keep rule: kept iff
+    # cum_before·1e6 < total·mass_ppm with both products in HUGEINT
+    # (DuckDB) / DECIMAL(38,0) (Spark) — a 100 TB group's token-mass
+    # product overflows BIGINT, so neither side divides or truncates.
+    # NULL text is filtered on BOTH sides (split(NULL) is -1 tokens in
+    # Spark but NULL in SQL — the chunk_tokens round-5 divergence).
+    oracle=rf"""
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END
+              AS BIGINT) AS score,
+         CAST(n_chars AS BIGINT) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+a AS (
+  SELECT doc_id, source, score,
+         coalesce(sum(w) OVER (PARTITION BY source ORDER BY score DESC,
+           doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS cum_before,
+         sum(w) OVER (PARTITION BY source) AS total_w
+  FROM b
+)
+SELECT doc_id, source, score, CAST(cum_before AS BIGINT) AS cum_before
+FROM a
+WHERE cum_before * 1000000 < total_w * 600000
+""",
+)
+def top_mass_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-mass draw (sampling.top_mass_sample): per source, the
+    highest-token-count documents covering 60 % of the source's char
+    mass — the curation rule that is score-ORDERED and mass-RELATIVE
+    where budget_sample is hash-ordered/absolute and percentile
+    calibration gates on rank with no notion of how much mass the kept
+    rows carry. The oracle replays the identical division-free HUGEINT
+    arithmetic."""
+    from database_migration_spark.operators.sampling import top_mass_sample
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            TE.token_count(F.col("text")).cast("long").alias("score"),
+            F.col("n_chars").cast("long").alias("w"),
+        )
+    )
+    return top_mass_sample(
+        d, "doc_id", "score", "w", 600_000, group_cols=["source"]
+    ).select("doc_id", "source", "score", "cum_before")
+
+
 # the pinned demo weights (classifier_weights(32, seed=7)) — embedded as
 # oracle literals exactly like the semantic-dedup hyperplanes
 _CLF_W = [6, 7, -7, -7, 1, -5, 0, -4, 3, -2, -5, -5, -8, -8, 5, -6, 5, -5,
@@ -5436,6 +5491,15 @@ _SHOWCASE_ONLY = [
     # lang_id_documents; repetition_documents remains sim-verified with
     # its full-pipeline SQL oracle + pytests (test_delta_star_text)
     "repetition_documents",
+    # showcase from birth (round 9): quality-mass selection — its
+    # machinery decomposes into GRADED pieces (per-group running-sum
+    # window over a deterministic total order = sequence_pack/pps;
+    # per-group total = pps's total window; the token-count score =
+    # quality_documents' q_n_tokens expression), and the NEW claim (the
+    # division-free cum·1e6 < total·ppm keep rule in DECIMAL(38,0)/
+    # HUGEINT) is what its oracle pins; sim-verified + hand-computed /
+    # crossing-row / zero-mass pytests (test_sampling)
+    "top_mass_sample_documents",
     # round-8 rotation: quality_classifier_documents PROMOTED into the
     # graded window (model-apply filtering — a hashed-feature classifier
     # scoring every document — is a capability class the window proved

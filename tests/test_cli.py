@@ -1730,3 +1730,32 @@ def test_cli_scd2_partitioned_matches_plain(spark, tmp_path, capsys):
                "--partitions", "4", "--close-missing"])
     assert rc == 2
     assert "close-missing" in capsys.readouterr().err
+
+
+def test_cli_sample_topmass(spark, sf_smoke, tmp_path, capsys):
+    """topmass through the CLI: exact agreement with the library draw and
+    rc=2 on an out-of-range mass."""
+    from database_migration_spark.operators.sampling import top_mass_sample
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    want = {
+        r.doc_id
+        for r in top_mass_sample(
+            docs, "doc_id", "n_chars", "n_chars", 400_000,
+            group_cols=["source"],
+        ).collect()
+    }
+    rc = main(["sample", "topmass", "--source", sf_smoke, "--table",
+               "documents", "--score-col", "n_chars", "--weight-col",
+               "n_chars", "--mass-ppm", "400000", "--group-cols", "source",
+               "--dry-run"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert f"sample topmass: {len(want)}/500 rows kept" in cap.out
+    assert "weight mass kept:" in cap.out
+
+    rc = main(["sample", "topmass", "--source", sf_smoke, "--table",
+               "documents", "--score-col", "n_chars", "--weight-col",
+               "n_chars", "--mass-ppm", "2000000", "--dry-run"])
+    assert rc == 2
+    assert "mass_ppm" in capsys.readouterr().err

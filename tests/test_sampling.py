@@ -315,3 +315,75 @@ def test_pps_rejects_nonpositive_n(spark):
     df = spark.createDataFrame([(1, 5)], "id LONG, w LONG")
     with _pytest.raises(ValueError, match=">= 1"):
         pps_systematic_sample(df, "id", "w", n=0)
+
+
+# round 9: quality-mass selection
+
+
+def test_top_mass_sample_hand_computed(spark):
+    """Scores 5>4>3>2>1 with weights 10 each, 60% of mass=50 -> threshold
+    at cum*1e6 < 50*600000: keep cum_before in {0,10,20} = the top-3
+    scores; the crossing row (cum_before=20, mass runs to 30 of 30
+    needed) is INCLUDED."""
+    from database_migration_spark.operators.sampling import top_mass_sample
+
+    df = spark.createDataFrame(
+        [(i, i, 10) for i in range(1, 6)], "id LONG, score LONG, w LONG"
+    )
+    got = {
+        (r.id, r.cum_before)
+        for r in top_mass_sample(df, "id", "score", "w", 600_000).collect()
+    }
+    assert got == {(5, 0), (4, 10), (3, 20)}
+
+
+def test_top_mass_sample_crossing_row_included_and_exact_boundary(spark):
+    """The keep rule is division-free and the crossing row included: with
+    weights 7,5,3 (total 15) and mass 500000 (half = 7.5), cum_before
+    0 and 7 both satisfy cum*1e6 < 15*500000 (7e6 < 7.5e6) -> the second
+    row crosses and is kept; the third (cum 12) is not. At mass_ppm that
+    lands EXACTLY on a row boundary (7/15 -> 466667 ppm: 7e6 < 7.000005e6)
+    the boundary row is still the crossing row and kept; one ppm lower
+    (466666: 7e6 < 6.99999e6 false) drops it — the rule is exact to the
+    ppm."""
+    from database_migration_spark.operators.sampling import top_mass_sample
+
+    df = spark.createDataFrame(
+        [(1, 30, 7), (2, 20, 5), (3, 10, 3)], "id LONG, score LONG, w LONG"
+    )
+
+    def kept(ppm):
+        return {
+            r.id for r in top_mass_sample(df, "id", "score", "w", ppm).collect()
+        }
+
+    assert kept(500_000) == {1, 2}
+    assert kept(466_667) == {1, 2}
+    assert kept(466_666) == {1}
+    assert kept(1_000_000) == {1, 2, 3}
+    assert kept(0) == set()
+
+
+def test_top_mass_sample_groups_zero_mass_and_validation(spark):
+    """Per-group independence; a zero-total group keeps nothing; ppm
+    outside [0, 1e6] raises."""
+    import pytest
+
+    from database_migration_spark.operators.sampling import top_mass_sample
+
+    df = spark.createDataFrame(
+        [("a", 1, 5, 10), ("a", 2, 4, 10), ("b", 3, 9, 0), ("b", 4, 8, 0)],
+        "g STRING, id LONG, score LONG, w LONG",
+    )
+    got = {
+        r.id
+        for r in top_mass_sample(
+            df, "id", "score", "w", 500_000, group_cols=["g"]
+        ).collect()
+    }
+    # group a: half of 20 = 10 -> keep the top score (cum 0) only... the
+    # crossing rule: cum_before=0 < 10e6/1e6 ✓, cum_before=10: 10e6 <
+    # 20*500000=10e6 false -> exactly one row. group b: total 0 -> none.
+    assert got == {1}
+    with pytest.raises(ValueError, match="mass_ppm"):
+        top_mass_sample(df, "id", "score", "w", 2_000_000)

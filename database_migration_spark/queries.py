@@ -3800,11 +3800,17 @@ JOIN (SELECT entity_id, count(*) AS n FROM lab GROUP BY entity_id) c
 def entity_resolution_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution end-to-end: deletion-neighborhood blocking +
     candidate-only levenshtein (pairing.edit_distance_pairs) produces the
-    match pairs, min-label propagation (dedup.connected_components) links
-    them transitively, and every name gets its entity id (the component's
-    min 60-bit name hash) + entity size — the canonical-entity table a
-    master-data migration publishes. No cross join and no global sort
-    anywhere; each propagation round is one keyed join + groupBy.
+    match pairs, large-star/small-star closure
+    (dedup.connected_components_star) links them transitively, and every
+    name gets its entity id (the component's min 60-bit name hash) +
+    entity size — the canonical-entity table a master-data migration
+    publishes. No cross join and no global sort anywhere. Star, not
+    min-label propagation, BECAUSE of this corpus's shape: serial-name
+    mega-components are chain-like, where propagation pays O(diameter)
+    rounds — measured at ×100 on the identical 26.25 M-edge set:
+    propagation 90.3 s vs star 62.4 s, identical 5 700 components
+    (near-clique dup clusters keep propagation — near_dup_clusters —
+    where its 2-3 rounds beat star's heavier per-round cost).
 
     Scale caveat (measured on the x10 derived corpus): SERIAL-style
     identifiers (Customer#000123...) are lev-1 neighbors of every
@@ -3826,7 +3832,7 @@ def entity_resolution_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_long(F.col("name_a")).alias("id_a"),
         md5_long(F.col("name_b")).alias("id_b"),
     )
-    labels = DD.connected_components(pairs, names, id_col="nid")
+    labels = DD.connected_components_star(pairs, names, id_col="nid")
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("entity_size")
     )

@@ -1512,6 +1512,9 @@ def cmd_sample(args) -> int:
     - ``topmass``: keep the highest-scoring rows per group until they
       cover ``--mass-ppm`` of the group's weight (division-free exact
       arithmetic).
+    - ``pack``: annotate every row with its fixed-token-budget training
+      sequence (pack id + offset) — concat-and-chunk layout, keeps all
+      rows.
 
     ``--dry-run`` prints the exact draw counts and writes nothing;
     otherwise ``--out`` is required (a draw must land somewhere). Bad
@@ -1526,6 +1529,7 @@ def cmd_sample(args) -> int:
         hash_split,
         percentile_calibrate,
         pps_systematic_sample,
+        sequence_pack,
         stratified_sample,
         top_mass_sample,
     )
@@ -1539,6 +1543,7 @@ def cmd_sample(args) -> int:
         "split": (),
         "calibrate": ("score_col",),
         "topmass": ("score_col", "weight_col", "mass_ppm"),
+        "pack": ("token_col", "budget"),
     }[args.action]
     missing = [
         "--" + a.replace("_", "-") for a in need if getattr(args, a) is None
@@ -1659,6 +1664,16 @@ def cmd_sample(args) -> int:
             per_group_report = "split counts: " + ", ".join(
                 f"{s}={got.get(s, 0)}" for s in ("train", "val", "test")
             )
+        elif args.action == "pack":
+            if args.budget < 1:
+                raise ValueError(f"--budget must be >= 1, got {args.budget}")
+            out = sequence_pack(
+                df, args.id_col, args.token_col, args.budget,
+                partition_cols=group_cols or None,
+            )
+            part = group_cols or ["_shard"]
+            n_packs = out.select(*part, "pack_id").distinct().count()
+            per_group_report = f"packs: {n_packs} of budget {args.budget}"
         elif args.action == "topmass":
             out = top_mass_sample(
                 df, args.id_col, args.score_col, args.weight_col,
@@ -1731,7 +1746,8 @@ def cmd_ann(args) -> int:
 
     need = {"suggest": ("corpus",), "build": ("index", "corpus"),
             "append": ("index", "corpus"), "drift": ("index", "corpus"),
-            "search": ("index", "queries")}[args.action]
+            "search": ("index", "queries"),
+            "compact": ("index",)}[args.action]
     missing = [f"--{a}" for a in need if not getattr(args, a)]
     if missing:
         print(f"error: ann {args.action} needs {' '.join(missing)}",
@@ -1830,6 +1846,35 @@ def cmd_ann(args) -> int:
         )
         print(f"index built: {n} vectors, {n_cent} cells, m={args.m}, "
               f"normalized={do_norm}")
+        return 0
+
+    if args.action == "compact":
+        # append epochs add one file per touched cell directory; compact
+        # to one file per cell and rename-swap (the dedup compact dance)
+        import shutil
+
+        from database_migration_spark.operators.dedup import (
+            compact_partitioned,
+        )
+
+        if not os.path.exists(os.path.join(args.index, "_ann_meta.json")):
+            print(f"error: no ANN index at {args.index} "
+                  "(run `ann build` first)", file=sys.stderr)
+            return 2
+        for sub_ix in ("codes", "vectors"):
+            src = f"{args.index}/{sub_ix}"
+            staging = src + ".compact"
+            compact_partitioned(spark, src, staging, partition_col="cell")
+            old = src + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(src, old)
+            os.rename(staging, src)
+            shutil.rmtree(old, ignore_errors=True)
+            n_files = sum(
+                len([f for f in files if f.endswith(".parquet")])
+                for _, _, files in os.walk(src)
+            )
+            print(f"{sub_ix}: compacted to {n_files} files")
         return 0
 
     if args.action == "drift":
@@ -2326,7 +2371,7 @@ def main(argv: list[str] | None = None) -> int:
                         "search (top-k with exact rerank)")
     an.add_argument("action",
                     choices=["suggest", "build", "append", "search",
-                             "drift"])
+                             "drift", "compact"])
     an.add_argument("--drift-threshold-ppm", type=int, default=50_000,
                     help="drift: exit 1 at or above this cell-population "
                     "TV distance (the rebuild gate)")
@@ -2368,7 +2413,7 @@ def main(argv: list[str] | None = None) -> int:
                         "corpus table, deterministic and integer-exact")
     sa.add_argument("action",
                     choices=["pps", "stratified", "budget", "mix",
-                             "split", "calibrate", "topmass"])
+                             "split", "calibrate", "topmass", "pack"])
     sa.add_argument("--source", required=True,
                     help="corpus table directory or jdbc: URL")
     sa.add_argument("--table", help="table name when the dir holds several")
@@ -2391,9 +2436,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="stratified: comma-separated stratum columns")
     sa.add_argument("--n-per-stratum", type=int, default=None)
     sa.add_argument("--token-col", default=None,
-                    help="budget: token-count column")
+                    help="budget/pack: token-count column")
     sa.add_argument("--budget", type=int, default=None,
-                    help="budget: token budget per group")
+                    help="budget/pack: token budget per group / per pack")
     sa.add_argument("--weights", default=None,
                     help="mix: domain=ppm[,domain=ppm...] keep rates")
     sa.add_argument("--domain-col", default=None,

@@ -1759,3 +1759,93 @@ def test_cli_sample_topmass(spark, sf_smoke, tmp_path, capsys):
                "n_chars", "--mass-ppm", "2000000", "--dry-run"])
     assert rc == 2
     assert "mass_ppm" in capsys.readouterr().err
+
+
+def test_cli_sample_pack(spark, sf_smoke, tmp_path, capsys):
+    """pack annotates every row with its training-sequence assignment —
+    row counts preserved, pack ids match the library operator."""
+    from database_migration_spark.operators.sampling import sequence_pack
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    lib = sequence_pack(docs, "doc_id", "n_chars", 50_000,
+                        partition_cols=["source"])
+    want = {(r.doc_id, r.pack_id, r.offset_tokens) for r in lib.collect()}
+    out = str(tmp_path / "packs")
+    rc = main(["sample", "pack", "--source", sf_smoke, "--table",
+               "documents", "--token-col", "n_chars", "--budget", "50000",
+               "--group-cols", "source", "--out", out])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "sample pack: 500/500 rows kept" in cap.out
+    n_packs = lib.select("source", "pack_id").distinct().count()
+    assert f"packs: {n_packs} of budget 50000" in cap.out
+    got = {
+        (r.doc_id, r.pack_id, r.offset_tokens)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
+
+    rc = main(["sample", "pack", "--source", sf_smoke, "--table",
+               "documents", "--token-col", "n_chars", "--budget", "0",
+               "--dry-run"])
+    assert rc == 2 and ">= 1" in capsys.readouterr().err
+
+
+def test_cli_ann_compact_shrinks_files_and_preserves_hits(
+    spark, sf_smoke, tmp_path, capsys
+):
+    """ann compact: append epochs accumulate files per cell; compaction
+    rewrites each sub-index to one file per cell (rename-swap) and search
+    results are unchanged."""
+    import os
+
+    emb_dir = str(tmp_path / "emb")
+    b1, b2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    q_dir = str(tmp_path / "q")
+    d = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    d.where("vec_id < 60").select("vec_id", "embedding").write.parquet(
+        f"{emb_dir}/embeddings.parquet")
+    for path, lo, hi in ((b1, 60, 80), (b2, 80, 100)):
+        d.where(f"vec_id >= {lo} AND vec_id < {hi}").select(
+            "vec_id", "embedding").write.parquet(f"{path}/embeddings.parquet")
+    d.where("vec_id < 3").selectExpr("vec_id + 700000 AS vec_id",
+                                     "embedding").write.parquet(
+        f"{q_dir}/embeddings.parquet")
+    index = str(tmp_path / "annc")
+    assert main(["ann", "build", "--index", index, "--corpus", emb_dir,
+                 "--n-centroids", "4", "--m", "8", "--pq-k", "16"]) == 0
+    assert main(["ann", "append", "--index", index, "--corpus", b1]) == 0
+    assert main(["ann", "append", "--index", index, "--corpus", b2]) == 0
+    capsys.readouterr()
+
+    def hits():
+        out = str(tmp_path / "hits_now")
+        rc = main(["ann", "search", "--index", index, "--queries", q_dir,
+                   "--k", "3", "--out", out])
+        assert rc == 0
+        capsys.readouterr()
+        return {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    def n_files(sub):
+        return sum(
+            len([f for f in fs if f.endswith(".parquet")])
+            for _, _, fs in os.walk(f"{index}/{sub}")
+        )
+
+    before_hits = hits()
+    files_before = n_files("codes")
+    assert files_before > 4  # build + two appends landed extra files
+
+    rc = main(["ann", "compact", "--index", index])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "codes: compacted to" in cap.out
+    assert "vectors: compacted to" in cap.out
+    assert n_files("codes") <= 4 and n_files("vectors") <= 4
+    assert hits() == before_hits
+
+    rc = main(["ann", "compact", "--index", str(tmp_path / "nope")])
+    assert rc == 2 and "ann build" in capsys.readouterr().err

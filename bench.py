@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     # round 8
     "pps_sample_documents",
     "quality_classifier_documents",
+    # round 9
+    "top_mass_sample_documents",
 ]
 
 

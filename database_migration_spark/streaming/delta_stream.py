@@ -59,7 +59,13 @@ def stream_merge_upsert(
     spark: SparkSession | None = None,
 ):
     """writeStream.foreachBatch upserting each micro-batch into a parquet
-    target by PK. Returns the StreamingQuery (caller stops it)."""
+    target by PK. Returns the StreamingQuery (caller stops it).
+
+    This is the minimal FULL-REWRITE form — right for small dimensions.
+    For large targets prefer :func:`stream_cdc_apply` with
+    ``partitions=N``: it subsumes this stream with a partition-surgical
+    rewrite (per-epoch cost ∝ |delta| + |touched partitions|, measured 8×
+    at 15 M keys — SCALE.md round 9) and adds cross-batch seq fences."""
 
     def upsert(batch: DataFrame, epoch_id: int) -> None:
         s = batch.sparkSession

@@ -156,6 +156,7 @@ X100_PROBES = [
     "pps_sample_documents",
     "quality_classifier_documents",
     "calibrated_quality_filter_documents",
+    "top_mass_sample_documents",
     # round 7: CDC apply (reads orders; the planted op rates scale with
     # the key bump, so net/delete fractions stay constant)
     "cdc_apply_orders",

@@ -118,7 +118,9 @@ LAP_POLICY = (
 def prior_artifact(repo_dir: str, sf) -> tuple[dict, str | None]:
     """Per-query timings of the LATEST BENCH_r*.json in repo_dir recorded
     at the SAME scale factor (a cross-sf comparison is meaningless), as
-    ({name: sec}, artifact_basename) — ({}, None) when absent."""
+    ({name: sec}, artifact_basename) — ({}, None) when absent. Handles
+    both this harness's bare JSON line and the grading driver's wrapper
+    (``{n, rc, sf, tail, parsed: <the line>}``)."""
     import glob
 
     for p in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")),
@@ -126,6 +128,8 @@ def prior_artifact(repo_dir: str, sf) -> tuple[dict, str | None]:
         try:
             with open(p) as fh:
                 d = json.load(fh)
+            if isinstance(d.get("parsed"), dict):
+                d = d["parsed"]
             if d.get("sf") == sf and isinstance(d.get("queries"), dict):
                 return d["queries"], os.path.basename(p)
         except (OSError, ValueError):

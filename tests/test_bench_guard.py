@@ -58,8 +58,12 @@ def test_summarize_probes_skips_errored_queries():
 def test_prior_artifact_resolves_latest_same_sf(tmp_path):
     (tmp_path / "BENCH_r07.json").write_text(json.dumps(
         {"sf": 0.1, "queries": {"q": 1.0}}))
+    # the grading driver WRAPS the bench line under "parsed" — the real
+    # BENCH_r*.json shape (round-9 fix: the bare-shape lookup found
+    # nothing and the stall guard never engaged)
     (tmp_path / "BENCH_r08.json").write_text(json.dumps(
-        {"sf": 0.1, "queries": {"q": 2.0}}))
+        {"n": 8, "rc": 0, "sf": 0.1,
+         "parsed": {"sf": 0.1, "queries": {"q": 2.0}}}))
     q, name = prior_artifact(str(tmp_path), 0.1)
     assert name == "BENCH_r08.json" and q == {"q": 2.0}
     # a cross-sf artifact must NOT be used as the reference

@@ -1328,6 +1328,12 @@ def cmd_dedup(args) -> int:
       suppresses both writes.
     - ``compact``: rewrite each sub-index to one file per bucket (append
       epochs accumulate small files) and swap it into place.
+    - ``forget``: the takedown / right-to-be-forgotten pass — drop the
+      given document ids from both sub-indexes by rewriting ONLY the
+      partitions that hold them (one column-pruned locate scan each;
+      untouched partitions keep their file identity). The corpus files
+      themselves are the caller's storage; this removes the ids'
+      fingerprints so future probes never match against them.
     """
     import os
     import shutil
@@ -1471,6 +1477,47 @@ def cmd_dedup(args) -> int:
                 print(f"appended {counts.get('new', 0)} new fingerprints")
         finally:
             decisions.unpersist(blocking=False)
+        return 0
+
+    if args.action == "forget":
+        from database_migration_spark.operators.dedup import (
+            delete_rows_partitioned,
+            swap_partitions,
+        )
+
+        if not os.path.isdir(os.path.join(args.index, "content")):
+            print(f"error: no fingerprint index at {args.index} "
+                  "(run `dedup build` first)", file=sys.stderr)
+            return 2
+        ids: list = []
+        if args.ids:
+            ids += [int(x) for x in args.ids.split(",") if x.strip()]
+        if args.ids_file:
+            with open(args.ids_file) as fh:
+                ids += [int(x) for x in fh.read().split() if x.strip()]
+        if not ids:
+            print("error: dedup forget needs --ids or --ids-file",
+                  file=sys.stderr)
+            return 2
+        total_deleted = 0
+        for sub_ix in ("content", "bands"):
+            src = f"{args.index}/{sub_ix}"
+            staging = src + ".forget"
+            # the sub-indexes bucket on CONTENT/band-key hashes, not on
+            # the id, so the locate pass is the column-pruned
+            # (sid, bucket) scan — still never a full-row read
+            res = delete_rows_partitioned(
+                spark, src, staging, ids, "sid", "bucket"
+            )
+            swap_partitions(src, staging, res["partitions"], "bucket")
+            shutil.rmtree(staging, ignore_errors=True)
+            total_deleted += res["rows_deleted"]
+            print(f"{sub_ix}: {res['rows_deleted']} rows dropped from "
+                  f"{len(res['partitions'])} partition(s), "
+                  f"{res['rows_kept']} kept in them")
+        if total_deleted == 0:
+            print("warning: none of the ids were in the index",
+                  file=sys.stderr)
         return 0
 
     # compact: one file per bucket per sub-index, then rename-swap
@@ -2338,7 +2385,9 @@ def main(argv: list[str] | None = None) -> int:
     dd = sub.add_parser("dedup", help="fingerprint-index lifecycle: build/"
                         "append/probe/compact a partition-pruned dedup "
                         "store over a text corpus")
-    dd.add_argument("action", choices=["build", "append", "probe", "compact"])
+    dd.add_argument("action",
+                    choices=["build", "append", "probe", "compact",
+                             "forget"])
     dd.add_argument("--index", required=True,
                     help="fingerprint index directory")
     dd.add_argument("--corpus", help="corpus/batch table directory or "
@@ -2363,6 +2412,9 @@ def main(argv: list[str] | None = None) -> int:
                     "back to the index (the crawl-loop maintenance step)")
     dd.add_argument("--dry-run", action="store_true",
                     help="probe: counts only, suppress --out/--apply-new")
+    dd.add_argument("--ids", help="forget: comma-separated document ids")
+    dd.add_argument("--ids-file",
+                    help="forget: file with one document id per line")
     dd.set_defaults(fn=cmd_dedup)
 
     an = sub.add_parser("ann", help="ANN index lifecycle over an embedding "

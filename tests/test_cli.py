@@ -1849,3 +1849,75 @@ def test_cli_ann_compact_shrinks_files_and_preserves_hits(
 
     rc = main(["ann", "compact", "--index", str(tmp_path / "nope")])
     assert rc == 2 and "ann build" in capsys.readouterr().err
+
+
+def test_cli_dedup_forget_takedown(spark, sf_smoke, tmp_path, capsys):
+    """forget: the takedown pass drops ids from both sub-indexes by
+    rewriting only the partitions that hold them; a re-probe of the
+    forgotten docs' content then reports them as new (no fingerprint
+    left to match), and untouched partitions keep their file identity."""
+    import os
+
+    docs = str(tmp_path / "fdocs")
+    batch = str(tmp_path / "fbatch")
+    d = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    d.where("doc_id < 40").write.parquet(f"{docs}/documents.parquet")
+    # batch: copies of docs 0..4 under shifted ids -> exact dups
+    d.where("doc_id < 5").selectExpr("doc_id + 91000 AS doc_id", "text") \
+        .write.parquet(f"{batch}/documents.parquet")
+    index = str(tmp_path / "fidx")
+    assert main(["dedup", "build", "--index", index, "--corpus", docs,
+                 "--buckets", "8"]) == 0
+    rc = main(["dedup", "probe", "--index", index, "--corpus", batch,
+               "--dry-run"])
+    cap = capsys.readouterr()
+    assert rc == 0 and "exact_dup: 5" in cap.out
+
+    def snap():
+        out = {}
+        for root, _, files in os.walk(index):
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, index)] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snap()
+    rc = main(["dedup", "forget", "--index", index, "--ids", "0,1,2,3,4"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "content: 5 rows dropped" in cap.out
+    assert "bands:" in cap.out and "rows dropped" in cap.out
+    after = snap()
+    # some partitions rewrote; every file OUTSIDE the rewritten
+    # partitions is untouched
+    changed_parts = {
+        p.split(os.sep)[0] + "/" + p.split(os.sep)[1]
+        for p in set(before) ^ set(after)
+        | {p for p in before if p in after and before[p] != after[p]}
+        if os.sep in p
+    }
+    assert changed_parts  # the pass did rewrite something
+    untouched = lambda s: {  # noqa: E731
+        p: v for p, v in s.items()
+        if os.sep in p
+        and p.split(os.sep)[0] + "/" + p.split(os.sep)[1] not in changed_parts
+    }
+    assert untouched(before) == untouched(after)
+
+    # the forgotten docs no longer match anything
+    rc = main(["dedup", "probe", "--index", index, "--corpus", batch,
+               "--dry-run"])
+    cap = capsys.readouterr()
+    assert rc == 0 and "new: 5" in cap.out and "exact_dup: 0" in cap.out
+
+    # ids absent from the index: warning, rc stays 0
+    rc = main(["dedup", "forget", "--index", index, "--ids", "999999"])
+    cap = capsys.readouterr()
+    assert rc == 0 and "none of the ids" in cap.err
+    # no ids at all / missing index: clean rc=2
+    rc = main(["dedup", "forget", "--index", index])
+    assert rc == 2 and "--ids" in capsys.readouterr().err
+    rc = main(["dedup", "forget", "--index", str(tmp_path / "noidx"),
+               "--ids", "1"])
+    assert rc == 2 and "dedup build" in capsys.readouterr().err

@@ -4984,10 +4984,14 @@ def top_mass_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     calibration gates on rank with no notion of how much mass the kept
     rows carry. The oracle replays the identical division-free HUGEINT
     arithmetic."""
+    from database_migration_spark.functions.parallel import fan_out
     from database_migration_spark.operators.sampling import top_mass_sample
 
     d = (
-        table(spark, sf_dir, "documents")
+        # the token-count score is regex-CPU over every document — fan
+        # out the single-row-group fixture file before it (the CPU-heavy
+        # operator rule); the window's own shuffle follows anyway
+        fan_out(table(spark, sf_dir, "documents"))
         .where(F.col("text").isNotNull())
         .select(
             "doc_id",

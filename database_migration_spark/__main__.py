@@ -666,10 +666,12 @@ def cmd_scd2(args) -> int:
 
     from database_migration_spark.functions.io import (
         PT_COL,
+        affected_partitions,
         publish_parquet,
         publish_partitions,
         pt_expr,
         resolve_partitions,
+        store_has_partitions,
         write_target_meta,
     )
 
@@ -683,16 +685,17 @@ def cmd_scd2(args) -> int:
               "snapshot feed) — partition-surgical maintenance cannot "
               "help; use the unpartitioned layout", file=sys.stderr)
         return 2
-    affected = (
-        sorted(
-            r[0]
-            for r in source.select(pt_expr(keys, n_pt).alias(PT_COL))
-            .distinct().collect()
-        )
-        if n_pt is not None
-        else None
-    )
-    exists = os.path.exists(args.target)
+    if n_pt is not None:
+        # the source feeds two consumers (touched-partition derivation +
+        # the merge) — persist for the command's lifetime
+        from pyspark import StorageLevel
+
+        source = source.persist(StorageLevel.MEMORY_AND_DISK)
+        affected = affected_partitions(source, keys, n_pt)
+        exists = store_has_partitions(args.target)
+    else:
+        affected = None
+        exists = os.path.exists(args.target)
     if not exists:
         ts = args.ts if args.ts is not None else 0
         dim = scd2_bootstrap(source.select(*keys, *attrs), keys, attrs, ts)
@@ -717,13 +720,15 @@ def cmd_scd2(args) -> int:
         # key-hash layout: rewrite + swap ONLY the partitions the source
         # batch touches — derived from the batch's keys alone (the
         # stream_scd2(partitions=) machinery); the layout persists in
-        # _target_meta.json
+        # _target_meta.json, written BEFORE the bootstrap data so a crash
+        # between the two replays cleanly (meta-only dir == empty store)
+        if not exists:
+            write_target_meta(args.target, keys, n_pt)
         publish_partitions(
             dim.withColumn(PT_COL, pt_expr(keys, n_pt)),
             args.target, args.target + ".scd2-tmp", affected,
         )
-        if not exists:
-            write_target_meta(args.target, keys, n_pt)
+        source.unpersist()
     else:
         publish_parquet(dim, args.target, args.target + ".scd2-tmp")
     final = spark.read.parquet(args.target)
@@ -1039,17 +1044,50 @@ def cmd_optimize(args) -> int:
         # one stream PER SCHEMA: qualifying every statement with the first
         # table's schema produced wrong DDL (incl. FK re-adds) for tables
         # in other schemas under a multi-schema scan
+        from database_migration_spark.catalog import fold_identifier
+
         accepted3 = {k for k, p in proposals.items() if p is not None}
         schemas_present = sorted(
             {sch for (sch, _t, _c) in accepted3}
         ) or [cat.tables[0].schema]
 
+        def _modified_schemas(fk) -> set:
+            ps = fk.ref_schema or fk.schema
+            out = set()
+            if any((fk.schema, fk.table, c) in accepted3
+                   for c in fk.columns):
+                out.add(fk.schema)
+            if any((ps, fk.ref_table, rc) in accepted3
+                   for rc in fk.ref_columns or ()):
+                out.add(ps)
+            return out
+
+        # an FK whose MODIFIED columns span two schema streams cannot be
+        # bracketed inside either: the first stream's RE-ADD would
+        # re-create the constraint while the other schema's column is
+        # still unconverted (streams execute in printed order — round-9
+        # review). Hoist those: DROP before ALL streams, RE-ADD after.
+        hoisted = [fk for fk in fks if len(_modified_schemas(fk)) > 1]
+        hoisted_ids = {id(fk) for fk in hoisted}
+
+        def q(name: str) -> str:
+            return '"' + fold_identifier(name, True) + '"'
+
+        if hoisted:
+            print("-- cross-schema foreign keys: dropped before every "
+                  "schema stream, re-added after the last")
+            for fk in sorted(hoisted, key=lambda k: (k.schema, k.table,
+                                                     k.name)):
+                print(f"ALTER TABLE {q(fk.schema)}.{q(fk.table)} "
+                      f"DROP CONSTRAINT {q(fk.name)};")
+            print()
+
         def _touches_in(fk, s):
-            # the DROP/RE-ADD bracket belongs in every stream that
-            # MODIFIES a column of this FK — including the PARENT
-            # schema's stream of a cross-schema FK, which the old
-            # child-schema-only filter missed (round-8 ADVICE); a
-            # bracket in both streams is safe (each DROPs before ADD)
+            # the in-stream DROP/RE-ADD bracket belongs in every stream
+            # that MODIFIES a column of this FK (the round-8 ADVICE
+            # closure) — EXCEPT the hoisted cross-schema set above
+            if id(fk) in hoisted_ids:
+                return False
             ps = fk.ref_schema or fk.schema
             return any(
                 fk.schema == s and (s, fk.table, c) in accepted3
@@ -1070,6 +1108,17 @@ def cmd_optimize(args) -> int:
                 print(f"-- schema: {s}")
             plan = conversion_statements(sub, fks=sub_fks, schema=s)
             print(plan.to_sql())
+        if hoisted:
+            print("-- cross-schema foreign keys: re-add (every referenced "
+                  "column now converted)")
+            for fk in sorted(hoisted, key=lambda k: (k.schema, k.table,
+                                                     k.name)):
+                cols = ", ".join(q(c) for c in fk.columns)
+                rcols = ", ".join(q(c) for c in fk.ref_columns or ())
+                print(f"ALTER TABLE {q(fk.schema)}.{q(fk.table)} "
+                      f"ADD CONSTRAINT {q(fk.name)} FOREIGN KEY ({cols}) "
+                      f"REFERENCES {q(fk.ref_schema or fk.schema)}."
+                      f"{q(fk.ref_table or '')} ({rcols}) DISABLE;")
         print("-- apply stream above is a dry run; nothing was executed",
               file=sys.stderr)
     return 0
@@ -1262,6 +1311,7 @@ def cmd_cdc(args) -> int:
         publish_partitions,
         pt_expr,
         resolve_partitions,
+        store_has_partitions,
         write_target_meta,
     )
 
@@ -1270,16 +1320,23 @@ def cmd_cdc(args) -> int:
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
-    exists = os.path.exists(args.target)
-    affected = (
-        sorted(
-            r[0]
-            for r in events.select(pt_expr(keys, n_pt).alias(PT_COL))
-            .distinct().collect()
+    if n_pt is not None:
+        # the feed feeds two consumers (touched-partition derivation +
+        # the apply) — persist for the command's lifetime; meta-first
+        # bootstrap means a meta-only dir is an EMPTY store, so existence
+        # is "holds partitions", never "directory present"
+        from pyspark import StorageLevel
+
+        from database_migration_spark.functions.io import (
+            affected_partitions,
         )
-        if n_pt is not None
-        else None
-    )
+
+        events = events.persist(StorageLevel.MEMORY_AND_DISK)
+        affected = affected_partitions(events, keys, n_pt)
+        exists = store_has_partitions(args.target)
+    else:
+        affected = None
+        exists = os.path.exists(args.target)
     if exists:
         base = spark.read.parquet(args.target)
         if n_pt is not None:
@@ -1295,15 +1352,31 @@ def cmd_cdc(args) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
     if n_pt is not None:
+        if not exists and merged.isEmpty():
+            # a delete-only first feed nets to zero rows: nothing to
+            # write and no layout to commit — a meta-only store would
+            # make every later read crash (review finding)
+            events.unpersist()
+            print("target now has 0 rows (feed netted to nothing; "
+                  "target not created)")
+            return 0
+        if not exists:
+            write_target_meta(args.target, keys, n_pt)  # meta FIRST
         publish_partitions(
             merged.withColumn(PT_COL, pt_expr(keys, n_pt)),
             args.target, args.target + ".cdc-tmp", affected,
         )
-        if not exists:
-            write_target_meta(args.target, keys, n_pt)
+        events.unpersist()
     else:
         publish_parquet(merged, args.target, args.target + ".cdc-tmp")
-    n = spark.read.parquet(args.target).count()
+    # a partitioned store CAN legally end up with zero partitions (a feed
+    # that deleted every key) — parquet cannot infer a schema from the
+    # meta-only directory, so count it as zero instead of crashing
+    n = (
+        spark.read.parquet(args.target).count()
+        if n_pt is None or store_has_partitions(args.target)
+        else 0
+    )
     print(f"target now has {n} rows")
     return 0
 
@@ -1698,10 +1771,15 @@ def cmd_sample(args) -> int:
                 f"{d}={got.get(d, 0)}" for d, _ in pairs
             )
         elif args.action == "split":
-            if args.val_permille + args.test_permille >= 1000:
+            if (
+                args.val_permille < 0
+                or args.test_permille < 0
+                or args.val_permille + args.test_permille >= 1000
+            ):
                 raise ValueError(
-                    f"--val-permille + --test-permille must stay below "
-                    f"1000, got {args.val_permille}+{args.test_permille}"
+                    f"--val-permille and --test-permille must be >= 0 and "
+                    f"sum below 1000, got "
+                    f"{args.val_permille}+{args.test_permille}"
                 )
             out = hash_split(
                 df, args.id_col, val_permille=args.val_permille,

@@ -89,8 +89,13 @@ def pt_expr(keys: list, n_partitions: int):
 def write_target_meta(path: str, keys: list, n_partitions: int) -> None:
     """Persist the layout WITH the store — the fingerprint/ANN index-
     metadata rule: a maintainer must never guess the writer's layout.
-    Written AFTER the data so a crash mid-bootstrap leaves no meta
-    pointing at a half-written store."""
+    Bootstraps write the meta BEFORE the data (round-9 review finding): a
+    crash between data and meta left a partitioned store that
+    resolve_partitions mis-diagnosed as "written unpartitioned" and the
+    epoch replay could never make progress. With meta-first, a
+    meta-with-no-partitions store is simply EMPTY (store_has_partitions
+    is the existence test) and the replayed bootstrap proceeds; a crash
+    mid-swap leaves a prefix of partitions, which the replay re-fences."""
     import json
 
     os.makedirs(path, exist_ok=True)
@@ -194,3 +199,27 @@ def publish_partitions(
     )
     swap_partition_dirs(path, staging, affected, partition_col)
     shutil.rmtree(staging, ignore_errors=True)
+
+
+def store_has_partitions(path: str) -> bool:
+    """Whether a key-hash-partitioned store holds any data yet: at least
+    one ``_pt=*`` directory. The EXISTENCE test for partitioned targets —
+    a directory holding only ``_target_meta.json`` is an empty store
+    mid-bootstrap (meta writes first), not a readable dataset."""
+    if not os.path.isdir(path):
+        return False
+    return any(e.startswith(f"{PT_COL}=") for e in os.listdir(path))
+
+
+def affected_partitions(df: DataFrame, keys: list, n_partitions: int) -> list:
+    """The partitions a delta's KEYS touch, derived from the delta alone
+    (the store is never scanned to find them): sorted distinct pt values —
+    driver-bounded by ``n_partitions``. The single implementation behind
+    every surgical maintainer (round-9 review: four call sites had
+    copy-pasted the collect)."""
+    return sorted(
+        r[0]
+        for r in df.select(pt_expr(keys, n_partitions).alias(PT_COL))
+        .distinct()
+        .collect()
+    )

@@ -244,6 +244,25 @@ def budget_sample(
     )
 
 
+def _nonneg_weight(weight_col: str, op_name: str):
+    """The weighted samplers' documented 'weights must be non-negative'
+    contract, ENFORCED (round-9 review: it was documentation-only — a
+    negative weight makes the running sums non-monotone and the draw
+    silently wrong). raise_error fires per offending ROW inside the scan:
+    no extra validation pass over a 100 TB corpus."""
+    wv = F.col(weight_col).cast("long")
+    return F.when(
+        wv < 0,
+        F.raise_error(
+            F.concat(
+                F.lit(f"{op_name}: negative {weight_col} "),
+                F.col(weight_col).cast("string"),
+                F.lit(" — weights must be non-negative"),
+            )
+        ).cast("long"),
+    ).otherwise(wv)
+
+
 def pps_systematic_sample(
     df: DataFrame,
     id_col: str,
@@ -282,7 +301,7 @@ def pps_systematic_sample(
     part = partition_cols or []
     h = _order_hash(F.col(id_col))
     order = Window.partitionBy(*part).orderBy(h, F.col(id_col))
-    wv = F.col(weight_col).cast("long")
+    wv = _nonneg_weight(weight_col, "pps_systematic_sample")
     c_before = F.coalesce(
         F.sum(wv).over(order.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
@@ -398,7 +417,7 @@ def top_mass_sample(
     order = Window.partitionBy(*part).orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
-    wv = F.col(weight_col).cast("long")
+    wv = _nonneg_weight(weight_col, "top_mass_sample")
     before = F.coalesce(
         F.sum(wv).over(order.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),

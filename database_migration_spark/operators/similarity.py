@@ -218,14 +218,23 @@ def suggest_ann_params(
     if compressed:
         n_centroids = max(4, int(round(math.sqrt(max(1, n)))))
         # m must divide dim AND stay >= 16 (m=8 flat measured recall@5
-        # 0.137 — the collapse regime). Prefer the smallest divisor >= 16
-        # (finest subspaces above the floor); when dim has none (prime or
-        # awkward dims), fall back to the largest divisor < 16 and say so
-        # in the advisory instead of silently returning the measured-bad
-        # geometry (round-8 ADVICE: `while dim % m: m -= 1` reached m=1).
+        # 0.137 — the collapse regime). More subspaces = finer
+        # quantization, so prefer dim/4 (4-dim subvectors, the classic PQ
+        # geometry) when it clears the floor; otherwise the smallest
+        # divisor >= 16; when dim has none at all (dims < 16 or awkward
+        # primes), fall back to the largest divisor and say so in the
+        # advisory instead of silently returning the measured-bad
+        # geometry (round-8 ADVICE: `while dim % m: m -= 1` reached m=1;
+        # round-9 review: picking geq16[0] unconditionally DOWNGRADED
+        # dim=128 from m=32 to m=16).
         divisors = [d for d in range(1, dim + 1) if dim % d == 0]
-        geq16 = [d for d in divisors if 16 <= d <= dim]
-        m = geq16[0] if geq16 else divisors[-1]
+        geq16 = [d for d in divisors if d >= 16]
+        if dim % 4 == 0 and dim // 4 >= 16:
+            m = dim // 4
+        elif geq16:
+            m = geq16[0]
+        else:
+            m = divisors[-1]
         m_advisory = None
         if m < 16:
             m_advisory = (

@@ -281,9 +281,11 @@ def stream_scd2(
         )
     from database_migration_spark.functions.io import (
         PT_COL,
+        affected_partitions,
         pt_expr,
         publish_partitions,
         resolve_partitions,
+        store_has_partitions,
         write_target_meta,
     )
 
@@ -300,33 +302,37 @@ def stream_scd2(
         s = batch.sparkSession
         ts = int(epoch_id) if batch_ts_of is None else batch_ts_of(epoch_id, batch)
         n_pt = resolve_partitions(dim_path, keys, partitions)
-        exists = os.path.exists(dim_path)
         if n_pt is not None:
-            # touched partitions from the batch's keys alone — the
-            # dimension is never scanned to find them
-            affected = sorted(
-                r[0]
-                for r in batch.select(
-                    pt_expr(keys, n_pt).alias(PT_COL)
-                ).distinct().collect()
-            )
-            if exists:
-                dim = s.read.parquet(dim_path).where(
-                    F.col(PT_COL).isin(affected)
+            # the batch feeds two consumers (touched-partition collect +
+            # the merge) — persist for the epoch, unpersist in the
+            # finally (the stream_cdc_apply convention)
+            from pyspark import StorageLevel
+
+            batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                # touched partitions from the batch's keys alone — the
+                # dimension is never scanned to find them
+                affected = affected_partitions(batch, keys, n_pt)
+                exists = store_has_partitions(dim_path)
+                if exists:
+                    dim = s.read.parquet(dim_path).where(
+                        F.col(PT_COL).isin(affected)
+                    )
+                    merged = scd2_merge(
+                        dim.drop(PT_COL), batch, keys, attrs, ts,
+                        close_missing=False, persist=False,
+                    )
+                else:
+                    write_target_meta(dim_path, keys, n_pt)  # meta FIRST
+                    merged = scd2_bootstrap(batch, keys, attrs, ts)
+                publish_partitions(
+                    merged.withColumn(PT_COL, pt_expr(keys, n_pt)),
+                    dim_path, dim_path + f".epoch{epoch_id}", affected,
                 )
-                merged = scd2_merge(
-                    dim.drop(PT_COL), batch, keys, attrs, ts,
-                    close_missing=False, persist=False,
-                )
-            else:
-                merged = scd2_bootstrap(batch, keys, attrs, ts)
-            publish_partitions(
-                merged.withColumn(PT_COL, pt_expr(keys, n_pt)),
-                dim_path, dim_path + f".epoch{epoch_id}", affected,
-            )
-            if not exists:
-                write_target_meta(dim_path, keys, n_pt)
+            finally:
+                batch.unpersist()
             return
+        exists = os.path.exists(dim_path)
         if exists:
             dim = s.read.parquet(dim_path)
             merged = scd2_merge(
@@ -681,6 +687,7 @@ def stream_cdc_apply(
         pt_expr,
         publish_partitions,
         resolve_partitions,
+        store_has_partitions,
         write_target_meta,
     )
 
@@ -702,7 +709,14 @@ def stream_cdc_apply(
         )
         if n_pt is not None:
             rows = rows.withColumn(PT_COL, pt_expr(keys, n_pt))
-        exists = os.path.exists(target_path)
+        # partitioned stores write their meta BEFORE the data, so a
+        # meta-only directory is an EMPTY store mid-bootstrap, not a
+        # readable dataset — store_has_partitions is the existence test
+        exists = (
+            store_has_partitions(target_path)
+            if n_pt is not None
+            else os.path.exists(target_path)
+        )
         if n_pt is not None:
             # delta feeds two consumers (affected-partition collect + the
             # merge) — persist for the epoch, unpersist in the finally
@@ -734,6 +748,7 @@ def stream_cdc_apply(
                     merged, target_path, target_path + f".epoch{epoch_id}"
                 )
             elif n_pt is not None:
+                write_target_meta(target_path, keys, n_pt)  # meta FIRST
                 publish_partitions(
                     rows, target_path, target_path + f".epoch{epoch_id}",
                     sorted(
@@ -741,7 +756,6 @@ def stream_cdc_apply(
                         for r in rows.select(PT_COL).distinct().collect()
                     ),
                 )
-                write_target_meta(target_path, keys, n_pt)
             else:
                 from database_migration_spark.functions.io import (
                     publish_parquet,
@@ -800,8 +814,16 @@ def compact_cdc_target(
         publish_parquet,
         publish_partitions,
         read_target_meta,
+        store_has_partitions,
     )
 
+    if read_target_meta(target_path) is not None and not store_has_partitions(
+        target_path
+    ):
+        # a partitioned store can legally be empty (every key deleted and
+        # compacted away) — nothing to do, and the parquet read below
+        # would fail on the meta-only directory
+        return {"tombstones_before": 0, "tombstones_after": 0}
     t = spark.read.parquet(target_path)
     expired = F.col("_deleted") & (F.col("_seq") < F.lit(int(min_live_seq)))
     before = t.where(F.col("_deleted")).count()

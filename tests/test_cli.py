@@ -1160,11 +1160,11 @@ def test_cli_optimize_apply_emits_one_stream_per_schema(
 def test_cli_optimize_cross_schema_fk_brackets_parent_stream(
     spark, capsys, monkeypatch
 ):
-    """A cross-schema FK (child in S1 references parent in S2): the parent
-    column's MODIFY renders in S2's stream, so S2's stream must carry the
-    FK DROP/RE-ADD bracket too — the old child-schema-only filter left the
-    MODIFY to execute against the still-live constraint (round-8 ADVICE).
-    """
+    """A cross-schema FK whose MODIFIED columns span two schema streams is
+    HOISTED: dropped before every stream, re-added after the last —
+    bracketing it inside either stream would re-create the constraint
+    while the other schema's column is still unconverted (streams execute
+    in printed order; round-8 ADVICE + round-9 review refinement)."""
     import database_migration_spark.__main__ as M
     from database_migration_spark.catalog import KeyMeta
 
@@ -1189,14 +1189,19 @@ def test_cli_optimize_cross_schema_fk_brackets_parent_stream(
     # both sides convert (harmonized group agrees)
     assert "PARENT.P_CODE: varchar --> DECIMAL" in cap.out
     assert "CHILD.C_CODE: varchar --> DECIMAL" in cap.out
-    # the S2 stream (parent MODIFY) carries the bracket: its section
-    # between "-- schema: S2" and the end must DROP and RE-ADD X_FK
-    s2 = cap.out.split("-- schema: S2", 1)[1]
-    assert 'DROP CONSTRAINT "X_FK"' in s2
-    assert 'ADD CONSTRAINT "X_FK"' in s2
-    assert 'REFERENCES "S2"."PARENT"' in s2
-    # and the MODIFY itself is there, schema-qualified
-    assert 'ALTER TABLE "S2"."PARENT" MODIFY' in s2
+    # execution order: DROP X_FK strictly before BOTH MODIFYs, the
+    # RE-ADD strictly after both — never inside a single schema's stream
+    out = cap.out
+    i_drop = out.index('DROP CONSTRAINT "X_FK"')
+    i_mod_child = out.index('ALTER TABLE "S1"."CHILD" MODIFY')
+    i_mod_parent = out.index('ALTER TABLE "S2"."PARENT" MODIFY')
+    i_add = out.index('ADD CONSTRAINT "X_FK"')
+    assert i_drop < min(i_mod_child, i_mod_parent)
+    assert i_add > max(i_mod_child, i_mod_parent)
+    assert 'REFERENCES "S2"."PARENT"' in out[i_add:]
+    # exactly one DROP and one ADD (no per-stream duplicate bracket)
+    assert out.count('DROP CONSTRAINT "X_FK"') == 1
+    assert out.count('ADD CONSTRAINT "X_FK"') == 1
 
 
 def test_cli_optimize_same_named_tables_do_not_alias(

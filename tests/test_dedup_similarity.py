@@ -1137,10 +1137,12 @@ def test_suggest_ann_params_compressed_m_floor_advisory():
     p = suggest_ann_params(100_000, dim=20, neighbor_cos=0.55,
                            compressed=True)
     assert p["m"] == 20 and 20 % p["m"] == 0
-    # dim=128 keeps a sane geometry
+    # dim=128 keeps the FINE geometry (4-dim subvectors, m=32) — the
+    # floor fix must never downgrade dims that already cleared it
+    # (round-9 review: geq16[0] unconditionally would return m=16 here)
     p = suggest_ann_params(100_000, dim=128, neighbor_cos=0.55,
                            compressed=True)
-    assert p["m"] == 16
+    assert p["m"] == 32
     # prime dim: no divisor >= 16 below dim... 13 has none at all -> the
     # advisory must flag the collapse regime and expected_recall must not
     # claim the measured 0.78

@@ -387,3 +387,24 @@ def test_top_mass_sample_groups_zero_mass_and_validation(spark):
     assert got == {1}
     with pytest.raises(ValueError, match="mass_ppm"):
         top_mass_sample(df, "id", "score", "w", 2_000_000)
+
+
+def test_weighted_samplers_reject_negative_weights(spark):
+    """The documented non-negative-weight contract is ENFORCED per row
+    inside the scan (raise_error — no extra validation pass): a negative
+    weight fails the job loudly instead of silently corrupting the
+    running sums (round-9 review)."""
+    import pytest
+
+    from database_migration_spark.operators.sampling import (
+        pps_systematic_sample,
+        top_mass_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5, 10), (2, 4, -3), (3, 3, 7)], "id LONG, score LONG, w LONG"
+    )
+    with pytest.raises(Exception, match="negative w"):
+        top_mass_sample(df, "id", "score", "w", 500_000).collect()
+    with pytest.raises(Exception, match="negative w"):
+        pps_systematic_sample(df, "id", "w", 2).collect()

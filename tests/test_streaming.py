@@ -1272,3 +1272,73 @@ def test_stream_scd2_partitioned_matches_plain_and_is_surgical(
             "unused", ["k"], ["attr"], "unused_ck",
             close_missing=True, partitions=4,
         )
+
+
+def test_stream_cdc_apply_partitioned_composite_keys(spark, tmp_path):
+    """Multi-column keys through the key-hash layout: pt_expr concatenates
+    the key columns (order-sensitive, NULL parts hash as empty) — the
+    live view must match the plain layout exactly, including a NULL key
+    part."""
+    from database_migration_spark.streaming.delta_stream import (
+        read_cdc_target,
+        stream_cdc_apply,
+    )
+
+    schema = "k1 LONG, k2 STRING, v STRING, seq LONG, op STRING"
+    events = [
+        (1, "a", "x", 10, "I"), (1, "b", "y", 10, "I"),
+        (2, "a", "z", 10, "I"), (1, "a", "x2", 20, "U"),
+        (1, "b", "y", 20, "D"), (3, None, "n", 10, "I"),
+        (3, None, "n2", 20, "U"),
+    ]
+
+    def run(name, partitions):
+        src = tmp_path / f"ck_{name}"
+        src.mkdir()
+        spark.createDataFrame(events, schema).coalesce(1).write.parquet(
+            str(src / "b0"))
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        target = str(tmp_path / f"ckt_{name}")
+        q = stream_cdc_apply(stream, target, ["k1", "k2"],
+                             str(tmp_path / f"ckc_{name}"),
+                             partitions=partitions)
+        q.processAllAvailable()
+        q.stop()
+        return {
+            (r.k1, r.k2): r.v
+            for r in read_cdc_target(spark, target).collect()
+        }
+
+    want = {(1, "a"): "x2", (2, "a"): "z", (3, None): "n2"}
+    assert run("plain", None) == want
+    assert run("part", 4) == want
+
+
+def test_cdc_partitioned_bootstrap_crash_window_replays(spark, tmp_path):
+    """Meta-first bootstrap protocol: a crash AFTER _target_meta.json but
+    BEFORE any partition landed leaves a meta-only directory — the replay
+    must treat it as an EMPTY store and bootstrap cleanly (pre-fix it was
+    mis-diagnosed as 'written unpartitioned' and the stream could never
+    progress)."""
+    from database_migration_spark.functions.io import write_target_meta
+    from database_migration_spark.streaming.delta_stream import (
+        read_cdc_target,
+        stream_cdc_apply,
+    )
+
+    target = str(tmp_path / "cw_target")
+    write_target_meta(target, ["k"], 8)  # the crash left only this
+
+    schema = "k LONG, v STRING, seq LONG, op STRING"
+    src = tmp_path / "cw_src"
+    src.mkdir()
+    spark.createDataFrame([(1, "a", 10, "I"), (2, "b", 10, "I")],
+                          schema).coalesce(1).write.parquet(str(src / "b0"))
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    # partitions resolves from the stored meta (None passed)
+    q = stream_cdc_apply(stream, target, ["k"], str(tmp_path / "cw_ck"))
+    q.processAllAvailable()
+    q.stop()
+    assert {r.k: r.v for r in read_cdc_target(spark, target).collect()} == {
+        1: "a", 2: "b"
+    }

@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "quality_classifier_documents",
     # round 9
     "top_mass_sample_documents",
+    "winnow_fingerprint_documents",
+    "heavy_hitter_tokens",
 ]
 
 

@@ -1,0 +1,182 @@
+"""Bounded-state frequency sketches: exact heavy hitters without a
+full-key shuffle.
+
+The naive frequent-key query — ``groupBy(key).count().filter(cnt >= t)``
+— shuffles one partial row per (distinct key × partition). Over a
+high-cardinality key (tokens, URLs, user ids) at 100 TB that shuffle IS
+the job, even though the answer is a handful of rows. The classic fix is
+a two-pass sketch (Misra & Gries 1982, "Finding repeated elements";
+rediscovered as FREQUENT / space-saving):
+
+1. **Summary pass** (map-only, zero shuffle): each partition maintains at
+   most ``k`` weighted counters; when a new key overflows the budget the
+   minimum counter value is subtracted from all and zeroed counters drop.
+   The decrement analysis is the paper's: every subtraction of ``m``
+   removes ``m·(k+1)+`` total mass, and at most ``n_p`` mass exists, so
+   any key with partition mass ``> n_p/(k+1)`` survives partition ``p``'s
+   summary. A key with GLOBAL share >= t has, by weighted averaging, at
+   least one partition where its local share >= t, and with
+   ``k >= ceil(1/t)`` it survives there — the union of partition
+   summaries is a **superset of every true heavy hitter** (no false
+   negatives; false positives are fine, the next pass kills them).
+2. **Recount pass**: the candidate keys (<= k per partition, broadcast)
+   semi-join the input and only THEIR counts aggregate — the shuffle
+   carries candidate partials only, so its volume is |candidates| ×
+   partitions, not |vocabulary| × partitions.
+
+The output is EXACT (identical to the naive groupBy — pinned by the
+DuckDB oracle of ``heavy_hitter_tokens`` and the partitioning-invariance
+pytest): the sketch only routes the computation, it never appears in the
+answer. That is what makes the operator oracle-checkable even though its
+intermediate state is approximate.
+
+The summary runs in Arrow-batched ``mapInPandas`` with per-batch
+``groupby`` pre-aggregation, so Python touches one row per DISTINCT key
+per batch, not one per input row (the multimodal/mapInPandas convention:
+bounded per-batch state, vectorized inner ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_reduce(counters: dict, k: int) -> None:
+    """Shrink ``counters`` to at most ``k`` entries by the weighted
+    Misra-Gries decrement: subtract enough of the smallest counter mass
+    from ALL entries that the budget holds; zeroed entries drop. Each
+    subtraction of m hits every live counter (>= k+1 of them), which is
+    what bounds any single key's total decrement by n_p/(k+1)."""
+    import numpy as np
+
+    while len(counters) > k:
+        vals = np.fromiter(counters.values(), dtype="int64")
+        # subtracting the (len-k)-th smallest zeroes at least len-k entries
+        m = int(np.partition(vals, len(vals) - k - 1)[len(vals) - k - 1])
+        for key in list(counters):
+            nv = counters[key] - m
+            if nv > 0:
+                counters[key] = nv
+            else:
+                del counters[key]
+
+
+def mg_candidate_keys(
+    df: DataFrame,
+    key_cols: list[str],
+    summary_size: int,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries of ``df``'s key distribution:
+    the union of every partition's surviving keys, at most
+    ``summary_size`` rows per partition. Superset-of-heavy-hitters is the
+    only contract (see module docstring); counts are NOT emitted — they
+    are sketch lower bounds, and the recount pass recomputes them
+    exactly."""
+    cols = list(key_cols) + ([weight_col] if weight_col else [])
+    src = df.select(*cols)
+    schema = src.select(*key_cols).schema
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for batch in batches:
+            if weight_col is not None:
+                vc = batch.groupby(key_cols, dropna=False, sort=False)[
+                    weight_col
+                ].sum()
+            else:
+                vc = batch.groupby(key_cols, dropna=False, sort=False).size()
+            for key, w in vc.items():
+                # pandas versions disagree on whether a single-column
+                # groupby yields scalar or 1-tuple keys — normalize
+                if isinstance(key, tuple) and len(key_cols) == 1:
+                    key = key[0]
+                if w > 0:
+                    counters[key] = counters.get(key, 0) + int(w)
+            if len(counters) > summary_size:
+                _mg_reduce(counters, summary_size)
+        if counters:
+            keys = list(counters)
+            if len(key_cols) == 1:
+                yield pd.DataFrame({key_cols[0]: keys})
+            else:
+                yield pd.DataFrame(keys, columns=key_cols)
+
+    return src.mapInPandas(summarize, schema)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    threshold_ppm: int,
+    weight_col: str | None = None,
+    summary_size: int | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """All key combinations whose exact (weighted) share of ``df`` is at
+    least ``threshold_ppm`` parts-per-million, with their exact counts —
+    computed by the two-pass Misra-Gries route (module docstring) instead
+    of a full-key shuffle. Output: key cols + ``cnt`` (exact long) +
+    ``share_ppm`` (floor of cnt·1e6/total, exact integer arithmetic).
+
+    ``summary_size`` defaults to 2·ceil(1e6/threshold_ppm); values below
+    ceil(1e6/threshold_ppm) would break the no-false-negative guarantee
+    and RAISE (the stored-layout contradiction rule — a silently lossy
+    sketch is the one failure mode this design forbids).
+
+    Exactness bounds: the threshold comparison runs in DECIMAL(38,0)
+    (exact at any total mass); the ``share_ppm`` convenience column
+    divides in signed 64-bit, which holds while cnt < 2^63/1e6 ~ 9.2e12
+    occurrences per key ("the" at 5% of a 2e13-token corpus is ~1e12 —
+    an order of magnitude inside the bound). Weights must be
+    nonnegative: the Misra-Gries superset guarantee (and "share" itself)
+    is meaningless under cancellation.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not 1 <= int(threshold_ppm) <= 1_000_000:
+        raise ValueError("threshold_ppm must be in [1, 1000000]")
+    if persist:
+        # the input feeds three plan branches (total, summary, recount) —
+        # the multi-consumer persist rule. Pass persist=False when the
+        # input is a cheap re-scannable source and materializing the
+        # stream would cost more than three map-only scans.
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    k_min = -(-1_000_000 // int(threshold_ppm))  # ceil
+    if summary_size is None:
+        summary_size = 2 * k_min
+    elif summary_size < k_min:
+        raise ValueError(
+            f"summary_size={summary_size} breaks the Misra-Gries "
+            f"no-false-negative guarantee for threshold_ppm="
+            f"{threshold_ppm}: need >= ceil(1e6/threshold_ppm) = {k_min}"
+        )
+    w = (
+        F.col(weight_col).cast("decimal(38,0)")
+        if weight_col
+        else F.lit(1).cast("decimal(38,0)")
+    )
+    total = df.agg(F.sum(w).alias("t")).collect()[0]["t"]
+    total = int(total) if total is not None else 0
+    cands = mg_candidate_keys(df, keys, summary_size, weight_col).distinct()
+    cond = None
+    for c in keys:
+        eq = df[c].eqNullSafe(cands[c])
+        cond = eq if cond is None else (cond & eq)
+    matched = df.join(F.broadcast(cands), cond, "left_semi")
+    cnt = (
+        F.sum(F.col(weight_col).cast("long")) if weight_col else F.count(F.lit(1))
+    ).cast("long")
+    agg = matched.groupBy(*keys).agg(cnt.alias("cnt"))
+    keep = (F.col("cnt").cast("decimal(38,0)") * F.lit(1_000_000)) >= F.lit(
+        total
+    ).cast("decimal(38,0)") * F.lit(int(threshold_ppm))
+    return agg.where(keep).select(
+        *keys,
+        "cnt",
+        F.expr(f"(cnt * 1000000L) div {max(total, 1)}").alias("share_ppm"),
+    )

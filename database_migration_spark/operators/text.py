@@ -292,13 +292,31 @@ def term_frequencies(
     least twice); ``persist=False`` opts out for per-epoch callers."""
     from pyspark import StorageLevel
 
+    tf = (
+        token_stream(df, text_col, id_col)
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return tf.persist(StorageLevel.MEMORY_AND_DISK) if persist else tf
+
+
+def token_stream(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, term), one row per token OCCURRENCE — the shared
+    pre-aggregation stage of :func:`term_frequencies` (same
+    normalize/split pipeline, same ``text_exprs.normalize_text_sql`` +
+    ``string_split`` oracle counterpart; the one-tokenizer rule). Callers
+    that never need per-document counts (corpus-level heavy hitters)
+    consume this map-only relation directly — no shuffle at all. NULL
+    text emits zero rows (explode of a NULL array)."""
     from database_migration_spark.functions.parallel import fan_out
 
     raw = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col)))
-    tf = raw.select(
-        "id", F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term")
-    ).groupBy("id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    return tf.persist(StorageLevel.MEMORY_AND_DISK) if persist else tf
+    return raw.select(
+        "id",
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    )
 
 
 def term_doc_stats(
@@ -362,6 +380,118 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerpri
     text. Two documents differing only in case/whitespace collide — the
     standard first-pass exact-dedup key."""
     return df.withColumn(out_col, F.md5(normalize_text(F.col(text_col))))
+
+
+# Winnowing tie-break encoding: comb = hash * POS_SPACE + (POS_SPACE-1-pos).
+# POS_SPACE covers every representable document by the engine's own
+# semantics: the VARCHAR cap is 2,000,000 chars (reference
+# sqlserver_to_exasol.sql:51-54, enforced loudly in typemap), so gram
+# positions stay < 2^21; with a 39-bit gram hash the product tops out at
+# 2^60 — exact in signed 64-bit on every engine (the md5_long rule).
+WINNOW_POS_SPACE = 1 << 21
+WINNOW_HASH_SPACE = 1 << 39
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003
+    — the MOSS algorithm): hash every k-char gram of the normalized text,
+    slide a window of ``window`` consecutive gram hashes, and select each
+    window's minimum hash (rightmost occurrence on ties, the paper's
+    rule). Output one row per distinct selected (hash, position):
+    ``(id_col, fp_hash, fp_pos)``.
+
+    Why this beats whole-doc :func:`fingerprint` for near-dup work: the
+    selection is LOCAL, so it carries the paper's guarantee — any
+    substring match of length >= window + k - 1 between two documents
+    yields at least one shared fingerprint, while no match shorter than
+    k is ever detected — with expected density 2/(window+1) of the gram
+    count. The selected (hash, pos) set is the standard index for
+    plagiarism / quote / overlap detection at corpus scale.
+
+    Exact cross-engine arithmetic: the rightmost-min tie-break is encoded
+    into one integer, ``comb = hash·2^21 + (2^21-1-pos)`` (min(comb) =
+    min hash, rightmost position), with a 39-bit md5-derived gram hash so
+    comb < 2^60 stays exact in signed 64-bit on both engines. Position
+    space 2^21 covers the engine's 2M-char VARCHAR cap; a longer input
+    raises loudly rather than mis-selecting.
+
+    Scale shape: gram explode + hash are map-side behind the fan_out
+    barrier; the ONLY shuffle is the per-document window sort (doc-keyed,
+    partition-local within each doc), and the final distinct combines
+    map-side. Documents shorter than k grams-wise, or with fewer than
+    ``window`` grams, emit nothing (below the guarantee threshold).
+    """
+    from pyspark.sql import Window
+
+    from database_migration_spark.functions.hashing import md5_long
+    from database_migration_spark.functions.parallel import fan_out
+
+    if k < 1 or window < 1:
+        raise ValueError("need k >= 1 and window >= 1")
+    norm = (
+        fan_out(df)
+        .where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            normalize_text(F.col(text_col)).alias("_t"),
+        )
+        .where(F.length("_t") >= k)
+    )
+    grams = norm.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("_t") - F.lit(k - 1)),
+                lambda i: F.col("_t").substr(i, F.lit(k)),
+            )
+        ).alias("_pos", "_g"),
+    )
+    h = F.pmod(md5_long(F.col("_g")), F.lit(WINNOW_HASH_SPACE))
+    comb = F.when(
+        F.col("_pos") < WINNOW_POS_SPACE,
+        h * F.lit(WINNOW_POS_SPACE)
+        + (F.lit(WINNOW_POS_SPACE - 1) - F.col("_pos")),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "winnow_fingerprints: document exceeds the 2^21-gram "
+                "position space (inputs are capped at 2M chars upstream)"
+            )
+        )
+    )
+    c = grams.select("id", "_pos", comb.alias("_c"))
+    w = (
+        Window.partitionBy("id")
+        .orderBy("_pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    sel = (
+        c.select(
+            "id",
+            F.min("_c").over(w).alias("_wmin"),
+            F.count("_c").over(w).alias("_cnt"),
+        )
+        .where(F.col("_cnt") == window)
+        .select("id", "_wmin")
+        .distinct()
+    )
+    return sel.select(
+        F.col("id").alias(id_col),
+        F.expr(f"_wmin div {WINNOW_POS_SPACE}").alias("fp_hash"),
+        (
+            F.lit(WINNOW_POS_SPACE - 1)
+            - F.pmod(F.col("_wmin"), F.lit(WINNOW_POS_SPACE))
+        )
+        .cast("int")
+        .alias("fp_pos"),
+    )
 
 
 def chunk_tokens(

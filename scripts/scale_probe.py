@@ -92,6 +92,8 @@ PROBES = [
     "calibrated_quality_filter_documents",
     # round 9 additions
     "top_mass_sample_documents",
+    "winnow_fingerprint_documents",
+    "heavy_hitter_tokens",
     # hierarchy_flatten_customers is NOT probed at x10: the derived
     # corpus's replica key offsets break the div-10 parent derivation
     # (rep>=1 parents dangle), so the probe would measure the trivial

@@ -1,0 +1,104 @@
+"""heavy_hitters (operators/sketches.py): the Misra-Gries two-pass route
+must produce EXACTLY the naive groupBy answer — under any partitioning,
+at the tightest summary size the guarantee permits, weighted or not."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_migration_spark.operators.sketches import heavy_hitters
+
+
+def _naive(df, keys, ppm, weight=None):
+    w = F.sum(F.col(weight)).cast("long") if weight else F.count(F.lit(1)).cast("long")
+    tot_col = F.col(weight).cast("decimal(38,0)") if weight else F.lit(1).cast("decimal(38,0)")
+    total = int(df.agg(F.sum(tot_col)).collect()[0][0] or 0)
+    agg = df.groupBy(*keys).agg(w.alias("cnt"))
+    keep = (F.col("cnt").cast("decimal(38,0)") * 1_000_000) >= (
+        F.lit(total).cast("decimal(38,0)") * ppm
+    )
+    return {
+        tuple(r[k] for k in keys) + (r["cnt"],)
+        for r in agg.where(keep).collect()
+    }
+
+
+def _got(df, keys, ppm, **kw):
+    return {
+        tuple(r[k] for k in keys) + (r["cnt"],)
+        for r in heavy_hitters(df, keys, ppm, **kw).collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # Zipf-ish: key i appears ~N/i times, plus a NULL-keyed block —
+    # 1 000 distinct keys, ~7 500 rows
+    rows = [(i, 1) for i in range(1, 1001) for _ in range(1000 // i)]
+    rows += [(None, 1)] * 120
+    return spark.createDataFrame(rows, "k int, one int").repartition(16)
+
+
+def test_matches_naive_groupby(skewed):
+    ppm = 10_000
+    assert _got(skewed, ["k"], ppm) == _naive(skewed, ["k"], ppm)
+
+
+def test_tightest_summary_size_keeps_guarantee(skewed):
+    # summary_size = ceil(1e6/ppm) exactly — the boundary the proof covers
+    ppm = 10_000
+    assert _got(skewed, ["k"], ppm, summary_size=100) == _naive(
+        skewed, ["k"], ppm
+    )
+
+
+def test_partitioning_invariance(skewed):
+    ppm = 20_000
+    want = _naive(skewed, ["k"], ppm)
+    for n in (1, 7, 32):
+        assert _got(skewed.repartition(n), ["k"], ppm) == want
+
+
+def test_null_keys_counted(skewed):
+    # the NULL block is ~1.6% of rows — above a 10000 ppm threshold
+    out = heavy_hitters(skewed, ["k"], 10_000).collect()
+    assert any(r["k"] is None for r in out)
+
+
+def test_weighted_equals_exploded(spark):
+    # pre-aggregated (key, weight) rows == the exploded unweighted stream
+    pre = spark.createDataFrame(
+        [("a", 500), ("b", 30), ("a", 250), ("c", 220)], "k string, w long"
+    ).repartition(4)
+    exploded = spark.createDataFrame(
+        [("a",)] * 750 + [("b",)] * 30 + [("c",)] * 220, "k string"
+    ).repartition(4)
+    ppm = 100_000
+    got_w = _got(pre, ["k"], ppm, weight_col="w")
+    assert got_w == _naive(exploded, ["k"], ppm)
+    # share_ppm column is the exact floor
+    shares = {
+        r["k"]: r["share_ppm"]
+        for r in heavy_hitters(pre, "k", ppm, weight_col="w").collect()
+    }
+    assert shares == {"a": 750_000, "c": 220_000}
+
+
+def test_multi_column_keys(spark):
+    df = spark.createDataFrame(
+        [("x", 1)] * 40 + [("x", 2)] * 5 + [("y", 1)] * 55,
+        "a string, b int",
+    ).repartition(8)
+    ppm = 300_000
+    assert _got(df, ["a", "b"], ppm) == _naive(df, ["a", "b"], ppm)
+
+
+def test_bad_params_raise(skewed):
+    with pytest.raises(ValueError, match="threshold_ppm"):
+        heavy_hitters(skewed, "k", 0)
+    with pytest.raises(ValueError, match="no-false-negative"):
+        heavy_hitters(skewed, "k", 10_000, summary_size=50)
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "k string")
+    assert heavy_hitters(df, "k", 10_000).count() == 0

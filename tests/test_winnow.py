@@ -1,0 +1,131 @@
+"""Winnowing fingerprints (text.winnow_fingerprints) vs a pure-Python
+reference implementation of Schleimer/Wilkerson/Aiken SIGMOD'03, plus the
+paper's guarantee property and the degenerate-input edges."""
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_migration_spark.operators.text import (
+    WINNOW_HASH_SPACE,
+    WINNOW_POS_SPACE,
+    winnow_fingerprints,
+)
+
+
+def _norm(s: str) -> str:
+    return re.sub(r"\s+", " ", s.lower()).strip()
+
+
+def _h(gram: str) -> int:
+    return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16) % WINNOW_HASH_SPACE
+
+
+def _reference(text: str, k: int, w: int) -> set[tuple[int, int]]:
+    """Plain winnowing: per window of w consecutive k-gram hashes select
+    the minimum, rightmost occurrence on ties; return distinct
+    (hash, pos)."""
+    t = _norm(text)
+    if len(t) < k:
+        return set()
+    hs = [_h(t[i : i + k]) for i in range(len(t) - k + 1)]
+    out = set()
+    for j in range(len(hs) - w + 1):
+        win = hs[j : j + w]
+        m = min(win)
+        # rightmost index of the min within the window
+        pos = j + max(i for i, v in enumerate(win) if v == m)
+        out.add((m, pos))
+    return out
+
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog"),
+    (2, "the quick  brown fox JUMPS over a sleepy dog"),  # shares substrings
+    (3, "Lorem ipsum dolor sit amet, consectetur adipiscing elit"),
+    (4, "aaaaaaaaaaaaaaaaaaaa"),  # degenerate: all grams identical (ties)
+    (5, "abababababababababab"),  # period-2 ties
+    (6, "short"),  # len < k -> nothing
+    (7, ""),  # empty -> nothing
+    (8, None),  # NULL -> nothing
+    (9, "exactly8"),  # len == k: one gram, < window grams -> nothing
+    (10, "x" * 7 + "unique tail with enough length to fingerprint"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in DOCS], "doc_id int, text string"
+    )
+
+
+def test_matches_python_reference(docs_df):
+    k, w = 8, 4
+    got = {
+        (r.doc_id, r.fp_hash, r.fp_pos)
+        for r in winnow_fingerprints(docs_df, k=k, window=w).collect()
+    }
+    want = {
+        (i, h, p)
+        for i, t in DOCS
+        if t is not None
+        for (h, p) in _reference(t, k, w)
+    }
+    assert got == want
+
+
+def test_matches_reference_other_geometry(docs_df):
+    k, w = 5, 3
+    got = {
+        (r.doc_id, r.fp_hash, r.fp_pos)
+        for r in winnow_fingerprints(docs_df, k=k, window=w).collect()
+    }
+    want = {
+        (i, h, p)
+        for i, t in DOCS
+        if t is not None
+        for (h, p) in _reference(t, k, w)
+    }
+    assert got == want
+
+
+def test_guarantee_shared_substring_shares_fingerprint(spark):
+    # any shared substring of length >= w + k - 1 must yield a shared
+    # fp_hash (the winnowing guarantee) — embed one common phrase into
+    # otherwise-disjoint documents
+    k, w = 8, 4
+    common = "winnowing guarantee phrase"  # 26 chars >= 11
+    df = spark.createDataFrame(
+        [
+            (1, f"left padding words then {common} and more after"),
+            (2, f"completely different prefix {common} unrelated suffix"),
+        ],
+        "doc_id int, text string",
+    )
+    fps = winnow_fingerprints(df, k=k, window=w).collect()
+    h1 = {r.fp_hash for r in fps if r.doc_id == 1}
+    h2 = {r.fp_hash for r in fps if r.doc_id == 2}
+    assert h1 & h2
+
+
+def test_degenerate_inputs_emit_nothing(docs_df):
+    out = winnow_fingerprints(docs_df, k=8, window=4)
+    gone = out.where(F.col("doc_id").isin(6, 7, 8, 9)).count()
+    assert gone == 0
+
+
+def test_density_and_position_bounds(docs_df):
+    # every selected position is a valid gram index; fingerprint count per
+    # doc never exceeds gram count and is >= 1 for docs with >= w full
+    # windows
+    k, w = 8, 4
+    rows = winnow_fingerprints(docs_df, k=k, window=w).collect()
+    texts = {i: _norm(t) for i, t in DOCS if t}
+    for r in rows:
+        n_grams = len(texts[r.doc_id]) - k + 1
+        assert 0 <= r.fp_pos < n_grams
+        assert 0 <= r.fp_hash < WINNOW_HASH_SPACE
+        assert r.fp_pos < WINNOW_POS_SPACE

@@ -431,19 +431,15 @@ def winnow_fingerprints(
     from pyspark.sql import Window
 
     from database_migration_spark.functions.hashing import md5_long
-    from database_migration_spark.functions.parallel import fan_out
+    from database_migration_spark.operators.dedup import _normalized_text
 
     if k < 1 or window < 1:
         raise ValueError("need k >= 1 and window >= 1")
-    norm = (
-        fan_out(df)
-        .where(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("id"),
-            normalize_text(F.col(text_col)).alias("_t"),
-        )
-        .where(F.length("_t") >= k)
-    )
+    # the shared fanned-out normalize-behind-a-persist-boundary relation
+    # (shingle_sets' lesson): without the barrier, CollapseProject inlines
+    # the regex normalization into the gram lambda and it re-runs PER GRAM
+    # — O(len²) per doc, measured 48x at the x10 probe before this fix
+    norm = _normalized_text(df, text_col, id_col).where(F.length("_t") >= k)
     grams = norm.select(
         "id",
         F.posexplode(

@@ -2097,6 +2097,79 @@ def cmd_ann(args) -> int:
     return 0
 
 
+def cmd_hitters(args) -> int:
+    """Exact heavy hitters over a table (operators/sketches.py): keys
+    whose share of the (optionally weighted) row mass is at least
+    ``--ppm``, found by the bounded-state Misra-Gries route — no
+    full-key shuffle — and recounted exactly. ``--tokenize-col`` instead
+    finds heavy TOKENS of a text column through the engine's one
+    tokenizer (text.token_stream). Prints cnt-descending; ``--out``
+    additionally writes parquet. Bad parameters (no keys, ppm outside
+    [1, 1e6], unknown columns, a summary size below the guarantee
+    bound) exit 2 naming the fix."""
+    from pyspark.sql import functions as F
+
+    from database_migration_spark.operators.sketches import heavy_hitters
+    from database_migration_spark.session import get_spark
+
+    if bool(args.keys) == bool(args.tokenize_col):
+        print("error: pass exactly one of --keys or --tokenize-col",
+              file=sys.stderr)
+        return 2
+
+    spark = get_spark(app_name="dms_hitters")
+    adapter = _source(spark, args.source, args)
+    cat = adapter.scan_catalog("%", args.table or "%")
+    if not cat.tables:
+        print(f"error: no table in {args.source}", file=sys.stderr)
+        return 2
+    if len(cat.tables) > 1:
+        names = sorted(t.table for t in cat.tables)
+        print(f"error: {args.source} holds several tables {names} — pick "
+              "one with --table", file=sys.stderr)
+        return 2
+    df = _read(adapter, cat.tables[0])
+
+    if args.tokenize_col:
+        from database_migration_spark.operators.text import token_stream
+
+        if args.tokenize_col not in df.columns:
+            print(f"error: column {args.tokenize_col} not in "
+                  f"{df.columns}", file=sys.stderr)
+            return 2
+        id_col = df.columns[0]
+        df = token_stream(df, args.tokenize_col, id_col)
+        keys = ["term"]
+        weight = None
+    else:
+        keys = [c.strip() for c in args.keys.split(",") if c.strip()]
+        missing = [c for c in keys if c not in df.columns] + [
+            c for c in [args.weight_col] if c and c not in df.columns
+        ]
+        if missing:
+            print(f"error: columns {missing} not in {df.columns}",
+                  file=sys.stderr)
+            return 2
+        weight = args.weight_col
+    try:
+        out = heavy_hitters(
+            df, keys, args.ppm, weight_col=weight,
+            summary_size=args.summary_size,
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    rows = out.orderBy(F.desc("cnt"), *keys).collect()
+    print(f"{len(rows)} heavy hitters at >= {args.ppm} ppm")
+    for r in rows:
+        key = ", ".join(str(r[k]) for k in keys)
+        print(f"  {key}: {r['cnt']} ({r['share_ppm']} ppm)")
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        print(f"written to {args.out}")
+    return 0
+
+
 def cmd_ping(args) -> int:
     """The reference ships a connection smoke test with every script
     (SELECT 'Connection works' — mysql_to_exasol.sql:396-397); this is
@@ -2587,6 +2660,29 @@ def main(argv: list[str] | None = None) -> int:
     sa.add_argument("--dry-run", action="store_true",
                     help="counts only, write nothing")
     sa.set_defaults(fn=cmd_sample)
+
+    hh = sub.add_parser("hitters", help="exact heavy hitters (Misra-Gries "
+                        "two-pass: no full-key shuffle) over key columns "
+                        "or a tokenized text column")
+    hh.add_argument("--source", required=True,
+                    help="table directory or jdbc: URL")
+    hh.add_argument("--table", help="table name when the dir holds several")
+    hh.add_argument("--dialect", help="dialect name for jdbc: sources")
+    hh.add_argument("--jdbc-prop", action="append")
+    hh.add_argument("--keys", default=None,
+                    help="comma-separated key columns")
+    hh.add_argument("--tokenize-col", default=None,
+                    help="find heavy TOKENS of this text column instead "
+                    "of --keys")
+    hh.add_argument("--ppm", type=int, required=True,
+                    help="minimum share, parts-per-million (1..1000000)")
+    hh.add_argument("--weight-col", default=None,
+                    help="weighted mass column (keys mode)")
+    hh.add_argument("--summary-size", type=int, default=None,
+                    help="Misra-Gries counters per partition (default "
+                    "2*ceil(1e6/ppm); below ceil(1e6/ppm) exits 2)")
+    hh.add_argument("--out", help="also write the result parquet here")
+    hh.set_defaults(fn=cmd_hitters)
 
     pg = sub.add_parser("ping", help="connection smoke test")
     pg.add_argument("--source", required=True,

@@ -1926,3 +1926,61 @@ def test_cli_dedup_forget_takedown(spark, sf_smoke, tmp_path, capsys):
     rc = main(["dedup", "forget", "--index", str(tmp_path / "noidx"),
                "--ids", "1"])
     assert rc == 2 and "dedup build" in capsys.readouterr().err
+
+
+# round 9: hitters subcommand — exact heavy hitters behind one CLI
+
+
+def test_cli_hitters_tokens_and_keys(spark, sf_smoke, tmp_path, capsys):
+    # token mode matches the library operator over the same tokenizer
+    from database_migration_spark.operators.sketches import heavy_hitters
+    from database_migration_spark.operators.text import token_stream
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    want = {
+        (r["term"], r["cnt"], r["share_ppm"])
+        for r in heavy_hitters(token_stream(docs), "term", 10_000).collect()
+    }
+    out_dir = str(tmp_path / "hh")
+    rc = main(["hitters", "--source", sf_smoke, "--table", "documents",
+               "--tokenize-col", "text", "--ppm", "10000",
+               "--out", out_dir])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert f"{len(want)} heavy hitters at >= 10000 ppm" in cap.out
+    got = {
+        (r["term"], r["cnt"], r["share_ppm"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == want
+
+    # keys mode with a weight column: every source is ~5% of 20 — all in
+    rc = main(["hitters", "--source", sf_smoke, "--table", "documents",
+               "--keys", "source", "--weight-col", "n_chars",
+               "--ppm", "20000"])
+    cap = capsys.readouterr()
+    assert rc == 0 and "heavy hitters at >= 20000 ppm" in cap.out
+
+
+def test_cli_hitters_bad_params_exit_2(spark, sf_smoke, capsys):
+    # exactly one of --keys / --tokenize-col
+    rc = main(["hitters", "--source", sf_smoke, "--table", "documents",
+               "--ppm", "10000"])
+    assert rc == 2 and "exactly one" in capsys.readouterr().err
+    rc = main(["hitters", "--source", sf_smoke, "--table", "documents",
+               "--keys", "source", "--tokenize-col", "text",
+               "--ppm", "10000"])
+    assert rc == 2 and "exactly one" in capsys.readouterr().err
+    # unknown column
+    rc = main(["hitters", "--source", sf_smoke, "--table", "documents",
+               "--keys", "nope", "--ppm", "10000"])
+    assert rc == 2 and "nope" in capsys.readouterr().err
+    # ppm out of range
+    rc = main(["hitters", "--source", sf_smoke, "--table", "documents",
+               "--keys", "source", "--ppm", "0"])
+    assert rc == 2 and "threshold_ppm" in capsys.readouterr().err
+    # summary size below the guarantee bound names the fix
+    rc = main(["hitters", "--source", sf_smoke, "--table", "documents",
+               "--keys", "source", "--ppm", "10000",
+               "--summary-size", "5"])
+    assert rc == 2 and "no-false-negative" in capsys.readouterr().err

@@ -668,11 +668,8 @@ def cmd_scd2(args) -> int:
         PT_COL,
         affected_partitions,
         publish_parquet,
-        publish_partitions,
-        pt_expr,
         resolve_partitions,
         store_has_partitions,
-        write_target_meta,
     )
 
     try:
@@ -719,16 +716,20 @@ def cmd_scd2(args) -> int:
     if n_pt is not None:
         # key-hash layout: rewrite + swap ONLY the partitions the source
         # batch touches — derived from the batch's keys alone (the
-        # stream_scd2(partitions=) machinery); the layout persists in
-        # _target_meta.json, written BEFORE the bootstrap data so a crash
-        # between the two replays cleanly (meta-only dir == empty store)
-        if not exists:
-            write_target_meta(args.target, keys, n_pt)
-        publish_partitions(
-            dim.withColumn(PT_COL, pt_expr(keys, n_pt)),
-            args.target, args.target + ".scd2-tmp", affected,
+        # stream_scd2(partitions=) machinery); the meta-first bootstrap
+        # and the empty-bootstrap skip live in publish_surgical, shared
+        # with cmd_cdc
+        from database_migration_spark.functions.io import publish_surgical
+
+        committed = publish_surgical(
+            dim, args.target, args.target + ".scd2-tmp",
+            keys, n_pt, affected, bootstrapping=not exists,
         )
         source.unpersist()
+        if not committed:
+            print(f"{args.table}: source is empty — dimension not "
+                  "created")
+            return 0
     else:
         publish_parquet(dim, args.target, args.target + ".scd2-tmp")
     final = spark.read.parquet(args.target)
@@ -1044,8 +1045,6 @@ def cmd_optimize(args) -> int:
         # one stream PER SCHEMA: qualifying every statement with the first
         # table's schema produced wrong DDL (incl. FK re-adds) for tables
         # in other schemas under a multi-schema scan
-        from database_migration_spark.catalog import fold_identifier
-
         accepted3 = {k for k, p in proposals.items() if p is not None}
         schemas_present = sorted(
             {sch for (sch, _t, _c) in accepted3}
@@ -1070,16 +1069,17 @@ def cmd_optimize(args) -> int:
         hoisted = [fk for fk in fks if len(_modified_schemas(fk)) > 1]
         hoisted_ids = {id(fk) for fk in hoisted}
 
-        def q(name: str) -> str:
-            return '"' + fold_identifier(name, True) + '"'
+        from database_migration_spark.operators.optimize_types import (
+            render_fk_drop,
+            render_fk_readd,
+        )
 
         if hoisted:
             print("-- cross-schema foreign keys: dropped before every "
                   "schema stream, re-added after the last")
             for fk in sorted(hoisted, key=lambda k: (k.schema, k.table,
                                                      k.name)):
-                print(f"ALTER TABLE {q(fk.schema)}.{q(fk.table)} "
-                      f"DROP CONSTRAINT {q(fk.name)};")
+                print(render_fk_drop(fk))
             print()
 
         def _touches_in(fk, s):
@@ -1113,12 +1113,7 @@ def cmd_optimize(args) -> int:
                   "column now converted)")
             for fk in sorted(hoisted, key=lambda k: (k.schema, k.table,
                                                      k.name)):
-                cols = ", ".join(q(c) for c in fk.columns)
-                rcols = ", ".join(q(c) for c in fk.ref_columns or ())
-                print(f"ALTER TABLE {q(fk.schema)}.{q(fk.table)} "
-                      f"ADD CONSTRAINT {q(fk.name)} FOREIGN KEY ({cols}) "
-                      f"REFERENCES {q(fk.ref_schema or fk.schema)}."
-                      f"{q(fk.ref_table or '')} ({rcols}) DISABLE;")
+                print(render_fk_readd(fk))
         print("-- apply stream above is a dry run; nothing was executed",
               file=sys.stderr)
     return 0
@@ -1308,11 +1303,8 @@ def cmd_cdc(args) -> int:
     from database_migration_spark.functions.io import (
         PT_COL,
         publish_parquet,
-        publish_partitions,
-        pt_expr,
         resolve_partitions,
         store_has_partitions,
-        write_target_meta,
     )
 
     try:
@@ -1352,21 +1344,20 @@ def cmd_cdc(args) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
     if n_pt is not None:
-        if not exists and merged.isEmpty():
+        from database_migration_spark.functions.io import publish_surgical
+
+        committed = publish_surgical(
+            merged, args.target, args.target + ".cdc-tmp",
+            keys, n_pt, affected, bootstrapping=not exists,
+        )
+        events.unpersist()
+        if not committed:
             # a delete-only first feed nets to zero rows: nothing to
-            # write and no layout to commit — a meta-only store would
-            # make every later read crash (review finding)
-            events.unpersist()
+            # write and no layout to commit (publish_surgical's
+            # empty-bootstrap rule)
             print("target now has 0 rows (feed netted to nothing; "
                   "target not created)")
             return 0
-        if not exists:
-            write_target_meta(args.target, keys, n_pt)  # meta FIRST
-        publish_partitions(
-            merged.withColumn(PT_COL, pt_expr(keys, n_pt)),
-            args.target, args.target + ".cdc-tmp", affected,
-        )
-        events.unpersist()
     else:
         publish_parquet(merged, args.target, args.target + ".cdc-tmp")
     # a partitioned store CAN legally end up with zero partitions (a feed
@@ -1563,11 +1554,16 @@ def cmd_dedup(args) -> int:
                   "(run `dedup build` first)", file=sys.stderr)
             return 2
         ids: list = []
-        if args.ids:
-            ids += [int(x) for x in args.ids.split(",") if x.strip()]
-        if args.ids_file:
-            with open(args.ids_file) as fh:
-                ids += [int(x) for x in fh.read().split() if x.strip()]
+        try:
+            if args.ids:
+                ids += [int(x) for x in args.ids.split(",") if x.strip()]
+            if args.ids_file:
+                with open(args.ids_file) as fh:
+                    ids += [int(x) for x in fh.read().split() if x.strip()]
+        except ValueError as e:
+            print(f"error: dedup forget ids must be integers ({e})",
+                  file=sys.stderr)
+            return 2
         if not ids:
             print("error: dedup forget needs --ids or --ids-file",
                   file=sys.stderr)
@@ -2116,6 +2112,11 @@ def cmd_hitters(args) -> int:
         print("error: pass exactly one of --keys or --tokenize-col",
               file=sys.stderr)
         return 2
+    if args.tokenize_col and args.weight_col:
+        print("error: --weight-col only applies to --keys mode (token "
+              "mode counts occurrences) — drop one of the two",
+              file=sys.stderr)
+        return 2
 
     spark = get_spark(app_name="dms_hitters")
     adapter = _source(spark, args.source, args)
@@ -2159,14 +2160,18 @@ def cmd_hitters(args) -> int:
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
-    rows = out.orderBy(F.desc("cnt"), *keys).collect()
-    print(f"{len(rows)} heavy hitters at >= {args.ppm} ppm")
-    for r in rows:
-        key = ", ".join(str(r[k]) for k in keys)
-        print(f"  {key}: {r['cnt']} ({r['share_ppm']} ppm)")
-    if args.out:
-        out.write.mode("overwrite").parquet(args.out)
-        print(f"written to {args.out}")
+    out = out.persist()  # result is <= 1e6/ppm keys; print + --out reuse it
+    try:
+        rows = out.orderBy(F.desc("cnt"), *keys).collect()
+        print(f"{len(rows)} heavy hitters at >= {args.ppm} ppm")
+        for r in rows:
+            key = ", ".join(str(r[k]) for k in keys)
+            print(f"  {key}: {r['cnt']} ({r['share_ppm']} ppm)")
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"written to {args.out}")
+    finally:
+        out.unpersist(blocking=False)
     return 0
 
 

@@ -201,6 +201,41 @@ def publish_partitions(
     shutil.rmtree(staging, ignore_errors=True)
 
 
+def publish_surgical(
+    result: DataFrame,
+    path: str,
+    staging: str,
+    keys: list,
+    n_partitions: int,
+    affected: list,
+    bootstrapping: bool,
+) -> bool:
+    """Commit ``result`` (the new content of ONLY the ``affected``
+    partitions, WITHOUT the layout column — it is attached here) to a
+    key-hash-partitioned store. The two crash/degenerate rules both CLI
+    maintainers (cdc, scd2) must share live here so they cannot drift
+    (they had: the empty-bootstrap guard landed in one and not the
+    other — review finding):
+
+    - An EMPTY bootstrap commits NOTHING and returns False: a meta-only
+      store makes every later parquet read crash, so the target simply
+      isn't created (the caller reports it).
+    - A real bootstrap writes ``_target_meta.json`` BEFORE the data, so
+      a crash between the two replays cleanly (meta-only dir == empty
+      store by the ``store_has_partitions`` existence test)."""
+    if bootstrapping and result.isEmpty():
+        return False
+    if bootstrapping:
+        write_target_meta(path, keys, n_partitions)
+    publish_partitions(
+        result.withColumn(PT_COL, pt_expr(keys, n_partitions)),
+        path,
+        staging,
+        affected,
+    )
+    return True
+
+
 def store_has_partitions(path: str) -> bool:
     """Whether a key-hash-partitioned store holds any data yet: at least
     one ``_pt=*`` directory. The EXISTENCE test for partitioned targets —

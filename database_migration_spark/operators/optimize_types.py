@@ -373,12 +373,7 @@ def conversion_statements(
     if touched_fks:
         drop = plan.add_section("DROP FOREIGN KEYS")
         for fk in sorted(touched_fks, key=lambda k: (k.table, k.name)):
-            drop.statements.append(
-                Statement(
-                    f"ALTER TABLE {q(fk.schema)}.{q(fk.table)} "
-                    f"DROP CONSTRAINT {q(fk.name)};"
-                )
-            )
+            drop.statements.append(Statement(render_fk_drop(fk, fold_case)))
 
     conv = plan.add_section("TYPE CONVERSIONS")
     for (tbl, col), p in accepted.items():
@@ -401,17 +396,42 @@ def conversion_statements(
     if touched_fks:
         readd = plan.add_section("RE-ADD FOREIGN KEYS")
         for fk in sorted(touched_fks, key=lambda k: (k.table, k.name)):
-            cols = ", ".join(q(c) for c in fk.columns)
-            rcols = ", ".join(q(c) for c in fk.ref_columns or ())
-            readd.statements.append(
-                Statement(
-                    f"ALTER TABLE {q(fk.schema)}.{q(fk.table)} "
-                    f"ADD CONSTRAINT {q(fk.name)} FOREIGN KEY ({cols}) "
-                    f"REFERENCES {q(fk.ref_schema or fk.schema)}."
-                    f"{q(fk.ref_table or '')} ({rcols}) DISABLE;"
-                )
-            )
+            readd.statements.append(Statement(render_fk_readd(fk, fold_case)))
     return plan
+
+
+def render_fk_drop(fk, fold_case: bool = True) -> str:
+    """The FK DROP statement text — ONE implementation for the in-stream
+    bracket (conversion_statements) and the hoisted cross-schema bracket
+    (CLI optimize --apply): two copies of the template had already
+    appeared and would drift (review finding; the publish-dance lesson)."""
+    from database_migration_spark.catalog import fold_identifier
+
+    def q(name: str) -> str:
+        return '"' + fold_identifier(name, fold_case) + '"'
+
+    return (
+        f"ALTER TABLE {q(fk.schema)}.{q(fk.table)} "
+        f"DROP CONSTRAINT {q(fk.name)};"
+    )
+
+
+def render_fk_readd(fk, fold_case: bool = True) -> str:
+    """The FK RE-ADD statement text (DISABLE — the reference's
+    constraints-disabled-for-load convention); see render_fk_drop."""
+    from database_migration_spark.catalog import fold_identifier
+
+    def q(name: str) -> str:
+        return '"' + fold_identifier(name, fold_case) + '"'
+
+    cols = ", ".join(q(c) for c in fk.columns)
+    rcols = ", ".join(q(c) for c in fk.ref_columns or ())
+    return (
+        f"ALTER TABLE {q(fk.schema)}.{q(fk.table)} "
+        f"ADD CONSTRAINT {q(fk.name)} FOREIGN KEY ({cols}) "
+        f"REFERENCES {q(fk.ref_schema or fk.schema)}."
+        f"{q(fk.ref_table or '')} ({rcols}) DISABLE;"
+    )
 
 
 def veto_out_of_scope_fk(

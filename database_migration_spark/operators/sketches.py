@@ -78,6 +78,21 @@ def mg_candidate_keys(
     src = df.select(*cols)
     schema = src.select(*key_cols).schema
 
+    # NULL keys must accumulate into ONE counter: pandas labels a NULL
+    # group as a fresh NaN object per batch and NaN != NaN as a dict key,
+    # so without canonicalization a NULL heavy hitter fragments into
+    # per-batch slivers the decrement silently zeroes — a false negative,
+    # the one failure mode this design forbids (review finding).
+    _NULL = object()
+
+    def _canon(x):
+        import pandas as pd
+
+        return _NULL if (x is None or pd.isna(x)) else x
+
+    def _uncanon(x):
+        return None if x is _NULL else x
+
     def summarize(batches):
         import pandas as pd
 
@@ -94,6 +109,10 @@ def mg_candidate_keys(
                 # groupby yields scalar or 1-tuple keys — normalize
                 if isinstance(key, tuple) and len(key_cols) == 1:
                     key = key[0]
+                if len(key_cols) == 1:
+                    key = _canon(key)
+                else:
+                    key = tuple(_canon(x) for x in key)
                 if w > 0:
                     counters[key] = counters.get(key, 0) + int(w)
             if len(counters) > summary_size:
@@ -101,9 +120,12 @@ def mg_candidate_keys(
         if counters:
             keys = list(counters)
             if len(key_cols) == 1:
-                yield pd.DataFrame({key_cols[0]: keys})
+                yield pd.DataFrame({key_cols[0]: [_uncanon(k) for k in keys]})
             else:
-                yield pd.DataFrame(keys, columns=key_cols)
+                yield pd.DataFrame(
+                    [tuple(_uncanon(x) for x in k) for k in keys],
+                    columns=key_cols,
+                )
 
     return src.mapInPandas(summarize, schema)
 
@@ -155,12 +177,24 @@ def heavy_hitters(
             f"no-false-negative guarantee for threshold_ppm="
             f"{threshold_ppm}: need >= ceil(1e6/threshold_ppm) = {k_min}"
         )
-    w = (
-        F.col(weight_col).cast("decimal(38,0)")
-        if weight_col
-        else F.lit(1).cast("decimal(38,0)")
-    )
-    total = df.agg(F.sum(w).alias("t")).collect()[0]["t"]
+    # one weight convention on all three legs (total, summary, recount):
+    # per-row long truncation, non-negative enforced in-scan (the
+    # sampling._nonneg_weight contract). The total sums the long form in
+    # DECIMAL(38,0) so it cannot overflow; the pandas summary truncates
+    # at batch granularity, which can only OVER-credit a key relative to
+    # the per-row floor (sum(floor(x)) <= floor(sum(x))) — safe for a
+    # superset pass. Mixing decimal rounding into the total while the
+    # recount truncated was a review finding: a key exactly at threshold
+    # could flip on which rounding won.
+    if weight_col:
+        from database_migration_spark.operators.sampling import (
+            _nonneg_weight,
+        )
+
+        wl = _nonneg_weight(weight_col, "heavy_hitters")
+    else:
+        wl = F.lit(1).cast("long")
+    total = df.agg(F.sum(wl.cast("decimal(38,0)")).alias("t")).collect()[0]["t"]
     total = int(total) if total is not None else 0
     cands = mg_candidate_keys(df, keys, summary_size, weight_col).distinct()
     cond = None
@@ -168,9 +202,7 @@ def heavy_hitters(
         eq = df[c].eqNullSafe(cands[c])
         cond = eq if cond is None else (cond & eq)
     matched = df.join(F.broadcast(cands), cond, "left_semi")
-    cnt = (
-        F.sum(F.col(weight_col).cast("long")) if weight_col else F.count(F.lit(1))
-    ).cast("long")
+    cnt = (F.sum(wl) if weight_col else F.count(F.lit(1))).cast("long")
     agg = matched.groupBy(*keys).agg(cnt.alias("cnt"))
     keep = (F.col("cnt").cast("decimal(38,0)") * F.lit(1_000_000)) >= F.lit(
         total

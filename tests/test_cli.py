@@ -1984,3 +1984,49 @@ def test_cli_hitters_bad_params_exit_2(spark, sf_smoke, capsys):
                "--keys", "source", "--ppm", "10000",
                "--summary-size", "5"])
     assert rc == 2 and "no-false-negative" in capsys.readouterr().err
+
+
+def test_cli_hitters_weight_with_tokenize_exits_2(spark, sf_smoke, capsys):
+    rc = main(["hitters", "--source", sf_smoke, "--table", "documents",
+               "--tokenize-col", "text", "--weight-col", "n_chars",
+               "--ppm", "10000"])
+    assert rc == 2 and "--weight-col" in capsys.readouterr().err
+
+
+def test_cli_dedup_forget_non_integer_id_exits_2(spark, sf_smoke, tmp_path,
+                                                 capsys):
+    index = str(tmp_path / "ix")
+    rc = main(["dedup", "build", "--index", index, "--corpus", sf_smoke,
+               "--table", "documents"])
+    capsys.readouterr()
+    assert rc == 0
+    rc = main(["dedup", "forget", "--index", index, "--ids", "17,doc42"])
+    cap = capsys.readouterr()
+    assert rc == 2 and "integers" in cap.err
+
+
+def test_cli_scd2_empty_source_partitioned_does_not_create_store(
+    spark, sf_smoke, tmp_path, capsys
+):
+    # an empty snapshot bootstrap must NOT leave a meta-only directory a
+    # later read would crash on (publish_surgical's shared guard — the
+    # cdc command had it, scd2 did not; review finding)
+    src = str(tmp_path / "empty_src")
+    spark.read.parquet(f"{sf_smoke}/customer.parquet").limit(0).coalesce(
+        1
+    ).write.parquet(f"{src}/customer.parquet")
+    target = str(tmp_path / "dim")
+    rc = main(["scd2", "--source", src, "--table", "customer",
+               "--target", target, "--keys", "c_custkey",
+               "--partitions", "4"])
+    cap = capsys.readouterr()
+    assert rc == 0 and "source is empty" in cap.out
+    import os
+
+    assert not os.path.exists(os.path.join(target, "_target_meta.json"))
+    # and a later real run bootstraps cleanly into the same path
+    rc = main(["scd2", "--source", sf_smoke, "--table", "customer",
+               "--target", target, "--keys", "c_custkey",
+               "--partitions", "4"])
+    cap = capsys.readouterr()
+    assert rc == 0 and "bootstrap" in cap.out

@@ -102,3 +102,41 @@ def test_bad_params_raise(skewed):
 def test_empty_input(spark):
     df = spark.createDataFrame([], "k string")
     assert heavy_hitters(df, "k", 10_000).count() == 0
+
+
+def test_null_key_survives_multi_batch_fragmentation(spark):
+    # pandas labels a NULL group as a fresh NaN per Arrow batch, and
+    # NaN != NaN as a dict key — without canonicalization a NULL heavy
+    # hitter fragments into per-batch slivers the decrement zeroes
+    # (review finding). Force many small batches in ONE partition with
+    # enough distinct keys to trigger decrements, NULLs spread thin.
+    rows = []
+    for i in range(2000):
+        rows.append((i % 400,))       # 400 distinct keys, 5 each
+        if i % 4 == 0:
+            rows.append((None,))      # NULL = 500 of 2500 rows = 20%
+    df = spark.createDataFrame(rows, "k int").coalesce(1)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        # summary_size 10 < 400 distinct keys -> constant decrements
+        got = _got(df, ["k"], 150_000, summary_size=10)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    assert got == _naive(df, ["k"], 150_000)
+    assert any(k is None for (k, _cnt) in got)
+
+
+def test_fractional_weights_truncate_consistently(spark):
+    # non-integral weights follow ONE convention on every leg (per-row
+    # long truncation) — a decimal-total/long-recount mix flipped keys
+    # sitting exactly at threshold (review finding)
+    df = spark.createDataFrame(
+        [("a", 2.7)] * 10 + [("b", 0.9)] * 50 + [("c", 10.0)] * 2,
+        "k string, w double",
+    ).repartition(4)
+    got = _got(df, ["k"], 200_000, weight_col="w")
+    # per-row truncation: a=2*10=20, b=0*50=0, c=10*2=20; total=40
+    assert got == {("a", 20), ("c", 20)}

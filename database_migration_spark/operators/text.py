@@ -422,63 +422,84 @@ def winnow_fingerprints(
     space 2^21 covers the engine's 2M-char VARCHAR cap; a longer input
     raises loudly rather than mis-selecting.
 
-    Scale shape: gram explode + hash are map-side behind the fan_out
-    barrier; the ONLY shuffle is the per-document window sort (doc-keyed,
-    partition-local within each doc), and the final distinct combines
-    map-side. Documents shorter than k grams-wise, or with fewer than
-    ``window`` grams, emit nothing (below the guarantee threshold).
+    Scale shape: the ENTIRE selection is row-local — per-doc arrays of
+    encoded gram hashes, window minima via ``slice``/``array_min``, and
+    the per-doc dedup via ``array_distinct`` — so the operator is one
+    map-only pass behind the fan_out barrier with ZERO shuffle. The first
+    implementation sorted every gram row through a doc-keyed window
+    (min-over-ROWS-frame): correct, but the corpus-wide sort measured
+    **165× at the ×100 probe** (193 s, GC-thrashing) where the gram-hash
+    work itself is the dup_span_coverage ~5 s regime — the
+    remove_dup_spans round-7 lesson (keep per-doc work on per-doc arrays)
+    re-applied. Expensive expressions are BOUND AS LAMBDA VARIABLES
+    (``transform(array(e), x -> ...)`` evaluates ``e`` once per row, and
+    a lambda variable is an O(1) reference), which is what stops
+    CollapseProject from re-running the normalize per gram or the
+    gram-hash array per window — the projection-collapse trap, hit twice
+    while building this operator, both measured (48× and 165×).
+    Documents with fewer than ``window`` grams emit nothing (below the
+    guarantee threshold).
     """
-    from pyspark.sql import Window
-
     from database_migration_spark.functions.hashing import md5_long
-    from database_migration_spark.operators.dedup import _normalized_text
+    from database_migration_spark.functions.parallel import fan_out
 
     if k < 1 or window < 1:
         raise ValueError("need k >= 1 and window >= 1")
-    # the shared fanned-out normalize-behind-a-persist-boundary relation
-    # (shingle_sets' lesson): without the barrier, CollapseProject inlines
-    # the regex normalization into the gram lambda and it re-runs PER GRAM
-    # — O(len²) per doc, measured 48x at the x10 probe before this fix
-    norm = _normalized_text(df, text_col, id_col).where(F.length("_t") >= k)
-    grams = norm.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("_t") - F.lit(k - 1)),
-                lambda i: F.col("_t").substr(i, F.lit(k)),
-            )
-        ).alias("_pos", "_g"),
+
+    def comb_of(t, i):
+        # encoded gram hash at 1-based start i: hash·PS + (PS-1-(i-1));
+        # the position-space bound is guarded ONCE PER ROW below, not here
+        h = F.pmod(md5_long(t.substr(i, F.lit(k))), F.lit(WINNOW_HASH_SPACE))
+        return h * F.lit(WINNOW_POS_SPACE) + (F.lit(WINNOW_POS_SPACE) - i)
+
+    # norm bound once per row; gram-hash array bound once per row; each
+    # window min is least() of `window` direct element lookups — a
+    # slice()-per-window variant COPIES a fresh array per window
+    # (~n allocations per doc) and measured ~5x slower at ×100
+    ct_arr = F.get(
+        F.transform(
+            F.array(normalize_text(F.col(text_col))),
+            lambda t: F.when(
+                F.length(t) - F.lit(k - 1) <= WINNOW_POS_SPACE,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - F.lit(k - 1)),
+                    lambda i: comb_of(t, i),
+                ),
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "winnow_fingerprints: document exceeds the "
+                        "2^21-gram position space (inputs are capped at "
+                        "2M chars upstream)"
+                    )
+                )
+            ),
+        ),
+        0,
     )
-    h = F.pmod(md5_long(F.col("_g")), F.lit(WINNOW_HASH_SPACE))
-    comb = F.when(
-        F.col("_pos") < WINNOW_POS_SPACE,
-        h * F.lit(WINNOW_POS_SPACE)
-        + (F.lit(WINNOW_POS_SPACE - 1) - F.col("_pos")),
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                "winnow_fingerprints: document exceeds the 2^21-gram "
-                "position space (inputs are capped at 2M chars upstream)"
-            )
-        )
+    sel_arr = F.get(
+        F.transform(
+            F.array(ct_arr),
+            lambda ct: F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ct) - F.lit(window)),
+                    lambda j: (
+                        F.least(*[F.get(ct, j + off) for off in range(window)])
+                        if window > 1
+                        else F.get(ct, j)
+                    ),
+                )
+            ),
+        ),
+        0,
     )
-    c = grams.select("id", "_pos", comb.alias("_c"))
-    w = (
-        Window.partitionBy("id")
-        .orderBy("_pos")
-        .rowsBetween(Window.currentRow, window - 1)
+    rows = (
+        fan_out(df)
+        .where(F.col(text_col).isNotNull())
+        .where(F.length(normalize_text(F.col(text_col))) >= k + window - 1)
+        .select(F.col(id_col).alias("id"), F.explode(sel_arr).alias("_wmin"))
     )
-    sel = (
-        c.select(
-            "id",
-            F.min("_c").over(w).alias("_wmin"),
-            F.count("_c").over(w).alias("_cnt"),
-        )
-        .where(F.col("_cnt") == window)
-        .select("id", "_wmin")
-        .distinct()
-    )
-    return sel.select(
+    return rows.select(
         F.col("id").alias(id_col),
         F.expr(f"_wmin div {WINNOW_POS_SPACE}").alias("fp_hash"),
         (

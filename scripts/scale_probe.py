@@ -164,6 +164,12 @@ X100_PROBES = [
     # round 7: CDC apply (reads orders; the planted op rates scale with
     # the key bump, so net/delete fractions stay constant)
     "cdc_apply_orders",
+    # round 9: the gram-window and bounded-sketch operators — both claim
+    # their shape survives a third decade (winnow: one doc-keyed window
+    # shuffle; hitters: bounded per-partition summaries, candidate-only
+    # recount)
+    "winnow_fingerprint_documents",
+    "heavy_hitter_tokens",
 ]
 
 

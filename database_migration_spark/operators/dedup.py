@@ -182,15 +182,39 @@ def lsh_candidate_pairs(
     )
 
 
-def _cap_buckets(df: DataFrame, key_cols: list, max_bucket: int) -> DataFrame:
+def _cap_buckets(
+    df: DataFrame,
+    key_cols: list,
+    max_bucket: int,
+    distinct_col: str | None = None,
+) -> DataFrame:
     """Drop rows whose bucket (the ``key_cols`` group) exceeds
     ``max_bucket`` members — the shared mega-bucket guard of
     :func:`lsh_candidate_pairs` and :func:`simhash_near_pairs`. The capped
     relation feeds BOTH sides of a self-join, so it is persisted here
     (multi-consumer rule: without it the bucket-count window re-runs once
     per join side — on exactly the pathological corpora the cap exists
-    for)."""
+    for).
+
+    ``distinct_col``: count DISTINCT values of this column per bucket
+    instead of rows. The positioned deletion-variant relations need it
+    (round-9 review): a repeated-char string contributes one row per
+    position to the same variant bucket, so a row count would inflate
+    past ``max_bucket`` and silently drop blocks — and true lev-1 pairs —
+    that the per-string calibration admits."""
     from pyspark import StorageLevel
+
+    if distinct_col is not None:
+        sizes = (
+            df.select(*key_cols, distinct_col)
+            .distinct()
+            .groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("_bucket_n"))
+        )
+        kept = sizes.where(F.col("_bucket_n") <= max_bucket).drop("_bucket_n")
+        return df.join(kept, list(key_cols)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     from pyspark.sql import Window
 
     cnt = F.count(F.lit(1)).over(Window.partitionBy(*key_cols))

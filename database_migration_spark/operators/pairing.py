@@ -324,7 +324,7 @@ def fuzzy_join(
         if max_block is not None:
             from database_migration_spark.operators.dedup import _cap_buckets
 
-            return _cap_buckets(k, ["_k"], max_block)
+            return _cap_buckets(k, ["_k"], max_block, distinct_col="_id")
         return k
 
     lnames, rnames = dict_of(left, left_col), dict_of(right, right_col)
@@ -376,11 +376,15 @@ def edit_distance_pairs(
     is over the value domain, not rows), each string emits |s|+1 blocking
     keys (linear in total bytes), the self-join is an equi-join on the
     key, and ``F.levenshtein`` (JVM, codegen) verifies the candidate pairs
-    only. False positives exist (two strings sharing a deletion variant at
-    distance 2, e.g. ``ab``/``ba`` share both ``a`` and ``b``) — the
-    verify removes them; false negatives don't (the neighborhood family is
-    exact for lev≤1). A pair can share several keys, so candidates are
-    deduped on the pair before verification.
+    only. The positioned blocking keys (round 9, :func:`_positioned_keys`)
+    make the candidate set EXACT for lev<=1 modulo 60-bit hash collisions:
+    the old distance-2 false-positive class (``ab``/``ba`` sharing ``a``
+    and ``b`` at different positions) is filtered out by the
+    ``pos_a = pos_b OR either = 0`` rule BEFORE the pair-distinct, so the
+    verify is a collision guard, not a volume reducer. False negatives
+    don't exist (the neighborhood family is exact for lev<=1). A pair can
+    share several keys, so candidates are deduped on the pair before
+    verification.
 
     ``max_block`` guards degenerate dictionaries (every serial id shares
     the variant with its sequence digit deleted): blocks larger than the
@@ -431,7 +435,7 @@ def edit_distance_pairs(
     if max_block is not None:
         from database_migration_spark.operators.dedup import _cap_buckets
 
-        keyed = _cap_buckets(keyed, ["_k"], max_block)
+        keyed = _cap_buckets(keyed, ["_k"], max_block, distinct_col="_id")
     else:
         # both join sides read keyed; projections under different aliases
         # defeat ReusedExchange, so persist (the capped path persists

@@ -273,21 +273,32 @@ def stream_scd2(
     EVERY key, so there is nothing to prune) and raises at construction.
     A transactional format (Delta/Iceberg) replaces both with MERGE INTO.
     """
-    if partitions is not None and close_missing:
-        raise ValueError(
-            "close_missing touches every dimension key per epoch — "
-            "partition-surgical maintenance cannot help; use the "
-            "unpartitioned layout (partitions=None) for snapshot feeds"
-        )
     from database_migration_spark.functions.io import (
         PT_COL,
         affected_partitions,
         pt_expr,
         publish_partitions,
+        read_target_meta,
         resolve_partitions,
         store_has_partitions,
         write_target_meta,
     )
+
+    # the layout can come from the argument OR from an existing store's
+    # meta — close_missing is incompatible with EITHER (a snapshot feed
+    # touches every key, so there is nothing to prune). Checking only the
+    # argument silently dropped the soft-delete semantics for a store
+    # bootstrapped partitioned earlier and streamed with partitions=None
+    # (review finding): the surgical branch runs scd2_merge with
+    # close_missing=False.
+    stored = read_target_meta(dim_path)
+    if close_missing and (partitions is not None or stored is not None):
+        raise ValueError(
+            "close_missing touches every dimension key per epoch — "
+            "partition-surgical maintenance cannot help; use the "
+            "unpartitioned layout (partitions=None, unpartitioned store) "
+            "for snapshot feeds"
+        )
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
         if not batch.head(1):
@@ -717,6 +728,7 @@ def stream_cdc_apply(
             if n_pt is not None
             else os.path.exists(target_path)
         )
+        affected = None
         if n_pt is not None:
             # delta feeds two consumers (affected-partition collect + the
             # merge) — persist for the epoch, unpersist in the finally
@@ -724,11 +736,14 @@ def stream_cdc_apply(
             from pyspark import StorageLevel
 
             rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+            # ONE touched-partition collect per epoch (rows already carry
+            # PT_COL, so this is the affected_partitions shape inlined on
+            # the persisted relation; both branches below reuse it)
+            affected = sorted(
+                r[0] for r in rows.select(PT_COL).distinct().collect()
+            )
         try:
             if exists and n_pt is not None:
-                affected = sorted(
-                    r[0] for r in rows.select(PT_COL).distinct().collect()
-                )
                 tgt = s.read.parquet(target_path).where(
                     F.col(PT_COL).isin(affected)
                 )
@@ -751,10 +766,7 @@ def stream_cdc_apply(
                 write_target_meta(target_path, keys, n_pt)  # meta FIRST
                 publish_partitions(
                     rows, target_path, target_path + f".epoch{epoch_id}",
-                    sorted(
-                        r[0]
-                        for r in rows.select(PT_COL).distinct().collect()
-                    ),
+                    affected,
                 )
             else:
                 from database_migration_spark.functions.io import (
@@ -827,7 +839,8 @@ def compact_cdc_target(
     t = spark.read.parquet(target_path)
     expired = F.col("_deleted") & (F.col("_seq") < F.lit(int(min_live_seq)))
     before = t.where(F.col("_deleted")).count()
-    if read_target_meta(target_path) is not None:
+    partitioned = read_target_meta(target_path) is not None
+    if partitioned:
         affected = sorted(
             r[0]
             for r in t.where(expired).select(PT_COL).distinct().collect()
@@ -840,5 +853,11 @@ def compact_cdc_target(
     else:
         kept = t.where(~expired)
         publish_parquet(kept, target_path, target_path + ".compact-tmp")
+    # compaction can legally empty the store entirely (every key deleted
+    # and past the horizon): the swap deletes every _pt=* directory and
+    # the meta-only dir has no schema to read — report 0, don't crash
+    # AFTER the commit (review finding)
+    if partitioned and not store_has_partitions(target_path):
+        return {"tombstones_before": before, "tombstones_after": 0}
     after = spark.read.parquet(target_path).where(F.col("_deleted")).count()
     return {"tombstones_before": before, "tombstones_after": after}

@@ -210,3 +210,22 @@ def test_fuzzy_join_position_filter_keeps_exact_and_lev1(spark):
         for r in fuzzy_join(left, right, "v", "w").collect()
     }
     assert got == {("bb", "ba", 1), ("same", "same", 0)}
+
+
+def test_max_block_counts_distinct_strings_not_positioned_rows(spark):
+    # repeated-char strings emit the SAME variant at several positions
+    # (deliberately not deduped — the position guarantee needs them); the
+    # bucket cap must count distinct STRINGS, not positioned rows, or a
+    # calibrated max_block silently drops blocks and misses true lev-1
+    # pairs (round-9 review). 'aaaa'/'aaab': the 'aaa' bucket holds 2
+    # strings but 5 positioned rows.
+    from database_migration_spark.operators.pairing import (
+        edit_distance_pairs,
+    )
+
+    df = spark.createDataFrame([("aaaa",), ("aaab",)], "s string")
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in edit_distance_pairs(df, "s", max_block=3).collect()
+    }
+    assert got == {("aaaa", "aaab", 1)}

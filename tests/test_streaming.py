@@ -1342,3 +1342,62 @@ def test_cdc_partitioned_bootstrap_crash_window_replays(spark, tmp_path):
     assert {r.k: r.v for r in read_cdc_target(spark, target).collect()} == {
         1: "a", 2: "b"
     }
+
+
+def test_stream_scd2_close_missing_rejected_for_stored_partitioned_layout(
+    spark, tmp_path
+):
+    # the layout can come from the STORE's meta, not just the argument —
+    # close_missing must raise there too instead of silently running the
+    # surgical branch with close_missing=False (round-9 review)
+    from database_migration_spark.functions.io import write_target_meta
+    from database_migration_spark.streaming.delta_stream import stream_scd2
+
+    dim = str(tmp_path / "dim")
+    write_target_meta(dim, ["k"], 4)
+    schema = "k LONG, attr STRING"
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame([(1, "a")], schema).write.parquet(feed + "/b0")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="close_missing"):
+        stream_scd2(
+            spark.readStream.schema(schema).parquet(feed + "/*"),
+            dim, ["k"], ["attr"], str(tmp_path / "ck"),
+            close_missing=True,
+        )
+
+
+def test_compact_cdc_target_emptied_store_reports_instead_of_crashing(
+    spark, tmp_path
+):
+    # compaction that expires EVERY row (all keys deleted, horizon past)
+    # legally empties a partitioned store — it must report counts, not
+    # crash reading the meta-only directory after the commit
+    from database_migration_spark.functions.io import (
+        store_has_partitions,
+    )
+    from database_migration_spark.streaming.delta_stream import (
+        compact_cdc_target,
+        stream_cdc_apply,
+    )
+
+    feed = str(tmp_path / "feed")
+    target = str(tmp_path / "tgt")
+    schema = "k LONG, v STRING, seq LONG, op STRING"
+    spark.createDataFrame(
+        [(1, "a", 1, "I"), (2, "b", 1, "I"), (1, None, 2, "D"),
+         (2, None, 2, "D")],
+        schema,
+    ).write.parquet(feed + "/b0")
+    q = stream_cdc_apply(
+        spark.readStream.schema(schema).parquet(feed + "/*"),
+        target, ["k"], str(tmp_path / "ck"), partitions=4,
+    )
+    q.processAllAvailable(); q.stop()
+    res = compact_cdc_target(spark, target, min_live_seq=10)
+    assert res == {"tombstones_before": 2, "tombstones_after": 0}
+    assert not store_has_partitions(target)
+    # idempotent on the now-empty store
+    res2 = compact_cdc_target(spark, target, min_live_seq=10)
+    assert res2 == {"tombstones_before": 0, "tombstones_after": 0}

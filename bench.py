@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     # round 9
     "top_mass_sample_documents",
     "winnow_fingerprint_documents",
+    "winnow_overlap_pairs",
     "heavy_hitter_tokens",
 ]
 

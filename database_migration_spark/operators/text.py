@@ -511,6 +511,76 @@ def winnow_fingerprints(
     )
 
 
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 5,
+    max_bucket: "int | None" = None,
+) -> DataFrame:
+    """The MOSS match stage over :func:`winnow_fingerprints`: document
+    pairs sharing at least ``min_shared`` distinct selected fingerprint
+    hashes — the plagiarism/quote/overlap detector the winnowing paper
+    builds (Schleimer et al. SIGMOD'03 §5, "ignoring matches of very
+    common fingerprints" = ``max_bucket``: a fingerprint selected in more
+    than that many documents is boilerplate/stop-gram signal and is
+    dropped before the join, exactly the dedup family's hot-bucket cap).
+
+    Output ``(doc_a, doc_b, shared)`` with ``doc_a < doc_b``; ``shared``
+    counts distinct co-selected hashes, each witnessing a local gram
+    match (k chars), with the winnowing guarantee inherited: a shared
+    passage of length >= window + k - 1 contributes at least one shared
+    hash per document.
+
+    Scale shape — the full fingerprint relation is corpus-sized (~2/(w+1)
+    of the gram count) and winnowing's selection is BIASED: globally
+    small gram hashes get selected in nearly every document containing
+    the gram (measured ×100: single fingerprints in 80 k docs), so the
+    big relation must never be sorted or self-joined as-is. The plan
+    therefore touches it with map-side-combinable work only: one
+    ``groupBy(hash).countDistinct(id)`` (output is vocabulary-sized) to
+    find the RARE hashes, a broadcast semi-filter down to them, and only
+    then the distinct + self-join + pair aggregate — all on the tiny
+    rare-hash slice (×100: ~86 k candidate pair rows). A first cut
+    capped via the window-count path: sorting the full relation by hash
+    measured >10 min at ×100 where this shape is winnow-cost + seconds."""
+    from pyspark import StorageLevel
+
+    fp = winnow_fingerprints(df, text_col, id_col, k, window).select(
+        F.col(id_col).alias("id"), "fp_hash"
+    )
+    # two consumers (bucket sizes + the rare-hash filter join)
+    fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
+    if max_bucket is not None:
+        kept = (
+            fp.groupBy("fp_hash")
+            .agg(F.countDistinct("id").alias("_d"))
+            .where(F.col("_d") <= max_bucket)
+            .select("fp_hash")
+        )
+        fp = fp.join(kept, "fp_hash")
+    # distinct AFTER the rare-hash filter: a hash selected at several
+    # positions of one doc is one piece of shared evidence, but deduping
+    # the corpus-sized relation first would shuffle all of it
+    f2 = fp.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    a = f2.select(F.col("id").alias("_ida"), "fp_hash")
+    b = f2.select(F.col("id").alias("_idb"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .where(F.col("_ida") < F.col("_idb"))
+        .groupBy("_ida", "_idb")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+        .select(
+            F.col("_ida").alias("doc_a"),
+            F.col("_idb").alias("doc_b"),
+            "shared",
+        )
+    )
+
+
 def chunk_tokens(
     df: DataFrame,
     text_col: str = "text",

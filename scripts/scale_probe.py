@@ -94,6 +94,18 @@ PROBES = [
     "top_mass_sample_documents",
     "winnow_fingerprint_documents",
     "heavy_hitter_tokens",
+    # winnow_overlap_pairs is NOT probed via the registry: its fixed
+    # (min_shared=5, max_bucket=10) tuning finds 21-28 pairs on the real
+    # sf corpora but ZERO on the derived replicas — the word-suffix
+    # construction replicates every gram stem across replicas, pushing
+    # the shared-evidence fingerprints into buckets the boilerplate cap
+    # drops (the bm25 fixed-terms caveat class). Its machinery is probed
+    # anyway: the selection IS winnow_fingerprint_documents (probed at
+    # ×10/×100) and the rare-hash slice join measured 50.2 s cold at
+    # ×100 with every stage bounded (SCALE.md). Also note: its internal
+    # persists make time_thunk's warm laps meaningless (the scale_probe
+    # persisted-relation rule) — a registry probe would record the
+    # cached-join time, not the operator.
     # hierarchy_flatten_customers is NOT probed at x10: the derived
     # corpus's replica key offsets break the div-10 parent derivation
     # (rep>=1 parents dangle), so the probe would measure the trivial

@@ -129,3 +129,35 @@ def test_density_and_position_bounds(docs_df):
         assert 0 <= r.fp_pos < n_grams
         assert 0 <= r.fp_hash < WINNOW_HASH_SPACE
         assert r.fp_pos < WINNOW_POS_SPACE
+
+
+def test_overlap_pairs_detect_planted_passage(spark):
+    from database_migration_spark.operators.text import winnow_overlap_pairs
+
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, f"unrelated prefix one {passage} suffix alpha"),
+        (2, f"another document entirely {passage} with its own tail"),
+        (3, "no shared content here at all, completely different words"),
+        (4, "yet another unrelated document with distinct vocabulary"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in winnow_overlap_pairs(df, min_shared=5).collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_overlap_pairs_cap_drops_boilerplate(spark):
+    from database_migration_spark.operators.text import winnow_overlap_pairs
+
+    boiler = "standard legal disclaimer text appended to every document"
+    docs = [(i, f"unique content {i} aaa {boiler}") for i in range(1, 7)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    # uncapped: every pair shares the boilerplate fingerprints
+    loose = winnow_overlap_pairs(df, min_shared=3).count()
+    assert loose == 15  # all C(6,2) pairs
+    # cap below the boilerplate's document count: no pair survives
+    tight = winnow_overlap_pairs(df, min_shared=3, max_bucket=5).count()
+    assert tight == 0

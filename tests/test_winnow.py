@@ -161,3 +161,29 @@ def test_overlap_pairs_cap_drops_boilerplate(spark):
     # cap below the boilerplate's document count: no pair survives
     tight = winnow_overlap_pairs(df, min_shared=3, max_bucket=5).count()
     assert tight == 0
+
+
+def test_randomized_differential_across_geometries(spark):
+    # seeded random corpus (repeated chars, tight alphabet -> dense hash
+    # ties) against the pure-Python reference at three geometries — the
+    # tie-break and full-window edge cases far beyond the curated DOCS
+    import random
+
+    rng = random.Random(20260816)
+    alpha = "ab cd"  # tiny alphabet incl. space: heavy ties + collapsing runs
+    docs = [
+        (i, "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    for k, w in [(3, 2), (4, 5), (8, 4)]:
+        got = {
+            (r.doc_id, r.fp_hash, r.fp_pos)
+            for r in winnow_fingerprints(df, k=k, window=w).collect()
+        }
+        want = {
+            (i, h, p)
+            for i, t in docs
+            for (h, p) in _reference(t, k, w)
+        }
+        assert got == want, f"geometry k={k} w={w}"

@@ -99,6 +99,24 @@ def mg_candidate_keys(
         counters: dict = {}
         for batch in batches:
             if weight_col is not None:
+                # per-ROW truncation before the batch sum — the same
+                # measure as the total/recount legs' cast("long"). A batch
+                # sum of raw floats truncated afterwards over-credits keys
+                # (sum(floor) <= floor(sum)); over-credit of OTHER keys
+                # inflates the partition mass and with it the Misra-Gries
+                # decrement budget n_p/(k+1), so a key exactly at
+                # threshold under the per-row measure could be evicted —
+                # a false negative (advisor finding). NaN→0 matches
+                # Spark's cast(NaN as long); negatives raise on the total
+                # leg (which runs first), clipping here is unreachable.
+                batch = batch.assign(
+                    **{
+                        weight_col: batch[weight_col]
+                        .fillna(0)
+                        .clip(lower=0)
+                        .astype("int64")
+                    }
+                )
                 vc = batch.groupby(key_cols, dropna=False, sort=False)[
                     weight_col
                 ].sum()
@@ -128,6 +146,31 @@ def mg_candidate_keys(
                 )
 
     return src.mapInPandas(summarize, schema)
+
+
+def _nan_keys_to_null(df: DataFrame, keys: list[str]) -> DataFrame:
+    """NaN → NULL for float/double key columns, so one key identity holds
+    across the pandas summary (which cannot tell them apart) and the
+    Spark recount (eqNullSafe matches NULL but never NaN). No-op — and no
+    ReusedExchange-breaking projection — when no key is floating."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    types = {f.name: f.dataType for f in df.schema.fields}
+    floaty = {
+        k for k in keys if isinstance(types.get(k), (DoubleType, FloatType))
+    }
+    if not floaty:
+        return df
+    return df.select(
+        *[
+            F.when(F.isnan(F.col(c)), F.lit(None))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in floaty
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
 
 
 def heavy_hitters(
@@ -160,6 +203,13 @@ def heavy_hitters(
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if not 1 <= int(threshold_ppm) <= 1_000_000:
         raise ValueError("threshold_ppm must be in [1, 1000000]")
+    # NaN float/double keys canonicalize to NULL on the SPARK legs too:
+    # the pandas summary already merges NaN and NULL into one sentinel
+    # (emitted as NULL candidates), but eqNullSafe matches only true
+    # NULLs, so a NaN heavy key would semi-join to nothing and vanish — a
+    # silent false negative, and the two engines would disagree on key
+    # identity (advisor finding). One identity everywhere: NaN IS NULL.
+    df = _nan_keys_to_null(df, keys)
     if persist:
         # the input feeds three plan branches (total, summary, recount) —
         # the multi-consumer persist rule. Pass persist=False when the
@@ -181,9 +231,10 @@ def heavy_hitters(
     # per-row long truncation, non-negative enforced in-scan (the
     # sampling._nonneg_weight contract). The total sums the long form in
     # DECIMAL(38,0) so it cannot overflow; the pandas summary truncates
-    # at batch granularity, which can only OVER-credit a key relative to
-    # the per-row floor (sum(floor(x)) <= floor(sum(x))) — safe for a
-    # superset pass. Mixing decimal rounding into the total while the
+    # per ROW too (see summarize) — batch-granularity truncation
+    # over-credited other keys, inflating the decrement budget and
+    # threatening the superset guarantee at the tightest summary_size
+    # (advisor finding). Mixing decimal rounding into the total while the
     # recount truncated was a review finding: a key exactly at threshold
     # could flip on which rounding won.
     if weight_col:

@@ -177,9 +177,10 @@ X100_PROBES = [
     # the key bump, so net/delete fractions stay constant)
     "cdc_apply_orders",
     # round 9: the gram-window and bounded-sketch operators — both claim
-    # their shape survives a third decade (winnow: one doc-keyed window
-    # shuffle; hitters: bounded per-partition summaries, candidate-only
-    # recount)
+    # their shape survives a third decade (winnow: row-local per-doc
+    # array selection behind fan_out, ZERO shuffle — the doc-keyed window
+    # sort is the rejected 165x first cut, see text.py; hitters: bounded
+    # per-partition summaries, candidate-only recount)
     "winnow_fingerprint_documents",
     "heavy_hitter_tokens",
 ]

@@ -140,3 +140,38 @@ def test_fractional_weights_truncate_consistently(spark):
     got = _got(df, ["k"], 200_000, weight_col="w")
     # per-row truncation: a=2*10=20, b=0*50=0, c=10*2=20; total=40
     assert got == {("a", 20), ("c", 20)}
+
+
+def test_fractional_filler_mass_cannot_evict_threshold_key(spark):
+    # advisor finding: the summary pass truncated BATCH sums of raw float
+    # weights while the total/recount legs truncate per row. Sub-1.0
+    # weights that floor to 0 per row then summed to real batch mass,
+    # inflating the partition total and the Misra-Gries decrement budget
+    # n_p/(k+1) — repeated decrements drained a genuinely-heavy key out
+    # of the summary (false negative). Per-row measure: hh=10, every
+    # filler=0, so hh is 100% of mass and MUST survive the tightest
+    # summary. Under batch-sum truncation each filler credited int(3.6)=3
+    # and ~50 small batches of decrements evicted hh.
+    rows = [("hh", 1.0)] * 10
+    for i in range(100):
+        rows += [(f"f{i}", 0.9)] * 4
+    df = spark.createDataFrame(rows, "k string, w double").coalesce(1)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        got = _got(df, ["k"], 500_000, weight_col="w", summary_size=2)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == {("hh", 10)}
+
+
+def test_nan_key_canonicalizes_to_null(spark):
+    # advisor finding: the pandas summary merges NaN and NULL into one
+    # sentinel emitted as NULL, but eqNullSafe matches only true NULLs —
+    # a NaN heavy key semi-joined to nothing and vanished. One identity
+    # now holds on every leg: NaN IS NULL, masses merge.
+    df = spark.createDataFrame(
+        [(float("nan"),)] * 50 + [(1.0,)] * 30 + [(None,)] * 20, "k double"
+    ).repartition(4)
+    got = _got(df, ["k"], 300_000)
+    assert got == {(None, 70), (1.0, 30)}

@@ -30,8 +30,16 @@ bracketing probes can see it): when a query's min-of-laps exceeds 2x its
 value in the latest same-sf BENCH_r*.json artifact, the harness re-laps up
 to twice more; queries still above 2x prior land in "suspect_vs_prior" so
 the artifact itself says "regressed or re-measure" instead of smearing a
-one-off stall into a regression. The policy is stated in the JSON
-("lap_policy") so a consumer knows every number is min-of-laps.
+one-off stall into a regression.
+
+LAP POLICY (the JSON line's "lap_policy" key points here — round-9 lesson:
+the ~450-byte policy prose pushed the line past the grading driver's
+2,000-byte tail capture and BENCH_r09.json archived as parsed:null with the
+first ~10 headliner timings lost; the artifact line is a hard byte budget,
+enforced by tests/test_bench_line.py): every number is min-of-laps — 1
+warm-up + 2 measured laps, a 3rd when the two disagree >2x, and up to 2
+extra laps when the min still exceeds 2x the same-sf prior-round artifact;
+queries still >2x prior after re-laps land in suspect_vs_prior.
 """
 
 from __future__ import annotations
@@ -109,13 +117,56 @@ BENCH_QUERIES = [
 ]
 
 
-LAP_POLICY = (
-    "min-of-laps: 1 warm-up + 2 measured laps, a 3rd when the two disagree "
-    ">2x, and up to 2 extra laps when the min still exceeds 2x the same-sf "
-    "prior-round artifact — a SUSTAINED host stall poisons consistent laps "
-    "(round-8: profile_orders recorded 7.66s across all laps, true 4.06s); "
-    "queries still >2x prior after re-laps land in suspect_vs_prior"
-)
+# short on purpose: the prose lives in the module docstring ("LAP POLICY")
+LAP_POLICY = "min-of-laps;bench.py docstring"
+
+# the grading driver archives only a 2,000-byte tail of bench's stdout;
+# a line that outgrows it is recorded as parsed:null with its head
+# truncated (round-9: BENCH_r09.json lost the first ~10 headliner
+# timings). Budget with headroom for a few more headliners per round.
+LINE_BYTE_BUDGET = 1_900
+
+
+def render_line(out: dict) -> str:
+    """The ONE artifact line. Compact separators and 3-decimal timings
+    are part of the byte budget (tests/test_bench_line.py pins the
+    worst-case rendered size for the current headliner count)."""
+    return json.dumps(out, separators=(",", ":"))
+
+
+def build_output(
+    timings: dict,
+    total: float,
+    sf,
+    probe_summary: dict,
+    prior_name: "str | None",
+    relapped: list,
+    suspect: list,
+    errors: dict,
+) -> dict:
+    """The artifact envelope, pure so the byte-budget test renders the
+    exact shape main() emits. ``prior_artifact`` present means the
+    stall guard RAN; the relapped/suspect lists appear only when
+    non-empty (an absent list IS the clean verdict — empty lists cost
+    44 bytes of the line budget for no information)."""
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "lap_policy": LAP_POLICY,
+        "noise_probe": probe_summary,
+    }
+    if prior_name:
+        out["prior_artifact"] = prior_name
+        if relapped:
+            out["relapped_vs_prior"] = relapped
+        if suspect:
+            out["suspect_vs_prior"] = suspect
+    if errors:
+        out["errors"] = errors
+    return out
 
 
 def prior_artifact(repo_dir: str, sf) -> tuple[dict, str | None]:
@@ -162,9 +213,9 @@ def summarize_probes(probes: list, names: list, timings: dict) -> dict:
     ]
     p_min, p_max = srt[0], srt[-1]
     return {
-        "min": round(p_min, 4),
-        "median": round(run_med, 4),
-        "max": round(p_max, 4),
+        "min": round(p_min, 3),
+        "median": round(run_med, 3),
+        "max": round(p_max, 3),
         "noisy": bool(run_med > 3 * p_min or p_max > 10 * p_min),
         "flagged_queries": flagged,
     }
@@ -252,7 +303,10 @@ def main() -> int:
             traceback.print_exc(file=sys.stderr)
             continue
         dt = min(laps)
-        timings[name] = round(dt, 4)
+        # 2 decimals: ±5 ms on multi-second timings costs nothing a 2x
+        # stall/regression threshold can see, and the ~108 bytes it frees
+        # keep the artifact line inside the driver's tail capture
+        timings[name] = round(dt, 2)
         total += dt
     # closing probe so the LAST query also has a bracketing pair
     probes.append(noise_probe())
@@ -263,22 +317,17 @@ def main() -> int:
     # (round-5 lesson: an 11 s minhash artifact in an otherwise clean run).
     # Threshold is 3x the run MEDIAN: the min-to-median spread is natural
     # scheduler jitter and 3x min false-flags clean queries.
-    out = {
-        "metric": "headline_queries_total_wall",
-        "value": round(total, 4),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "lap_policy": LAP_POLICY,
-        "noise_probe": summarize_probes(probes, BENCH_QUERIES, timings),
-    }
-    if prior_name:
-        out["prior_artifact"] = prior_name
-        out["relapped_vs_prior"] = relapped
-        out["suspect_vs_prior"] = suspect
-    if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+    out = build_output(
+        timings,
+        total,
+        sf,
+        summarize_probes(probes, BENCH_QUERIES, timings),
+        prior_name,
+        relapped,
+        suspect,
+        errors,
+    )
+    print(render_line(out))
     spark.stop()
     # the JSON artifact above is already out; any broken headliner turns
     # the rc red so CI consuming only the return code cannot miss it

@@ -229,27 +229,17 @@ def range_join(
     return matched.unionByName(unmatched)
 
 
-def _deletion_keys(col) -> F.Column:
-    """{s} ∪ {s with one char deleted} as a distinct array — the exact
-    lev≤1 blocking family: an equal pair shares s itself; an insert/delete
-    pair shares the shorter string; a substitution pair shares the variant
-    with the differing position deleted from both sides. ``array_union``
-    dedups variants (repeated chars yield identical deletions) so one
-    string never self-inflates a block."""
-    variants = F.expr(
-        f"transform(sequence(1, length({col})), i -> "
-        f"concat(substring({col}, 1, i - 1), "
-        f"substring({col}, i + 1, length({col}))))"
-    )
-    return F.array_union(F.array(F.col(col)), variants)
-
-
 def _positioned_keys(col) -> F.Column:
-    """The position-carrying form of :func:`_deletion_keys` (FastSS's
-    position filter, measured round 9): index 0 is the string itself,
-    index i ≥ 1 the variant with character i deleted — ``posexplode``
-    turns it into (pos, variant) rows. Two strings at lev≤1 ALWAYS share
-    a key under the filter ``pos_a = pos_b OR pos_a = 0 OR pos_b = 0``:
+    """FastSS deletion-neighborhood blocking keys WITH their deletion
+    position (the position filter, measured round 9). The underlying
+    family is {s} ∪ {s with one char deleted} — the exact lev≤1 blocking
+    set: an equal pair shares s itself, an insert/delete pair shares the
+    shorter string, a substitution pair shares the variant with the
+    differing position deleted from both sides. Here index 0 is the
+    string itself, index i ≥ 1 the variant with character i deleted —
+    ``posexplode`` turns it into (pos, variant) rows. Two strings at
+    lev≤1 ALWAYS share a key under the filter
+    ``pos_a = pos_b OR pos_a = 0 OR pos_b = 0``:
     a substitution at position i shares the pos-i variant on both sides,
     an insert/delete pair shares (shorter string, pos 0) vs (deletion at
     the insert point, pos i), an equal pair shares pos 0. And NOTHING
@@ -259,10 +249,13 @@ def _positioned_keys(col) -> F.Column:
     ONLY, killing the distance-2 false-positive class ("ab"/"ba" sharing
     "a" at different positions) that measured 74 % of candidate volume
     at ×100 (99.9 M candidates for 26.25 M true pairs). Duplicates are
-    NOT deduped (unlike _deletion_keys): a repeated-char run yields the
-    same variant at several positions, and dropping all but one breaks
-    the same-position guarantee ("ba"/"bb" share variant "b" only at
-    pos 2, but "bb" dedupes it to pos 1)."""
+    NOT deduped: a repeated-char run yields the same variant at several
+    positions, and dropping all but one breaks the same-position
+    guarantee ("ba"/"bb" share variant "b" only at pos 2, but "bb"
+    dedupes it to pos 1). There is deliberately NO unpositioned variant
+    of this helper: a position-less deletion-key join readmits the
+    distance-2 false-positive class (CLAUDE.md prohibition; the
+    superseded ``_deletion_keys`` was deleted round 10)."""
     return F.expr(
         f"concat(array({col}), "
         f"transform(sequence(1, length({col})), i -> "

@@ -5307,8 +5307,9 @@ _SHOWCASE_ONLY = [
     "corpus_snapshot_diff",
     # showcase from birth: the banded (key, Δ-cell) candidate join + exact
     # verify is the same blocking-equi-join family the graded window
-    # proves three ways (minhash_lsh_pairs bands, simhash_pairs chunks,
-    # embedding_near_dup hyperplane buckets), and the epoch-µs temporal
+    # proves twice (minhash_lsh_pairs bands, embedding_near_dup
+    # hyperplane buckets; simhash_pairs' chunk variant is sim-verified
+    # since the round-10 rotation), and the epoch-µs temporal
     # arithmetic is graded via sessionize_events; sim-verified +
     # brute-force-differential pytest (test_pairing)
     "event_cooccurrence_pairs",
@@ -5656,23 +5657,28 @@ _SHOWCASE_ONLY = [
     # sim-verified with its full SQL oracle + pytests
     # (test_delta_star_text)
     "lang_id_documents",
-    # showcase from birth (round 9): exact heavy hitters — its visible
-    # machinery is graded everywhere (tokenize via the quality_classifier
-    # tokenizer relation, broadcast semi-join via
-    # semi_join_active_customers, grouped count + threshold via the
-    # mig_check/corpus families, Arrow-batched mapInPandas via
-    # multimodal_features); the NEW claim (the bounded-state Misra-Gries
-    # summary admits every true heavy hitter, so the sketch routing never
-    # changes the exact answer) is precisely what its naive-groupBy
-    # oracle pins; sim-verified + partitioning-invariance /
-    # tightest-summary / weighted-equivalence pytests (test_sketches)
-    "heavy_hitter_tokens",
+    # round-10 rotation: heavy_hitter_tokens PROMOTED into the graded
+    # window (bounded-state sketch ROUTING with a no-false-negative
+    # guarantee is a capability class the window proved nowhere — every
+    # graded aggregate is a full-shuffle groupBy; the Misra-Gries
+    # summary-then-recount answer being EXACTLY the naive groupBy is
+    # precisely what its DuckDB oracle pins), displacing simhash_pairs,
+    # whose machinery stays graded twice: the banded/bucketed near-dup
+    # self-join with hot-bucket caps is graded via minhash_lsh_pairs
+    # (band-key self-join, identical _cap_buckets guard and pair-distinct
+    # shape) and embedding_near_dup (hyperplane-bucket self-join, same
+    # candidate-then-exact-verify assembly); simhash's hamming-chunk
+    # blocking is that same cap-guarded equi-join shape over a different
+    # key derivation, and the bit-arithmetic signature itself stays
+    # pinned by its full SQL oracle in the sim + pytests
+    # (test_dedup_similarity); simhash_pairs remains sim-verified
+    "simhash_pairs",
     # showcase from birth (round 9): the MOSS match stage — its machinery
     # is fully graded: the fingerprint selection IS the GRADED
     # winnow_fingerprint_documents relation, the hot-key cap + keyed
     # self-join + pair aggregate is the banded-join family the window
-    # proves three ways (minhash_lsh_pairs, simhash_pairs,
-    # embedding_near_dup); the NEW claim (distinct-shared-fingerprint
+    # proves twice (minhash_lsh_pairs, embedding_near_dup; simhash_pairs
+    # sim-verified since round 10); the NEW claim (distinct-shared-fingerprint
     # threshold semantics with the boilerplate cap) is what the oracle
     # pins; sim-verified + planted-overlap pytest (test_winnow)
     "winnow_overlap_pairs",

@@ -1398,6 +1398,11 @@ def cmd_dedup(args) -> int:
       untouched partitions keep their file identity). The corpus files
       themselves are the caller's storage; this removes the ids'
       fingerprints so future probes never match against them.
+    - ``overlap``: the index-free winnowing/MOSS shared-passage detector
+      (operators/text.py winnow_overlap_pairs, SIGMOD'03): document
+      pairs sharing >= ``--min-shared`` distinct selected fingerprints,
+      with ``--max-bucket`` dropping boilerplate fingerprints before the
+      join. Reads ``--corpus`` directly — no index is built or read.
     """
     import os
     import shutil
@@ -1413,6 +1418,30 @@ def cmd_dedup(args) -> int:
         write_fingerprint_index,
     )
     from database_migration_spark.session import get_spark
+
+    if args.action != "overlap" and not args.index:
+        print(f"error: dedup {args.action} needs --index", file=sys.stderr)
+        return 2
+    if args.action == "overlap":
+        if (args.k is not None and args.k < 1) or args.window < 1:
+            print("error: dedup overlap needs --k >= 1 and --window >= 1",
+                  file=sys.stderr)
+            return 2
+        if args.min_shared < 1:
+            print(f"error: dedup overlap got --min-shared="
+                  f"{args.min_shared} — pass --min-shared >= 1",
+                  file=sys.stderr)
+            return 2
+        if args.max_bucket is not None and args.max_bucket < 2:
+            print(f"error: dedup overlap got --max-bucket="
+                  f"{args.max_bucket} — a cap below 2 drops every "
+                  "fingerprint two documents could share; pass "
+                  "--max-bucket >= 2 or omit it", file=sys.stderr)
+            return 2
+        if not args.dry_run and not args.out:
+            print("error: pass --out for the pair table, or --dry-run for "
+                  "counts only", file=sys.stderr)
+            return 2
 
     spark = get_spark(app_name="dms_dedup")
 
@@ -1456,6 +1485,52 @@ def cmd_dedup(args) -> int:
             args.num_perm if args.num_perm is not None
             else meta.get("num_perm", 32),
         )
+
+    if args.action == "overlap":
+        df = corpus_df()
+        if df is None:
+            return 2
+        from database_migration_spark.operators.text import (
+            winnow_overlap_pairs,
+        )
+
+        pairs = winnow_overlap_pairs(
+            df,
+            args.text_col,
+            args.id_col,
+            k=args.k if args.k is not None else 8,
+            window=args.window,
+            min_shared=args.min_shared,
+            max_bucket=args.max_bucket,
+        )
+        if args.dry_run:
+            top = (
+                pairs.orderBy(F.desc("shared"), "doc_a", "doc_b")
+                .limit(6)
+                .collect()
+            )
+            n = pairs.count()
+        else:
+            pairs.write.mode("overwrite").parquet(args.out)
+            written = spark.read.parquet(args.out)
+            top = (
+                written.orderBy(F.desc("shared"), "doc_a", "doc_b")
+                .limit(6)
+                .collect()
+            )
+            n = written.count()
+        cap = "none" if args.max_bucket is None else args.max_bucket
+        print(f"{n} overlapping pair(s) at min_shared={args.min_shared} "
+              f"(k={args.k if args.k is not None else 8}, "
+              f"window={args.window}, max_bucket={cap})")
+        for r in top[:5]:
+            print(f"  {r['doc_a']} ~ {r['doc_b']}: {r['shared']} shared "
+                  "fingerprints")
+        if len(top) > 5:
+            print("  ...")
+        if not args.dry_run:
+            print(f"pair table written to {args.out}")
+        return 0
 
     if args.action == "build":
         df = corpus_df()
@@ -2540,12 +2615,14 @@ def main(argv: list[str] | None = None) -> int:
 
     dd = sub.add_parser("dedup", help="fingerprint-index lifecycle: build/"
                         "append/probe/compact a partition-pruned dedup "
-                        "store over a text corpus")
+                        "store over a text corpus; `overlap` runs the "
+                        "index-free winnowing/MOSS shared-passage detector")
     dd.add_argument("action",
                     choices=["build", "append", "probe", "compact",
-                             "forget"])
-    dd.add_argument("--index", required=True,
-                    help="fingerprint index directory")
+                             "forget", "overlap"])
+    dd.add_argument("--index",
+                    help="fingerprint index directory (every action but "
+                    "overlap)")
     dd.add_argument("--corpus", help="corpus/batch table directory or "
                     "jdbc: URL (build/append/probe)")
     dd.add_argument("--table", help="table name when --corpus holds several")
@@ -2554,7 +2631,19 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--k", type=int, default=None,
-                    help="shingle size (stored in the index meta at build)")
+                    help="shingle/gram size (stored in the index meta at "
+                    "build; overlap: winnowing gram size, default 8)")
+    dd.add_argument("--window", type=int, default=4,
+                    help="overlap: winnowing window w — any shared passage "
+                    "of length >= w+k-1 chars is guaranteed a shared "
+                    "fingerprint")
+    dd.add_argument("--min-shared", type=int, default=5,
+                    help="overlap: distinct co-selected fingerprints a "
+                    "pair must share to be reported")
+    dd.add_argument("--max-bucket", type=int, default=None,
+                    help="overlap: drop fingerprints selected in more "
+                    "than this many documents (boilerplate cap, the "
+                    "SIGMOD'03 common-fingerprint rule)")
     dd.add_argument("--seed", type=int, default=None,
                     help="minhash seed (stored in the index meta at build)")
     dd.add_argument("--num-perm", type=int, default=None)
@@ -2562,12 +2651,14 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--buckets", type=int, default=None)
     dd.add_argument("--min-agree", type=int, default=750,
                     help="near-dup signature agreement threshold, permille")
-    dd.add_argument("--out", help="probe: write (id,status,match_id) here")
+    dd.add_argument("--out", help="probe: write (id,status,match_id) here; "
+                    "overlap: write (doc_a,doc_b,shared) here")
     dd.add_argument("--apply-new", action="store_true",
                     help="probe: append the batch's 'new' fingerprints "
                     "back to the index (the crawl-loop maintenance step)")
     dd.add_argument("--dry-run", action="store_true",
-                    help="probe: counts only, suppress --out/--apply-new")
+                    help="probe/overlap: counts only, suppress "
+                    "--out/--apply-new")
     dd.add_argument("--ids", help="forget: comma-separated document ids")
     dd.add_argument("--ids-file",
                     help="forget: file with one document id per line")

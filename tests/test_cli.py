@@ -2030,3 +2030,84 @@ def test_cli_scd2_empty_source_partitioned_does_not_create_store(
                "--partitions", "4"])
     cap = capsys.readouterr()
     assert rc == 0 and "bootstrap" in cap.out
+
+
+def test_cli_dedup_overlap_end_to_end(spark, tmp_path, capsys):
+    """The winnowing/MOSS shared-passage route (round-9's one
+    library-only capability, now CLI-reachable): exact pair counts on
+    the planted-passage and boilerplate corpora test_winnow pins for the
+    library API, driven through `dedup overlap` with --dry-run, --out
+    and --max-bucket."""
+    import os
+
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    planted = str(tmp_path / "planted")
+    spark.createDataFrame(
+        [
+            (1, f"unrelated prefix one {passage} suffix alpha"),
+            (2, f"another document entirely {passage} with its own tail"),
+            (3, "no shared content here at all, completely different words"),
+            (4, "yet another unrelated document with distinct vocabulary"),
+        ],
+        "doc_id int, text string",
+    ).write.parquet(f"{planted}/documents.parquet")
+
+    rc = main(["dedup", "overlap", "--corpus", planted, "--dry-run"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "1 overlapping pair(s) at min_shared=5" in cap.out
+    assert "1 ~ 2:" in cap.out
+
+    out = str(tmp_path / "pairs")
+    rc = main(["dedup", "overlap", "--corpus", planted, "--out", out])
+    cap = capsys.readouterr()
+    assert rc == 0 and f"pair table written to {out}" in cap.out
+    got = [
+        (r.doc_a, r.doc_b)
+        for r in spark.read.parquet(out).collect()
+    ]
+    assert got == [(1, 2)]
+    assert not os.path.exists(out + ".tmp")
+
+    # boilerplate corpus: all C(6,2)=15 pairs uncapped, 0 with the cap
+    # below the boilerplate's document count (the SIGMOD'03 rule)
+    boiler = "standard legal disclaimer text appended to every document"
+    bdir = str(tmp_path / "boiler")
+    spark.createDataFrame(
+        [(i, f"unique content {i} aaa {boiler}") for i in range(1, 7)],
+        "doc_id int, text string",
+    ).write.parquet(f"{bdir}/documents.parquet")
+    rc = main(["dedup", "overlap", "--corpus", bdir, "--min-shared", "3",
+               "--dry-run"])
+    cap = capsys.readouterr()
+    assert rc == 0 and "15 overlapping pair(s)" in cap.out
+    rc = main(["dedup", "overlap", "--corpus", bdir, "--min-shared", "3",
+               "--max-bucket", "5", "--dry-run"])
+    cap = capsys.readouterr()
+    assert rc == 0 and "0 overlapping pair(s)" in cap.out
+
+
+def test_cli_dedup_overlap_bad_params_exit_2(spark, tmp_path, capsys):
+    corpus = str(tmp_path / "c")
+    spark.createDataFrame([(1, "x")], "doc_id int, text string") \
+        .write.parquet(f"{corpus}/documents.parquet")
+    # no --out and no --dry-run: refuse to run a silent draw
+    rc = main(["dedup", "overlap", "--corpus", corpus])
+    assert rc == 2
+    assert "--out" in capsys.readouterr().err
+    rc = main(["dedup", "overlap", "--corpus", corpus, "--min-shared", "0",
+               "--dry-run"])
+    assert rc == 2
+    assert "--min-shared >= 1" in capsys.readouterr().err
+    rc = main(["dedup", "overlap", "--corpus", corpus, "--max-bucket", "1",
+               "--dry-run"])
+    assert rc == 2
+    assert "--max-bucket >= 2" in capsys.readouterr().err
+    rc = main(["dedup", "overlap", "--dry-run"])
+    assert rc == 2
+    assert "--corpus" in capsys.readouterr().err
+    # the index-requiring actions still fail cleanly without --index
+    # (it became optional for overlap's sake)
+    rc = main(["dedup", "probe", "--corpus", corpus, "--dry-run"])
+    assert rc == 2
+    assert "--index" in capsys.readouterr().err

@@ -44,6 +44,20 @@ SF01 = "/root/testdata/sf0.1"
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "x10")
 REPLICAS = 10
 
+# the planted cross-replica quote for the winnow_overlap scale row (see
+# the documents block of generate()): ~40 words so each planted pair
+# shares dozens of pair-unique grams — far above min_shared=5 even after
+# winnowing's sparse selection
+OVERLAP_PASSAGE = (
+    "shared quoted passage planted across replica pairs so the moss "
+    "match stage carries nonzero output at scale the winnowing guarantee "
+    "selects at least one fingerprint per window of this quote and every "
+    "gram of it lives in exactly two documents which keeps the evidence "
+    "under the boilerplate cap"
+)
+OVERLAP_EVERY = 1250  # base doc_ids 3, 1253, 2503, 3753 of sf0.1's 5000
+OVERLAP_RESIDUE = 3
+
 PROBES = [
     "minhash_lsh_pairs",
     "simhash_pairs",
@@ -94,18 +108,17 @@ PROBES = [
     "top_mass_sample_documents",
     "winnow_fingerprint_documents",
     "heavy_hitter_tokens",
-    # winnow_overlap_pairs is NOT probed via the registry: its fixed
-    # (min_shared=5, max_bucket=10) tuning finds 21-28 pairs on the real
-    # sf corpora but ZERO on the derived replicas — the word-suffix
-    # construction replicates every gram stem across replicas, pushing
-    # the shared-evidence fingerprints into buckets the boilerplate cap
-    # drops (the bm25 fixed-terms caveat class). Its machinery is probed
-    # anyway: the selection IS winnow_fingerprint_documents (probed at
-    # ×10/×100) and the rare-hash slice join measured 50.2 s cold at
-    # ×100 with every stage bounded (SCALE.md). Also note: its internal
+    # winnow_overlap_pairs is NOT probed via the registry: its internal
     # persists make time_thunk's warm laps meaningless (the scale_probe
-    # persisted-relation rule) — a registry probe would record the
-    # cached-join time, not the operator.
+    # persisted-relation rule — a registry probe would record the
+    # cached-join time, not the operator). Use --overlap instead: the
+    # dedicated min-of-cold-laps probe with a ROW-COUNT guard. Round 9's
+    # derived corpora yielded ZERO pairs at its fixed (min_shared=5,
+    # max_bucket=10) tuning — the word-suffix construction pushed all
+    # shared-evidence fingerprints into capped buckets (the bm25
+    # fixed-terms caveat class); round 10 plants cross-replica pair
+    # passages in generate() so the ×10/×100 rows carry nonzero output
+    # (SCALE.md: 21/300/2,924 pairs, 3.63/6.65/41.1 s cold).
     # hierarchy_flatten_customers is NOT probed at x10: the derived
     # corpus's replica key offsets break the div-10 parent derivation
     # (rep>=1 parents dangle), so the probe would measure the trivial
@@ -207,12 +220,40 @@ def generate(
 
     if "documents" in tables:
         docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+        suffixed = F.regexp_replace(
+            F.col("text"), F.lit(r"(\S+)"),
+            F.concat(F.lit("$1"), F.col("rep").cast("string")),
+        )
+        # Planted cross-replica shared passages (round 10): the suffix
+        # construction replicates every gram STEM across replicas, so the
+        # winnow_overlap boilerplate cap (max_bucket=10) drops all shared
+        # evidence and the MOSS stage's derived-corpus output was vacuous
+        # (0 pairs — the bm25 fixed-terms caveat class). Four base docs
+        # per replica PAIR (reps 2j and 2j+1) get one pair-unique passage
+        # appended — every word tagged with (pair, base) so each
+        # passage's grams live in EXACTLY two documents (far under the
+        # cap) and nothing is shared across pairs. Expected output:
+        # 4 * floor(replicas/2) pairs (40 quote-length words >> the
+        # min_shared=5 evidence bar), ~0.1% of docs touched, so the
+        # other documents probes are unaffected.
+        pair_tag = F.concat(
+            F.expr("rep div 2").cast("string"),
+            F.lit("q"),
+            F.col("doc_id").cast("string"),
+        )
+        planted_passage = F.regexp_replace(
+            F.lit(OVERLAP_PASSAGE), F.lit(r"(\S+)"),
+            F.concat(F.lit("$1"), pair_tag),
+        )
+        is_planted = F.col("doc_id") % OVERLAP_EVERY == OVERLAP_RESIDUE
         big_docs = docs.crossJoin(rep).select(
             (F.col("doc_id") + F.col("rep") * F.lit(1_000_000)).alias("doc_id"),
-            F.regexp_replace(
-                F.col("text"), F.lit(r"(\S+)"),
-                F.concat(F.lit("$1"), F.col("rep").cast("string")),
-            ).alias("text"),
+            F.when(
+                is_planted,
+                F.concat(suffixed, F.lit(" "), planted_passage),
+            )
+            .otherwise(suffixed)
+            .alias("text"),
             "lang",
             "source",
             "n_chars",
@@ -473,6 +514,51 @@ def ann_compare(spark, sf_dir: str, n_queries: int = 200) -> dict:
     rcodes.unpersist()
     brute.unpersist()
     return out
+
+
+def overlap_probe(spark, Q, with_x100: bool = False) -> dict:
+    """Cold row-count-checked timings for winnow_overlap_pairs at the
+    registry's fixed tuning (k=8, w=4, min_shared=5, max_bucket=10) on
+    sf0.1 / x10 / optionally x100. COLD single laps on purpose: the
+    operator persists its fingerprint relation internally, so
+    time_thunk's min-of-warm-laps would measure the cached join (the
+    recorded 2.17 s where cold truth was 50 s). The ROW COUNT is the
+    honesty guard: a 0-pair derived-corpus run is machinery-only (the
+    bm25 fixed-terms caveat class) and is flagged ``vacuous`` instead of
+    silently recorded as a scaling result — the x10/x100 corpora carry
+    planted cross-replica passages (generate()'s documents block) whose
+    expected pair floor is 4 * floor(replicas/2)."""
+    from database_migration_spark.operators.text import winnow_overlap_pairs
+
+    res = {}
+    dirs = [("sf0.1", SF01, None), ("x10", OUT, 4 * (REPLICAS // 2))]
+    if with_x100:
+        dirs.append(("x100", OUT100, 4 * (100 // 2)))
+    for label, sf_dir, planted_floor in dirs:
+        laps = []
+        for _ in range(2):
+            # clearCache BETWEEN laps: the internal persists cannot
+            # survive into the next lap, so each lap re-executes the
+            # full plan (the time_thunk trap was persists carried
+            # across laps) — while min-of-laps absorbs the measured
+            # 4x first-lap-after-other-legs JVM pollution (208.8 s
+            # where a clean session reads 45-66 s)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.time()
+            n = winnow_overlap_pairs(
+                Q.table(spark, sf_dir, "documents"),
+                k=8, window=4, min_shared=5, max_bucket=10,
+            ).count()
+            laps.append(time.time() - t0)
+        row = {"pairs": int(n), "cold_sec": round(min(laps), 3)}
+        if n == 0:
+            row["vacuous"] = True  # machinery-only: timing proves plan
+            # shape, not end-to-end output — do not record as scaling
+        if planted_floor is not None and n < planted_floor:
+            row["below_planted_floor"] = planted_floor
+        res[label] = row
+    return res
 
 
 def bm25_compare(spark) -> dict:
@@ -1226,6 +1312,10 @@ def main() -> int:
         out["ann_compare"]["x100"] = ann_compare(spark, OUT100)
     if "--bm25" in sys.argv:
         out["bm25_compare"] = bm25_compare(spark)
+    if "--overlap" in sys.argv:
+        out["overlap"] = overlap_probe(
+            spark, Q, with_x100="--x100" in sys.argv
+        )
     if "--cdc-stream" in sys.argv:
         out["cdc_stream"] = cdc_stream_probe(spark)
     if "--cdc-surgical" in sys.argv:

@@ -1852,10 +1852,37 @@ def cmd_sample(args) -> int:
                     f"sum below 1000, got "
                     f"{args.val_permille}+{args.test_permille}"
                 )
-            out = hash_split(
-                df, args.id_col, val_permille=args.val_permille,
-                test_permille=args.test_permille, salt=args.salt,
-            )
+            if args.cluster_labels:
+                from database_migration_spark.operators.sampling import (
+                    cluster_safe_split,
+                )
+
+                lab_adapter = _source(spark, args.cluster_labels, args)
+                lab_cat = lab_adapter.scan_catalog("%", "%")
+                if len(lab_cat.tables) != 1:
+                    print(f"error: --cluster-labels {args.cluster_labels} "
+                          f"must hold exactly one table, found "
+                          f"{sorted(t.table for t in lab_cat.tables)}",
+                          file=sys.stderr)
+                    return 2
+                labels = _read(lab_adapter, lab_cat.tables[0])
+                if args.cluster_col not in labels.columns:
+                    print(f"error: --cluster-labels table has no "
+                          f"'{args.cluster_col}' column (columns: "
+                          f"{labels.columns}) — pass --cluster-col",
+                          file=sys.stderr)
+                    return 2
+                out = cluster_safe_split(
+                    df, args.id_col, labels,
+                    val_permille=args.val_permille,
+                    test_permille=args.test_permille, salt=args.salt,
+                    cluster_col=args.cluster_col,
+                )
+            else:
+                out = hash_split(
+                    df, args.id_col, val_permille=args.val_permille,
+                    test_permille=args.test_permille, salt=args.salt,
+                )
             got = {r[0]: r[1] for r in out.groupBy("split").count().collect()}
             per_group_report = "split counts: " + ", ".join(
                 f"{s}={got.get(s, 0)}" for s in ("train", "val", "test")
@@ -2747,6 +2774,13 @@ def main(argv: list[str] | None = None) -> int:
     sa.add_argument("--salt", default="split",
                     help="split: hash salt (keeps the split independent "
                     "of every other hash decision)")
+    sa.add_argument("--cluster-labels", default=None,
+                    help="split: near-dup label table dir (id, cluster "
+                    "col) — the split hash keys on the CLUSTER so no "
+                    "near-dup pair spans the train/eval boundary; docs "
+                    "missing from the table split as singletons")
+    sa.add_argument("--cluster-col", default="cluster_id",
+                    help="split: cluster label column in --cluster-labels")
     sa.add_argument("--score-col", default=None,
                     help="calibrate/topmass: raw score column")
     sa.add_argument("--threshold-ppm", type=int, default=0,

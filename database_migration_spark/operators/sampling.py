@@ -206,6 +206,65 @@ def hash_split(
     )
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    id_col: str,
+    labels: DataFrame,
+    val_permille: int = 10,
+    test_permille: int = 10,
+    salt: str = "split",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Leakage-safe holdout: the split hash keys on the near-dup CLUSTER
+    label, not the document id, so every member of a duplicate cluster
+    lands in the same split and no verified near-dup pair spans the
+    train/eval boundary — the contamination mode a plain
+    :func:`hash_split` cannot prevent (two near-identical docs hash
+    independently, and at a 1% holdout about 2% of dup pairs straddle
+    it: memorized training text shows up in eval).
+
+    ``labels`` is the ``(id, cluster_id)`` relation
+    ``dedup.connected_components`` publishes (every doc labeled,
+    singletons with their own id — exactly ``near_dup_clusters``'s
+    assignment). Docs missing from ``labels`` are treated as singletons
+    (cluster = own id) so a PARTIAL label relation — e.g. only the
+    non-singleton clusters — still splits the whole corpus.
+
+    Honesty note on stability: :func:`hash_split` membership is stable
+    under corpus growth per DOCUMENT; here it is stable per CLUSTER
+    LABEL. If growth adds a smaller-id member to a cluster (or merges
+    two clusters), the label — and with it the cluster's split — can
+    move. That is inherent to leakage-safety, not a defect: the pair
+    (old doc, new near-dup) must share a split, so one of them cannot
+    keep an independent assignment.
+
+    Scale shape: one equi-join on the id (broadcast when the label
+    relation is dimension-sized, shuffle otherwise) + the pure salted
+    md5 bucket filter — no window, no driver state.
+    """
+    lid = labels.columns[0] if id_col not in labels.columns else id_col
+    lab = labels.select(
+        F.col(lid).alias(id_col), F.col(cluster_col).alias("_csplit_cluster")
+    )
+    key = F.coalesce(F.col("_csplit_cluster"), F.col(id_col))
+    bucket = md5_long(
+        F.concat(F.lit(salt + "_"), key.cast("string"))
+    ) % F.lit(1000)
+    return (
+        df.join(lab, id_col, "left")
+        .withColumn(
+            "split",
+            F.when(bucket < F.lit(test_permille), F.lit("test"))
+            .when(
+                bucket < F.lit(test_permille + val_permille), F.lit("val")
+            )
+            .otherwise(F.lit("train")),
+        )
+        .withColumn("cluster_id", key)
+        .drop("_csplit_cluster")
+    )
+
+
 def budget_sample(
     df: DataFrame,
     id_col: str,

@@ -1874,6 +1874,58 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "leakage_safe_split_documents",
+    oracle="WITH RECURSIVE pairs AS (\n"
+    + _minhash_oracle()
+    + """),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+b AS (
+  SELECT id AS doc_id, cluster_id,
+         CAST(('0x' || substr(md5('split_' || CAST(cluster_id AS VARCHAR)),
+               1, 15)) AS BIGINT) % 1000 AS bucket
+  FROM lab
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN bucket < 10 THEN 'test'
+            WHEN bucket < 20 THEN 'val'
+            ELSE 'train' END AS split
+FROM b
+""",
+)
+def leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the holdout hash keys on
+    the near-dup CLUSTER label (connected components over verified
+    MinHash pairs), so no near-duplicate pair straddles the train/eval
+    boundary — the contamination mode a per-document split cannot
+    prevent (at a 1% holdout ~2% of dup pairs straddle it and eval
+    scores memorized training text). With the same salt, singleton
+    documents (cluster = own id) keep exactly their train_val_test_split
+    assignment — only clustered docs move, together. The oracle replays
+    the full composition: pairs → transitive-closure CTE → cluster-keyed
+    salted bucket."""
+    from database_migration_spark.operators import sampling as SP
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = DD.minhash_dedup_pairs(
+        docs, k=_SHINGLE_K, num_perm=32, bands=4, threshold_permille=800, seed=42
+    )
+    labels = DD.connected_components(pairs, docs, id_col="doc_id")
+    return SP.cluster_safe_split(docs, "doc_id", labels).select(
+        "doc_id", "cluster_id", "split"
+    )
+
+
 def _incremental_dedup_oracle(num_perm: int = 32, bands: int = 4) -> str:
     """Replays fingerprint_store + incremental_dedup end to end in DuckDB:
     normalize → content hash + shingles → minhash sigs → band keys →
@@ -5682,6 +5734,19 @@ _SHOWCASE_ONLY = [
     # threshold semantics with the boilerplate cap) is what the oracle
     # pins; sim-verified + planted-overlap pytest (test_winnow)
     "winnow_overlap_pairs",
+    # showcase from birth (round 10): leakage-safe cluster split — a pure
+    # composition of GRADED machinery: the verified MinHash pair relation
+    # (minhash_lsh_pairs), the transitive-closure labels
+    # (near_dup_clusters — same connected_components call, same recursive
+    # CTE oracle), and salted md5-bucket membership (graded via
+    # domain_mix_sample_documents; the per-doc split itself is the
+    # sim-verified train_val_test_split). The NEW claim — keying the
+    # bucket on the cluster label, so no near-dup pair spans the
+    # train/eval boundary while singletons keep their per-doc assignment
+    # — is what the full-composition oracle pins; sim-verified +
+    # no-pair-spans-splits / partial-labels / singleton-refinement
+    # pytests (test_sampling)
+    "leakage_safe_split_documents",
 ]
 
 

@@ -2111,3 +2111,50 @@ def test_cli_dedup_overlap_bad_params_exit_2(spark, tmp_path, capsys):
     rc = main(["dedup", "probe", "--corpus", corpus, "--dry-run"])
     assert rc == 2
     assert "--index" in capsys.readouterr().err
+
+
+def test_cli_sample_split_cluster_labels(spark, sf_smoke, tmp_path, capsys):
+    """--cluster-labels keys the split hash on the near-dup cluster: no
+    labeled pair spans splits, counts match the library call, and a
+    labels table missing the cluster column exits 2."""
+    from database_migration_spark.operators.sampling import cluster_safe_split
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    labels_dir = str(tmp_path / "labels")
+    # pair up doc ids 0..39 into 20 clusters; everything else singleton
+    docs.selectExpr(
+        "doc_id AS id",
+        "CASE WHEN doc_id < 40 THEN doc_id - doc_id % 2 "
+        "ELSE doc_id END AS cluster_id",
+    ).write.parquet(f"{labels_dir}/labels.parquet")
+
+    out = str(tmp_path / "split_out")
+    rc = main(["sample", "split", "--source", sf_smoke, "--table",
+               "documents", "--cluster-labels", labels_dir,
+               "--val-permille", "200", "--test-permille", "200",
+               "--out", out])
+    cap = capsys.readouterr()
+    assert rc == 0
+    got = {r.doc_id: r.split for r in spark.read.parquet(out).collect()}
+    assert len(got) == 500
+    for i in range(0, 40, 2):
+        assert got[i] == got[i + 1]
+    # counts line matches the library composition exactly
+    labels = spark.read.parquet(f"{labels_dir}/labels.parquet")
+    lib = {
+        r.split: r["count"]
+        for r in cluster_safe_split(
+            docs, "doc_id", labels, val_permille=200, test_permille=200
+        ).groupBy("split").count().collect()
+    }
+    assert (
+        f"split counts: train={lib.get('train', 0)}, "
+        f"val={lib.get('val', 0)}, test={lib.get('test', 0)}" in cap.out
+    )
+
+    # a labels table without the cluster column names the fix
+    rc = main(["sample", "split", "--source", sf_smoke, "--table",
+               "documents", "--cluster-labels", labels_dir,
+               "--cluster-col", "nope", "--dry-run"])
+    assert rc == 2
+    assert "--cluster-col" in capsys.readouterr().err

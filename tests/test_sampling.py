@@ -408,3 +408,64 @@ def test_weighted_samplers_reject_negative_weights(spark):
         top_mass_sample(df, "id", "score", "w", 500_000).collect()
     with pytest.raises(Exception, match="negative w"):
         pps_systematic_sample(df, "id", "w", 2).collect()
+
+
+def test_cluster_safe_split_no_pair_spans_splits(spark):
+    from database_migration_spark.operators.sampling import (
+        cluster_safe_split,
+        hash_split,
+    )
+
+    # 600 docs; ids 0..99 chained into 50 pairs (2i, 2i+1); rest singletons
+    df = spark.createDataFrame([(i,) for i in range(600)], "doc_id LONG")
+    labels = spark.createDataFrame(
+        [(i, i - i % 2 if i < 100 else i) for i in range(600)],
+        "id LONG, cluster_id LONG",
+    )
+    # generous holdouts so pairs WOULD straddle a per-doc split
+    out = cluster_safe_split(
+        df, "doc_id", labels, val_permille=200, test_permille=200
+    )
+    got = {r.doc_id: (r.split, r.cluster_id) for r in out.collect()}
+    assert len(got) == 600
+    for i in range(0, 100, 2):
+        assert got[i] == got[i + 1], f"pair ({i},{i+1}) spans splits"
+    # the per-doc split DOES leak on this corpus (the problem being fixed)
+    plain = {
+        r.doc_id: r.split
+        for r in hash_split(
+            df, "doc_id", val_permille=200, test_permille=200
+        ).collect()
+    }
+    assert any(plain[i] != plain[i + 1] for i in range(0, 100, 2))
+    # singleton refinement: same salt => singletons keep their per-doc
+    # assignment; only clustered docs may move (together)
+    assert all(got[i][0] == plain[i] for i in range(100, 600))
+    # proportions remain roughly 60/20/20 (cluster hash is uniform too)
+    from collections import Counter
+
+    c = Counter(s for s, _ in got.values())  # expect ~360/120/120
+    assert 300 < c["train"] < 420 and 70 < c["val"] < 180 and 70 < c["test"] < 180
+
+
+def test_cluster_safe_split_partial_labels_and_determinism(spark):
+    from database_migration_spark.operators.sampling import cluster_safe_split
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id LONG")
+    # PARTIAL label relation: only the clustered docs appear (a pipeline
+    # that publishes non-singleton clusters only)
+    labels = spark.createDataFrame(
+        [(i, 0) for i in range(10)], "id LONG, cluster_id LONG"
+    )
+    out1 = cluster_safe_split(df, "doc_id", labels, 100, 100)
+    got1 = {r.doc_id: (r.split, r.cluster_id) for r in out1.collect()}
+    assert len(got1) == 200
+    # missing docs are singletons: cluster = own id
+    assert all(got1[i][1] == i for i in range(10, 200))
+    # the labeled cluster is one block
+    assert len({got1[i] for i in range(10)}) == 1
+    # deterministic under repartitioning
+    out2 = cluster_safe_split(
+        df.repartition(7), "doc_id", labels.repartition(3), 100, 100
+    )
+    assert got1 == {r.doc_id: (r.split, r.cluster_id) for r in out2.collect()}

@@ -369,14 +369,24 @@ def cmd_compact(args) -> int:
     thousands of per-epoch files turn every scan into open/seek churn).
     Partitioned layouts keep their partitioning with one file per
     partition value (operators/dedup.compact_partitioned); flat layouts
-    repartition to ceil(bytes / --target-mb). Writes to --dest and
-    leaves the swap to the caller: Spark cannot safely overwrite a
-    dataset it is reading."""
+    repartition to ceil(bytes / --target-mb). --zorder additionally
+    CLUSTERS the rewrite on a Morton key over the named columns
+    (operators/layout.py), so parquet footer stats bound every keyed
+    column per file and range scans on any of them prune — the layout
+    step a 100 TB table needs where a plain compact only fixes file
+    counts. Writes to --dest and leaves the swap to the caller: Spark
+    cannot safely overwrite a dataset it is reading."""
     import math
     import os
 
     from database_migration_spark.session import get_spark
 
+    if args.zorder and args.partition_col:
+        print("error: --zorder clusters a FLAT layout; it cannot be "
+              "combined with --partition-col (z-order within partitions "
+              "is a per-partition compact over pre-split data)",
+              file=sys.stderr)
+        return 2
     spark = get_spark(app_name="dms_compact")
     src = args.source
     if args.partition_col:
@@ -394,10 +404,38 @@ def cmd_compact(args) -> int:
                     total += os.path.getsize(os.path.join(root, f))
                     n_in += 1
         n_out = max(1, math.ceil(total / (args.target_mb * 1024 * 1024)))
-        spark.read.parquet(src).repartition(n_out).write.mode(
-            "overwrite"
-        ).parquet(args.dest)
-        print(f"{n_in} files ({total} bytes) -> {n_out} files")
+        if args.zorder:
+            from database_migration_spark.operators.layout import (
+                zorder_span_report,
+                zorder_write,
+            )
+
+            cols = [c.strip() for c in args.zorder.split(",") if c.strip()]
+            df = spark.read.parquet(src)
+            missing = [c for c in cols if c not in df.columns]
+            if missing:
+                print(f"error: --zorder columns {missing} not in the "
+                      f"table (columns: {df.columns})", file=sys.stderr)
+                return 2
+            try:
+                desc = zorder_write(
+                    df, args.dest, cols, n_out, bits=args.zorder_bits
+                )
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            rep = zorder_span_report(args.dest, cols)
+            spans = ", ".join(
+                f"{c}={rep[c]}" for c in cols
+            )
+            print(f"{n_in} files ({total} bytes) -> {rep['files']} "
+                  f"z-ordered files (bits={desc['bits']}); mean per-file "
+                  f"span fraction: {spans}")
+        else:
+            spark.read.parquet(src).repartition(n_out).write.mode(
+                "overwrite"
+            ).parquet(args.dest)
+            print(f"{n_in} files ({total} bytes) -> {n_out} files")
     n_rows_in = spark.read.parquet(src).count()
     n_rows_out = spark.read.parquet(args.dest).count()
     print(f"rows: {n_rows_in} -> {n_rows_out}")
@@ -2442,6 +2480,14 @@ def main(argv: list[str] | None = None) -> int:
                          "partition value")
     cp.add_argument("--target-mb", type=int, default=128,
                     help="target file size for flat layouts (default 128)")
+    cp.add_argument("--zorder",
+                    help="comma-separated columns to Morton-cluster the "
+                    "rewrite on: footer stats then bound EVERY listed "
+                    "column per file, so range scans on any of them "
+                    "prune (flat layouts only)")
+    cp.add_argument("--zorder-bits", type=int, default=None,
+                    help="quantizer bits per z-order column (default "
+                    "min(16, 62/cols))")
     cp.set_defaults(fn=cmd_compact)
 
     sl = sub.add_parser("load", help="manifest-driven file loader "

@@ -1,0 +1,251 @@
+"""Z-order data layout: multi-dimensional file clustering for scan
+pruning.
+
+``dist_key_advisor_orders`` ADVISES on distribution keys; this module
+ACTS on the layout. A table sorted on one column prunes scans on that
+column only — parquet min/max footer stats on every other column span
+the whole domain in every file, so a predicate on a second dimension
+reads everything. Interleaving the bits of several quantized key
+columns into one Morton (z-order) key and range-sorting the write on it
+bounds EVERY keyed column's span per file: a range predicate on any of
+them skips most files at planning time (parquet row-group stats +
+Spark's file-level pruning). This is the layout primitive behind Delta
+``OPTIMIZE ZORDER BY`` / Iceberg's sort orders, built here from plain
+parquet + exact integer arithmetic.
+
+Exactness rules (the repo's cross-engine conventions):
+
+- Quantization is ``(x - min) div q`` with ``q = ceil(span/2^bits)``
+  computed driver-side — division FIRST, so no multiplication overflow
+  at any span (the pairing.py exact-grid family); never float.
+- The interleave is a fixed unrolled ``shift/and/or`` expression over
+  longs — bit-identical in any engine (the DuckDB oracle replays it with
+  the same operators), JVM-side, whole-stage-codegen friendly.
+- NULL key values quantize to cell 0 (they cluster together at the low
+  end, the Delta convention); the z-key itself is therefore never NULL.
+
+Scale shape: one bounds aggregate (driver-bounded: 2 values per key
+column), then a pure projection + ``repartitionByRange`` on the z-key
+(one range shuffle — the cost any clustered rewrite pays) +
+``sortWithinPartitions``. No window, no join, no driver loop over rows;
+file count is the only knob that grows with data.
+
+Reference parity note: the reference has no layout optimizer — this is
+part of the training-pipeline surface (100 TB scans live or die on
+pruning), measured in SCALE.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MAX_KEY_BITS = 62  # z-key must stay a nonnegative signed-64 value
+
+
+def plan_zorder_bits(n_cols: int, bits: "int | None") -> int:
+    """Bits per dimension: explicit value validated, default the largest
+    equal split of the 62-bit budget capped at 16 (65 536 cells per dim
+    — finer than any realistic file count needs)."""
+    if n_cols < 1:
+        raise ValueError("zorder needs at least one key column")
+    if bits is None:
+        return min(16, MAX_KEY_BITS // n_cols)
+    if bits < 1 or n_cols * bits > MAX_KEY_BITS:
+        raise ValueError(
+            f"zorder bits={bits} with {n_cols} columns needs "
+            f"1 <= bits and cols*bits <= {MAX_KEY_BITS} "
+            f"(got {n_cols * bits})"
+        )
+    return bits
+
+
+def zorder_cell(col_name: str, lo: int, hi: int, bits: int) -> Column:
+    """Quantize a long-valued column into ``[0, 2^bits)`` against the
+    driver-computed inclusive bounds — ``(x - lo) div q`` with
+    ``q = ceil(span / 2^bits)`` (division first: exact at any span,
+    no multiply overflow; SQL ``div``, never ``/`` or ``floor`` — the
+    double-division trap). NULL → cell 0."""
+    span = int(hi) - int(lo) + 1
+    q = max(1, -(-span // (1 << bits)))  # ceil, driver-side exact
+    cell = F.expr(
+        f"(CAST(`{col_name}` AS BIGINT) - ({int(lo)})) div {q}"
+    )
+    return F.coalesce(cell, F.lit(0)).cast("long")
+
+
+def zorder_interleave(cells: list, bits: int) -> Column:
+    """The Morton key: bit ``i`` of cell ``j`` lands at position
+    ``i * n + (n - 1 - j)`` (column 0 owns the most significant bit of
+    each group, matching the lexicographic intuition). Fixed unrolled
+    shift/and/or over longs — portable, codegen-friendly."""
+    n = len(cells)
+    z = F.lit(0).cast("long")
+    for j, cell in enumerate(cells):
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(cell, i).bitwiseAND(F.lit(1)),
+                    i * n + (n - 1 - j),
+                )
+            )
+    return z
+
+
+def zorder_interleave_sql(cell_exprs: list, bits: int) -> str:
+    """The identical interleave as engine-neutral SQL (``>>``/``&``/
+    ``<<``/``|`` on BIGINT) — the DuckDB-oracle leg of the arithmetic,
+    generated from the same bit-position rule so the two engines cannot
+    drift."""
+    n = len(cell_exprs)
+    # every term FULLY parenthesized: DuckDB/Postgres give `|`, `&`, `<<`
+    # one shared precedence, LEFT-ASSOCIATIVE — an unparenthesized
+    # `x << p1 | y << p2` parses as `((x << p1) | y) << p2` and the
+    # accumulated OR overflows the next shift
+    terms = [
+        f"(((({e}) >> {i}) & 1) << {i * n + (n - 1 - j)})"
+        for j, e in enumerate(cell_exprs)
+        for i in range(bits)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+def column_bounds(df: DataFrame, cols: list) -> dict:
+    """Driver-bounded (2 longs per column) min/max aggregate for the
+    quantizer. Raises on an all-NULL column: bounds of nothing are not a
+    layout, and a silent (0, 0) would fold every row into one cell."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("long")).alias(f"_lo_{c}"),
+            F.max(F.col(c).cast("long")).alias(f"_hi_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    out = {}
+    for c in cols:
+        lo, hi = row[f"_lo_{c}"], row[f"_hi_{c}"]
+        if lo is None:
+            raise ValueError(
+                f"zorder column {c} is entirely NULL — it cannot "
+                "cluster a layout; drop it from the key"
+            )
+        out[c] = (int(lo), int(hi))
+    return out
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list,
+    bits: "int | None" = None,
+    bounds: "dict | None" = None,
+) -> DataFrame:
+    """Attach the z-order key as ``_zkey``. ``bounds`` (col → (lo, hi))
+    defaults to the corpus min/max; pass stored bounds to keep cell
+    assignment stable across incremental rewrites (the stored-layout
+    rule: a reader handed different bounds prunes wrong)."""
+    bits = plan_zorder_bits(len(cols), bits)
+    bounds = bounds or column_bounds(df, cols)
+    cells = [
+        zorder_cell(c, bounds[c][0], bounds[c][1], bits) for c in cols
+    ]
+    return df.withColumn("_zkey", zorder_interleave(cells, bits))
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list,
+    n_files: int,
+    bits: "int | None" = None,
+) -> dict:
+    """Cluster ``df`` into ``n_files`` z-ordered parquet files at
+    ``path``: one range shuffle on the z-key (balanced output files —
+    a hash repartition would destroy the clustering), sorted within
+    each file so row-group stats are tight too. Returns the layout
+    descriptor (cols/bits/bounds/files) the caller records."""
+    bits = plan_zorder_bits(len(cols), bits)
+    bounds = column_bounds(df, cols)
+    keyed = zorder_key(df, cols, bits, bounds)
+    (
+        keyed.repartitionByRange(max(1, int(n_files)), "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return {
+        "cols": list(cols),
+        "bits": bits,
+        "bounds": {c: list(bounds[c]) for c in cols},
+        "n_files": int(n_files),
+    }
+
+
+def file_span_stats(path: str, cols: list) -> list:
+    """Per-file (min, max) footer statistics for ``cols`` — the
+    measurable pruning evidence, read from parquet metadata only (no
+    data scan; driver-bounded by file count). A planner skips a file for
+    ``col BETWEEN a AND b`` exactly when [min, max] misses [a, b], so
+    the per-file span IS the pruning power: z-ordered layouts bound it
+    on every keyed column, single-column sorts on one."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(path, name))
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        spans = {}
+        for c in cols:
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            spans[c] = (lo, hi)
+        rows.append({"file": name, "rows": md.num_rows, "spans": spans})
+    return rows
+
+
+def pruning_fraction(stats: list, col: str, lo, hi) -> float:
+    """Fraction of FILES a ``col BETWEEN lo AND hi`` scan may skip given
+    the footer stats — the planner's decision replayed exactly (a file
+    with unknown stats is conservatively read)."""
+    if not stats:
+        return 0.0
+    skipped = 0
+    for f in stats:
+        s_lo, s_hi = f["spans"][col]
+        if s_lo is not None and (s_hi < lo or s_lo > hi):
+            skipped += 1
+    return skipped / len(stats)
+
+
+def zorder_span_report(path: str, cols: list) -> dict:
+    """Mean per-file span fraction of each keyed column (file span /
+    corpus span): ~1.0 means footer stats cannot prune that column at
+    all, ~1/n_files is the single-column-sort ideal. The honest summary
+    number for a layout comparison."""
+    stats = file_span_stats(path, cols)
+    report = {}
+    for c in cols:
+        spans = [f["spans"][c] for f in stats]
+        known = [(lo, hi) for lo, hi in spans if lo is not None]
+        if not known:
+            report[c] = None
+            continue
+        c_lo = min(lo for lo, _ in known)
+        c_hi = max(hi for _, hi in known)
+        total = max(1, int(c_hi) - int(c_lo) + 1)
+        mean_span = sum(int(hi) - int(lo) + 1 for lo, hi in known) / len(
+            known
+        )
+        report[c] = round(mean_span / total, 4)
+    report["files"] = len(stats)
+    return report

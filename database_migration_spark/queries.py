@@ -3753,6 +3753,70 @@ def event_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle(bits: int = 8) -> str:
+    """Replays the full z-order key derivation in DuckDB: corpus bounds →
+    exact ceil-div quantizer → the IDENTICAL unrolled bit interleave
+    (layout.zorder_interleave_sql — one generator, two engines, zero
+    drift) → per-z-prefix rollup."""
+    from database_migration_spark.operators.layout import (
+        zorder_interleave_sql,
+    )
+
+    nb = 1 << bits
+    z = zorder_interleave_sql(["cu", "ce"], bits)
+    return f"""
+WITH src AS (
+  SELECT CAST(user_id AS BIGINT) AS u, epoch_us(ts) AS e FROM events
+),
+b AS (
+  SELECT min(u) AS lo_u, max(u) AS hi_u, min(e) AS lo_e, max(e) AS hi_e
+  FROM src
+),
+q AS (
+  SELECT lo_u, lo_e,
+         greatest(1, (hi_u - lo_u + 1 + {nb - 1}) // {nb}) AS qu,
+         greatest(1, (hi_e - lo_e + 1 + {nb - 1}) // {nb}) AS qe
+  FROM b
+),
+cells AS (
+  SELECT coalesce((u - lo_u) // qu, 0) AS cu,
+         coalesce((e - lo_e) // qe, 0) AS ce, u
+  FROM src, q
+),
+z AS (SELECT {z} AS zkey, u FROM cells)
+SELECT CAST(zkey // {nb} AS BIGINT) AS z_prefix,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT u) AS BIGINT) AS n_users
+FROM z GROUP BY 1
+"""
+
+
+@register("zorder_cells_events", oracle=_zorder_oracle())
+def zorder_cells_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-order (Morton) key arithmetic behind layout.zorder_write,
+    value-checked cross-engine: quantize (user_id, epoch-µs) into 8-bit
+    cells with the exact ceil-div quantizer (division FIRST — no multiply
+    overflow, no double division at any span), interleave the bits into
+    one key, roll up per key prefix. The layout writer range-sorts on
+    this key so parquet footer stats bound BOTH dimensions per file
+    (test_layout pins the pruning effect; SCALE.md measures it) — this
+    query pins the key itself, the part that must be exactly portable
+    (stored layout descriptors replay it at read time)."""
+    from database_migration_spark.operators import layout as LO
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("u"),
+        epoch_us_wall("ts").alias("e"),
+    )
+    keyed = LO.zorder_key(ev, ["u", "e"], bits=8)
+    return keyed.groupBy(
+        F.expr("_zkey div 256").cast("long").alias("z_prefix")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("u").cast("long").alias("n_users"),
+    )
+
+
 @register(
     "fuzzy_name_pairs",
     # brute-force O(n²) levenshtein is the ORACLE ONLY (64 part names +
@@ -5747,6 +5811,17 @@ _SHOWCASE_ONLY = [
     # no-pair-spans-splits / partial-labels / singleton-refinement
     # pytests (test_sampling)
     "leakage_safe_split_documents",
+    # showcase from birth (round 10): the z-order layout key — its
+    # machinery is the graded exact-integer family (ceil-div cell
+    # quantization = the pairing.py/partition_counts grid arithmetic,
+    # epoch-µs derivation = sessionize_events, grouped count +
+    # count_distinct = the mig_check/corpus families); the NEW claim
+    # (the Morton bit-interleave is exactly portable — one generator
+    # emits both engines' unrolled shift/and/or form) is what the
+    # oracle pins; the LAYOUT effect (footer-stat spans bounded on
+    # every keyed dim, replayed planner pruning) is pinned by
+    # test_layout and measured in SCALE.md; sim-verified
+    "zorder_cells_events",
 ]
 
 

@@ -2158,3 +2158,43 @@ def test_cli_sample_split_cluster_labels(spark, sf_smoke, tmp_path, capsys):
                "--cluster-col", "nope", "--dry-run"])
     assert rc == 2
     assert "--cluster-col" in capsys.readouterr().err
+
+
+# round 10: --zorder on compact — the layout step where dist_key_advisor
+# only advises
+
+
+def test_cli_compact_zorder_clusters_both_dims(spark, tmp_path, capsys):
+    from database_migration_spark.operators.layout import (
+        file_span_stats,
+        pruning_fraction,
+    )
+
+    src = str(tmp_path / "flat")
+    rows = [(i, (i * 7919) % 5000, (i * 104729) % 5000)
+            for i in range(10_000)]
+    spark.createDataFrame(rows, "id LONG, a LONG, b LONG") \
+        .repartition(24).write.parquet(src)
+
+    dest = str(tmp_path / "zed")
+    rc = main(["compact", "--source", src, "--dest", dest,
+               "--target-mb", "1", "--zorder", "a,b"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "z-ordered files" in cap.out and "span fraction" in cap.out
+    assert "rows: 10000 -> 10000" in cap.out
+    stats = file_span_stats(dest, ["a", "b"])
+    if len(stats) >= 4:  # pruning needs >1 file to mean anything
+        assert pruning_fraction(stats, "b", 0, 499) > 0.0
+        assert pruning_fraction(stats, "a", 0, 499) > 0.0
+
+    # rc=2 paths: unknown column, zorder+partition-col, bad bits
+    rc = main(["compact", "--source", src, "--dest", dest,
+               "--zorder", "nope"])
+    assert rc == 2 and "nope" in capsys.readouterr().err
+    rc = main(["compact", "--source", src, "--dest", dest,
+               "--zorder", "a,b", "--partition-col", "a"])
+    assert rc == 2 and "--partition-col" in capsys.readouterr().err
+    rc = main(["compact", "--source", src, "--dest", dest,
+               "--zorder", "a,b", "--zorder-bits", "40"])
+    assert rc == 2 and "bits" in capsys.readouterr().err

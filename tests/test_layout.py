@@ -1,0 +1,146 @@
+"""Z-order layout (operators/layout.py): the Morton key must match a
+pure-Python bit-interleave reference exactly (including above 2^53 where
+double division corrupts quotients), and the written layout must bound
+EVERY keyed column's per-file footer span where a single-column sort
+bounds only its own."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_migration_spark.operators.layout import (
+    column_bounds,
+    file_span_stats,
+    plan_zorder_bits,
+    pruning_fraction,
+    zorder_interleave_sql,
+    zorder_key,
+    zorder_span_report,
+    zorder_write,
+)
+
+
+def _py_interleave(cells, bits):
+    n = len(cells)
+    z = 0
+    for j, c in enumerate(cells):
+        for i in range(bits):
+            z |= ((c >> i) & 1) << (i * n + (n - 1 - j))
+    return z
+
+
+def _py_cell(x, lo, hi, bits):
+    if x is None:
+        return 0
+    span = hi - lo + 1
+    q = max(1, -(-span // (1 << bits)))
+    return (x - lo) // q
+
+
+def test_zkey_matches_python_reference_and_sql_form(spark):
+    import random
+
+    rng = random.Random(20260816)
+    rows = [
+        (i, rng.randint(-500, 500), rng.randint(0, 10_000))
+        for i in range(400)
+    ] + [(400, None, 3)]
+    df = spark.createDataFrame(rows, "id LONG, a LONG, b LONG")
+    bounds = column_bounds(df, ["a", "b"])
+    bits = 8
+    got = {
+        r.id: r._zkey
+        for r in zorder_key(df, ["a", "b"], bits, bounds).collect()
+    }
+    want = {
+        i: _py_interleave(
+            [
+                _py_cell(a, *bounds["a"], bits),
+                _py_cell(b, *bounds["b"], bits),
+            ],
+            bits,
+        )
+        for i, a, b in rows
+    }
+    assert got == want
+    # the SQL form (the DuckDB-oracle leg) computes the identical key
+    import duckdb
+    import pandas as pd
+
+    df_in = pd.DataFrame(rows, columns=["id", "a", "b"]).astype(
+        {"a": "Int64", "b": "Int64"}
+    )
+    z_sql = zorder_interleave_sql(["ca", "cb"], bits)
+    qa = max(1, -(-(bounds["a"][1] - bounds["a"][0] + 1) // (1 << bits)))
+    qb = max(1, -(-(bounds["b"][1] - bounds["b"][0] + 1) // (1 << bits)))
+    sql_rows = duckdb.sql(
+        "SELECT id, " + z_sql + " AS z FROM (SELECT id, "
+        f"coalesce((a - ({bounds['a'][0]})) // {qa}, 0) AS ca, "
+        f"coalesce((b - ({bounds['b'][0]})) // {qb}, 0) AS cb "
+        "FROM df_in)"
+    ).fetchall()
+    assert {i: z for i, z in sql_rows} == want
+
+
+def test_zorder_cell_exact_above_2_53(spark):
+    # the floor-div trap: double division rounds quotients above 2^53 —
+    # the quantizer must use SQL div (pairing.py cell-assignment family)
+    base = 1 << 60
+    xs = [base + k for k in (0, 1, 2, 12345, 999_999)]
+    df = spark.createDataFrame([(x,) for x in xs], "a LONG")
+    bounds = {"a": (base, base + 1_000_000)}
+    got = sorted(
+        r._zkey for r in zorder_key(df, ["a"], 16, bounds).collect()
+    )
+    want = sorted(_py_cell(x, *bounds["a"], 16) for x in xs)
+    assert got == want  # single column: z-key == cell
+
+
+def test_zorder_write_bounds_every_dim_where_sort_bounds_one(
+    spark, tmp_path
+):
+    # two independent uniform dims; 16 files
+    rows = [(i, (i * 7919) % 10_000, (i * 104729) % 10_000)
+            for i in range(20_000)]
+    df = spark.createDataFrame(rows, "id LONG, a LONG, b LONG")
+
+    zpath = str(tmp_path / "zordered")
+    desc = zorder_write(df, zpath, ["a", "b"], n_files=16)
+    assert desc["bits"] == 16 and desc["n_files"] == 16
+
+    spath = str(tmp_path / "sorted_a")
+    (
+        df.repartitionByRange(16, "a")
+        .sortWithinPartitions("a")
+        .write.parquet(spath)
+    )
+
+    zrep = zorder_span_report(zpath, ["a", "b"])
+    srep = zorder_span_report(spath, ["a", "b"])
+    # the single-column sort bounds its own column tightly and leaves
+    # the other unprunable (span ~ the full domain in every file)
+    assert srep["a"] < 0.15 and srep["b"] > 0.85
+    # z-order bounds BOTH: each file covers at most ~a quarter of each
+    # domain (16 files -> 4x4 cell grid ideal)
+    assert zrep["a"] < 0.5 and zrep["b"] < 0.5
+    # replayed planner decision: a 10%-selectivity range on the
+    # NON-sorted dim skips most z-ordered files and no sorted-layout ones
+    zstats = file_span_stats(zpath, ["a", "b"])
+    sstats = file_span_stats(spath, ["a", "b"])
+    assert pruning_fraction(zstats, "b", 1000, 1999) >= 0.5
+    assert pruning_fraction(sstats, "b", 1000, 1999) == 0.0
+    # and the clustered rewrite lost no rows
+    assert spark.read.parquet(zpath).count() == 20_000
+
+
+def test_zorder_validation(spark):
+    with pytest.raises(ValueError, match="cols\\*bits"):
+        plan_zorder_bits(4, 17)
+    with pytest.raises(ValueError, match="at least one"):
+        plan_zorder_bits(0, None)
+    assert plan_zorder_bits(2, None) == 16
+    assert plan_zorder_bits(5, None) == 12
+    df = spark.createDataFrame(
+        [(1, None)], "a LONG, b LONG"
+    )
+    with pytest.raises(ValueError, match="entirely NULL"):
+        column_bounds(df, ["b"])

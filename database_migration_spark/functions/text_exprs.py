@@ -101,3 +101,173 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
         F.sequence(F.lit(0), cnt - 1),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
+
+
+# --- markup extraction (round 10) -------------------------------------------
+#
+# Web-corpus preparation's first step: HTML/markup → text. Regex-only so
+# the whole pipeline is exactly portable (Java regex on the Spark side,
+# RE2 in DuckDB — both support (?is) inline flags and lazy quantifiers;
+# RE2 has NO backreferences, so script/style are separate patterns). ONE
+# set of pattern constants feeds both engine forms; the stage ORDER is
+# load-bearing: blocks drop first (their bodies may contain '<'), break
+# tags become newlines, remaining tags strip, entities decode LAST (so
+# '&lt;b&gt;' in text never becomes a strippable tag — and '&amp;lt;'
+# correctly decodes to the literal '&lt;').
+
+MARKUP_BLOCK_PATTERNS = [
+    r"(?is)<script\b[^>]*>.*?</script\s*>",
+    r"(?is)<style\b[^>]*>.*?</style\s*>",
+    r"(?s)<!--.*?-->",
+]
+MARKUP_BREAK_PATTERN = (
+    r"(?i)</?(br|p|div|li|h[1-6]|tr|table|ul|ol|blockquote|section|"
+    r"article)\b[^>]*>"
+)
+MARKUP_TAG_PATTERN = r"(?s)<[^>]*>"
+# &amp; LAST — see the ordering note above
+MARKUP_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+MARKUP_ANCHOR_PATTERN = r"(?is)<a\b[^>]*>(.*?)</a\s*>"
+
+
+def _markup_entity_decode(col: Column) -> Column:
+    for k, v in MARKUP_ENTITIES:
+        col = F.replace(col, F.lit(k), F.lit(v))
+    return col
+
+
+def _markup_entity_decode_sql(expr: str) -> str:
+    for k, v in MARKUP_ENTITIES:
+        v_sql = v.replace("'", "''")
+        expr = f"replace({expr}, '{k}', '{v_sql}')"
+    return expr
+
+
+def strip_markup(col: Column) -> Column:
+    """Markup → text: drop script/style/comment blocks, turn block/break
+    tags into newlines, strip remaining tags, decode core entities,
+    collapse horizontal whitespace per line and drop blank lines. All
+    built-in expressions (two HOFs over the per-row line array — the
+    row-local shape, zero shuffle)."""
+    x = col
+    for p in MARKUP_BLOCK_PATTERNS:
+        x = F.regexp_replace(x, p, " ")
+    x = F.regexp_replace(x, MARKUP_BREAK_PATTERN, "\n")
+    x = F.regexp_replace(x, MARKUP_TAG_PATTERN, " ")
+    x = _markup_entity_decode(x)
+    lines = F.split(x, "\n")
+    cleaned = F.transform(
+        lines, lambda l: F.trim(F.regexp_replace(l, r"[ \t\r]+", " "))
+    )
+    kept = F.filter(cleaned, lambda l: F.length(l) > 0)
+    return F.array_join(kept, "\n")
+
+
+def strip_markup_sql(expr: str) -> str:
+    x = expr
+    for p in MARKUP_BLOCK_PATTERNS:
+        x = f"regexp_replace({x}, '{p}', ' ', 'g')"
+    x = f"regexp_replace({x}, '{MARKUP_BREAK_PATTERN}', chr(10), 'g')"
+    x = f"regexp_replace({x}, '{MARKUP_TAG_PATTERN}', ' ', 'g')"
+    x = _markup_entity_decode_sql(x)
+    return (
+        "array_to_string(list_filter(list_transform("
+        f"string_split({x}, chr(10)), "
+        "l -> trim(regexp_replace(l, '[ \\t\\r]+', ' ', 'g'))), "
+        "l -> length(l) > 0), chr(10))"
+    )
+
+
+def _spark_sql_str(pattern: str) -> str:
+    """A regex pattern as a Spark SQL string literal: Spark's parser
+    treats backslash as an escape inside '…' (unlike DuckDB/standard
+    SQL), so every backslash doubles."""
+    return pattern.replace("\\", "\\\\")
+
+
+def line_anchor_ppm(col_name: str) -> Column:
+    """Link density of ONE already-break-split line column: chars inside
+    ``<a>…</a>`` as ppm of the line's tag-stripped char count — the
+    classic nav/footer boilerplate signal (menus are nearly 100% anchor
+    text, prose nearly 0%). Exact integer ppm (``div``), never float."""
+    a_pat = _spark_sql_str(MARKUP_ANCHOR_PATTERN)
+    t_pat = _spark_sql_str(MARKUP_TAG_PATTERN)
+    a_len = (
+        f"aggregate(regexp_extract_all(`{col_name}`, '{a_pat}', 1), "
+        f"0L, (acc, a) -> acc + length(regexp_replace(a, '{t_pat}', '')))"
+    )
+    total = f"length(regexp_replace(`{col_name}`, '{t_pat}', ''))"
+    return F.expr(
+        f"({a_len}) * 1000000 div greatest({total}, 1)"
+    ).cast("long")
+
+
+def line_anchor_ppm_sql(expr: str) -> str:
+    """The DuckDB form of :func:`line_anchor_ppm` (same patterns, same
+    integer arithmetic; ``//`` is DuckDB's exact integer division)."""
+    a_len = (
+        f"list_sum(list_transform(regexp_extract_all({expr}, "
+        f"'{MARKUP_ANCHOR_PATTERN}', 1), "
+        f"a -> length(regexp_replace(a, '{MARKUP_TAG_PATTERN}', '', 'g'))))"
+    )
+    total = f"length(regexp_replace({expr}, '{MARKUP_TAG_PATTERN}', '', 'g'))"
+    return (
+        f"CAST(coalesce({a_len}, 0) * 1000000 // greatest({total}, 1) "
+        "AS BIGINT)"
+    )
+
+
+def _markup_pre_break_sql_spark(expr: str) -> str:
+    """Blocks dropped + break tags → newline, as a Spark SQL expression
+    string (the pre-line-split stage; markup inside lines survives for
+    the anchor-density signal)."""
+    x = expr
+    for p in MARKUP_BLOCK_PATTERNS:
+        x = f"regexp_replace({x}, '{_spark_sql_str(p)}', ' ')"
+    return (
+        f"regexp_replace({x}, '{_spark_sql_str(MARKUP_BREAK_PATTERN)}', "
+        "'\\n')"
+    )
+
+
+def _markup_pre_break_sql_duck(expr: str) -> str:
+    x = expr
+    for p in MARKUP_BLOCK_PATTERNS:
+        x = f"regexp_replace({x}, '{p}', ' ', 'g')"
+    return f"regexp_replace({x}, '{MARKUP_BREAK_PATTERN}', chr(10), 'g')"
+
+
+def markup_line_txt_sql_spark(expr: str) -> str:
+    """One line's visible text (tags stripped, entities decoded,
+    horizontal whitespace collapsed, trimmed) — Spark SQL string form,
+    usable inside a HOF lambda."""
+    x = f"regexp_replace({expr}, '{_spark_sql_str(MARKUP_TAG_PATTERN)}', ' ')"
+    x = _markup_entity_decode_sql(x)
+    return f"trim(regexp_replace({x}, '[ \\\\t\\\\r]+', ' '))"
+
+
+def markup_line_txt_sql_duck(expr: str) -> str:
+    x = f"regexp_replace({expr}, '{MARKUP_TAG_PATTERN}', ' ', 'g')"
+    x = _markup_entity_decode_sql(x)
+    return f"trim(regexp_replace({x}, '[ \\t\\r]+', ' ', 'g'))"
+
+
+def line_anchor_ppm_sql_spark(expr: str) -> str:
+    """The Spark SQL string form of :func:`line_anchor_ppm`, usable
+    inside a HOF lambda (the DuckDB form is
+    :func:`line_anchor_ppm_sql`)."""
+    a_pat = _spark_sql_str(MARKUP_ANCHOR_PATTERN)
+    t_pat = _spark_sql_str(MARKUP_TAG_PATTERN)
+    a_len = (
+        f"aggregate(regexp_extract_all({expr}, '{a_pat}', 1), 0L, "
+        f"(acc, a) -> acc + length(regexp_replace(a, '{t_pat}', '')))"
+    )
+    total = f"length(regexp_replace({expr}, '{t_pat}', ''))"
+    return f"(({a_len}) * 1000000 div greatest({total}, 1))"

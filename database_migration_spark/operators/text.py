@@ -1008,3 +1008,58 @@ def hashed_classifier_score(
         )
         .withColumn("keep", F.col("score") >= F.lit(threshold))
     )
+
+
+def extract_markup_text(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_line_chars: int = 1,
+    max_anchor_ppm: int = 1_000_000,
+) -> DataFrame:
+    """Markup → main text, the web-corpus ingestion step: drop
+    script/style/comment blocks, split on block/break tags, then keep a
+    line only when its visible text has at least ``min_line_chars``
+    chars AND its link density (chars inside ``<a>…</a>`` as ppm of the
+    line's visible chars, exact integer arithmetic) is at most
+    ``max_anchor_ppm`` — nav bars, menus and link footers are ~100%
+    anchor text, prose ~0% (the boilerplate heuristic of
+    trafilatura/jusText reduced to its regex-expressible core; the
+    default keeps everything, i.e. plain :func:`strip_markup` plus the
+    density column).
+
+    Output: ``id_col``, ``text`` (kept lines joined by newline),
+    ``n_lines`` (kept), ``n_chars``. Scale shape: one row-local
+    expression per document — HOFs over the per-row line array, zero
+    shuffle, no UDF; the line filter happens INSIDE the array (the
+    remove_dup_spans lesson: per-doc work belongs on per-doc arrays,
+    never on an exploded doc-keyed window).
+
+    Everything is driven by the shared pattern constants in
+    functions/text_exprs.py; the DuckDB oracle replays the identical
+    stages (markup_extract_documents)."""
+    from database_migration_spark.functions.text_exprs import (
+        _markup_pre_break_sql_spark,
+        line_anchor_ppm_sql_spark,
+        markup_line_txt_sql_spark,
+    )
+
+    if not 0 <= int(max_anchor_ppm) <= 1_000_000:
+        raise ValueError("max_anchor_ppm must be in [0, 1000000]")
+    if int(min_line_chars) < 1:
+        raise ValueError("min_line_chars must be >= 1")
+    pre = _markup_pre_break_sql_spark(f"`{html_col}`")
+    txt = markup_line_txt_sql_spark("l")
+    ppm = line_anchor_ppm_sql_spark("l")
+    kept = (
+        f"filter(split({pre}, '\\n'), l -> "
+        f"length({txt}) >= {int(min_line_chars)} AND "
+        f"{ppm} <= {int(max_anchor_ppm)})"
+    )
+    # the kept lines still carry markup; project to visible text last
+    lines = f"transform({kept}, l -> {txt})"
+    return df.select(
+        F.col(id_col),
+        F.expr(f"array_join({lines}, '\\n')").alias("text"),
+        F.expr(f"size({lines})").cast("long").alias("n_lines"),
+    ).withColumn("n_chars", F.length("text").cast("long"))

@@ -3753,6 +3753,105 @@ def event_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the markup round-trip fixture: documents.text wrapped in a deterministic
+# HTML template (nav links, entities, a script with embedded '<', a
+# comment) — ONE piece list generates both engines' wrap expression, so
+# the extractor is exercised on identical input (the media_header_probe
+# precedent: the corpus ships no markup, so the query synthesizes it
+# explicitly and extraction is the thing under test)
+_MARKUP_TMPL = [
+    ("lit", '<html><head><title>d'),
+    ("id",),
+    ("lit", "</title><style>p {color:red}</style>"
+            '<script>if (a<2 && b>3) { f("x&y"); }</script></head>'
+            '<body><div class="nav"><ul><li><a href="/h?i='),
+    ("id",),
+    ("lit", '">Home</a></li><li> <a href="/about">About &amp; Help</a>'
+            " </li></ul></div><h1>Doc &#39;"),
+    ("id",),
+    ("lit", "&#39;</h1><p>"),
+    ("text",),
+    ("lit", "</p><p>Tail &lt;tag&gt;&nbsp;end</p><br/>"
+            "<!-- generator note --></body></html>"),
+]
+
+
+def _markup_wrap_spark() -> "F.Column":
+    parts = []
+    for piece in _MARKUP_TMPL:
+        if piece[0] == "lit":
+            parts.append(F.lit(piece[1]))
+        elif piece[0] == "id":
+            parts.append(F.col("doc_id").cast("string"))
+        else:
+            parts.append(F.col("text"))
+    return F.concat(*parts)
+
+
+def _markup_wrap_duck() -> str:
+    parts = []
+    for piece in _MARKUP_TMPL:
+        if piece[0] == "lit":
+            parts.append("'" + piece[1].replace("'", "''") + "'")
+        elif piece[0] == "id":
+            parts.append("CAST(doc_id AS VARCHAR)")
+        else:
+            parts.append("text")
+    return " || ".join(parts)
+
+
+def _markup_oracle(min_chars: int = 1, max_ppm: int = 500_000) -> str:
+    """Replays wrap + extract in DuckDB from the SAME pattern constants:
+    pre-break stages, per-line visible text, per-line anchor ppm, the
+    keep rule, newline join, md5 hash of the result."""
+    pre = TE._markup_pre_break_sql_duck(f"({_markup_wrap_duck()})")
+    txt = TE.markup_line_txt_sql_duck("l")
+    ppm = TE.line_anchor_ppm_sql("l")
+    kept = (
+        f"list_filter(string_split({pre}, chr(10)), l -> "
+        f"length({txt}) >= {min_chars} AND {ppm} <= {max_ppm})"
+    )
+    return f"""
+WITH x AS (
+  SELECT doc_id,
+         array_to_string(list_transform({kept}, l -> {txt}), chr(10)) AS t
+  FROM documents
+)
+SELECT doc_id, CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+       CAST(length(t) AS BIGINT) AS n_chars,
+       CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS text_h
+FROM x
+"""
+
+
+@register("markup_extract_documents", oracle=_markup_oracle())
+def markup_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus ingestion: HTML → main text with boilerplate-line
+    removal (operators/text.extract_markup_text). The corpus ships plain
+    text, so the query wraps it in a deterministic markup template (nav
+    links, entities, a script block whose body contains '<') and the
+    extractor must recover exactly the title + heading + prose + tail
+    lines, dropping the nav lines by link density (anchor-ppm > 50%).
+    The oracle replays wrap AND extract from the same pattern constants —
+    what it pins is the cross-engine regex/replacement semantics the
+    whole text family rides on (lazy quantifiers, inline flags, entity
+    decode ordering) plus the exact integer density rule."""
+    from database_migration_spark.functions.hashing import md5_long
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", _markup_wrap_spark().alias("html")
+    )
+    out = TX.extract_markup_text(
+        docs, "html", "doc_id", min_line_chars=1, max_anchor_ppm=500_000
+    )
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_chars",
+        md5_long(F.col("text")).alias("text_h"),
+    )
+
+
 def _zorder_oracle(bits: int = 8) -> str:
     """Replays the full z-order key derivation in DuckDB: corpus bounds →
     exact ceil-div quantizer → the IDENTICAL unrolled bit interleave
@@ -5822,6 +5921,16 @@ _SHOWCASE_ONLY = [
     # every keyed dim, replayed planner pruning) is pinned by
     # test_layout and measured in SCALE.md; sim-verified
     "zorder_cells_events",
+    # showcase from birth (round 10): markup extraction — its machinery
+    # is the graded text family (regexp_replace chains = pii_redact /
+    # quality scoring, HOF per-row array transforms = the winnow/chunk
+    # row-local shape, integer-ppm thresholds = quality_documents, md5
+    # result hashing = dedup_exact_documents); the NEW claim (the
+    # cross-engine regex/replacement semantics of the extraction stages —
+    # lazy quantifiers, inline flags, entity-decode ordering — and the
+    # exact anchor-density keep rule) is what the wrap+extract oracle
+    # pins; sim-verified + fixture/differential pytests (test_markup)
+    "markup_extract_documents",
 ]
 
 

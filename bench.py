@@ -114,6 +114,11 @@ BENCH_QUERIES = [
     "winnow_fingerprint_documents",
     "winnow_overlap_pairs",
     "heavy_hitter_tokens",
+    # round 10 (leakage_safe_split is NOT a headliner: its cost is the
+    # already-benched minhash pair relation + CC, and the line budget is
+    # the scarce resource — it stays covered by the x10 probe sweep)
+    "markup_extract_documents",
+    "zorder_cells_events",
 ]
 
 
@@ -158,12 +163,32 @@ def build_output(
         "lap_policy": LAP_POLICY,
         "noise_probe": probe_summary,
     }
+    def _bounded(names: list) -> list:
+        # diagnostics, not the record: cap at 2 names + a count marker
+        # so a many-query stall event cannot push the line past the
+        # driver's tail capture (the timings themselves still tell the
+        # full story — every relapped query's number is in "queries")
+        if len(names) <= 2:
+            return names
+        return names[:2] + [f"+{len(names) - 2} more"]
+
     if prior_name:
         out["prior_artifact"] = prior_name
         if relapped:
-            out["relapped_vs_prior"] = relapped
+            out["relapped_vs_prior"] = _bounded(relapped)
         if suspect:
-            out["suspect_vs_prior"] = suspect
+            out["suspect_vs_prior"] = _bounded(suspect)
+        # self-degrading envelope: if the guard-fired line still nears
+        # the driver's hard 2,000-byte tail, the name lists degrade to
+        # bare counts — a truncated artifact (parsed:null, head timings
+        # lost) is strictly worse than terse diagnostics
+        if len(render_line(out)) > 1_990:
+            if "relapped_vs_prior" in out:
+                out["relapped_vs_prior_n"] = len(relapped)
+                del out["relapped_vs_prior"]
+            if "suspect_vs_prior" in out:
+                out["suspect_vs_prior_n"] = len(suspect)
+                del out["suspect_vs_prior"]
     if errors:
         out["errors"] = errors
     return out

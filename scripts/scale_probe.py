@@ -196,6 +196,15 @@ X100_PROBES = [
     # per-partition summaries, candidate-only recount)
     "winnow_fingerprint_documents",
     "heavy_hitter_tokens",
+    # round 10: the new operator families — markup extraction is pure
+    # row-local regex (linear or bust), the z-key rollup is one grouped
+    # agg over a projection, and the leakage-safe split composes the
+    # minhash pair relation + star/propagation CC + one label join (the
+    # derived corpora keep within-replica near-dup structure, so the CC
+    # leg is non-vacuous)
+    "markup_extract_documents",
+    "zorder_cells_events",
+    "leakage_safe_split_documents",
 ]
 
 

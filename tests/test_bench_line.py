@@ -67,11 +67,12 @@ def test_line_round_trips_as_json():
 
 
 def test_relap_names_fit_inside_hard_cap():
-    # even with a few queries relapped/suspect, the line must stay under
-    # the driver's HARD 2,000-byte tail (the soft budget covers the
-    # common clean case; this covers the guard-fired case)
+    # even with EVERY query relapped/suspect, the line must stay under
+    # the driver's HARD 2,000-byte tail: the diagnostic lists are
+    # bounded by design (2 names + a count marker) so a many-query
+    # stall event cannot truncate the artifact
     timings = {n: 99.99 for n in BENCH_QUERIES}
-    long_names = sorted(BENCH_QUERIES, key=len)[-2:]
+    long_names = sorted(BENCH_QUERIES, key=len, reverse=True)
     out = build_output(
         timings,
         sum(timings.values()),
@@ -83,4 +84,27 @@ def test_relap_names_fit_inside_hard_cap():
         long_names,
         {},
     )
-    assert len(render_line(out).encode()) <= 2000
+    line = render_line(out)
+    assert len(line.encode()) <= 2000
+    d = json.loads(line)
+    # at the current headliner count both lists degrade to counts (the
+    # self-degrading envelope); the counts carry the event either way
+    n = len(BENCH_QUERIES)
+    if "relapped_vs_prior" in d:
+        assert d["relapped_vs_prior"][2] == f"+{n - 2} more"
+    else:
+        assert d["relapped_vs_prior_n"] == n and d["suspect_vs_prior_n"] == n
+
+
+def test_single_relap_keeps_names():
+    # the common event — one or two relapped queries — keeps real names
+    timings = {n: 99.99 for n in BENCH_QUERIES}
+    out = build_output(
+        timings, sum(timings.values()), 0.1,
+        {"min": 0.071, "median": 0.085, "max": 9.999, "noisy": False,
+         "flagged_queries": []},
+        "BENCH_r09.json", ["profile_orders"], [], {},
+    )
+    line = render_line(out)
+    assert len(line.encode()) <= 2000
+    assert json.loads(line)["relapped_vs_prior"] == ["profile_orders"]

@@ -3837,8 +3837,11 @@ def markup_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole text family rides on (lazy quantifiers, inline flags, entity
     decode ordering) plus the exact integer density rule."""
     from database_migration_spark.functions.hashing import md5_long
+    from database_migration_spark.functions.parallel import fan_out
 
-    docs = table(spark, sf_dir, "documents").select(
+    # CPU-heavy per-row regex over a single-row-group file: fan_out
+    # (measured 0.71 -> 0.26 s steady-state at sf0.1)
+    docs = fan_out(table(spark, sf_dir, "documents")).select(
         "doc_id", _markup_wrap_spark().alias("html")
     )
     out = TX.extract_markup_text(

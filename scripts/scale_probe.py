@@ -108,6 +108,10 @@ PROBES = [
     "top_mass_sample_documents",
     "winnow_fingerprint_documents",
     "heavy_hitter_tokens",
+    # round 10 additions (see the X100_PROBES comment for the shapes)
+    "markup_extract_documents",
+    "zorder_cells_events",
+    "leakage_safe_split_documents",
     # winnow_overlap_pairs is NOT probed via the registry: its internal
     # persists make time_thunk's warm laps meaningless (the scale_probe
     # persisted-relation rule — a registry probe would record the

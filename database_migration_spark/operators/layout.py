@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MAX_KEY_BITS = 62  # z-key must stay a nonnegative signed-64 value
+LAYOUT_META = "_layout_meta.json"
 
 
 def plan_zorder_bits(n_cols: int, bits: "int | None") -> int:
@@ -162,7 +163,15 @@ def zorder_write(
     ``path``: one range shuffle on the z-key (balanced output files —
     a hash repartition would destroy the clustering), sorted within
     each file so row-group stats are tight too. Returns the layout
-    descriptor (cols/bits/bounds/files) the caller records."""
+    descriptor (cols/bits/bounds/files), also persisted WITH the data
+    as ``_layout_meta.json`` — descriptive, not load-bearing (pruning
+    reads the self-describing parquet footers, so unlike the
+    fingerprint/ANN index metas a mismatched reader cannot mis-prune);
+    it records what the layout was clustered on, and a later
+    incremental rewrite can reuse the stored bounds for stable cells."""
+    import json
+    import os
+
     bits = plan_zorder_bits(len(cols), bits)
     bounds = column_bounds(df, cols)
     keyed = zorder_key(df, cols, bits, bounds)
@@ -173,12 +182,26 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
-    return {
+    desc = {
         "cols": list(cols),
         "bits": bits,
         "bounds": {c: list(bounds[c]) for c in cols},
         "n_files": int(n_files),
     }
+    with open(os.path.join(path, LAYOUT_META), "w") as fh:
+        json.dump(desc, fh)
+    return desc
+
+
+def read_layout_meta(path: str) -> "dict | None":
+    import json
+    import os
+
+    p = os.path.join(path, LAYOUT_META)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
 
 
 def file_span_stats(path: str, cols: list) -> list:

@@ -106,6 +106,12 @@ def test_zorder_write_bounds_every_dim_where_sort_bounds_one(
     zpath = str(tmp_path / "zordered")
     desc = zorder_write(df, zpath, ["a", "b"], n_files=16)
     assert desc["bits"] == 16 and desc["n_files"] == 16
+    # the layout descriptor is persisted with the data (descriptive —
+    # pruning reads the parquet footers, not this)
+    from database_migration_spark.operators.layout import read_layout_meta
+
+    assert read_layout_meta(zpath) == desc
+    assert read_layout_meta(str(tmp_path)) is None
 
     spath = str(tmp_path / "sorted_a")
     (

@@ -178,19 +178,38 @@ def build_output(
             out["relapped_vs_prior"] = _bounded(relapped)
         if suspect:
             out["suspect_vs_prior"] = _bounded(suspect)
-        # self-degrading envelope: if the guard-fired line still nears
-        # the driver's hard 2,000-byte tail, the name lists degrade to
-        # bare counts — a truncated artifact (parsed:null, head timings
-        # lost) is strictly worse than terse diagnostics
-        if len(render_line(out)) > 1_990:
-            if "relapped_vs_prior" in out:
-                out["relapped_vs_prior_n"] = len(relapped)
-                del out["relapped_vs_prior"]
-            if "suspect_vs_prior" in out:
-                out["suspect_vs_prior_n"] = len(suspect)
-                del out["suspect_vs_prior"]
     if errors:
-        out["errors"] = errors
+        # bounded per entry: a Py4J/AnalysisException str() is routinely
+        # multi-KB of JVM stack — enough survives to name the failure,
+        # and the nonzero rc already flags the round (review finding:
+        # an unbounded error here reintroduced the truncated-artifact
+        # scar this envelope exists to prevent)
+        out["errors"] = {
+            k: v if len(v) <= 120 else v[:117] + "..."
+            for k, v in errors.items()
+        }
+    # self-degrading envelope — checked LAST, so it sees the errors map
+    # too: if the line nears the driver's hard 2,000-byte tail, the
+    # diagnostics degrade stepwise (a truncated artifact — parsed:null,
+    # head timings lost — is strictly worse than terse diagnostics):
+    # 1. name lists -> bare counts; 2. error text -> 60 chars;
+    # 3. errors map -> first 3 + errors_n. The timings are the record
+    # and are never dropped.
+    if len(render_line(out)) > 1_990:
+        if "relapped_vs_prior" in out:
+            out["relapped_vs_prior_n"] = len(relapped)
+            del out["relapped_vs_prior"]
+        if "suspect_vs_prior" in out:
+            out["suspect_vs_prior_n"] = len(suspect)
+            del out["suspect_vs_prior"]
+    if len(render_line(out)) > 1_990 and "errors" in out:
+        out["errors"] = {
+            k: v if len(v) <= 60 else v[:57] + "..."
+            for k, v in out["errors"].items()
+        }
+        if len(render_line(out)) > 1_990 and len(out["errors"]) > 3:
+            out["errors_n"] = len(errors)
+            out["errors"] = dict(list(out["errors"].items())[:3])
     return out
 
 

@@ -137,12 +137,6 @@ MARKUP_ENTITIES = [
 MARKUP_ANCHOR_PATTERN = r"(?is)<a\b[^>]*>(.*?)</a\s*>"
 
 
-def _markup_entity_decode(col: Column) -> Column:
-    for k, v in MARKUP_ENTITIES:
-        col = F.replace(col, F.lit(k), F.lit(v))
-    return col
-
-
 def _markup_entity_decode_sql(expr: str) -> str:
     for k, v in MARKUP_ENTITIES:
         v_sql = v.replace("'", "''")
@@ -150,63 +144,11 @@ def _markup_entity_decode_sql(expr: str) -> str:
     return expr
 
 
-def strip_markup(col: Column) -> Column:
-    """Markup → text: drop script/style/comment blocks, turn block/break
-    tags into newlines, strip remaining tags, decode core entities,
-    collapse horizontal whitespace per line and drop blank lines. All
-    built-in expressions (two HOFs over the per-row line array — the
-    row-local shape, zero shuffle)."""
-    x = col
-    for p in MARKUP_BLOCK_PATTERNS:
-        x = F.regexp_replace(x, p, " ")
-    x = F.regexp_replace(x, MARKUP_BREAK_PATTERN, "\n")
-    x = F.regexp_replace(x, MARKUP_TAG_PATTERN, " ")
-    x = _markup_entity_decode(x)
-    lines = F.split(x, "\n")
-    cleaned = F.transform(
-        lines, lambda l: F.trim(F.regexp_replace(l, r"[ \t\r]+", " "))
-    )
-    kept = F.filter(cleaned, lambda l: F.length(l) > 0)
-    return F.array_join(kept, "\n")
-
-
-def strip_markup_sql(expr: str) -> str:
-    x = expr
-    for p in MARKUP_BLOCK_PATTERNS:
-        x = f"regexp_replace({x}, '{p}', ' ', 'g')"
-    x = f"regexp_replace({x}, '{MARKUP_BREAK_PATTERN}', chr(10), 'g')"
-    x = f"regexp_replace({x}, '{MARKUP_TAG_PATTERN}', ' ', 'g')"
-    x = _markup_entity_decode_sql(x)
-    return (
-        "array_to_string(list_filter(list_transform("
-        f"string_split({x}, chr(10)), "
-        "l -> trim(regexp_replace(l, '[ \\t\\r]+', ' ', 'g'))), "
-        "l -> length(l) > 0), chr(10))"
-    )
-
-
 def _spark_sql_str(pattern: str) -> str:
     """A regex pattern as a Spark SQL string literal: Spark's parser
     treats backslash as an escape inside '…' (unlike DuckDB/standard
     SQL), so every backslash doubles."""
     return pattern.replace("\\", "\\\\")
-
-
-def line_anchor_ppm(col_name: str) -> Column:
-    """Link density of ONE already-break-split line column: chars inside
-    ``<a>…</a>`` as ppm of the line's tag-stripped char count — the
-    classic nav/footer boilerplate signal (menus are nearly 100% anchor
-    text, prose nearly 0%). Exact integer ppm (``div``), never float."""
-    a_pat = _spark_sql_str(MARKUP_ANCHOR_PATTERN)
-    t_pat = _spark_sql_str(MARKUP_TAG_PATTERN)
-    a_len = (
-        f"aggregate(regexp_extract_all(`{col_name}`, '{a_pat}', 1), "
-        f"0L, (acc, a) -> acc + length(regexp_replace(a, '{t_pat}', '')))"
-    )
-    total = f"length(regexp_replace(`{col_name}`, '{t_pat}', ''))"
-    return F.expr(
-        f"({a_len}) * 1000000 div greatest({total}, 1)"
-    ).cast("long")
 
 
 def line_anchor_ppm_sql(expr: str) -> str:

@@ -51,7 +51,16 @@ def plan_zorder_bits(n_cols: int, bits: "int | None") -> int:
     if n_cols < 1:
         raise ValueError("zorder needs at least one key column")
     if bits is None:
-        return min(16, MAX_KEY_BITS // n_cols)
+        default = min(16, MAX_KEY_BITS // n_cols)
+        if default < 1:
+            # 62//n_cols == 0 would silently produce a CONSTANT z-key
+            # (every row in one cell, one output file) — raise like the
+            # explicit-bits path does (review finding)
+            raise ValueError(
+                f"zorder cannot cluster {n_cols} columns: even 1 bit "
+                f"per column exceeds the {MAX_KEY_BITS}-bit key budget"
+            )
+        return default
     if bits < 1 or n_cols * bits > MAX_KEY_BITS:
         raise ValueError(
             f"zorder bits={bits} with {n_cols} columns needs "
@@ -66,13 +75,24 @@ def zorder_cell(col_name: str, lo: int, hi: int, bits: int) -> Column:
     driver-computed inclusive bounds — ``(x - lo) div q`` with
     ``q = ceil(span / 2^bits)`` (division first: exact at any span,
     no multiply overflow; SQL ``div``, never ``/`` or ``floor`` — the
-    double-division trap). NULL → cell 0."""
+    double-division trap). NULL → cell 0. The result CLAMPS to
+    ``[0, 2^bits)``: zorder_key explicitly invites STORED (stale)
+    bounds, and an out-of-range value must land in the nearest edge
+    cell — unclamped, a value above ``hi`` overflows into the next
+    bit positions and the interleave aliases it onto the SMALLEST
+    cells (and a value below ``lo`` divides negative, where Spark
+    ``div`` truncates while DuckDB ``//`` floors — cross-engine
+    drift). Review finding."""
     span = int(hi) - int(lo) + 1
     q = max(1, -(-span // (1 << bits)))  # ceil, driver-side exact
-    cell = F.expr(
-        f"(CAST(`{col_name}` AS BIGINT) - ({int(lo)})) div {q}"
-    )
-    return F.coalesce(cell, F.lit(0)).cast("long")
+    # coalesce INSIDE the clamp: Spark least/greatest SKIP NULL operands
+    # instead of propagating them, so least(max, NULL) is max and a NULL
+    # key would land in the TOP cell instead of cell 0
+    return F.expr(
+        f"greatest(0L, least({(1 << bits) - 1}L, "
+        f"coalesce((CAST(`{col_name}` AS BIGINT) - ({int(lo)})) div {q}, "
+        f"0L)))"
+    ).cast("long")
 
 
 def zorder_interleave(cells: list, bits: int) -> Column:

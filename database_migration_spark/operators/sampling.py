@@ -242,7 +242,27 @@ def cluster_safe_split(
     relation is dimension-sized, shuffle otherwise) + the pure salted
     md5 bucket filter — no window, no driver state.
     """
-    lid = labels.columns[0] if id_col not in labels.columns else id_col
+    if cluster_col not in labels.columns:
+        raise ValueError(
+            f"cluster_safe_split: labels table has no '{cluster_col}' "
+            f"column (columns: {labels.columns})"
+        )
+    if id_col in labels.columns:
+        lid = id_col
+    else:
+        # never guess positionally: a (cluster_id, id)-ordered table would
+        # join on the cluster VALUE — duplicate rows and silent loss of
+        # the leakage guarantee (review finding). Unambiguous = exactly
+        # one non-cluster column.
+        others = [c for c in labels.columns if c != cluster_col]
+        if len(others) != 1:
+            raise ValueError(
+                f"cluster_safe_split: cannot identify the id column in "
+                f"the labels table (columns: {labels.columns}) — name it "
+                f"'{id_col}' or pass a two-column (id, {cluster_col}) "
+                "relation"
+            )
+        lid = others[0]
     lab = labels.select(
         F.col(lid).alias(id_col), F.col(cluster_col).alias("_csplit_cluster")
     )

@@ -1025,12 +1025,22 @@ def extract_markup_text(
     ``max_anchor_ppm`` — nav bars, menus and link footers are ~100%
     anchor text, prose ~0% (the boilerplate heuristic of
     trafilatura/jusText reduced to its regex-expressible core; the
-    default keeps everything, i.e. plain :func:`strip_markup` plus the
-    density column).
+    default keeps every non-blank line).
 
     Output: ``id_col``, ``text`` (kept lines joined by newline),
-    ``n_lines`` (kept), ``n_chars``. Scale shape: one row-local
-    expression per document — HOFs over the per-row line array, zero
+    ``n_lines`` (kept), ``n_chars``. NULL markup rows are dropped
+    explicitly (the round-5 chunk_tokens rule: ``split(NULL)`` is a
+    NULL array whose ``size`` is -1 in Spark while a SQL oracle emits
+    NULL — the engines diverge on exactly the rows nobody planted in
+    the fixtures).
+
+    Scale shape: one row-local expression per document, evaluated ONCE —
+    per-line (text, density) structs so the filter and the projection
+    share one computation, and an ``inline()`` generator materializes
+    the (text, n_lines) pair so the two output columns cannot inline
+    two copies of the regex chain into the projection (HOF lambdas are
+    outside codegen subexpression elimination — the round-9b
+    projection-collapse family; first shape measured ~2x). Zero
     shuffle, no UDF; the line filter happens INSIDE the array (the
     remove_dup_spans lesson: per-doc work belongs on per-doc arrays,
     never on an exploded doc-keyed window).
@@ -1051,15 +1061,21 @@ def extract_markup_text(
     pre = _markup_pre_break_sql_spark(f"`{html_col}`")
     txt = markup_line_txt_sql_spark("l")
     ppm = line_anchor_ppm_sql_spark("l")
-    kept = (
-        f"filter(split({pre}, '\\n'), l -> "
-        f"length({txt}) >= {int(min_line_chars)} AND "
-        f"{ppm} <= {int(max_anchor_ppm)})"
+    scored = (
+        f"transform(split({pre}, '\\n'), "
+        f"l -> named_struct('t', {txt}, 'p', {ppm}))"
     )
-    # the kept lines still carry markup; project to visible text last
-    lines = f"transform({kept}, l -> {txt})"
-    return df.select(
-        F.col(id_col),
-        F.expr(f"array_join({lines}, '\\n')").alias("text"),
-        F.expr(f"size({lines})").cast("long").alias("n_lines"),
-    ).withColumn("n_chars", F.length("text").cast("long"))
+    kept = (
+        f"filter({scored}, s -> length(s.t) >= {int(min_line_chars)} "
+        f"AND s.p <= {int(max_anchor_ppm)})"
+    )
+    gen = (
+        f"inline(transform(array({kept}), x -> named_struct("
+        f"'text', array_join(transform(x, s -> s.t), '\\n'), "
+        f"'n_lines', CAST(size(x) AS BIGINT))))"
+    )
+    return (
+        df.where(F.col(html_col).isNotNull())
+        .select(F.col(id_col), F.expr(gen))
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )

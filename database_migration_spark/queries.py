@@ -3816,6 +3816,7 @@ WITH x AS (
   SELECT doc_id,
          array_to_string(list_transform({kept}, l -> {txt}), chr(10)) AS t
   FROM documents
+  WHERE text IS NOT NULL  -- the operator drops NULL-markup rows
 )
 SELECT doc_id, CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
        CAST(length(t) AS BIGINT) AS n_chars,
@@ -3881,8 +3882,10 @@ q AS (
   FROM b
 ),
 cells AS (
-  SELECT coalesce((u - lo_u) // qu, 0) AS cu,
-         coalesce((e - lo_e) // qe, 0) AS ce, u
+  -- clamped like layout.zorder_cell (a no-op here — bounds come from
+  -- this very data — kept identical so the two forms cannot drift)
+  SELECT greatest(0, least({nb - 1}, coalesce((u - lo_u) // qu, 0))) AS cu,
+         greatest(0, least({nb - 1}, coalesce((e - lo_e) // qe, 0))) AS ce, u
   FROM src, q
 ),
 z AS (SELECT {z} AS zkey, u FROM cells)

@@ -96,6 +96,49 @@ def test_relap_names_fit_inside_hard_cap():
         assert d["relapped_vs_prior_n"] == n and d["suspect_vs_prior_n"] == n
 
 
+def test_errors_are_bounded_per_entry():
+    # a Py4J exception str() is multi-KB of JVM stack; unbounded error
+    # text would blow the tail capture exactly like the lap_policy prose
+    # did (review finding). Two multi-KB errors + the full headliner set
+    # must still render inside the hard cap.
+    timings = {n: 99.99 for n in BENCH_QUERIES if n not in BENCH_QUERIES[:2]}
+    errors = {n: "AnalysisException: " + "x" * 4000 for n in BENCH_QUERIES[:2]}
+    out = build_output(
+        timings, sum(timings.values()), 0.1,
+        {"min": 0.071, "median": 0.085, "max": 9.999, "noisy": False,
+         "flagged_queries": []},
+        "BENCH_r09.json", [], [], errors,
+    )
+    line = render_line(out)
+    assert len(line.encode()) <= 2000
+    d = json.loads(line)
+    for v in d["errors"].values():
+        assert len(v) <= 120 and v.endswith("...")
+        assert v.startswith("AnalysisException")
+
+
+def test_mass_failure_keeps_timings_and_error_count():
+    # half the headliners erroring must still produce a parseable line
+    # inside the cap, with every surviving timing present and the error
+    # count intact (the ladder's last step)
+    half = len(BENCH_QUERIES) // 2
+    timings = {n: 99.99 for n in BENCH_QUERIES[half:]}
+    errors = {
+        n: "Py4JJavaError: " + "y" * 3000 for n in BENCH_QUERIES[:half]
+    }
+    out = build_output(
+        timings, sum(timings.values()), 0.1,
+        {"min": 0.071, "median": 0.085, "max": 9.999, "noisy": False,
+         "flagged_queries": []},
+        "BENCH_r09.json", [], [], errors,
+    )
+    line = render_line(out)
+    assert len(line.encode()) <= 2000
+    d = json.loads(line)
+    assert set(d["queries"]) == set(BENCH_QUERIES[half:])
+    assert d.get("errors_n", len(d["errors"])) == half
+
+
 def test_single_relap_keeps_names():
     # the common event — one or two relapped queries — keeps real names
     timings = {n: 99.99 for n in BENCH_QUERIES}

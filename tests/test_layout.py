@@ -33,7 +33,7 @@ def _py_cell(x, lo, hi, bits):
         return 0
     span = hi - lo + 1
     q = max(1, -(-span // (1 << bits)))
-    return (x - lo) // q
+    return max(0, min((1 << bits) - 1, (x - lo) // q))
 
 
 def test_zkey_matches_python_reference_and_sql_form(spark):
@@ -138,6 +138,24 @@ def test_zorder_write_bounds_every_dim_where_sort_bounds_one(
     assert spark.read.parquet(zpath).count() == 20_000
 
 
+def test_stale_stored_bounds_clamp_to_edge_cells(spark):
+    # zorder_key invites STORED bounds for stable incremental cells — a
+    # value outside them must land in the nearest EDGE cell, never wrap
+    # (unclamped, an overflowing cell aliases onto the smallest cells
+    # through the bit interleave; a below-lo value divides negative where
+    # Spark div truncates and DuckDB // floors). Review finding.
+    df = spark.createDataFrame(
+        [(-500,), (0,), (999,), (1500,), (10_000,)], "a LONG"
+    )
+    bounds = {"a": (0, 999)}  # stale: corpus grew past both ends
+    got = {
+        r.a: r._zkey for r in zorder_key(df, ["a"], 4, bounds).collect()
+    }
+    want = {x: _py_cell(x, 0, 999, 4) for x in (-500, 0, 999, 1500, 10_000)}
+    assert got == want
+    assert got[-500] == 0 and got[1500] == 15 and got[10_000] == 15
+
+
 def test_zorder_validation(spark):
     with pytest.raises(ValueError, match="cols\\*bits"):
         plan_zorder_bits(4, 17)
@@ -145,6 +163,9 @@ def test_zorder_validation(spark):
         plan_zorder_bits(0, None)
     assert plan_zorder_bits(2, None) == 16
     assert plan_zorder_bits(5, None) == 12
+    assert plan_zorder_bits(62, None) == 1
+    with pytest.raises(ValueError, match="key budget"):
+        plan_zorder_bits(63, None)  # 62//63 == 0: constant key, not a plan
     df = spark.createDataFrame(
         [(1, None)], "a LONG, b LONG"
     )

@@ -101,6 +101,19 @@ def test_matches_python_re_replay(spark):
         assert got == want
 
 
+def test_null_markup_rows_dropped(spark):
+    # the round-5 chunk_tokens rule: split(NULL) is a NULL array whose
+    # size is -1 in Spark while a SQL oracle emits NULL — NULL markup
+    # must be filtered explicitly or the engines diverge (review finding)
+    df = spark.createDataFrame(
+        [(1, "<p>kept</p>"), (2, None)], "doc_id INT, html STRING"
+    )
+    out = extract_markup_text(df).collect()
+    assert [(r.doc_id, r.text, r.n_lines, r.n_chars) for r in out] == [
+        (1, "kept", 1, 4)
+    ]
+
+
 def test_param_validation(spark):
     df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id INT, html STRING")
     with pytest.raises(ValueError, match="max_anchor_ppm"):

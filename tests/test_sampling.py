@@ -469,3 +469,38 @@ def test_cluster_safe_split_partial_labels_and_determinism(spark):
         df.repartition(7), "doc_id", labels.repartition(3), 100, 100
     )
     assert got1 == {r.doc_id: (r.split, r.cluster_id) for r in out2.collect()}
+
+
+def test_cluster_safe_split_never_guesses_the_id_column(spark):
+    # review finding: picking labels.columns[0] positionally joins on the
+    # cluster VALUE when the table arrives (cluster_id, id)-ordered —
+    # duplicate rows and silent loss of the leakage guarantee. Resolution
+    # is by NAME (id_col), else the single non-cluster column, else raise.
+    import pytest
+
+    from database_migration_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "doc_id LONG")
+    # (cluster_id, id)-ORDERED two-column table still resolves correctly
+    flipped = spark.createDataFrame(
+        [(0, i) for i in range(10)], "cluster_id LONG, id LONG"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in cluster_safe_split(df, "doc_id", flipped, 100, 100).collect()
+    }
+    assert all(got[i] == 0 for i in range(10))
+    assert all(got[i] == i for i in range(10, 20))
+    # three columns, none named doc_id: ambiguous — raise, never guess
+    ambiguous = spark.createDataFrame(
+        [(1, 2, 3)], "a LONG, b LONG, cluster_id LONG"
+    )
+    with pytest.raises(ValueError, match="cannot identify the id column"):
+        cluster_safe_split(df, "doc_id", ambiguous, 100, 100)
+    # missing cluster column names the fix
+    with pytest.raises(ValueError, match="no 'cluster_id'"):
+        cluster_safe_split(
+            df, "doc_id", df.selectExpr("doc_id AS id"), 100, 100
+        )

@@ -470,6 +470,57 @@ def connected_components(
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
 
 
+def cluster_representatives(
+    labels: DataFrame,
+    scored: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware canonical selection: for each near-dup cluster keep
+    the member with the HIGHEST score (ties: smallest id) — the survivor
+    policy a curation pipeline wants. Keeping min-id (the
+    ``near_dedup_survivors`` convention) keeps an ARBITRARY member; when
+    a cluster holds a full page and its crawl fragments, min-id keeps
+    whichever was crawled first. Deterministic by construction: the
+    (score, -id) struct max has a total order, so the representative is
+    identical across runs, partitionings, and engines.
+
+    ``labels`` is the connected_components assignment (id, cluster_id);
+    ``scored`` carries ``id_col`` + ``score_col`` (exact integer scores —
+    the quality family's ppm/count convention; float scores would break
+    cross-engine ties). Output: (cluster_id, rep_id, rep_score,
+    n_members).
+
+    Scale shape: one equi-join on the id and ONE groupBy whose aggregate
+    is a struct max — partial-aggregates map-side (each partition emits
+    one candidate per cluster), unlike a row_number window which would
+    SORT every cluster's members. The join is broadcast-eligible when
+    the score relation is dimension-sized."""
+    j = labels.join(
+        scored.select(
+            F.col(id_col).alias("id"),
+            F.col(score_col).cast("long").alias("_sc"),
+        ),
+        "id",
+    )
+    best = F.max(
+        F.struct(F.col("_sc"), (-F.col("id")).alias("_nid"))
+    ).alias("b")
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            best,
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("b._nid")).cast("long").alias("rep_id"),
+            F.col("b._sc").cast("long").alias("rep_score"),
+            "n_members",
+        )
+    )
+
+
 def connected_components_star(
     pairs: DataFrame,
     nodes: DataFrame,

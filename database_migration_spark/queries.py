@@ -3753,6 +3753,57 @@ def event_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quality_dedup_survivors",
+    oracle="WITH RECURSIVE pairs AS (\n"
+    + _minhash_oracle()
+    + """),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+j AS (
+  SELECT l.cluster_id, l.id, d.n_chars
+  FROM lab l JOIN documents d ON d.doc_id = l.id
+),
+r AS (
+  SELECT cluster_id, id, n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS n
+  FROM j
+)
+SELECT cluster_id, CAST(id AS BIGINT) AS rep_id,
+       CAST(n_chars AS BIGINT) AS rep_score,
+       CAST(n AS BIGINT) AS n_members
+FROM r WHERE rn = 1
+""",
+)
+def quality_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivors: each near-dup cluster keeps its
+    HIGHEST-n_chars member (ties: smallest id) — the curation policy
+    that keeps the full page over its crawl fragments, where the min-id
+    convention (near_dedup_survivors) keeps an arbitrary member. The
+    Spark side selects by one map-side-combinable struct-max aggregate
+    (no per-cluster sort); the oracle states the contract directly as a
+    row_number window — the plans differ, the answer must not."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = DD.minhash_dedup_pairs(
+        docs, k=_SHINGLE_K, num_perm=32, bands=4, threshold_permille=800, seed=42
+    )
+    labels = DD.connected_components(pairs, docs, id_col="doc_id")
+    return DD.cluster_representatives(
+        labels, docs.select("doc_id", "n_chars"), "doc_id", "n_chars"
+    )
+
+
 # the markup round-trip fixture: documents.text wrapped in a deterministic
 # HTML template (nav links, entities, a script with embedded '<', a
 # comment) — ONE piece list generates both engines' wrap expression, so
@@ -5937,6 +5988,15 @@ _SHOWCASE_ONLY = [
     # exact anchor-density keep rule) is what the wrap+extract oracle
     # pins; sim-verified + fixture/differential pytests (test_markup)
     "markup_extract_documents",
+    # showcase from birth (round 10): quality-aware dedup survivors — a
+    # pure composition of GRADED machinery (the verified MinHash pair
+    # relation via minhash_lsh_pairs, transitive-closure labels via
+    # near_dup_clusters, argmax-with-tie-rule via mode_l_returnflag's
+    # graded family); the NEW claim (the struct-max per-cluster
+    # representative equals the row_number-window contract, highest
+    # score then smallest id) is what the oracle pins; sim-verified +
+    # window-differential/tie pytests (test_dedup)
+    "quality_dedup_survivors",
 ]
 
 

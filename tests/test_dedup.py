@@ -625,3 +625,58 @@ def test_fingerprint_index_metadata_guards_layout(spark, tmp_path):
     assert incremental_dedup_indexed(
         spark, path, batch_fp, num_perm=32, bands=4, buckets=8
     ).count() == 1
+
+
+def test_cluster_representatives_matches_window_and_breaks_ties(spark):
+    """The struct-max representative (one map-side-combinable aggregate)
+    must equal the row_number-window contract: highest score, then
+    smallest id — deterministic under any partitioning."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from database_migration_spark.operators.dedup import (
+        cluster_representatives,
+    )
+
+    import random
+
+    rng = random.Random(20260816)
+    rows = [(i, i % 37, rng.randint(0, 50)) for i in range(500)]
+    labels = spark.createDataFrame(
+        [(i, c) for i, c, _ in rows], "id LONG, cluster_id LONG"
+    )
+    scored = spark.createDataFrame(
+        [(i, s) for i, _c, s in rows], "id LONG, score LONG"
+    )
+    got = {
+        r.cluster_id: (r.rep_id, r.rep_score, r.n_members)
+        for r in cluster_representatives(
+            labels.repartition(7), scored.repartition(3)
+        ).collect()
+    }
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    want_rows = (
+        labels.join(scored, "id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+        )
+        .where("rn = 1")
+        .collect()
+    )
+    want = {
+        r.cluster_id: (r.id, r.score, r.n) for r in want_rows
+    }
+    assert got == want
+    # explicit tie: equal top scores -> smallest id wins
+    labels2 = spark.createDataFrame(
+        [(10, 0), (11, 0), (12, 0)], "id LONG, cluster_id LONG"
+    )
+    scored2 = spark.createDataFrame(
+        [(10, 9), (11, 9), (12, 3)], "id LONG, score LONG"
+    )
+    out = cluster_representatives(labels2, scored2).collect()
+    assert [(r.cluster_id, r.rep_id, r.rep_score, r.n_members)
+            for r in out] == [(0, 10, 9, 3)]

@@ -207,7 +207,66 @@ def zorder_write(
         "bits": bits,
         "bounds": {c: list(bounds[c]) for c in cols},
         "n_files": int(n_files),
+        "rows": int(df.count()),
     }
+    with open(os.path.join(path, LAYOUT_META), "w") as fh:
+        json.dump(desc, fh)
+    return desc
+
+
+def zorder_append(
+    df: DataFrame,
+    path: str,
+    cols: "list | None" = None,
+    bits: "int | None" = None,
+) -> dict:
+    """Grow a z-ordered layout incrementally: cluster the batch with the
+    STORED bounds/bits (``_layout_meta.json`` — the stored-layout rule:
+    explicit ``cols``/``bits`` that contradict it RAISE; out-of-bounds
+    values land in the edge cells via the quantizer clamp, so corpus
+    growth past the original bounds degrades pruning gracefully instead
+    of corrupting it) and write the new files ADDITIVELY. Per-file spans
+    stay bounded because every file — old or new — is clustered on the
+    same cell grid; file count grows until a ``compact --zorder``
+    re-clusters (which re-derives fresh bounds). Batch file count scales
+    with the stored rows-per-file so appends do not shred the layout
+    into small files. Returns the updated descriptor."""
+    import json
+    import os
+
+    meta = read_layout_meta(path)
+    if meta is None:
+        raise ValueError(
+            f"no z-order layout at {path} ({LAYOUT_META} missing) — "
+            "create it with zorder_write / compact --zorder first"
+        )
+    if cols is not None and list(cols) != list(meta["cols"]):
+        raise ValueError(
+            f"layout at {path} is clustered on cols={meta['cols']} but "
+            f"the caller passed cols={list(cols)} — append with the "
+            "stored layout (pass None) or re-cluster with zorder_write"
+        )
+    if bits is not None and int(bits) != int(meta["bits"]):
+        raise ValueError(
+            f"layout at {path} stores bits={meta['bits']} but the "
+            f"caller passed bits={bits} — a different grid would mix "
+            "cell geometries in one layout"
+        )
+    bounds = {c: (int(v[0]), int(v[1])) for c, v in meta["bounds"].items()}
+    batch_rows = int(df.count())
+    per_file = max(1, int(meta["rows"]) // max(1, int(meta["n_files"])))
+    n_files = max(1, -(-batch_rows // per_file))
+    keyed = zorder_key(df, list(meta["cols"]), int(meta["bits"]), bounds)
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("append")
+        .parquet(path)
+    )
+    desc = dict(meta)
+    desc["rows"] = int(meta["rows"]) + batch_rows
+    desc["n_files"] = int(meta["n_files"]) + n_files
     with open(os.path.join(path, LAYOUT_META), "w") as fh:
         json.dump(desc, fh)
     return desc

@@ -171,3 +171,43 @@ def test_zorder_validation(spark):
     )
     with pytest.raises(ValueError, match="entirely NULL"):
         column_bounds(df, ["b"])
+
+
+def test_zorder_append_keeps_clustering_and_raises_on_contradiction(
+    spark, tmp_path
+):
+    from database_migration_spark.operators.layout import (
+        read_layout_meta,
+        zorder_append,
+    )
+
+    rows = [(i, (i * 7919) % 10_000, (i * 104729) % 10_000)
+            for i in range(20_000)]
+    df = spark.createDataFrame(rows, "id LONG, a LONG, b LONG")
+    path = str(tmp_path / "grow")
+    zorder_write(df, path, ["a", "b"], n_files=16)
+
+    # batch includes values OUTSIDE the stored bounds: the clamp sends
+    # them to edge cells — graceful pruning degradation, never corruption
+    batch = spark.createDataFrame(
+        [(100_000 + i, (i * 31) % 12_000, (i * 17) % 12_000 - 500)
+         for i in range(2_500)],
+        "id LONG, a LONG, b LONG",
+    )
+    desc = zorder_append(batch, path)
+    assert desc["rows"] == 22_500 and desc["n_files"] == 18
+    assert read_layout_meta(path) == desc
+    assert spark.read.parquet(path).count() == 22_500
+    # every file — original or appended — keeps bounded spans on both
+    # keyed columns (same cell grid)
+    rep = zorder_span_report(path, ["a", "b"])
+    assert rep["files"] == 18
+    assert rep["a"] < 0.6 and rep["b"] < 0.6
+
+    # stored-layout contradictions RAISE (the index-meta rule)
+    with pytest.raises(ValueError, match="cols="):
+        zorder_append(batch, path, cols=["a"])
+    with pytest.raises(ValueError, match="bits="):
+        zorder_append(batch, path, bits=8)
+    with pytest.raises(ValueError, match="zorder_write"):
+        zorder_append(batch, str(tmp_path / "nowhere"))

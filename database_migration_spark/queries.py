@@ -3754,6 +3754,108 @@ def event_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "split_leakage_audit",
+    oracle="WITH RECURSIVE pairs AS (\n"
+    + _minhash_oracle()
+    + """),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+plain AS (
+  SELECT doc_id, CASE WHEN b < 200 THEN 'test' WHEN b < 400 THEN 'val'
+                      ELSE 'train' END AS split
+  FROM (SELECT doc_id,
+               CAST(('0x' || substr(md5('split_' ||
+                    CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS b
+        FROM documents)
+),
+safe AS (
+  SELECT id AS doc_id, CASE WHEN b < 200 THEN 'test' WHEN b < 400 THEN 'val'
+                            ELSE 'train' END AS split
+  FROM (SELECT id,
+               CAST(('0x' || substr(md5('split_' ||
+                    CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1000 AS b
+        FROM lab)
+)
+SELECT 'cluster_safe' AS policy,
+       CAST(count(*) FILTER (WHERE a.split <> b.split) AS BIGINT)
+         AS straddling_pairs,
+       CAST(count(*) AS BIGINT) AS total_pairs
+FROM pairs p JOIN safe a ON a.doc_id = p.id_a
+             JOIN safe b ON b.doc_id = p.id_b
+UNION ALL
+SELECT 'plain' AS policy,
+       CAST(count(*) FILTER (WHERE a.split <> b.split) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM pairs p JOIN plain a ON a.doc_id = p.id_a
+             JOIN plain b ON b.doc_id = p.id_b
+""",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-integrity audit behind leakage_safe_split: of the
+    verified near-dup pairs, how many STRADDLE the train/val/test
+    boundary under the plain per-document hash split vs the
+    cluster-keyed split? Run at an aggressive 60/20/20 so the failure
+    mode is visible at fixture scale (at 60/20/20 a random pair
+    straddles with p=0.52; at the production 98/1/1 it is ~4% — rarer
+    but each one is memorized training text inside eval). The
+    cluster-safe row is zero BY CONSTRUCTION — both members share a
+    cluster, clusters hash atomically — and the oracle proves the
+    composition end to end."""
+    from pyspark import StorageLevel
+
+    from database_migration_spark.operators import sampling as SP
+
+    docs = table(spark, sf_dir, "documents")
+    # three consumers (CC edges + both audits) — the multi-branch persist
+    # rule: the MinHash pipeline would otherwise recompute per branch
+    pairs = DD.minhash_dedup_pairs(
+        docs, k=_SHINGLE_K, num_perm=32, bands=4, threshold_permille=800, seed=42
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = DD.connected_components(pairs, docs, id_col="doc_id")
+    plain = SP.hash_split(docs, "doc_id", val_permille=200, test_permille=200)
+    safe = SP.cluster_safe_split(
+        docs, "doc_id", labels, val_permille=200, test_permille=200
+    )
+
+    def audit(assign: DataFrame, policy: str) -> DataFrame:
+        a = assign.select(
+            F.col("doc_id").alias("id_a"), F.col("split").alias("_sa")
+        )
+        b = assign.select(
+            F.col("doc_id").alias("id_b"), F.col("split").alias("_sb")
+        )
+        return (
+            pairs.join(a, "id_a")
+            .join(b, "id_b")
+            .agg(
+                F.sum(
+                    F.when(F.col("_sa") != F.col("_sb"), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("straddling_pairs"),
+                F.count(F.lit(1)).cast("long").alias("total_pairs"),
+            )
+            .select(
+                F.lit(policy).alias("policy"),
+                "straddling_pairs",
+                "total_pairs",
+            )
+        )
+
+    return audit(safe, "cluster_safe").unionByName(audit(plain, "plain"))
+
+
+@register(
     "quality_dedup_survivors",
     oracle="WITH RECURSIVE pairs AS (\n"
     + _minhash_oracle()
@@ -5997,6 +6099,15 @@ _SHOWCASE_ONLY = [
     # score then smallest id) is what the oracle pins; sim-verified +
     # window-differential/tie pytests (test_dedup)
     "quality_dedup_survivors",
+    # showcase from birth (round 10): the split-leakage audit — every
+    # piece is graded (minhash pairs, CC closure via near_dup_clusters,
+    # salted-bucket membership via domain_mix, conditional-count agg via
+    # the mig_check family); the NEW claim (the cluster-keyed split
+    # straddles ZERO near-dup pairs where the per-doc split straddles
+    # ~half at 60/20/20) is what the two-policy oracle pins end to end;
+    # sim-verified (test_sampling covers the property on synthetic
+    # clusters)
+    "split_leakage_audit",
 ]
 
 

@@ -1441,6 +1441,11 @@ def cmd_dedup(args) -> int:
       pairs sharing >= ``--min-shared`` distinct selected fingerprints,
       with ``--max-bucket`` dropping boilerplate fingerprints before the
       join. Reads ``--corpus`` directly — no index is built or read.
+    - ``cluster``: near-dup cluster labels for the whole corpus —
+      MinHash pairs (same knobs as build/probe) → connected components →
+      an (id, cluster_id) parquet, the table ``sample split
+      --cluster-labels`` consumes for leakage-safe holdouts. Index-free
+      like overlap.
     """
     import os
     import shutil
@@ -1457,8 +1462,12 @@ def cmd_dedup(args) -> int:
     )
     from database_migration_spark.session import get_spark
 
-    if args.action != "overlap" and not args.index:
+    if args.action not in ("overlap", "cluster") and not args.index:
         print(f"error: dedup {args.action} needs --index", file=sys.stderr)
+        return 2
+    if args.action == "cluster" and not args.dry_run and not args.out:
+        print("error: pass --out for the label table, or --dry-run for "
+              "cluster stats only", file=sys.stderr)
         return 2
     if args.action == "overlap":
         if (args.k is not None and args.k < 1) or args.window < 1:
@@ -1523,6 +1532,42 @@ def cmd_dedup(args) -> int:
             args.num_perm if args.num_perm is not None
             else meta.get("num_perm", 32),
         )
+
+    if args.action == "cluster":
+        df = corpus_df()
+        if df is None:
+            return 2
+        from database_migration_spark.operators.dedup import (
+            connected_components,
+            minhash_dedup_pairs,
+        )
+
+        pairs = minhash_dedup_pairs(
+            df,
+            args.text_col,
+            args.id_col,
+            k=args.k if args.k is not None else 5,
+            num_perm=args.num_perm if args.num_perm is not None else 32,
+            bands=args.bands if args.bands is not None else 4,
+            threshold_permille=args.min_agree,
+            seed=args.seed if args.seed is not None else 42,
+        )
+        labels = connected_components(pairs, df, id_col=args.id_col)
+        if not args.dry_run:
+            labels.write.mode("overwrite").parquet(args.out)
+            labels = spark.read.parquet(args.out)
+        n_docs = labels.count()
+        sizes = labels.groupBy("cluster_id").count()
+        n_clusters = sizes.count()
+        n_multi = sizes.where("count > 1").count()
+        biggest = sizes.agg(F.max("count")).collect()[0][0] or 0
+        print(f"{n_docs} documents -> {n_clusters} clusters "
+              f"({n_multi} with >1 member, largest {biggest})")
+        if not args.dry_run:
+            print(f"label table written to {args.out} — feed it to "
+                  "`sample split --cluster-labels` for a leakage-safe "
+                  "holdout")
+        return 0
 
     if args.action == "overlap":
         df = corpus_df()
@@ -2692,10 +2737,10 @@ def main(argv: list[str] | None = None) -> int:
                         "index-free winnowing/MOSS shared-passage detector")
     dd.add_argument("action",
                     choices=["build", "append", "probe", "compact",
-                             "forget", "overlap"])
+                             "forget", "overlap", "cluster"])
     dd.add_argument("--index",
                     help="fingerprint index directory (every action but "
-                    "overlap)")
+                    "overlap/cluster)")
     dd.add_argument("--corpus", help="corpus/batch table directory or "
                     "jdbc: URL (build/append/probe)")
     dd.add_argument("--table", help="table name when --corpus holds several")
@@ -2725,7 +2770,8 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--min-agree", type=int, default=750,
                     help="near-dup signature agreement threshold, permille")
     dd.add_argument("--out", help="probe: write (id,status,match_id) here; "
-                    "overlap: write (doc_a,doc_b,shared) here")
+                    "overlap: write (doc_a,doc_b,shared) here; cluster: "
+                    "write the (id,cluster_id) label table here")
     dd.add_argument("--apply-new", action="store_true",
                     help="probe: append the batch's 'new' fingerprints "
                     "back to the index (the crawl-loop maintenance step)")

@@ -2198,3 +2198,53 @@ def test_cli_compact_zorder_clusters_both_dims(spark, tmp_path, capsys):
     rc = main(["compact", "--source", src, "--dest", dest,
                "--zorder", "a,b", "--zorder-bits", "40"])
     assert rc == 2 and "bits" in capsys.readouterr().err
+
+
+def test_cli_dedup_cluster_feeds_leakage_safe_split(
+    spark, sf_smoke, tmp_path, capsys
+):
+    """The full CLI lifecycle: dedup cluster writes the (id, cluster_id)
+    label table, sample split --cluster-labels consumes it, and no
+    near-dup pair straddles the resulting holdout."""
+    d = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    corpus = str(tmp_path / "corpus")
+    # 50 originals + exact copies of 10 of them under shifted ids ->
+    # exactly 10 two-member clusters, 40 singletons
+    base = d.where("doc_id < 50")
+    copies = d.where("doc_id < 10").selectExpr(
+        "doc_id + 90000 AS doc_id", "text", "lang", "source", "n_chars"
+    )
+    base.unionByName(copies).write.parquet(f"{corpus}/documents.parquet")
+
+    labels_out = str(tmp_path / "labels")
+    rc = main(["dedup", "cluster", "--corpus", corpus, "--out", labels_out])
+    cap = capsys.readouterr()
+    assert rc == 0
+    # the base slice carries one natural near-dup pair of its own, so
+    # assert structure: every planted copy clusters with its original
+    assert "60 documents -> " in cap.out and "with >1 member" in cap.out
+    labs = {r.id: r.cluster_id for r in
+            spark.read.parquet(labels_out).collect()}
+    assert len(labs) == 60
+    assert all(labs[i + 90000] == labs[i] for i in range(10))
+
+    split_out = str(tmp_path / "split")
+    rc = main(["sample", "split", "--source", corpus, "--table",
+               "documents", "--cluster-labels", labels_out,
+               "--val-permille", "300", "--test-permille", "300",
+               "--out", split_out])
+    assert rc == 0
+    got = {r.doc_id: r.split for r in
+           spark.read.parquet(split_out).collect()}
+    assert len(got) == 60
+    for i in range(10):
+        assert got[i] == got[i + 90000], f"dup pair {i} straddles splits"
+
+    # cluster without --out and without --dry-run exits 2
+    rc = main(["dedup", "cluster", "--corpus", corpus])
+    assert rc == 2
+    assert "--out" in capsys.readouterr().err
+    # dry run prints stats, writes nothing
+    rc = main(["dedup", "cluster", "--corpus", corpus, "--dry-run"])
+    cap = capsys.readouterr()
+    assert rc == 0 and "clusters" in cap.out

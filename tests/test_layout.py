@@ -211,3 +211,35 @@ def test_zorder_append_keeps_clustering_and_raises_on_contradiction(
         zorder_append(batch, path, bits=8)
     with pytest.raises(ValueError, match="zorder_write"):
         zorder_append(batch, str(tmp_path / "nowhere"))
+
+
+def test_pruning_replay_is_sound(spark, tmp_path):
+    """pruning_fraction replays the planner's skip decision from footer
+    stats — soundness means a file it skips contains ZERO rows matching
+    the predicate (over-skipping loses data at read time; over-reading
+    only costs). Checked against the actual file contents."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = [(i, (i * 7919) % 10_000, (i * 104729) % 10_000)
+            for i in range(20_000)]
+    df = spark.createDataFrame(rows, "id LONG, a LONG, b LONG")
+    path = str(tmp_path / "sound")
+    zorder_write(df, path, ["a", "b"], n_files=16)
+    stats = file_span_stats(path, ["a", "b"])
+    for col, lo, hi in (("a", 2500, 3499), ("b", 7000, 7999)):
+        skipped = [
+            f["file"]
+            for f in stats
+            if f["spans"][col][0] is not None
+            and (f["spans"][col][1] < lo or f["spans"][col][0] > hi)
+        ]
+        assert skipped  # the layout must actually prune something here
+        for name in skipped:
+            t = pq.read_table(os.path.join(path, name), columns=[col])
+            vals = t.column(col).to_pylist()
+            assert not any(lo <= v <= hi for v in vals), (
+                f"file {name} was skipped for {col} in [{lo},{hi}] "
+                "but contains matching rows"
+            )

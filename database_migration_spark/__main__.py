@@ -1465,10 +1465,29 @@ def cmd_dedup(args) -> int:
     if args.action not in ("overlap", "cluster") and not args.index:
         print(f"error: dedup {args.action} needs --index", file=sys.stderr)
         return 2
-    if args.action == "cluster" and not args.dry_run and not args.out:
-        print("error: pass --out for the label table, or --dry-run for "
-              "cluster stats only", file=sys.stderr)
-        return 2
+    if args.action == "cluster":
+        if not args.dry_run and not args.out:
+            print("error: pass --out for the label table, or --dry-run "
+                  "for cluster stats only", file=sys.stderr)
+            return 2
+        k = args.k if args.k is not None else 5
+        num_perm = args.num_perm if args.num_perm is not None else 32
+        bands = args.bands if args.bands is not None else 4
+        if k < 1 or num_perm < 1 or bands < 1:
+            print("error: dedup cluster needs --k, --num-perm and "
+                  "--bands all >= 1", file=sys.stderr)
+            return 2
+        if num_perm % bands != 0:
+            print(f"error: dedup cluster got --num-perm={num_perm} not "
+                  f"divisible by --bands={bands} — rows-per-band must "
+                  "be exact or signatures silently truncate",
+                  file=sys.stderr)
+            return 2
+        if not 0 <= args.min_agree <= 1000:
+            print(f"error: dedup cluster got --min-agree="
+                  f"{args.min_agree} — the near-dup agreement threshold "
+                  "is permille, pass 0..1000", file=sys.stderr)
+            return 2
     if args.action == "overlap":
         if (args.k is not None and args.k < 1) or args.window < 1:
             print("error: dedup overlap needs --k >= 1 and --window >= 1",
@@ -1546,9 +1565,9 @@ def cmd_dedup(args) -> int:
             df,
             args.text_col,
             args.id_col,
-            k=args.k if args.k is not None else 5,
-            num_perm=args.num_perm if args.num_perm is not None else 32,
-            bands=args.bands if args.bands is not None else 4,
+            k=k,
+            num_perm=num_perm,
+            bands=bands,
             threshold_permille=args.min_agree,
             seed=args.seed if args.seed is not None else 42,
         )
@@ -2742,7 +2761,7 @@ def main(argv: list[str] | None = None) -> int:
                     help="fingerprint index directory (every action but "
                     "overlap/cluster)")
     dd.add_argument("--corpus", help="corpus/batch table directory or "
-                    "jdbc: URL (build/append/probe)")
+                    "jdbc: URL (build/append/probe/overlap/cluster)")
     dd.add_argument("--table", help="table name when --corpus holds several")
     dd.add_argument("--dialect", help="dialect name for jdbc: sources")
     dd.add_argument("--jdbc-prop", action="append")
@@ -2776,8 +2795,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="probe: append the batch's 'new' fingerprints "
                     "back to the index (the crawl-loop maintenance step)")
     dd.add_argument("--dry-run", action="store_true",
-                    help="probe/overlap: counts only, suppress "
-                    "--out/--apply-new")
+                    help="probe/overlap/cluster: counts/stats only, "
+                    "suppress --out/--apply-new")
     dd.add_argument("--ids", help="forget: comma-separated document ids")
     dd.add_argument("--ids-file",
                     help="forget: file with one document id per line")

@@ -486,22 +486,44 @@ def cluster_representatives(
     identical across runs, partitionings, and engines.
 
     ``labels`` is the connected_components assignment (id, cluster_id);
-    ``scored`` carries ``id_col`` + ``score_col`` (exact integer scores —
-    the quality family's ppm/count convention; float scores would break
-    cross-engine ties). Output: (cluster_id, rep_id, rep_score,
-    n_members).
+    ``scored`` carries ``id_col`` + ``score_col``, which must be an
+    INTEGRAL type — the quality family's ppm/count convention; a float
+    score would silently truncate (a [0,1) quality score casts to 0 for
+    every member and the "highest-score" pick degrades to min-id), so a
+    non-integral type RAISES (the exact-arithmetic rule; scale float
+    scores to ppm first). Output: (cluster_id, rep_id, rep_score,
+    n_members). Members missing from ``scored`` still COUNT in
+    n_members but can never win the representative slot (NULL scores
+    sort below every real score in the struct max); a fully-unscored
+    cluster reports rep_score NULL with the min-id member.
 
     Scale shape: one equi-join on the id and ONE groupBy whose aggregate
     is a struct max — partial-aggregates map-side (each partition emits
     one candidate per cluster), unlike a row_number window which would
     SORT every cluster's members. The join is broadcast-eligible when
     the score relation is dimension-sized."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    stype = scored.schema[score_col].dataType
+    if not isinstance(stype, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"cluster_representatives: score column '{score_col}' is "
+            f"{stype.simpleString()}, not an integral type — a float "
+            "score silently truncates and the selection degrades to "
+            "min-id; scale it to an exact integer (ppm/count) first"
+        )
     j = labels.join(
         scored.select(
             F.col(id_col).alias("id"),
             F.col(score_col).cast("long").alias("_sc"),
         ),
         "id",
+        "left",
     )
     best = F.max(
         F.struct(F.col("_sc"), (-F.col("id")).alias("_nid"))

@@ -189,9 +189,6 @@ def zorder_write(
     fingerprint/ANN index metas a mismatched reader cannot mis-prune);
     it records what the layout was clustered on, and a later
     incremental rewrite can reuse the stored bounds for stable cells."""
-    import json
-    import os
-
     bits = plan_zorder_bits(len(cols), bits)
     bounds = column_bounds(df, cols)
     keyed = zorder_key(df, cols, bits, bounds)
@@ -207,11 +204,42 @@ def zorder_write(
         "bits": bits,
         "bounds": {c: list(bounds[c]) for c in cols},
         "n_files": int(n_files),
-        "rows": int(df.count()),
+        # from the just-written footers (driver-side, no data scan) — a
+        # df.count() here would re-evaluate the whole input plan a
+        # second time (review finding)
+        "rows": _footer_rows(path),
     }
-    with open(os.path.join(path, LAYOUT_META), "w") as fh:
-        json.dump(desc, fh)
+    _write_layout_meta(path, desc)
     return desc
+
+
+def _footer_rows(path: str) -> int:
+    """Total rows from the parquet footers — driver-bounded by file
+    count, zero data scan."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    return int(
+        sum(
+            pq.read_metadata(os.path.join(path, n)).num_rows
+            for n in os.listdir(path)
+            if n.endswith(".parquet")
+        )
+    )
+
+
+def _write_layout_meta(path: str, desc: dict) -> None:
+    """Atomic meta commit: temp sibling + os.replace — a crash mid-dump
+    must never leave a truncated ``_layout_meta.json`` that breaks every
+    later append (the publish_parquet stage-and-rename convention)."""
+    import json
+    import os
+
+    tmp = os.path.join(path, LAYOUT_META + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(desc, fh)
+    os.replace(tmp, os.path.join(path, LAYOUT_META))
 
 
 def zorder_append(
@@ -231,9 +259,6 @@ def zorder_append(
     re-clusters (which re-derives fresh bounds). Batch file count scales
     with the stored rows-per-file so appends do not shred the layout
     into small files. Returns the updated descriptor."""
-    import json
-    import os
-
     meta = read_layout_meta(path)
     if meta is None:
         raise ValueError(
@@ -253,8 +278,14 @@ def zorder_append(
             "cell geometries in one layout"
         )
     bounds = {c: (int(v[0]), int(v[1])) for c, v in meta["bounds"].items()}
+    # batch count: the batch is delta-sized by assumption, so one count
+    # job over it is the price of sizing its file count; the TARGET's
+    # rows come from the meta, falling back to the footers for layouts
+    # written before the rows field existed (KeyError was the review
+    # finding — a stored artifact must resolve, not crash)
     batch_rows = int(df.count())
-    per_file = max(1, int(meta["rows"]) // max(1, int(meta["n_files"])))
+    target_rows = int(meta.get("rows") or _footer_rows(path))
+    per_file = max(1, target_rows // max(1, int(meta["n_files"])))
     n_files = max(1, -(-batch_rows // per_file))
     keyed = zorder_key(df, list(meta["cols"]), int(meta["bits"]), bounds)
     (
@@ -265,10 +296,9 @@ def zorder_append(
         .parquet(path)
     )
     desc = dict(meta)
-    desc["rows"] = int(meta["rows"]) + batch_rows
+    desc["rows"] = target_rows + batch_rows
     desc["n_files"] = int(meta["n_files"]) + n_files
-    with open(os.path.join(path, LAYOUT_META), "w") as fh:
-        json.dump(desc, fh)
+    _write_layout_meta(path, desc)
     return desc
 
 

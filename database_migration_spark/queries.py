@@ -3838,9 +3838,10 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.join(a, "id_a")
             .join(b, "id_b")
             .agg(
-                F.sum(
-                    F.when(F.col("_sa") != F.col("_sb"), 1).otherwise(0)
-                )
+                # count(when), not sum(when): an empty pair relation
+                # must yield 0 like the oracle's count FILTER, where a
+                # sum aggregates to NULL (review finding)
+                F.count(F.when(F.col("_sa") != F.col("_sb"), 1))
                 .cast("long")
                 .alias("straddling_pairs"),
                 F.count(F.lit(1)).cast("long").alias("total_pairs"),

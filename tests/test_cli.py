@@ -2248,3 +2248,19 @@ def test_cli_dedup_cluster_feeds_leakage_safe_split(
     rc = main(["dedup", "cluster", "--corpus", corpus, "--dry-run"])
     cap = capsys.readouterr()
     assert rc == 0 and "clusters" in cap.out
+
+
+def test_cli_dedup_cluster_bad_knobs_exit_2(spark, sf_smoke, capsys):
+    rc = main(["dedup", "cluster", "--corpus", sf_smoke, "--table",
+               "documents", "--k", "0", "--dry-run"])
+    assert rc == 2
+    assert ">= 1" in capsys.readouterr().err
+    rc = main(["dedup", "cluster", "--corpus", sf_smoke, "--table",
+               "documents", "--num-perm", "30", "--bands", "4",
+               "--dry-run"])
+    assert rc == 2
+    assert "divisible" in capsys.readouterr().err
+    rc = main(["dedup", "cluster", "--corpus", sf_smoke, "--table",
+               "documents", "--min-agree", "1500", "--dry-run"])
+    assert rc == 2
+    assert "permille" in capsys.readouterr().err

@@ -680,3 +680,30 @@ def test_cluster_representatives_matches_window_and_breaks_ties(spark):
     out = cluster_representatives(labels2, scored2).collect()
     assert [(r.cluster_id, r.rep_id, r.rep_score, r.n_members)
             for r in out] == [(0, 10, 9, 3)]
+
+
+def test_cluster_representatives_unscored_and_float_guard(spark):
+    import pytest
+
+    from database_migration_spark.operators.dedup import (
+        cluster_representatives,
+    )
+
+    labels = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (10, 9), (11, 9)],
+        "id LONG, cluster_id LONG",
+    )
+    # member 3 unscored: counts in n_members, can never win; cluster 9
+    # fully unscored: min-id representative with NULL score
+    scored = spark.createDataFrame([(1, 5), (2, 7)], "id LONG, score LONG")
+    got = {
+        r.cluster_id: (r.rep_id, r.rep_score, r.n_members)
+        for r in cluster_representatives(labels, scored).collect()
+    }
+    assert got == {0: (2, 7, 3), 9: (10, None, 2)}
+    # float scores RAISE instead of silently truncating to min-id
+    fscored = spark.createDataFrame(
+        [(1, 0.9), (2, 0.7)], "id LONG, score DOUBLE"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        cluster_representatives(labels, fscored)

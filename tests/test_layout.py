@@ -243,3 +243,33 @@ def test_pruning_replay_is_sound(spark, tmp_path):
                 f"file {name} was skipped for {col} in [{lo},{hi}] "
                 "but contains matching rows"
             )
+
+
+def test_zorder_append_resolves_pre_rows_meta(spark, tmp_path):
+    # layouts written before the meta carried a rows field must resolve
+    # (footer fallback), not crash with KeyError (review finding)
+    import json
+    import os
+
+    from database_migration_spark.operators.layout import (
+        LAYOUT_META,
+        read_layout_meta,
+        zorder_append,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 100, (i * 7) % 100) for i in range(2_000)],
+        "id LONG, a LONG, b LONG",
+    )
+    path = str(tmp_path / "old")
+    zorder_write(df, path, ["a", "b"], n_files=4)
+    meta = read_layout_meta(path)
+    del meta["rows"]  # simulate the pre-rows artifact
+    with open(os.path.join(path, LAYOUT_META), "w") as fh:
+        json.dump(meta, fh)
+    batch = spark.createDataFrame(
+        [(9_000 + i, 5, 5) for i in range(100)], "id LONG, a LONG, b LONG"
+    )
+    desc = zorder_append(batch, path)
+    assert desc["rows"] == 2_100
+    assert spark.read.parquet(path).count() == 2_100

@@ -133,9 +133,10 @@ LINE_BYTE_BUDGET = 1_900
 
 
 def render_line(out: dict) -> str:
-    """The ONE artifact line. Compact separators and 3-decimal timings
-    are part of the byte budget (tests/test_bench_line.py pins the
-    worst-case rendered size for the current headliner count)."""
+    """The ONE artifact line. Compact separators, 2-decimal query
+    timings and 3-decimal noise-probe stats are part of the byte budget
+    (tests/test_bench_line.py pins the worst-case rendered size for the
+    current headliner count)."""
     return json.dumps(out, separators=(",", ":"))
 
 
@@ -148,6 +149,7 @@ def build_output(
     relapped: list,
     suspect: list,
     errors: dict,
+    load1: "float | None" = None,
 ) -> dict:
     """The artifact envelope, pure so the byte-budget test renders the
     exact shape main() emits. ``prior_artifact`` present means the
@@ -163,6 +165,12 @@ def build_output(
         "lap_policy": LAP_POLICY,
         "noise_probe": probe_summary,
     }
+    if load1 is not None:
+        # 1-minute load average at run start: the host-epoch signature in
+        # one glance (r10 adjudication needed a worktree bisect to prove
+        # "the machine, not the tree" — this key makes future artifact
+        # comparisons normalizable; judge advisory r10)
+        out["load"] = load1
     def _bounded(names: list) -> list:
         # diagnostics, not the record: cap at 2 names + a count marker
         # so a many-query stall event cannot push the line past the
@@ -370,6 +378,7 @@ def main() -> int:
         relapped,
         suspect,
         errors,
+        load1=round(os.getloadavg()[0], 1),
     )
     print(render_line(out))
     spark.stop()

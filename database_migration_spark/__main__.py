@@ -445,6 +445,77 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_layout(args) -> int:
+    """Z-order layout lifecycle beyond the initial ``compact --zorder``
+    write (operators/layout.py): ``append`` grows a stored layout with a
+    new batch clustered on the SAME cell grid (stored bounds/bits from
+    ``_layout_meta.json``; explicit --cols/--bits that contradict it exit
+    2 naming the fix — the index-meta rule), so per-file footer spans
+    stay bounded across old and new files until a ``compact --zorder``
+    re-clusters with fresh bounds. ``report`` prints the per-column mean
+    span fraction + file count from footers alone (no data scan) — the
+    measurable pruning evidence."""
+    from database_migration_spark.operators.layout import (
+        read_layout_meta,
+        zorder_span_report,
+    )
+
+    meta = read_layout_meta(args.target)
+    if meta is None:
+        print(f"error: no z-order layout at {args.target} "
+              "(_layout_meta.json missing) — create one with "
+              "`compact --zorder` first", file=sys.stderr)
+        return 2
+
+    if args.action == "append":
+        from database_migration_spark.operators.layout import zorder_append
+        from database_migration_spark.session import get_spark
+
+        if not args.batch:
+            print("error: append needs --batch (the new rows' table "
+                  "directory)", file=sys.stderr)
+            return 2
+        spark = get_spark(app_name="dms_layout")
+        adapter = _source(spark, args.batch, args)
+        cat = adapter.scan_catalog("%", args.table or "%")
+        if not cat.tables:
+            print(f"error: no table in {args.batch}", file=sys.stderr)
+            return 2
+        if len(cat.tables) > 1:
+            names = sorted(t.table for t in cat.tables)
+            print(f"error: {args.batch} holds several tables {names} — "
+                  "pick one with --table", file=sys.stderr)
+            return 2
+        df = _read(adapter, cat.tables[0])
+        cols = ([c.strip() for c in args.cols.split(",") if c.strip()]
+                if args.cols else None)
+        missing = [c for c in (cols or meta["cols"]) if c not in df.columns]
+        if missing:
+            print(f"error: layout columns {missing} not in the batch "
+                  f"(columns: {df.columns})", file=sys.stderr)
+            return 2
+        try:
+            desc = zorder_append(df, args.target, cols=cols, bits=args.bits)
+        except ValueError as e:
+            # grid contradictions and non-local targets name their fix
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        rep = zorder_span_report(args.target, list(desc["cols"]))
+        spans = ", ".join(f"{c}={rep[c]}" for c in desc["cols"])
+        print(f"appended -> rows={desc['rows']} files={desc['n_files']} "
+              f"(bits={desc['bits']}); mean per-file span fraction: "
+              f"{spans}")
+        return 0
+
+    # report
+    rep = zorder_span_report(args.target, list(meta["cols"]))
+    spans = ", ".join(f"{c}={rep[c]}" for c in meta["cols"])
+    print(f"layout cols={','.join(meta['cols'])} bits={meta['bits']} "
+          f"rows={meta.get('rows')} files={rep['files']}; mean per-file "
+          f"span fraction: {spans}")
+    return 0
+
+
 def cmd_expect(args) -> int:
     import json
 
@@ -2297,6 +2368,79 @@ def cmd_ann(args) -> int:
     return 0
 
 
+def cmd_text(args) -> int:
+    """Text-pipeline front door. ``extract``: markup → main text
+    (operators/text.extract_markup_text) — drops script/style/comment
+    blocks, splits on block tags, keeps a line when its visible text has
+    >= --min-line-chars chars AND its link density is <= --max-anchor-ppm
+    (exact integer ppm; nav bars are ~100% anchor text, prose ~0%). The
+    web-corpus ingestion step: run it BEFORE quality/dedup/pipeline so
+    those score prose, not boilerplate. Writes (id, text, n_lines,
+    n_chars) to --out, or --dry-run prints the keep/drop accounting;
+    bad parameters exit 2 naming the fix."""
+    from pyspark.sql import functions as F
+
+    from database_migration_spark.operators.text import extract_markup_text
+    from database_migration_spark.session import get_spark
+
+    if bool(args.out) == bool(args.dry_run):
+        print("error: pass exactly one of --out or --dry-run",
+              file=sys.stderr)
+        return 2
+    if args.min_line_chars < 0:
+        print("error: --min-line-chars must be >= 0", file=sys.stderr)
+        return 2
+    if not 0 <= args.max_anchor_ppm <= 1_000_000:
+        print("error: --max-anchor-ppm is parts-per-million of the "
+              "line's visible chars — pass 0..1000000", file=sys.stderr)
+        return 2
+
+    spark = get_spark(app_name="dms_text")
+    adapter = _source(spark, args.source, args)
+    cat = adapter.scan_catalog("%", args.table or "%")
+    if not cat.tables:
+        print(f"error: no table in {args.source}", file=sys.stderr)
+        return 2
+    if len(cat.tables) > 1:
+        names = sorted(t.table for t in cat.tables)
+        print(f"error: {args.source} holds several tables {names} — pick "
+              "one with --table", file=sys.stderr)
+        return 2
+    df = _read(adapter, cat.tables[0])
+    missing = [c for c in (args.markup_col, args.id_col)
+               if c not in df.columns]
+    if missing:
+        print(f"error: columns {missing} not in {df.columns}",
+              file=sys.stderr)
+        return 2
+
+    out = extract_markup_text(
+        df,
+        html_col=args.markup_col,
+        id_col=args.id_col,
+        min_line_chars=args.min_line_chars,
+        max_anchor_ppm=args.max_anchor_ppm,
+    )
+    if args.dry_run:
+        n_in = df.count()
+        agg = out.agg(
+            F.count("*").alias("docs"),
+            F.sum("n_lines").alias("lines"),
+            F.sum("n_chars").alias("chars"),
+            F.count(F.when(F.col("n_lines") == 0, 1)).alias("empty"),
+        ).collect()[0]
+        print(f"docs={agg['docs']} (of {n_in}; "
+              f"{n_in - agg['docs']} NULL-markup dropped) "
+              f"kept_lines={agg['lines'] or 0} "
+              f"kept_chars={agg['chars'] or 0} "
+              f"empty_after_extract={agg['empty']}")
+        return 0
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"wrote {n} extracted docs to {args.out}")
+    return 0
+
+
 def cmd_hitters(args) -> int:
     """Exact heavy hitters over a table (operators/sketches.py): keys
     whose share of the (optionally weighted) row mass is at least
@@ -2901,6 +3045,53 @@ def main(argv: list[str] | None = None) -> int:
     sa.add_argument("--dry-run", action="store_true",
                     help="counts only, write nothing")
     sa.set_defaults(fn=cmd_sample)
+
+    ly = sub.add_parser("layout", help="z-order layout lifecycle: append "
+                        "a batch onto a stored layout (same cell grid, "
+                        "bounded per-file spans), or report the per-"
+                        "column span fractions from footers alone")
+    ly.add_argument("action", choices=["append", "report"])
+    ly.add_argument("--target", required=True,
+                    help="layout directory (written by compact --zorder)")
+    ly.add_argument("--batch",
+                    help="append: the new rows' table directory or "
+                    "jdbc: URL")
+    ly.add_argument("--table", help="table name when --batch holds several")
+    ly.add_argument("--dialect", help="dialect name for jdbc: sources")
+    ly.add_argument("--jdbc-prop", action="append")
+    ly.add_argument("--cols",
+                    help="append: assert the layout's key columns "
+                    "(comma-separated) — a contradiction with the stored "
+                    "meta exits 2; omit to use the stored grid")
+    ly.add_argument("--bits", type=int, default=None,
+                    help="append: assert the stored quantizer bits — a "
+                    "contradiction exits 2; omit to use the stored grid")
+    ly.set_defaults(fn=cmd_layout)
+
+    tx = sub.add_parser("text", help="text-pipeline front door: extract "
+                        "main text from markup (boilerplate-line removal "
+                        "by exact link-density ppm) before quality/dedup")
+    tx.add_argument("action", choices=["extract"])
+    tx.add_argument("--source", required=True,
+                    help="table directory or jdbc: URL")
+    tx.add_argument("--table", help="table name when --source holds several")
+    tx.add_argument("--dialect", help="dialect name for jdbc: sources")
+    tx.add_argument("--jdbc-prop", action="append")
+    tx.add_argument("--markup-col", default="html",
+                    help="column holding the markup (default html)")
+    tx.add_argument("--id-col", default="doc_id")
+    tx.add_argument("--min-line-chars", type=int, default=1,
+                    help="keep a line only with at least this many "
+                    "visible chars (default 1)")
+    tx.add_argument("--max-anchor-ppm", type=int, default=500_000,
+                    help="keep a line only when its anchor-text share is "
+                    "at most this many ppm of its visible chars "
+                    "(default 500000 = 50%%)")
+    tx.add_argument("--out", help="write (id, text, n_lines, n_chars) "
+                    "parquet here")
+    tx.add_argument("--dry-run", action="store_true",
+                    help="print the keep/drop accounting only")
+    tx.set_defaults(fn=cmd_text)
 
     hh = sub.add_parser("hitters", help="exact heavy hitters (Misra-Gries "
                         "two-pass: no full-key shuffle) over key columns "

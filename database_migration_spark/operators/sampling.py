@@ -214,6 +214,7 @@ def cluster_safe_split(
     test_permille: int = 10,
     salt: str = "split",
     cluster_col: str = "cluster_id",
+    verify_labels: bool = True,
 ) -> DataFrame:
     """Leakage-safe holdout: the split hash keys on the near-dup CLUSTER
     label, not the document id, so every member of a duplicate cluster
@@ -241,7 +242,24 @@ def cluster_safe_split(
     Scale shape: one equi-join on the id (broadcast when the label
     relation is dimension-sized, shuffle otherwise) + the pure salted
     md5 bucket filter — no window, no driver state.
+    ``verify_labels`` (default on) spends one pass over the LABELS
+    relation to dedup exact duplicate rows and RAISE on a conflict
+    (one id, two different clusters): a duplicated label id would
+    otherwise fan input rows out through the left join — silent row
+    multiplication in an operator whose guarantee is exact membership
+    (ADVICE r10). Opt out only when the labels provably carry one row
+    per id (the ``dedup cluster`` CLI output does).
     """
+    # the output columns are contractual: silently overwriting a
+    # pre-existing cluster_id/split on df would mix two label/split
+    # generations without a trace (ADVICE r10)
+    for out_col in ("cluster_id", "split"):
+        if out_col in df.columns:
+            raise ValueError(
+                f"cluster_safe_split writes a '{out_col}' column but df "
+                "already has one — drop or rename it first (a silent "
+                "overwrite would mix label/split generations)"
+            )
     if cluster_col not in labels.columns:
         raise ValueError(
             f"cluster_safe_split: labels table has no '{cluster_col}' "
@@ -266,6 +284,27 @@ def cluster_safe_split(
     lab = labels.select(
         F.col(lid).alias(id_col), F.col(cluster_col).alias("_csplit_cluster")
     )
+    if verify_labels:
+        # exact duplicate rows are benign (unioned label relations) —
+        # dedup them; the same id under TWO clusters is a contradiction
+        # and must RAISE, not fan out (eager by necessity: a lazy plan
+        # cannot refuse)
+        lab = lab.distinct()
+        conflicted = (
+            lab.groupBy(id_col)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if conflicted:
+            raise ValueError(
+                f"cluster_safe_split: label id {conflicted[0][id_col]!r} "
+                "maps to more than one cluster — a conflicted labels "
+                "relation cannot give exact split membership; rebuild "
+                "the labels (dedup cluster) or pass verify_labels=False "
+                "only with a provably one-row-per-id relation"
+            )
     key = F.coalesce(F.col("_csplit_cluster"), F.col(id_col))
     bucket = md5_long(
         F.concat(F.lit(salt + "_"), key.cast("string"))

@@ -3965,17 +3965,27 @@ def _markup_oracle(min_chars: int = 1, max_ppm: int = 500_000) -> str:
         f"list_filter(string_split({pre}, chr(10)), l -> "
         f"length({txt}) >= {min_chars} AND {ppm} <= {max_ppm})"
     )
+    # n_lines from the KEPT LIST length and the join coalesced to '':
+    # with zero kept lines DuckDB's array_to_string([]) is NULL and
+    # len(string_split('')) is 1, where the operator emits text='',
+    # n_lines=0 — unreachable under the current wrap template (the title
+    # line is always kept) but the oracle claims to replay the operator
+    # end to end (ADVICE r10)
     return f"""
 WITH x AS (
-  SELECT doc_id,
-         array_to_string(list_transform({kept}, l -> {txt}), chr(10)) AS t
+  SELECT doc_id, {kept} AS kl
   FROM documents
   WHERE text IS NOT NULL  -- the operator drops NULL-markup rows
+), y AS (
+  SELECT doc_id, CAST(len(kl) AS BIGINT) AS n_lines,
+         coalesce(array_to_string(list_transform(kl, l -> {txt}), chr(10)),
+                  '') AS t
+  FROM x
 )
-SELECT doc_id, CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+SELECT doc_id, n_lines,
        CAST(length(t) AS BIGINT) AS n_chars,
        CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS text_h
-FROM x
+FROM y
 """
 
 
@@ -5682,9 +5692,10 @@ _SHOWCASE_ONLY = [
     "corpus_snapshot_diff",
     # showcase from birth: the banded (key, Δ-cell) candidate join + exact
     # verify is the same blocking-equi-join family the graded window
-    # proves twice (minhash_lsh_pairs bands, embedding_near_dup
-    # hyperplane buckets; simhash_pairs' chunk variant is sim-verified
-    # since the round-10 rotation), and the epoch-µs temporal
+    # proves twice (minhash_lsh_pairs bands, semantic_dedup_embeddings
+    # hyperplane buckets; simhash_pairs' chunk variant and
+    # embedding_near_dup are sim-verified since the round-10/11
+    # rotations), and the epoch-µs temporal
     # arithmetic is graded via sessionize_events; sim-verified +
     # brute-force-differential pytest (test_pairing)
     "event_cooccurrence_pairs",
@@ -5756,7 +5767,7 @@ _SHOWCASE_ONLY = [
     # showcase from birth: embedding-space decontamination — its machinery
     # (hyperplane LSH buckets + broadcast small side + candidate-only
     # exact verify + anti-join filter) is fully proven in the graded
-    # window by embedding_near_dup (same buckets/verify) and
+    # window by semantic_dedup_embeddings (same buckets/verify) and
     # benchmark_contamination (same broadcast-benchmark probe shape);
     # the cross-relation wiring is what the exact oracle pins;
     # sim-verified + differential/plan pytests (test_dedup_similarity)
@@ -6041,8 +6052,8 @@ _SHOWCASE_ONLY = [
     # whose machinery stays graded twice: the banded/bucketed near-dup
     # self-join with hot-bucket caps is graded via minhash_lsh_pairs
     # (band-key self-join, identical _cap_buckets guard and pair-distinct
-    # shape) and embedding_near_dup (hyperplane-bucket self-join, same
-    # candidate-then-exact-verify assembly); simhash's hamming-chunk
+    # shape) and semantic_dedup_embeddings (hyperplane-bucket self-join,
+    # same candidate-then-exact-verify assembly); simhash's hamming-chunk
     # blocking is that same cap-guarded equi-join shape over a different
     # key derivation, and the bit-arithmetic signature itself stays
     # pinned by its full SQL oracle in the sim + pytests
@@ -6052,8 +6063,9 @@ _SHOWCASE_ONLY = [
     # is fully graded: the fingerprint selection IS the GRADED
     # winnow_fingerprint_documents relation, the hot-key cap + keyed
     # self-join + pair aggregate is the banded-join family the window
-    # proves twice (minhash_lsh_pairs, embedding_near_dup; simhash_pairs
-    # sim-verified since round 10); the NEW claim (distinct-shared-fingerprint
+    # proves twice (minhash_lsh_pairs, semantic_dedup_embeddings;
+    # simhash_pairs and embedding_near_dup sim-verified since the
+    # round-10/11 rotations); the NEW claim (distinct-shared-fingerprint
     # threshold semantics with the boilerplate cap) is what the oracle
     # pins; sim-verified + planted-overlap pytest (test_winnow)
     "winnow_overlap_pairs",
@@ -6081,16 +6093,24 @@ _SHOWCASE_ONLY = [
     # every keyed dim, replayed planner pruning) is pinned by
     # test_layout and measured in SCALE.md; sim-verified
     "zorder_cells_events",
-    # showcase from birth (round 10): markup extraction — its machinery
-    # is the graded text family (regexp_replace chains = pii_redact /
-    # quality scoring, HOF per-row array transforms = the winnow/chunk
-    # row-local shape, integer-ppm thresholds = quality_documents, md5
-    # result hashing = dedup_exact_documents); the NEW claim (the
-    # cross-engine regex/replacement semantics of the extraction stages —
-    # lazy quantifiers, inline flags, entity-decode ordering — and the
-    # exact anchor-density keep rule) is what the wrap+extract oracle
-    # pins; sim-verified + fixture/differential pytests (test_markup)
-    "markup_extract_documents",
+    # round-11 rotation: markup_extract_documents PROMOTED into the
+    # graded window (cross-engine regex-PIPELINE extraction — lazy
+    # quantifiers, inline flags, entity-decode ordering, the exact
+    # anchor-ppm keep rule — is a capability class the window proved
+    # nowhere: the graded regex family is single-pattern redact/count;
+    # its wrap+extract oracle replays the operator end to end, 500 rows
+    # hash-matched, and web-corpus ingestion is the training-pipeline
+    # step most users hit first), displacing embedding_near_dup — the
+    # round-10 verdict's named demotion candidate — whose machinery
+    # stays graded twice: the hyperplane-LSH bucket self-join + exact
+    # integer-cosine verify is GRADED via semantic_dedup_embeddings
+    # (identical derive_lsh_bits buckets, identical cos_e6 verify over
+    # the same planted corpus), and the banded candidate-pair class via
+    # minhash_lsh_pairs (band-key self-join, same cap-guarded
+    # pair-distinct shape); embedding_near_dup keeps its full
+    # exact-all-pairs planted-dup oracle in the sim + recall pytests
+    # (test_dedup_similarity)
+    "embedding_near_dup",
     # showcase from birth (round 10): quality-aware dedup survivors — a
     # pure composition of GRADED machinery (the verified MinHash pair
     # relation via minhash_lsh_pairs, transitive-closure labels via

@@ -39,6 +39,7 @@ def _worst_case_line() -> str:
         [],
         [],
         {},
+        load1=999.9,  # no realistic 1-min load renders wider than this
     )
     return render_line(out)
 
@@ -64,6 +65,9 @@ def test_line_round_trips_as_json():
     # lists are omitted when empty (absence IS the clean verdict)
     assert d["prior_artifact"] == "BENCH_r09.json"
     assert "relapped_vs_prior" not in d and "suspect_vs_prior" not in d
+    # the host-epoch key (judge advisory r10): load average rides the
+    # envelope so artifact comparisons can normalize host state
+    assert d["load"] == 999.9
 
 
 def test_relap_names_fit_inside_hard_cap():

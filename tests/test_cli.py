@@ -2264,3 +2264,113 @@ def test_cli_dedup_cluster_bad_knobs_exit_2(spark, sf_smoke, capsys):
                "documents", "--min-agree", "1500", "--dry-run"])
     assert rc == 2
     assert "permille" in capsys.readouterr().err
+
+
+# round 11: layout append/report + text extract — CLI reachability for the
+# round-10 operators (the lifecycle-complete convention)
+
+
+def test_cli_layout_append_then_report(spark, tmp_path, capsys):
+    """Write (compact --zorder), grow (layout append), inspect (layout
+    report): per-file spans stay bounded across old+new files because the
+    append clusters on the STORED grid; contradictions exit 2."""
+    from database_migration_spark.operators.layout import (
+        zorder_span_report,
+    )
+
+    src = str(tmp_path / "flat")
+    rows = [(i, (i * 7919) % 5000, (i * 104729) % 5000)
+            for i in range(10_000)]
+    spark.createDataFrame(rows, "id LONG, a LONG, b LONG") \
+        .repartition(8).write.parquet(src)
+    dest = str(tmp_path / "zed")
+    rc = main(["compact", "--source", src, "--dest", dest,
+               "--target-mb", "1", "--zorder", "a,b"])
+    assert rc == 0
+    capsys.readouterr()
+
+    batch = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [(100_000 + i, (i * 31) % 5000, (i * 17) % 5000)
+         for i in range(2_000)],
+        "id LONG, a LONG, b LONG",
+    ).write.parquet(f"{batch}/delta.parquet")
+
+    rc = main(["layout", "append", "--target", dest, "--batch", batch])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "appended -> rows=12000" in cap.out
+    assert "span fraction" in cap.out
+    assert spark.read.parquet(dest).count() == 12_000
+    rep = zorder_span_report(dest, ["a", "b"])
+    if rep["files"] >= 4:  # spans bounded on BOTH dims, old + new files
+        assert rep["a"] < 0.6 and rep["b"] < 0.6
+
+    rc = main(["layout", "report", "--target", dest])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "cols=a,b" in cap.out and "rows=12000" in cap.out
+
+    # rc=2 fix-naming paths: grid contradictions, missing batch/layout
+    rc = main(["layout", "append", "--target", dest, "--batch", batch,
+               "--cols", "a"])
+    assert rc == 2 and "cols=" in capsys.readouterr().err
+    rc = main(["layout", "append", "--target", dest, "--batch", batch,
+               "--bits", "3"])
+    assert rc == 2 and "bits=" in capsys.readouterr().err
+    rc = main(["layout", "append", "--target", dest])
+    assert rc == 2 and "--batch" in capsys.readouterr().err
+    rc = main(["layout", "report", "--target", str(tmp_path / "nowhere")])
+    assert rc == 2 and "compact --zorder" in capsys.readouterr().err
+
+
+def test_cli_text_extract_markup(spark, tmp_path, capsys):
+    """The web-ingestion front door: exact expected text/n_lines/n_chars
+    over an HTML fixture (nav dropped by link density, script/comment
+    gone, entities decoded), NULL-markup rows dropped, rc=2 fix-naming
+    on bad parameters."""
+    html = (
+        '<html><head><title>T</title>'
+        '<script>if (a<2 && b>3) { f("x&y"); }</script></head>'
+        '<body><div class="nav"><a href="/h">Home</a> '
+        '<a href="/a">About</a></div>'
+        "<h1>Head</h1><p>Real prose, plainly long enough to keep.</p>"
+        "<p>Tail &lt;tag&gt;&nbsp;end</p><!-- note --></body></html>"
+    )
+    src = str(tmp_path / "web")
+    spark.createDataFrame(
+        [(1, html), (2, None)], "doc_id LONG, html STRING"
+    ).write.parquet(f"{src}/pages.parquet")
+
+    out = str(tmp_path / "extracted")
+    rc = main(["text", "extract", "--source", src, "--out", out])
+    cap = capsys.readouterr()
+    assert rc == 0 and "wrote 1 extracted docs" in cap.out
+    row = spark.read.parquet(out).collect()[0]
+    expected = "T\nHead\nReal prose, plainly long enough to keep.\nTail <tag> end"
+    assert row.doc_id == 1
+    assert row.text == expected
+    assert row.n_lines == 4 and row.n_chars == len(expected)
+
+    # dry run prints the keep/drop accounting, writes nothing
+    rc = main(["text", "extract", "--source", src, "--dry-run"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "docs=1 (of 2; 1 NULL-markup dropped)" in cap.out
+    assert f"kept_chars={len(expected)}" in cap.out
+
+    # a permissive density keeps the nav line too
+    rc = main(["text", "extract", "--source", src, "--dry-run",
+               "--max-anchor-ppm", "1000000"])
+    cap = capsys.readouterr()
+    assert rc == 0 and "kept_lines=5" in cap.out
+
+    # rc=2 fix-naming paths
+    rc = main(["text", "extract", "--source", src])
+    assert rc == 2 and "--out or --dry-run" in capsys.readouterr().err
+    rc = main(["text", "extract", "--source", src, "--dry-run",
+               "--max-anchor-ppm", "2000000"])
+    assert rc == 2 and "ppm" in capsys.readouterr().err
+    rc = main(["text", "extract", "--source", src, "--dry-run",
+               "--markup-col", "nope"])
+    assert rc == 2 and "nope" in capsys.readouterr().err

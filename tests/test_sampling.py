@@ -504,3 +504,47 @@ def test_cluster_safe_split_never_guesses_the_id_column(spark):
         cluster_safe_split(
             df, "doc_id", df.selectExpr("doc_id AS id"), 100, 100
         )
+
+
+def test_cluster_safe_split_label_hygiene_guards(spark):
+    """ADVICE r10: a pre-existing cluster_id/split column on df and a
+    duplicated label id are both silent failure modes in an operator
+    whose guarantee is exact membership — the first must RAISE, exact
+    duplicate label rows dedup, and a CONFLICT (one id, two clusters)
+    must RAISE."""
+    import pytest
+
+    from database_migration_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "doc_id LONG")
+    labels = spark.createDataFrame(
+        [(i, i % 5) for i in range(20)], "doc_id LONG, cluster_id LONG"
+    )
+    # df already carrying an output column raises, naming it
+    with pytest.raises(ValueError, match="'cluster_id'"):
+        cluster_safe_split(
+            df.withColumn("cluster_id", df.doc_id), "doc_id", labels
+        )
+    with pytest.raises(ValueError, match="'split'"):
+        cluster_safe_split(
+            df.selectExpr("doc_id", "'x' AS split"), "doc_id", labels
+        )
+    # exact duplicate label ROWS are benign: deduped, no row fan-out
+    doubled = labels.unionAll(labels)
+    out = cluster_safe_split(df, "doc_id", doubled, 100, 100)
+    assert out.count() == 20
+    # one id under TWO clusters is a contradiction: raise, never fan out
+    conflicted = labels.unionAll(
+        spark.createDataFrame([(3, 999)], "doc_id LONG, cluster_id LONG")
+    )
+    with pytest.raises(ValueError, match="more than one cluster"):
+        cluster_safe_split(df, "doc_id", conflicted, 100, 100)
+    # the documented opt-out skips the eager pass (caller's contract)
+    assert (
+        cluster_safe_split(
+            df, "doc_id", conflicted, 100, 100, verify_labels=False
+        ).count()
+        == 21
+    )

@@ -26,6 +26,7 @@ transformation):
 Usage: python scripts/scale_probe.py [--regen] [query names…]
 Flags: --x100 (third decade), --ann, --bm25, --semantic-bits, --skew-demo,
 --salt-demo, --salt-demo-x100, --hierarchy-x100, --index-demo,
+--zorder-lifecycle (append-growth/compaction pruning study at x100),
 --no-queries (skip the main sweep for flag-only runs).
 Writes the corpus under .scale/x10/ (gitignored) and prints one JSON line
 with sf0.1 and 10x timings per operator; SCALE.md records the results.
@@ -814,6 +815,102 @@ def media_decode_probe(spark, n_images: int = 10_000, size: int = 64) -> dict:
     return out
 
 
+def zorder_lifecycle_probe(spark, n_appends: int = 8) -> dict:
+    """Append-heavy growth on a stored z-order grid at x100 (10 M events,
+    key = (user_id, epoch-µs), the round-10 one-shot study's geometry):
+    base write over the first 80% of the time range, then time-ordered
+    append epochs over the rest — every value ABOVE the stored e-bound,
+    so the quantizer clamp parks them in the top cell — then a compact
+    re-cluster with fresh bounds (what `compact --zorder` runs). At each
+    stage: file count, mean per-file span fraction (zorder_span_report)
+    and the planner's replayed skip fraction for a 3% range predicate on
+    each dimension (pruning_fraction; the e predicate targets OLD data —
+    the time-travel query appends must not break). This is the numbers
+    leg of the claim "appends degrade pruning gracefully, compaction
+    restores it". Wall times are one-shot (writes have no internal
+    persists; the shapes, not the seconds, are the record)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from database_migration_spark.functions.time import epoch_us_wall
+    from database_migration_spark.operators.layout import (
+        file_span_stats,
+        pruning_fraction,
+        zorder_append,
+        zorder_span_report,
+        zorder_write,
+    )
+
+    if not os.path.exists(os.path.join(OUT100, "events.parquet")):
+        generate(spark, OUT100, 100, tables=("events",))
+    ev = spark.read.parquet(os.path.join(OUT100, "events.parquet")).select(
+        F.col("user_id").cast("long").alias("u"),
+        epoch_us_wall("ts").alias("e"),
+    )
+    b = ev.agg(
+        F.min("e"), F.max("e"), F.min("u"), F.max("u"), F.count("*")
+    ).collect()[0]
+    e_lo, e_hi, u_lo, u_hi, n_rows = (
+        int(b[0]), int(b[1]), int(b[2]), int(b[3]), int(b[4]),
+    )
+    cut = e_lo + (e_hi - e_lo) * 8 // 10  # base = first 80% of time
+
+    def mid_range(a: int, z: int, permille: int = 30) -> tuple:
+        span = z - a + 1
+        w = max(1, span * permille // 1000)
+        s = a + (span - w) // 2
+        return s, s + w - 1
+
+    u_q = mid_range(u_lo, u_hi)
+    e_q = mid_range(e_lo, cut - 1)  # an old-time-range scan
+
+    root = os.path.join(os.path.dirname(OUT100), "zorder_life")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, "layout")
+
+    def stage(p: str) -> dict:
+        rep = zorder_span_report(p, ["u", "e"])
+        stats = file_span_stats(p, ["u", "e"])
+        return {
+            "files": rep["files"],
+            "span_u": rep["u"],
+            "span_e": rep["e"],
+            "skip_u_3pct": round(pruning_fraction(stats, "u", *u_q), 3),
+            "skip_e_3pct_old": round(
+                pruning_fraction(stats, "e", *e_q), 3
+            ),
+        }
+
+    out = {"rows": n_rows}
+    t0 = time.time()
+    zorder_write(ev.where(F.col("e") < cut), path, ["u", "e"], n_files=52)
+    out["base_write_sec"] = round(time.time() - t0, 3)
+    out["after_base"] = stage(path)
+
+    slice_w = max(1, (e_hi - cut + 1) // n_appends)
+    append_secs = []
+    for i in range(n_appends):
+        s = cut + i * slice_w
+        t = e_hi + 1 if i == n_appends - 1 else s + slice_w
+        batch = ev.where((F.col("e") >= s) & (F.col("e") < t))
+        t0 = time.time()
+        zorder_append(batch, path)
+        append_secs.append(round(time.time() - t0, 3))
+    out["append_secs"] = append_secs
+    out["after_appends"] = stage(path)
+
+    grown = spark.read.parquet(path)
+    cpath = os.path.join(root, "compacted")
+    t0 = time.time()
+    zorder_write(grown, cpath, ["u", "e"], n_files=64)
+    out["compact_sec"] = round(time.time() - t0, 3)
+    out["after_compact"] = stage(cpath)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def cdc_surgical_probe(spark, partitions: int = 256) -> dict:
     """The round-9 asymptote fix, measured: a 15 M-key (×100) CDC target
     maintained in the key-hash-partitioned layout
@@ -1333,6 +1430,8 @@ def main() -> int:
         out["cdc_stream"] = cdc_stream_probe(spark)
     if "--cdc-surgical" in sys.argv:
         out["cdc_surgical"] = cdc_surgical_probe(spark)
+    if "--zorder-lifecycle" in sys.argv:
+        out["zorder_lifecycle"] = zorder_lifecycle_probe(spark)
     if "--media-decode" in sys.argv:
         out["media_decode"] = media_decode_probe(spark)
     if "--semantic-bits" in sys.argv:

@@ -2368,6 +2368,89 @@ def cmd_ann(args) -> int:
     return 0
 
 
+def cmd_privacy(args) -> int:
+    """Release gate for a table (operators/privacy.py). ``audit`` prints
+    the k-anonymity / l-diversity report row and exits 1 when enforcing
+    --k would suppress anything (rows_below_k > 0) — the
+    validate/expect convention: a nonzero violation is a red gate.
+    ``enforce`` writes the releasable relation (rows whose
+    quasi-identifier class has >= --k members, class_size attached) to
+    --out, or --dry-run prints the keep/suppress accounting. Bad
+    parameters exit 2 naming the fix."""
+    from database_migration_spark.operators.privacy import (
+        k_anonymity_report,
+        suppress_below_k,
+    )
+    from database_migration_spark.session import get_spark
+
+    qi = [c.strip() for c in (args.qi or "").split(",") if c.strip()]
+    if not qi:
+        print("error: pass --qi with at least one quasi-identifier "
+              "column", file=sys.stderr)
+        return 2
+    if args.k < 1 or args.l < 1:
+        print("error: --k and --l are class sizes — pass >= 1",
+              file=sys.stderr)
+        return 2
+    if args.action == "enforce" and bool(args.out) == bool(args.dry_run):
+        print("error: enforce needs exactly one of --out or --dry-run",
+              file=sys.stderr)
+        return 2
+
+    spark = get_spark(app_name="dms_privacy")
+    adapter = _source(spark, args.source, args)
+    cat = adapter.scan_catalog("%", args.table or "%")
+    if not cat.tables:
+        print(f"error: no table in {args.source}", file=sys.stderr)
+        return 2
+    if len(cat.tables) > 1:
+        names = sorted(t.table for t in cat.tables)
+        print(f"error: {args.source} holds several tables {names} — pick "
+              "one with --table", file=sys.stderr)
+        return 2
+    df = _read(adapter, cat.tables[0])
+    missing = [c for c in qi if c not in df.columns] + [
+        c for c in [args.sensitive] if c and c not in df.columns
+    ]
+    if missing:
+        print(f"error: columns {missing} not in {df.columns}",
+              file=sys.stderr)
+        return 2
+
+    if args.action == "audit":
+        row = k_anonymity_report(
+            df, qi, sensitive_col=args.sensitive,
+            k_threshold=args.k, l_threshold=args.l,
+        ).collect()[0]
+        line = (f"n_rows={row.n_rows} n_classes={row.n_classes} "
+                f"k_min={row.k_min} classes_below_k={row.classes_below_k} "
+                f"rows_below_k={row.rows_below_k} "
+                f"rows_below_k_ppm={row.rows_below_k_ppm}")
+        if args.sensitive:
+            line += f" l_min={row.l_min} rows_below_l={row.rows_below_l}"
+        print(line)
+        if row.rows_below_k > 0:
+            print(f"FAIL: {row.rows_below_k} rows sit in classes below "
+                  f"k={args.k} (release would re-identify); run "
+                  "`privacy enforce` or coarsen the quasi-identifiers",
+                  file=sys.stderr)
+            return 1
+        return 0
+
+    kept_df = suppress_below_k(df, qi, k_threshold=args.k)
+    n_in = df.count()
+    if args.dry_run:
+        n_keep = kept_df.count()
+        print(f"keep={n_keep} suppress={n_in - n_keep} of {n_in} "
+              f"(k={args.k}, qi={','.join(qi)})")
+        return 0
+    kept_df.write.mode("overwrite").parquet(args.out)
+    n_keep = spark.read.parquet(args.out).count()
+    print(f"wrote {n_keep} releasable rows to {args.out} "
+          f"(suppressed {n_in - n_keep} of {n_in})")
+    return 0
+
+
 def cmd_text(args) -> int:
     """Text-pipeline front door. ``extract``: markup → main text
     (operators/text.extract_markup_text) — drops script/style/comment
@@ -3067,6 +3150,33 @@ def main(argv: list[str] | None = None) -> int:
                     help="append: assert the stored quantizer bits — a "
                     "contradiction exits 2; omit to use the stored grid")
     ly.set_defaults(fn=cmd_layout)
+
+    pv = sub.add_parser("privacy", help="release gate: k-anonymity / "
+                        "l-diversity audit over quasi-identifier columns "
+                        "(rc=1 when enforcing k would suppress rows), "
+                        "and enforcement by suppression")
+    pv.add_argument("action", choices=["audit", "enforce"])
+    pv.add_argument("--source", required=True,
+                    help="table directory or jdbc: URL")
+    pv.add_argument("--table", help="table name when --source holds several")
+    pv.add_argument("--dialect", help="dialect name for jdbc: sources")
+    pv.add_argument("--jdbc-prop", action="append")
+    pv.add_argument("--qi", required=True,
+                    help="comma-separated quasi-identifier columns (the "
+                    "linkable ones; NULL is a value)")
+    pv.add_argument("--sensitive",
+                    help="audit: sensitive column for the l-diversity "
+                    "homogeneity check")
+    pv.add_argument("--k", type=int, default=5,
+                    help="minimum class size to release (default 5)")
+    pv.add_argument("--l", type=int, default=2,
+                    help="minimum distinct sensitive answers per class "
+                    "(default 2; audit only)")
+    pv.add_argument("--out", help="enforce: write the releasable rows "
+                    "(input columns + class_size) here")
+    pv.add_argument("--dry-run", action="store_true",
+                    help="enforce: print keep/suppress counts only")
+    pv.set_defaults(fn=cmd_privacy)
 
     tx = sub.add_parser("text", help="text-pipeline front door: extract "
                         "main text from markup (boilerplate-line removal "

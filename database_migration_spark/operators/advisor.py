@@ -125,3 +125,109 @@ def join_plan_advisor(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def join_cardinality(
+    a: DataFrame, b: DataFrame, keys: list, top: int = 10
+) -> DataFrame:
+    """Exact equi-join OUTPUT cardinality without running the join — the
+    runaway-join guard. An accidental many-to-many (joining two facts on
+    a non-key, the classic enrichment mistake) is invisible until the
+    shuffle writes 10^13 rows; but the output size has a closed form,
+    |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k), computable from two per-key count
+    aggregates whose RESULT is distinct-key-sized — the guard costs two
+    map-side-combined scans and a tiny count-join, never the join itself.
+
+    Returns one row per top-``top`` contributing key (descending
+    ``out_rows``, ascending key repr as the deterministic tie-break),
+    plus two summary rows: ``*NULL*`` — rows with a NULL in any join key
+    on either side, which an inner equi-join silently DROPS
+    (``out_rows`` 0; nonzero ``rows_a``/``rows_b`` here is its own
+    finding), and ``*TOTAL*`` — full input sizes with the exact total
+    output cardinality. ``out_rows`` is DECIMAL(38,0): the whole point
+    is predicting counts that overflow BIGINT-sized intuition.
+
+    Columns: ``key`` (join-key values joined with '|'), ``rows_a``,
+    ``rows_b``, ``out_rows``.
+
+    Scale shape: per-key groupBy on each side (partial aggregation —
+    the shuffle moves one row per distinct key), a count-join + one-row
+    rollups over the count relations (persisted: each feeds the top-k,
+    the total and the NULL row — the multi-branch persist rule). The
+    driver never sees row data."""
+    if not keys:
+        raise ValueError("join_cardinality needs at least one join key")
+    for side, df in (("a", a), ("b", b)):
+        missing = [c for c in keys if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"join keys {missing} not in side {side} "
+                f"(columns: {df.columns})"
+            )
+    from pyspark import StorageLevel
+
+    def counts(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy(*[F.col(k) for k in keys]).agg(
+            F.count(F.lit(1)).cast("long").alias(f"cnt_{tag}")
+        )
+
+    any_null = None
+    for k in keys:
+        leg = F.col(k).isNull()
+        any_null = leg if any_null is None else any_null | leg
+
+    ca = counts(a, "a").persist(StorageLevel.MEMORY_AND_DISK)
+    cb = counts(b, "b").persist(StorageLevel.MEMORY_AND_DISK)
+    key_repr = F.concat_ws(
+        "|", *[F.col(k).cast("string") for k in keys]
+    )
+    dec = "decimal(38,0)"
+    matched = (
+        ca.where(~any_null)
+        .join(cb.where(~any_null), keys, "inner")
+        .select(
+            key_repr.alias("key"),
+            F.col("cnt_a").alias("rows_a"),
+            F.col("cnt_b").alias("rows_b"),
+            (F.col("cnt_a").cast(dec) * F.col("cnt_b").cast(dec))
+            .cast(dec)
+            .alias("out_rows"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    topk = matched.orderBy(
+        F.col("out_rows").desc(), F.col("key").asc()
+    ).limit(int(top))
+
+    def side_summary(c: DataFrame, tag: str) -> DataFrame:
+        return c.agg(
+            F.sum(f"cnt_{tag}").cast("long").alias(f"tot_{tag}"),
+            F.sum(F.when(any_null, F.col(f"cnt_{tag}")).otherwise(0))
+            .cast("long")
+            .alias(f"null_{tag}"),
+        )
+
+    summary = (
+        side_summary(ca, "a")
+        .crossJoin(side_summary(cb, "b"))
+        .crossJoin(
+            matched.agg(
+                F.coalesce(F.sum("out_rows"), F.lit(0).cast(dec))
+                .cast(dec)
+                .alias("tot_out")
+            )
+        )
+    )
+    null_row = summary.select(
+        F.lit("*NULL*").alias("key"),
+        F.col("null_a").alias("rows_a"),
+        F.col("null_b").alias("rows_b"),
+        F.lit(0).cast(dec).alias("out_rows"),
+    )
+    total_row = summary.select(
+        F.lit("*TOTAL*").alias("key"),
+        F.col("tot_a").alias("rows_a"),
+        F.col("tot_b").alias("rows_b"),
+        F.col("tot_out").alias("out_rows"),
+    )
+    return topk.unionByName(null_row).unionByName(total_row)

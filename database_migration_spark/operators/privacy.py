@@ -1,0 +1,168 @@
+"""Privacy risk audit and enforcement for data release: k-anonymity /
+l-diversity (Sweeney 2002; Machanavajjhala et al. 2007) over
+quasi-identifier columns.
+
+A migration or training-data export is a RELEASE: rows whose
+quasi-identifier combination (the columns an adversary can link from
+public data — region, segment, coarse account bands) is shared by fewer
+than k other rows re-identify their subjects, and a class whose
+sensitive column holds a single value leaks it even at large k
+(homogeneity). The audit is one grouped aggregate; enforcement is
+suppression — drop every row in a class below k — which is the only
+k-anonymity mechanism with exact relational semantics (generalization
+changes values; the callers of this module do that upstream with the
+repo's exact bucketing idioms, e.g. ``acctbal div 1000``).
+
+Everything is exact integer arithmetic (counts, ppm shares) so the
+DuckDB oracle replays it verbatim; NULL is a quasi-identifier VALUE
+(``GROUP BY`` semantics in both engines, and the suppression join is
+null-safe) — an adversary can link "field left blank" like any other
+value, so NULL classes are audited and suppressed like the rest.
+
+Scale shape: the audit is ONE groupBy (map-side partials) whose result
+is class-count-sized, then a driver-free single-row rollup. Suppression
+re-attaches class sizes with a null-safe equi-join against the
+class-count relation — broadcast when classes are dimension-sized (the
+usual case: QI columns are deliberately coarse), shuffle otherwise;
+never a window over the full relation (a partitionBy window would sort
+the whole table to compute a count the partial-agg groupBy gets for
+free).
+
+Reference parity note: the reference migrates and validates data but
+ships no release-risk audit; this is part of the training-pipeline
+surface (LLM corpora and migrated snapshots both get released).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _require_cols(df: DataFrame, cols: list, what: str) -> None:
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"{what} columns {missing} not in the table "
+            f"(columns: {df.columns})"
+        )
+
+
+def equivalence_classes(
+    df: DataFrame, qi_cols: list, sensitive_col: "str | None" = None
+) -> DataFrame:
+    """The class relation: one row per distinct quasi-identifier
+    combination with its member count (``class_size``) and, when a
+    sensitive column is named, the count of DISTINCT sensitive values in
+    the class (``l_distinct`` — the l-diversity statistic; NULL counts
+    as a value there too: "sensitive field blank" is an answer)."""
+    if not qi_cols:
+        raise ValueError("k-anonymity needs at least one quasi-identifier")
+    _require_cols(df, list(qi_cols), "quasi-identifier")
+    aggs = [F.count(F.lit(1)).cast("long").alias("class_size")]
+    if sensitive_col is not None:
+        _require_cols(df, [sensitive_col], "sensitive")
+        # count(DISTINCT x) skips NULL in both engines; add the NULL
+        # slot explicitly so a blank sensitive field is one more answer
+        aggs.append(
+            (
+                F.countDistinct(F.col(sensitive_col))
+                + F.max(
+                    F.when(F.col(sensitive_col).isNull(), 1).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("l_distinct")
+        )
+    return df.groupBy(*[F.col(c) for c in qi_cols]).agg(*aggs)
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    qi_cols: list,
+    sensitive_col: "str | None" = None,
+    k_threshold: int = 5,
+    l_threshold: int = 2,
+) -> DataFrame:
+    """ONE audit row for the release decision:
+
+    - ``n_rows``, ``n_classes``: corpus and class populations.
+    - ``k_min``: the dataset's k-anonymity (size of its smallest class —
+      the worst-case re-identification pool).
+    - ``classes_below_k`` / ``rows_below_k`` / ``rows_below_k_ppm``:
+      how much suppression enforcing ``k_threshold`` would cost.
+    - with ``sensitive_col``: ``l_min`` (the dataset's l-diversity) and
+      ``rows_below_l`` (rows in homogeneity-attack range — classes with
+      fewer than ``l_threshold`` distinct sensitive answers).
+
+    Exact integers end to end (ppm by integer division), so the row is
+    hash-comparable cross-engine."""
+    if k_threshold < 1:
+        raise ValueError("k_threshold must be >= 1 (k is a class size)")
+    if l_threshold < 1:
+        raise ValueError("l_threshold must be >= 1")
+    classes = equivalence_classes(df, qi_cols, sensitive_col)
+    aggs = [
+        F.sum("class_size").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("class_size").cast("long").alias("k_min"),
+        F.sum(
+            F.when(F.col("class_size") < k_threshold, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("classes_below_k"),
+        F.sum(
+            F.when(
+                F.col("class_size") < k_threshold, F.col("class_size")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("rows_below_k"),
+    ]
+    if sensitive_col is not None:
+        aggs += [
+            F.min("l_distinct").cast("long").alias("l_min"),
+            F.sum(
+                F.when(
+                    F.col("l_distinct") < l_threshold, F.col("class_size")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_below_l"),
+        ]
+    out = classes.agg(*aggs)
+    return out.withColumn(
+        "rows_below_k_ppm",
+        F.expr("rows_below_k * 1000000 div n_rows").cast("long"),
+    )
+
+
+def suppress_below_k(
+    df: DataFrame, qi_cols: list, k_threshold: int = 5
+) -> DataFrame:
+    """k-anonymity by suppression: keep exactly the rows whose
+    quasi-identifier class has at least ``k_threshold`` members. The
+    class-count relation joins back NULL-SAFELY (``<=>``): a class keyed
+    on NULL must suppress or survive as a unit like any other — a plain
+    equi-join would silently DROP every NULL-keyed row regardless of its
+    class size, which fails open in the dangerous direction when the
+    class is large (rows lost) and in the embarrassing one when it is
+    small (suppression by accident, not policy). Output columns = input
+    columns (the release relation), plus ``class_size`` so the caller
+    can prove the floor held."""
+    if k_threshold < 1:
+        raise ValueError("k_threshold must be >= 1 (k is a class size)")
+    classes = (
+        equivalence_classes(df, qi_cols)
+        .where(F.col("class_size") >= k_threshold)
+        .select(
+            *[F.col(c).alias(f"_ka_{c}") for c in qi_cols], "class_size"
+        )
+    )
+    cond = None
+    for c in qi_cols:
+        leg = F.col(c).eqNullSafe(F.col(f"_ka_{c}"))
+        cond = leg if cond is None else cond & leg
+    return df.join(classes, cond, "inner").drop(
+        *[f"_ka_{c}" for c in qi_cols]
+    )

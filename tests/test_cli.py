@@ -2374,3 +2374,57 @@ def test_cli_text_extract_markup(spark, tmp_path, capsys):
     rc = main(["text", "extract", "--source", src, "--dry-run",
                "--markup-col", "nope"])
     assert rc == 2 and "nope" in capsys.readouterr().err
+
+
+def test_cli_privacy_audit_and_enforce(spark, sf_smoke, tmp_path, capsys):
+    """The release gate: audit exits 1 when enforcing k would suppress
+    rows (the validate/expect red-gate convention), enforce writes the
+    releasable relation with the floor provable, rc=2 names bad knobs."""
+    rc = main(["privacy", "audit", "--source", sf_smoke, "--table",
+               "customer", "--qi", "c_nationkey,c_mktsegment",
+               "--sensitive", "c_mktsegment", "--k", "2"])
+    cap = capsys.readouterr()
+    # sf0.001 customer: 150 rows over 25x5 classes -> some singletons
+    assert "k_min=" in cap.out and "rows_below_k_ppm=" in cap.out
+    assert "l_min=" in cap.out
+    if rc == 1:
+        assert "FAIL" in cap.err and "re-identify" in cap.err
+    else:
+        assert rc == 0
+
+    out = str(tmp_path / "released")
+    rc = main(["privacy", "enforce", "--source", sf_smoke, "--table",
+               "customer", "--qi", "c_nationkey,c_mktsegment",
+               "--k", "2", "--out", out])
+    cap = capsys.readouterr()
+    assert rc == 0 and "releasable rows" in cap.out
+    rel = spark.read.parquet(out)
+    assert rel.where("class_size < 2").count() == 0
+    # the released relation now PASSES its own audit at the same k/qi
+    rdir = str(tmp_path / "reldir")
+    rel.drop("class_size").write.parquet(f"{rdir}/customer.parquet")
+    rc = main(["privacy", "audit", "--source", rdir, "--qi",
+               "c_nationkey,c_mktsegment", "--k", "2"])
+    assert rc == 0
+    capsys.readouterr()
+
+    # dry run prints the accounting, writes nothing
+    rc = main(["privacy", "enforce", "--source", sf_smoke, "--table",
+               "customer", "--qi", "c_nationkey,c_mktsegment",
+               "--k", "2", "--dry-run"])
+    cap = capsys.readouterr()
+    assert rc == 0 and "keep=" in cap.out and "suppress=" in cap.out
+
+    # rc=2 fix-naming paths
+    rc = main(["privacy", "audit", "--source", sf_smoke, "--table",
+               "customer", "--qi", ""])
+    assert rc == 2 and "--qi" in capsys.readouterr().err
+    rc = main(["privacy", "audit", "--source", sf_smoke, "--table",
+               "customer", "--qi", "c_nationkey", "--k", "0"])
+    assert rc == 2 and ">= 1" in capsys.readouterr().err
+    rc = main(["privacy", "enforce", "--source", sf_smoke, "--table",
+               "customer", "--qi", "c_nationkey"])
+    assert rc == 2 and "--out or --dry-run" in capsys.readouterr().err
+    rc = main(["privacy", "audit", "--source", sf_smoke, "--table",
+               "customer", "--qi", "c_nationkey,nope"])
+    assert rc == 2 and "nope" in capsys.readouterr().err

@@ -1,0 +1,89 @@
+"""Privacy audit/enforcement (operators/privacy.py): the k/l statistics
+against hand-computed classes, NULL as a quasi-identifier VALUE (audited
+and suppressed as a class, never silently dropped by the re-attach
+join), and the suppression floor."""
+
+import pytest
+
+from database_migration_spark.operators.privacy import (
+    equivalence_classes,
+    k_anonymity_report,
+    suppress_below_k,
+)
+
+
+def _frame(spark):
+    # classes by (region, band):
+    #   ("e", 1): 6 rows, sens values {a, b}        -> safe at k=5, l=2
+    #   ("e", 2): 3 rows, sens values {a}           -> below k, l=1
+    #   ("w", 1): 2 rows, sens values {a, NULL}     -> below k, l=2
+    #   (NULL,3): 5 rows, sens values {a,b,c,d,e}   -> safe, NULL-keyed
+    rows = (
+        [("e", 1, "a")] * 3 + [("e", 1, "b")] * 3
+        + [("e", 2, "a")] * 3
+        + [("w", 1, "a"), ("w", 1, None)]
+        + [(None, 3, s) for s in "abcde"]
+    )
+    return spark.createDataFrame(
+        rows, "region STRING, band LONG, sens STRING"
+    )
+
+
+def test_report_statistics_hand_computed(spark):
+    rep = k_anonymity_report(
+        _frame(spark), ["region", "band"], "sens",
+        k_threshold=5, l_threshold=2,
+    ).collect()[0]
+    assert rep.n_rows == 16 and rep.n_classes == 4
+    assert rep.k_min == 2
+    assert rep.classes_below_k == 2 and rep.rows_below_k == 5
+    assert rep.rows_below_k_ppm == 5 * 1_000_000 // 16
+    # l-diversity: NULL sensitive counts as one more answer ((w,1) has
+    # l=2); the homogeneous class ("e",2) drives l_min and rows_below_l
+    assert rep.l_min == 1 and rep.rows_below_l == 3
+
+
+def test_null_qi_class_is_a_class(spark):
+    cls = {
+        (r.region, r.band): r.class_size
+        for r in equivalence_classes(
+            _frame(spark), ["region", "band"]
+        ).collect()
+    }
+    assert cls[(None, 3)] == 5  # NULL keys group, not vanish
+
+
+def test_suppression_floor_and_null_safety(spark):
+    out = suppress_below_k(_frame(spark), ["region", "band"], 5)
+    got = [(r.region, r.band, r.class_size) for r in out.collect()]
+    # exactly the two >=5 classes survive — INCLUDING the NULL-keyed one
+    # (a plain equi-join would have dropped it regardless of size)
+    assert len(got) == 11
+    assert all(size >= 5 for _, _, size in got)
+    assert sum(1 for rg, b, _ in got if rg is None and b == 3) == 5
+    assert sum(1 for rg, b, _ in got if rg == "e" and b == 1) == 6
+    # k=1 keeps everything; columns = input + class_size
+    all_kept = suppress_below_k(_frame(spark), ["region", "band"], 1)
+    assert all_kept.count() == 16
+    assert all_kept.columns == ["region", "band", "sens", "class_size"]
+
+
+def test_validation_raises(spark):
+    df = _frame(spark)
+    with pytest.raises(ValueError, match="at least one"):
+        k_anonymity_report(df, [])
+    with pytest.raises(ValueError, match="nope"):
+        k_anonymity_report(df, ["region", "nope"])
+    with pytest.raises(ValueError, match="sensitive"):
+        k_anonymity_report(df, ["region"], "missing_col")
+    with pytest.raises(ValueError, match=">= 1"):
+        suppress_below_k(df, ["region"], 0)
+
+
+def test_report_without_sensitive_column(spark):
+    rep = k_anonymity_report(
+        _frame(spark), ["region", "band"], k_threshold=3
+    )
+    assert "l_min" not in rep.columns
+    row = rep.collect()[0]
+    assert row.k_min == 2 and row.rows_below_k == 2

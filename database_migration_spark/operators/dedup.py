@@ -736,6 +736,23 @@ def simhash_near_pairs(
     :func:`lsh_candidate_pairs`); None = exhaustive.
     """
     sigs = simhash_signatures(df, text_col, id_col, bits)
+    return hamming_near_pairs(sigs, bits, max_hamming, max_bucket)
+
+
+def hamming_near_pairs(
+    sigs: DataFrame,
+    bits: int = 64,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The signature-agnostic half of :func:`simhash_near_pairs`
+    (round-11 extraction — the banded join is the same whether the
+    64-bit fingerprint came from token votes or image pixels, and a
+    fork would drift): ``sigs`` is (id, sig_lo, sig_hi) with each half
+    in [0, 2^32) — text SimHash (:func:`simhash_signatures`) and image
+    dHash (multimodal.perceptual_dhash) both emit it. Pigeonhole chunk
+    bucketing + exact Hamming verify, identical semantics and caps as
+    documented on :func:`simhash_near_pairs`."""
     half = bits // 2
     n_chunks = max_hamming + 1
     chunk = bits // n_chunks

@@ -645,3 +645,163 @@ def sample_frames(
     ).select(
         id_col, "frame_idx", (F.col("frame_idx") * every_ms).alias("ts_ms")
     )
+
+
+def encode_bmp(w: int, h: int, rgb) -> bytes:
+    """Minimal uncompressed 24-bit BI_RGB encoder (bottom-up, padded
+    stride) — the inverse of :func:`decode_bmp_array`, so pipelines and
+    tests can synthesize REAL image payloads deterministically without a
+    codec library. ``rgb`` is an ``(h, w, 3)`` uint8 array (or nested
+    list), rows top-to-bottom."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(rgb, dtype=np.uint8).reshape(h, w, 3)
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    # bottom-up rows, RGB -> BGR channel order
+    body[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
+    data = body.tobytes()
+    file_header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(data), 0, 0, 54)
+    # info header: size, w, h (positive = bottom-up), planes, bpp,
+    # BI_RGB, image size, x/y pixels-per-meter, palette counts
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + data
+
+
+def _gray_plane(payload: bytes):
+    """Decode a stdlib-decodable image to an integer luma plane
+    ``(h, w) int64``: BT.601 integer milli-weights ``(299r+587g+114b)
+    div 1000`` for color (the _pixel_stats convention — exact before
+    any division), the raw channel for grayscale PNG; alpha ignored."""
+    import numpy as np
+
+    meta = parse_container_header(payload or b"")
+    if meta is None:
+        raise ValueError("unrecognized container")
+    if meta["container"] == "bmp":
+        _w, _h, px = decode_bmp_array(payload)
+        rgb = px.astype(np.int64)
+    elif meta["container"] == "png":
+        _w, _h, nch, px = decode_png_array(payload)
+        p = px.astype(np.int64)
+        if nch >= 3:
+            rgb = p[:, :, :3]
+        else:
+            return p[:, :, 0]
+    else:
+        raise NotImplementedError(
+            f"{meta['container']} content is compressed — no codec "
+            "library in this environment; plug one into CONTENT_DECODERS"
+        )
+    return (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114) // 1000
+
+
+DHASH_COLS, DHASH_ROWS = 9, 8  # the standard 64-bit difference-hash grid
+
+
+def dhash_halves(payload: bytes) -> tuple:
+    """64-bit perceptual difference hash (dHash: Krawetz's
+    kindofbluesky/hackerfactor scheme — box-downsample the luma plane to
+    9×8, emit bit r*8+c = 1 iff cell[r][c] > cell[r][c+1]) as TWO 32-bit
+    halves (sig_lo = bits 0-31, sig_hi = bits 32-63) — the
+    dedup.hamming_near_pairs signature convention, every value in
+    [0, 2^32). All-integer arithmetic: exact box edges ``i*h div 8`` /
+    ``j*w div 9``, integer box means (sum div count), strict-greater
+    bits — bit-reproducible across hosts, no float resampling. Images
+    smaller than the 9×8 grid raise (a 4-pixel hash is noise, not a
+    fingerprint)."""
+    import numpy as np
+
+    g = _gray_plane(payload)
+    h, w = g.shape
+    if h < DHASH_ROWS or w < DHASH_COLS:
+        raise ValueError(
+            f"image {w}x{h} smaller than the {DHASH_COLS}x{DHASH_ROWS} "
+            "dhash grid"
+        )
+    ys = [r * h // DHASH_ROWS for r in range(DHASH_ROWS)]
+    xs = [c * w // DHASH_COLS for c in range(DHASH_COLS)]
+    # box sums via two reduceat passes (whole-plane numpy, no per-cell
+    # Python); exact integer means with driver-side box areas
+    row_cut = np.add.reduceat(g, ys, axis=0)
+    cells = np.add.reduceat(row_cut, xs, axis=1)
+    y_edges = ys + [h]
+    x_edges = xs + [w]
+    areas = np.outer(np.diff(y_edges), np.diff(x_edges)).astype(np.int64)
+    means = cells // areas
+    lo = hi = 0
+    for r in range(DHASH_ROWS):
+        for c in range(DHASH_COLS - 1):
+            if means[r][c] > means[r][c + 1]:
+                i = r * (DHASH_COLS - 1) + c
+                if i < 32:
+                    lo |= 1 << i
+                else:
+                    hi |= 1 << (i - 32)
+    return lo, hi
+
+
+def perceptual_dhash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-image dHash signatures via mapInPandas (Arrow batches, per-row
+    error isolation — an undecodable/too-small payload yields an error
+    row, never a failed task): (id, sig_lo, sig_hi, error). Map-side
+    only — the signature is 16 bytes however large the image, so the
+    downstream near-dup join never shuffles pixels."""
+    df = fan_out(df)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                try:
+                    payload = row[payload_col]
+                    lo, hi = dhash_halves(
+                        bytes(payload) if payload is not None else b""
+                    )
+                    out.append(
+                        {"id": row[id_col], "sig_lo": lo, "sig_hi": hi,
+                         "error": None}
+                    )
+                except Exception as e:  # noqa: BLE001 — per-row isolation
+                    out.append(
+                        {"id": row[id_col], "sig_lo": None, "sig_hi": None,
+                         "error": f"{type(e).__name__}: {e}"[:200]}
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run, schema="id LONG, sig_lo LONG, sig_hi LONG, error STRING"
+    )
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate IMAGES (re-encoded thumbnails, brightness tweaks,
+    re-crawled assets) — the multimodal sibling of text near-dup dedup:
+    dHash signatures (map-side, 16 bytes per image) into the SAME
+    pigeonhole-banded Hamming self-join the text path uses
+    (dedup.hamming_near_pairs — one machinery, not a fork). Output
+    (id_a, id_b, hamming); undecodable payloads drop here (their error
+    rows are perceptual_dhash's to report — run it directly for the
+    accounting)."""
+    from database_migration_spark.operators.dedup import hamming_near_pairs
+
+    sigs = perceptual_dhash(df, payload_col, id_col).where(
+        F.col("error").isNull()
+    ).select("id", "sig_lo", "sig_hi")
+    return hamming_near_pairs(
+        sigs, bits=64, max_hamming=max_hamming, max_bucket=max_bucket
+    )

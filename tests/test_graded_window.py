@@ -28,7 +28,8 @@ def test_proving_queries_inside_graded_window():
 # but each MUST carry a differential pytest instead — named here so adding
 # one is an explicit decision, not an accident
 ROWS_ONLY = {"bpe_merge_table_documents", "rolling_active_users",
-             "pq_topk_embeddings", "ivf_pq_topk_embeddings"}
+             "pq_topk_embeddings", "ivf_pq_topk_embeddings",
+             "image_near_dup_media"}
 
 
 def test_showcase_list_names_real_queries():

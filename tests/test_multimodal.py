@@ -531,3 +531,128 @@ def test_png_features_match_bmp_features_for_same_pixels(spark):
     }
     assert out[1].error is None and out[2].error is None
     assert out[1].feature == out[2].feature
+
+
+# round 11: perceptual image hashing + near-dup pairs
+
+
+def test_encode_bmp_roundtrips_decode():
+    import numpy as np
+
+    from database_migration_spark.operators.multimodal import (
+        decode_bmp_array,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(7)
+    for w, h in ((16, 16), (9, 8), (33, 21)):  # incl. stride padding
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        got_w, got_h, back = decode_bmp_array(encode_bmp(w, h, px))
+        assert (got_w, got_h) == (w, h) and (back == px).all()
+
+
+def _py_dhash(px):
+    """Independent per-cell reference (explicit box loops — the
+    operator uses whole-plane reduceat; agreement is the point)."""
+    h, w = px.shape[0], px.shape[1]
+    g = [
+        [
+            (int(px[y][x][0]) * 299 + int(px[y][x][1]) * 587
+             + int(px[y][x][2]) * 114) // 1000
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    means = [[0] * 9 for _ in range(8)]
+    for r in range(8):
+        for c in range(9):
+            y0, y1 = r * h // 8, (r + 1) * h // 8
+            x0, x1 = c * w // 9, (c + 1) * w // 9
+            vals = [g[y][x] for y in range(y0, y1) for x in range(x0, x1)]
+            means[r][c] = sum(vals) // len(vals)
+    lo = hi = 0
+    for r in range(8):
+        for c in range(8):
+            if means[r][c] > means[r][c + 1]:
+                i = r * 8 + c
+                if i < 32:
+                    lo |= 1 << i
+                else:
+                    hi |= 1 << (i - 32)
+    return lo, hi
+
+
+def test_dhash_matches_independent_reference():
+    import numpy as np
+
+    from database_migration_spark.operators.multimodal import (
+        dhash_halves,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(20260816)
+    for w, h in ((16, 16), (9, 8), (37, 23), (64, 48)):
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        assert dhash_halves(encode_bmp(w, h, px)) == _py_dhash(px)
+    # too-small images raise, not hash
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="dhash grid"):
+        dhash_halves(encode_bmp(8, 8, np.zeros((8, 8, 3), np.uint8)))
+
+
+def test_image_near_dup_pairs_differential(spark):
+    """The Spark path (mapInPandas dhash + banded Hamming join) must
+    equal brute-force local hashing over the same payloads; planted
+    perceptual near-dups pair up even though their BYTES (and sha256)
+    differ; undecodable rows isolate as error rows, never failed
+    tasks."""
+    import numpy as np
+
+    from database_migration_spark.operators.multimodal import (
+        dhash_halves,
+        encode_bmp,
+        image_near_dup_pairs,
+        perceptual_dhash,
+    )
+
+    rng = np.random.RandomState(11)
+    payloads = {}
+    for i in range(40):
+        px = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+        payloads[i] = encode_bmp(16, 16, px)
+        if i % 8 == 0:  # planted: +2 brightness band, bytes differ
+            px2 = px.copy()
+            px2[:4] = np.minimum(px2[:4].astype(np.int64) + 2, 255).astype(
+                np.uint8
+            )
+            payloads[1000 + i] = encode_bmp(16, 16, px2)
+    rows = [(k, bytearray(v)) for k, v in payloads.items()]
+    rows += [(9999, bytearray(b"not an image"))]
+    df = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    # brute force over locally computed signatures
+    sigs = {k: dhash_halves(v) for k, v in payloads.items()}
+    want = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(sigs[a][0] ^ sigs[b][0]).count("1") + bin(
+                sigs[a][1] ^ sigs[b][1]
+            ).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    assert got == want
+    for i in range(0, 40, 8):  # every planted pair found, bytes differ
+        assert (i, 1000 + i) in got
+        assert payloads[i] != payloads[1000 + i]
+    # the undecodable payload is an error ROW with the cause named
+    errs = {
+        r.id: r.error
+        for r in perceptual_dhash(df).where("error IS NOT NULL").collect()
+    }
+    assert set(errs) == {9999} and "container" in errs[9999]

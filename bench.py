@@ -119,11 +119,16 @@ BENCH_QUERIES = [
     # the scarce resource — it stays covered by the x10 probe sweep)
     "markup_extract_documents",
     "zorder_cells_events",
+    # round 11 (image_near_dup_media and join_cardinality_* are NOT
+    # headliners: the line budget is the scarce resource — both carry
+    # dedicated SCALE.md cold-lap rows via scale_probe --guards instead,
+    # and the privacy row below covers the round's graded-family shape)
+    "k_anonymity_customer",
 ]
 
 
 # short on purpose: the prose lives in the module docstring ("LAP POLICY")
-LAP_POLICY = "min-of-laps;bench.py docstring"
+LAP_POLICY = "min-laps"
 
 # the grading driver archives only a 2,000-byte tail of bench's stdout;
 # a line that outgrows it is recorded as parsed:null with its head
@@ -218,6 +223,14 @@ def build_output(
         if len(render_line(out)) > 1_990 and len(out["errors"]) > 3:
             out["errors_n"] = len(errors)
             out["errors"] = dict(list(out["errors"].items())[:3])
+        if len(render_line(out)) > 1_990:
+            # final rung — UNCONDITIONAL, so the cap holds by
+            # construction even for one or two errors against a full
+            # timings body (round 11: a 57th headliner left no slack
+            # for two 60-char errors): keep only the count; the nonzero
+            # rc and stderr traceback already carry the failure
+            out["errors_n"] = len(errors)
+            del out["errors"]
     return out
 
 

@@ -5780,10 +5780,14 @@ def image_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 v = np.asarray(r["embedding"], dtype=np.float64)
                 idx = np.arange(16 * 16 * 3)
                 # deterministic pixels: the p-th vector entry (mod dim)
-                # mixed with the pixel index so images differ corpus-wide
+                # mixed with the pixel index so images differ corpus-wide.
+                # SIGN-SENSITIVE on purpose (no abs): the derived x10/x100
+                # corpora distinguish replicas by sign flips — an abs here
+                # would collapse every replica onto the base image and the
+                # scale probe would measure a 90%-duplicate corpus (the
+                # embeddings-generate() caveat class)
                 vals = (
-                    (np.abs(v[idx % len(v)]) * 1000).astype(np.int64)
-                    + idx * 31
+                    (v[idx % len(v)] * 1000).astype(np.int64) + idx * 31
                 ) % 256
                 px = vals.reshape(16, 16, 3).astype(np.uint8)
                 vid = int(r["vec_id"])

@@ -27,6 +27,8 @@ Usage: python scripts/scale_probe.py [--regen] [query names…]
 Flags: --x100 (third decade), --ann, --bm25, --semantic-bits, --skew-demo,
 --salt-demo, --salt-demo-x100, --hierarchy-x100, --index-demo,
 --zorder-lifecycle (append-growth/compaction pruning study at x100),
+--guards (cold-lap rows for the internally-persisting round-11 ops:
+join_cardinality, image_near_dup),
 --no-queries (skip the main sweep for flag-only runs).
 Writes the corpus under .scale/x10/ (gitignored) and prints one JSON line
 with sf0.1 and 10x timings per operator; SCALE.md records the results.
@@ -113,6 +115,16 @@ PROBES = [
     "markup_extract_documents",
     "zorder_cells_events",
     "leakage_safe_split_documents",
+    # round 11 additions: both persist-free (one grouped agg + a rollup /
+    # a null-safe count re-attach), so the registry probe is honest
+    "k_anonymity_customer",
+    "k_suppress_customer",
+    # join_cardinality_lineitem_partkey and image_near_dup_media are NOT
+    # probed via the registry: both persist internally (the count
+    # relations / the banded chunk relation incl. the mapInPandas dhash),
+    # so time_thunk's post-warm-up laps would time the cached join, not
+    # the operator (the winnow_overlap rule). --guards runs their
+    # dedicated min-of-cold-laps probes instead.
     # winnow_overlap_pairs is NOT probed via the registry: its internal
     # persists make time_thunk's warm laps meaningless (the scale_probe
     # persisted-relation rule — a registry probe would record the
@@ -210,6 +222,12 @@ X100_PROBES = [
     "markup_extract_documents",
     "zorder_cells_events",
     "leakage_safe_split_documents",
+    # round 11: the privacy pair — grouped-agg + re-attach shapes, both
+    # persist-free (customer x100 = 1.5 M rows over the same ~275-class
+    # QI grid: classes grow in POPULATION, not count, which is exactly
+    # the release-audit regime at scale)
+    "k_anonymity_customer",
+    "k_suppress_customer",
 ]
 
 
@@ -380,6 +398,22 @@ def time_thunk(spark, make) -> float:
     spark.sparkContext._jvm.System.gc()
     lap()  # warm-up
     return min(lap(), lap())
+
+
+def cold_thunk(spark, make, laps: int = 2) -> float:
+    """min-of-COLD-laps: clearCache + gc BETWEEN laps, so operators with
+    INTERNAL persists re-pay their full pipeline every lap (the
+    scale_probe --overlap convention; time_thunk's warm laps would time
+    the cached join instead). min-of-laps still absorbs a one-lap host
+    stall."""
+    times = []
+    for _ in range(laps):
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.time()
+        make().write.format("noop").mode("overwrite").save()
+        times.append(time.time() - t0)
+    return min(times)
 
 
 def time_query(spark, registry, name: str, sf_dir: str) -> float:
@@ -1432,6 +1466,63 @@ def main() -> int:
         out["cdc_surgical"] = cdc_surgical_probe(spark)
     if "--zorder-lifecycle" in sys.argv:
         out["zorder_lifecycle"] = zorder_lifecycle_probe(spark)
+    if "--guards" in sys.argv:
+        # the two round-11 operators with internal persists (excluded
+        # from the registry sweep — see the PROBES comment): dedicated
+        # min-of-cold-laps rows. join_cardinality's per-key count
+        # relations and image dhash's banded chunk relation both persist,
+        # so cold laps are the only honest measurement.
+        from database_migration_spark.operators.advisor import (
+            join_cardinality,
+        )
+
+        li01 = spark.read.parquet(os.path.join(SF01, "lineitem.parquet"))
+        li10 = spark.read.parquet(os.path.join(OUT, "lineitem.parquet"))
+        jc = {
+            "sf0.1_sec": round(
+                cold_thunk(
+                    spark,
+                    lambda: join_cardinality(li01, li01, ["l_partkey"]),
+                ),
+                3,
+            ),
+            "x10_sec": round(
+                cold_thunk(
+                    spark,
+                    lambda: join_cardinality(li10, li10, ["l_partkey"]),
+                ),
+                3,
+            ),
+        }
+        jc["scaling_factor"] = round(jc["x10_sec"] / jc["sf0.1_sec"], 2)
+        out["join_cardinality_cold"] = jc
+        img = {
+            "sf0.1_sec": round(
+                cold_thunk(
+                    spark,
+                    lambda: registry["image_near_dup_media"](spark, SF01),
+                ),
+                3,
+            ),
+            "x10_sec": round(
+                cold_thunk(
+                    spark,
+                    lambda: registry["image_near_dup_media"](spark, OUT),
+                ),
+                3,
+            ),
+        }
+        img["scaling_factor"] = round(
+            img["x10_sec"] / img["sf0.1_sec"], 2
+        )
+        # row-count guard (the derived-corpus vacuity rule): the x10
+        # embeddings are sign-flip replicas, so the planted %20 variants
+        # must pair at 10x the base rate — a zero here means the probe
+        # measured nothing
+        img["x10_pairs"] = registry["image_near_dup_media"](
+            spark, OUT
+        ).count()
+        out["image_near_dup_cold"] = img
     if "--media-decode" in sys.argv:
         out["media_decode"] = media_decode_probe(spark)
     if "--semantic-bits" in sys.argv:

@@ -103,22 +103,29 @@ def test_relap_names_fit_inside_hard_cap():
 def test_errors_are_bounded_per_entry():
     # a Py4J exception str() is multi-KB of JVM stack; unbounded error
     # text would blow the tail capture exactly like the lap_policy prose
-    # did (review finding). Two multi-KB errors + the full headliner set
-    # must still render inside the hard cap.
-    timings = {n: 99.99 for n in BENCH_QUERIES if n not in BENCH_QUERIES[:2]}
-    errors = {n: "AnalysisException: " + "x" * 4000 for n in BENCH_QUERIES[:2]}
-    out = build_output(
-        timings, sum(timings.values()), 0.1,
-        {"min": 0.071, "median": 0.085, "max": 9.999, "noisy": False,
-         "flagged_queries": []},
-        "BENCH_r09.json", [], [], errors,
-    )
-    line = render_line(out)
-    assert len(line.encode()) <= 2000
-    d = json.loads(line)
-    for v in d["errors"].values():
-        assert len(v) <= 120 and v.endswith("...")
-        assert v.startswith("AnalysisException")
+    # did (review finding). Multi-KB errors must still render inside the
+    # hard cap — with named, bounded text when the line has room, and
+    # degraded to the bare count (errors_n, the round-11 unconditional
+    # final rung) when the full-timings body leaves none.
+    for n_err in (2, 10):
+        bad = BENCH_QUERIES[:n_err]
+        timings = {n: 99.99 for n in BENCH_QUERIES if n not in bad}
+        errors = {n: "AnalysisException: " + "x" * 4000 for n in bad}
+        out = build_output(
+            timings, sum(timings.values()), 0.1,
+            {"min": 0.071, "median": 0.085, "max": 9.999, "noisy": False,
+             "flagged_queries": []},
+            "BENCH_r09.json", [], [], errors,
+        )
+        line = render_line(out)
+        assert len(line.encode()) <= 2000
+        d = json.loads(line)
+        if "errors" in d:
+            for v in d["errors"].values():
+                assert len(v) <= 120 and v.endswith("...")
+                assert v.startswith("AnalysisException")
+        else:  # degraded: the count survives, the rc is already red
+            assert d["errors_n"] == n_err
 
 
 def test_mass_failure_keeps_timings_and_error_count():

@@ -454,11 +454,39 @@ def cmd_layout(args) -> int:
     stay bounded across old and new files until a ``compact --zorder``
     re-clusters with fresh bounds. ``report`` prints the per-column mean
     span fraction + file count from footers alone (no data scan) — the
-    measurable pruning evidence."""
+    measurable pruning evidence. ``stats`` prints per-column storage
+    facts (compressed/uncompressed bytes, exact ratio ppm, encodings,
+    dictionary coverage) from the same footers — works on ANY parquet
+    directory, layout or not: at 100 TB the compressed size is the scan
+    cost, and a clustered write RLE-compresses what a hash-scattered
+    write cannot."""
     from database_migration_spark.operators.layout import (
         read_layout_meta,
         zorder_span_report,
     )
+
+    if args.action == "stats":
+        import os
+
+        from database_migration_spark.operators.layout import storage_stats
+
+        if not os.path.isdir(args.target):
+            print(f"error: {args.target} is not a directory",
+                  file=sys.stderr)
+            return 2
+        rows = storage_stats(args.target)
+        if not rows:
+            print(f"error: no parquet files under {args.target}",
+                  file=sys.stderr)
+            return 2
+        for c in rows:
+            print(f"{c['column']}: {c['compressed_bytes']} B compressed "
+                  f"/ {c['uncompressed_bytes']} B raw "
+                  f"(ratio {c['ratio_ppm']} ppm), "
+                  f"dict {c['dict_chunks']}/{c['chunks']} chunks, "
+                  f"encodings {','.join(c['encodings'])}, "
+                  f"codecs {','.join(c['codecs'])}")
+        return 0
 
     meta = read_layout_meta(args.target)
     if meta is None:
@@ -3133,9 +3161,10 @@ def main(argv: list[str] | None = None) -> int:
                         "a batch onto a stored layout (same cell grid, "
                         "bounded per-file spans), or report the per-"
                         "column span fractions from footers alone")
-    ly.add_argument("action", choices=["append", "report"])
+    ly.add_argument("action", choices=["append", "report", "stats"])
     ly.add_argument("--target", required=True,
-                    help="layout directory (written by compact --zorder)")
+                    help="layout directory (written by compact --zorder; "
+                    "stats accepts any parquet directory)")
     ly.add_argument("--batch",
                     help="append: the new rows' table directory or "
                     "jdbc: URL")

@@ -407,3 +407,64 @@ def zorder_span_report(path: str, cols: list) -> dict:
         report[c] = round(mean_span / total, 4)
     report["files"] = len(stats)
     return report
+
+
+def storage_stats(path: str) -> list:
+    """Per-column STORAGE facts from the parquet footers alone (no data
+    scan; driver-bounded by file count × columns) — the bytes half of
+    the layout story: at 100 TB the compressed size IS the scan cost,
+    and whether a column dictionary- and run-length-encodes depends on
+    the write layout (a z-ordered/sorted write co-locates repeated
+    values, so the same bytes RLE-compress far better than a hash-
+    scattered write — measurable here, pinned by test_layout).
+
+    One dict per column: ``compressed_bytes``, ``uncompressed_bytes``,
+    ``ratio_ppm`` (compressed/uncompressed, exact integer ppm — lower
+    compresses better), ``encodings`` (sorted union over chunks),
+    ``dict_chunks`` / ``chunks`` (how many column chunks carry a
+    dictionary page), ``codecs``. Descriptive, not advisory: the numbers
+    are exact; what to do about them is the caller's call."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    agg: dict = {}
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(path, name))
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                c = agg.setdefault(
+                    col.path_in_schema,
+                    {
+                        "column": col.path_in_schema,
+                        "compressed_bytes": 0,
+                        "uncompressed_bytes": 0,
+                        "chunks": 0,
+                        "dict_chunks": 0,
+                        "encodings": set(),
+                        "codecs": set(),
+                    },
+                )
+                c["compressed_bytes"] += int(col.total_compressed_size)
+                c["uncompressed_bytes"] += int(col.total_uncompressed_size)
+                c["chunks"] += 1
+                encs = {str(e) for e in col.encodings}
+                c["encodings"] |= encs
+                c["codecs"].add(str(col.compression))
+                if encs & {"PLAIN_DICTIONARY", "RLE_DICTIONARY"}:
+                    c["dict_chunks"] += 1
+    out = []
+    for c in agg.values():
+        c["encodings"] = sorted(c["encodings"])
+        c["codecs"] = sorted(c["codecs"])
+        c["ratio_ppm"] = (
+            c["compressed_bytes"] * 1_000_000 // c["uncompressed_bytes"]
+            if c["uncompressed_bytes"]
+            else 1_000_000
+        )
+        out.append(c)
+    return sorted(out, key=lambda c: -c["compressed_bytes"])

@@ -2428,3 +2428,17 @@ def test_cli_privacy_audit_and_enforce(spark, sf_smoke, tmp_path, capsys):
     rc = main(["privacy", "audit", "--source", sf_smoke, "--table",
                "customer", "--qi", "c_nationkey,nope"])
     assert rc == 2 and "nope" in capsys.readouterr().err
+
+
+def test_cli_layout_stats(spark, tmp_path, capsys):
+    src = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, i % 10) for i in range(5_000)], "id LONG, k LONG"
+    ).write.parquet(src)
+    rc = main(["layout", "stats", "--target", src])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "B compressed" in cap.out and "ratio" in cap.out
+    assert "id:" in cap.out and "k:" in cap.out
+    rc = main(["layout", "stats", "--target", str(tmp_path / "none")])
+    assert rc == 2 and "not a directory" in capsys.readouterr().err

@@ -900,6 +900,28 @@ def cmd_pipeline(args) -> int:
               file=sys.stderr)
         return 2
     docs = _read(adapter, cat.tables[0])
+    if args.markup_col:
+        # web-ingestion front door INSIDE the pipeline: extract main
+        # text from markup first, so quality/dedup/decontamination score
+        # prose, not boilerplate (the standalone route is `text extract`)
+        from database_migration_spark.operators.text import (
+            extract_markup_text,
+        )
+
+        if args.markup_col not in docs.columns:
+            print(f"error: --markup-col {args.markup_col!r} missing "
+                  f"from {args.table}", file=sys.stderr)
+            return 2
+        keep = [c for c in docs.columns
+                if c not in ("text", args.markup_col)]
+        extracted = extract_markup_text(
+            docs,
+            html_col=args.markup_col,
+            id_col="doc_id",
+            min_line_chars=args.min_line_chars,
+            max_anchor_ppm=args.max_anchor_ppm,
+        ).select("doc_id", "text")
+        docs = docs.select(*keep).join(extracted, "doc_id", "inner")
     for c in ("doc_id", "text", args.bench_col):
         if c not in docs.columns:
             print(f"error: column {c!r} missing from {args.table}",
@@ -2465,7 +2487,10 @@ def cmd_privacy(args) -> int:
             return 1
         return 0
 
-    kept_df = suppress_below_k(df, qi, k_threshold=args.k)
+    kept_df = suppress_below_k(
+        df, qi, k_threshold=args.k,
+        sensitive_col=args.sensitive, l_threshold=args.l,
+    )
     n_in = df.count()
     if args.dry_run:
         n_keep = kept_df.count()
@@ -2909,6 +2934,16 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--min-tokens", type=int, default=25)
     pl.add_argument("--min-alpha-ppm", type=int, default=200_000)
     pl.add_argument("--max-contamination-ppm", type=int, default=800_000)
+    pl.add_argument("--markup-col",
+                    help="extract main text from this markup column "
+                    "FIRST (boilerplate-line removal), then clean; "
+                    "NULL-markup rows drop with the extraction")
+    pl.add_argument("--min-line-chars", type=int, default=1,
+                    help="markup extraction: keep lines with at least "
+                    "this many visible chars")
+    pl.add_argument("--max-anchor-ppm", type=int, default=500_000,
+                    help="markup extraction: keep lines whose anchor-"
+                    "text share is at most this many ppm")
     pl.add_argument("--out", help="write the kept corpus here, "
                     "partitioned by split")
     pl.add_argument("--overwrite", action="store_true")
@@ -3194,13 +3229,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated quasi-identifier columns (the "
                     "linkable ones; NULL is a value)")
     pv.add_argument("--sensitive",
-                    help="audit: sensitive column for the l-diversity "
-                    "homogeneity check")
+                    help="sensitive column: audit adds the l-diversity "
+                    "homogeneity check, enforce also suppresses classes "
+                    "below --l")
     pv.add_argument("--k", type=int, default=5,
                     help="minimum class size to release (default 5)")
     pv.add_argument("--l", type=int, default=2,
                     help="minimum distinct sensitive answers per class "
-                    "(default 2; audit only)")
+                    "(default 2; applies when --sensitive is given)")
     pv.add_argument("--out", help="enforce: write the releasable rows "
                     "(input columns + class_size) here")
     pv.add_argument("--dry-run", action="store_true",

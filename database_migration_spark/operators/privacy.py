@@ -138,7 +138,11 @@ def k_anonymity_report(
 
 
 def suppress_below_k(
-    df: DataFrame, qi_cols: list, k_threshold: int = 5
+    df: DataFrame,
+    qi_cols: list,
+    k_threshold: int = 5,
+    sensitive_col: "str | None" = None,
+    l_threshold: int = 1,
 ) -> DataFrame:
     """k-anonymity by suppression: keep exactly the rows whose
     quasi-identifier class has at least ``k_threshold`` members. The
@@ -149,15 +153,24 @@ def suppress_below_k(
     class is large (rows lost) and in the embarrassing one when it is
     small (suppression by accident, not policy). Output columns = input
     columns (the release relation), plus ``class_size`` so the caller
-    can prove the floor held."""
+    can prove the floor held.
+
+    With ``sensitive_col``, classes must ALSO carry at least
+    ``l_threshold`` distinct sensitive answers (l-diversity enforcement
+    — the audit's ``rows_below_l`` acted on: a large homogeneous class
+    passes every k and still leaks its sensitive value to anyone who can
+    place a subject in it)."""
     if k_threshold < 1:
         raise ValueError("k_threshold must be >= 1 (k is a class size)")
-    classes = (
-        equivalence_classes(df, qi_cols)
-        .where(F.col("class_size") >= k_threshold)
-        .select(
-            *[F.col(c).alias(f"_ka_{c}") for c in qi_cols], "class_size"
-        )
+    if l_threshold < 1:
+        raise ValueError("l_threshold must be >= 1")
+    classes = equivalence_classes(df, qi_cols, sensitive_col).where(
+        F.col("class_size") >= k_threshold
+    )
+    if sensitive_col is not None:
+        classes = classes.where(F.col("l_distinct") >= l_threshold)
+    classes = classes.select(
+        *[F.col(c).alias(f"_ka_{c}") for c in qi_cols], "class_size"
     )
     cond = None
     for c in qi_cols:

@@ -2442,3 +2442,75 @@ def test_cli_layout_stats(spark, tmp_path, capsys):
     assert "id:" in cap.out and "k:" in cap.out
     rc = main(["layout", "stats", "--target", str(tmp_path / "none")])
     assert rc == 2 and "not a directory" in capsys.readouterr().err
+
+
+def test_cli_pipeline_markup_col_extracts_before_cleaning(
+    spark, tmp_path, capsys
+):
+    """--markup-col on pipeline: the quality stages score EXTRACTED
+    prose. A doc whose markup wraps good prose in a link farm survives;
+    without extraction the same corpus is boilerplate."""
+    def prose(i):
+        return (
+            f"document number {i} is a perfectly reasonable paragraph "
+            f"of training text about topic{i} with plenty of ordinary "
+            f"words that passes every quality threshold because it is "
+            f"long and alphabetic and contains no markup at all "
+            f"just plain prose concerning subject{i} and theme{i * 7}"
+        )
+
+    nav = '<div class="nav">' + " ".join(
+        f'<a href="/l{i}">link{i}</a>' for i in range(30)
+    ) + "</div>"
+    rows = [
+        (i, f"<html><body>{nav}<p>{prose(i)}</p></body></html>", "web")
+        for i in range(40)
+    ]
+    # the bench slice uses DISTINCT vocabulary: the contamination stage
+    # measures n-gram overlap vs this slice, so template-shared words
+    # would mark the whole corpus contaminated
+    rows += [
+        (
+            100 + i,
+            f"<p>benchmark item {i} evaluates chemistry biology physics "
+            f"astronomy geology riddle{i} puzzle{i} quiz{i} answer{i} "
+            f"held out from crawling entirely separate lexicon</p>",
+            "src0",
+        )
+        for i in range(5)
+    ]
+    rows += [(200, None, "web")]  # NULL markup drops with extraction
+    src = str(tmp_path / "web")
+    spark.createDataFrame(
+        rows, "doc_id LONG, html STRING, source STRING"
+    ).write.parquet(f"{src}/documents.parquet")
+
+    rc = main(["pipeline", "--source", src, "--markup-col", "html",
+               "--min-tokens", "20"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    # all 40 web docs survive quality (prose extracted, nav dropped)
+    assert "quality: 0 dropped" in cap.out
+    # a bogus markup column names the fix
+    rc = main(["pipeline", "--source", src, "--markup-col", "nope"])
+    assert rc == 2 and "nope" in capsys.readouterr().err
+
+
+def test_cli_privacy_enforce_l_diversity(spark, tmp_path, capsys):
+    src = str(tmp_path / "t")
+    # class (1): 6 rows all sens='a' (homogeneous); class (2): 6 rows
+    # sens alternating
+    rows = [(i, 1, "a") for i in range(6)]
+    rows += [(10 + i, 2, "ab"[i % 2]) for i in range(6)]
+    spark.createDataFrame(
+        rows, "id LONG, qi LONG, sens STRING"
+    ).write.parquet(f"{src}/t.parquet")
+    out = str(tmp_path / "rel")
+    rc = main(["privacy", "enforce", "--source", src, "--qi", "qi",
+               "--sensitive", "sens", "--k", "3", "--l", "2",
+               "--out", out])
+    cap = capsys.readouterr()
+    assert rc == 0 and "suppressed 6 of 12" in cap.out
+    kept = spark.read.parquet(out)
+    assert kept.count() == 6
+    assert kept.where("qi = 1").count() == 0  # homogeneous class gone

@@ -87,3 +87,24 @@ def test_report_without_sensitive_column(spark):
     assert "l_min" not in rep.columns
     row = rep.collect()[0]
     assert row.k_min == 2 and row.rows_below_k == 2
+
+
+def test_l_diversity_enforcement(spark):
+    """The audit's rows_below_l acted on: a large homogeneous class
+    passes every k and still leaks — with sensitive_col, suppression
+    drops it too."""
+    df = _frame(spark)
+    # k=2 alone keeps ("e",2): 3 rows, homogeneous (l=1)
+    k_only = suppress_below_k(df, ["region", "band"], 2)
+    assert k_only.where("region = 'e' AND band = 2").count() == 3
+    # adding l=2 suppresses exactly that class; (w,1) keeps (l=2 via
+    # the NULL answer), the others keep
+    both = suppress_below_k(
+        df, ["region", "band"], 2, sensitive_col="sens", l_threshold=2
+    )
+    got = [(r.region, r.band) for r in both.collect()]
+    assert ("e", 2) not in got
+    assert sum(1 for rg, b in got if rg == "w" and b == 1) == 2
+    assert len(got) == 13  # 16 - the 3-row homogeneous class
+    with pytest.raises(ValueError, match="l_threshold"):
+        suppress_below_k(df, ["region"], 2, "sens", 0)

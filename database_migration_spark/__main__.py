@@ -2418,6 +2418,80 @@ def cmd_ann(args) -> int:
     return 0
 
 
+def cmd_subset(args) -> int:
+    """Referentially-coherent dev-slice extraction
+    (operators/subset.coherent_subset): sample --permille of the --root
+    table with the deterministic salted-md5 rule, cascade the declared
+    fact chains (--cascade child:via_parent, repeatable) down their FK
+    edges, close every referenced ancestor upward — zero dangling FKs
+    in the written slice, the property independent per-table sampling
+    cannot give. FK edges come from the source CATALOG; a source
+    without declared keys exits 2 naming the gap."""
+    from database_migration_spark.operators.subset import (
+        coherent_subset,
+        edges_from_catalog,
+    )
+    from database_migration_spark.session import get_spark
+
+    if bool(args.out) == bool(args.dry_run):
+        print("error: pass exactly one of --out or --dry-run",
+              file=sys.stderr)
+        return 2
+    cascade = {}
+    for spec in args.cascade or []:
+        if ":" not in spec:
+            print(f"error: --cascade {spec!r} must be child:via_parent",
+                  file=sys.stderr)
+            return 2
+        ch, via = spec.split(":", 1)
+        cascade[ch.strip()] = via.strip()
+
+    spark = get_spark(app_name="dms_subset")
+    adapter = _source(spark, args.source, args)
+    cat = adapter.scan_catalog("%", "%", include_keys=True)
+    edges = edges_from_catalog(cat)
+    if not edges:
+        print("error: the source catalog declares no foreign keys — "
+              "coherent subsetting follows declared FK edges; use a "
+              "keys-bearing source or plain `sample` for a single "
+              "table", file=sys.stderr)
+        return 2
+    by_name = {t.table: t for t in cat.tables}
+    if args.root not in by_name:
+        print(f"error: root table {args.root!r} not in the catalog "
+              f"({sorted(by_name)})", file=sys.stderr)
+        return 2
+    pk = by_name[args.root].primary_key
+    root_key = ([c.strip() for c in args.key.split(",")] if args.key
+                else list(pk.columns) if pk else None)
+    if not root_key:
+        print(f"error: {args.root} declares no primary key — pass the "
+              "sampling key with --key", file=sys.stderr)
+        return 2
+    tables = {t.table: _read(adapter, t) for t in cat.tables}
+    try:
+        kept = coherent_subset(
+            tables, edges, root=args.root, permille=args.permille,
+            root_key=root_key, cascade=cascade,
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    if args.dry_run:
+        for t in sorted(kept):
+            n, total = kept[t].count(), tables[t].count()
+            print(f"{t}: keep {n} of {total}")
+        return 0
+    import os
+
+    for t in sorted(kept):
+        kept[t].write.mode("overwrite").parquet(
+            os.path.join(args.out, t)
+        )
+        print(f"{t}: wrote {kept[t].count()} rows")
+    return 0
+
+
 def cmd_privacy(args) -> int:
     """Release gate for a table (operators/privacy.py). ``audit`` prints
     the k-anonymity / l-diversity report row and exits 1 when enforcing
@@ -3214,6 +3288,31 @@ def main(argv: list[str] | None = None) -> int:
                     help="append: assert the stored quantizer bits — a "
                     "contradiction exits 2; omit to use the stored grid")
     ly.set_defaults(fn=cmd_layout)
+
+    su = sub.add_parser("subset", help="referentially-coherent dev-slice "
+                        "extraction: sample a root table, cascade fact "
+                        "chains down declared FKs, close referenced "
+                        "ancestors — zero dangling FKs in the slice")
+    su.add_argument("--source", required=True,
+                    help="table directory or jdbc: URL (catalog must "
+                    "declare foreign keys)")
+    su.add_argument("--dialect", help="dialect name for jdbc: sources")
+    su.add_argument("--jdbc-prop", action="append")
+    su.add_argument("--root", required=True,
+                    help="the sampled root table")
+    su.add_argument("--permille", type=int, default=10,
+                    help="root keep rate out of 1000 (default 10 = 1%%)")
+    su.add_argument("--key",
+                    help="root sampling key columns (default: the "
+                    "root's declared PK)")
+    su.add_argument("--cascade", action="append",
+                    help="child:via_parent fact chain to follow DOWN "
+                    "its FK (repeatable), e.g. lineitem:orders")
+    su.add_argument("--out", help="write each member table under this "
+                    "directory")
+    su.add_argument("--dry-run", action="store_true",
+                    help="print keep counts only")
+    su.set_defaults(fn=cmd_subset)
 
     pv = sub.add_parser("privacy", help="release gate: k-anonymity / "
                         "l-diversity audit over quasi-identifier columns "

@@ -1,0 +1,205 @@
+"""Referentially-coherent subsetting: extract a small, CONSISTENT slice
+of a multi-table schema — the dev/staging/CI dataset problem.
+
+Sampling each table independently shreds the schema: a 1 % orders
+sample joined to a 1 % customer sample keeps ~0.01 % of the join, and
+every FK dangles. The coherent subset instead samples ONE root relation
+with the repo's deterministic salted-md5 keep rule, then closes over
+the catalog's foreign-key graph: designated fact chains CASCADE
+downward (a child row keeps iff its FK points to a kept parent row),
+and every referenced ancestor closes UPWARD (a dim row keeps iff some
+kept row references it) — so in the output EVERY foreign key of every
+kept row resolves. Zero orphans is the contract, checkable with
+``constraints.constraint_report`` against the same catalog.
+
+This is catalog-DRIVEN (KeyMeta from any source adapter — the same FK
+rows the migration planner pushes down), the tool a migration team runs
+right after the catalog scan: "give me 2 % of production, consistent".
+The public analogues are Jailer / pg_sample; the semantics here are the
+deterministic-membership versions (the salted md5 rule from
+``sampling.hash_split``: stable across runs, engines, repartitioning,
+and corpus growth).
+
+Scale shape: the root filter is a pure map-side predicate; every
+closure step is ONE distinct key projection + a semi-join (LEFT SEMI —
+never a row-multiplying inner join; Spark broadcasts the key side when
+small, which it is by construction: kept-key relations shrink with the
+sample). The FK graph is driver-side METADATA (tens of edges); no
+driver loop touches rows. Cycles in the closure raise — a cyclic FK
+component has no well-defined minimal closure without fixpoint
+iteration, and silently iterating would hide a schema smell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from database_migration_spark.functions.hashing import md5_long
+
+
+def keep_rule(key_cols: list, permille: int, salt: str):
+    """The deterministic membership predicate: salted md5 of the
+    '|'-joined key columns, bucket < permille of 1000 (the hash_split
+    convention — salted per purpose so subset membership is independent
+    of every other hash decision). Multi-column keys join with '|' on
+    the cast-to-string values."""
+    if not 1 <= permille <= 1000:
+        raise ValueError("permille must be in [1, 1000]")
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    return (
+        md5_long(F.concat(F.lit(salt + "_"), key)) % F.lit(1000)
+    ) < F.lit(permille)
+
+
+def coherent_subset(
+    tables: dict,
+    fk_edges: list,
+    root: str,
+    permille: int,
+    root_key: "list | None" = None,
+    cascade: "dict | None" = None,
+    salt: str = "subset",
+) -> dict:
+    """Compute the coherent slice. ``tables``: name → DataFrame.
+    ``fk_edges``: (child, child_cols, parent, parent_cols) tuples — the
+    catalog's FK rows (see :func:`edges_from_catalog`). ``root_key``:
+    the root's sampling key columns (default: the FK graph is not
+    consulted — pass the PK). ``cascade``: {child: via_parent} fact
+    chains to follow DOWNWARD (e.g. {"lineitem": "orders"}); everything
+    else closes upward only. Returns {table: kept DataFrame} for the
+    root, the cascades, and every ancestor they reference — tables
+    outside the closure are not returned (they are unconstrained by it;
+    copy or skip them wholesale).
+
+    Membership semantics, replayable in any SQL engine:
+    - root: ``keep_rule(root_key) `` filter.
+    - cascade child: semi-join on its FK into the kept via-parent.
+    - ancestor: semi-join on its referenced key into the UNION of every
+      kept child's FK projection (a dim referenced by two kept facts
+      keeps the union of both requirement sets).
+    """
+    cascade = dict(cascade or {})
+    if root not in tables:
+        raise ValueError(f"root table {root!r} not in tables")
+    for ch, via in cascade.items():
+        if not any(e[0] == ch and e[2] == via for e in fk_edges):
+            raise ValueError(
+                f"cascade {ch!r} via {via!r}: no such FK edge in the "
+                "catalog — cascades must follow declared foreign keys"
+            )
+    if root_key is None:
+        raise ValueError(
+            "pass root_key (the root's PK columns) — sampling needs a "
+            "stable identity"
+        )
+
+    # the resolution set: root + cascade children + ancestor closure
+    resolved_order = [root]
+    pending = [root]
+    while pending:
+        nxt = []
+        for ch, via in cascade.items():
+            if via in resolved_order and ch not in resolved_order:
+                resolved_order.append(ch)
+                nxt.append(ch)
+        pending = nxt
+    unreached = sorted(set(cascade) - set(resolved_order))
+    if unreached:
+        raise ValueError(
+            f"cascade tables {unreached} do not chain back to the root "
+            f"{root!r} through their via-parents — cascades fan out "
+            "from the sampled root, nothing else"
+        )
+    members = set(resolved_order)
+    grew = True
+    while grew:
+        grew = False
+        for ch, _cc, parent, _pc in fk_edges:
+            if ch in members and parent not in members:
+                members.add(parent)
+                grew = True
+    missing = sorted(m for m in members if m not in tables)
+    if missing:
+        raise ValueError(
+            f"FK closure needs tables {missing} that were not provided"
+        )
+
+    edges_in = [
+        e for e in fk_edges if e[0] in members and e[2] in members
+    ]
+
+    kept: dict = {
+        root: tables[root].where(keep_rule(root_key, permille, salt))
+    }
+    # cascades: child keeps rows whose FK lands in the kept via-parent
+    # (processed in discovery order, so chained cascades resolve)
+    for ch in resolved_order[1:]:
+        via = cascade[ch]
+        _c, ccols, _p, pcols = next(
+            e for e in fk_edges if e[0] == ch and e[2] == via
+        )
+        keys = kept[via].select(
+            *[F.col(pc).alias(cc) for cc, pc in zip(ccols, pcols)]
+        ).distinct()
+        kept[ch] = tables[ch].join(keys, list(ccols), "left_semi")
+
+    # ancestors: a parent computes once every member child referencing
+    # it is computed (pass-until-fixpoint over the metadata edges — a
+    # pass that adds nothing with tables remaining is a cycle)
+    while len(kept) < len(members):
+        progress = False
+        for t in sorted(members - set(kept)):
+            children = {ch for ch, _cc, p, _pc in edges_in if p == t}
+            if not children <= set(kept):
+                continue
+            in_edges = [e for e in edges_in if e[2] == t]
+            pcols = list(in_edges[0][3])
+            for e in in_edges[1:]:
+                if list(e[3]) != pcols:
+                    raise ValueError(
+                        f"table {t!r} is referenced through different "
+                        f"column sets ({pcols} vs {list(e[3])}) — the "
+                        "union closure needs one referenced key"
+                    )
+            reqs = None
+            for ch, ccols, _p, _pc in in_edges:
+                proj = kept[ch].select(
+                    *[
+                        F.col(cc).alias(pc)
+                        for cc, pc in zip(ccols, pcols)
+                    ]
+                )
+                # a NULL FK references nothing — drop before the union
+                cond = None
+                for pc in pcols:
+                    leg = F.col(pc).isNotNull()
+                    cond = leg if cond is None else cond & leg
+                proj = proj.where(cond)
+                reqs = proj if reqs is None else reqs.unionByName(proj)
+            kept[t] = tables[t].join(reqs.distinct(), pcols, "left_semi")
+            progress = True
+        if not progress:
+            raise ValueError(
+                f"FK closure over {sorted(members - set(kept))} does "
+                "not topologically resolve (cyclic foreign keys?) — "
+                "break the cycle or subset those tables explicitly"
+            )
+    return kept
+
+
+def edges_from_catalog(cat) -> list:
+    """KeyMeta FK rows → (child, child_cols, parent, parent_cols)
+    edges (the adapter-agnostic shape :func:`coherent_subset` eats)."""
+    edges = []
+    for t in cat.tables:
+        for fk in t.foreign_keys:
+            edges.append(
+                (
+                    t.table,
+                    tuple(fk.columns),
+                    fk.ref_table,
+                    tuple(fk.ref_columns),
+                )
+            )
+    return edges

@@ -5752,6 +5752,120 @@ def join_cardinality_lineitem_partkey(
     )
 
 
+def _subset_rule_sql(key_sql: str, permille: int = 200) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('subset_' || {key_sql}), 1, 15)) "
+        f"AS BIGINT) % 1000 < {permille}"
+    )
+
+
+_SUBSET_PKS = {
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "nation": ["n_nationkey"],
+    "region": ["r_regionkey"],
+}
+
+
+def _subset_oracle() -> str:
+    def agg(t: str) -> str:
+        pk = _SUBSET_PKS[t]
+        key = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in pk)
+        h = f"CAST(('0x' || substr(md5({key}), 1, 15)) AS BIGINT)"
+        return (
+            f"SELECT '{t}' AS tbl, CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(CAST(coalesce(sum({h}), 0) AS DECIMAL(38,0)) "
+            f"AS VARCHAR) AS key_h FROM k_{t}"
+        )
+
+    return f"""
+WITH k_orders AS (
+  SELECT * FROM orders WHERE {_subset_rule_sql('CAST(o_orderkey AS VARCHAR)')}
+), k_lineitem AS (
+  SELECT * FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM k_orders)
+), k_customer AS (
+  SELECT * FROM customer WHERE c_custkey IN
+    (SELECT o_custkey FROM k_orders WHERE o_custkey IS NOT NULL)
+), k_part AS (
+  SELECT * FROM part WHERE p_partkey IN
+    (SELECT l_partkey FROM k_lineitem WHERE l_partkey IS NOT NULL)
+), k_supplier AS (
+  SELECT * FROM supplier WHERE s_suppkey IN
+    (SELECT l_suppkey FROM k_lineitem WHERE l_suppkey IS NOT NULL)
+), k_nation AS (
+  SELECT * FROM nation WHERE n_nationkey IN
+    (SELECT c_nationkey FROM k_customer WHERE c_nationkey IS NOT NULL
+     UNION
+     SELECT s_nationkey FROM k_supplier WHERE s_nationkey IS NOT NULL)
+), k_region AS (
+  SELECT * FROM region WHERE r_regionkey IN
+    (SELECT n_regionkey FROM k_nation WHERE n_regionkey IS NOT NULL)
+)
+{" UNION ALL ".join(agg(t) for t in _SUBSET_PKS)}
+"""
+
+
+@register("coherent_subset_testdata", oracle=_subset_oracle())
+def coherent_subset_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referentially-coherent dev-slice extraction
+    (operators/subset.coherent_subset): sample 20% of orders with the
+    deterministic salted-md5 rule, cascade lineitem down the declared
+    l_orderkey FK, close every referenced ancestor upward
+    (customer/part/supplier, nation as the UNION of two requirement
+    sets, region) — the FK graph comes from the CATALOG (the fixture
+    metadata the migration planner pushes down), and the contract is
+    zero dangling FKs in the slice. One summary row per member table:
+    kept count + the DECIMAL(38,0) sum of 60-bit pk hashes, so the
+    oracle pins exact MEMBERSHIP, not just sizes."""
+    from database_migration_spark.functions.hashing import md5_long
+    from database_migration_spark.operators.subset import (
+        coherent_subset,
+        edges_from_catalog,
+    )
+    from database_migration_spark.sources.parquet_source import ParquetSource
+
+    cat = ParquetSource(spark, sf_dir).scan_catalog(include_keys=True)
+    tables = {t: table(spark, sf_dir, t) for t in _SUBSET_PKS}
+    kept = coherent_subset(
+        tables,
+        edges_from_catalog(cat),
+        root="orders",
+        permille=200,
+        root_key=["o_orderkey"],
+        cascade={"lineitem": "orders"},
+    )
+    parts = []
+    for t in _SUBSET_PKS:
+        pk = _SUBSET_PKS[t]
+        key = F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in pk]
+        )
+        parts.append(
+            kept[t]
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                decstr(
+                    F.coalesce(
+                        # cast BEFORE the sum: 60-bit hashes overflow
+                        # a LONG accumulator within ~8k rows
+                        F.sum(md5_long(key).cast("decimal(38,0)")),
+                        F.lit(0).cast("decimal(38,0)"),
+                    ),
+                    0,
+                ).alias("key_h"),
+            )
+            .select(F.lit(t).alias("tbl"), "n_rows", "key_h")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @register("image_near_dup_media")
 def image_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate IMAGES (multimodal.image_near_dup_pairs): dHash
@@ -6372,6 +6486,16 @@ _SHOWCASE_ONLY = [
     # (dedup.hamming_near_pairs — the round-11 extraction, one
     # machinery for text and image signatures)
     "image_near_dup_media",
+    # showcase from birth (round 11): coherent subsetting — its
+    # machinery is the graded family everywhere (the salted-md5 keep
+    # rule = domain_mix/hash_split's graded convention, LEFT SEMI
+    # membership joins = semi_join_active_customers, catalog-driven FK
+    # metadata = migration_plan_testdata's graded catalog path); the
+    # NEW claim (the closure semantics — cascade-down + union-of-
+    # requirements ancestor closure with zero dangling FKs) is what the
+    # full WITH-chain oracle pins by exact membership hash; sim-verified
+    # + zero-orphan/cycle/NULL-FK pytests (test_subset)
+    "coherent_subset_testdata",
 ]
 
 

@@ -2514,3 +2514,46 @@ def test_cli_privacy_enforce_l_diversity(spark, tmp_path, capsys):
     kept = spark.read.parquet(out)
     assert kept.count() == 6
     assert kept.where("qi = 1").count() == 0  # homogeneous class gone
+
+
+def test_cli_subset_coherent_slice(spark, sf_smoke, tmp_path, capsys):
+    """The dev-slice workflow: subset 30% of orders + lineitem cascade +
+    ancestor dims from the fixture catalog's FK graph; the written slice
+    passes the FK sweep (`check`) with zero violations — the coherence
+    contract, end to end through two CLI commands."""
+    rc = main(["subset", "--source", sf_smoke, "--root", "orders",
+               "--permille", "300", "--cascade", "lineitem:orders",
+               "--dry-run"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "orders: keep" in cap.out and "region: keep" in cap.out
+
+    out = str(tmp_path / "slice")
+    rc = main(["subset", "--source", sf_smoke, "--root", "orders",
+               "--permille", "300", "--cascade", "lineitem:orders",
+               "--out", out])
+    cap = capsys.readouterr()
+    assert rc == 0 and "orders: wrote" in cap.out
+    # the slice is itself a readable source; the constraint sweep sees
+    # zero orphans (the zero-dangling-FK contract) — note `check` reads
+    # the fixture catalog whose FK rows cover these tables
+    import os
+
+    for t in ("orders", "lineitem", "customer", "supplier", "part",
+              "nation", "region"):
+        assert os.path.isdir(os.path.join(out, t))
+    li = spark.read.parquet(os.path.join(out, "lineitem"))
+    okeys = {r.o_orderkey for r in
+             spark.read.parquet(os.path.join(out, "orders")).collect()}
+    assert {r.l_orderkey for r in li.collect()} <= okeys
+
+    # rc=2 fix-naming paths
+    rc = main(["subset", "--source", sf_smoke, "--root", "orders",
+               "--permille", "300"])
+    assert rc == 2 and "--out or --dry-run" in capsys.readouterr().err
+    rc = main(["subset", "--source", sf_smoke, "--root", "nope",
+               "--dry-run"])
+    assert rc == 2 and "nope" in capsys.readouterr().err
+    rc = main(["subset", "--source", sf_smoke, "--root", "orders",
+               "--cascade", "lineitem", "--dry-run"])
+    assert rc == 2 and "child:via_parent" in capsys.readouterr().err

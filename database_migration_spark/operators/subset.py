@@ -60,6 +60,7 @@ def coherent_subset(
     root_key: "list | None" = None,
     cascade: "dict | None" = None,
     salt: str = "subset",
+    persist: bool = True,
 ) -> dict:
     """Compute the coherent slice. ``tables``: name → DataFrame.
     ``fk_edges``: (child, child_cols, parent, parent_cols) tuples — the
@@ -78,6 +79,13 @@ def coherent_subset(
     - ancestor: semi-join on its referenced key into the UNION of every
       kept child's FK projection (a dim referenced by two kept facts
       keeps the union of both requirement sets).
+
+    ``persist`` (default on): the root and cascade kept relations feed
+    SEVERAL plan branches (each ancestor's requirement projection plus
+    the caller's own consumption) — the repo's multi-branch persist
+    rule; without it the root filter re-scans once per branch. The
+    caller owns unpersisting (or lets the cache evict); pass False for
+    one-shot compositions that manage their own persistence.
     """
     cascade = dict(cascade or {})
     if root not in tables:
@@ -129,8 +137,15 @@ def coherent_subset(
         e for e in fk_edges if e[0] in members and e[2] in members
     ]
 
+    def _hold(df: DataFrame) -> DataFrame:
+        if not persist:
+            return df
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+
     kept: dict = {
-        root: tables[root].where(keep_rule(root_key, permille, salt))
+        root: _hold(tables[root].where(keep_rule(root_key, permille, salt)))
     }
     # cascades: child keeps rows whose FK lands in the kept via-parent
     # (processed in discovery order, so chained cascades resolve)
@@ -142,7 +157,7 @@ def coherent_subset(
         keys = kept[via].select(
             *[F.col(pc).alias(cc) for cc, pc in zip(ccols, pcols)]
         ).distinct()
-        kept[ch] = tables[ch].join(keys, list(ccols), "left_semi")
+        kept[ch] = _hold(tables[ch].join(keys, list(ccols), "left_semi"))
 
     # ancestors: a parent computes once every member child referencing
     # it is computed (pass-until-fixpoint over the metadata edges — a

@@ -236,7 +236,7 @@ def generate(
     out: str | None = None,
     replicas: int | None = None,
     tables: tuple = ("documents", "lineitem", "embeddings", "events", "part",
-                     "customer", "orders", "supplier"),
+                     "customer", "orders", "supplier", "nation", "region"),
 ) -> None:
     """Derive a replicas× corpus from sf0.1. Replica structure mirrors the
     x10 design (see SCALE.md: per-replica word suffixes keep the duplicate
@@ -354,16 +354,33 @@ def generate(
                 os.path.join(out, f"{tbl}.parquet")
             )
 
+    # nation/region: fixed-size dimensions at every TPC-H scale factor —
+    # the honest scaling is a PASSTHROUGH copy (round 11: the coherent-
+    # subset probe closes over them; c_nationkey/s_nationkey reference
+    # the unreplicated base keys, which is exactly what a real corpus
+    # does with small dims)
+    for tbl in ("nation", "region"):
+        if tbl in tables:
+            spark.read.parquet(
+                os.path.join(SF01, f"{tbl}.parquet")
+            ).write.mode("overwrite").parquet(
+                os.path.join(out, f"{tbl}.parquet")
+            )
+
     if "orders" in tables:
         # row_diff / profile / scd2 family: key cardinality scales with
         # volume (o_orderkey bump keeps %-derived diff fates at a constant
-        # RATE; o_custkey bump keeps histogram/distinct work realistic)
+        # RATE; o_custkey bump keeps histogram/distinct work realistic).
+        # o_custkey uses the SAME 10M bump as customer's c_custkey so the
+        # derived corpus stays FK-COHERENT (round 11: the subset-closure
+        # probe needs resolvable references; the old 1M bump dangled
+        # every non-replica-0 order's customer)
         o = spark.read.parquet(os.path.join(SF01, "orders.parquet"))
         o.crossJoin(rep).select(
             (F.col("o_orderkey") + F.col("rep") * F.lit(10_000_000)).alias(
                 "o_orderkey"
             ),
-            (F.col("o_custkey") + F.col("rep") * F.lit(1_000_000)).alias(
+            (F.col("o_custkey") + F.col("rep") * F.lit(10_000_000)).alias(
                 "o_custkey"
             ),
             "o_orderstatus",
@@ -1113,7 +1130,8 @@ def main() -> int:
         # tables that joined the x10 set after the first generation
         missing = tuple(
             t
-            for t in ("part", "customer", "orders", "supplier")
+            for t in ("part", "customer", "orders", "supplier", "nation",
+                      "region")
             if not os.path.exists(os.path.join(OUT, f"{t}.parquet"))
         )
         if missing:
@@ -1158,7 +1176,7 @@ def main() -> int:
             # tables that joined the x100 set after the first generation
             missing = tuple(
                 t
-                for t in ("events", "embeddings", "part", "customer",
+                for t in ("events", "embeddings", "part", "customer", "nation", "region",
                           "orders", "supplier")
                 if not os.path.exists(os.path.join(OUT100, f"{t}.parquet"))
             )
@@ -1523,6 +1541,49 @@ def main() -> int:
             spark, OUT
         ).count()
         out["image_near_dup_cold"] = img
+        # coherent subset: internal persists (the root/cascade kept
+        # relations feed several branches) → cold laps again. The
+        # derived corpus is FK-coherent for this probe since round 11
+        # (orders' o_custkey bump matches customer's 10M; nation/region
+        # are passthrough dims) — the per-table kept counts below are
+        # the non-vacuity guard (a dangling-FK corpus would close over
+        # near-empty dims)
+        missing = tuple(
+            t for t in ("nation", "region")
+            if not os.path.exists(os.path.join(OUT, f"{t}.parquet"))
+        )
+        if missing:
+            generate(spark, OUT, REPLICAS, tables=missing)
+        sub = {
+            "sf0.1_sec": round(
+                cold_thunk(
+                    spark,
+                    lambda: registry["coherent_subset_testdata"](
+                        spark, SF01
+                    ),
+                ),
+                3,
+            ),
+            "x10_sec": round(
+                cold_thunk(
+                    spark,
+                    lambda: registry["coherent_subset_testdata"](
+                        spark, OUT
+                    ),
+                ),
+                3,
+            ),
+        }
+        sub["scaling_factor"] = round(
+            sub["x10_sec"] / sub["sf0.1_sec"], 2
+        )
+        sub["x10_kept"] = {
+            r.tbl: int(r.n_rows)
+            for r in registry["coherent_subset_testdata"](
+                spark, OUT
+            ).collect()
+        }
+        out["coherent_subset_cold"] = sub
     if "--media-decode" in sys.argv:
         out["media_decode"] = media_decode_probe(spark)
     if "--semantic-bits" in sys.argv:

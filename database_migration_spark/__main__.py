@@ -908,9 +908,15 @@ def cmd_pipeline(args) -> int:
             extract_markup_text,
         )
 
-        if args.markup_col not in docs.columns:
-            print(f"error: --markup-col {args.markup_col!r} missing "
-                  f"from {args.table}", file=sys.stderr)
+        missing = [c for c in (args.markup_col, "doc_id")
+                   if c not in docs.columns]
+        if missing:
+            # doc_id validated HERE too: the extraction keys on it, and
+            # the shared check below only runs after this block — an
+            # AnalysisException traceback is not an rc=2 fix-naming
+            # message (review finding)
+            print(f"error: columns {missing} missing from {args.table}",
+                  file=sys.stderr)
             return 2
         keep = [c for c in docs.columns
                 if c not in ("text", args.markup_col)]
@@ -2485,10 +2491,12 @@ def cmd_subset(args) -> int:
     import os
 
     for t in sorted(kept):
-        kept[t].write.mode("overwrite").parquet(
-            os.path.join(args.out, t)
-        )
-        print(f"{t}: wrote {kept[t].count()} rows")
+        dest = os.path.join(args.out, t)
+        kept[t].write.mode("overwrite").parquet(dest)
+        # count what was WRITTEN (footer-driven), not the plan again —
+        # recomputing the closure per table doubles the command
+        # (review finding; the cmd_privacy pattern)
+        print(f"{t}: wrote {spark.read.parquet(dest).count()} rows")
     return 0
 
 

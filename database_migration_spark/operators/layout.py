@@ -428,11 +428,19 @@ def storage_stats(path: str) -> list:
 
     import pyarrow.parquet as pq
 
+    # recursive walk: "any parquet directory" includes partitioned
+    # layouts (split=train/... one level down — the pipeline --out
+    # shape); a top-level listdir would report "no parquet files"
+    # (review finding)
+    files = sorted(
+        os.path.join(root, n)
+        for root, _dirs, names in os.walk(path)
+        for n in names
+        if n.endswith(".parquet")
+    )
     agg: dict = {}
-    for name in sorted(os.listdir(path)):
-        if not name.endswith(".parquet"):
-            continue
-        md = pq.read_metadata(os.path.join(path, name))
+    for fpath in files:
+        md = pq.read_metadata(fpath)
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             for ci in range(g.num_columns):

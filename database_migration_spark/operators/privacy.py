@@ -102,19 +102,31 @@ def k_anonymity_report(
     if l_threshold < 1:
         raise ValueError("l_threshold must be >= 1")
     classes = equivalence_classes(df, qi_cols, sensitive_col)
+    # sums coalesce to 0 on an EMPTY table (SQL sums aggregate to NULL
+    # and the CLI gate's `rows_below_k > 0` would TypeError on None —
+    # review finding); k_min/l_min honestly stay NULL (no classes, no k)
     aggs = [
-        F.sum("class_size").cast("long").alias("n_rows"),
+        F.coalesce(F.sum("class_size"), F.lit(0))
+        .cast("long")
+        .alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_classes"),
         F.min("class_size").cast("long").alias("k_min"),
-        F.sum(
-            F.when(F.col("class_size") < k_threshold, 1).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(F.col("class_size") < k_threshold, 1).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("classes_below_k"),
-        F.sum(
-            F.when(
-                F.col("class_size") < k_threshold, F.col("class_size")
-            ).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("class_size") < k_threshold,
+                    F.col("class_size"),
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("rows_below_k"),
@@ -122,10 +134,14 @@ def k_anonymity_report(
     if sensitive_col is not None:
         aggs += [
             F.min("l_distinct").cast("long").alias("l_min"),
-            F.sum(
-                F.when(
-                    F.col("l_distinct") < l_threshold, F.col("class_size")
-                ).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("l_distinct") < l_threshold,
+                        F.col("class_size"),
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             )
             .cast("long")
             .alias("rows_below_l"),
@@ -133,7 +149,12 @@ def k_anonymity_report(
     out = classes.agg(*aggs)
     return out.withColumn(
         "rows_below_k_ppm",
-        F.expr("rows_below_k * 1000000 div n_rows").cast("long"),
+        # empty table: 0 rows at risk of 0 rows is 0 ppm, not a
+        # divide-by-zero
+        F.expr(
+            "CASE WHEN n_rows = 0 THEN 0L "
+            "ELSE rows_below_k * 1000000 div n_rows END"
+        ).cast("long"),
     )
 
 
@@ -143,6 +164,7 @@ def suppress_below_k(
     k_threshold: int = 5,
     sensitive_col: "str | None" = None,
     l_threshold: int = 1,
+    broadcast_classes: bool = True,
 ) -> DataFrame:
     """k-anonymity by suppression: keep exactly the rows whose
     quasi-identifier class has at least ``k_threshold`` members. The
@@ -159,7 +181,15 @@ def suppress_below_k(
     ``l_threshold`` distinct sensitive answers (l-diversity enforcement
     — the audit's ``rows_below_l`` acted on: a large homogeneous class
     passes every k and still leaks its sensitive value to anyone who can
-    place a subject in it)."""
+    place a subject in it).
+
+    ``broadcast_classes`` (default on) HINTS the class relation to the
+    broadcast side: it is post-aggregation, so Spark's size estimator
+    misses it and would shuffle the full input to meet a dimension-sized
+    count table (the pairing._dict_side lesson, 43 % of ER edge-gen at
+    ×100). Quasi-identifiers are deliberately coarse, so classes are
+    small by construction; opt out only for near-unique QI sets (where
+    the audit would have told you k_min=1 anyway)."""
     if k_threshold < 1:
         raise ValueError("k_threshold must be >= 1 (k is a class size)")
     if l_threshold < 1:
@@ -172,6 +202,8 @@ def suppress_below_k(
     classes = classes.select(
         *[F.col(c).alias(f"_ka_{c}") for c in qi_cols], "class_size"
     )
+    if broadcast_classes:
+        classes = F.broadcast(classes)
     cond = None
     for c in qi_cols:
         leg = F.col(c).eqNullSafe(F.col(f"_ka_{c}"))

@@ -80,12 +80,17 @@ def coherent_subset(
       kept child's FK projection (a dim referenced by two kept facts
       keeps the union of both requirement sets).
 
-    ``persist`` (default on): the root and cascade kept relations feed
-    SEVERAL plan branches (each ancestor's requirement projection plus
-    the caller's own consumption) — the repo's multi-branch persist
-    rule; without it the root filter re-scans once per branch. The
-    caller owns unpersisting (or lets the cache evict); pass False for
-    one-shot compositions that manage their own persistence.
+    ``persist`` (default on): every kept relation feeds SEVERAL plan
+    branches (its parents' requirement projections plus the caller's
+    own consumption) — the repo's multi-branch persist rule; without it
+    the membership chains re-run once per branch. The caller owns
+    unpersisting (or lets the cache evict); pass False for one-shot
+    compositions that manage their own persistence.
+
+    Member edges pointing INTO the root or a cascade table (other than
+    the cascade's own via edge) RAISE: those sets are fixed by their
+    rules and cannot grow to cover the reference, so rows could dangle
+    — the contract beats silent best-effort.
     """
     cascade = dict(cascade or {})
     if root not in tables:
@@ -136,6 +141,38 @@ def coherent_subset(
     edges_in = [
         e for e in fk_edges if e[0] in members and e[2] in members
     ]
+    # the root and cascade tables are FIXED-RULE sets (md5 filter / the
+    # via semi-join) — they cannot GROW to cover extra references. Any
+    # OTHER member edge pointing into them (a second FK from a cascade
+    # child to its via-parent, a sibling fact referencing the root, a
+    # self-reference) would dangle silently, so it must RAISE: the
+    # zero-dangling-FK contract beats silent best-effort (review
+    # finding — `next()` used to pick the first matching edge and
+    # ignore the rest).
+    fixed = set(resolved_order)
+    for ch, via in cascade.items():
+        matching = [e for e in fk_edges if e[0] == ch and e[2] == via]
+        if len(matching) > 1:
+            # two FKs child→via: the cascade can follow only one, and
+            # the other would dangle — ambiguous, so refuse
+            raise ValueError(
+                f"cascade {ch!r} via {via!r} is ambiguous: "
+                f"{len(matching)} FK edges exist between them "
+                f"({[list(e[1]) for e in matching]}) and {via!r} is a "
+                "fixed-rule table (root/cascade) that cannot grow to "
+                "cover the second reference — rows could dangle"
+            )
+    for ch, ccols, p, _pc in edges_in:
+        if p not in fixed:
+            continue  # ancestors GROW to cover references — always safe
+        if ch in cascade and cascade[ch] == p:
+            continue  # the via edge is what DEFINES the child's rows
+        raise ValueError(
+            f"FK {ch}.{list(ccols)} -> {p}: {p!r} is a fixed-rule "
+            "table (root/cascade) and cannot grow to cover this "
+            "reference — rows could dangle. Re-root the subset or "
+            "cascade through this edge instead."
+        )
 
     def _hold(df: DataFrame) -> DataFrame:
         if not persist:
@@ -192,7 +229,12 @@ def coherent_subset(
                     cond = leg if cond is None else cond & leg
                 proj = proj.where(cond)
                 reqs = proj if reqs is None else reqs.unionByName(proj)
-            kept[t] = tables[t].join(reqs.distinct(), pcols, "left_semi")
+            # ancestors are multi-branch too: each feeds its OWN
+            # parents' requirement unions plus the caller (review
+            # finding — only root/cascades were held before)
+            kept[t] = _hold(
+                tables[t].join(reqs.distinct(), pcols, "left_semi")
+            )
             progress = True
         if not progress:
             raise ValueError(

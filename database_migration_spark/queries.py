@@ -1921,9 +1921,14 @@ def leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, k=_SHINGLE_K, num_perm=32, bands=4, threshold_permille=800, seed=42
     )
     labels = DD.connected_components(pairs, docs, id_col="doc_id")
-    return SP.cluster_safe_split(docs, "doc_id", labels).select(
-        "doc_id", "cluster_id", "split"
-    )
+    # verify_labels=False: CC output is provably one row per id (the
+    # documented opt-out); the default's eager uniqueness pass would
+    # run the whole minhash+CC pipeline at PLAN-BUILD time — inside
+    # every registry schema-force, sim registration and bench lap
+    # (review finding)
+    return SP.cluster_safe_split(
+        docs, "doc_id", labels, verify_labels=False
+    ).select("doc_id", "cluster_id", "split")
 
 
 def _incremental_dedup_oracle(num_perm: int = 32, bands: int = 4) -> str:
@@ -3824,7 +3829,10 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = DD.connected_components(pairs, docs, id_col="doc_id")
     plain = SP.hash_split(docs, "doc_id", val_permille=200, test_permille=200)
     safe = SP.cluster_safe_split(
-        docs, "doc_id", labels, val_permille=200, test_permille=200
+        docs, "doc_id", labels, val_permille=200, test_permille=200,
+        verify_labels=False,  # CC labels are one-row-per-id by
+        # construction; the default's eager pass would run the whole
+        # pair+CC pipeline at plan-build time (review finding)
     )
 
     def audit(assign: DataFrame, policy: str) -> DataFrame:
@@ -5880,9 +5888,16 @@ def image_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixels); the differential pytest (test_multimodal) pins the Spark
     path against brute-force local hashing, and dhash_halves itself is
     pinned against an independent per-cell reference."""
+    from database_migration_spark.functions.parallel import fan_out
     from database_migration_spark.operators import multimodal as MM
 
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # fan_out BEFORE the encode mapInPandas: perceptual_dhash fans out
+    # its own input, but that repartition sits DOWNSTREAM of the encode,
+    # which would otherwise inherit the single-row-group scan's one task
+    # (the CPU-heavy-operator rule; review finding)
+    emb = fan_out(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
 
     def encode(batches):
         import numpy as np
@@ -5909,6 +5924,10 @@ def image_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {"media_id": vid, "payload": MM.encode_bmp(16, 16, px)}
                 )
                 if vid % 20 == 0:
+                    # planted ids live in NEGATIVE key space (the CDC
+                    # demo-key rule): a positive +10M offset collides
+                    # with the derived x100 corpus's replica vec_id
+                    # bumps (replica i = base + i*1M — review finding)
                     # uniform +2 on the top quarter: every dhash cell in
                     # the affected rows shifts equally, so adjacent-cell
                     # DIFFERENCES are unchanged — hamming 0 by
@@ -5919,7 +5938,7 @@ def image_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).astype(np.uint8)
                     rows.append(
                         {
-                            "media_id": vid + 10_000_000,
+                            "media_id": -vid - 1,
                             "payload": MM.encode_bmp(16, 16, px2),
                         }
                     )

@@ -2557,3 +2557,15 @@ def test_cli_subset_coherent_slice(spark, sf_smoke, tmp_path, capsys):
     rc = main(["subset", "--source", sf_smoke, "--root", "orders",
                "--cascade", "lineitem", "--dry-run"])
     assert rc == 2 and "child:via_parent" in capsys.readouterr().err
+
+
+def test_cli_pipeline_markup_col_missing_columns_exit_2(
+    spark, tmp_path, capsys
+):
+    src = str(tmp_path / "noid")
+    spark.createDataFrame(
+        [(1, "<p>x</p>", "web")], "page_id LONG, html STRING, source STRING"
+    ).write.parquet(f"{src}/documents.parquet")
+    rc = main(["pipeline", "--source", src, "--markup-col", "html"])
+    err = capsys.readouterr().err
+    assert rc == 2 and "doc_id" in err  # fix-naming, not a traceback

@@ -367,3 +367,18 @@ def test_storage_stats_reads_footers_and_layout_compresses(spark, tmp_path):
             assert r["ratio_ppm"] == (
                 r["compressed_bytes"] * 1_000_000 // r["uncompressed_bytes"]
             )
+
+
+def test_storage_stats_recurses_partitioned_layouts(spark, tmp_path):
+    # "any parquet directory" includes partitionBy layouts (review
+    # finding: a top-level listdir saw no files one level down)
+    from database_migration_spark.operators.layout import storage_stats
+
+    path = str(tmp_path / "parted")
+    spark.createDataFrame(
+        [(i, "train" if i % 5 else "test") for i in range(2_000)],
+        "id LONG, split STRING",
+    ).write.partitionBy("split").parquet(path)
+    stats = {c["column"]: c for c in storage_stats(path)}
+    assert "id" in stats and stats["id"]["compressed_bytes"] > 0
+    assert stats["id"]["chunks"] >= 2  # both partitions contributed

@@ -108,3 +108,15 @@ def test_l_diversity_enforcement(spark):
     assert len(got) == 13  # 16 - the 3-row homogeneous class
     with pytest.raises(ValueError, match="l_threshold"):
         suppress_below_k(df, ["region"], 2, "sens", 0)
+
+
+def test_empty_table_audit_is_zero_not_null(spark):
+    # SQL sums aggregate to NULL over zero rows; the gate's
+    # `rows_below_k > 0` must see 0, and the ppm must not divide by
+    # zero (review finding). k_min/l_min honestly stay NULL.
+    empty = _frame(spark).where("1 = 0")
+    row = k_anonymity_report(empty, ["region", "band"], "sens").collect()[0]
+    assert row.n_rows == 0 and row.n_classes == 0
+    assert row.rows_below_k == 0 and row.rows_below_k_ppm == 0
+    assert row.rows_below_l == 0
+    assert row.k_min is None and row.l_min is None

@@ -147,3 +147,18 @@ def test_keep_rule_matches_hash_split_convention(spark):
         ).collect()
     }
     assert got == want and 150 < len(got) < 350
+
+
+def test_second_edge_into_fixed_set_raises(spark):
+    # a second FK from the cascade child into its via-parent (or any
+    # member edge into root/cascade beyond the via edge) cannot be
+    # covered — the fixed-rule sets don't grow; silent best-effort would
+    # dangle rows (review finding)
+    tables = _tables(spark)
+    tables["child"] = tables["child"].selectExpr(
+        "cid", "fk", "dim_fk", "fk AS second_fk"
+    )
+    edges2 = EDGES + [("child", ("second_fk",), "root", ("rid",))]
+    with pytest.raises(ValueError, match="cannot grow"):
+        coherent_subset(tables, edges2, "root", 300, ["rid"],
+                        cascade={"child": "root"})

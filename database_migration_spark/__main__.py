@@ -2424,6 +2424,70 @@ def cmd_ann(args) -> int:
     return 0
 
 
+def cmd_joincard(args) -> int:
+    """The runaway-join guard as a CI gate
+    (operators/advisor.join_cardinality): predict |left ⋈ right ON
+    keys| from two per-key count aggregates — never running the join —
+    and exit 1 when the prediction exceeds --max-rows (the
+    validate/expect red-gate convention). Prints the top contributing
+    keys, the NULL-key rows an inner join would silently drop, and the
+    exact total. Bad parameters exit 2 naming the fix."""
+    from database_migration_spark.operators.advisor import join_cardinality
+    from database_migration_spark.session import get_spark
+
+    keys = [c.strip() for c in (args.keys or "").split(",") if c.strip()]
+    if not keys:
+        print("error: pass --keys with at least one join key column",
+              file=sys.stderr)
+        return 2
+
+    spark = get_spark(app_name="dms_joincard")
+
+    def load(root: str, table: "str | None", side: str):
+        adapter = _source(spark, root, args)
+        cat = adapter.scan_catalog("%", table or "%")
+        if not cat.tables:
+            print(f"error: no table in {root}", file=sys.stderr)
+            return None
+        if len(cat.tables) > 1:
+            names = sorted(t.table for t in cat.tables)
+            print(f"error: {root} holds several tables {names} — pick "
+                  f"one with --{side}-table", file=sys.stderr)
+            return None
+        return _read(adapter, cat.tables[0])
+
+    left = load(args.left, args.left_table, "left")
+    if left is None:
+        return 2
+    right = load(args.right, args.right_table, "right")
+    if right is None:
+        return 2
+    missing = [c for c in keys
+               if c not in left.columns or c not in right.columns]
+    if missing:
+        print(f"error: join keys {missing} must exist on BOTH sides "
+              f"(left: {left.columns}, right: {right.columns})",
+              file=sys.stderr)
+        return 2
+    rows = join_cardinality(left, right, keys, top=args.top).collect()
+    total = next(r for r in rows if r.key == "*TOTAL*")
+    nulls = next(r for r in rows if r.key == "*NULL*")
+    for r in rows:
+        if r.key.startswith("*"):
+            continue
+        print(f"key {r.key}: {r.rows_a} x {r.rows_b} -> {r.out_rows}")
+    print(f"null-key rows dropped by an inner join: left={nulls.rows_a} "
+          f"right={nulls.rows_b}")
+    print(f"predicted output: {total.out_rows} rows "
+          f"(left={total.rows_a}, right={total.rows_b})")
+    if args.max_rows is not None and int(total.out_rows) > args.max_rows:
+        print(f"FAIL: predicted {total.out_rows} rows exceeds "
+              f"--max-rows {args.max_rows} — an accidental "
+              "many-to-many? Check the top keys above", file=sys.stderr)
+        return 1
+    return 0
+
+
 def cmd_subset(args) -> int:
     """Referentially-coherent dev-slice extraction
     (operators/subset.coherent_subset): sample --permille of the --root
@@ -3296,6 +3360,29 @@ def main(argv: list[str] | None = None) -> int:
                     help="append: assert the stored quantizer bits — a "
                     "contradiction exits 2; omit to use the stored grid")
     ly.set_defaults(fn=cmd_layout)
+
+    jc = sub.add_parser("joincard", help="runaway-join guard: predict "
+                        "|left JOIN right| exactly from per-key counts "
+                        "WITHOUT running the join; rc=1 above --max-rows")
+    jc.add_argument("--left", required=True,
+                    help="left table directory or jdbc: URL")
+    jc.add_argument("--right", required=True,
+                    help="right table directory or jdbc: URL")
+    jc.add_argument("--left-table", help="table name when --left holds "
+                    "several")
+    jc.add_argument("--right-table", help="table name when --right holds "
+                    "several")
+    jc.add_argument("--dialect", help="dialect name for jdbc: sources")
+    jc.add_argument("--jdbc-prop", action="append")
+    jc.add_argument("--keys", required=True,
+                    help="comma-separated equi-join key columns "
+                    "(same names on both sides)")
+    jc.add_argument("--top", type=int, default=10,
+                    help="top contributing keys to print (default 10)")
+    jc.add_argument("--max-rows", type=int, default=None,
+                    help="red gate: exit 1 when the predicted output "
+                    "exceeds this row count")
+    jc.set_defaults(fn=cmd_joincard)
 
     su = sub.add_parser("subset", help="referentially-coherent dev-slice "
                         "extraction: sample a root table, cascade fact "

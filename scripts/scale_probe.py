@@ -1584,6 +1584,34 @@ def main() -> int:
             ).collect()
         }
         out["coherent_subset_cold"] = sub
+        if "--x100" in sys.argv:
+            # third decade for the guards (needs the x100 corpus from
+            # the main --x100 path or generated here on demand)
+            for t in ("lineitem", "embeddings"):
+                if not os.path.exists(os.path.join(OUT100, f"{t}.parquet")):
+                    generate(spark, OUT100, 100, tables=(t,))
+            li100 = spark.read.parquet(
+                os.path.join(OUT100, "lineitem.parquet")
+            )
+            out["join_cardinality_cold"]["x100_sec"] = round(
+                cold_thunk(
+                    spark,
+                    lambda: join_cardinality(li100, li100, ["l_partkey"]),
+                ),
+                3,
+            )
+            out["image_near_dup_cold"]["x100_sec"] = round(
+                cold_thunk(
+                    spark,
+                    lambda: registry["image_near_dup_media"](
+                        spark, OUT100
+                    ),
+                ),
+                3,
+            )
+            out["image_near_dup_cold"]["x100_pairs"] = registry[
+                "image_near_dup_media"
+            ](spark, OUT100).count()
     if "--media-decode" in sys.argv:
         out["media_decode"] = media_decode_probe(spark)
     if "--semantic-bits" in sys.argv:

@@ -2569,3 +2569,40 @@ def test_cli_pipeline_markup_col_missing_columns_exit_2(
     rc = main(["pipeline", "--source", src, "--markup-col", "html"])
     err = capsys.readouterr().err
     assert rc == 2 and "doc_id" in err  # fix-naming, not a traceback
+
+
+def test_cli_joincard_gate(spark, sf_smoke, tmp_path, capsys):
+    """The runaway-join guard as a CI gate: predicted |lineitem JOIN
+    lineitem ON l_partkey| trips --max-rows (rc=1) with the top keys
+    printed; a sane key passes; rc=2 names bad parameters."""
+    rc = main(["joincard", "--left", sf_smoke, "--left-table", "lineitem",
+               "--right", sf_smoke, "--right-table", "lineitem",
+               "--keys", "l_partkey", "--max-rows", "10000"])
+    cap = capsys.readouterr()
+    assert rc == 1
+    assert "predicted output:" in cap.out and "key " in cap.out
+    assert "many-to-many" in cap.err
+    # predicted == actual (the operator's contract, via the CLI)
+    import re
+
+    pred = int(re.search(r"predicted output: (\d+) rows", cap.out).group(1))
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    assert pred == li.join(li.select("l_partkey"), "l_partkey").count()
+
+    # a PK self-join stays small and passes the same gate
+    rc = main(["joincard", "--left", sf_smoke, "--left-table", "lineitem",
+               "--right", sf_smoke, "--right-table", "lineitem",
+               "--keys", "l_orderkey,l_linenumber",
+               "--max-rows", "100000"])
+    cap = capsys.readouterr()
+    assert rc == 0  # PK self-join: |out| == |table| == 6005 at sf0.001
+
+    # rc=2 fix-naming
+    rc = main(["joincard", "--left", sf_smoke, "--left-table", "lineitem",
+               "--right", sf_smoke, "--right-table", "orders",
+               "--keys", "l_partkey"])
+    assert rc == 2 and "BOTH sides" in capsys.readouterr().err
+    rc = main(["joincard", "--left", sf_smoke, "--right", sf_smoke,
+               "--left-table", "lineitem", "--right-table", "lineitem",
+               "--keys", ""])
+    assert rc == 2 and "--keys" in capsys.readouterr().err

@@ -861,3 +861,73 @@ def compact_cdc_target(
         return {"tombstones_before": before, "tombstones_after": 0}
     after = spark.read.parquet(target_path).where(F.col("_deleted")).count()
     return {"tombstones_before": before, "tombstones_after": after}
+
+
+def stream_zorder_append(
+    stream: DataFrame,
+    layout_path: str,
+    checkpoint: str,
+    cols: "list[str] | None" = None,
+    bits: "int | None" = None,
+    n_files: int = 16,
+):
+    """Continuous ingestion into a z-ordered layout — the streaming form
+    of ``layout.zorder_append``: the write-optimized feed lands already
+    READ-optimized (every keyed column's footer span bounded per file),
+    instead of the usual ingest-then-recluster two-step.
+
+    The FIRST epoch bootstraps the layout (``zorder_write`` with
+    ``cols``/``bits``/``n_files``); every later epoch clusters its batch
+    on the STORED grid (``_layout_meta.json`` — contradictory explicit
+    ``cols``/``bits`` RAISE, the index-meta rule). Time-ordered streams
+    push values past the stored bounds; the quantizer clamp degrades
+    pruning gracefully until a ``compact --zorder`` re-clusters — the
+    append-lifecycle numbers in SCALE.md are exactly this shape.
+
+    Delivery semantics, honestly: plain-parquet appends cannot be
+    transactional. A RETRIED epoch (foreachBatch at-least-once) is
+    fenced by the ``last_epoch`` recorded in the layout meta — the
+    common replay (crash after meta commit, before checkpoint commit)
+    is skipped idempotently. The uncovered window is a crash BETWEEN
+    the parquet append and the meta commit: that epoch's replay
+    double-writes its rows (a transactional table format's atomic
+    append is the real fix at 100 TB; this is the plain-parquet
+    equivalent with the window stated). The fence compares equality,
+    not ≤, so pointing a FRESH checkpoint (epoch ids restart at 0) at
+    an existing layout keeps appending rather than silently skipping.
+    No operator-internal persists (the foreachBatch leak rule) — each
+    epoch's batch is consumed once by the clustered write plus one
+    count for file sizing inside zorder_append."""
+    from database_migration_spark.operators.layout import (
+        _write_layout_meta,
+        read_layout_meta,
+        zorder_append,
+        zorder_write,
+    )
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.head(1):
+            return
+        meta = read_layout_meta(layout_path)
+        if meta is None:
+            if cols is None:
+                raise ValueError(
+                    "stream_zorder_append bootstrap needs cols=[...] "
+                    "(no layout exists yet at the target)"
+                )
+            desc = zorder_write(
+                batch, layout_path, list(cols), n_files, bits=bits
+            )
+        else:
+            if int(meta.get("last_epoch", -1)) == int(epoch_id):
+                return  # replayed epoch, already applied (meta fence)
+            desc = zorder_append(batch, layout_path, cols=cols, bits=bits)
+        desc["last_epoch"] = int(epoch_id)
+        _write_layout_meta(layout_path, desc)
+
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

@@ -2551,6 +2551,9 @@ def cmd_subset(args) -> int:
         for t in sorted(kept):
             n, total = kept[t].count(), tables[t].count()
             print(f"{t}: keep {n} of {total}")
+        if args.copy_rest:
+            rest = sorted(set(tables) - set(kept))
+            print(f"plus full copies of: {', '.join(rest) or '(none)'}")
         return 0
     import os
 
@@ -2561,6 +2564,16 @@ def cmd_subset(args) -> int:
         # recomputing the closure per table doubles the command
         # (review finding; the cmd_privacy pattern)
         print(f"{t}: wrote {spark.read.parquet(dest).count()} rows")
+    if args.copy_rest:
+        # tables outside the FK closure are unconstrained by it — a
+        # complete dev environment wants them wholesale (events,
+        # documents, reference data), and omitting them silently would
+        # look like data loss to the consumer
+        for t in sorted(set(tables) - set(kept)):
+            dest = os.path.join(args.out, t)
+            tables[t].write.mode("overwrite").parquet(dest)
+            print(f"{t}: copied {spark.read.parquet(dest).count()} rows "
+                  "(outside the FK closure)")
     return 0
 
 
@@ -3405,6 +3418,9 @@ def main(argv: list[str] | None = None) -> int:
                     "its FK (repeatable), e.g. lineitem:orders")
     su.add_argument("--out", help="write each member table under this "
                     "directory")
+    su.add_argument("--copy-rest", action="store_true",
+                    help="also copy tables OUTSIDE the FK closure "
+                    "wholesale (the complete dev environment)")
     su.add_argument("--dry-run", action="store_true",
                     help="print keep counts only")
     su.set_defaults(fn=cmd_subset)

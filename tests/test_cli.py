@@ -2606,3 +2606,26 @@ def test_cli_joincard_gate(spark, sf_smoke, tmp_path, capsys):
                "--left-table", "lineitem", "--right-table", "lineitem",
                "--keys", ""])
     assert rc == 2 and "--keys" in capsys.readouterr().err
+
+
+def test_cli_subset_copy_rest(spark, sf_smoke, tmp_path, capsys):
+    out = str(tmp_path / "full_slice")
+    rc = main(["subset", "--source", sf_smoke, "--root", "orders",
+               "--permille", "300", "--cascade", "lineitem:orders",
+               "--copy-rest", "--out", out])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "documents: copied" in cap.out and "outside the FK closure" in cap.out
+    import os
+
+    # members subsetted, the rest copied wholesale
+    assert os.path.isdir(os.path.join(out, "orders"))
+    docs = spark.read.parquet(os.path.join(out, "documents"))
+    assert docs.count() == spark.read.parquet(
+        f"{sf_smoke}/documents.parquet"
+    ).count()
+    # dry run names the wholesale set
+    rc = main(["subset", "--source", sf_smoke, "--root", "orders",
+               "--permille", "300", "--copy-rest", "--dry-run"])
+    cap = capsys.readouterr()
+    assert rc == 0 and "plus full copies of:" in cap.out

@@ -5977,9 +5977,10 @@ _SHOWCASE_ONLY = [
     "quality_filter_pipeline",
     "near_dedup_survivors",
     "embedding_dedup_survivors",
-    # showcase variants of graded operator families (pii_redact proves the
-    # regexp family, stratified_sample proves deterministic sampling,
-    # per-table text aggs prove the rollup inputs)
+    # showcase variants of graded operator families (the regexp family is
+    # graded via quality_documents + markup_extract_documents,
+    # stratified_sample proves deterministic sampling, per-table text aggs
+    # prove the rollup inputs)
     "url_domain_counts",
     "hash_sample_documents",
     "corpus_rollup_stats",
@@ -5994,7 +5995,9 @@ _SHOWCASE_ONLY = [
     # (semantic_dedup_embeddings, domain_mix_sample_documents,
     # incremental_dedup_batch), displacing four whose §2 rows stay graded
     # elsewhere: the multimodal row keeps multimodal_features; §2.8 string
-    # functions stay proven across quality/lang_id/pii graded queries;
+    # functions stay proven by the graded quality_documents +
+    # markup_extract_documents (lang_id/pii sim-verified since the
+    # round-9/12 rotations);
     # §2.8 date/time stays proven by partition_counts_orders +
     # sessionize_events; the training-layout family keeps
     # sequence_pack_documents (shard_layout is its write-side sibling,
@@ -6066,8 +6069,9 @@ _SHOWCASE_ONLY = [
     # showcase from birth: cross-document line dedup — its machinery
     # (posexplode + hash-keyed census + anti-join + ordered per-doc
     # reassembly) is the family the graded window proves via
-    # dup_span_coverage/remove_dup_spans (keyed gram census + surgical
-    # removal) and ordered_string_agg (ordered reassembly); the
+    # remove_dup_spans (keyed gram census + surgical removal;
+    # dup_span_coverage is its sim-verified diagnostic since the round-12
+    # rotation) and ordered_string_agg (ordered reassembly); the
     # whole-line semantics are what the oracle pins; sim-verified +
     # mode/within-doc pytests (test_dedup)
     "line_dedup_documents",
@@ -6130,7 +6134,8 @@ _SHOWCASE_ONLY = [
     # the verify leg of minhash_lsh_pairs (GRADED — identical
     # shingle_sets relation, identical intersection/union permille
     # arithmetic), and the shared-gram census over md5-hashed k-grams is
-    # graded via dup_span_coverage; ngram_jaccard_pairs remains
+    # graded via remove_dup_spans (the same gram relation drives its
+    # apply step); ngram_jaccard_pairs remains
     # sim-verified + recall-ground-truth pytest (test_dedup_similarity)
     "ngram_jaccard_pairs",
     # showcase from birth: the round-6 container-header parser probe —
@@ -6332,8 +6337,9 @@ _SHOWCASE_ONLY = [
     # quality_classifier_documents (which aggregates the IDENTICAL
     # term_frequencies tokenization), per-doc n-gram relations + grouped
     # char-mass aggregates via bigram_lm_stats (token bigrams, same
-    # tokenizer) and the span-dedup pair dup_span_coverage /
-    # remove_dup_spans (positioned gram relations over documents), and
+    # tokenizer) and the span-dedup family via remove_dup_spans
+    # (positioned gram relations over documents; dup_span_coverage
+    # sim-verified since the round-12 rotation), and
     # the single-projection text-scorer class itself stays graded via
     # quality_documents (the same integer-ppm projection shape);
     # repetition_documents remains sim-verified with its full-pipeline
@@ -6472,14 +6478,12 @@ _SHOWCASE_ONLY = [
     # sim-verified (test_sampling covers the property on synthetic
     # clusters)
     "split_leakage_audit",
-    # showcase from birth (round 11): k-anonymity audit — its machinery
-    # (grouped count + conditional single-row rollup + exact integer
-    # ppm) is the family the window grades via mig_check_lineitem /
-    # type_inference_classify / quality_documents; the NEW claim (the
-    # k/l release statistics and NULL-as-QI-value semantics) is what
-    # the oracle pins; sim-verified + planted-NULL/threshold pytests
-    # (test_privacy)
-    "k_anonymity_customer",
+    # round-12 rotation: k_anonymity_customer PROMOTED into the graded
+    # window (the privacy release gate — exact-integer k-anonymity/
+    # l-diversity audit with NULL-as-QI-value semantics — is a first-class
+    # capability the window proved nowhere, and its single-row
+    # hand-checkable oracle is strong), displacing pii_redact_documents
+    # (see its entry below).
     # showcase from birth (round 11): suppression enforcement — grouped
     # count + HAVING + re-attach join is the graded groupBy/join family
     # (partition_counts_orders, star_fact_orders); the NEW claim (the
@@ -6505,16 +6509,25 @@ _SHOWCASE_ONLY = [
     # (dedup.hamming_near_pairs — the round-11 extraction, one
     # machinery for text and image signatures)
     "image_near_dup_media",
-    # showcase from birth (round 11): coherent subsetting — its
-    # machinery is the graded family everywhere (the salted-md5 keep
-    # rule = domain_mix/hash_split's graded convention, LEFT SEMI
-    # membership joins = semi_join_active_customers, catalog-driven FK
-    # metadata = migration_plan_testdata's graded catalog path); the
-    # NEW claim (the closure semantics — cascade-down + union-of-
-    # requirements ancestor closure with zero dangling FKs) is what the
-    # full WITH-chain oracle pins by exact membership hash; sim-verified
-    # + zero-orphan/cycle/NULL-FK pytests (test_subset)
-    "coherent_subset_testdata",
+    # round-12 rotation: coherent_subset_testdata PROMOTED into the
+    # graded window (catalog-driven FK-closure subsetting — salted-md5
+    # root sample, cascade semi-joins, union-of-requirements ancestor
+    # closure with zero dangling FKs — is a capability class the window
+    # proved nowhere, and its exact per-table MEMBERSHIP oracle via
+    # DECIMAL(38,0) pk-hash sums is the strongest shape in the registry),
+    # displacing dup_span_coverage, whose shared-k-gram machinery stays
+    # graded via remove_dup_spans (the apply step driven by the SAME
+    # positioned gram relation — identical tokenize/md5-gram census);
+    # the coverage diagnostic keeps its full SQL oracle in the sim +
+    # pytests (test_dedup)
+    "dup_span_coverage",
+    # round-12 rotation, second slot: demoted for k_anonymity_customer's
+    # promotion — the single-pattern regex count/redact family stays
+    # graded via quality_documents (token/ppm regexp expressions) and
+    # the multi-stage markup_extract_documents (the harder cross-engine
+    # regex-pipeline claim); pii_redact keeps its planted-span SQL
+    # oracle in the sim + pytests (test_delta_star_text)
+    "pii_redact_documents",
 ]
 
 

@@ -178,6 +178,7 @@ def zorder_write(
     cols: list,
     n_files: int,
     bits: "int | None" = None,
+    extra_meta: "dict | None" = None,
 ) -> dict:
     """Cluster ``df`` into ``n_files`` z-ordered parquet files at
     ``path``: one range shuffle on the z-key (balanced output files —
@@ -220,6 +221,10 @@ def zorder_write(
         # second time (review finding)
         "rows": _footer_rows(path),
     }
+    # merged into the SAME atomic meta commit: a streaming bootstrap's
+    # run/epoch fence must land with the descriptor, not in a second
+    # write (a crash between two writes reopens the replay window)
+    desc.update(extra_meta or {})
     _write_layout_meta(path, desc)
     return desc
 
@@ -262,11 +267,44 @@ def _write_layout_meta(path: str, desc: dict) -> None:
     os.replace(tmp, os.path.join(path, LAYOUT_META))
 
 
+def clean_pending_append(path: str, meta: "dict | None") -> "dict | None":
+    """Detect-and-clean an interrupted staged append: if the meta
+    records a ``pending`` file list whose final commit never landed,
+    delete those files wherever they sit (layout dir or the stage
+    sibling) — they are uncommitted rows the stored ``rows``/``n_files``
+    never counted, so a reader that saw them was over-reading and a
+    replayed epoch would otherwise double-write. Returns the meta with
+    the pending entry dropped (the caller's next pending commit replaces
+    it atomically; no extra meta write here)."""
+    import os
+    import shutil
+
+    if not meta or "pending" not in meta:
+        return meta
+    pend = meta["pending"]
+    for name in pend.get("files", ()):
+        p = os.path.join(path, name)
+        if os.path.exists(p):
+            os.remove(p)
+    shutil.rmtree(_stage_dir(path, pend.get("id", "")), ignore_errors=True)
+    out = dict(meta)
+    del out["pending"]
+    return out
+
+
+def _stage_dir(path: str, pending_id: str) -> str:
+    # local-fs SIBLING of the layout (the publish_parquet convention:
+    # os.rename only moves within a filesystem)
+    return path.rstrip("/") + ".stage-" + str(pending_id)
+
+
 def zorder_append(
     df: DataFrame,
     path: str,
     cols: "list | None" = None,
     bits: "int | None" = None,
+    pending_id: "str | None" = None,
+    extra_meta: "dict | None" = None,
 ) -> dict:
     """Grow a z-ordered layout incrementally: cluster the batch with the
     STORED bounds/bits (``_layout_meta.json`` — the stored-layout rule:
@@ -278,7 +316,23 @@ def zorder_append(
     same cell grid; file count grows until a ``compact --zorder``
     re-clusters (which re-derives fresh bounds). Batch file count scales
     with the stored rows-per-file so appends do not shred the layout
-    into small files. Returns the updated descriptor."""
+    into small files. Returns the updated descriptor.
+
+    Crash-safe by the staged-rename protocol (publish_parquet applied
+    per append): (1) the clustered batch lands in a stage SIBLING dir,
+    (2) the planned file list commits to the meta as ``pending``
+    (atomic), (3) the files rename into the layout, (4) ONE atomic meta
+    commit accounts the rows, clears ``pending`` and carries
+    ``extra_meta`` (a streaming caller's run/epoch fence). A crash at
+    any step leaves either nothing (before 2) or a pending record whose
+    files the next append — or a replayed epoch — deletes via
+    ``clean_pending_append`` instead of double-counting. ``pending_id``
+    names the stage dir (a replayed epoch must target the SAME one);
+    defaults to a fresh unique id for batch callers."""
+    import os
+    import shutil
+    import uuid
+
     from database_migration_spark.functions.io import _require_local
 
     _require_local(path)  # before the append writes (judge advisory r10)
@@ -300,6 +354,7 @@ def zorder_append(
             f"caller passed bits={bits} — a different grid would mix "
             "cell geometries in one layout"
         )
+    meta = clean_pending_append(path, meta)
     bounds = {c: (int(v[0]), int(v[1])) for c, v in meta["bounds"].items()}
     # batch count: the batch is delta-sized by assumption, so one count
     # job over it is the price of sizing its file count; the TARGET's
@@ -311,20 +366,33 @@ def zorder_append(
     per_file = max(1, target_rows // max(1, int(meta["n_files"])))
     n_files = max(1, -(-batch_rows // per_file))
     keyed = zorder_key(df, list(meta["cols"]), int(meta["bits"]), bounds)
+    pid = str(pending_id) if pending_id is not None else uuid.uuid4().hex
+    stage = _stage_dir(path, pid)
+    shutil.rmtree(stage, ignore_errors=True)
     (
         keyed.repartitionByRange(n_files, "_zkey")
         .sortWithinPartitions("_zkey")
         .drop("_zkey")
-        .write.mode("append")
-        .parquet(path)
+        .write.mode("overwrite")
+        .parquet(stage)
     )
+    names = sorted(
+        n for n in os.listdir(stage) if n.endswith(".parquet")
+    )
+    staged_meta = dict(meta)
+    staged_meta["pending"] = {"id": pid, "files": names}
+    _write_layout_meta(path, staged_meta)
+    for name in names:
+        os.rename(os.path.join(stage, name), os.path.join(path, name))
     desc = dict(meta)
     desc["rows"] = target_rows + batch_rows
     # re-count, don't accumulate the PLANNED batch partitions: empty
     # range partitions emit no file, and a drifted n_files skews every
     # later append's per_file sizing (ADVICE r10)
     desc["n_files"] = _count_files(path)
+    desc.update(extra_meta or {})
     _write_layout_meta(path, desc)
+    shutil.rmtree(stage, ignore_errors=True)
     return desc
 
 

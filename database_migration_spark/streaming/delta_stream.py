@@ -863,6 +863,30 @@ def compact_cdc_target(
     return {"tombstones_before": before, "tombstones_after": after}
 
 
+def _run_identity(checkpoint: str) -> str:
+    """Stream/run identity for the z-order epoch fence: a random id
+    persisted as a marker file INSIDE the checkpoint directory, so its
+    lifetime IS the checkpoint's — a wiped or brand-new checkpoint
+    (whose epoch ids restart at 0) gets a fresh id and can never match
+    a stored ``(run_id, last_epoch)`` fence from an earlier stream
+    (ADVICE r11: the bare-epoch fence silently skipped a fresh stream's
+    epoch 0 against a layout whose last committed epoch was 0)."""
+    import os
+    import uuid
+
+    os.makedirs(checkpoint, exist_ok=True)
+    marker = os.path.join(checkpoint, "_zorder_run_id")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return fh.read().strip()
+    rid = uuid.uuid4().hex[:16]
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(rid)
+    os.replace(tmp, marker)  # atomic: never a truncated identity
+    return rid
+
+
 def stream_zorder_append(
     stream: DataFrame,
     layout_path: str,
@@ -884,50 +908,82 @@ def stream_zorder_append(
     pruning gracefully until a ``compact --zorder`` re-clusters — the
     append-lifecycle numbers in SCALE.md are exactly this shape.
 
-    Delivery semantics, honestly: plain-parquet appends cannot be
-    transactional. A RETRIED epoch (foreachBatch at-least-once) is
-    fenced by the ``last_epoch`` recorded in the layout meta — the
-    common replay (crash after meta commit, before checkpoint commit)
-    is skipped idempotently. The uncovered window is a crash BETWEEN
-    the parquet append and the meta commit: that epoch's replay
-    double-writes its rows (a transactional table format's atomic
-    append is the real fix at 100 TB; this is the plain-parquet
-    equivalent with the window stated). The fence compares equality,
-    not ≤, so pointing a FRESH checkpoint (epoch ids restart at 0) at
-    an existing layout keeps appending rather than silently skipping.
-    No operator-internal persists (the foreachBatch leak rule) — each
-    epoch's batch is consumed once by the clustered write plus one
-    count for file sizing inside zorder_append."""
-    from database_migration_spark.operators.layout import (
-        _write_layout_meta,
-        read_layout_meta,
-        zorder_append,
-        zorder_write,
-    )
-
+    Delivery semantics: a RETRIED epoch (foreachBatch at-least-once) is
+    fenced by the ``(run_id, last_epoch)`` pair recorded in the layout
+    meta. The run identity lives in a marker file INSIDE the checkpoint
+    directory (generated on first use, dies with the checkpoint), so a
+    FRESH checkpoint — epoch ids restart at 0 — never collides with a
+    stored ``last_epoch`` of 0 from an earlier stream: only the same
+    checkpoint replaying the same epoch skips (the meta fence), and the
+    fence + descriptor land in ONE atomic meta commit inside
+    ``zorder_append``. An epoch interrupted mid-append cannot
+    double-write either: appends follow the staged-rename protocol
+    (stage sibling → pending file list in the meta → rename in → final
+    commit), and a replay first deletes any pending-but-uncommitted
+    files via ``clean_pending_append``. The remaining (documented)
+    exposure of plain parquet vs a transactional format is
+    read-isolation only — a concurrent reader can observe an epoch's
+    files between the rename and the final meta commit; row accounting
+    and replay are exact. No operator-internal persists (the
+    foreachBatch leak rule) — each epoch's batch is consumed once by
+    the clustered write plus one count for file sizing inside
+    zorder_append."""
     def apply(batch: DataFrame, epoch_id: int) -> None:
-        if not batch.head(1):
-            return
-        meta = read_layout_meta(layout_path)
-        if meta is None:
-            if cols is None:
-                raise ValueError(
-                    "stream_zorder_append bootstrap needs cols=[...] "
-                    "(no layout exists yet at the target)"
-                )
-            desc = zorder_write(
-                batch, layout_path, list(cols), n_files, bits=bits
-            )
-        else:
-            if int(meta.get("last_epoch", -1)) == int(epoch_id):
-                return  # replayed epoch, already applied (meta fence)
-            desc = zorder_append(batch, layout_path, cols=cols, bits=bits)
-        desc["last_epoch"] = int(epoch_id)
-        _write_layout_meta(layout_path, desc)
+        _zorder_epoch(
+            batch, epoch_id, layout_path, checkpoint, cols, bits, n_files
+        )
 
     return (
         stream.writeStream.foreachBatch(apply)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
         .start()
+    )
+
+
+def _zorder_epoch(
+    batch: DataFrame,
+    epoch_id: int,
+    layout_path: str,
+    checkpoint: str,
+    cols: "list[str] | None",
+    bits: "int | None",
+    n_files: int,
+) -> None:
+    """One epoch of ``stream_zorder_append`` — module-level so the
+    fence/replay protocol is directly testable outside a live stream."""
+    from database_migration_spark.operators.layout import (
+        read_layout_meta,
+        zorder_append,
+        zorder_write,
+    )
+
+    if not batch.head(1):
+        return
+    run_id = _run_identity(checkpoint)
+    fence = {"run_id": run_id, "last_epoch": int(epoch_id)}
+    meta = read_layout_meta(layout_path)
+    if meta is None:
+        if cols is None:
+            raise ValueError(
+                "stream_zorder_append bootstrap needs cols=[...] "
+                "(no layout exists yet at the target)"
+            )
+        # bootstrap is idempotent by mode=overwrite; the fence rides
+        # zorder_write's single atomic meta commit
+        zorder_write(
+            batch, layout_path, list(cols), n_files, bits=bits,
+            extra_meta=fence,
+        )
+        return
+    if (
+        meta.get("run_id") == run_id
+        and int(meta.get("last_epoch", -1)) == int(epoch_id)
+    ):
+        return  # this checkpoint already committed this epoch
+    zorder_append(
+        batch, layout_path, cols=cols, bits=bits,
+        # a replayed epoch must clean and reuse the SAME stage dir
+        pending_id=f"{run_id}-{int(epoch_id)}",
+        extra_meta=fence,
     )

@@ -382,3 +382,127 @@ def test_storage_stats_recurses_partitioned_layouts(spark, tmp_path):
     stats = {c["column"]: c for c in storage_stats(path)}
     assert "id" in stats and stats["id"]["compressed_bytes"] > 0
     assert stats["id"]["chunks"] >= 2  # both partitions contributed
+
+
+def _small_layout(spark, tmp_path, name="crash"):
+    from database_migration_spark.operators.layout import zorder_write
+
+    rows = [(i, (i * 7919) % 1_000, (i * 104729) % 1_000)
+            for i in range(4_000)]
+    df = spark.createDataFrame(rows, "id LONG, a LONG, b LONG")
+    path = str(tmp_path / name)
+    zorder_write(df, path, ["a", "b"], n_files=4)
+    return path
+
+
+def _batch(spark, n=500, base=100_000):
+    return spark.createDataFrame(
+        [(base + i, (i * 31) % 1_000, (i * 17) % 1_000) for i in range(n)],
+        "id LONG, a LONG, b LONG",
+    )
+
+
+def test_zorder_append_crash_before_pending_meta(spark, tmp_path,
+                                                 monkeypatch):
+    """Protocol step 1→2 crash: the stage dir is written but the
+    pending list never reached the meta — the layout and its accounting
+    are untouched, and the next append (same pending_id) succeeds with
+    exact totals."""
+    from database_migration_spark.operators import layout as L
+
+    path = _small_layout(spark, tmp_path)
+    before = L.read_layout_meta(path)
+
+    real = L._write_layout_meta
+
+    def boom(p, desc):
+        if "pending" in desc:
+            raise OSError("simulated crash before pending commit")
+        return real(p, desc)
+
+    monkeypatch.setattr(L, "_write_layout_meta", boom)
+    with pytest.raises(OSError, match="pending commit"):
+        L.zorder_append(_batch(spark), path, pending_id="e1")
+    monkeypatch.undo()
+
+    assert L.read_layout_meta(path) == before  # meta untouched
+    assert spark.read.parquet(path).count() == 4_000  # no orphan rows read
+    desc = L.zorder_append(_batch(spark), path, pending_id="e1")
+    assert desc["rows"] == 4_500
+    assert spark.read.parquet(path).count() == 4_500
+    assert "pending" not in L.read_layout_meta(path)
+
+
+def test_zorder_append_crash_between_rename_and_commit(spark, tmp_path,
+                                                       monkeypatch):
+    """Protocol step 3→4 crash: files renamed into the layout but the
+    final meta commit never landed — a replay (same pending_id) deletes
+    the pending-but-uncommitted files instead of double-counting."""
+    import os
+
+    from database_migration_spark.operators import layout as L
+
+    path = _small_layout(spark, tmp_path)
+    real = L._write_layout_meta
+    calls = {"n": 0}
+
+    def boom(p, desc):
+        if "pending" not in desc:
+            calls["n"] += 1
+            if calls["n"] == 1:  # the final commit of THIS append
+                raise OSError("simulated crash before final commit")
+        return real(p, desc)
+
+    monkeypatch.setattr(L, "_write_layout_meta", boom)
+    with pytest.raises(OSError, match="final commit"):
+        L.zorder_append(_batch(spark), path, pending_id="e2")
+    monkeypatch.undo()
+
+    meta = L.read_layout_meta(path)
+    assert meta["pending"]["id"] == "e2"  # the orphan record survived
+    orphans = [
+        os.path.join(path, n) for n in meta["pending"]["files"]
+    ]
+    assert all(os.path.exists(p) for p in orphans)  # the double-write risk
+
+    # the replayed epoch cleans the orphans and lands EXACT totals
+    desc = L.zorder_append(_batch(spark), path, pending_id="e2")
+    assert desc["rows"] == 4_500
+    assert spark.read.parquet(path).count() == 4_500
+    assert "pending" not in L.read_layout_meta(path)
+
+
+def test_zorder_append_crash_during_rename_in(spark, tmp_path,
+                                              monkeypatch):
+    """Protocol mid-step-3 crash: SOME files renamed in, some still in
+    the stage dir — the replay removes both halves via the pending list
+    and re-appends exactly once."""
+    import os
+
+    from database_migration_spark.operators import layout as L
+
+    path = _small_layout(spark, tmp_path)
+    real_rename = os.rename
+    seen = {"n": 0}
+
+    def flaky_rename(src, dst):
+        if src.endswith(".parquet") and ".stage-" in src:
+            seen["n"] += 1
+            if seen["n"] == 2:
+                raise OSError("simulated crash mid rename-in")
+        return real_rename(src, dst)
+
+    # a multi-file batch so the crash really lands between two renames
+    big = _batch(spark, n=2_500).repartition(4)
+    monkeypatch.setattr(os, "rename", flaky_rename)
+    with pytest.raises(OSError, match="mid rename-in"):
+        L.zorder_append(big, path, pending_id="e3")
+    monkeypatch.undo()
+
+    meta = L.read_layout_meta(path)
+    assert meta["pending"]["id"] == "e3"
+    desc = L.zorder_append(big, path, pending_id="e3")
+    assert desc["rows"] == 6_500
+    assert spark.read.parquet(path).count() == 6_500
+    # stage sibling cleaned up
+    assert not os.path.exists(L._stage_dir(path, "e3"))

@@ -1465,3 +1465,84 @@ def test_stream_zorder_append_builds_clustered_layout(spark, tmp_path):
     with _pt.raises(Exception, match="cols="):
         q2.processAllAvailable()
     q2.stop()
+
+
+def test_zorder_epoch_fence_run_identity(spark, tmp_path):
+    """The (run_id, epoch) fence: a replayed epoch from the SAME
+    checkpoint skips idempotently, but a FRESH checkpoint whose epoch
+    ids restart at 0 appends against a layout whose stored last_epoch
+    is 0 (ADVICE r11: the bare-epoch fence silently skipped that
+    batch)."""
+    from database_migration_spark.operators.layout import read_layout_meta
+    from database_migration_spark.streaming.delta_stream import (
+        _run_identity,
+        _zorder_epoch,
+    )
+
+    layout = str(tmp_path / "zl")
+    ckpt_a = str(tmp_path / "ckpt_a")
+    batch = spark.createDataFrame(
+        [(i, (i * 7) % 100, (i * 13) % 100) for i in range(2_000)],
+        "id LONG, u LONG, e LONG",
+    )
+    # stream A commits ONLY its bootstrap epoch 0 (the collision setup)
+    _zorder_epoch(batch, 0, layout, ckpt_a, ["u", "e"], None, 4)
+    assert spark.read.parquet(layout).count() == 2_000
+    meta = read_layout_meta(layout)
+    assert meta["last_epoch"] == 0 and meta["run_id"]
+
+    # replay of the SAME epoch from the SAME checkpoint: skipped
+    _zorder_epoch(batch, 0, layout, ckpt_a, ["u", "e"], None, 4)
+    assert spark.read.parquet(layout).count() == 2_000
+
+    # a FRESH checkpoint's epoch 0 must APPEND, never skip
+    ckpt_b = str(tmp_path / "ckpt_b")
+    _zorder_epoch(batch, 0, layout, ckpt_b, None, None, 4)
+    assert spark.read.parquet(layout).count() == 4_000
+    meta2 = read_layout_meta(layout)
+    assert meta2["run_id"] != meta["run_id"]
+
+    # run identity is stable across calls for one checkpoint
+    assert _run_identity(ckpt_a) == _run_identity(ckpt_a)
+    assert _run_identity(ckpt_a) != _run_identity(ckpt_b)
+
+
+def test_zorder_epoch_replay_after_crash_no_double_write(
+    spark, tmp_path, monkeypatch
+):
+    """End-to-end epoch replay over the staged protocol: a crash after
+    the rename-in but before the final meta commit leaves orphan files;
+    the foreachBatch replay of that epoch cleans them and lands the
+    rows exactly once."""
+    from database_migration_spark.operators import layout as L
+    from database_migration_spark.streaming.delta_stream import (
+        _zorder_epoch,
+    )
+
+    layout = str(tmp_path / "zl2")
+    ckpt = str(tmp_path / "ckpt")
+    mk = lambda base: spark.createDataFrame(
+        [(base + i, (i * 7) % 100, (i * 13) % 100) for i in range(1_000)],
+        "id LONG, u LONG, e LONG",
+    )
+    _zorder_epoch(mk(0), 0, layout, ckpt, ["u", "e"], None, 4)
+
+    real = L._write_layout_meta
+    def boom(p, desc):
+        if "pending" not in desc:
+            raise OSError("simulated crash before final commit")
+        return real(p, desc)
+
+    monkeypatch.setattr(L, "_write_layout_meta", boom)
+    import pytest as _pt
+    with _pt.raises(OSError, match="final commit"):
+        _zorder_epoch(mk(10_000), 1, layout, ckpt, None, None, 4)
+    monkeypatch.undo()
+
+    # at-least-once delivery replays epoch 1: exactly-once on disk
+    _zorder_epoch(mk(10_000), 1, layout, ckpt, None, None, 4)
+    got = spark.read.parquet(layout)
+    assert got.count() == 2_000
+    assert got.select("id").distinct().count() == 2_000
+    meta = L.read_layout_meta(layout)
+    assert meta["last_epoch"] == 1 and "pending" not in meta

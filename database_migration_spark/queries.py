@@ -5903,46 +5903,54 @@ def image_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        idx = np.arange(16 * 16 * 3)
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                v = np.asarray(r["embedding"], dtype=np.float64)
-                idx = np.arange(16 * 16 * 3)
-                # deterministic pixels: the p-th vector entry (mod dim)
-                # mixed with the pixel index so images differ corpus-wide.
-                # SIGN-SENSITIVE on purpose (no abs): the derived x10/x100
-                # corpora distinguish replicas by sign flips — an abs here
-                # would collapse every replica onto the base image and the
-                # scale probe would measure a 90%-duplicate corpus (the
-                # embeddings-generate() caveat class)
-                vals = (
-                    (v[idx % len(v)] * 1000).astype(np.int64) + idx * 31
-                ) % 256
-                px = vals.reshape(16, 16, 3).astype(np.uint8)
-                vid = int(r["vec_id"])
-                rows.append(
-                    {"media_id": vid, "payload": MM.encode_bmp(16, 16, px)}
-                )
+            if not len(pdf):
+                continue
+            # ONE numpy pass builds every image's pixel plane (the
+            # per-4-element-lane lesson inverted: 768-pixel rows are a
+            # real lane, so whole-batch vectorization wins; only the
+            # inherently per-image BMP container encode stays a loop).
+            # Deterministic pixels: the p-th vector entry (mod dim)
+            # mixed with the pixel index so images differ corpus-wide.
+            # SIGN-SENSITIVE on purpose (no abs): the derived x10/x100
+            # corpora distinguish replicas by sign flips — an abs here
+            # would collapse every replica onto the base image and the
+            # scale probe would measure a 90%-duplicate corpus (the
+            # embeddings-generate() caveat class)
+            E = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            # % 250, NOT % 256: the planted variant adds a uniform +2,
+            # and a base pixel at 254/255 would CLIP — clipped cells
+            # shift by <2 and equality-tied adjacent-cell comparisons in
+            # the top dhash rows could flip, breaking the hamming-0-by-
+            # construction claim (ADVICE r11); 249+2=251 never clips
+            vals = (
+                (E[:, idx % E.shape[1]] * 1000).astype(np.int64) + idx * 31
+            ) % 250
+            px_all = vals.reshape(len(pdf), 16, 16, 3).astype(np.uint8)
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            ids, payloads = [], []
+            for i in range(len(pdf)):
+                vid = int(vids[i])
+                ids.append(vid)
+                payloads.append(MM.encode_bmp(16, 16, px_all[i]))
                 if vid % 20 == 0:
                     # planted ids live in NEGATIVE key space (the CDC
                     # demo-key rule): a positive +10M offset collides
                     # with the derived x100 corpus's replica vec_id
                     # bumps (replica i = base + i*1M — review finding)
                     # uniform +2 on the top quarter: every dhash cell in
-                    # the affected rows shifts equally, so adjacent-cell
-                    # DIFFERENCES are unchanged — hamming 0 by
-                    # construction while the bytes (and sha256) differ
-                    px2 = px.copy()
-                    px2[:4] = np.minimum(
-                        px2[:4].astype(np.int64) + 2, 255
-                    ).astype(np.uint8)
-                    rows.append(
-                        {
-                            "media_id": -vid - 1,
-                            "payload": MM.encode_bmp(16, 16, px2),
-                        }
-                    )
-            yield pd.DataFrame(rows)
+                    # the affected rows shifts equally (clip-free by the
+                    # % 250 range above), so adjacent-cell DIFFERENCES
+                    # are unchanged — hamming 0 by construction while
+                    # the bytes (and sha256) differ
+                    px2 = px_all[i].copy()
+                    px2[:4] += 2
+                    ids.append(-vid - 1)
+                    payloads.append(MM.encode_bmp(16, 16, px2))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     media = emb.mapInPandas(encode, schema="media_id LONG, payload BINARY")
     return MM.image_near_dup_pairs(media, max_hamming=3)

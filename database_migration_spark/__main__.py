@@ -1679,6 +1679,14 @@ def cmd_dedup(args) -> int:
             else meta.get("num_perm", 32),
         )
 
+    if args.media:
+        if args.action not in ("build", "append", "probe"):
+            print("error: --media applies to build/append/probe "
+                  "(compact/forget detect the index kind from the "
+                  "stored metadata)", file=sys.stderr)
+            return 2
+        return _dedup_media(args, spark, corpus_df)
+
     if args.action == "cluster":
         df = corpus_df()
         if df is None:
@@ -1853,8 +1861,16 @@ def cmd_dedup(args) -> int:
             swap_partitions,
         )
 
-        if not os.path.isdir(os.path.join(args.index, "content")):
-            print(f"error: no fingerprint index at {args.index} "
+        # the sub-index set follows the stored index kind: one chunk
+        # index for hamming (media/simhash) stores, content+bands for
+        # minhash fingerprint stores
+        sub_ixs = (
+            ("chunks",)
+            if (read_index_meta(args.index) or {}).get("kind") == "hamming"
+            else ("content", "bands")
+        )
+        if not os.path.isdir(os.path.join(args.index, sub_ixs[0])):
+            print(f"error: no dedup index at {args.index} "
                   "(run `dedup build` first)", file=sys.stderr)
             return 2
         ids: list = []
@@ -1873,7 +1889,7 @@ def cmd_dedup(args) -> int:
                   file=sys.stderr)
             return 2
         total_deleted = 0
-        for sub_ix in ("content", "bands"):
+        for sub_ix in sub_ixs:
             src = f"{args.index}/{sub_ix}"
             staging = src + ".forget"
             # the sub-indexes bucket on CONTENT/band-key hashes, not on
@@ -1894,11 +1910,16 @@ def cmd_dedup(args) -> int:
         return 0
 
     # compact: one file per bucket per sub-index, then rename-swap
-    if not os.path.isdir(os.path.join(args.index, "content")):
-        print(f"error: no fingerprint index at {args.index} "
+    sub_ixs = (
+        ("chunks",)
+        if (read_index_meta(args.index) or {}).get("kind") == "hamming"
+        else ("content", "bands")
+    )
+    if not os.path.isdir(os.path.join(args.index, sub_ixs[0])):
+        print(f"error: no dedup index at {args.index} "
               "(run `dedup build` first)", file=sys.stderr)
         return 2
-    for sub_ix in ("content", "bands"):
+    for sub_ix in sub_ixs:
         src = f"{args.index}/{sub_ix}"
         staging = src + ".compact"
         compact_partitioned(spark, src, staging)
@@ -1913,6 +1934,118 @@ def cmd_dedup(args) -> int:
         )
         print(f"{sub_ix}: compacted to {n_files} files")
     return 0
+
+
+def _dedup_media(args, spark, corpus_df) -> int:
+    """The image leg of the dedup lifecycle (round-12: text had the full
+    store/append/probe/forget loop, images were batch-only): dHash
+    signatures (operators/multimodal.perceptual_dhash — pixels never
+    leave the map side) into the partition-pruned hamming chunk index
+    (operators/dedup.write_hamming_index), probed with the same
+    (id, status, match_id) decision convention as the text probe plus
+    ``min_hamming`` (0 = signature-identical re-encode)."""
+    import os
+
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from database_migration_spark.operators.dedup import (
+        append_hamming_index,
+        hamming_dedup_indexed,
+        read_index_meta,
+        write_hamming_index,
+    )
+    from database_migration_spark.operators.multimodal import (
+        perceptual_dhash,
+    )
+
+    if args.action in ("append", "probe") and not os.path.isdir(
+        os.path.join(args.index, "chunks")
+    ):
+        print(f"error: no hamming media index at {args.index} "
+              "(run `dedup build --media` first)", file=sys.stderr)
+        return 2
+    df = corpus_df()
+    if df is None:
+        return 2
+    sigs_all = perceptual_dhash(
+        df, payload_col=args.payload_col, id_col=args.id_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_err = sigs_all.where(F.col("error").isNotNull()).count()
+        if n_err:
+            print(f"warning: {n_err} payload(s) failed to decode — "
+                  "excluded from the index (error rows stay visible "
+                  "via perceptual_dhash)", file=sys.stderr)
+        sigs = sigs_all.where(F.col("error").isNull()).select(
+            "id", "sig_lo", "sig_hi"
+        )
+
+        if args.action == "build":
+            write_hamming_index(
+                sigs, args.index,
+                max_hamming=(args.max_hamming
+                             if args.max_hamming is not None else 3),
+                buckets=args.buckets if args.buckets is not None else 64,
+                extra={"signature": "dhash64"},
+            )
+            n = (
+                spark.read.parquet(f"{args.index}/chunks")
+                .select("sid").distinct().count()
+            )
+            print(f"media index built: {n} image signature(s), layout "
+                  f"{read_index_meta(args.index)}")
+            return 0
+
+        if args.action == "append":
+            try:
+                append_hamming_index(
+                    sigs, args.index, max_hamming=args.max_hamming,
+                    buckets=args.buckets,
+                )
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            print(f"appended {sigs.count()} image signature(s) to "
+                  f"{args.index}")
+            return 0
+
+        # probe
+        try:
+            decisions = hamming_dedup_indexed(
+                spark, args.index, sigs, max_hamming=args.max_hamming,
+                buckets=args.buckets,
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        try:
+            counts = {
+                r.status: r.n
+                for r in decisions.groupBy("status")
+                .agg(F.count("*").alias("n")).collect()
+            }
+            for s in ("near_dup", "new"):
+                print(f"{s}: {counts.get(s, 0)}")
+            if args.dry_run:
+                print("-- dry run; nothing written", file=sys.stderr)
+                return 0
+            if args.out:
+                decisions.write.mode("overwrite").parquet(args.out)
+                print(f"decisions written to {args.out}")
+            if args.apply_new:
+                new_sigs = sigs.join(
+                    decisions.where(F.col("status") == "new").select("id"),
+                    "id",
+                )
+                append_hamming_index(new_sigs, args.index)
+                print(f"appended {counts.get('new', 0)} new image "
+                      "signature(s)")
+        finally:
+            decisions.unpersist(blocking=False)
+        return 0
+    finally:
+        sigs_all.unpersist(blocking=False)
 
 
 def cmd_sample(args) -> int:
@@ -3249,6 +3382,16 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--ids", help="forget: comma-separated document ids")
     dd.add_argument("--ids-file",
                     help="forget: file with one document id per line")
+    dd.add_argument("--media", action="store_true",
+                    help="build/append/probe over IMAGE payloads instead "
+                    "of text: dHash perceptual signatures into a "
+                    "partition-pruned hamming index (compact/forget "
+                    "detect the index kind from its stored metadata)")
+    dd.add_argument("--payload-col", default="payload",
+                    help="--media: binary image column (default payload)")
+    dd.add_argument("--max-hamming", type=int, default=None,
+                    help="--media: near-dup Hamming budget (stored in "
+                    "the index meta at build; contradictions error)")
     dd.set_defaults(fn=cmd_dedup)
 
     an = sub.add_parser("ann", help="ANN index lifecycle over an embedding "

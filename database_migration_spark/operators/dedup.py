@@ -739,20 +739,15 @@ def simhash_near_pairs(
     return hamming_near_pairs(sigs, bits, max_hamming, max_bucket)
 
 
-def hamming_near_pairs(
-    sigs: DataFrame,
-    bits: int = 64,
-    max_hamming: int = 3,
-    max_bucket: int | None = None,
+def _hamming_chunks(
+    sigs: DataFrame, bits: int, max_hamming: int
 ) -> DataFrame:
-    """The signature-agnostic half of :func:`simhash_near_pairs`
-    (round-11 extraction — the banded join is the same whether the
-    64-bit fingerprint came from token votes or image pixels, and a
-    fork would drift): ``sigs`` is (id, sig_lo, sig_hi) with each half
-    in [0, 2^32) — text SimHash (:func:`simhash_signatures`) and image
-    dHash (multimodal.perceptual_dhash) both emit it. Pigeonhole chunk
-    bucketing + exact Hamming verify, identical semantics and caps as
-    documented on :func:`simhash_near_pairs`."""
+    """Explode (id, sig_lo, sig_hi) into its pigeonhole chunk keys
+    (ci, ck): ``max_hamming + 1`` equal-width chunks, so two signatures
+    within the Hamming budget MUST agree on at least one whole chunk.
+    The shared key derivation of :func:`hamming_near_pairs` (batch
+    self-join) and the hamming index (store probe) — one machinery, the
+    band-key rule."""
     half = bits // 2
     n_chunks = max_hamming + 1
     chunk = bits // n_chunks
@@ -768,12 +763,32 @@ def hamming_near_pairs(
             F.shiftright(F.col(src), off).bitwiseAND(F.lit(mask)).alias("ck"),
         )
 
-    chunks = sigs.select(
+    return sigs.select(
         "id",
         "sig_lo",
         "sig_hi",
         F.explode(F.array(*[chunk_expr(i) for i in range(n_chunks)])).alias("c"),
-    ).select("id", "sig_lo", "sig_hi", F.col("c.ci").alias("ci"), F.col("c.ck").alias("ck"))
+    ).select(
+        "id", "sig_lo", "sig_hi",
+        F.col("c.ci").alias("ci"), F.col("c.ck").alias("ck"),
+    )
+
+
+def hamming_near_pairs(
+    sigs: DataFrame,
+    bits: int = 64,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The signature-agnostic half of :func:`simhash_near_pairs`
+    (round-11 extraction — the banded join is the same whether the
+    64-bit fingerprint came from token votes or image pixels, and a
+    fork would drift): ``sigs`` is (id, sig_lo, sig_hi) with each half
+    in [0, 2^32) — text SimHash (:func:`simhash_signatures`) and image
+    dHash (multimodal.perceptual_dhash) both emit it. Pigeonhole chunk
+    bucketing + exact Hamming verify, identical semantics and caps as
+    documented on :func:`simhash_near_pairs`."""
+    chunks = _hamming_chunks(sigs, bits, max_hamming)
     # both self-join sides consume chunks, and the join broadcasts one side
     # — no shuffle exchange exists for ReusedExchange to share, so without
     # a persist the whole tokenize+vote signature pipeline runs twice
@@ -1218,6 +1233,12 @@ def _resolve_index_params(
     raises (the silent-mispruning trap); None falls back to the stored
     value, or to the historical defaults for legacy indexes."""
     meta = read_index_meta(path) or {}
+    if meta.get("kind") == "hamming":
+        raise ValueError(
+            f"index at {path} is a hamming signature index — probe it "
+            "with hamming_dedup_indexed, not the minhash prober (the "
+            "chunk keys and band keys never collide)"
+        )
     out = []
     for name, given, default in (
         ("num_perm", num_perm, 32), ("bands", bands, 4), ("buckets", buckets, 64)
@@ -1358,6 +1379,195 @@ def incremental_dedup_indexed(
         .agg(F.min("sid").alias("near_match"))
     )
     return _decision_select(batch_fp, exact, near)
+
+
+def write_hamming_index(
+    sigs: DataFrame,
+    path: str,
+    bits: int = 64,
+    max_hamming: int = 3,
+    buckets: int = 64,
+    extra: dict | None = None,
+) -> None:
+    """Persist (id, sig_lo, sig_hi) Hamming signatures — text SimHash or
+    image dHash, the :func:`hamming_near_pairs` convention — as ONE
+    partition-pruned chunk index, so a crawl batch dedups against
+    history without re-hashing it (the image analogue of
+    :func:`write_fingerprint_index`; round-11 verdict: text had the full
+    store lifecycle, images were batch-only).
+
+    Layout: ``<path>/chunks`` holds the exploded pigeonhole keys
+    (ci, ck, sid, sig_lo, sig_hi) partitioned by
+    ``pmod(hash(ci, ck), buckets)`` — the ×(max_hamming+1) row
+    duplication is the LSH-index denormalization (16 bytes of signature
+    carried per row; candidates never join back to a base relation).
+    ``bits``/``max_hamming``/``buckets`` define the chunk geometry AND
+    the partition function, so they are STORED (``_index_meta.json``,
+    kind=hamming) and probers resolve from there; explicit
+    contradictions RAISE (the index-meta rule — a mismatched
+    ``max_hamming`` reads different chunk offsets and silently misses
+    every duplicate). ``extra`` records signature provenance (the CLI
+    stores the payload hash kind there)."""
+    import json
+    import os
+
+    _write_hamming_index(sigs, path, bits, max_hamming, buckets, "overwrite")
+    os.makedirs(path, exist_ok=True)
+    meta = {"kind": "hamming", "bits": bits, "max_hamming": max_hamming,
+            "buckets": buckets}
+    meta.update(extra or {})
+    with open(os.path.join(path, "_index_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def _write_hamming_index(
+    sigs: DataFrame, path: str, bits: int, max_hamming: int, buckets: int,
+    mode: str,
+) -> None:
+    chunks = _hamming_chunks(sigs, bits, max_hamming).select(
+        F.col("id").alias("sid"),
+        "sig_lo",
+        "sig_hi",
+        "ci",
+        "ck",
+        F.pmod(F.hash("ci", "ck"), F.lit(buckets)).alias("bucket"),
+    )
+    chunks.write.mode(mode).partitionBy("bucket").parquet(f"{path}/chunks")
+
+
+def _resolve_hamming_params(
+    path: str,
+    bits: "int | None",
+    max_hamming: "int | None",
+    buckets: "int | None",
+) -> tuple:
+    """Stored metadata wins; explicit contradictions raise (the
+    silent-misprune trap); a minhash fingerprint index is rejected
+    loudly rather than probed with the wrong key derivation."""
+    meta = read_index_meta(path) or {}
+    if meta and meta.get("kind") != "hamming":
+        raise ValueError(
+            f"index at {path} is not a hamming signature index "
+            f"(stored layout: {meta}) — probe fingerprint indexes with "
+            "incremental_dedup_indexed"
+        )
+    out = []
+    for name, given, default in (
+        ("bits", bits, 64),
+        ("max_hamming", max_hamming, 3),
+        ("buckets", buckets, 64),
+    ):
+        stored = meta.get(name)
+        if given is not None and stored is not None and given != stored:
+            raise ValueError(
+                f"hamming index at {path} was written with {name}="
+                f"{stored} but the caller passed {name}={given} — a "
+                "mismatch prunes the wrong partitions and silently "
+                "misses duplicates"
+            )
+        out.append(
+            given if given is not None
+            else (stored if stored is not None else default)
+        )
+    return tuple(out)
+
+
+def append_hamming_index(
+    sigs: DataFrame,
+    path: str,
+    bits: "int | None" = None,
+    max_hamming: "int | None" = None,
+    buckets: "int | None" = None,
+) -> None:
+    """Grow a hamming index with a batch's accepted signatures — the
+    crawl-loop maintenance step (probe decides 'new', the new
+    signatures append back so later batches dedup against them).
+    Dynamic partition append into existing bucket directories; layout
+    resolves from the stored metadata, contradictions raise."""
+    bits, max_hamming, buckets = _resolve_hamming_params(
+        path, bits, max_hamming, buckets
+    )
+    _write_hamming_index(sigs, path, bits, max_hamming, buckets, "append")
+
+
+def hamming_dedup_indexed(
+    spark,
+    path: str,
+    batch_sigs: DataFrame,
+    bits: "int | None" = None,
+    max_hamming: "int | None" = None,
+    buckets: "int | None" = None,
+    persist_inputs: bool = True,
+) -> DataFrame:
+    """Dedup a batch of Hamming signatures against a
+    :func:`write_hamming_index` store with partition-pruned reads: the
+    batch's chunk buckets become a static ``bucket IN (...)`` predicate
+    (driver-bounded: ≤ |batch|·(max_hamming+1) values), so file listing
+    drops every store partition the batch cannot touch — the
+    :func:`incremental_dedup_indexed` shape over the
+    :func:`hamming_near_pairs` machinery.
+
+    Returns (id, status, match_id, min_hamming): ``near_dup`` when some
+    store signature is within ``max_hamming`` (match_id = the smallest
+    such sid, min_hamming = its distance — 0 means signature-identical,
+    e.g. a re-encoded image), else ``new`` with (-1, -1). Batch-internal
+    duplicates are out of scope by design — run the batch through
+    :func:`hamming_near_pairs` first (the incremental_dedup contract).
+    """
+    from pyspark import StorageLevel
+
+    bits, max_hamming, buckets = _resolve_hamming_params(
+        path, bits, max_hamming, buckets
+    )
+    bb = _hamming_chunks(batch_sigs, bits, max_hamming).withColumn(
+        "bucket", F.pmod(F.hash("ci", "ck"), F.lit(buckets))
+    )
+    if persist_inputs:
+        bb = bb.persist(StorageLevel.MEMORY_AND_DISK)
+    kb = sorted(r["bucket"] for r in bb.select("bucket").distinct().collect())
+    idx = spark.read.parquet(f"{path}/chunks").where(F.col("bucket").isin(kb))
+    # both sides carry sig columns under one name — alias before the join
+    a = bb.select(
+        "id", "ci", "ck", "bucket",
+        F.col("sig_lo").alias("lo_a"), F.col("sig_hi").alias("hi_a"),
+    )
+    s = idx.select(
+        "ci", "ck", "sid",
+        F.col("sig_lo").alias("lo_b"), F.col("sig_hi").alias("hi_b"),
+    )
+    cand = (
+        a.join(s, ["ci", "ck"])
+        .select("id", "sid", "lo_a", "hi_a", "lo_b", "hi_b")
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("long")
+    near = (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= F.lit(max_hamming))
+        .groupBy("id")
+        # ONE ordered struct-min: the canonical match is the smallest
+        # sid among matches, carrying ITS distance (not min-over-both,
+        # which could pair sid X with sid Y's hamming)
+        .agg(F.min(F.struct("sid", "hamming")).alias("m"))
+        .select("id", F.col("m.sid").alias("match_id"),
+                F.col("m.hamming").alias("min_hamming"))
+    )
+    return (
+        batch_sigs.select("id")
+        .join(near, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("match_id").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce("match_id", F.lit(-1)).cast("long").alias("match_id"),
+            F.coalesce("min_hamming", F.lit(-1)).cast("long")
+            .alias("min_hamming"),
+        )
+    )
 
 
 def compact_partitioned(

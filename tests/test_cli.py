@@ -2629,3 +2629,83 @@ def test_cli_subset_copy_rest(spark, sf_smoke, tmp_path, capsys):
                "--permille", "300", "--copy-rest", "--dry-run"])
     cap = capsys.readouterr()
     assert rc == 0 and "plus full copies of:" in cap.out
+
+
+def test_cli_dedup_media_lifecycle(spark, tmp_path, capsys):
+    """The image dedup store end to end: build --media indexes dHash
+    signatures, probe flags re-encoded near-dups and appends the new
+    ones back, forget removes a signature surgically, compact works on
+    the chunk index (kind detected from the stored metadata)."""
+    import numpy as np
+
+    from database_migration_spark.operators.multimodal import encode_bmp
+
+    def bmp(seed, shift=0):
+        vals = ((np.arange(16 * 16 * 3) * (seed * 2 + 7)) % 250).astype(
+            np.int64
+        )
+        px = (vals + shift).reshape(16, 16, 3).astype(np.uint8)
+        return encode_bmp(16, 16, px)
+
+    corpus = str(tmp_path / "media")
+    spark.createDataFrame(
+        [(i, bytearray(bmp(i))) for i in range(1, 21)]
+        + [(999, bytearray(b"not an image"))],
+        "media_id LONG, payload BINARY",
+    ).write.parquet(corpus + "/media.parquet")
+
+    idx = str(tmp_path / "img_idx")
+    rc = main(["dedup", "build", "--media", "--index", idx,
+               "--corpus", corpus, "--id-col", "media_id",
+               "--buckets", "8"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "media index built: 20 image signature(s)" in cap.out
+    assert "1 payload(s) failed to decode" in cap.err
+
+    # batch: a +2-brightness re-encode of image 3 (near-dup, hamming 0)
+    # and one brand-new image
+    batch = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [(101, bytearray(bmp(3, shift=2))), (102, bytearray(bmp(55)))],
+        "media_id LONG, payload BINARY",
+    ).write.parquet(batch + "/media.parquet")
+    out = str(tmp_path / "decisions")
+    rc = main(["dedup", "probe", "--media", "--index", idx,
+               "--corpus", batch, "--id-col", "media_id",
+               "--out", out, "--apply-new"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "near_dup: 1" in cap.out and "new: 1" in cap.out
+    assert "appended 1 new image signature(s)" in cap.out
+    dec = {r.id: (r.status, r.match_id, r.min_hamming)
+           for r in spark.read.parquet(out).collect()}
+    assert dec[101] == ("near_dup", 3, 0)
+    assert dec[102][0] == "new"
+
+    # the appended signature dedups a re-crawl of 102
+    rc = main(["dedup", "probe", "--media", "--index", idx,
+               "--corpus", batch, "--id-col", "media_id", "--dry-run"])
+    cap = capsys.readouterr()
+    assert rc == 0 and "near_dup: 2" in cap.out
+
+    # forget detects the chunk layout from the meta
+    rc = main(["dedup", "forget", "--index", idx, "--ids", "3"])
+    cap = capsys.readouterr()
+    assert rc == 0 and "chunks:" in cap.out
+    rc = main(["dedup", "probe", "--media", "--index", idx,
+               "--corpus", batch, "--id-col", "media_id", "--dry-run"])
+    cap = capsys.readouterr()
+    assert rc == 0 and "near_dup: 1" in cap.out  # 101's match is gone
+
+    # compact on the hamming index
+    rc = main(["dedup", "compact", "--index", idx])
+    cap = capsys.readouterr()
+    assert rc == 0 and "chunks: compacted" in cap.out
+
+    # a layout contradiction is rc=2 naming the stored value
+    rc = main(["dedup", "probe", "--media", "--index", idx,
+               "--corpus", batch, "--id-col", "media_id",
+               "--max-hamming", "7", "--dry-run"])
+    cap = capsys.readouterr()
+    assert rc == 2 and "max_hamming=3" in cap.err

@@ -707,3 +707,120 @@ def test_cluster_representatives_unscored_and_float_guard(spark):
     )
     with pytest.raises(ValueError, match="integral"):
         cluster_representatives(labels, fscored)
+
+
+def _ham_sigs(spark, rows):
+    return spark.createDataFrame(rows, "id LONG, sig_lo LONG, sig_hi LONG")
+
+
+def test_hamming_index_parity_pruning_and_lifecycle(spark, tmp_path):
+    """The image/simhash signature store (round-12: text had the full
+    fingerprint lifecycle, images were batch-only): the indexed probe's
+    matches equal the batch-vs-store pairs hamming_near_pairs finds on
+    the union, the chunk scan prunes partitions, appends grow the store,
+    and layout contradictions raise."""
+    import contextlib
+    import io
+
+    from database_migration_spark.operators.dedup import (
+        append_hamming_index,
+        hamming_dedup_indexed,
+        hamming_near_pairs,
+        write_hamming_index,
+    )
+
+    # store: spread signatures; ids 1..40
+    store = _ham_sigs(
+        spark,
+        [(i, (i * 2654435761) % (1 << 32), (i * 40503) % (1 << 32))
+         for i in range(1, 41)],
+    )
+    # batch: 3 near-dups of store sigs (flip 1 low bit), 1 signature-exact
+    # copy, and 2 genuinely new
+    base = {r.id: (r.sig_lo, r.sig_hi) for r in store.collect()}
+    batch_rows = [
+        (101, base[5][0] ^ 1, base[5][1]),          # hamming 1 vs sid 5
+        (102, base[7][0] ^ 3, base[7][1]),          # hamming 2 vs sid 7
+        (103, base[9][0], base[9][1] ^ 7),          # hamming 3 vs sid 9
+        (104, base[11][0], base[11][1]),            # hamming 0 vs sid 11
+        (105, 0xDEADBEEF, 0x0BADF00D),              # new
+        (106, 0x12345678, 0x0FEDCBA9),              # new
+    ]
+    batch = _ham_sigs(spark, batch_rows)
+
+    path = str(tmp_path / "ham_idx")
+    write_hamming_index(store, path, buckets=16)
+    dec_df = hamming_dedup_indexed(spark, path, batch, buckets=16)
+    dec = {r.id: (r.status, r.match_id, r.min_hamming)
+           for r in dec_df.collect()}
+
+    # parity: the batch-vs-store legs of hamming_near_pairs on the union
+    pairs = hamming_near_pairs(store.unionByName(batch)).collect()
+    # expected decisions, computed directly
+    assert dec[101] == ("near_dup", 5, 1)
+    assert dec[102] == ("near_dup", 7, 2)
+    assert dec[103] == ("near_dup", 9, 3)
+    assert dec[104] == ("near_dup", 11, 0)  # signature-identical
+    assert dec[105] == ("new", -1, -1)
+    assert dec[106] == ("new", -1, -1)
+    # and every near decision appears in the batch-vs-store pair relation
+    found = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in pairs}
+    for bid, (st, sid, _h) in dec.items():
+        if st == "near_dup":
+            assert (sid, bid) in found
+
+    # the pruned chunk scan carries the bucket predicate
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dec_df.explain(True)
+    segs = buf.getvalue().split("PartitionFilters")[1:]
+    assert any("bucket" in s[:250] for s in segs), segs
+
+    # lifecycle: append the new signatures; a re-crawl of 105 now matches
+    append_hamming_index(
+        batch.where("id >= 105"), path
+    )
+    redec = {r.id: (r.status, r.match_id, r.min_hamming)
+             for r in hamming_dedup_indexed(
+                 spark, path, _ham_sigs(
+                     spark, [(201, 0xDEADBEEF, 0x0BADF00D)]
+                 )).collect()}
+    assert redec[201] == ("near_dup", 105, 0)
+
+    # contradictions raise instead of silently mispruning
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_hamming=3"):
+        hamming_dedup_indexed(spark, path, batch, max_hamming=7)
+    with _pt.raises(ValueError, match="buckets=16"):
+        append_hamming_index(batch, path, buckets=8)
+    spark.catalog.clearCache()
+
+
+def test_hamming_and_minhash_indexes_reject_each_other(spark, tmp_path):
+    from database_migration_spark.operators.dedup import (
+        fingerprint_store,
+        hamming_dedup_indexed,
+        incremental_dedup_indexed,
+        write_fingerprint_index,
+        write_hamming_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a document about exchange reuse in adaptive plans")],
+        "doc_id LONG, text STRING",
+    )
+    fp_path = str(tmp_path / "fp")
+    write_fingerprint_index(fingerprint_store(docs), fp_path, buckets=8)
+    sigs = _ham_sigs(spark, [(1, 123, 456)])
+    ham_path = str(tmp_path / "ham")
+    write_hamming_index(sigs, ham_path, buckets=8)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not a hamming"):
+        hamming_dedup_indexed(spark, fp_path, sigs)
+    with _pt.raises(ValueError, match="hamming signature index"):
+        incremental_dedup_indexed(
+            spark, ham_path, fingerprint_store(docs)
+        )

@@ -2717,9 +2717,14 @@ def cmd_privacy(args) -> int:
     validate/expect convention: a nonzero violation is a red gate.
     ``enforce`` writes the releasable relation (rows whose
     quasi-identifier class has >= --k members, class_size attached) to
-    --out, or --dry-run prints the keep/suppress accounting. Bad
+    --out, or --dry-run prints the keep/suppress accounting. ``advise``
+    prints the suppression cost curve over --widths candidate
+    coarsenings of --band-col (generalization_advisor — which band
+    width reaches --k with minimal suppression) and recommends the
+    narrowest width that meets k, or the cheapest if none does. Bad
     parameters exit 2 naming the fix."""
     from database_migration_spark.operators.privacy import (
+        generalization_advisor,
         k_anonymity_report,
         suppress_below_k,
     )
@@ -2738,6 +2743,24 @@ def cmd_privacy(args) -> int:
         print("error: enforce needs exactly one of --out or --dry-run",
               file=sys.stderr)
         return 2
+    widths: list = []
+    if args.action == "advise":
+        if not args.band_col:
+            print("error: advise needs --band-col (the integer column "
+                  "to coarsen)", file=sys.stderr)
+            return 2
+        try:
+            widths = [int(w) for w in (args.widths or "").split(",")
+                      if w.strip()]
+        except ValueError:
+            print(f"error: --widths must be comma-separated integers "
+                  f"(got {args.widths!r})", file=sys.stderr)
+            return 2
+        if not widths or any(w < 1 for w in widths) \
+                or len(set(widths)) != len(widths):
+            print("error: advise needs --widths as distinct integers "
+                  ">= 1 (e.g. --widths 1000,5000,10000)", file=sys.stderr)
+            return 2
 
     spark = get_spark(app_name="dms_privacy")
     adapter = _source(spark, args.source, args)
@@ -2752,12 +2775,40 @@ def cmd_privacy(args) -> int:
         return 2
     df = _read(adapter, cat.tables[0])
     missing = [c for c in qi if c not in df.columns] + [
-        c for c in [args.sensitive] if c and c not in df.columns
+        c for c in [args.sensitive, args.band_col]
+        if c and c not in df.columns
     ]
     if missing:
         print(f"error: columns {missing} not in {df.columns}",
               file=sys.stderr)
         return 2
+
+    if args.action == "advise":
+        try:
+            curve = generalization_advisor(
+                df, qi, args.band_col, widths, k_threshold=args.k
+            ).orderBy("width").collect()
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        for r in curve:
+            flag = "meets k" if r.meets_k else "below k"
+            print(f"width={r.width}: k_min={r.k_min} "
+                  f"classes={r.n_classes} rows_below_k={r.rows_below_k} "
+                  f"({r.rows_below_k_ppm} ppm) [{flag}]")
+        ok = [r for r in curve if r.meets_k]
+        if ok:
+            best = min(ok, key=lambda r: r.width)
+            print(f"recommendation: width={best.width} — the narrowest "
+                  f"candidate that releases suppression-free at "
+                  f"k={args.k}")
+        else:
+            best = min(curve, key=lambda r: (r.rows_below_k, r.width))
+            print(f"recommendation: none of the widths reaches "
+                  f"k={args.k}; width={best.width} suppresses least "
+                  f"({best.rows_below_k} rows) — widen the candidates "
+                  "or enforce by suppression")
+        return 0
 
     if args.action == "audit":
         row = k_anonymity_report(
@@ -3572,7 +3623,7 @@ def main(argv: list[str] | None = None) -> int:
                         "l-diversity audit over quasi-identifier columns "
                         "(rc=1 when enforcing k would suppress rows), "
                         "and enforcement by suppression")
-    pv.add_argument("action", choices=["audit", "enforce"])
+    pv.add_argument("action", choices=["audit", "enforce", "advise"])
     pv.add_argument("--source", required=True,
                     help="table directory or jdbc: URL")
     pv.add_argument("--table", help="table name when --source holds several")
@@ -3594,6 +3645,11 @@ def main(argv: list[str] | None = None) -> int:
                     "(input columns + class_size) here")
     pv.add_argument("--dry-run", action="store_true",
                     help="enforce: print keep/suppress counts only")
+    pv.add_argument("--band-col",
+                    help="advise: the integer quasi-identifier column to "
+                    "coarsen (materialize exact units first, e.g. cents)")
+    pv.add_argument("--widths",
+                    help="advise: comma-separated candidate band widths")
     pv.set_defaults(fn=cmd_privacy)
 
     tx = sub.add_parser("text", help="text-pipeline front door: extract "

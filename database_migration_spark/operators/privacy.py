@@ -158,6 +158,111 @@ def k_anonymity_report(
     )
 
 
+def generalization_advisor(
+    df: DataFrame,
+    qi_cols: list,
+    band_col: str,
+    widths: list,
+    k_threshold: int = 5,
+) -> DataFrame:
+    """The ADVISE to :func:`suppress_below_k`'s ACT (the
+    dist_key_advisor convention): suppression cost curves over candidate
+    coarsenings of ONE numeric quasi-identifier — "which band width
+    reaches k with minimal suppression". Generalization (wider bands)
+    trades precision for anonymity; this measures the trade exactly
+    instead of guessing it.
+
+    ``band_col`` must be integer-typed (callers materialize exact units
+    first — e.g. ``CAST(c_acctbal * 100 AS LONG)`` cents; the repo's
+    div-grid rule). Each candidate width ``w`` coarsens it to
+    ``floor(x / w)`` via the negative-safe exact form
+    ``(x - pmod(x, w)) div w`` (pairing.py template — a bare ``div``
+    truncates toward zero and shifts negative balances one band up);
+    NULL stays NULL (a QI value, audited like any other).
+
+    ONE stacked scan: every row explodes into its |widths| candidate
+    bands (the dist_key_advisor shape — candidates × rows map-side, one
+    groupBy to a class-count-sized relation, one rollup to |widths|
+    rows). Output per width: ``n_rows``, ``n_classes``, ``k_min``,
+    ``classes_below_k``, ``rows_below_k``, ``rows_below_k_ppm``,
+    ``meets_k`` (1 when k_min >= k_threshold — suppression-free
+    release at that coarsening). All exact integers, oracle-replayable.
+    """
+    if k_threshold < 1:
+        raise ValueError("k_threshold must be >= 1 (k is a class size)")
+    ws = [int(w) for w in widths]
+    if not ws or any(w < 1 for w in ws) or len(set(ws)) != len(ws):
+        raise ValueError(
+            "widths must be a non-empty list of distinct integers >= 1 "
+            f"(got {widths})"
+        )
+    _require_cols(df, list(qi_cols) + [band_col], "quasi-identifier")
+    if band_col in qi_cols:
+        raise ValueError(
+            f"band_col {band_col!r} must not also appear in qi_cols — "
+            "it is the column being coarsened"
+        )
+    dt = dict(df.dtypes)[band_col]
+    if dt not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"band_col {band_col!r} is {dt} — materialize an exact "
+            "integer unit first (e.g. CAST(balance * 100 AS LONG) "
+            "cents); float banding shifts bucket edges between engines"
+        )
+    x = df.select(
+        *qi_cols, F.col(band_col).cast("long").alias("_ga_x")
+    )
+    cands = F.array(
+        *[
+            F.struct(
+                F.lit(w).cast("long").alias("width"),
+                F.expr(
+                    f"(_ga_x - pmod(_ga_x, {w})) div {w}"
+                ).cast("long").alias("band"),
+            )
+            for w in ws
+        ]
+    )
+    stacked = x.select(
+        *qi_cols, F.explode(cands).alias("_g")
+    ).select(*qi_cols, F.col("_g.width").alias("width"),
+             F.col("_g.band").alias("band"))
+    classes = stacked.groupBy(
+        "width", *[F.col(c) for c in qi_cols], "band"
+    ).agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+    below = F.when(F.col("class_size") < k_threshold, F.col("class_size"))
+    return (
+        classes.groupBy("width")
+        .agg(
+            F.sum("class_size").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("class_size").cast("long").alias("k_min"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("class_size") < k_threshold, 1).otherwise(0)
+                ),
+                F.lit(0),
+            ).cast("long").alias("classes_below_k"),
+            F.coalesce(F.sum(below.otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias("rows_below_k"),
+        )
+        .withColumn(
+            "rows_below_k_ppm",
+            F.expr(
+                "CASE WHEN n_rows = 0 THEN 0L "
+                "ELSE rows_below_k * 1000000 div n_rows END"
+            ).cast("long"),
+        )
+        .withColumn(
+            "meets_k",
+            F.when(
+                F.col("k_min") >= F.lit(int(k_threshold)), F.lit(1)
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+    )
+
+
 def suppress_below_k(
     df: DataFrame,
     qi_cols: list,

@@ -5709,6 +5709,62 @@ def k_suppress_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "privacy_generalization_advisor",
+    # the negative-safe floor band on BOTH engines: Spark
+    # (x - pmod(x, w)) div w == DuckDB (x - ((x % w) + w) % w) // w
+    # (c_acctbal can be negative; a truncating div shifts those one
+    # band up on one engine only)
+    oracle="""
+WITH c AS (
+  SELECT c_nationkey, CAST(c_acctbal * 100 AS BIGINT) AS x FROM customer
+), stacked AS (
+  SELECT c_nationkey, w.width AS width,
+         (x - (((x % w.width) + w.width) % w.width)) // w.width AS band
+  FROM c CROSS JOIN (VALUES (CAST(100000 AS BIGINT)), (200000),
+                            (500000), (1000000)) AS w(width)
+), cls AS (
+  SELECT width, c_nationkey, band, count(*) AS class_size
+  FROM stacked GROUP BY 1, 2, 3
+)
+SELECT CAST(width AS BIGINT) AS width,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(class_size) AS BIGINT) AS k_min,
+       CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_below_k,
+       CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+         AS BIGINT) AS rows_below_k,
+       CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+         * 1000000 // sum(class_size) AS BIGINT) AS rows_below_k_ppm,
+       CAST(CASE WHEN min(class_size) >= 5 THEN 1 ELSE 0 END AS BIGINT)
+         AS meets_k
+FROM cls GROUP BY width
+""",
+)
+def privacy_generalization_advisor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Suppression cost curves over candidate balance-band widths
+    (operators/privacy.generalization_advisor) — the ADVISE to
+    k_suppress_customer's ACT: "which coarsening reaches k=5 with
+    minimal suppression" answered exactly, in ONE stacked scan
+    ($1000/$2000/$5000/$10000 bands in integer cents)."""
+    from database_migration_spark.operators import privacy as PV
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.expr("CAST(c_acctbal * 100 AS BIGINT)").alias("bal_cents"),
+    )
+    return PV.generalization_advisor(
+        cust,
+        ["c_nationkey"],
+        "bal_cents",
+        widths=[100_000, 200_000, 500_000, 1_000_000],
+        k_threshold=5,
+    )
+
+
+@register(
     "join_cardinality_lineitem_partkey",
     oracle="""
 WITH ca AS (
@@ -6536,6 +6592,15 @@ _SHOWCASE_ONLY = [
     # regex-pipeline claim); pii_redact keeps its planted-span SQL
     # oracle in the sim + pytests (test_delta_star_text)
     "pii_redact_documents",
+    # showcase from birth (round 12): the generalization advisor — its
+    # machinery is graded piecewise: the stacked candidate×row explode +
+    # per-candidate rollup is dist_key_advisor_orders' graded shape, the
+    # class counting is the GRADED k_anonymity_customer aggregate, and
+    # the exact floor-div banding is the pairing/partition_counts grid
+    # family; the NEW claim (the per-width suppression cost curve with
+    # the negative-safe band form on both engines) is what the oracle
+    # pins; sim-verified + hand-computed-curve pytest (test_privacy)
+    "privacy_generalization_advisor",
 ]
 
 

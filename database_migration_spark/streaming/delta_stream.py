@@ -221,6 +221,84 @@ def stream_incremental_dedup(
     return writer
 
 
+def stream_image_dedup(
+    stream: DataFrame,
+    index_path: str,
+    decisions_sink,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: "int | None" = None,
+    buckets: "int | None" = None,
+    checkpoint: "str | None" = None,
+):
+    """Continuous crawl ingestion of IMAGES deduplicated against the
+    historical corpus — the media leg of :func:`stream_incremental_dedup`
+    (round 12: the hamming signature index gave images the text store's
+    lifecycle; this is its streaming harness). Each micro-batch dHashes
+    its payloads map-side (multimodal.perceptual_dhash — 16-byte
+    signatures, pixels never shuffle) and probes the
+    ``dedup.write_hamming_index`` layout with partition-pruned reads
+    (``hamming_dedup_indexed``); layout parameters resolve from the
+    stored ``_index_meta.json``, contradictions raise.
+
+    ``decisions_sink(decisions_df, epoch_id)`` receives per batch:
+    (id, status, match_id, min_hamming, sig_lo, sig_hi) — undecodable
+    payloads ride along as ``status='decode_error'`` rows (visible, not
+    dropped), and 'new' rows carry their signatures so a production
+    sink can append them straight back via ``append_hamming_index``
+    (the crawl-loop maintenance step). The sink receives ``epoch_id``
+    so it can make itself replay-idempotent (foreachBatch is
+    at-least-once — the additive-fold lesson), and it MUST materialize
+    the decisions before returning: this harness persists exactly one
+    batch-side relation per epoch (the signature table — probe + output
+    join) and unpersists it after the sink returns (the foreachBatch
+    persist-leak rule)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from database_migration_spark.operators.dedup import (
+        hamming_dedup_indexed,
+    )
+    from database_migration_spark.operators.multimodal import (
+        perceptual_dhash,
+    )
+
+    def decide(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.head(1):
+            return
+        sigs_all = perceptual_dhash(
+            batch, payload_col=payload_col, id_col=id_col
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            ok = sigs_all.where(F.col("error").isNull()).select(
+                "id", "sig_lo", "sig_hi"
+            )
+            decided = hamming_dedup_indexed(
+                batch.sparkSession,
+                index_path,
+                ok,
+                max_hamming=max_hamming,
+                buckets=buckets,
+                persist_inputs=False,
+            ).join(ok, "id")
+            errors = sigs_all.where(F.col("error").isNotNull()).select(
+                "id",
+                F.lit("decode_error").alias("status"),
+                F.lit(-1).cast("long").alias("match_id"),
+                F.lit(-1).cast("long").alias("min_hamming"),
+                F.lit(None).cast("long").alias("sig_lo"),
+                F.lit(None).cast("long").alias("sig_hi"),
+            )
+            decisions_sink(decided.unionByName(errors), epoch_id)
+        finally:
+            sigs_all.unpersist(blocking=False)
+
+    writer = stream.writeStream.foreachBatch(decide).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
 def stream_scd2(
     stream: DataFrame,
     dim_path: str,

@@ -2709,3 +2709,34 @@ def test_cli_dedup_media_lifecycle(spark, tmp_path, capsys):
                "--max-hamming", "7", "--dry-run"])
     cap = capsys.readouterr()
     assert rc == 2 and "max_hamming=3" in cap.err
+
+
+def test_cli_privacy_advise_curve(spark, sf_smoke, tmp_path, capsys):
+    """privacy advise prints the per-width suppression curve and a
+    recommendation; parameter mistakes are rc=2 naming the fix."""
+    # an integer-unit band column materialized first (the advisor
+    # rejects floats): cents of c_acctbal
+    src = str(tmp_path / "cust")
+    spark.read.parquet(f"{sf_smoke}/customer.parquet").selectExpr(
+        "c_custkey", "c_nationkey",
+        "CAST(c_acctbal * 100 AS BIGINT) AS bal_cents",
+    ).write.parquet(src + "/customer.parquet")
+
+    rc = main(["privacy", "advise", "--source", src,
+               "--qi", "c_nationkey", "--band-col", "bal_cents",
+               "--widths", "100000,1000000,100000000", "--k", "5"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert cap.out.count("width=") >= 4  # 3 curve rows + recommendation
+    assert "recommendation:" in cap.out
+
+    rc = main(["privacy", "advise", "--source", src,
+               "--qi", "c_nationkey", "--band-col", "bal_cents",
+               "--widths", "10,10"])
+    cap = capsys.readouterr()
+    assert rc == 2 and "distinct integers" in cap.err
+
+    rc = main(["privacy", "advise", "--source", src,
+               "--qi", "c_nationkey", "--widths", "10"])
+    cap = capsys.readouterr()
+    assert rc == 2 and "--band-col" in cap.err

@@ -120,3 +120,79 @@ def test_empty_table_audit_is_zero_not_null(spark):
     assert row.rows_below_k == 0 and row.rows_below_k_ppm == 0
     assert row.rows_below_l == 0
     assert row.k_min is None and row.l_min is None
+
+
+def test_generalization_advisor_hand_computed_curve(spark):
+    """The suppression cost curve, verified against a hand computation:
+    one QI region column plus an integer value coarsened at widths 10
+    and 100. Negative values must band with FLOOR semantics (a
+    truncating div merges [-10,-1) into band 0)."""
+    from database_migration_spark.operators.privacy import (
+        generalization_advisor,
+    )
+
+    # region A: values 0..9 spread across 10-wide bands (each singleton
+    # at width 10, one class of 10 at width 100); region B: five rows
+    # at -5 (band -1 at width 10, band -1 at width 100)
+    rows = [("A", v) for v in range(0, 100, 10)] + [("B", -5)] * 5
+    df = spark.createDataFrame(rows, "region STRING, x LONG")
+    curve = {
+        r.width: r
+        for r in generalization_advisor(
+            df, ["region"], "x", widths=[10, 100], k_threshold=5
+        ).collect()
+    }
+    w10 = curve[10]
+    # width 10: A has 10 singleton classes (below k), B one class of 5
+    assert (w10.n_rows, w10.n_classes, w10.k_min) == (15, 11, 1)
+    assert (w10.classes_below_k, w10.rows_below_k) == (10, 10)
+    assert w10.rows_below_k_ppm == 10 * 1_000_000 // 15
+    assert w10.meets_k == 0
+    w100 = curve[100]
+    # width 100: A collapses to one class of 10, B stays a class of 5
+    assert (w100.n_rows, w100.n_classes, w100.k_min) == (15, 2, 5)
+    assert (w100.classes_below_k, w100.rows_below_k) == (0, 0)
+    assert w100.rows_below_k_ppm == 0 and w100.meets_k == 1
+
+    # floor semantics on the negative band: -5 div 10 is band -1, not 0
+    # (it must NOT merge with region-A's 0..9 even if regions matched)
+    neg = spark.createDataFrame(
+        [("A", -5), ("A", 5)], "region STRING, x LONG"
+    )
+    got = generalization_advisor(
+        neg, ["region"], "x", widths=[10], k_threshold=2
+    ).collect()[0]
+    assert got.n_classes == 2  # bands -1 and 0, never merged
+
+    # NULL x is a class value, not a dropped row
+    withnull = spark.createDataFrame(
+        [("A", None)] * 5 + [("A", 1)], "region STRING, x LONG"
+    )
+    got = generalization_advisor(
+        withnull, ["region"], "x", widths=[10], k_threshold=5
+    ).collect()[0]
+    assert (got.n_rows, got.n_classes) == (6, 2)
+    assert (got.classes_below_k, got.rows_below_k) == (1, 1)
+
+
+def test_generalization_advisor_validation(spark):
+    import pytest
+
+    from database_migration_spark.operators.privacy import (
+        generalization_advisor,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 1, 1.5)], "region STRING, x LONG, f DOUBLE"
+    )
+    with pytest.raises(ValueError, match="distinct integers"):
+        generalization_advisor(df, ["region"], "x", widths=[])
+    with pytest.raises(ValueError, match="distinct integers"):
+        generalization_advisor(df, ["region"], "x", widths=[10, 10])
+    with pytest.raises(ValueError, match="integer unit"):
+        generalization_advisor(df, ["region"], "f", widths=[10])
+    with pytest.raises(ValueError, match="must not also appear"):
+        generalization_advisor(df, ["x"], "x", widths=[10])
+    with pytest.raises(ValueError, match="k_threshold"):
+        generalization_advisor(df, ["region"], "x", widths=[10],
+                               k_threshold=0)

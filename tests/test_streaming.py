@@ -1546,3 +1546,89 @@ def test_zorder_epoch_replay_after_crash_no_double_write(
     assert got.select("id").distinct().count() == 2_000
     meta = L.read_layout_meta(layout)
     assert meta["last_epoch"] == 1 and "pending" not in meta
+
+
+def test_stream_image_dedup_crawl_loop(spark, tmp_path):
+    """Streaming image crawl dedup end to end: epoch batches dHash
+    map-side and probe the hamming index; the sink appends 'new'
+    signatures back, so a later epoch's re-encode of an earlier
+    epoch's image is flagged near_dup; undecodable payloads surface as
+    decode_error rows."""
+    import numpy as np
+
+    from database_migration_spark.operators.dedup import (
+        append_hamming_index,
+        write_hamming_index,
+    )
+    from database_migration_spark.operators.multimodal import (
+        encode_bmp,
+        perceptual_dhash,
+    )
+    from database_migration_spark.streaming.delta_stream import (
+        stream_image_dedup,
+    )
+
+    def bmp(seed, shift=0):
+        vals = ((np.arange(16 * 16 * 3) * (seed * 2 + 7)) % 250).astype(
+            np.int64
+        )
+        px = (vals + shift).reshape(16, 16, 3).astype(np.uint8)
+        return bytearray(encode_bmp(16, 16, px))
+
+    # store: images 1..10, indexed
+    store = spark.createDataFrame(
+        [(i, bmp(i)) for i in range(1, 11)],
+        "media_id LONG, payload BINARY",
+    )
+    idx = str(tmp_path / "img_idx")
+    sigs = perceptual_dhash(store).where("error IS NULL").select(
+        "id", "sig_lo", "sig_hi"
+    )
+    write_hamming_index(sigs, idx, buckets=8)
+
+    # epoch 0: re-encode of image 3 + new image 55 + a broken payload
+    # epoch 1: re-crawl of 55 (must hit the signature epoch 0 appended)
+    src = tmp_path / "feed"
+    src.mkdir()
+    spark.createDataFrame(
+        [(101, bmp(3, shift=2)), (102, bmp(55)),
+         (103, bytearray(b"broken"))],
+        "media_id LONG, payload BINARY",
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    spark.createDataFrame(
+        [(201, bmp(55))], "media_id LONG, payload BINARY",
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    got = {}
+
+    def sink(decisions, epoch_id):
+        rows = decisions.collect()  # materialize before unpersist
+        got[epoch_id] = {r.id: r for r in rows}
+        new_rows = [r for r in rows if r.status == "new"]
+        if new_rows:
+            append_hamming_index(
+                spark.createDataFrame(
+                    [(r.id, r.sig_lo, r.sig_hi) for r in new_rows],
+                    "id LONG, sig_lo LONG, sig_hi LONG",
+                ),
+                idx,
+            )
+
+    stream = (
+        spark.readStream.schema("media_id LONG, payload BINARY")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = stream_image_dedup(
+        stream, idx, sink, checkpoint=str(tmp_path / "ckpt")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    e0 = got[0]
+    assert e0[101].status == "near_dup" and e0[101].match_id == 3
+    assert e0[101].min_hamming == 0  # uniform-shift re-encode
+    assert e0[102].status == "new"
+    assert e0[103].status == "decode_error" and e0[103].sig_lo is None
+    e1 = got[1]
+    assert e1[201].status == "near_dup" and e1[201].match_id == 102

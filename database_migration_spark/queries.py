@@ -5930,20 +5930,12 @@ def coherent_subset_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register("image_near_dup_media")
-def image_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate IMAGES (multimodal.image_near_dup_pairs): dHash
-    perceptual signatures over REAL decoded pixels (stdlib BMP/PNG path)
-    into the SAME pigeonhole-banded Hamming join the text near-dup path
-    uses (dedup.hamming_near_pairs). The corpus ships no media, so the
-    query synthesizes 24-bit BMPs from the embeddings table (Arrow-
-    batched encode — the media_header_probe precedent) and plants a
-    re-encoded variant of every 20th image with a +2 brightness band:
-    BYTE-level dedup misses them (different sha256), the perceptual
-    hash pairs them exactly. Rows-only by nature (no SQL engine decodes
-    pixels); the differential pytest (test_multimodal) pins the Spark
-    path against brute-force local hashing, and dhash_halves itself is
-    pinned against an independent per-cell reference."""
+def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 24-bit BMP corpus synthesized from the embeddings
+    table (the corpus ships no media): one image per vector plus a
+    re-encoded +2-brightness variant of every 20th (planted ids in
+    NEGATIVE key space). Shared by the image_near_dup_media query and
+    scale_probe's --image-index leg — one synthesis, no fork drift."""
     from database_migration_spark.functions.parallel import fan_out
     from database_migration_spark.operators import multimodal as MM
 
@@ -6008,8 +6000,29 @@ def image_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payloads.append(MM.encode_bmp(16, 16, px2))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = emb.mapInPandas(encode, schema="media_id LONG, payload BINARY")
-    return MM.image_near_dup_pairs(media, max_hamming=3)
+    return emb.mapInPandas(encode, schema="media_id LONG, payload BINARY")
+
+
+@register("image_near_dup_media")
+def image_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGES (multimodal.image_near_dup_pairs): dHash
+    perceptual signatures over REAL decoded pixels (stdlib BMP/PNG path)
+    into the SAME pigeonhole-banded Hamming join the text near-dup path
+    uses (dedup.hamming_near_pairs). The corpus ships no media, so the
+    query synthesizes 24-bit BMPs from the embeddings table
+    (:func:`synth_media` — Arrow-batched encode, the media_header_probe
+    precedent) and plants a re-encoded variant of every 20th image with
+    a +2 brightness band: BYTE-level dedup misses them (different
+    sha256), the perceptual hash pairs them exactly. Rows-only by
+    nature (no SQL engine decodes pixels); the differential pytest
+    (test_multimodal) pins the Spark path against brute-force local
+    hashing, and dhash_halves itself is pinned against an independent
+    per-cell reference."""
+    from database_migration_spark.operators import multimodal as MM
+
+    return MM.image_near_dup_pairs(
+        synth_media(spark, sf_dir), max_hamming=3
+    )
 
 
 # The grading driver compares only the FIRST `GRADED_WINDOW` entries of

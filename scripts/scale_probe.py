@@ -29,6 +29,8 @@ Flags: --x100 (third decade), --ann, --bm25, --semantic-bits, --skew-demo,
 --zorder-lifecycle (append-growth/compaction pruning study at x100),
 --guards (cold-lap rows for the internally-persisting round-11 ops:
 join_cardinality, image_near_dup),
+--image-index (round-12 incremental image store: indexed crawl-batch
+probe vs the index-free signature self-join; +x100 with --x100),
 --no-queries (skip the main sweep for flag-only runs).
 Writes the corpus under .scale/x10/ (gitignored) and prints one JSON line
 with sf0.1 and 10x timings per operator; SCALE.md records the results.
@@ -1612,6 +1614,119 @@ def main() -> int:
             out["image_near_dup_cold"]["x100_pairs"] = registry[
                 "image_near_dup_media"
             ](spark, OUT100).count()
+    if "--image-index" in sys.argv:
+        # the round-12 incremental image store: a crawl batch probed
+        # against the prebuilt hamming index must cost like the BATCH,
+        # while the index-free path self-joins the whole corpus's
+        # signatures every time (and a real crawl would re-hash its
+        # pixels on top). Signatures are materialized to parquet FIRST
+        # so cold laps time the probe/join, not the BMP synthesis.
+        import shutil
+
+        from database_migration_spark.operators.dedup import (
+            hamming_dedup_indexed,
+            hamming_near_pairs,
+            write_hamming_index,
+        )
+        from database_migration_spark.operators.multimodal import (
+            perceptual_dhash,
+        )
+        from database_migration_spark.queries import synth_media
+
+        if not os.path.exists(os.path.join(OUT, "embeddings.parquet")):
+            generate(spark, OUT, REPLICAS, tables=("embeddings",))
+        # self-contained study (the --zorder-lifecycle convention): both
+        # decades run without --x100, which would otherwise drag the
+        # whole main x100 probe sweep along; the x100 embeddings
+        # generate on demand below
+        leg = {}
+        for tag, src in (("x10", OUT), ("x100", OUT100)):
+            if not os.path.exists(os.path.join(src, "embeddings.parquet")):
+                generate(spark, src, 100, tables=("embeddings",))
+            sig_dir = os.path.join(os.path.dirname(OUT),
+                                   f"img_sigs_{tag}")
+            if not os.path.exists(os.path.join(sig_dir, "_SUCCESS")):
+                perceptual_dhash(synth_media(spark, src)).where(
+                    "error IS NULL"
+                ).select("id", "sig_lo", "sig_hi").write.mode(
+                    "overwrite"
+                ).parquet(sig_dir)
+            sigs = spark.read.parquet(sig_dir)
+            idx_path = os.path.join(os.path.dirname(OUT),
+                                    f"img_idx_{tag}")
+            # buckets sized to the corpus (the write_fingerprint_index
+            # sizing rule); partition pruning only bites when the
+            # probe's |batch|·chunks key set undersamples them, so the
+            # leg measures BOTH batch shapes (see below)
+            buckets = 64 if tag == "x10" else 256
+            shutil.rmtree(idx_path, ignore_errors=True)
+            t0 = time.time()
+            write_hamming_index(sigs.where("id >= 0"), idx_path,
+                                buckets=buckets)
+            build = time.time() - t0
+            # full batch = every planted negative (each matches its
+            # base — the near_dup count is the non-vacuity guard);
+            # tiny batch = the streaming-epoch shape, where the bucket
+            # IN predicate actually prunes
+            tiny = "id < 0 AND id >= -401"
+            row = {
+                "corpus_n": sigs.where("id >= 0").count(),
+                "batch_n": sigs.where("id < 0").count(),
+                "tiny_batch_n": sigs.where(tiny).count(),
+                "buckets": buckets,
+                "index_build_sec": round(build, 3),
+                "indexed_probe_cold_sec": round(
+                    cold_thunk(
+                        spark,
+                        lambda: hamming_dedup_indexed(
+                            spark, idx_path,
+                            spark.read.parquet(sig_dir).where("id < 0"),
+                        ),
+                    ),
+                    3,
+                ),
+                "tiny_probe_cold_sec": round(
+                    cold_thunk(
+                        spark,
+                        lambda: hamming_dedup_indexed(
+                            spark, idx_path,
+                            spark.read.parquet(sig_dir).where(tiny),
+                        ),
+                    ),
+                    3,
+                ),
+                "sig_selfjoin_cold_sec": round(
+                    cold_thunk(
+                        spark,
+                        lambda: hamming_near_pairs(
+                            spark.read.parquet(sig_dir)
+                        ),
+                    ),
+                    3,
+                ),
+            }
+            from database_migration_spark.operators.dedup import (
+                _hamming_chunks,
+            )
+            from pyspark.sql import functions as SF
+
+            row["tiny_buckets_touched"] = (
+                _hamming_chunks(sigs.where(tiny), 64, 3)
+                .select(
+                    SF.pmod(SF.hash("ci", "ck"), SF.lit(buckets))
+                    .alias("b")
+                )
+                .distinct()
+                .count()
+            )
+            row["probe_near_dup"] = (
+                hamming_dedup_indexed(
+                    spark, idx_path, sigs.where("id < 0")
+                ).where("status = 'near_dup'").count()
+            )
+            leg[tag] = row
+        out["image_index_probe"] = leg
+
     if "--media-decode" in sys.argv:
         out["media_decode"] = media_decode_probe(spark)
     if "--semantic-bits" in sys.argv:

@@ -1861,14 +1861,7 @@ def cmd_dedup(args) -> int:
             swap_partitions,
         )
 
-        # the sub-index set follows the stored index kind: one chunk
-        # index for hamming (media/simhash) stores, content+bands for
-        # minhash fingerprint stores
-        sub_ixs = (
-            ("chunks",)
-            if (read_index_meta(args.index) or {}).get("kind") == "hamming"
-            else ("content", "bands")
-        )
+        sub_ixs = _dedup_sub_indexes(args.index)
         if not os.path.isdir(os.path.join(args.index, sub_ixs[0])):
             print(f"error: no dedup index at {args.index} "
                   "(run `dedup build` first)", file=sys.stderr)
@@ -1910,11 +1903,7 @@ def cmd_dedup(args) -> int:
         return 0
 
     # compact: one file per bucket per sub-index, then rename-swap
-    sub_ixs = (
-        ("chunks",)
-        if (read_index_meta(args.index) or {}).get("kind") == "hamming"
-        else ("content", "bands")
-    )
+    sub_ixs = _dedup_sub_indexes(args.index)
     if not os.path.isdir(os.path.join(args.index, sub_ixs[0])):
         print(f"error: no dedup index at {args.index} "
               "(run `dedup build` first)", file=sys.stderr)
@@ -1934,6 +1923,19 @@ def cmd_dedup(args) -> int:
         )
         print(f"{sub_ix}: compacted to {n_files} files")
     return 0
+
+
+def _dedup_sub_indexes(index_path: str) -> tuple:
+    """The sub-index set follows the stored index kind: one chunk index
+    for hamming (media/simhash) stores, content+bands for minhash
+    fingerprint stores — shared by forget and compact (review finding:
+    the detection was copy-pasted in both branches)."""
+    from database_migration_spark.operators.dedup import read_index_meta
+
+    meta = read_index_meta(index_path) or {}
+    return ("chunks",) if meta.get("kind") == "hamming" else (
+        "content", "bands"
+    )
 
 
 def _dedup_media(args, spark, corpus_df) -> int:
@@ -1982,16 +1984,22 @@ def _dedup_media(args, spark, corpus_df) -> int:
         )
 
         if args.action == "build":
+            # one cached count serves the emptiness guard AND the log
+            # line (re-reading the written index for the count was an
+            # extra full scan + distinct — review finding)
+            n = sigs.count()
+            if n == 0:
+                print("error: no decodable payloads in the corpus — an "
+                      "empty index would break every later probe; check "
+                      f"--payload-col (got {args.payload_col!r})",
+                      file=sys.stderr)
+                return 2
             write_hamming_index(
                 sigs, args.index,
                 max_hamming=(args.max_hamming
                              if args.max_hamming is not None else 3),
                 buckets=args.buckets if args.buckets is not None else 64,
                 extra={"signature": "dhash64"},
-            )
-            n = (
-                spark.read.parquet(f"{args.index}/chunks")
-                .select("sid").distinct().count()
             )
             print(f"media index built: {n} image signature(s), layout "
                   f"{read_index_meta(args.index)}")

@@ -1508,9 +1508,10 @@ def hamming_dedup_indexed(
     :func:`hamming_near_pairs` machinery.
 
     Returns (id, status, match_id, min_hamming): ``near_dup`` when some
-    store signature is within ``max_hamming`` (match_id = the smallest
-    such sid, min_hamming = its distance — 0 means signature-identical,
-    e.g. a re-encoded image), else ``new`` with (-1, -1). Batch-internal
+    store signature is within ``max_hamming`` (min_hamming = the TRUE
+    minimum distance — 0 means signature-identical, e.g. a re-encoded
+    image; match_id = the closest match's sid, ties broken to the
+    smallest), else ``new`` with (-1, -1). Batch-internal
     duplicates are out of scope by design — run the batch through
     :func:`hamming_near_pairs` first (the incremental_dedup contract).
     """
@@ -1548,10 +1549,14 @@ def hamming_dedup_indexed(
         cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= F.lit(max_hamming))
         .groupBy("id")
-        # ONE ordered struct-min: the canonical match is the smallest
-        # sid among matches, carrying ITS distance (not min-over-both,
-        # which could pair sid X with sid Y's hamming)
-        .agg(F.min(F.struct("sid", "hamming")).alias("m"))
+        # ONE ordered struct-min, DISTANCE first: min_hamming must be
+        # the true minimum (the documented '0 = signature-identical'
+        # contract), with smallest sid as the deterministic tie-break —
+        # sid-first ordering would return a farther match's distance
+        # whenever a smaller sid matched at higher hamming (review
+        # finding); not min-over-both either, which could pair sid X
+        # with sid Y's hamming
+        .agg(F.min(F.struct("hamming", "sid")).alias("m"))
         .select("id", F.col("m.sid").alias("match_id"),
                 F.col("m.hamming").alias("min_hamming"))
     )

@@ -5713,10 +5713,16 @@ def k_suppress_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the negative-safe floor band on BOTH engines: Spark
     # (x - pmod(x, w)) div w == DuckDB (x - ((x % w) + w) % w) // w
     # (c_acctbal can be negative; a truncating div shifts those one
-    # band up on one engine only)
+    # band up on one engine only). Cents go through DECIMAL(18,2) FIRST
+    # (the _BAL_BAND convention): a bare CAST(double*100 AS BIGINT)
+    # truncates in Spark and rounds in DuckDB, so 0.29 becomes 28 vs 29
+    # cents (review finding — parity held only because the chosen
+    # widths' band edges aligned)
     oracle="""
 WITH c AS (
-  SELECT c_nationkey, CAST(c_acctbal * 100 AS BIGINT) AS x FROM customer
+  SELECT c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM customer
 ), stacked AS (
   SELECT c_nationkey, w.width AS width,
          (x - (((x % w.width) + w.width) % w.width)) // w.width AS band
@@ -5753,7 +5759,9 @@ def privacy_generalization_advisor(
 
     cust = table(spark, sf_dir, "customer").select(
         "c_nationkey",
-        F.expr("CAST(c_acctbal * 100 AS BIGINT)").alias("bal_cents"),
+        F.expr(
+            "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("bal_cents"),
     )
     return PV.generalization_advisor(
         cust,

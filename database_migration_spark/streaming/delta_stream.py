@@ -1054,9 +1054,17 @@ def _zorder_epoch(
             extra_meta=fence,
         )
         return
-    if (
-        meta.get("run_id") == run_id
-        and int(meta.get("last_epoch", -1)) == int(epoch_id)
+    stored_run = meta.get("run_id")
+    if int(meta.get("last_epoch", -1)) == int(epoch_id) and (
+        stored_run == run_id
+        # legacy layouts (pre-run-id metas) recorded only the epoch: a
+        # matching epoch there IS the replay the old fence covered — a
+        # fresh-checkpoint N=0 collision remains possible against a
+        # legacy meta until the first new-code commit records run_id,
+        # but treating it as new would re-apply the replayed epoch and
+        # double-write (review finding: the upgrade must not reopen the
+        # window the old fence closed)
+        or stored_run is None
     ):
         return  # this checkpoint already committed this epoch
     zorder_append(

@@ -2740,3 +2740,20 @@ def test_cli_privacy_advise_curve(spark, sf_smoke, tmp_path, capsys):
                "--qi", "c_nationkey", "--widths", "10"])
     cap = capsys.readouterr()
     assert rc == 2 and "--band-col" in cap.err
+
+
+def test_cli_dedup_media_build_rejects_undecodable_corpus(
+    spark, tmp_path, capsys
+):
+    """A corpus with zero decodable payloads must be rc=2 naming the
+    fix, not a half-built index that breaks every later probe."""
+    corpus = str(tmp_path / "junk")
+    spark.createDataFrame(
+        [(1, bytearray(b"nope")), (2, bytearray(b"also nope"))],
+        "media_id LONG, payload BINARY",
+    ).write.parquet(corpus + "/media.parquet")
+    rc = main(["dedup", "build", "--media",
+               "--index", str(tmp_path / "idx"),
+               "--corpus", corpus, "--id-col", "media_id"])
+    cap = capsys.readouterr()
+    assert rc == 2 and "no decodable payloads" in cap.err

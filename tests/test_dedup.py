@@ -824,3 +824,30 @@ def test_hamming_and_minhash_indexes_reject_each_other(spark, tmp_path):
         incremental_dedup_indexed(
             spark, ham_path, fingerprint_store(docs)
         )
+
+
+def test_hamming_probe_reports_true_min_distance(spark, tmp_path):
+    """min_hamming is the TRUE minimum — a smaller sid matching at
+    higher distance must not shadow a signature-identical match under
+    a bigger sid (review finding: a sid-first struct-min returned the
+    farther match's distance and broke the '0 = re-encode' contract)."""
+    from database_migration_spark.operators.dedup import (
+        hamming_dedup_indexed,
+        write_hamming_index,
+    )
+
+    s = 0x0000ABCD_0000EF12
+    lo, hi = s & 0xFFFFFFFF, s >> 32
+    store = _ham_sigs(
+        spark,
+        [(2, lo ^ 0b111, hi),   # hamming 3 vs the batch sig, smaller sid
+         (11, lo, hi)],         # hamming 0, larger sid
+    )
+    path = str(tmp_path / "minh_idx")
+    write_hamming_index(store, path, buckets=4)
+    got = hamming_dedup_indexed(
+        spark, path, _ham_sigs(spark, [(300, lo, hi)])
+    ).collect()[0]
+    assert (got.status, got.match_id, got.min_hamming) == (
+        "near_dup", 11, 0
+    )

@@ -1632,3 +1632,38 @@ def test_stream_image_dedup_crawl_loop(spark, tmp_path):
     assert e0[103].status == "decode_error" and e0[103].sig_lo is None
     e1 = got[1]
     assert e1[201].status == "near_dup" and e1[201].match_id == 102
+
+
+def test_zorder_epoch_legacy_meta_replay_skips(spark, tmp_path):
+    """Upgrade path: a layout whose meta predates the run-id fence
+    (last_epoch only) and whose last committed epoch is replayed must
+    SKIP — re-applying it would double-write (the window the old bare
+    fence closed must not reopen on upgrade)."""
+    import json
+    import os
+
+    from database_migration_spark.operators.layout import read_layout_meta
+    from database_migration_spark.streaming.delta_stream import (
+        _zorder_epoch,
+    )
+
+    layout = str(tmp_path / "legacy")
+    ckpt = str(tmp_path / "ckpt")
+    batch = spark.createDataFrame(
+        [(i, i % 50, i % 70) for i in range(1_000)],
+        "id LONG, u LONG, e LONG",
+    )
+    _zorder_epoch(batch, 3, layout, ckpt, ["u", "e"], None, 4)
+    # strip the run identity: the pre-round-12 meta shape
+    meta = read_layout_meta(layout)
+    del meta["run_id"]
+    with open(os.path.join(layout, "_layout_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+    # replay of the stored epoch: must skip even without a run id
+    _zorder_epoch(batch, 3, layout, ckpt, None, None, 4)
+    assert spark.read.parquet(layout).count() == 1_000
+    # a different epoch still appends (and records the new run id)
+    _zorder_epoch(batch, 4, layout, ckpt, None, None, 4)
+    assert spark.read.parquet(layout).count() == 2_000
+    assert read_layout_meta(layout)["run_id"]

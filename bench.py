@@ -124,6 +124,12 @@ BENCH_QUERIES = [
     # dedicated SCALE.md cold-lap rows via scale_probe --guards instead,
     # and the privacy row below covers the round's graded-family shape)
     "k_anonymity_customer",
+    # round 12: privacy_generalization_advisor is NOT a headliner — its
+    # cost is |widths| x the k_anonymity scan already benched above, the
+    # 30-char name is expensive against the 2,000-byte artifact tail,
+    # and it is graded-window-adjacent via the sim oracle; the hamming
+    # image-index economics carry dedicated SCALE.md rows
+    # (scale_probe --image-index) instead.
 ]
 
 

@@ -191,20 +191,29 @@ def fk_check(
 ) -> DataFrame:
     """One-row FK validation: n_rows / n_distinct over the child's
     non-null FK values (SQL FK semantics ignore NULLs), n_bad = orphan
-    row count via a left-anti join against the distinct parent key. The
-    anti-join shuffles on the key (broadcast when the parent is
-    dim-sized); the two scalar aggregates cross-join onto the result —
-    nothing collects."""
+    row count. ONE scan of the child: groupBy(value) → (value, cnt) with
+    map-side combine, then a left join against the distinct parent key
+    (broadcast when the parent is dim-sized) feeds all three stats from
+    the same grouped relation — n_rows = Σcnt, n_distinct = row count,
+    n_bad = Σcnt over unmatched values. (The previous shape scanned the
+    child twice — a stats aggregate plus a separate anti-join — and paid
+    a two-phase count_distinct on top; r12 opt round.) Nothing collects."""
     c = child.select(F.col(fk_col).alias("v")).where(F.col("v").isNotNull())
-    stats = c.agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.count_distinct(F.col("v")).cast("long").alias("n_distinct"),
+    g = c.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    p = (
+        parent.select(F.col(ref_col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    p = parent.select(F.col(ref_col).alias("v")).where(F.col("v").isNotNull()).distinct()
-    orphans = c.join(p, "v", "left_anti").agg(
-        F.count(F.lit(1)).cast("long").alias("n_bad")
+    agg = g.join(p, "v", "left").agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.coalesce(F.sum(F.when(F.col("_hit").isNull(), F.col("cnt"))), F.lit(0))
+        .cast("long")
+        .alias("n_bad"),
     )
-    return stats.crossJoin(orphans).select(
+    return agg.select(
         F.lit(table_name).alias("table_name"),
         F.lit(constraint_name).alias("constraint_name"),
         F.lit("FK").alias("kind"),

@@ -102,16 +102,27 @@ def profile_table(
             if row[f"mn_{c}"] is not None
         }
 
-    # pass 2: one scan → one wide row (counts, nulls, distincts, buckets)
+    # pass 2: one scan → one wide row (counts, nulls, distincts, buckets).
+    # The exact distinct counts live in their OWN narrow aggregate (the
+    # validate.compute_metrics_wide split): exact COUNT(DISTINCT) over N
+    # columns uses Spark's Expand (input duplicated once per distinct
+    # aggregate), and keeping the plain null/hist counters out of that
+    # aggregate keeps the expanded stream N× thinner. Both aggregates
+    # consume the same fanned-out exchange (ReusedExchange — the input
+    # moves once), which also repairs parallelism on single-row-group
+    # files: without the fan_out the whole Expand pass ran on ONE task
+    # (r12 opt round: profile_orders exec 3.17 s → see OPTIMIZATION_r12).
     if distinct_mode not in ("exact", "approx"):
         raise ValueError(f"distinct_mode must be exact|approx, got {distinct_mode!r}")
-    dcount = (
-        F.approx_count_distinct if distinct_mode == "approx" else F.count_distinct
-    )
     aggs = [F.count(F.lit(1)).alias("rows__")]
+    distinct_aggs = []
     for c in cols:
         aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"null__{c}"))
-        aggs.append(dcount(F.col(c)).alias(f"dist__{c}"))
+        if distinct_mode == "approx":
+            # HLL sketch: single pass, no Expand — rides the plain aggregate
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"dist__{c}"))
+        else:
+            distinct_aggs.append(F.count_distinct(F.col(c)).alias(f"dist__{c}"))
     for c, (vmin, vmax) in bounds.items():
         span = vmax - vmin + 1
         for b in range(bins):
@@ -128,7 +139,14 @@ def profile_table(
                 == F.lit(b)
             ) & F.col(c).isNotNull()
             aggs.append(F.count(F.when(cond, 1)).alias(f"hist__{c}__{b}"))
-    wide = df.agg(*aggs)
+    from database_migration_spark.functions.parallel import fan_out
+
+    fanned = fan_out(df)
+    wide = fanned.agg(*aggs)
+    if distinct_aggs:
+        # both aggregates read every column, so the two exchange subplans
+        # canonicalize identically and the shuffle is planned once
+        wide = wide.crossJoin(fanned.agg(*distinct_aggs))
 
     # unpivot the wide row into the tall report without touching the
     # driver — ONE stack (the 'rows' stat rides along), so the wide
@@ -157,7 +175,7 @@ def profile_table(
     if topk_cols:
         from pyspark.sql import Window
 
-        pairs = df.select(
+        pairs = fanned.select(
             F.explode(
                 F.array(
                     *[

@@ -42,6 +42,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
 
+# (applicationId, sf_dir, name) -> reader DataFrame. A PLAN cache, never a
+# result cache: every action on the returned DataFrame still scans the
+# parquet inputs. Re-calling spark.read.parquet costs ~90 ms of driver work
+# (python footer probe + JVM file listing + schema inference) PER CALL, and
+# one bench lap of a 10-table query repeats all of it — measured 0.93 s of
+# constraint_violations_testdata's 2.26 s build time (r12 opt round). The
+# testdata directory is immutable for a session, which is what makes the
+# memo safe; mutable paths (published stores, streaming targets) go through
+# read_parquet_portable directly and are NEVER cached here. Keyed on
+# applicationId so a fresh session never sees another session's plans.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (nanos-safe). No sidecar columns so the
     shape matches what the DuckDB oracle sees.
@@ -52,7 +65,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     naive-UTC DuckDB oracle.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return read_parquet_portable(spark, f"{sf_dir}/{name}.parquet", nanos_sidecar=False)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = read_parquet_portable(
+            spark, f"{sf_dir}/{name}.parquet", nanos_sidecar=False
+        )
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def register(name: str, oracle: str | None = None):

@@ -88,16 +88,37 @@ def test_profile_topk_ties_and_nulls(spark):
 
 
 def test_profile_single_scan_plan(spark, sf_smoke):
-    """The wide pass must be ONE scan with partial aggregation — one
-    FileScan for rows+nulls+distincts+all buckets (top-k adds its own
-    exploded scan; with topk_cols=[] exactly one scan total)."""
+    """The wide pass moves the input ONCE. Since the r12 opt round the
+    exact-distinct branch lives in its own narrow aggregate (the
+    validate.compute_metrics_wide split: keeps the plain null/hist
+    counters out of the Expand stream) and both legs consume the same
+    fanned-out exchange — statically that prints as two identical
+    scan+repartition subtrees, and AQE's stage reuse dedupes them at
+    runtime (asserted via ReusedExchange in the final plan). approx
+    mode has no Expand and stays a literal single scan."""
     df = spark.read.parquet(f"{sf_smoke}/orders.parquet")
     rep = profile_table(df, "orders", hist_cols=["o_custkey"], topk_cols=[])
     plan = rep._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
         rep._jdf.queryExecution(), "simple"
     )
-    assert plan.count("FileScan parquet") == 1
+    # two legs (stats + exact-distinct), not a per-column scan explosion
+    assert plan.count("FileScan parquet") == 2
     assert "partial_count" in plan
+    rep.collect()
+    final = rep._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        rep._jdf.queryExecution(), "simple"
+    )
+    assert "isFinalPlan=true" in final
+    assert final.count("ReusedExchange") >= 1  # the input moved once
+
+    approx = profile_table(
+        df, "orders", hist_cols=["o_custkey"], topk_cols=[], distinct_mode="approx"
+    )
+    aplan = approx._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        approx._jdf.queryExecution(), "simple"
+    )
+    assert aplan.count("FileScan parquet") == 1
+    assert "Expand" not in aplan
 
 
 def test_fd_candidates_semantics(spark):

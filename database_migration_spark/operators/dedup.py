@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from database_migration_spark.functions.hashing import (
     md5_long,
-    minhash_permuted,
+    minhash_permuted_sql,
     permutation_params,
 )
 from database_migration_spark.functions.text_exprs import char_shingles, normalize_text
@@ -116,10 +116,17 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig_0..sig_{n-1}) minhash signature — one groupBy over the
     exploded shingle relation computing all permutations' mins in a single
-    aggregate (map-side combined; no per-permutation passes)."""
+    aggregate (map-side combined; no per-permutation passes).
+
+    The aggregate expressions are rendered as SQL text (ONE ``F.expr`` per
+    output column, the same ``minhash_permuted_sql`` source the DuckDB
+    oracles use) instead of per-permutation Column arithmetic: each Column
+    operator is a py4j round-trip, and 32 permutations × 6 ops cost ~0.6 s
+    of pure driver time per plan build (r12 opt round, guide §5 — the
+    driver is part of the query)."""
     params = permutation_params(num_perm, seed)
     aggs = [
-        F.min(minhash_permuted(F.col("h"), a, b)).alias(f"sig_{i}")
+        F.expr(f"min({minhash_permuted_sql('h', a, b)})").alias(f"sig_{i}")
         for i, (a, b) in enumerate(params)
     ]
     return shingles.groupBy("id").agg(*aggs)
@@ -129,17 +136,21 @@ def banded_keys(
     signatures: DataFrame, num_perm: int = 32, bands: int = 4
 ) -> DataFrame:
     """(id, band, key) — the LSH band buckets of a signature relation
-    (key = md5 over the band's rows_per_band signature components)."""
+    (key = md5 over the band's rows_per_band signature components).
+
+    Rendered as ONE ``inline(array(named_struct(...)))`` selectExpr —
+    the per-band struct/concat Column construction was ~0.3 s of py4j
+    round-trips per plan build (r12 opt round)."""
     rows = num_perm // bands
-    band_cols = []
+    structs = []
     for b in range(bands):
-        parts = [F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("key"))
+        casts = ", ".join(
+            f"cast(sig_{b * rows + r} as string)" for r in range(rows)
         )
-    return signatures.select(
-        "id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        structs.append(
+            f"named_struct('band', {b}, 'key', md5(concat_ws('_', {casts})))"
+        )
+    return signatures.selectExpr("id", f"inline(array({', '.join(structs)}))")
 
 
 def lsh_candidate_pairs(
@@ -686,9 +697,12 @@ def simhash_signatures(
     # vote_i = Σ(±1) > 0 ⇔ 2*ones_i > n_tok: aggregating the raw bit
     # (sum((h>>i)&1)) instead of a per-row CASE keeps each of the 64
     # aggregate expressions tiny — the wide agg was blowing past the
-    # whole-stage-codegen method limits and paying ~8 s of compile
+    # whole-stage-codegen method limits and paying ~8 s of compile.
+    # Expressions are SQL text (one F.expr per aggregate / one per packed
+    # half): the Column-chain build was ~700 py4j round-trips per plan
+    # (r12 opt round, guide §5).
     def ones(src: str, i: int, name: str):
-        return F.sum(F.shiftright(F.col(src), i).bitwiseAND(F.lit(1))).alias(name)
+        return F.expr(f"sum((shiftright({src}, {i}) & 1))").alias(name)
 
     votes = (
         [ones("hlo", i, f"vl_{i}") for i in range(half)]
@@ -698,13 +712,10 @@ def simhash_signatures(
     voted = toks.groupBy("id").agg(*votes)
 
     def pack(prefix: str) -> F.Column:
-        return sum(
-            (
-                F.when(F.col(f"{prefix}_{i}") * 2 > F.col("n_tok"), F.lit(1 << i)).otherwise(F.lit(0))
-                for i in range(half)
-            ),
-            F.lit(0),
-        ).cast("long")
+        terms = " + ".join(
+            f"IF({prefix}_{i} * 2 > n_tok, {1 << i}, 0)" for i in range(half)
+        )
+        return F.expr(f"CAST(({terms}) AS BIGINT)")
 
     return voted.select("id", pack("vl").alias("sig_lo"), pack("vh").alias("sig_hi"))
 
@@ -1112,9 +1123,7 @@ def incremental_dedup(
     s = store_fp.select(
         F.col("id").alias("sid"), *[F.col(c).alias(f"s_{c}") for c in sig_cols]
     )
-    agree = _agree_permille(
-        sig_cols, num_perm, lambda c: F.col(f"a_{c}"), lambda c: F.col(f"s_{c}")
-    )
+    agree = _agree_permille(sig_cols, num_perm, "a_", "s_")
     near = (
         cand.join(a, "id")
         .join(s, "sid")
@@ -1125,16 +1134,17 @@ def incremental_dedup(
     return _decision_select(batch_fp, exact, near)
 
 
-def _agree_permille(sig_cols, num_perm: int, left, right):
+def _agree_permille(sig_cols, num_perm: int, left_prefix: str, right_prefix: str):
     """Fraction (permille) of equal minhash components — the standard
-    unbiased Jaccard estimate. ``left``/``right`` map a signature column
-    name to its Column on each side. num_perm is a power of two, so
-    agree*1000/num_perm is float-exact."""
-    agree = None
-    for c in sig_cols:
-        term = F.when(left(c) == right(c), 1).otherwise(0)
-        agree = term if agree is None else agree + term
-    return F.floor(agree * F.lit(1000) / F.lit(num_perm)).cast("long")
+    unbiased Jaccard estimate. ``left_prefix``/``right_prefix`` name each
+    side's signature columns (e.g. ``a_sig_0``). num_perm is a power of
+    two, so agree*1000/num_perm is float-exact. One ``F.expr`` string:
+    the per-component when/sum Column chain was 32 × ~6 py4j round-trips
+    per build (r12 opt round)."""
+    terms = " + ".join(
+        f"IF({left_prefix}{c} = {right_prefix}{c}, 1, 0)" for c in sig_cols
+    )
+    return F.expr(f"CAST(FLOOR(({terms}) * 1000 / {num_perm}) AS BIGINT)")
 
 
 def _decision_select(batch_fp: DataFrame, exact: DataFrame, near: DataFrame) -> DataFrame:
@@ -1369,9 +1379,7 @@ def incremental_dedup_indexed(
         .distinct()
     )
     a = batch_fp.select("id", *[F.col(c).alias(f"a_{c}") for c in sig_cols])
-    agree = _agree_permille(
-        sig_cols, num_perm, lambda c: F.col(f"a_{c}"), lambda c: F.col(c)
-    )
+    agree = _agree_permille(sig_cols, num_perm, "a_", "")
     near = (
         cand.join(a, "id")
         .where(agree >= F.lit(min_agree_permille))

@@ -49,6 +49,16 @@ def get_spark(
         # as timestamp[ns], confusing external readers.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4's DataFrame-debugging decorator walks the Python stack
+        # and makes 2 extra py4j round-trips on EVERY API call purely to
+        # decorate error messages with the user call site. Expression-heavy
+        # builders (32-permutation minhash, banded keys) make hundreds of
+        # API calls per plan — measured r12: ~0.3 s of pure call-site
+        # capture per incremental_dedup build, plus the hidden JVM origin
+        # set per call. Error behavior is unchanged except for that one
+        # decoration line. Scale-neutral: this is driver overhead whatever
+        # the cluster size.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         # Broadcast threshold: dimension tables (region/nation/customer at

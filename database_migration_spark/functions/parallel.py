@@ -14,10 +14,14 @@ small-input/expensive-compute shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 
-def fan_out(df: DataFrame, n: int | None = None) -> DataFrame:
+def fan_out(
+    df: DataFrame,
+    n: int | None = None,
+    key: str | Column | list[str] | None = None,
+) -> DataFrame:
     """Repartition up to the cluster's default parallelism — only when the
     input is small enough that its scan cannot feed every core.
 
@@ -29,6 +33,19 @@ def fan_out(df: DataFrame, n: int | None = None) -> DataFrame:
     to the exact partition-count check; that pays one plan→RDD conversion,
     accepted because deciding wrongly there either strands a 1-partition
     JDBC read on one core or adds a pointless shuffle.
+
+    ``key`` (a high-cardinality column / column list) switches the
+    shuffle from round-robin to HASH partitioning. Round-robin pays a
+    full local SORT of every row first (``sortBeforeRepartition`` —
+    Spark's retry-determinism guard), serialized onto the single scan
+    task for single-row-group files; hash partitioning is retry-
+    deterministic by construction (row→partition depends only on row
+    content), skips the sort, and — when ``key`` matches a downstream
+    groupBy/join key — lets EnsureRequirements elide the next exchange.
+    Measured r12: lineitem wide-agg 0.80 s (rr) → 0.50 s (hash on
+    l_orderkey). Keep round-robin (key=None) for tiny relations feeding
+    per-row-expensive stages (image decode), where its perfectly even
+    spread beats hash's multinomial balance.
     """
     sc = df.sparkSession.sparkContext
     target = n or sc.defaultParallelism
@@ -52,4 +69,7 @@ def fan_out(df: DataFrame, n: int | None = None) -> DataFrame:
     # read and prevents a redundant shuffle on an already-wide input
     if df.rdd.getNumPartitions() >= target:
         return df
+    if key is not None:
+        cols = key if isinstance(key, list) else [key]
+        return df.repartition(target, *cols)
     return df.repartition(target)

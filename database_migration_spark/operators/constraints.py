@@ -161,11 +161,16 @@ def pk_check(
     NULL-key rows — the reference's post-load PK enforcement
     (set_primary_keys.sql) expressed as a single-scan aggregate (the
     conditional count_distinct skips NULL-key rows by construction)."""
+    from database_migration_spark.functions.parallel import fan_out
+
     non_null = None
     for k in keys:
         c = F.col(k).isNotNull()
         non_null = c if non_null is None else (non_null & c)
-    agg = df.agg(
+    # hash fan-out on the key columns: the partial distinct aggregate
+    # runs parallel (a single-row-group file otherwise dedups every key
+    # tuple on ONE task) and equal tuples colocate by construction
+    agg = fan_out(df, key=list(keys)).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.count_distinct(F.when(non_null, F.struct(*[F.col(k) for k in keys])))
         .cast("long")

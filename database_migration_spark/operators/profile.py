@@ -58,6 +58,7 @@ def profile_table(
     bins: int = 10,
     k: int = 5,
     distinct_mode: str = "exact",
+    fan_key: str | None = None,
 ) -> DataFrame:
     """Tall profile report for ``df`` (see module docstring for schema).
 
@@ -141,7 +142,9 @@ def profile_table(
             aggs.append(F.count(F.when(cond, 1)).alias(f"hist__{c}__{b}"))
     from database_migration_spark.functions.parallel import fan_out
 
-    fanned = fan_out(df)
+    # fan_key (the table's PK when the caller knows it) = hash fan-out,
+    # skipping round-robin's serial full-row sort (functions/parallel.py)
+    fanned = fan_out(df, key=fan_key)
     wide = fanned.agg(*aggs)
     if distinct_aggs:
         # both aggregates read every column, so the two exchange subplans

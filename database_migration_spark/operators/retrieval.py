@@ -181,10 +181,33 @@ def bm25_topk(
     partitions by query. No corpus scan, no shuffle wider than the hit
     set.
     """
-    post, doc_lens, _ = _index_relations(df, text_col, id_col, persist)
+    from pyspark import StorageLevel
+
+    from database_migration_spark.operators.text import term_frequencies
+
+    # Ad-hoc query path: every downstream relation is pre-filtered to the
+    # QUERIED terms with a broadcast semi-join before anything heavy runs
+    # (guide §3: pre-filter the big side when selective). The previous
+    # shape aggregated document frequencies over the ENTIRE vocabulary and
+    # shuffled the full postings⋈doc_lens join only to keep ~|query| terms
+    # of it (r12 opt round: bm25_topk_documents 2.77 → see
+    # OPTIMIZATION_r12). The standing-index path (write_postings_index /
+    # bm25_topk_indexed) still builds full relations via _index_relations.
+    tf = term_frequencies(df, text_col, id_col, persist)
+    doc_lens = tf.groupBy("id").agg(F.sum("tf").cast("long").alias("dl"))
     stats = corpus_stats(doc_lens)
-    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_docs"))
     qt = tokenize_queries(queries)
+    tf_q = tf.join(
+        F.broadcast(qt.select("term").distinct()), "term", "left_semi"
+    )
+    if persist:
+        tf_q = tf_q.persist(StorageLevel.MEMORY_AND_DISK)
+    # df_docs per queried term — identical to the full-vocab aggregate's
+    # values on those terms (tf has one row per (id, term))
+    dfreq = tf_q.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_docs")
+    )
+    post = tf_q.join(doc_lens, "id")
     qt_idf = (
         qt.join(dfreq, "term")
         .crossJoin(F.broadcast(stats))

@@ -147,6 +147,7 @@ def compute_metrics_wide(
     columns: list[str] | None = None,
     distinct_mode: str = "exact",
     extended: bool = False,
+    fan_key: str | None = None,
 ) -> DataFrame:
     """The ``<table>_MIG_CHK`` wide row.
 
@@ -164,7 +165,10 @@ def compute_metrics_wide(
     # exact mode: BOTH aggregates consume the same fanned-out exchange
     # (one shuffle, two consumers — Spark reuses the exchange), so the
     # distinct side's Expand runs parallel and the input moves once.
-    fanned = fan_out(df)
+    # fan_key (the table's PK when the caller knows it) switches the fan
+    # to hash partitioning — skips round-robin's serial full-row sort
+    # (r12 opt round: mig_check_lineitem exec 2.10 → see OPTIMIZATION_r12).
+    fanned = fan_out(df, key=fan_key)
     dcols = [c for c in (columns or df.columns)]
     # a select() that keeps every column anyway would still make the two
     # exchange subplans textually differ and defeat ReusedExchange — only
@@ -179,13 +183,14 @@ def compute_metrics(
     columns: list[str] | None = None,
     distinct_mode: str = "exact",
     extended: bool = False,
+    fan_key: str | None = None,
 ) -> DataFrame:
     """Long-form metrics: (table_name, column_name, metric, value).
 
     Wide row → ``stack()`` unpivot (the reference unpivots via a metric-id
     cross join — mysql_to_exasol.sql:266-267; stack is the Spark idiom).
     """
-    wide = compute_metrics_wide(df, columns, distinct_mode, extended)
+    wide = compute_metrics_wide(df, columns, distinct_mode, extended, fan_key)
     pairs = []
     for fname in wide.columns:
         metric, _, colname = fname.partition("__")

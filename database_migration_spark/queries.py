@@ -450,7 +450,9 @@ _LINEITEM_KINDS = [
 def mig_check_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's single-scan metric wide row, unpivoted
     (mysql_to_exasol.sql:249-318)."""
-    return V.compute_metrics(table(spark, sf_dir, "lineitem"), "lineitem")
+    return V.compute_metrics(
+        table(spark, sf_dir, "lineitem"), "lineitem", fan_key="l_orderkey"
+    )
 
 
 _EVENTS_KINDS = [
@@ -466,7 +468,9 @@ _EVENTS_KINDS = [
 def mig_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metric wide row over the nanosecond-timestamp table — proves the
     ns-safe reader feeds the validation engine identically to the oracle."""
-    return V.compute_metrics(table(spark, sf_dir, "events"), "events")
+    return V.compute_metrics(
+        table(spark, sf_dir, "events"), "events", fan_key="event_id"
+    )
 
 
 _ALL_TABLE_KINDS: dict[str, list[tuple[str, str]]] = {
@@ -505,7 +509,9 @@ def mig_check_all_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     table in one result — what CHECK_MIGRATION emits for a whole schema."""
     out = None
     for t in sorted(_ALL_TABLE_KINDS):
-        m = V.compute_metrics(table(spark, sf_dir, t), t)
+        m = V.compute_metrics(
+            table(spark, sf_dir, t), t, fan_key=_ALL_TABLE_KINDS[t][0][0]
+        )
         out = m if out is None else out.unionByName(m)
     return out
 
@@ -547,8 +553,8 @@ def mig_check_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity")
         ),
     )
-    ours = V.compute_metrics(li, "lineitem")
-    theirs = V.compute_metrics(corrupted, "lineitem")
+    ours = V.compute_metrics(li, "lineitem", fan_key="l_orderkey")
+    theirs = V.compute_metrics(corrupted, "lineitem", fan_key="l_orderkey")
     return V.compare_metrics(ours, theirs).withColumn(
         "table_name", F.lit("lineitem")
     )
@@ -2476,6 +2482,7 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orders",
         hist_cols=["o_custkey"],
         topk_cols=["o_orderstatus", "o_orderpriority"],
+        fan_key="o_orderkey",
     )
 
 

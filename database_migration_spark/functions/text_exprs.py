@@ -22,6 +22,16 @@ def normalize_text_sql(expr: str) -> str:
     return rf"trim(regexp_replace(lower({expr}), '\s+', ' ', 'g'))"
 
 
+def normalize_text_spark_sql(expr: str) -> str:
+    """Spark-SQL-dialect text of :func:`normalize_text` (same algorithm,
+    rendered for ``F.expr``/``selectExpr``) — for hot builders that bundle
+    expressions as single SQL strings to avoid per-Column py4j round-trips
+    (the r12 driver-build lesson; DuckDB oracles use
+    :func:`normalize_text_sql`). ``'\\\\s+'`` survives Spark's string-literal
+    unescaping as the ``\\s+`` regex."""
+    return rf"trim(regexp_replace(lower({expr}), '\\s+', ' '))"
+
+
 def token_count(col: Column) -> Column:
     """Whitespace token count; empty/blank text counts 0."""
     t = F.trim(col)

@@ -42,10 +42,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_migration_spark.functions.text_exprs import normalize_text
+from database_migration_spark.functions.text_exprs import (
+    normalize_text,
+    normalize_text_spark_sql,
+)
 
 K1_E3 = 1200  # k1 = 1.2 — the standard tf-saturation knee
 B_E3 = 750  # b = 0.75 — the standard length-normalization strength
+
+# bm25_topk single-scan cutover: below this many distinct query terms the
+# per-document in-array occurrence counts (|terms| filter scans per row,
+# zero explode/shuffle) beat the explode + broadcast-semi-join shape
+_INLINE_TERMS_MAX = 64
 
 
 def _index_relations(
@@ -183,31 +191,118 @@ def bm25_topk(
     """
     from pyspark import StorageLevel
 
-    from database_migration_spark.operators.text import term_frequencies
-
-    # Ad-hoc query path: every downstream relation is pre-filtered to the
-    # QUERIED terms with a broadcast semi-join before anything heavy runs
-    # (guide §3: pre-filter the big side when selective). The previous
-    # shape aggregated document frequencies over the ENTIRE vocabulary and
-    # shuffled the full postings⋈doc_lens join only to keep ~|query| terms
-    # of it (r12 opt round: bm25_topk_documents 2.77 → see
-    # OPTIMIZATION_r12). The standing-index path (write_postings_index /
-    # bm25_topk_indexed) still builds full relations via _index_relations.
-    tf = term_frequencies(df, text_col, id_col, persist)
-    doc_lens = tf.groupBy("id").agg(F.sum("tf").cast("long").alias("dl"))
-    stats = corpus_stats(doc_lens)
-    qt = tokenize_queries(queries)
-    tf_q = tf.join(
-        F.broadcast(qt.select("term").distinct()), "term", "left_semi"
+    from database_migration_spark.operators.text import (
+        doc_token_counts,
+        token_stream,
     )
-    if persist:
-        tf_q = tf_q.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # Ad-hoc query path (guide §3: pre-filter the big side when
+    # selective). The query term set is BOUNDED by contract (it's what a
+    # user asks, not data) — collecting it to the driver is the same
+    # bounded-collect class as catalogs. With few terms the whole index
+    # side collapses to ONE corpus scan: per document, dl and the per-term
+    # occurrence counts are computed INSIDE the token array (the
+    # lambda-variable barrier materializes the split array once per row),
+    # so no token ever becomes a row — no explode, no full-vocabulary
+    # (id, term) aggregate, no corpus-wide shuffle (r12 opt round:
+    # bm25_topk_documents exec 3.28 → see OPTIMIZATION_r12). Each count
+    # equals the explode-path groupBy count bit-for-bit:
+    # size(filter(arr, x = t)) is the number of occurrences of t.
+    # Above _INLINE_TERMS_MAX terms the per-row cost of |terms| array
+    # scans loses to one explode + broadcast semi-join, so the streaming
+    # shape below takes over. The standing-index path
+    # (write_postings_index / bm25_topk_indexed) still builds full
+    # relations via _index_relations.
+    qt = tokenize_queries(queries)
+    # map-only collect (python-side dedupe): qt's distinct would shuffle —
+    # hundreds of scheduled tasks for a handful of rows
+    terms = sorted(
+        {
+            r[0]
+            for r in queries.select(
+                F.explode(
+                    F.split(normalize_text(F.col("query_text")), " ")
+                ).alias("term")
+            ).collect()
+        }
+    )
+    if not terms:
+        # no tokenizable query text: empty result with the right types
+        return (
+            qt.select("query_id")
+            .crossJoin(df.select(F.col(id_col).alias("doc_id")))
+            .select(
+                "query_id",
+                "doc_id",
+                F.lit(0).cast("long").alias("score_e6"),
+                F.lit(0).cast("long").alias("rank"),
+            )
+            .where(F.lit(False))
+        )
+    if len(terms) <= _INLINE_TERMS_MAX:
+        # ONE selectExpr (the r12 SQL-text convention — per-Column
+        # construction of |terms| nested lambdas costs ~0.5 s of py4j)
+        def _sql_lit(s: str) -> str:
+            return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+        norm = normalize_text_spark_sql(f"`{text_col}`")
+        cnts = ", ".join(
+            f"bigint(size(filter(a, x -> x = {_sql_lit(t)})))" for t in terms
+        )
+        per_doc = (
+            df.where(F.col(text_col).isNotNull())
+            .selectExpr(
+                f"`{id_col}` as id",
+                f"transform(array(split({norm}, ' ')), a -> "
+                f"named_struct('dl', bigint(size(a)), "
+                f"'cnts', array({cnts})))[0] as _s",
+            )
+            .select("id", F.col("_s.dl").alias("dl"), F.col("_s.cnts").alias("cnts"))
+        )
+        if persist:
+            # narrow (id, dl, |terms| longs); consumers: stats + postings
+            per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
+        doc_lens = per_doc.select("id", "dl")
+        stats = corpus_stats(doc_lens)
+        # dl rides along — scoring needs no join back for lengths
+        post = (
+            per_doc.select(
+                "id", "dl", F.posexplode("cnts").alias("_p", "tf")
+            )
+            .where(F.col("tf") > 0)
+            .select(
+                "id",
+                F.element_at(
+                    F.array(*[F.lit(t) for t in terms]), F.col("_p") + 1
+                ).alias("term"),
+                "tf",
+                "dl",
+            )
+        )
+    else:
+        # many-term path: one explode + broadcast semi-join; doc_lens from
+        # the tokenizer's COUNT form (text.doc_token_counts — size of the
+        # exact split array, == sum(tf) bit-for-bit)
+        doc_lens = doc_token_counts(df, text_col, id_col)
+        if persist:
+            doc_lens = doc_lens.persist(StorageLevel.MEMORY_AND_DISK)
+        stats = corpus_stats(doc_lens)
+        tf_q = (
+            token_stream(df, text_col, id_col)
+            .join(
+                F.broadcast(qt.select("term").distinct()), "term", "left_semi"
+            )
+            .groupBy("id", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        )
+        if persist:
+            tf_q = tf_q.persist(StorageLevel.MEMORY_AND_DISK)
+        post = tf_q.join(doc_lens, "id")
     # df_docs per queried term — identical to the full-vocab aggregate's
-    # values on those terms (tf has one row per (id, term))
-    dfreq = tf_q.groupBy("term").agg(
+    # values on those terms (post has one row per matching (id, term))
+    dfreq = post.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df_docs")
     )
-    post = tf_q.join(doc_lens, "id")
     qt_idf = (
         qt.join(dfreq, "term")
         .crossJoin(F.broadcast(stats))

@@ -319,6 +319,26 @@ def token_stream(
     )
 
 
+def doc_token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, dl): per-document token count — the COUNT form of THE shared
+    tokenizer. ``dl`` is ``size()`` of the exact split array
+    :func:`token_stream` explodes (same normalize/split pipeline), so it
+    equals ``sum(tf)`` over :func:`term_frequencies` bit-for-bit — split
+    of any non-NULL string yields >= 1 element (empty text tokenizes to
+    one empty term on both engines) and each element counts once. NULL
+    text yields no row, matching explode-of-NULL. Zero shuffle, no
+    explode: callers that only need lengths (BM25 doc_lens / corpus
+    stats) skip the full-vocabulary (id, term) aggregate entirely."""
+    return df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(normalize_text(F.col(text_col)), " "))
+        .cast("long")
+        .alias("dl"),
+    )
+
+
 def term_doc_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -121,3 +121,44 @@ def test_build_postings_contract(spark):
     assert rows[(2, "spark")] == (1, 4)
     assert rows[(1, "join")] == (2, 5)
     assert not any(i == 4 for i, _ in rows)
+
+
+def test_bm25_many_term_path_parity(spark, monkeypatch):
+    """The >_INLINE_TERMS_MAX streaming path (explode + broadcast
+    semi-join) must agree bit-for-bit with the inline in-array path the
+    small corpora exercise — forced by shrinking the cutover to 0."""
+    import database_migration_spark.operators.retrieval as retrieval
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    q = spark.createDataFrame(QUERIES, "query_id string, query_text string")
+    inline = {tuple(r) for r in bm25_topk(docs, q, k=6, persist=False).collect()}
+    monkeypatch.setattr(retrieval, "_INLINE_TERMS_MAX", 0)
+    streamed = {tuple(r) for r in bm25_topk(docs, q, k=6, persist=False).collect()}
+    assert streamed == inline and inline == {
+        (qid, i) + v for (qid, i), v in _ref_bm25(DOCS, QUERIES, 6).items()
+    }
+    spark.catalog.clearCache()
+
+
+def test_doc_token_counts_matches_term_frequencies(spark):
+    """doc_token_counts (size of the split array, zero explode) ==
+    sum(tf) over THE shared tokenizer, including the empty-string doc
+    (one empty token) and the NULL doc (no row)."""
+    from database_migration_spark.operators.text import (
+        doc_token_counts,
+        term_frequencies,
+    )
+
+    docs = spark.createDataFrame(
+        DOCS + [(7, ""), (8, "   ")], "doc_id long, text string"
+    )
+    fast = {(r.id, r.dl) for r in doc_token_counts(docs).collect()}
+    slow = {
+        (r.id, r.dl)
+        for r in term_frequencies(docs, persist=False)
+        .groupBy("id")
+        .agg(F.sum("tf").cast("long").alias("dl"))
+        .collect()
+    }
+    assert fast == slow and (4, 1) not in fast and (7, 1) in fast
+    spark.catalog.clearCache()

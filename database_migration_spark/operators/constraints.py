@@ -163,27 +163,40 @@ def pk_check(
     conditional count_distinct skips NULL-key rows by construction)."""
     from database_migration_spark.functions.parallel import fan_out
 
-    non_null = None
-    for k in keys:
-        c = F.col(k).isNotNull()
-        non_null = c if non_null is None else (non_null & c)
-    # hash fan-out on the key columns: the partial distinct aggregate
-    # runs parallel (a single-row-group file otherwise dedups every key
-    # tuple on ONE task) and equal tuples colocate by construction
-    agg = fan_out(df, key=list(keys)).agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.count_distinct(F.when(non_null, F.struct(*[F.col(k) for k in keys])))
-        .cast("long")
-        .alias("n_distinct"),
+    # expressions render as SQL text (the r12 convention: ~130 py4j
+    # round-trips per check otherwise, × 17 checks per report)
+    non_null = " AND ".join(f"`{k}` IS NOT NULL" for k in keys)
+    tup = f"named_struct({', '.join(_name_lit(k) + ', `' + k + '`' for k in keys)})"
+    # project to the key columns, then hash fan-out ONLY above a size
+    # floor: for a PK every tuple is distinct, so map-side combine saves
+    # nothing and the fan's parallel first phase only pays once one task's
+    # partial-distinct becomes the straggler (r12: 0.63 s unfanned vs
+    # 0.80 s fanned on sf0.1 lineitem; a ×100 single-file input fans)
+    agg = fan_out(
+        df.selectExpr([f"`{k}`" for k in keys]),
+        key=list(keys),
+        min_bytes=128 * 1024 * 1024,
+    ).agg(
+        F.expr("bigint(count(1)) AS n_rows"),
+        F.expr(
+            f"bigint(count(DISTINCT CASE WHEN {non_null} THEN {tup} END))"
+            " AS n_distinct"
+        ),
     )
-    return agg.select(
-        F.lit(table_name).alias("table_name"),
-        F.lit(constraint_name).alias("constraint_name"),
-        F.lit("PK").alias("kind"),
+    return agg.selectExpr(
+        f"{_name_lit(table_name)} AS table_name",
+        f"{_name_lit(constraint_name)} AS constraint_name",
+        "'PK' AS kind",
         "n_rows",
         "n_distinct",
-        (F.col("n_rows") - F.col("n_distinct")).cast("long").alias("n_bad"),
+        "bigint(n_rows - n_distinct) AS n_bad",
     )
+
+
+def _name_lit(s: str) -> str:
+    """A catalog identifier as a Spark-SQL string literal (backslash and
+    quote escaped — Spark string literals are NOT ANSI-quoted)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
 def fk_check(
@@ -203,25 +216,26 @@ def fk_check(
     n_bad = Σcnt over unmatched values. (The previous shape scanned the
     child twice — a stats aggregate plus a separate anti-join — and paid
     a two-phase count_distinct on top; r12 opt round.) Nothing collects."""
-    c = child.select(F.col(fk_col).alias("v")).where(F.col("v").isNotNull())
-    g = c.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    c = child.selectExpr(f"`{fk_col}` AS v").where("v IS NOT NULL")
+    g = c.groupBy("v").agg(F.expr("count(1) AS cnt"))
     p = (
-        parent.select(F.col(ref_col).alias("v"))
-        .where(F.col("v").isNotNull())
+        parent.selectExpr(f"`{ref_col}` AS v")
+        .where("v IS NOT NULL")
         .distinct()
-        .withColumn("_hit", F.lit(1))
+        .selectExpr("v", "1 AS _hit")
     )
     agg = g.join(p, "v", "left").agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_rows"),
-        F.count(F.lit(1)).cast("long").alias("n_distinct"),
-        F.coalesce(F.sum(F.when(F.col("_hit").isNull(), F.col("cnt"))), F.lit(0))
-        .cast("long")
-        .alias("n_bad"),
+        F.expr("bigint(coalesce(sum(cnt), 0)) AS n_rows"),
+        F.expr("bigint(count(1)) AS n_distinct"),
+        F.expr(
+            "bigint(coalesce(sum(CASE WHEN _hit IS NULL THEN cnt END), 0))"
+            " AS n_bad"
+        ),
     )
-    return agg.select(
-        F.lit(table_name).alias("table_name"),
-        F.lit(constraint_name).alias("constraint_name"),
-        F.lit("FK").alias("kind"),
+    return agg.selectExpr(
+        f"{_name_lit(table_name)} AS table_name",
+        f"{_name_lit(constraint_name)} AS constraint_name",
+        "'FK' AS kind",
         "n_rows",
         "n_distinct",
         "n_bad",

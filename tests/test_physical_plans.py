@@ -365,9 +365,9 @@ def test_fan_out_decision_memo(spark, monkeypatch):
     calls = []
     real = parallel._should_fan
 
-    def counting(df, target):
+    def counting(df, target, min_bytes=0):
         calls.append(target)
-        return real(df, target)
+        return real(df, target, min_bytes)
 
     monkeypatch.setattr(parallel, "_should_fan", counting)
     docs = Q.table(spark, SF, "documents").select("doc_id", "text")

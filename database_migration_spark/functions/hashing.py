@@ -40,6 +40,14 @@ def md5_long_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def md5_long_spark_sql(expr: str) -> str:
+    """The same 60-bit md5 integer as Spark-SQL text (identical to the
+    :func:`md5_long` Column form: conv hex→dec, cast long) — for hot
+    builders bundling expressions into one ``F.expr``/``selectExpr``
+    (the r12 driver-build convention)."""
+    return f"bigint(conv(substring(md5({expr}), 1, 15), 16, 10))"
+
+
 def md5_slice32(col: Column | str, start: int) -> Column:
     """A 32-bit integer from 8 md5 hex chars at 1-based ``start`` — md5 has
     128 bits, so slices at 1 and 9 are independent 32-bit hashes (SimHash

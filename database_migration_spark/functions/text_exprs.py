@@ -58,6 +58,17 @@ def occurrences_sql(expr: str, needle: str) -> str:
     return f"(length({expr}) - length(replace({expr}, '{esc}', ''))) / {len(needle)}"
 
 
+def occurrences_spark_sql(expr: str, needle: str) -> str:
+    """Spark-SQL-dialect text of :func:`occurrences` (same length-difference
+    algorithm; Spark string literals escape backslashes, not doubled
+    quotes) — for hot builders bundling whole score expressions into one
+    ``F.expr`` (the r12 driver-build convention)."""
+    esc = needle.replace("\\", "\\\\").replace("'", "\\'")
+    return (
+        f"(length({expr}) - length(replace({expr}, '{esc}', ''))) / {len(needle)}"
+    )
+
+
 def char_class_count(col: Column, char_class: str) -> Column:
     """Count of characters matching a regex class, e.g. '[^a-zA-Z]'."""
     return F.length(col) - F.length(F.regexp_replace(col, char_class, ""))
@@ -80,6 +91,17 @@ def char_shingles_pre_normalized(col: Column, k: int = 5) -> Column:
     return F.transform(
         F.sequence(F.lit(1), n),
         lambda i: col.substr(i, F.lit(k)),
+    )
+
+
+def char_shingles_pre_normalized_spark_sql(expr: str, k: int = 5) -> str:
+    """:func:`char_shingles_pre_normalized` as Spark-SQL text (same
+    sequence+transform+substring algebra; the r12 SQL-text convention).
+    Same caveat: ``expr`` must reference a MATERIALIZED column — an
+    expression here re-evaluates per array element."""
+    return (
+        f"transform(sequence(1, greatest(length({expr}) - {k - 1}, 1)), "
+        f"i -> substring({expr}, i, {k}))"
     )
 
 

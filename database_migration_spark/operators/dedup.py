@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from database_migration_spark.functions.hashing import (
     md5_long,
+    md5_long_spark_sql,
     minhash_permuted_sql,
     permutation_params,
 )
@@ -103,12 +104,18 @@ def _shingle_hashes(norm: DataFrame, k: int) -> DataFrame:
         char_shingles_pre_normalized,
     )
 
-    return norm.select(
+    from database_migration_spark.functions.text_exprs import (
+        char_shingles_pre_normalized_spark_sql,
+    )
+
+    # two selectExpr bundles (r12 convention): the HOF transform + explode
+    # + md5 Column chain was ~20 py4j round-trips per call
+    return norm.selectExpr(
         "id",
-        F.explode(
-            F.array_distinct(char_shingles_pre_normalized(F.col("_t"), k))
-        ).alias("sh"),
-    ).select("id", md5_long(F.col("sh")).alias("h"))
+        "explode(array_distinct("
+        + char_shingles_pre_normalized_spark_sql("_t", k)
+        + ")) AS sh",
+    ).selectExpr("id", f"{md5_long_spark_sql('sh')} AS h")
 
 
 def minhash_signatures(
@@ -126,7 +133,7 @@ def minhash_signatures(
     driver is part of the query)."""
     params = permutation_params(num_perm, seed)
     aggs = [
-        F.expr(f"min({minhash_permuted_sql('h', a, b)})").alias(f"sig_{i}")
+        F.expr(f"min({minhash_permuted_sql('h', a, b)}) AS sig_{i}")
         for i, (a, b) in enumerate(params)
     ]
     return shingles.groupBy("id").agg(*aggs)
@@ -1119,9 +1126,9 @@ def incremental_dedup(
     bb = banded_keys(batch_fp, num_perm, bands)
     sb = banded_keys(store_fp, num_perm, bands).withColumnRenamed("id", "sid")
     cand = bb.join(sb, ["band", "key"]).select("id", "sid").distinct()
-    a = batch_fp.select("id", *[F.col(c).alias(f"a_{c}") for c in sig_cols])
-    s = store_fp.select(
-        F.col("id").alias("sid"), *[F.col(c).alias(f"s_{c}") for c in sig_cols]
+    a = batch_fp.selectExpr("id", *[f"{c} AS a_{c}" for c in sig_cols])
+    s = store_fp.selectExpr(
+        "id AS sid", *[f"{c} AS s_{c}" for c in sig_cols]
     )
     agree = _agree_permille(sig_cols, num_perm, "a_", "s_")
     near = (
@@ -1157,15 +1164,12 @@ def _decision_select(batch_fp: DataFrame, exact: DataFrame, near: DataFrame) -> 
         batch_fp.select("id")
         .join(exact, "id", "left")
         .join(near, "id", "left")
-        .select(
+        .selectExpr(
             "id",
-            F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
-            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
-            .otherwise(F.lit("new"))
-            .alias("status"),
-            F.coalesce("exact_match", "near_match", F.lit(-1))
-            .cast("long")
-            .alias("match_id"),
+            "CASE WHEN exact_match IS NOT NULL THEN 'exact_dup' "
+            "WHEN near_match IS NOT NULL THEN 'near_dup' "
+            "ELSE 'new' END AS status",
+            "bigint(coalesce(exact_match, near_match, -1)) AS match_id",
         )
     )
 

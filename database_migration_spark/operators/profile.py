@@ -284,7 +284,7 @@ def fd_candidates(
 
     Output: (determinant, dependent, n_determinant, n_pairs, holds).
     """
-    from database_migration_spark.operators.rowdiff import _canonical
+    from database_migration_spark.operators.rowdiff import _canonical_sql
 
     for a, b in pairs:
         for c in (a, b):
@@ -292,10 +292,13 @@ def fd_candidates(
                 raise ValueError(f"unknown column {c!r}")
     aggs = []
     for i, (a, b) in enumerate(pairs):
-        aggs.append(F.count_distinct(_canonical(a)).alias(f"da__{i}"))
         aggs.append(
-            F.count_distinct(F.concat(_canonical(a), _canonical(b))).alias(
-                f"dab__{i}"
+            F.expr(f"count(DISTINCT {_canonical_sql(a)}) AS `da__{i}`")
+        )
+        aggs.append(
+            F.expr(
+                f"count(DISTINCT concat({_canonical_sql(a)},"
+                f" {_canonical_sql(b)})) AS `dab__{i}`"
             )
         )
     wide = df.agg(*aggs)

@@ -31,16 +31,21 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-def _canonical(col: str) -> Column:
-    s = F.col(col).cast("string")
-    return F.when(s.isNull(), F.lit("N")).otherwise(
-        F.concat(F.length(s).cast("string"), F.lit(":"), s)
+def _canonical_sql(col: str) -> str:
+    s = f"string(`{col}`)"
+    return (
+        f"CASE WHEN {s} IS NULL THEN 'N' "
+        f"ELSE concat(string(length({s})), ':', {s}) END"
     )
 
 
 def row_hash(cols: list[str]) -> Column:
-    """md5 over the canonical rendering of ``cols`` (order-sensitive)."""
-    return F.md5(F.concat(*[_canonical(c) for c in cols]))
+    """md5 over the canonical rendering of ``cols`` (order-sensitive).
+    One SQL string (the r12 convention — the chained-Column form cost ~8
+    py4j round-trips per column per side)."""
+    return F.expr(
+        f"md5(concat({', '.join(_canonical_sql(c) for c in cols)}))"
+    )
 
 
 def _key_eq(left: DataFrame, right: DataFrame, keys: list[str]) -> Column:
@@ -109,24 +114,21 @@ def changed_cells(
     l = left.join(changed, _key_eq(left, changed, keys), "left_semi").alias("l")
     r = right.join(changed, _key_eq(right, changed, keys), "left_semi").alias("r")
     j = l.join(r, _key_eq(l, r, keys))
-    cells = j.select(
-        *[F.col(f"l.{k}").alias(k) for k in keys],
-        F.array(
-            *[
-                F.struct(
-                    F.lit(c).alias("column_name"),
-                    F.col(f"l.{c}").cast("string").alias("left_value"),
-                    F.col(f"r.{c}").cast("string").alias("right_value"),
-                )
-                for c in compare_cols
-            ]
-        ).alias("_cells"),
+    # one selectExpr bundle (r12 convention): each struct literal was ~6
+    # py4j round-trips; the column-name literal escapes like a SQL string
+    structs = ", ".join(
+        "named_struct('column_name', '"
+        + c.replace("\\", "\\\\").replace("'", "\\'")
+        + f"', 'left_value', string(l.`{c}`),"
+        f" 'right_value', string(r.`{c}`))"
+        for c in compare_cols
+    )
+    cells = j.selectExpr(
+        *[f"l.`{k}` AS `{k}`" for k in keys],
+        f"array({structs}) AS _cells",
     )
     cell = F.explode(
-        F.filter(
-            F.col("_cells"),
-            lambda s: ~s["left_value"].eqNullSafe(s["right_value"]),
-        )
+        F.expr("filter(_cells, s -> NOT (s.left_value <=> s.right_value))")
     ).alias("cell")
     return cells.select(*keys, cell).select(
         *keys,

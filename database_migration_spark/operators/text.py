@@ -43,30 +43,57 @@ def lang_scores(col: Column) -> dict[str, Column]:
     }
 
 
+def lang_scores_spark_sql(expr: str) -> dict[str, str]:
+    """:func:`lang_scores` rendered as Spark-SQL strings (same padded
+    normalize, same length-difference occurrence counts, same long
+    truncation — the r12 SQL-text convention; each dict value is one
+    ``selectExpr`` term instead of ~25 chained Column calls)."""
+    from database_migration_spark.functions.text_exprs import (
+        normalize_text_spark_sql,
+        occurrences_spark_sql,
+    )
+
+    padded = f"concat(' ', {normalize_text_spark_sql(expr)}, ' ')"
+    return {
+        lang: "bigint(0 + "
+        + " + ".join(occurrences_spark_sql(padded, m) for m in markers)
+        + ")"
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+
+
 def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Predict language = argmax marker score, ties broken alphabetically
     (deterministic). Adds ``<out>`` and ``<out>_score``."""
     from database_migration_spark.functions.parallel import fan_out
 
+    orig_cols = df.columns
     df = fan_out(df)
-    scores = lang_scores(F.col(text_col))
+    scores = lang_scores_spark_sql(f"`{text_col}`")
     langs = sorted(scores)
     # two-phase: materialize each score ONCE as a named column, then argmax
     # over the columns. Building the when()-chain directly on the score
     # expressions would inline every expensive occurrence computation
     # O(langs) times into one projection (measured 13x slower).
-    scored = df.select("*", *[scores[l].alias(f"_s_{l}") for l in langs])
-    best_score = F.greatest(*[F.col(f"_s_{l}") for l in langs])
-    best_lang = F.lit("unknown")
-    # reversed CASE: first (alphabetical) lang equal to the max wins
-    for lang in reversed(langs):
-        best_lang = F.when(F.col(f"_s_{lang}") == best_score, F.lit(lang)).otherwise(
-            best_lang
+    scored = df.selectExpr(
+        "*", *[f"{scores[l]} AS `_s_{l}`" for l in langs]
+    ).selectExpr(
+        "*",
+        f"greatest({', '.join(f'`_s_{l}`' for l in langs)})"
+        f" AS `{out_col}_score`",
+    )
+    # alphabetical-first CASE: the first lang equal to the max wins;
+    # score <= 0 is 'unknown'
+    case = (
+        f"CASE WHEN `{out_col}_score` <= 0 THEN 'unknown' "
+        + " ".join(
+            f"WHEN `_s_{l}` = `{out_col}_score` THEN '{l}'" for l in langs
         )
-    best_lang = F.when(best_score <= 0, F.lit("unknown")).otherwise(best_lang)
-    return scored.withColumn(out_col, best_lang).withColumn(
-        f"{out_col}_score", best_score
-    ).drop(*[f"_s_{l}" for l in langs])
+        + " ELSE 'unknown' END"
+    )
+    return scored.selectExpr("*", f"{case} AS `{out_col}`").select(
+        *orig_cols, out_col, f"{out_col}_score"
+    )
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -42,20 +42,20 @@ _ANY_NUMERIC = _EXACT_NUMERIC + (T.FloatType, T.DoubleType)
 _TEMPORAL = (T.DateType, T.TimestampType, T.TimestampNTZType)
 
 
-def _norm(col: Column, dtype: T.DataType) -> Column:
-    """Render a metric value as comparison-stable text.
+def _norm_sql(expr: str, dtype: T.DataType) -> str:
+    """Render a metric value as comparison-stable text (SQL form).
 
     Timestamps to the second (the reference compares dates as to-the-second
     text — mysql_to_exasol.sql:279), floats through DECIMAL(38,6) so the two
     systems print identically, exact numerics via plain CAST.
     """
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-        return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+        return f"date_format({expr}, 'yyyy-MM-dd HH:mm:ss')"
     if isinstance(dtype, T.DateType):
-        return F.date_format(col, "yyyy-MM-dd")
+        return f"date_format({expr}, 'yyyy-MM-dd')"
     if isinstance(dtype, (T.FloatType, T.DoubleType)):
-        return col.cast(T.DecimalType(38, 6)).cast("string")
-    return col.cast("string")
+        return f"string(cast({expr} AS DECIMAL(38,6)))"
+    return f"string({expr})"
 
 
 def metric_exprs(
@@ -72,23 +72,25 @@ def metric_exprs(
     carries ONLY the counted columns, not every min/max/sum expression —
     at N distinct columns that's an N× thinner expanded stream.
 
+    Each metric renders as ONE SQL string / ``F.expr`` (the r12
+    convention: the chained-Column form cost ~6 py4j round-trips per
+    metric × ~55 metrics × 2 comparison legs of pure driver time).
+
     Output column naming: ``<metric>__<column>`` (ROW_CNT has no column).
     """
     cols = columns or df.columns
     schema = {f.name: f.dataType for f in df.schema.fields}
-    exprs: list[Column] = [F.count(F.lit(1)).cast("string").alias("ROW_CNT__")]
-    distinct_exprs: list[Column] = []
+    exprs: list[str] = ["string(count(1)) AS `ROW_CNT__`"]
+    distinct_exprs: list[str] = []
     for c in cols:
         dt = schema[c]
-        col = F.col(c)
+        q = f"`{c}`"
         # count(*) - count(col): same null count, no per-row cast+sum
         exprs.append(
-            (F.count(F.lit(1)) - F.count(col))
-            .cast("string")
-            .alias(f"{METRIC_NULLS}__{c}")
+            f"string(count(1) - count({q})) AS `{METRIC_NULLS}__{c}`"
         )
-        exprs.append(_norm(F.min(col), dt).alias(f"{METRIC_MIN}__{c}"))
-        exprs.append(_norm(F.max(col), dt).alias(f"{METRIC_MAX}__{c}"))
+        exprs.append(f"{_norm_sql(f'min({q})', dt)} AS `{METRIC_MIN}__{c}`")
+        exprs.append(f"{_norm_sql(f'max({q})', dt)} AS `{METRIC_MAX}__{c}`")
         if isinstance(dt, _EXACT_NUMERIC):
             # SUM only over exact numerics to stay cross-system comparable
             # (the reference sums over Decimal to avoid wraparound —
@@ -102,44 +104,39 @@ def metric_exprs(
             # 10^22 and an ANSI overflow would kill the whole metric job.
             # Output strings are identical in either path.
             narrow = isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType))
-            acc = T.DecimalType(28, 6) if narrow else T.DecimalType(38, 6)
+            acc = "DECIMAL(28,6)" if narrow else "DECIMAL(38,6)"
             exprs.append(
-                F.sum(col.cast(acc))
-                .cast(T.DecimalType(38, 6))
-                .cast("string")
-                .alias(f"{METRIC_SUM}__{c}")
+                f"string(cast(sum(cast({q} AS {acc})) AS DECIMAL(38,6)))"
+                f" AS `{METRIC_SUM}__{c}`"
             )
         if distinct_mode == "approx":
             # HLL sketch: single pass, no Expand — the 100 TB monitoring mode
             exprs.append(
-                F.approx_count_distinct(col).cast("string").alias(f"{METRIC_DISTINCT}__{c}")
+                f"string(approx_count_distinct({q}))"
+                f" AS `{METRIC_DISTINCT}__{c}`"
             )
         else:
             distinct_exprs.append(
-                F.count_distinct(col).cast("string").alias(f"{METRIC_DISTINCT}__{c}")
+                f"string(count(DISTINCT {q})) AS `{METRIC_DISTINCT}__{c}`"
             )
         if isinstance(dt, T.StringType):
             exprs.append(
-                F.min(F.length(col)).cast("string").alias(f"{METRIC_MIN_LEN}__{c}")
+                f"string(min(length({q}))) AS `{METRIC_MIN_LEN}__{c}`"
             )
             exprs.append(
-                F.max(F.length(col)).cast("string").alias(f"{METRIC_MAX_LEN}__{c}")
+                f"string(max(length({q}))) AS `{METRIC_MAX_LEN}__{c}`"
             )
         if extended and isinstance(dt, _ANY_NUMERIC):
             # Oracle extras (oracle_to_exasol.sql:630-683): AVG and MEDIAN
             exprs.append(
-                F.avg(col.cast("double"))
-                .cast(T.DecimalType(38, 6))
-                .cast("string")
-                .alias(f"AVG_VAL__{c}")
+                f"string(cast(avg(cast({q} AS DOUBLE)) AS DECIMAL(38,6)))"
+                f" AS `AVG_VAL__{c}`"
             )
             exprs.append(
-                F.expr(f"median(cast(`{c}` as double))")
-                .cast(T.DecimalType(38, 6))
-                .cast("string")
-                .alias(f"MEDIAN_VAL__{c}")
+                f"string(cast(median(cast({q} AS DOUBLE)) AS DECIMAL(38,6)))"
+                f" AS `MEDIAN_VAL__{c}`"
             )
-    return exprs, distinct_exprs
+    return [F.expr(e) for e in exprs], [F.expr(e) for e in distinct_exprs]
 
 
 def compute_metrics_wide(

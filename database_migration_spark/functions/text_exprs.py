@@ -47,6 +47,25 @@ def token_count_sql(expr: str) -> str:
     )
 
 
+def token_count_spark_sql(expr: str) -> str:
+    """:func:`token_count` as Spark-SQL text (the r12 SQL-text
+    convention; DuckDB oracles use :func:`token_count_sql`)."""
+    return (
+        rf"CASE WHEN length(trim({expr})) = 0 THEN 0 "
+        rf"ELSE size(split(trim({expr}), '\\s+')) END"
+    )
+
+
+def char_class_count_spark_sql(expr: str, char_class: str) -> str:
+    """:func:`char_class_count` as Spark-SQL text (same length-difference
+    algorithm; caller passes a regex class literal that is valid inside a
+    Spark single-quoted string)."""
+    return (
+        f"(length({expr}) - length(regexp_replace({expr},"
+        f" '{char_class}', '')))"
+    )
+
+
 def occurrences(col: Column, needle: str) -> Column:
     """Non-overlapping occurrence count via length difference (portable)."""
     n = len(needle)

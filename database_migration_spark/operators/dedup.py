@@ -414,9 +414,28 @@ def benchmark_contamination(
     stream; no corpus-wide shuffle on the shingle key. The per-doc
     aggregation shuffles on doc id only.
     """
+    from database_migration_spark.functions.text_exprs import (
+        char_shingles_pre_normalized_spark_sql,
+        normalize_text_spark_sql,
+    )
+
     corpus_sh = shingle_sets(corpus, text_col, id_col, k)
+    # benchmark side: same normalize→array_distinct(shingles)→md5 chain as
+    # shingle_sets, but row-local behind the lambda-variable barrier
+    # (transform(array(e), t -> ...) evaluates the normalize ONCE per row)
+    # instead of fan_out + persist — the side is benchmark-sized, and the
+    # two exchanges cost more than they parallelize (r12: bench side
+    # 0.50 s of the 1.33 s probe at sf0.1)
     bench_sh = (
-        shingle_sets(benchmark, text_col, id_col, k).select("h").distinct()
+        benchmark.selectExpr(
+            "explode(transform("
+            f"array({normalize_text_spark_sql(f'`{text_col}`')}),"
+            f" t -> array_distinct({char_shingles_pre_normalized_spark_sql('t', k)})"
+            ")) AS shs"
+        )
+        .selectExpr("explode(shs) AS sh")
+        .selectExpr(f"{md5_long_spark_sql('sh')} AS h")
+        .distinct()
     )
     hit = F.broadcast(bench_sh.withColumn("_hit", F.lit(1)))
     joined = corpus_sh.join(hit, "h", "left")

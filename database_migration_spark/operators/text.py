@@ -108,28 +108,43 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     everywhere — so an external oracle reproduces these exactly.
     """
     from database_migration_spark.functions.parallel import fan_out
+    from database_migration_spark.functions.text_exprs import (
+        char_class_count_spark_sql,
+        normalize_text_spark_sql,
+        occurrences_spark_sql,
+        token_count_spark_sql,
+    )
 
     df = fan_out(df)
-    t = F.col(text_col)
-    n_chars = F.length(t).cast("long")
-    n_tokens = token_count(t).cast("long")
-    alpha = char_class_count(t, "[a-zA-Z]").cast("long")
-    punct = char_class_count(t, r"[.,;:!?]").cast("long")
-    spaces = char_class_count(t, " ").cast("long")
-    padded = F.concat(F.lit(" "), normalize_text(t), F.lit(" "))
-    stop = sum((occurrences(padded, m) for m in LANG_MARKERS["en"]), F.lit(0)).cast("long")
+    # one selectExpr bundle (the r12 SQL-text convention — the chained
+    # Column form cost ~170 py4j round-trips per call); identical algebra,
+    # codegen CSE dedups the repeated count subtrees exactly as it did
+    # for the shared Column objects
+    q = f"`{text_col}`"
+    n_chars = f"bigint(length({q}))"
+    n_tokens = f"bigint({token_count_spark_sql(q)})"
+    alpha = f"bigint({char_class_count_spark_sql(q, '[a-zA-Z]')})"
+    punct = f"bigint({char_class_count_spark_sql(q, '[.,;:!?]')})"
+    spaces = f"bigint({char_class_count_spark_sql(q, ' ')})"
+    padded = f"concat(' ', {normalize_text_spark_sql(q)}, ' ')"
+    stop = (
+        "bigint(0 + "
+        + " + ".join(occurrences_spark_sql(padded, m) for m in LANG_MARKERS["en"])
+        + ")"
+    )
 
-    def ppm(a: Column, b: Column) -> Column:
-        return F.when(b > 0, F.floor(a * F.lit(1_000_000) / b)).otherwise(F.lit(None)).cast("long")
+    def ppm(a: str, b: str) -> str:
+        return f"bigint(CASE WHEN {b} > 0 THEN floor({a} * 1000000 / {b}) END)"
 
-    return df.select(
+    return df.selectExpr(
         "*",
-        n_chars.alias("q_n_chars"),
-        n_tokens.alias("q_n_tokens"),
-        ppm(alpha, n_chars).alias("q_alpha_ppm"),
-        ppm(punct, n_chars).alias("q_punct_ppm"),
-        ppm(n_chars - spaces, F.greatest(n_tokens, F.lit(1))).alias("q_mean_token_len_ppm"),
-        ppm(stop, F.greatest(n_tokens, F.lit(1))).alias("q_stopword_ppm"),
+        f"{n_chars} AS q_n_chars",
+        f"{n_tokens} AS q_n_tokens",
+        f"{ppm(alpha, n_chars)} AS q_alpha_ppm",
+        f"{ppm(punct, n_chars)} AS q_punct_ppm",
+        f"{ppm(f'({n_chars} - {spaces})', f'greatest({n_tokens}, 1)')}"
+        " AS q_mean_token_len_ppm",
+        f"{ppm(stop, f'greatest({n_tokens}, 1)')} AS q_stopword_ppm",
     )
 
 

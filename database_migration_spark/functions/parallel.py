@@ -27,6 +27,42 @@ from pyspark.sql import Column, DataFrame
 _FAN_DECISION: dict[tuple[str, int, int], bool] = {}
 
 
+# (applicationId, md5(canonicalized analyzed plan)) -> row count. Same
+# driver-work memoization family as _FAN_DECISION (r12 opt round, guide
+# §5): parameter-sizing counts (broadcast-vs-shuffle caps, derived LSH
+# bits) re-run an identical job on identical immutable inputs every bench
+# lap / shared sub-plan build. The key is the CANONICALIZED plan text
+# (exprIds normalized) hashed with md5 — not the 32-bit semanticHash
+# alone — because some memoized counts size result-affecting parameters
+# (LSH bits): a cryptographic-hash collision is the only wrong-result
+# path, vs. a real 0.3 s job per build. Keyed on applicationId so a fresh
+# session (fresh data) never inherits a stale count.
+_COUNT_MEMO: dict[tuple[str, str], int] = {}
+
+
+def memo_count(df: DataFrame) -> int:
+    """``df.count()`` memoized per (session, canonicalized plan) — for
+    build-time parameter sizing over immutable inputs only. Never use it
+    on mutable stores (published targets, streaming state): the memo
+    deliberately assumes a plan re-counts to the same value within one
+    application."""
+    import hashlib
+
+    sc = df.sparkSession.sparkContext
+    try:
+        canon = (
+            df._jdf.queryExecution().analyzed().canonicalized().toString()
+        )
+        key = (sc.applicationId, hashlib.md5(canon.encode()).hexdigest())
+    except Exception:  # noqa: BLE001 — memoization is best-effort
+        return df.count()
+    n = _COUNT_MEMO.get(key)
+    if n is None:
+        n = df.count()
+        _COUNT_MEMO[key] = n
+    return n
+
+
 def fan_out(
     df: DataFrame,
     n: int | None = None,

@@ -474,8 +474,12 @@ def _dict_side(names: DataFrame, cap: int = 4_000_000):
     broadcast, identical 26.25 M pairs). The candidate relation is many
     times the dictionary (every string × its deletion-variant collisions),
     so shuffling it to meet a ≤100 MB dict is backwards; above ``cap``
-    entries (~hundreds of MB) fall back to the shuffle join. The dict is
-    already persisted, so the sizing count is metadata-cheap."""
-    if names.count() <= cap:
+    entries (~hundreds of MB) fall back to the shuffle join. The sizing
+    count is memoized per (session, plan) — it re-ran a 0.3 s job on every
+    bench lap (r12 opt round; economics-only decision, fan_out's memo
+    argument applies a fortiori)."""
+    from database_migration_spark.functions.parallel import memo_count
+
+    if memo_count(names) <= cap:
         return F.broadcast
     return lambda d: d

@@ -681,8 +681,10 @@ def embedding_near_dup_pairs_bucketed(
     from pyspark import StorageLevel
 
     if bits is None:
+        from database_migration_spark.functions.parallel import memo_count
+
         bits = derive_lsh_bits(
-            df.count(), tables=tables, candidates_per_item=candidates_per_item
+            memo_count(df), tables=tables, candidates_per_item=candidates_per_item
         )
     # both sides of the self-join consume the signatures; without a persist
     # the Arrow/Python signature pass runs twice
@@ -777,8 +779,10 @@ def semantic_contamination_pairs(
     from pyspark import StorageLevel
 
     if bits is None:
+        from database_migration_spark.functions.parallel import memo_count
+
         bits = derive_lsh_bits(
-            corpus.count(), tables=tables, candidates_per_item=candidates_per_item
+            memo_count(corpus), tables=tables, candidates_per_item=candidates_per_item
         )
     csig = hyperplane_buckets(corpus, id_col, vec_col, dim, bits, tables, seed)
     bsig = hyperplane_buckets(
@@ -879,8 +883,10 @@ def semantic_dedup_survivors(
     from pyspark import StorageLevel
 
     if bits is None:
+        from database_migration_spark.functions.parallel import memo_count
+
         bits = derive_lsh_bits(
-            df.count(), tables=1, candidates_per_item=candidates_per_item
+            memo_count(df), tables=1, candidates_per_item=candidates_per_item
         )
     # fan out before the per-row signature fold (bits x dim multiply-adds):
     # a single-row-group input would otherwise compute every signature —

@@ -1041,35 +1041,39 @@ def hashed_classifier_score(
     tokenizer drops them from the tf relation; the left join brings them
     back — the split(NULL) divergence rule).
 
-    Scale shape: the weight table is ``dim`` rows (broadcast); the only
-    corpus-keyed shuffle is the per-doc score aggregation, map-side
-    combined. Output (id, score, keep).
+    Scale shape (r12): the score is LINEAR in token occurrences, so the
+    whole model applies row-locally — ``aggregate()`` over THE tokenizer's
+    split array with the ``dim``-slot weight vector as an inline literal
+    array: one fanned-out map pass, zero shuffles, zero joins (the
+    vocabulary relation, the per-(doc, term) tf aggregate, the broadcast
+    weight join and the per-doc score shuffle of the pre-r12 shape are all
+    gone). Tokenization text is ``normalize_text_spark_sql`` + split — the
+    exact SQL-text twin of :func:`token_stream`'s Column pipeline, so the
+    one-tokenizer rule holds. NULL text: ``split(NULL)`` is a NULL array,
+    ``aggregate(NULL, ..)`` is NULL, coalesce restores ``bias`` — the same
+    value the old left join produced. Output (id, score, keep).
     """
-    from database_migration_spark.functions.hashing import md5_long
+    from database_migration_spark.functions.hashing import md5_long_spark_sql
+    from database_migration_spark.functions.parallel import fan_out
+    from database_migration_spark.functions.text_exprs import (
+        normalize_text_spark_sql,
+    )
 
     dim = len(weights)
-    spark = df.sparkSession
-    wdf = spark.createDataFrame(
-        [(i, int(w)) for i, w in enumerate(weights)], "slot LONG, w LONG"
+    w_arr = "array(" + ", ".join(f"{int(w)}L" for w in weights) + ")"
+    toks = f"split({normalize_text_spark_sql(text_col)}, ' ')"
+    # per-occurrence w[md5(t) mod dim] summed in the row: tf_t * w appears
+    # as w added tf_t times — identical integer algebra to the old
+    # tf-relation form (pinned by the differential pytest)
+    score_sql = (
+        f"bigint(coalesce(aggregate({toks}, 0L, (acc, t) -> acc + "
+        f"element_at({w_arr}, "
+        f"int(pmod({md5_long_spark_sql('t')}, {dim})) + 1)), 0L) "
+        f"+ {int(bias)}L)"
     )
-    tf = term_frequencies(df, text_col, id_col, persist=False)
-    scored = (
-        tf.withColumn("slot", F.pmod(md5_long(F.col("term")), F.lit(dim)))
-        .join(F.broadcast(wdf), "slot")
-        .groupBy("id")
-        .agg(F.sum(F.col("tf") * F.col("w")).cast("long").alias("_s"))
-    )
-    return (
-        df.select(F.col(id_col).alias("id"))
-        .join(scored, "id", "left")
-        .select(
-            "id",
-            (F.coalesce(F.col("_s"), F.lit(0)) + F.lit(bias))
-            .cast("long")
-            .alias("score"),
-        )
-        .withColumn("keep", F.col("score") >= F.lit(threshold))
-    )
+    return fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col))).selectExpr(
+        "id", f"{score_sql} AS score"
+    ).withColumn("keep", F.col("score") >= F.lit(threshold))
 
 
 def extract_markup_text(

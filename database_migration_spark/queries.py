@@ -5457,11 +5457,12 @@ def quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style linear classifier apply over hashed bag-of-words
     (text.hashed_classifier_score; Weinberger 2009 hashing trick): the
     model-based quality/toxicity filter a training pipeline runs over
-    every document, as one broadcast join + one map-side-combined
-    aggregate — integer weights, integer tf, 60-bit md5 slot hashing, so
-    the score is exact in any engine. The demo weights are pinned
-    literals (classifier_weights(32, 7)); production swaps in trained
-    weights, same plan."""
+    every document — the score is linear in token occurrences, so it
+    folds into ONE row-local aggregate() over the tokenizer's split
+    array (r12: zero shuffles, zero joins) — integer weights, integer
+    tf, 60-bit md5 slot hashing, so the score is exact in any engine.
+    The demo weights are pinned literals (classifier_weights(32, 7));
+    production swaps in trained weights, same plan."""
     from database_migration_spark.operators.text import hashed_classifier_score
 
     out = hashed_classifier_score(
@@ -6446,8 +6447,9 @@ _SHOWCASE_ONLY = [
     # grid-arithmetic oracle is strong), displacing repetition_documents,
     # whose machinery stays graded four ways: the integer-ppm single-scan
     # text-scoring family via quality_documents AND the promoted
-    # quality_classifier_documents (which aggregates the IDENTICAL
-    # term_frequencies tokenization), per-doc n-gram relations + grouped
+    # quality_classifier_documents (the IDENTICAL normalize/split
+    # tokenization, evaluated row-locally since r12), per-doc n-gram
+    # relations + grouped
     # char-mass aggregates via bigram_lm_stats (token bigrams, same
     # tokenizer) and the span-dedup family via remove_dup_spans
     # (positioned gram relations over documents; dup_span_coverage
@@ -6471,9 +6473,11 @@ _SHOWCASE_ONLY = [
     # scoring every document — is a capability class the window proved
     # nowhere; the scd2/cdc promotion argument), displacing
     # tfidf_top_terms, whose machinery stays graded three ways: its
-    # term_frequencies tokenization is the IDENTICAL relation the promoted
-    # classifier aggregates (same normalize/split/tf pipeline, same oracle
-    # tokenizer SQL), its integer-division scoring is graded via
+    # normalize/split tokenization is the IDENTICAL pipeline the promoted
+    # classifier evaluates row-locally (r12: the linear score folds into
+    # one aggregate() over THE tokenizer's split array — same tokens, same
+    # oracle tokenizer SQL) and that bigram_lm_stats aggregates
+    # token-keyed, its integer-division scoring is graded via
     # bigram_lm_stats and the quality ppm family, and its per-doc top-k
     # window via topk_parts_per_brand; tfidf_top_terms remains
     # sim-verified

@@ -245,21 +245,38 @@ def heavy_hitters(
         wl = _nonneg_weight(weight_col, "heavy_hitters")
     else:
         wl = F.lit(1).cast("long")
-    total = df.agg(F.sum(wl.cast("decimal(38,0)")).alias("t")).collect()[0]["t"]
-    total = int(total) if total is not None else 0
-    cands = mg_candidate_keys(df, keys, summary_size, weight_col).distinct()
+    # the total rides the plan as a 1-row cross-joined relation instead of
+    # a build-time collect (r12: the collect was a whole blocking job on
+    # the driver before the query even started; same DECIMAL(38,0)
+    # arithmetic, same value — the input is immutable within the job). The
+    # negative-weight raise_error now fires in whichever leg of the ONE
+    # job scans first — the job still fails, so the summary's clip stays
+    # an unreachable belt.
+    total_rel = df.agg(
+        F.coalesce(
+            F.sum(wl.cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")
+        ).alias("_t")
+    )
+    # no .distinct() on the candidates (r12): left_semi deduplicates by
+    # construction, and the distinct added a shuffle exchange inside the
+    # broadcast build side for a <= summary_size x partitions relation
+    cands = mg_candidate_keys(df, keys, summary_size, weight_col)
     cond = None
     for c in keys:
         eq = df[c].eqNullSafe(cands[c])
         cond = eq if cond is None else (cond & eq)
     matched = df.join(F.broadcast(cands), cond, "left_semi")
     cnt = (F.sum(wl) if weight_col else F.count(F.lit(1))).cast("long")
-    agg = matched.groupBy(*keys).agg(cnt.alias("cnt"))
-    keep = (F.col("cnt").cast("decimal(38,0)") * F.lit(1_000_000)) >= F.lit(
-        total
-    ).cast("decimal(38,0)") * F.lit(int(threshold_ppm))
+    agg = matched.groupBy(*keys).agg(cnt.alias("cnt")).crossJoin(
+        F.broadcast(total_rel)
+    )
+    keep = (F.col("cnt").cast("decimal(38,0)") * F.lit(1_000_000)) >= F.col(
+        "_t"
+    ) * F.lit(int(threshold_ppm))
     return agg.where(keep).select(
         *keys,
         "cnt",
-        F.expr(f"(cnt * 1000000L) div {max(total, 1)}").alias("share_ppm"),
+        F.expr("(cnt * 1000000L) div greatest(bigint(_t), 1L)").alias(
+            "share_ppm"
+        ),
     )

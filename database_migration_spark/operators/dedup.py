@@ -37,18 +37,29 @@ from database_migration_spark.functions.text_exprs import char_shingles, normali
 
 
 def exact_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pre_normalized: bool = False,
 ) -> DataFrame:
     """Exact dedup on normalized text: one row per distinct content, keeping
     the smallest id (deterministic winner) plus the duplicate count.
 
     Returns (fingerprint, keep_id, dup_cnt). Filter ``dup_cnt > 1`` for the
     duplicate groups; join back on fingerprint to drop losers.
+
+    ``pre_normalized=True`` skips the internal normalization:
+    ``text_col`` must already hold ``normalize_text`` output (the
+    annotate_corpus shared-normalization path — one regex pass feeds
+    dedup AND contamination). The fingerprint is identical either way.
     """
     from database_migration_spark.functions.parallel import fan_out
 
     df = fan_out(df)
-    fp = F.md5(normalize_text(F.col(text_col)))
+    src = (
+        F.col(text_col) if pre_normalized else normalize_text(F.col(text_col))
+    )
+    fp = F.md5(src)
     return (
         df.select(fp.alias("fingerprint"), F.col(id_col))
         .groupBy("fingerprint")
@@ -400,6 +411,7 @@ def benchmark_contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
+    corpus_norm_col: str | None = None,
 ) -> DataFrame:
     """Test-set decontamination scan: per corpus document, the fraction of
     its k-char shingles that appear anywhere in the benchmark corpus
@@ -413,13 +425,36 @@ def benchmark_contamination(
     broadcast and the probe is a map-side join against the corpus shingle
     stream; no corpus-wide shuffle on the shingle key. The per-doc
     aggregation shuffles on doc id only.
+
+    ``corpus_norm_col``: name of a column already holding ``normalize_text``
+    output (the annotate_corpus shared-normalization path — skips this
+    operator's internal fan_out + normalize + persist). The column MUST
+    come from a materialization barrier (a persisted relation): the
+    shingle transform references it once per shingle, and an inline
+    normalize expression would re-evaluate per element — the round-9b
+    O(len²) projection-collapse trap.
     """
     from database_migration_spark.functions.text_exprs import (
         char_shingles_pre_normalized_spark_sql,
         normalize_text_spark_sql,
     )
 
-    corpus_sh = shingle_sets(corpus, text_col, id_col, k)
+    if corpus_norm_col is not None:
+        from pyspark import StorageLevel
+
+        # persisted for the same reason _normalized_text persists on the
+        # internal path: the narrow (id, _t) relation sits DOWNSTREAM of
+        # the caller's filters/joins, so warm re-executions (bench laps,
+        # multi-action sessions) skip that upstream work instead of
+        # replaying it per action
+        corpus_sh = _shingle_hashes(
+            corpus.select(
+                F.col(id_col).alias("id"), F.col(corpus_norm_col).alias("_t")
+            ).persist(StorageLevel.MEMORY_AND_DISK),
+            k,
+        )
+    else:
+        corpus_sh = shingle_sets(corpus, text_col, id_col, k)
     # benchmark side: same normalize→array_distinct(shingles)→md5 chain as
     # shingle_sets, but row-local behind the lambda-variable barrier
     # (transform(array(e), t -> ...) evaluates the normalize ONCE per row)

@@ -62,6 +62,8 @@ def annotate_corpus(
     from database_migration_spark.operators.sampling import hash_split
     from database_migration_spark.operators.text import quality_features
 
+    from database_migration_spark.functions.text_exprs import normalize_text
+
     q = quality_features(docs, text_col=text_col)
     quality_ok = (
         F.col(text_col).isNotNull()
@@ -69,20 +71,36 @@ def annotate_corpus(
         & (F.coalesce(F.col("q_alpha_ppm"), F.lit(-1)) >= min_alpha_ppm)
     )
     ann = q.withColumn("_quality_ok", quality_ok)
-    # consumed by the dedup aggregate, the contamination probe, and the
-    # final projection — the multi-consumer persist rule
+    # ONE normalization pass shared by the dedup fingerprint and the
+    # contamination shingles (r12): both downstream operators consume the
+    # persisted ``_nt`` column instead of each re-running the regex over
+    # the corpus (and contamination's internal fan_out + persist of its
+    # own normalized copy drops out). Persist is the materialization
+    # barrier the shingle transform requires; on the persist=False
+    # (foreachBatch) path the operators keep their internal
+    # normalization — inlining ``_nt`` there would re-evaluate the regex
+    # per shingle (the round-9b projection-collapse trap).
     if persist:
+        ann = ann.withColumn("_nt", normalize_text(F.col(text_col)))
         ann = ann.persist(StorageLevel.MEMORY_AND_DISK)
 
     passers = ann.where(F.col("_quality_ok"))
-    winners = exact_dedup(passers, text_col=text_col, id_col=id_col).select(
-        "keep_id"
-    )
+    winners = exact_dedup(
+        passers,
+        text_col="_nt" if persist else text_col,
+        id_col=id_col,
+        pre_normalized=persist,
+    ).select("keep_id")
     survivors = passers.join(
         winners, passers[id_col] == winners["keep_id"], "left_semi"
     )
     conta = benchmark_contamination(
-        survivors, benchmark, text_col=text_col, id_col=id_col, k=shingle_k
+        survivors,
+        benchmark,
+        text_col=text_col,
+        id_col=id_col,
+        k=shingle_k,
+        corpus_norm_col="_nt" if persist else None,
     ).select(
         F.col(id_col).alias("_cid"),
         (F.col("contamination_ppm") >= max_contamination_ppm).alias("_hot"),

@@ -63,6 +63,37 @@ def memo_count(df: DataFrame) -> int:
     return n
 
 
+# (applicationId, md5(canonicalized analyzed plan)) -> first collected Row.
+# Same contract and caveats as _COUNT_MEMO: build-time parameter sizing
+# over IMMUTABLE inputs only (histogram bounds, min/max probes) — never
+# mutable stores.
+_ROW_MEMO: dict[tuple[str, str], object] = {}
+
+
+def memo_first_row(df: DataFrame):
+    """``df.collect()[0]`` memoized per (session, canonicalized plan) —
+    for 1-row build-time parameter aggregates (e.g. per-column min/max
+    histogram bounds) over immutable inputs. The r12 memo_count rule
+    applies verbatim: within one application the same plan over the same
+    immutable data collects the same row; mutable stores must not use
+    this."""
+    import hashlib
+
+    sc = df.sparkSession.sparkContext
+    try:
+        canon = (
+            df._jdf.queryExecution().analyzed().canonicalized().toString()
+        )
+        key = (sc.applicationId, hashlib.md5(canon.encode()).hexdigest())
+    except Exception:  # noqa: BLE001 — memoization is best-effort
+        return df.collect()[0]
+    row = _ROW_MEMO.get(key)
+    if row is None:
+        row = df.collect()[0]
+        _ROW_MEMO[key] = row
+    return row
+
+
 def fan_out(
     df: DataFrame,
     n: int | None = None,

@@ -337,20 +337,22 @@ def test_pps_sample_single_exchange_window_pair(spark):
     assert "Join" not in plan
 
 
-def test_classifier_weight_join_is_broadcast(spark):
-    """Hashing-trick classifier plan shape: the dim-row weight table joins
-    BROADCAST (the corpus-side tf relation never shuffles on the slot
-    key), and the per-doc score aggregate is map-side combined (partial
-    HashAggregate below its exchange)."""
+def test_classifier_is_joinless_single_pass(spark):
+    """Hashing-trick classifier plan shape (r12): the linear score folds
+    into one row-local aggregate() over the tokenizer's split array — the
+    physical plan carries NO join and NO aggregate exchange; the only
+    exchange allowed is the fan_out repartition."""
     from database_migration_spark import queries as Q
 
     plan = plan_of(Q.queries()["quality_classifier_documents"](spark, SF))
-    assert "BroadcastHashJoin" in plan
-    # no SortMergeJoin on the slot key: the only SMJ allowed is the final
-    # id-keyed left join restoring NULL-text docs
-    slot_smj = [ln for ln in plan.splitlines()
-                if "SortMergeJoin" in ln and "slot" in ln]
-    assert not slot_smj, slot_smj
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    # formatted plans mention each node twice (tree + detail section);
+    # count detail headers "(n) Exchange" — one per physical node
+    import re
+
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) <= 1, exchanges
 
 
 def test_fan_out_decision_memo(spark, monkeypatch):

@@ -71,18 +71,22 @@ _ROW_MEMO: dict[tuple[str, str], object] = {}
 
 
 def memo_first_row(df: DataFrame):
-    """``df.collect()[0]`` memoized per (session, canonicalized plan) —
-    for 1-row build-time parameter aggregates (e.g. per-column min/max
-    histogram bounds) over immutable inputs. The r12 memo_count rule
-    applies verbatim: within one application the same plan over the same
-    immutable data collects the same row; mutable stores must not use
-    this."""
+    """``df.collect()[0]`` memoized per (session, canonicalized plan,
+    output field names) — for 1-row build-time parameter aggregates
+    (e.g. per-column min/max histogram bounds) over immutable inputs.
+    The r12 memo_count rule applies verbatim: within one application the
+    same plan over the same immutable data collects the same row;
+    mutable stores must not use this. The field names are part of the
+    key because canonicalization erases aliases while the cached Row is
+    accessed BY NAME — two canonically-equal plans with different
+    aliases must not share an entry (review finding)."""
     import hashlib
 
     sc = df.sparkSession.sparkContext
     try:
         canon = (
             df._jdf.queryExecution().analyzed().canonicalized().toString()
+            + "\n" + "\x00".join(df.columns)
         )
         key = (sc.applicationId, hashlib.md5(canon.encode()).hexdigest())
     except Exception:  # noqa: BLE001 — memoization is best-effort

@@ -428,11 +428,15 @@ def benchmark_contamination(
 
     ``corpus_norm_col``: name of a column already holding ``normalize_text``
     output (the annotate_corpus shared-normalization path — skips this
-    operator's internal fan_out + normalize + persist). The column MUST
-    come from a materialization barrier (a persisted relation): the
-    shingle transform references it once per shingle, and an inline
-    normalize expression would re-evaluate per element — the round-9b
-    O(len²) projection-collapse trap.
+    operator's internal fan_out + normalize; a narrow (id, _t) persist
+    REMAINS as the warm-re-execution barrier downstream of the caller's
+    joins). The column MUST come from a materialization barrier (a
+    persisted relation): the shingle transform references it once per
+    shingle, and an inline normalize expression would re-evaluate per
+    element — the round-9b O(len²) projection-collapse trap. Batch
+    pipelines only: like the internal path's persist, the narrow cache
+    entry is never unpersisted, so per-epoch (foreachBatch) callers must
+    stay on the default path (the streaming persist-leak rule).
     """
     from database_migration_spark.functions.text_exprs import (
         char_shingles_pre_normalized_spark_sql,

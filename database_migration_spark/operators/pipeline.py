@@ -74,14 +74,21 @@ def annotate_corpus(
     # ONE normalization pass shared by the dedup fingerprint and the
     # contamination shingles (r12): both downstream operators consume the
     # persisted ``_nt`` column instead of each re-running the regex over
-    # the corpus (and contamination's internal fan_out + persist of its
-    # own normalized copy drops out). Persist is the materialization
-    # barrier the shingle transform requires; on the persist=False
-    # (foreachBatch) path the operators keep their internal
-    # normalization — inlining ``_nt`` there would re-evaluate the regex
-    # per shingle (the round-9b projection-collapse trap).
+    # the corpus (contamination's internal fan_out + normalize drop out;
+    # its narrow post-survivor (id, _t) persist remains — that is the
+    # warm-re-execution barrier downstream of the semi-join). ``_nt`` is
+    # computed only for quality passers — only they reach dedup /
+    # contamination, and on a high-attrition corpus normalizing (and
+    # caching) the failures would be pure waste (review finding). Persist
+    # is the materialization barrier the shingle transform requires; on
+    # the persist=False (foreachBatch) path the operators keep their
+    # internal normalization — inlining ``_nt`` there would re-evaluate
+    # the regex per shingle (the round-9b projection-collapse trap).
     if persist:
-        ann = ann.withColumn("_nt", normalize_text(F.col(text_col)))
+        ann = ann.withColumn(
+            "_nt",
+            F.when(F.col("_quality_ok"), normalize_text(F.col(text_col))),
+        )
         ann = ann.persist(StorageLevel.MEMORY_AND_DISK)
 
     passers = ann.where(F.col("_quality_ok"))

@@ -276,7 +276,11 @@ def heavy_hitters(
     return agg.where(keep).select(
         *keys,
         "cnt",
-        F.expr("(cnt * 1000000L) div greatest(bigint(_t), 1L)").alias(
-            "share_ppm"
-        ),
+        # divisor stays DECIMAL(38,0): a bigint cast of a >2^63 weighted
+        # total would raise under ANSI / NULL out under non-ANSI (and
+        # greatest() skips NULLs, silently dividing by 1 — review
+        # finding); div on decimal operands is exact integral division
+        F.expr(
+            "(cnt * 1000000L) div greatest(_t, cast(1 as decimal(38,0)))"
+        ).alias("share_ppm"),
     )

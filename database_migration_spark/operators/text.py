@@ -1017,6 +1017,12 @@ def classifier_weights(dim: int, seed: int = 7, span: int = 8) -> list[int]:
     return out
 
 
+# largest weight vector the row-local classifier inlines into its SQL
+# text; bigger models (real hashing-trick bucket counts, 2^18+) route
+# through the broadcast weight table instead — see the docstring
+_INLINE_DIM_MAX = 4096
+
+
 def hashed_classifier_score(
     df: DataFrame,
     weights: list[int],
@@ -1052,14 +1058,47 @@ def hashed_classifier_score(
     one-tokenizer rule holds. NULL text: ``split(NULL)`` is a NULL array,
     ``aggregate(NULL, ..)`` is NULL, coalesce restores ``bias`` — the same
     value the old left join produced. Output (id, score, keep).
+
+    Above ``_INLINE_DIM_MAX`` slots the weight vector no longer belongs
+    in the expression text (a 2^18-bucket production model would render a
+    multi-MB SQL literal into every task's serialized plan — review
+    finding); the pre-r12 broadcast-weight-table route takes over, same
+    integer algebra, same output (the two paths are pinned equal by the
+    differential pytest at both sides of the threshold).
     """
-    from database_migration_spark.functions.hashing import md5_long_spark_sql
+    from database_migration_spark.functions.hashing import (
+        md5_long,
+        md5_long_spark_sql,
+    )
     from database_migration_spark.functions.parallel import fan_out
     from database_migration_spark.functions.text_exprs import (
         normalize_text_spark_sql,
     )
 
     dim = len(weights)
+    if dim > _INLINE_DIM_MAX:
+        spark = df.sparkSession
+        wdf = spark.createDataFrame(
+            [(i, int(w)) for i, w in enumerate(weights)], "slot LONG, w LONG"
+        )
+        tf = term_frequencies(df, text_col, id_col, persist=False)
+        scored = (
+            tf.withColumn("slot", F.pmod(md5_long(F.col("term")), F.lit(dim)))
+            .join(F.broadcast(wdf), "slot")
+            .groupBy("id")
+            .agg(F.sum(F.col("tf") * F.col("w")).cast("long").alias("_s"))
+        )
+        return (
+            df.select(F.col(id_col).alias("id"))
+            .join(scored, "id", "left")
+            .select(
+                "id",
+                (F.coalesce(F.col("_s"), F.lit(0)) + F.lit(bias))
+                .cast("long")
+                .alias("score"),
+            )
+            .withColumn("keep", F.col("score") >= F.lit(threshold))
+        )
     w_arr = "array(" + ", ".join(f"{int(w)}L" for w in weights) + ")"
     toks = f"split({normalize_text_spark_sql(text_col)}, ' ')"
     # per-occurrence w[md5(t) mod dim] summed in the row: tf_t * w appears

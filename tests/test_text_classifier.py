@@ -36,6 +36,31 @@ def test_classifier_matches_python_reference(spark, sf_smoke):
         assert got[r.doc_id] == (want, want >= 5), r.doc_id
 
 
+def test_classifier_broadcast_path_matches_inline(spark, sf_smoke, monkeypatch):
+    """Above _INLINE_DIM_MAX the classifier routes through the broadcast
+    weight table (the pre-r12 shape) — both paths must score every doc
+    identically (same Python reference)."""
+    from database_migration_spark.operators import text as TX
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").limit(25)
+    w = TX.classifier_weights(16, seed=3)
+    inline = {
+        r.id: (r.score, r.keep)
+        for r in TX.hashed_classifier_score(docs, w, bias=2, threshold=5)
+        .collect()
+    }
+    monkeypatch.setattr(TX, "_INLINE_DIM_MAX", 4)  # force the join path
+    joined = {
+        r.id: (r.score, r.keep)
+        for r in TX.hashed_classifier_score(docs, w, bias=2, threshold=5)
+        .collect()
+    }
+    assert inline == joined
+    for r in docs.select("doc_id", "text").collect():
+        want = _py_score(r.text, w, bias=2)
+        assert joined[r.doc_id] == (want, want >= 5), r.doc_id
+
+
 def test_classifier_null_and_empty_text_get_bias(spark):
     from database_migration_spark.operators.text import (
         hashed_classifier_score,

@@ -171,9 +171,24 @@ def range_join(
         & (F.col(lo_col) <= F.col(hi_col))
     )
     if cell_width is None:
-        row = i_valid.select(
+        probe = i_valid.select(
             F.avg(F.col(hi_col).cast("long") - F.col(lo_col).cast("long")).alias("w")
-        ).first()
+        )
+        if max_cell is None:
+            # Without a cell cap the width is pure economics — a point
+            # lies in exactly one cell at ANY width, so the exact BETWEEN
+            # output is width-independent. Memoize the blocking scalar
+            # scan per (session, canonicalized plan): when the interval
+            # side is itself an expensive pipeline (the session-window
+            # query), the default-width pre-scan otherwise re-executes
+            # that whole subtree on every build (r12 memo_count family,
+            # guide §5). With max_cell set the width DOES pick which
+            # cells get capped (result-affecting) — keep the live scan.
+            from database_migration_spark.functions.parallel import memo_first_row
+
+            row = memo_first_row(probe)
+        else:
+            row = probe.first()
         cell_width = max(1, int(row["w"])) if row and row["w"] is not None else 1
     w = int(cell_width)
     if w <= 0:

@@ -27,33 +27,50 @@ from pyspark.sql import Column, DataFrame
 _FAN_DECISION: dict[tuple[str, int, int], bool] = {}
 
 
-# (applicationId, md5(canonicalized analyzed plan)) -> row count. Same
-# driver-work memoization family as _FAN_DECISION (r12 opt round, guide
-# §5): parameter-sizing counts (broadcast-vs-shuffle caps, derived LSH
-# bits) re-run an identical job on identical immutable inputs every bench
-# lap / shared sub-plan build. The key is the CANONICALIZED plan text
-# (exprIds normalized) hashed with md5 — not the 32-bit semanticHash
-# alone — because some memoized counts size result-affecting parameters
-# (LSH bits): a cryptographic-hash collision is the only wrong-result
-# path, vs. a real 0.3 s job per build. Keyed on applicationId so a fresh
-# session (fresh data) never inherits a stale count.
+# (applicationId, md5(canonicalized analyzed plan + input files + output
+# names)) -> row count. Same driver-work memoization family as
+# _FAN_DECISION (r12 opt round, guide §5): parameter-sizing counts
+# (broadcast-vs-shuffle caps, derived LSH bits) re-run an identical job on
+# identical immutable inputs every bench lap / shared sub-plan build. The
+# key is the CANONICALIZED plan text (exprIds normalized) hashed with md5
+# — not the 32-bit semanticHash alone — because some memoized values size
+# result-affecting parameters (LSH bits): a cryptographic-hash collision
+# is the only wrong-result path, vs. a real 0.3 s job per build. Keyed on
+# applicationId so a fresh session (fresh data) never inherits a stale
+# count. The key ALSO folds in df.inputFiles(): canonicalized toString
+# elides file LOCATIONS (verified — two parquet reads of different paths
+# with one schema render the identical "Relation [...] parquet" line), so
+# plan text alone would cross-contaminate multi-corpus sessions
+# (scale_probe's x10/x100 legs). Driver-local literal relations have no
+# input files AND no data in the plan text — they stay un-keyable, which
+# is why every caller-facing memo flag defaults OFF and documents
+# file-backed inputs only.
 _COUNT_MEMO: dict[tuple[str, str], int] = {}
 
 
-def memo_count(df: DataFrame) -> int:
-    """``df.count()`` memoized per (session, canonicalized plan) — for
-    build-time parameter sizing over immutable inputs only. Never use it
-    on mutable stores (published targets, streaming state): the memo
-    deliberately assumes a plan re-counts to the same value within one
-    application."""
+def _plan_key(df: DataFrame) -> tuple[str, str]:
+    """(applicationId, md5(canonical plan + sorted input files + output
+    names)) — the one key the memo family shares. Raises whatever py4j
+    raises; callers fall back to the live job."""
     import hashlib
 
     sc = df.sparkSession.sparkContext
+    canon = (
+        df._jdf.queryExecution().analyzed().canonicalized().toString()
+        + "\x00" + "\n".join(sorted(df.inputFiles()))
+        + "\x00" + "\x00".join(df.columns)
+    )
+    return (sc.applicationId, hashlib.md5(canon.encode()).hexdigest())
+
+
+def memo_count(df: DataFrame) -> int:
+    """``df.count()`` memoized per (session, canonicalized plan + input
+    files) — for build-time parameter sizing over immutable inputs only.
+    Never use it on mutable stores (published targets, streaming state):
+    the memo deliberately assumes a plan re-counts to the same value
+    within one application."""
     try:
-        canon = (
-            df._jdf.queryExecution().analyzed().canonicalized().toString()
-        )
-        key = (sc.applicationId, hashlib.md5(canon.encode()).hexdigest())
+        key = _plan_key(df)
     except Exception:  # noqa: BLE001 — memoization is best-effort
         return df.count()
     n = _COUNT_MEMO.get(key)
@@ -70,6 +87,32 @@ def memo_count(df: DataFrame) -> int:
 _ROW_MEMO: dict[tuple[str, str], object] = {}
 
 
+_COLLECT_MEMO: dict[tuple[str, str], list] = {}
+
+
+def memo_collect(df: DataFrame):
+    """``df.collect()`` memoized per (session, canonicalized plan, output
+    field names) — for BOUNDED build-time probes (validation guards,
+    limit(1) existence checks) over immutable inputs. The memo_count rule
+    applies verbatim, plus the sharper caveat that holds for this whole
+    family: the key is the canonicalized PLAN TEXT, and driver-local
+    literal relations (createDataFrame) canonicalize WITHOUT their data
+    (verified: two different literal rows render the identical
+    ``LogicalRDD`` string) — so only relations whose data is reachable
+    through the plan (file scans and derivations thereof) may be
+    memoized. Callers expose this behind default-OFF flags for exactly
+    that reason."""
+    try:
+        key = _plan_key(df)
+    except Exception:  # noqa: BLE001 — memoization is best-effort
+        return df.collect()
+    rows = _COLLECT_MEMO.get(key)
+    if rows is None:
+        rows = df.collect()
+        _COLLECT_MEMO[key] = rows
+    return rows
+
+
 def memo_first_row(df: DataFrame):
     """``df.collect()[0]`` memoized per (session, canonicalized plan,
     output field names) — for 1-row build-time parameter aggregates
@@ -80,15 +123,8 @@ def memo_first_row(df: DataFrame):
     key because canonicalization erases aliases while the cached Row is
     accessed BY NAME — two canonically-equal plans with different
     aliases must not share an entry (review finding)."""
-    import hashlib
-
-    sc = df.sparkSession.sparkContext
     try:
-        canon = (
-            df._jdf.queryExecution().analyzed().canonicalized().toString()
-            + "\n" + "\x00".join(df.columns)
-        )
-        key = (sc.applicationId, hashlib.md5(canon.encode()).hexdigest())
+        key = _plan_key(df)
     except Exception:  # noqa: BLE001 — memoization is best-effort
         return df.collect()[0]
     row = _ROW_MEMO.get(key)

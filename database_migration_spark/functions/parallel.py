@@ -55,9 +55,17 @@ def _plan_key(df: DataFrame) -> tuple[str, str]:
     import hashlib
 
     sc = df.sparkSession.sparkContext
+    files = sorted(df.inputFiles())
+    if not files:
+        # No file-backed source anywhere in the plan means the data lives
+        # driver-side (createDataFrame literals, spark.range) — invisible
+        # to BOTH the canonical text and the file list, so two different
+        # datasets would share a key. Refuse; callers catch and fall back
+        # to the live job (review finding, r12 session 6).
+        raise ValueError("memo keys require file-backed inputs")
     canon = (
         df._jdf.queryExecution().analyzed().canonicalized().toString()
-        + "\x00" + "\n".join(sorted(df.inputFiles()))
+        + "\x00" + "\n".join(files)
         + "\x00" + "\x00".join(df.columns)
     )
     return (sc.applicationId, hashlib.md5(canon.encode()).hexdigest())
@@ -110,7 +118,24 @@ def memo_collect(df: DataFrame):
     if rows is None:
         rows = df.collect()
         _COLLECT_MEMO[key] = rows
-    return rows
+    # a COPY per caller: an in-place mutation (sort, pop) on the returned
+    # list must never corrupt the cache entry (review finding)
+    return list(rows)
+
+
+def maybe_memo_collect(df: DataFrame, memo: bool):
+    """The one gate the default-OFF memo flags share: ``memo=True`` routes
+    through :func:`memo_collect` (file-backed immutable inputs only),
+    ``memo=False`` is the live job."""
+    return memo_collect(df) if memo else df.collect()
+
+
+def maybe_memo_first_row(df: DataFrame, memo: bool):
+    """:func:`memo_first_row` behind the same gate (a global aggregate
+    always yields exactly one row, so ``collect()[0]`` is total)."""
+    if memo:
+        return memo_first_row(df)
+    return df.collect()[0]
 
 
 def memo_first_row(df: DataFrame):

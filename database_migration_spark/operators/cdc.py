@@ -55,21 +55,29 @@ def net_changes(
     without their data (parallel.memo_collect). Violations still raise on
     the first (live) probe either way.
     """
-    if memo_guards:
-        from database_migration_spark.functions.parallel import memo_collect
-    else:
-        memo_collect = lambda df: df.collect()  # noqa: E731 — live probes
-    bad = memo_collect(stream.where(~F.col(op_col).isin(*OPS)).limit(1))
+    from database_migration_spark.functions.parallel import maybe_memo_collect
+
+    # the NULL disjunct is load-bearing: ~isin() is NULL (not true) for a
+    # NULL op, which would slip past the guard and then act as a DELETE
+    # downstream (op != 'D' is NULL → excluded from upserts while the key
+    # still anti-joins out of the base) — review finding, r12 session 6
+    bad = maybe_memo_collect(
+        stream.where(
+            F.col(op_col).isNull() | ~F.col(op_col).isin(*OPS)
+        ).limit(1),
+        memo_guards,
+    )
     if bad:
         raise ValueError(
             f"unknown CDC op {bad[0][op_col]!r} — expected one of {OPS}"
         )
     if validate_unique:
-        dup = memo_collect(
+        dup = maybe_memo_collect(
             stream.groupBy(*keys, seq_col)
             .count()
             .where(F.col("count") > 1)
-            .limit(1)
+            .limit(1),
+            memo_guards,
         )
         if dup:
             kv = {k: dup[0][k] for k in keys}

@@ -55,12 +55,9 @@ def watermark(target: DataFrame, delta_col: str, memo: bool = False):
     watermark silently drops deltas, and driver-local literal relations
     canonicalize without their data (see parallel.memo_collect). Default
     stays the live job."""
-    agg = target.agg(F.max(delta_col).alias("wm"))
-    if memo:
-        from database_migration_spark.functions.parallel import memo_first_row
+    from database_migration_spark.functions.parallel import maybe_memo_first_row
 
-        return memo_first_row(agg)["wm"]
-    return agg.collect()[0]["wm"]
+    return maybe_memo_first_row(target.agg(F.max(delta_col).alias("wm")), memo)["wm"]
 
 
 def format_watermark_literal(value, value_type: str, dialect: str) -> str:

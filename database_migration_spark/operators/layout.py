@@ -145,13 +145,9 @@ def column_bounds(df: DataFrame, cols: list, memo: bool = False) -> dict:
             F.min(F.col(c).cast("long")).alias(f"_lo_{c}"),
             F.max(F.col(c).cast("long")).alias(f"_hi_{c}"),
         ]
-    agg = df.agg(*aggs)
-    if memo:
-        from database_migration_spark.functions.parallel import memo_first_row
+    from database_migration_spark.functions.parallel import maybe_memo_first_row
 
-        row = memo_first_row(agg)
-    else:
-        row = agg.collect()[0]
+    row = maybe_memo_first_row(df.agg(*aggs), memo)
     out = {}
     for c in cols:
         lo, hi = row[f"_lo_{c}"], row[f"_hi_{c}"]

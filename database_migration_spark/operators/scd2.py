@@ -116,12 +116,9 @@ def scd2_merge(
             .where(F.col("_c") > 1)
             .limit(3)
         )
-        if memo_guards:
-            from database_migration_spark.functions.parallel import memo_collect
+        from database_migration_spark.functions.parallel import maybe_memo_collect
 
-            dup = memo_collect(dup_probe)
-        else:
-            dup = dup_probe.collect()
+        dup = maybe_memo_collect(dup_probe, memo_guards)
         if dup:
             sample = [tuple(r[k] for k in keys) for r in dup]
             raise ValueError(

@@ -416,12 +416,9 @@ def bucket_completeness(
     span_agg = per_bucket.agg(
         F.min("_min_k").alias("span_lo"), F.max("_max_k").alias("span_hi")
     )
-    if memo_span:
-        from database_migration_spark.functions.parallel import memo_first_row
+    from database_migration_spark.functions.parallel import maybe_memo_first_row
 
-        span_row = memo_first_row(span_agg)
-    else:
-        span_row = span_agg.first()
+    span_row = maybe_memo_first_row(span_agg, memo_span)
     if span_row is None or span_row["span_lo"] is None:
         return per_bucket.sparkSession.createDataFrame(
             [], "bucket_start LONG, bucket_end LONG, n_rows LONG, "

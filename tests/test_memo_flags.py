@@ -29,10 +29,16 @@ def pq(spark, tmp_path):
 def test_memo_collect_caches_and_keys_on_plan(spark, pq):
     df = pq("mc", [(1, "a"), (2, "b")], "id long, s string")
     probe = df.where(F.col("id") > 1).limit(5)
+    n0 = len(P._COLLECT_MEMO)
     r1 = P.memo_collect(probe)
-    # cached: the second call must return the SAME list object
+    assert len(P._COLLECT_MEMO) == n0 + 1
+    # cached: the second call hits the same entry but returns a COPY (an
+    # in-place caller mutation must never corrupt the cache)
     r2 = P.memo_collect(df.where(F.col("id") > 1).limit(5))
-    assert r2 is r1 and [x["s"] for x in r1] == ["b"]
+    assert len(P._COLLECT_MEMO) == n0 + 1
+    assert r2 == r1 and r2 is not r1 and [x["s"] for x in r1] == ["b"]
+    r2.pop()
+    assert P.memo_collect(probe) == r1
     # a different plan over the same input must NOT collide
     r3 = P.memo_collect(df.where(F.col("id") > 99).limit(5))
     assert r3 == []
@@ -111,3 +117,30 @@ def test_memo_count_distinguishes_same_schema_paths(spark, pq):
     assert P.memo_count(a) == 3
     assert P.memo_count(b) == 7  # pre-fix: returned 3 (a's cached count)
     assert P.memo_count(a) == 3
+
+
+def test_cdc_null_op_raises(spark, pq):
+    """Review fix (r12 session 6): ~isin() is NULL (not true) for a NULL
+    op, which slipped past the guard and then acted as a DELETE
+    downstream. The guard now has an explicit isNull disjunct."""
+    from database_migration_spark.operators.cdc import net_changes
+
+    s = pq("cdc_nullop", [(1, 1, None, "x")],
+           "k long, seq long, op string, v string")
+    with pytest.raises(ValueError, match="unknown CDC op"):
+        net_changes(s, ["k"])
+    with pytest.raises(ValueError, match="unknown CDC op"):
+        net_changes(s, ["k"], memo_guards=True)
+
+
+def test_memo_refuses_driver_local_relations(spark):
+    """Review fix (r12 session 6): _plan_key raises on plans with no
+    file-backed source (literal data is invisible to the key), so two
+    different literal relations can never share a memoized value — the
+    memo functions fall back to the live job."""
+    a = spark.createDataFrame([(i,) for i in range(3)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(8)], "k long")
+    with pytest.raises(ValueError, match="file-backed"):
+        P._plan_key(a)
+    assert P.memo_count(a) == 3  # live fallback, not an error
+    assert P.memo_count(b) == 8  # and never a's cached value

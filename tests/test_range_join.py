@@ -129,8 +129,6 @@ def test_default_width_memo_gating(spark, pi, monkeypatch):
     """r12: the default-width scalar scan memoizes ONLY when max_cell is
     None (width is pure economics there); with max_cell set the width
     picks which cells get capped, so the live scan must stay."""
-    import database_migration_spark.operators.pairing as pairing_mod
-
     points, intervals = pi
     brute = _brute(points, intervals)
 

@@ -40,6 +40,19 @@ enforced by tests/test_bench_line.py): every number is min-of-laps — 1
 warm-up + 2 measured laps, a 3rd when the two disagree >2x, and up to 2
 extra laps when the min still exceeds 2x the same-sf prior-round artifact;
 queries still >2x prior after re-laps land in suspect_vs_prior.
+
+COLD-TRUTH memo clearing (r13 measurement-bug fix, per the r12 verdict):
+the r12 build-scalar memos (functions/parallel.py: _COUNT_MEMO, _ROW_MEMO,
+_COLLECT_MEMO, _FAN_DECISION) persist for the life of the session, so the
+warm-up lap used to pre-fill them and the measured laps never paid the
+build-probe jobs a cold driver (the production / first-lap shape) pays.
+Every lap now clears those four dicts first, so min-of-laps measures the
+cold cost including parameter-sizing probes. _TABLE_CACHE is deliberately
+KEPT — it memoizes the lazy parquet reader (file listing + schema), the
+exact service a catalog table reference provides; every action still scans
+the parquet inputs. The r12 artifact (BENCH_r12.json, 36.92 s) was recorded
+under the old warm-memo policy; expect the ~8 memo-opted queries ~0.1-0.4 s
+higher under this policy at identical plans.
 """
 
 from __future__ import annotations
@@ -245,11 +258,21 @@ def prior_artifact(repo_dir: str, sf) -> tuple[dict, str | None]:
     at the SAME scale factor (a cross-sf comparison is meaningless), as
     ({name: sec}, artifact_basename) — ({}, None) when absent. Handles
     both this harness's bare JSON line and the grading driver's wrapper
-    (``{n, rc, sf, tail, parsed: <the line>}``)."""
+    (``{n, rc, sf, tail, parsed: <the line>}``). Only canonical
+    ``BENCH_r<nn>.json`` names participate: suffixed variants record
+    DIFFERENT run conditions at the same sf (BENCH_r12_c8.json is the
+    8-core scaling run — ``_`` sorts after ``.``, so the bare glob
+    preferred it and the stall guard re-lapped 32-core timings against
+    8-core priors; r13 fix)."""
     import glob
+    import re
 
-    for p in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")),
-                    reverse=True):
+    candidates = [
+        p
+        for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+        if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p))
+    ]
+    for p in sorted(candidates, reverse=True):
         try:
             with open(p) as fh:
                 d = json.load(fh)
@@ -296,6 +319,8 @@ def main() -> int:
     from database_migration_spark import get_spark
     from database_migration_spark import queries as Q
 
+    from database_migration_spark.functions import parallel as P
+
     spark = get_spark(app_name="bench")
     registry = Q.queries()
 
@@ -303,6 +328,13 @@ def main() -> int:
     Q.table(spark, SF_DIR, "region").count()
 
     def run(name: str) -> float:
+        # cold-truth (see "COLD-TRUTH memo clearing" in the module
+        # docstring): every lap pays the build-scalar probe jobs a cold
+        # driver pays; only the lazy-reader table cache survives.
+        P._COUNT_MEMO.clear()
+        P._ROW_MEMO.clear()
+        P._COLLECT_MEMO.clear()
+        P._FAN_DECISION.clear()
         t0 = time.time()
         registry[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         return time.time() - t0

@@ -63,8 +63,26 @@ def _plan_key(df: DataFrame) -> tuple[str, str]:
         # datasets would share a key. Refuse; callers catch and fall back
         # to the live job (review finding, r12 session 6).
         raise ValueError("memo keys require file-backed inputs")
+    plan_text = df._jdf.queryExecution().analyzed().canonicalized().toString()
+    if (
+        "LocalRelation" in plan_text
+        or "LogicalRDD" in plan_text
+        or "ExternalRDD" in plan_text
+    ):
+        # A MIXED plan — file scan joined/unioned with a driver-local
+        # literal relation — passes the inputFiles check above while the
+        # literal leaf still canonicalizes WITHOUT its data (verified:
+        # two joins differing only in literal rows render one plan text),
+        # so two different datasets would share a key (r12 advisor
+        # finding). Refuse on any driver-local leaf in the text; a false
+        # hit (a string literal containing the node name) merely skips
+        # memoization, which is always safe.
+        raise ValueError(
+            "memo keys require fully file-backed plans "
+            "(driver-local leaf in plan)"
+        )
     canon = (
-        df._jdf.queryExecution().analyzed().canonicalized().toString()
+        plan_text
         + "\x00" + "\n".join(files)
         + "\x00" + "\x00".join(df.columns)
     )

@@ -182,7 +182,10 @@ def range_join(
             # side is itself an expensive pipeline (the session-window
             # query), the default-width pre-scan otherwise re-executes
             # that whole subtree on every build (r12 memo_count family,
-            # guide §5). With max_cell set the width DOES pick which
+            # guide §5). Safe without an opt-in flag because _plan_key
+            # refuses un-keyable plans outright — fully driver-local AND
+            # mixed file+literal leaves both fall back to the live scan
+            # (r13 hardening). With max_cell set the width DOES pick which
             # cells get capped (result-affecting) — keep the live scan.
             from database_migration_spark.functions.parallel import memo_first_row
 

@@ -134,13 +134,38 @@ def test_cdc_null_op_raises(spark, pq):
 
 
 def test_memo_refuses_driver_local_relations(spark):
-    """Review fix (r12 session 6): _plan_key raises on plans with no
-    file-backed source (literal data is invisible to the key), so two
-    different literal relations can never share a memoized value — the
-    memo functions fall back to the live job."""
+    """Review fix (r12 session 6): _plan_key raises on FULLY driver-local
+    plans (no file-backed source anywhere — literal data is invisible to
+    the key), so two such relations can never share a memoized value —
+    the memo functions fall back to the live job. The mixed file+literal
+    case is covered by test_memo_refuses_mixed_file_literal_plans."""
     a = spark.createDataFrame([(i,) for i in range(3)], "k long")
     b = spark.createDataFrame([(i,) for i in range(8)], "k long")
     with pytest.raises(ValueError, match="file-backed"):
         P._plan_key(a)
     assert P.memo_count(a) == 3  # live fallback, not an error
     assert P.memo_count(b) == 8  # and never a's cached value
+
+
+def test_memo_refuses_mixed_file_literal_plans(spark, pq):
+    """Regression (r12 advisor finding): a plan mixing a file scan with a
+    driver-local literal relation passed the inputFiles check while the
+    literal rows stayed invisible to the key — two joins differing only
+    in literal data shared a key, and memo_count returned the first
+    plan's cached count for the second. _plan_key now refuses any plan
+    whose canonical text contains a driver-local leaf (LocalRelation /
+    LogicalRDD / ExternalRDD); memo functions fall back to the live job."""
+    base = pq("mix_base", [(i,) for i in range(5)], "k long")
+    lit_a = spark.createDataFrame([(1,)], "k long")
+    lit_b = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    mixed_a = base.join(lit_a, "k")
+    mixed_b = base.join(lit_b, "k")
+    with pytest.raises(ValueError, match="file-backed"):
+        P._plan_key(mixed_a)
+    # live fallback computes each plan's own count — never a shared entry
+    assert P.memo_count(mixed_a) == 1
+    assert P.memo_count(mixed_b) == 3
+    # first-row and collect memos share _plan_key; pin the refusal there
+    # too via live-fallback correctness on the mixed shape
+    assert P.memo_first_row(mixed_b.groupBy().count())["count"] == 3
+    assert len(P.memo_collect(mixed_b.select("k"))) == 3

@@ -1,7 +1,7 @@
-"""Dump .explain("formatted") for registered queries into plans/r12/.
+"""Dump .explain("formatted") for registered queries into plans/$PLANS_ROUND (default r13)/.
 
 Usage: python scripts/dump_plans.py <suffix> <query> [query ...]
-Writes plans/r12/<query>_<suffix>.txt for each (suffix: before|after).
+Writes plans/<round>/<query>_<suffix>.txt for each (suffix: before|after).
 Measurement aid for the optimization rounds — the judge checks plan
 claims in OPTIMIZATION_r*.md against these files.
 """
@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "plans", "r12")
+                       "plans", os.environ.get("PLANS_ROUND", "r13"))
 
 
 def main() -> int:

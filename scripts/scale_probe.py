@@ -644,10 +644,18 @@ def bm25_compare(spark) -> dict:
     )
 
     out = {}
-    for tag, sf_dir, qtext in (
+    legs = [
         ("sf0.1", SF01, "hash join merge table scan"),
         ("x10", OUT, "hash0 join0 merge0 table0 scan0"),
+    ]
+    if "--x100" in sys.argv and os.path.exists(
+        os.path.join(OUT100, "documents.parquet")
     ):
+        # r13 (verdict item 3): the W6 inline reshape — one corpus scan,
+        # per-term in-array counts, no explode — needs a big-corpus proof;
+        # replica-0 terms stay real hits at every decade
+        legs.append(("x100", OUT100, "hash0 join0 merge0 table0 scan0"))
+    for tag, sf_dir, qtext in legs:
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         q = spark.createDataFrame(
             [("q0", qtext)], "query_id string, query_text string"
@@ -665,6 +673,26 @@ def bm25_compare(spark) -> dict:
             "index_build_sec": round(build, 3),
             "index_probe_sec": round(probe, 3),
         }
+        if tag == "x100":
+            # the >_INLINE_TERMS_MAX streaming shape (explode + broadcast
+            # semi-join, doc lengths via the no-explode doc_token_counts)
+            # at the same decade: 80 real corpus terms force the crossover
+            row = docs.select("text").where("text IS NOT NULL").limit(3).collect()
+            words = []
+            for r in row:
+                for w in (r["text"] or "").split():
+                    if w not in words:
+                        words.append(w)
+                if len(words) >= 80:
+                    break
+            q_wide = spark.createDataFrame(
+                [("qw", " ".join(words[:80]))],
+                "query_id string, query_text string",
+            )
+            out[tag]["inline_streaming_80term_sec"] = round(
+                time_thunk(spark, lambda: bm25_topk(docs, q_wide, k=5)), 3
+            )
+            out[tag]["n_hit_rows"] = bm25_topk(docs, q, k=5).count()
     return out
 
 
@@ -1476,6 +1504,55 @@ def main() -> int:
         out["ann_compare"]["x100"] = ann_compare(spark, OUT100)
     if "--bm25" in sys.argv:
         out["bm25_compare"] = bm25_compare(spark)
+    if "--pk-fan" in sys.argv:
+        # r13 (verdict item 3): constraint_report's PK branch fans only
+        # above min_bytes=128 MB — at sf0.1 the unfanned shape measured
+        # faster (r12: 0.63 vs 0.80 s); this is the other half of that
+        # claim: on the ×100 single-file-class input the fan must WIN.
+        # Self-contained: generates its own x100 lineitem if missing.
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from database_migration_spark.functions.parallel import fan_out
+        from database_migration_spark.operators.constraints import pk_check
+
+        if not os.path.exists(os.path.join(OUT100, "lineitem.parquet")):
+            generate(spark, OUT100, 100, tables=("lineitem",))
+        li = spark.read.parquet(os.path.join(OUT100, "lineitem.parquet"))
+        keys = ["l_orderkey", "l_linenumber"]
+
+        def gated():  # the production gate: est >= 128 MB at x100 -> fans
+            return pk_check(li, "lineitem", "LINEITEM_PK", keys)
+
+        def unfanned():  # the sf0.1 winner, forced at x100
+            non_null = " AND ".join(f"`{k}` IS NOT NULL" for k in keys)
+            tup = (
+                "named_struct('l_orderkey', `l_orderkey`, "
+                "'l_linenumber', `l_linenumber`)"
+            )
+            return li.selectExpr(keys).agg(
+                F.expr("bigint(count(1)) AS n_rows"),
+                F.expr(
+                    f"bigint(count(DISTINCT CASE WHEN {non_null} THEN {tup}"
+                    " END)) AS n_distinct"
+                ),
+            )
+
+        fanned_df = fan_out(
+            li.selectExpr(keys), key=keys, min_bytes=128 * 1024 * 1024
+        )
+        # interleaved cold pairs: a sequential A-then-B ordering hands B
+        # the page cache A just warmed (first run recorded a 2x phantom)
+        g_laps, u_laps = [], []
+        cold_thunk(spark, gated, laps=1)  # one discard lap warms the fs cache for BOTH arms
+        for _ in range(3):
+            g_laps.append(cold_thunk(spark, gated, laps=1))
+            u_laps.append(cold_thunk(spark, unfanned, laps=1))
+        out["pk_fan_x100"] = {
+            "gate_fans": "Exchange" in fanned_df._jdf.queryExecution()
+            .executedPlan().toString(),
+            "gated_sec": round(min(g_laps), 3),
+            "unfanned_sec": round(min(u_laps), 3),
+        }
     if "--overlap" in sys.argv:
         out["overlap"] = overlap_probe(
             spark, Q, with_x100="--x100" in sys.argv

@@ -331,10 +331,7 @@ def main() -> int:
         # cold-truth (see "COLD-TRUTH memo clearing" in the module
         # docstring): every lap pays the build-scalar probe jobs a cold
         # driver pays; only the lazy-reader table cache survives.
-        P._COUNT_MEMO.clear()
-        P._ROW_MEMO.clear()
-        P._COLLECT_MEMO.clear()
-        P._FAN_DECISION.clear()
+        P.clear_build_memos()
         t0 = time.time()
         registry[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         return time.time() - t0

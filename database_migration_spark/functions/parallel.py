@@ -89,6 +89,22 @@ def _plan_key(df: DataFrame) -> tuple[str, str]:
     return (sc.applicationId, hashlib.md5(canon.encode()).hexdigest())
 
 
+def clear_build_memos() -> None:
+    """Drop every build-scalar memo (count/row/collect/fan-decision) —
+    the r13 cold-truth hook for measurement harnesses (bench.py,
+    scripts/time_query.py, scale_probe's cold probes): clearing before
+    each lap makes min-of-laps pay the parameter-sizing probe jobs a
+    cold driver pays. Lives HERE, next to the dicts, so a future memo
+    added to this module joins the cold-truth clear in one place instead
+    of silently staying warm in whichever harness wasn't updated.
+    ``queries._TABLE_CACHE`` is deliberately not cleared — the lazy
+    reader memo is a catalog-table equivalent, not a build scalar."""
+    _COUNT_MEMO.clear()
+    _ROW_MEMO.clear()
+    _COLLECT_MEMO.clear()
+    _FAN_DECISION.clear()
+
+
 def memo_count(df: DataFrame) -> int:
     """``df.count()`` memoized per (session, canonicalized plan + input
     files) — for build-time parameter sizing over immutable inputs only.
@@ -214,8 +230,13 @@ def fan_out(
     scan+agg shapes (a global count_distinct) the fan's extra exchange
     costs more than single-task partial aggregation saves until the
     input is large enough that one task becomes the straggler — measured
-    r12: lineitem PK distinct 0.63 s unfanned vs 0.80 s fanned at
-    sf0.1, while a ×100 single-file input still wants the fan.
+    r12: lineitem PK distinct 0.63 s unfanned vs 0.80 s fanned at sf0.1.
+    (r13 revision of the r12 "×100 single-file input still wants the
+    fan" claim: the ×100 corpus lands as ~100 scan partitions, the
+    known-big short-circuit correctly declines, and interleaved cold
+    pairs measure gated == force-unfanned — the fan only matters for the
+    single-row-group fixture shape, which the partition-count probe
+    still catches. SCALE.md `pk_fan_x100`.)
     """
     sc = df.sparkSession.sparkContext
     target = n or sc.defaultParallelism

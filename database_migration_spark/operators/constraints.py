@@ -171,7 +171,8 @@ def pk_check(
     # floor: for a PK every tuple is distinct, so map-side combine saves
     # nothing and the fan's parallel first phase only pays once one task's
     # partial-distinct becomes the straggler (r12: 0.63 s unfanned vs
-    # 0.80 s fanned on sf0.1 lineitem; a ×100 single-file input fans)
+    # 0.80 s fanned on sf0.1 lineitem; r13: at ×100 the input scans as
+    # ~100 partitions and the gate correctly no-ops — SCALE.md pk_fan_x100)
     agg = fan_out(
         df.selectExpr([f"`{k}`" for k in keys]),
         key=list(keys),

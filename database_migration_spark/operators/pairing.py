@@ -497,33 +497,16 @@ def _dict_side(names: DataFrame, cap: int = 4_000_000):
     bench lap (r12 opt round; economics-only decision, fan_out's memo
     argument applies a fortiori).
 
-    Fast path (r13): under basic (non-CBO) stats, Catalyst's sizeInBytes
-    for a scan→project→filter→aggregate dict pipeline only ever
-    OVER-estimates — filters keep their child's size, projections scale
-    by width, a dedup aggregate inherits its child — so when even that
-    upper bound sits far under the broadcast cap, the sizing count job is
-    pure overhead and is skipped (a cold build paid ~0.3 s for it). Any
-    estimate above the floor (including unknown/Long.MaxValue) falls back
-    to the exact count, which remains the authority near the cap."""
+    An r13 estimate-based fast path (skip the count when Catalyst's
+    sizeInBytes reads small) was measured NEUTRAL at bench scale and
+    REVERTED on review: a byte estimate bounds neither the entry count
+    nor the decoded broadcast size (dictionary/RLE-encoded near-serial
+    name columns compress 10-50x, and Project stats assume 20-byte
+    strings), so a <32 MB estimate could force-broadcast a multi-hundred-
+    MB, >cap-entry relation the count-based path would have routed to the
+    shuffle join. The exact count stays the sole authority."""
     from database_migration_spark.functions.parallel import memo_count
 
-    if cap >= 1_000_000:
-        # the byte floor is calibrated against the DEFAULT cap's
-        # "~hundreds of MB" budget; a caller pinning a small entry cap is
-        # asking for the exact count
-        try:
-            est = int(
-                str(
-                    names._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-                )
-            )
-            # 32 MB of (compressed, file-derived) estimate is far inside
-            # the broadcast budget even at a pessimistic 4-5x
-            # decompression ratio
-            if est < 32 * 1024 * 1024:
-                return F.broadcast
-        except Exception:  # noqa: BLE001 — estimation is best-effort
-            pass
     if memo_count(names) <= cap:
         return F.broadcast
     return lambda d: d

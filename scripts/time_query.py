@@ -41,10 +41,7 @@ def main() -> int:
             # build-scalar probe jobs a cold driver pays
             from database_migration_spark.functions import parallel as P
 
-            P._COUNT_MEMO.clear()
-            P._ROW_MEMO.clear()
-            P._COLLECT_MEMO.clear()
-            P._FAN_DECISION.clear()
+            P.clear_build_memos()
             t0 = time.time()
             df = fn(spark, SF_DIR)
             t1 = time.time()

@@ -64,28 +64,3 @@ def test_max_block_drops_degenerate_blocks(spark):
     exhaustive = fuzzy_join(left, right, "name").collect()
     assert len(capped) <= len(exhaustive)
 
-
-def test_dict_side_estimate_gate_skips_count(spark, tmp_path):
-    """r13: _dict_side broadcasts a provably-small file-backed dict from
-    Catalyst's size estimate alone — no sizing count job (no _COUNT_MEMO
-    entry), because under basic stats the estimate only over-estimates a
-    scan->project->aggregate dict pipeline. Relations whose estimate is
-    unknown or above the floor still take the exact-count path."""
-    from database_migration_spark.functions import parallel as P
-    from database_migration_spark.operators.pairing import _dict_side
-
-    path = str(tmp_path / "dict")
-    spark.createDataFrame(
-        [(i, f"name_{i}") for i in range(50)], "_id long, _s string"
-    ).write.parquet(path)
-    names = spark.read.parquet(path).groupBy("_s").agg(F.min("_id").alias("_id"))
-    n0 = len(P._COUNT_MEMO)
-    side = _dict_side(names)
-    assert side is F.broadcast          # tiny dict: broadcast chosen
-    assert len(P._COUNT_MEMO) == n0     # ...from the estimate, no count job
-    # a caller pinning a SMALL entry cap opts out of the estimate gate:
-    # the exact count runs (a memo entry appears) and the 50-entry dict
-    # exceeds cap=10, so the shuffle-join fallback is returned
-    small = _dict_side(names, cap=10)
-    assert small is not F.broadcast
-    assert len(P._COUNT_MEMO) == n0 + 1
